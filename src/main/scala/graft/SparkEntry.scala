@@ -1,13 +1,434 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver contract — one `queries` entry (+ DuckDB oracle SQL) per
+  * implemented operator from SURVEY.md §2. Every query fits on the sfDir
+  * tables and transforms the same tables, so the DuckDB oracle can be stated
+  * as plain SQL over the same parquet. Double-valued outputs that pass
+  * through an aggregate (mean/std/median) are rounded to 6 decimals on BOTH
+  * sides so engine-order-dependent floating-point summation can't flip the
+  * hash compare; outputs that are exact (counts, codes, plain arithmetic)
+  * are left unrounded.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `rstrip('0').rstrip('.')` in SQL, for oracle parity with
+    * StringConcatenator (StringConcatenator.py:64). */
+  private val stripSql: String => String = c =>
+    s"regexp_replace(regexp_replace($c, '0+$$', ''), '\\.+$$', '')"
+
+  /** Flagship: SURVEY §7.3 fraud-style slice on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_pipeline")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- stateless operators -------------------------------------------
+    "q_select" -> ((s, d) =>
+      new ColumnSelector(Seq("c_custkey", "c_name", "c_acctbal"))
+        .transform(t(s, d, "customer"))),
+
+    "q_typeconv" -> ((s, d) => {
+      val out = new TypeConverter(Seq("l_quantity"), IntegerType)
+        .transform(t(s, d, "lineitem"))
+      out.select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    }),
+
+    "q_rowfilter" -> ((s, d) =>
+      new RowTransformer(Seq("o_orderstatus"), Seq("P"))
+        .transform(t(s, d, "orders"))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")),
+
+    "q_map" -> ((s, d) =>
+      new MapTransformer(Seq("c_mktsegment"), Seq("seg"),
+        Seq(("BUILDING", "B"), ("AUTOMOBILE", "A")),
+        defaultValue = Some("other"))
+        .transform(t(s, d, "customer"))
+        .select("c_custkey", "seg")),
+
+    "q_map_regex" -> ((s, d) =>
+      new MapTransformer(Seq("p_type"), Seq("ptype_n"),
+        Seq(("BRUSHED.*", "BRUSHED"), ("POLISHED.*", "POLISHED")),
+        regex = true)
+        .transform(t(s, d, "part"))
+        .select("p_partkey", "ptype_n")),
+
+    "q_strsplit" -> ((s, d) => {
+      val a = new StringSplitter(Seq("p_type"), Seq("type_first"),
+        separator = Some(" "), keep = 0)
+      val b = new StringSplitter(Seq("p_type"), Seq("type_last"),
+        separator = Some(" "), keep = -1)
+      val c = new StringSplitter(Seq("p_brand"), Seq("brand_pfx"),
+        index = Some(5), keep = 0)
+      val e = new StringSplitter(Seq("p_brand"), Seq("brand_sfx"),
+        index = Some(6), keep = -1)
+      e.transform(c.transform(b.transform(a.transform(t(s, d, "part")))))
+        .select("p_partkey", "type_first", "type_last", "brand_pfx", "brand_sfx")
+    }),
+
+    "q_strconcat" -> ((s, d) =>
+      new StringConcatenator(Seq(Seq("c_mktsegment", "c_nationkey")),
+        Seq("ckey"), "_")
+        .transform(t(s, d, "customer"))
+        .select("c_custkey", "ckey")),
+
+    "q_date" -> ((s, d) =>
+      new DateTransformer("o_orderdate")
+        .transform(t(s, d, "orders"))
+        .select(col("o_orderkey"), col("o_orderdate_MY"), col("o_orderdate_WY"),
+          col("o_orderdate_DY"), col("o_orderdate_DM"), col("o_orderdate_DW"),
+          col("o_orderdate_HD"))),
+
+    "q_function" -> ((s, d) =>
+      new FunctionTransformer(
+        Seq(Seq("l_extendedprice"), Seq("l_extendedprice", "l_quantity")),
+        Seq("amt_per_day", "amt_less_qty"),
+        cs => if (cs.length == 1) cs.head / lit(86400.0)
+              else cs(0) - cs(1))
+        .transform(t(s, d, "lineitem"))
+        .select("l_orderkey", "l_linenumber", "amt_per_day", "amt_less_qty")),
+
+    // ---- transform-time-statistics operators ---------------------------
+    "q_impute_mean" -> ((s, d) => {
+      val df = t(s, d, "lineitem")
+        .withColumn("disc_n", when(col("l_discount") === 0.0, lit(null))
+          .otherwise(col("l_discount")))
+      new Imputer(Seq("disc_n"), Seq("disc_filled"), Some("mean"))
+        .transform(df)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("disc_filled"), 6).as("disc_filled"))
+    }),
+
+    "q_impute_median" -> ((s, d) => {
+      val df = t(s, d, "lineitem")
+        .withColumn("tax_n", when(col("l_tax") === 0.0, lit(null))
+          .otherwise(col("l_tax")))
+      new Imputer(Seq("tax_n"), Seq("tax_filled"), Some("median"))
+        .transform(df)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("tax_filled"), 6).as("tax_filled"))
+    }),
+
+    "q_impute_const" -> ((s, d) => {
+      val df = t(s, d, "lineitem")
+        .withColumn("disc_n", when(col("l_discount") === 0.0, lit(null))
+          .otherwise(col("l_discount")))
+      new Imputer(Seq("disc_n"), Seq("disc_filled"), None, -1.0)
+        .transform(df)
+        .select("l_orderkey", "l_linenumber", "disc_filled")
+    }),
+
+    "q_minority" -> ((s, d) =>
+      new MinorityTransformer(Seq("p_type"), Seq("type_common"), 400, "rare")
+        .transform(t(s, d, "part"))
+        .select("p_partkey", "type_common")),
+
+    "q_range" -> ((s, d) =>
+      new RangeTransformer(Seq("l_quantity"), Seq("qty_norm"), Seq(
+        ((None, Some(40.0)), -1.0),          // x >= 40 → -1
+        ((Some(10.0), None), 0.0),           // x <= 10 → 0
+        ((Some(35.0), Some(20.0)), "mean"))) // 20 ≤ x ≤ 35 → mean(matched)
+        .transform(t(s, d, "lineitem"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("qty_norm"), 6).as("qty_norm"))),
+
+    "q_setop" -> ((s, d) =>
+      new SetTransformer(Left("c_mktsegment"),
+        Right(Seq("BUILDING", "MACHINERY", "NOPE")), "*")
+        .resultDF(t(s, d, "customer"))),
+
+    // ---- fitted operators ----------------------------------------------
+    "q_le" -> ((s, d) => {
+      val df = t(s, d, "customer")
+      new ComplementLabelEncoder(Seq("c_mktsegment"), Seq("seg_code"))
+        .fit(df).transform(df)
+        .select("c_custkey", "seg_code")
+    }),
+
+    "q_freq" -> ((s, d) => {
+      val df = t(s, d, "customer")
+      new FrequencyEncoder(Seq("c_mktsegment"), Seq("seg_freq"))
+        .fit(df).transform(df)
+        .select("c_custkey", "seg_freq")
+    }),
+
+    "q_freq_norm" -> ((s, d) => {
+      val df = t(s, d, "customer")
+      new FrequencyEncoder(Seq("c_mktsegment"), Seq("seg_freq"), normalize = true)
+        .fit(df).transform(df)
+        .select("c_custkey", "seg_freq")
+    }),
+
+    "q_agg_global" -> ((s, d) => {
+      val df = t(s, d, "lineitem")
+      val m = DFPipeline(
+        new Aggregator(Seq("l_extendedprice"), Seq("price_mean"), Nil, "mean"),
+        new Aggregator(Seq("l_extendedprice"), Seq("price_std"), Nil, "std"))
+        .fit(df)
+      m.transform(df).select(col("l_orderkey"), col("l_linenumber"),
+        round(col("price_mean"), 6).as("price_mean"),
+        round(col("price_std"), 6).as("price_std"))
+    }),
+
+    "q_agg_grouped" -> ((s, d) => {
+      val df = t(s, d, "orders")
+      new Aggregator(Seq("o_totalprice"), Seq("cust_avg_price"),
+        Seq("o_custkey"), "mean")
+        .fit(df).transform(df)
+        .select(col("o_orderkey"),
+          round(col("cust_avg_price"), 6).as("cust_avg_price"))
+    }),
+
+    "q_scaler_minmax" -> ((s, d) => {
+      val df = t(s, d, "customer")
+      new Scaler(Seq("c_acctbal"), Seq("bal_mm"), "minmax")
+        .fit(df).transform(df)
+        .select(col("c_custkey"), round(col("bal_mm"), 6).as("bal_mm"))
+    }),
+
+    "q_scaler_standard" -> ((s, d) => {
+      val df = t(s, d, "customer")
+      new Scaler(Seq("c_acctbal"), Seq("bal_std"), "standard")
+        .fit(df).transform(df)
+        .select(col("c_custkey"), round(col("bal_std"), 6).as("bal_std"))
+    }),
+
+    "q_scaler_min" -> ((s, d) => {
+      val df = t(s, d, "customer")
+      new Scaler(Seq("c_acctbal"), Seq("bal_min"), "min")
+        .fit(df).transform(df)
+        .select("c_custkey", "bal_min")
+    }),
+
+    "q_onehot" -> ((s, d) => {
+      val df = t(s, d, "customer")
+      new OneHotEncoder(Seq("c_mktsegment")).fit(df).transform(df)
+        .drop("c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    }),
+
+    "q_wrap" -> ((s, d) => {
+      val df = t(s, d, "supplier")
+      new WrapTransformer(Seq("s_acctbal"), Seq("bal_scaled"),
+        () => new org.apache.spark.ml.feature.StandardScaler().setWithMean(true))
+        .fit(df).transform(df)
+        .select(col("s_suppkey"), round(col("bal_scaled"), 6).as("bal_scaled"))
+    }),
+
+    // ---- flagship pipeline (SURVEY §7.3) -------------------------------
+    "q_pipeline" -> ((s, d) => {
+      val customer = t(s, d, "customer")
+      val orders = t(s, d, "orders")
+      val joined = orders.join(broadcast(customer),
+          orders("o_custkey") === customer("c_custkey"))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("c_mktsegment"), col("c_nationkey"))
+      val model = DFPipeline(
+        new StringConcatenator(Seq(Seq("c_mktsegment", "c_nationkey")),
+          Seq("ckey"), "_"),
+        new ComplementLabelEncoder(Seq("ckey"), Seq("ckey_code")),
+        new FrequencyEncoder(Seq("ckey"), Seq("ckey_freq"), normalize = true),
+        new Aggregator(Seq("o_totalprice"), Seq("cust_price_mean"),
+          Seq("ckey"), "mean"))
+        .fit(joined)
+      model.transform(joined)
+        .select(col("o_orderkey"), col("ckey"), col("ckey_code"),
+          col("ckey_freq"),
+          round(col("cust_price_mean"), 6).as("cust_price_mean"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = {
+    val stripSeg = stripSql("c_mktsegment")
+    val stripNat = stripSql("CAST(c_nationkey AS VARCHAR)")
+    Map(
+      "q_select" ->
+        "SELECT c_custkey, c_name, c_acctbal FROM customer",
+
+      "q_typeconv" ->
+        """SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS INTEGER) AS l_quantity FROM lineitem""",
+
+      "q_rowfilter" ->
+        """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('P')""",
+
+      "q_map" ->
+        """SELECT c_custkey,
+           CASE WHEN c_mktsegment = 'BUILDING' THEN 'B'
+                WHEN c_mktsegment = 'AUTOMOBILE' THEN 'A'
+                ELSE 'other' END AS seg
+           FROM customer""",
+
+      "q_map_regex" ->
+        """SELECT p_partkey,
+           regexp_replace(regexp_replace(p_type, 'BRUSHED.*', 'BRUSHED', 'g'),
+                          'POLISHED.*', 'POLISHED', 'g') AS ptype_n
+           FROM part""",
+
+      "q_strsplit" ->
+        """SELECT p_partkey,
+           split_part(p_type, ' ', 1) AS type_first,
+           list_extract(string_split(p_type, ' '), -1) AS type_last,
+           substring(p_brand, 1, 5) AS brand_pfx,
+           substring(p_brand, 7) AS brand_sfx
+           FROM part""",
+
+      "q_strconcat" ->
+        s"""SELECT c_custkey, concat($stripSeg, '_', $stripNat) AS ckey
+            FROM customer""",
+
+      "q_date" ->
+        """SELECT o_orderkey,
+           month(o_orderdate) AS "o_orderdate_MY",
+           weekofyear(o_orderdate) AS "o_orderdate_WY",
+           dayofyear(o_orderdate) AS "o_orderdate_DY",
+           day(o_orderdate) AS "o_orderdate_DM",
+           isodow(o_orderdate) - 1 AS "o_orderdate_DW",
+           hour(o_orderdate) AS "o_orderdate_HD"
+           FROM orders""",
+
+      "q_function" ->
+        """SELECT l_orderkey, l_linenumber,
+           l_extendedprice / 86400.0 AS amt_per_day,
+           l_extendedprice - l_quantity AS amt_less_qty
+           FROM lineitem""",
+
+      "q_impute_mean" ->
+        """SELECT l_orderkey, l_linenumber,
+           round(coalesce(nullif(l_discount, 0.0),
+             (SELECT avg(nullif(l_discount, 0.0)) FROM lineitem)), 6)
+             AS disc_filled
+           FROM lineitem""",
+
+      "q_impute_median" ->
+        """SELECT l_orderkey, l_linenumber,
+           round(coalesce(nullif(l_tax, 0.0),
+             (SELECT median(nullif(l_tax, 0.0)) FROM lineitem)), 6)
+             AS tax_filled
+           FROM lineitem""",
+
+      "q_impute_const" ->
+        """SELECT l_orderkey, l_linenumber,
+           coalesce(nullif(l_discount, 0.0), -1.0) AS disc_filled
+           FROM lineitem""",
+
+      "q_minority" ->
+        """SELECT p_partkey,
+           CASE WHEN cnt >= 400 THEN p_type ELSE 'rare' END AS type_common
+           FROM (SELECT p_partkey, p_type,
+                 count(*) OVER (PARTITION BY p_type) AS cnt FROM part)""",
+
+      "q_range" ->
+        """SELECT l_orderkey, l_linenumber,
+           round(CASE
+             WHEN l_quantity >= 20 AND l_quantity <= 35 THEN
+               (SELECT avg(l_quantity) FROM lineitem
+                WHERE l_quantity >= 20 AND l_quantity <= 35)
+             WHEN l_quantity <= 10 THEN 0.0
+             WHEN l_quantity >= 40 THEN -1.0
+             ELSE l_quantity END, 6) AS qty_norm
+           FROM lineitem""",
+
+      "q_setop" ->
+        """SELECT DISTINCT c_mktsegment AS value FROM customer
+           WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'NOPE')""",
+
+      "q_le" ->
+        """WITH vocab AS (
+             SELECT c_mktsegment AS v,
+                    CAST(row_number() OVER (ORDER BY c_mktsegment) - 1 AS INTEGER)
+                      AS code
+             FROM (SELECT DISTINCT c_mktsegment FROM customer))
+           SELECT c.c_custkey, vocab.code AS seg_code
+           FROM customer c JOIN vocab ON c.c_mktsegment = vocab.v""",
+
+      "q_freq" ->
+        """SELECT c.c_custkey, f.cnt AS seg_freq
+           FROM customer c JOIN (SELECT c_mktsegment, count(*) AS cnt
+                                 FROM customer GROUP BY 1) f
+           USING (c_mktsegment)""",
+
+      "q_freq_norm" ->
+        """SELECT c.c_custkey,
+           CAST(f.cnt AS DOUBLE) / (SELECT count(*) FROM customer) AS seg_freq
+           FROM customer c JOIN (SELECT c_mktsegment, count(*) AS cnt
+                                 FROM customer GROUP BY 1) f
+           USING (c_mktsegment)""",
+
+      "q_agg_global" ->
+        """SELECT l_orderkey, l_linenumber,
+           round((SELECT avg(l_extendedprice) FROM lineitem), 6) AS price_mean,
+           round((SELECT stddev(l_extendedprice) FROM lineitem), 6) AS price_std
+           FROM lineitem""",
+
+      "q_agg_grouped" ->
+        """SELECT o.o_orderkey, round(g.m, 6) AS cust_avg_price
+           FROM orders o LEFT JOIN (SELECT o_custkey, avg(o_totalprice) AS m
+                                    FROM orders GROUP BY 1) g
+           USING (o_custkey)""",
+
+      "q_scaler_minmax" ->
+        """SELECT c_custkey,
+           round((c_acctbal - (SELECT min(c_acctbal) FROM customer)) /
+                 ((SELECT max(c_acctbal) FROM customer) -
+                  (SELECT min(c_acctbal) FROM customer)), 6) AS bal_mm
+           FROM customer""",
+
+      "q_scaler_standard" ->
+        """SELECT c_custkey,
+           round((c_acctbal - (SELECT avg(c_acctbal) FROM customer)) /
+                 (SELECT stddev_pop(c_acctbal) FROM customer), 6) AS bal_std
+           FROM customer""",
+
+      "q_scaler_min" ->
+        """SELECT c_custkey,
+           c_acctbal - (SELECT min(c_acctbal) FROM customer) AS bal_min
+           FROM customer""",
+
+      "q_onehot" ->
+        """SELECT c_custkey,
+           CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1.0 ELSE 0.0 END
+             AS "c_mktsegment__AUTOMOBILE",
+           CASE WHEN c_mktsegment = 'BUILDING' THEN 1.0 ELSE 0.0 END
+             AS "c_mktsegment__BUILDING",
+           CASE WHEN c_mktsegment = 'FURNITURE' THEN 1.0 ELSE 0.0 END
+             AS "c_mktsegment__FURNITURE",
+           CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1.0 ELSE 0.0 END
+             AS "c_mktsegment__HOUSEHOLD",
+           CASE WHEN c_mktsegment = 'MACHINERY' THEN 1.0 ELSE 0.0 END
+             AS "c_mktsegment__MACHINERY"
+           FROM customer""",
+
+      "q_wrap" ->
+        """SELECT s_suppkey,
+           round((s_acctbal - (SELECT avg(s_acctbal) FROM supplier)) /
+                 (SELECT stddev(s_acctbal) FROM supplier), 6) AS bal_scaled
+           FROM supplier""",
+
+      "q_pipeline" ->
+        s"""WITH j AS (
+              SELECT o.o_orderkey, o.o_totalprice,
+                     concat($stripSeg, '_', $stripNat) AS ckey
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+            vocab AS (
+              SELECT ckey AS v,
+                     CAST(row_number() OVER (ORDER BY ckey) - 1 AS INTEGER)
+                       AS code
+              FROM (SELECT DISTINCT ckey FROM j)),
+            freq AS (SELECT ckey AS v, count(*) AS cnt FROM j GROUP BY 1),
+            ag AS (SELECT ckey AS v, avg(o_totalprice) AS m FROM j GROUP BY 1)
+            SELECT j.o_orderkey, j.ckey, vocab.code AS ckey_code,
+                   CAST(freq.cnt AS DOUBLE) / (SELECT count(*) FROM j)
+                     AS ckey_freq,
+                   round(ag.m, 6) AS cust_price_mean
+            FROM j JOIN vocab ON j.ckey = vocab.v
+                   JOIN freq ON j.ckey = freq.v
+                   JOIN ag ON j.ckey = ag.v"""
+    )
+  }
 }

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.ml.{Estimator, Model, Pipeline, PipelineStage, Transformer}
+import org.apache.spark.ml.param.ParamMap
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Base plumbing for the graft operator library.
+  *
+  * The reference engine (IBM/dataframe-pipeline) threads one mutable pandas
+  * DataFrame through a linear list of transformers
+  * (dfpipeline/DataframePipeline.py:32-107). Here each operator is an
+  * `org.apache.spark.ml.PipelineStage`: stateless ops extend
+  * [[GraftTransformer]], fitted ops extend [[GraftEstimator]] producing a
+  * [[GraftModel]]; `org.apache.spark.ml.Pipeline` is the pipeline spine, and
+  * in-place mutation becomes immutable `withColumn`/`drop`/`filter` plans
+  * that Catalyst optimizes end-to-end.
+  */
+object GraftSchema {
+  /** Empty local relation used to derive output schemas lazily. */
+  def emptyDF(schema: StructType): DataFrame =
+    SparkSession.active.createDataFrame(
+      java.util.Collections.emptyList[Row](), schema)
+
+  /** `_PARM_ALL` semantics (dfpipeline/DFPBase.py:25-33): an empty column
+    * list means "all current columns at fit/transform time". */
+  def resolve(cols: Seq[String], df: DataFrame): Seq[String] =
+    if (cols.isEmpty) df.columns.toSeq else cols
+}
+
+/** Stateless operator: pure DataFrame → DataFrame plan extension. */
+abstract class GraftTransformer extends Transformer {
+  override val uid: String = Identifiable.randomUID(getClass.getSimpleName)
+  def transformDF(df: DataFrame): DataFrame
+  override def transform(ds: Dataset[_]): DataFrame = transformDF(ds.toDF())
+  override def copy(extra: ParamMap): this.type = this
+  override def transformSchema(schema: StructType): StructType =
+    transformDF(GraftSchema.emptyDF(schema)).schema
+}
+
+/** Fitted state holder produced by a [[GraftEstimator]]. */
+abstract class GraftModel[M <: GraftModel[M]] extends Model[M] { self: M =>
+  override val uid: String = Identifiable.randomUID(getClass.getSimpleName)
+  def transformDF(df: DataFrame): DataFrame
+  override def transform(ds: Dataset[_]): DataFrame = transformDF(ds.toDF())
+  override def copy(extra: ParamMap): M = self
+  override def transformSchema(schema: StructType): StructType =
+    transformDF(GraftSchema.emptyDF(schema)).schema
+}
+
+/** Operator with fit-time statistics (frozen training state, reapplied at
+  * transform/serving time — SURVEY §1.1). */
+abstract class GraftEstimator[M <: GraftModel[M]] extends Estimator[M] {
+  override val uid: String = Identifiable.randomUID(getClass.getSimpleName)
+  def fitDF(df: DataFrame): M
+  override def fit(ds: Dataset[_]): M = fitDF(ds.toDF())
+  override def copy(extra: ParamMap): Estimator[M] = this
+  // Added/retyped columns depend on fitted state; schema is validated by the
+  // model's transformSchema after fit.
+  override def transformSchema(schema: StructType): StructType = schema
+}
+
+/** Pipeline factory mirroring `DataframePipeline(steps=[...])`
+  * (dfpipeline/DataframePipeline.py:34-46) on `spark.ml.Pipeline` —
+  * `fit`/`transform`/`fit_transform` interleaving (ibid:48-107) is exactly
+  * `Pipeline.fit` + `PipelineModel.transform`. */
+object DFPipeline {
+  def apply(stages: PipelineStage*): Pipeline =
+    new Pipeline().setStages(stages.toArray)
+}

@@ -1,0 +1,342 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+private[operators] object Lookup {
+  /** Above this size a fitted dictionary is applied as a broadcast hash join
+    * of a lookup relation instead of a literal in-plan map —
+    * `element_at` on a literal `MapType` is a per-row linear scan, fine for
+    * small encoder dictionaries, wrong for high-cardinality keys
+    * (SURVEY §7.1.3). */
+  val LiteralMapMax = 1000
+
+  /** Apply `value -> result` dictionary to `key(in)`, null-free keys assumed
+    * handled by caller; misses become `default`. */
+  def withLookup[T: scala.reflect.runtime.universe.TypeTag](
+      df: DataFrame,
+      out: String,
+      key: Column,
+      m: Map[String, T],
+      default: Column,
+      finish: Column => Column,
+      tag: String): DataFrame = {
+    if (m.size <= LiteralMapMax) {
+      val hit =
+        if (m.isEmpty) lit(null)
+        else try_element_at(typedLit(m), key)
+      df.withColumn(out, finish(coalesce(hit, default)))
+    } else {
+      val spark = df.sparkSession
+      val k = s"__${tag}_k"
+      val v = s"__${tag}_v"
+      val enc = org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(String, T)]()
+      val lookup = spark.createDataset(m.toSeq)(enc).toDF(k, v)
+      df.join(broadcast(lookup), key === col(k), "left")
+        .withColumn(out, finish(coalesce(col(v), default)))
+        .drop(k, v)
+    }
+  }
+
+  /** One distributed pass over `df` yielding the distinct (columnIndex,
+    * stringValue) pairs for all `cols` — a single shuffle fits every
+    * column's dictionary instead of one job per column. */
+  def distinctPairs(df: DataFrame, cols: Seq[String]): Array[Row] =
+    df.select(
+        posexplode(array(cols.map(c => col(c).cast(StringType)): _*))
+          .as(Seq("__i", "__v")))
+      .distinct()
+      .collect()
+}
+
+/** Label encoding with an always-present unseen/missing sentinel class.
+  * Reference: dfpipeline/ComplementLabelEncoder.py:39-78.
+  *
+  * fit (per column, values stringified like the reference's `astype(str)`):
+  * null → `"extra_category_"`; classes = lexicographically sorted distinct
+  * values; if the sentinel wasn't among them it is APPENDED at the end
+  * (unsorted — ComplementLabelEncoder.py:61-63), so its code is
+  * `classes.size` when the training data had no missing values. transform:
+  * value → code, with null AND any unseen value collapsing to the sentinel
+  * code; output is int (int32, tests/test_le.py:32).
+  *
+  * NOT Spark's `StringIndexer` (frequency-ordered, no sentinel). Dictionaries
+  * ≤1000 entries ride the plan as literal maps; larger ones become broadcast
+  * hash joins. Ordering note: Scala/Java string sort is UTF-16 code-unit
+  * order vs Python's codepoint order — they differ only beyond the BMP.
+  */
+class ComplementLabelEncoder(
+    inputs: Seq[String] = Nil,
+    outputs: Seq[String] = Nil)
+    extends GraftEstimator[ComplementLabelEncoderModel] {
+  override def fitDF(df: DataFrame): ComplementLabelEncoderModel = {
+    val ins = GraftSchema.resolve(inputs, df)
+    val outs = if (outputs.isEmpty) ins else outputs
+    val S = ComplementLabelEncoder.Sentinel
+    val byCol = Lookup.distinctPairs(df, ins).groupBy(_.getInt(0))
+    val maps = ins.indices.map { i =>
+      val vals = byCol.getOrElse(i, Array.empty[Row])
+        .map(r => if (r.isNullAt(1)) S else r.getString(1))
+        .distinct.sorted
+      val classes = if (vals.contains(S)) vals else vals :+ S
+      classes.zipWithIndex.toMap
+    }
+    new ComplementLabelEncoderModel(ins, outs, maps)
+  }
+}
+
+object ComplementLabelEncoder { val Sentinel = "extra_category_" }
+
+class ComplementLabelEncoderModel(
+    ins: Seq[String],
+    outs: Seq[String],
+    val maps: Seq[Map[String, Int]])
+    extends GraftModel[ComplementLabelEncoderModel] {
+  override def transformDF(df: DataFrame): DataFrame = {
+    val S = ComplementLabelEncoder.Sentinel
+    ins.zip(outs).zip(maps).foldLeft(df) { case (d, ((in, out), m)) =>
+      val sentCode = m(S)
+      val key = coalesce(col(in).cast(StringType), lit(S))
+      Lookup.withLookup[Int](d, out, key, m,
+        lit(sentCode), _.cast(IntegerType), s"cle_$out")
+    }
+  }
+}
+
+/** Frequency (count) encoding. Reference: dfpipeline/FrequencyEncoder.py:
+  * 39-66. fit: per-column `value_counts` (nulls excluded), optionally
+  * normalized by the column's non-null count. transform: value → count;
+  * unseen values and nulls default to 1 (raw, long) or 0.0 (normalized,
+  * double). One distributed groupBy pass fits every column's map.
+  */
+class FrequencyEncoder(
+    inputs: Seq[String],
+    outputs: Seq[String],
+    normalize: Boolean = false)
+    extends GraftEstimator[FrequencyEncoderModel] {
+  require(inputs.length == outputs.length)
+
+  override def fitDF(df: DataFrame): FrequencyEncoderModel = {
+    val counts = df
+      .select(
+        posexplode(array(inputs.map(c => col(c).cast(StringType)): _*))
+          .as(Seq("__i", "__v")))
+      .filter(col("__v").isNotNull)
+      .groupBy("__i", "__v").agg(count(lit(1)).as("__c"))
+      .collect()
+    val byCol = counts.groupBy(_.getInt(0))
+    // counts stored as exact doubles (counts < 2^53) so one map type serves
+    // both the raw (→ cast long) and normalized paths
+    val maps = inputs.indices.map { i =>
+      val rows = byCol.getOrElse(i, Array.empty[Row])
+      if (normalize) {
+        val total = rows.map(_.getLong(2)).sum.toDouble
+        rows.map(r => r.getString(1) -> r.getLong(2) / total).toMap
+      } else rows.map(r => r.getString(1) -> r.getLong(2).toDouble).toMap
+    }
+    new FrequencyEncoderModel(inputs, outputs, normalize, maps)
+  }
+}
+
+class FrequencyEncoderModel(
+    ins: Seq[String],
+    outs: Seq[String],
+    normalize: Boolean,
+    val maps: Seq[Map[String, Double]])
+    extends GraftModel[FrequencyEncoderModel] {
+  override def transformDF(df: DataFrame): DataFrame =
+    ins.zip(outs).zip(maps).foldLeft(df) { case (d, ((in, out), m)) =>
+      val key = col(in).cast(StringType)
+      if (normalize)
+        Lookup.withLookup[Double](d, out, key, m, lit(0.0),
+          _.cast(DoubleType), s"fe_$out")
+      else
+        Lookup.withLookup[Double](d, out, key, m, lit(1.0),
+          _.cast(LongType), s"fe_$out")
+    }
+}
+
+/** Training-time aggregate features. Reference: dfpipeline/Aggregator.py:
+  * 57-97.
+  *
+  * Global mode (`groupby` empty): fit computes one scalar per input
+  * (`mean`/`std`/`count`/...) and transform broadcasts it as a constant
+  * column. Grouped mode: `groupby` is a PARALLEL list (one key column per
+  * input, not a composite key); fit materializes the per-key aggregate as a
+  * small relation and transform is a broadcast-hash-join lookup of the
+  * TRAINING-time aggregate — not a recomputation — with unseen keys (and
+  * null keys, which pandas groupby drops) yielding null.
+  *
+  * pandas `std` is sample std (ddof=1) → `stddev_samp`; `median` is exact →
+  * sort-based `percentile` (SURVEY §4). The fitted relation stays a
+  * DataFrame when huge (no driver collect above [[Aggregator.CollectMax]]) —
+  * the 100 TB path joins it with AQE picking the strategy.
+  */
+class Aggregator(
+    inputs: Seq[String],
+    outputs: Seq[String],
+    groupby: Seq[String] = Nil,
+    func: String)
+    extends GraftEstimator[AggregatorModel] {
+  require(inputs.length == outputs.length)
+  require(groupby.isEmpty || groupby.length == inputs.length)
+
+  override def fitDF(df: DataFrame): AggregatorModel = {
+    if (groupby.isEmpty) {
+      val aggs = inputs.map(c => Aggregator.aggExpr(func, col(c)))
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      new AggregatorModel(inputs, outputs, Nil, func,
+        inputs.indices.map(row.get), Nil)
+    } else {
+      val lookups = inputs.zip(groupby).map { case (in, key) =>
+        val aggDF = df.filter(col(key).isNotNull)
+          .groupBy(col(key).as("__agg_k"))
+          .agg(Aggregator.aggExpr(func, col(in)).as("__agg_v"))
+        val n = aggDF.count()
+        if (n <= Aggregator.CollectMax)
+          AggLookup(df.sparkSession.createDataFrame(
+            java.util.Arrays.asList(aggDF.collect(): _*), aggDF.schema),
+            broadcastable = true)
+        else AggLookup(aggDF, broadcastable = false)
+      }
+      new AggregatorModel(inputs, outputs, groupby, func, Nil, lookups)
+    }
+  }
+}
+
+object Aggregator {
+  val CollectMax = 1000000L
+  def aggExpr(f: String, c: Column): Column = f match {
+    case "mean"    => avg(c)
+    case "std"     => stddev_samp(c)
+    case "var"     => var_samp(c)
+    case "count"   => count(c)
+    case "sum"     => sum(c)
+    case "min"     => min(c)
+    case "max"     => max(c)
+    case "median"  => percentile(c, lit(0.5))
+    case "nunique" => count_distinct(c)
+    case other     => throw new IllegalArgumentException(s"func $other")
+  }
+}
+
+case class AggLookup(df: DataFrame, broadcastable: Boolean)
+
+class AggregatorModel(
+    ins: Seq[String],
+    outs: Seq[String],
+    groupby: Seq[String],
+    func: String,
+    val globals: Seq[Any],
+    val lookups: Seq[AggLookup])
+    extends GraftModel[AggregatorModel] {
+  override def transformDF(df: DataFrame): DataFrame =
+    if (groupby.isEmpty) {
+      outs.zip(globals).foldLeft(df) { case (d, (out, v)) =>
+        d.withColumn(out, lit(v))
+      }
+    } else {
+      outs.zip(groupby).zip(lookups).foldLeft(df) {
+        case (d, ((out, key), lk)) =>
+          val right0 = lk.df.withColumnRenamed("__agg_v", s"__agg_v_$out")
+          val right = if (lk.broadcastable) broadcast(right0) else right0
+          d.join(right, col(key) === col("__agg_k"), "left")
+            .withColumn(out, col(s"__agg_v_$out"))
+            .drop("__agg_k", s"__agg_v_$out")
+      }
+    }
+}
+
+/** Column scaling. Reference: dfpipeline/Scaler.py:42-78 (sklearn
+  * MinMaxScaler / StandardScaler / plain min-subtraction).
+  *
+  * fit: one aggregate pass collects min/max/mean/population-std for every
+  * input (sklearn ddof=0 — vs pandas/Aggregator sample std, SURVEY §2.1 #7).
+  * transform: `min` → `x - min` keeping the column's type (int stays int,
+  * tests/test_scale.py:48-51); `minmax` → `(x-min)/(max-min)` as double
+  * (degenerate max==min → `x-min`, sklearn's handle-zeros rule);
+  * `standard` → `(x-mean)/std` with std==0 treated as 1.
+  */
+class Scaler(inputs: Seq[String], outputs: Seq[String], strategy: String)
+    extends GraftEstimator[ScalerModel] {
+  require(inputs.length == outputs.length)
+
+  override def fitDF(df: DataFrame): ScalerModel = {
+    val aggs = inputs.flatMap { c =>
+      Seq(min(col(c)), max(col(c)).cast(DoubleType),
+        avg(col(c)), stddev_pop(col(c)))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val stats = inputs.indices.map { i =>
+      ScalerStats(
+        minRaw = row.get(i * 4),
+        max = Option(row.get(i * 4 + 1)).fold(0.0)(_.asInstanceOf[Double]),
+        mean = Option(row.get(i * 4 + 2)).fold(0.0)(_.asInstanceOf[Double]),
+        stdPop = Option(row.get(i * 4 + 3)).fold(0.0)(_.asInstanceOf[Double]))
+    }
+    new ScalerModel(inputs, outputs, strategy, stats)
+  }
+}
+
+case class ScalerStats(minRaw: Any, max: Double, mean: Double, stdPop: Double)
+
+class ScalerModel(
+    ins: Seq[String],
+    outs: Seq[String],
+    strategy: String,
+    val stats: Seq[ScalerStats])
+    extends GraftModel[ScalerModel] {
+  override def transformDF(df: DataFrame): DataFrame =
+    ins.zip(outs).zip(stats).foldLeft(df) { case (d, ((in, out), st)) =>
+      val c = col(in)
+      val minD = Option(st.minRaw).fold(0.0)(v => v.toString.toDouble)
+      val e = strategy match {
+        case "min" => c - lit(st.minRaw)
+        case "minmax" =>
+          val denom = st.max - minD
+          if (denom == 0.0) (c - lit(minD)).cast(DoubleType)
+          else (c.cast(DoubleType) - lit(minD)) / lit(denom)
+        case "standard" =>
+          val sd = if (st.stdPop == 0.0) 1.0 else st.stdPop
+          (c.cast(DoubleType) - lit(st.mean)) / lit(sd)
+        case other => throw new IllegalArgumentException(s"strategy $other")
+      }
+      d.withColumn(out, e)
+    }
+}
+
+/** Dense one-hot columns. Reference: dfpipeline/OneHotEncoder.py:57-83.
+  * fit: per column, the sorted distinct non-null (stringified) categories.
+  * transform: for each category, append `col__cat` = 1.0/0.0 double
+  * (tests/test_onehot.py:35); null rows get all zeros; the source column is
+  * KEPT. Not spark.ml's `OneHotEncoder` (sparse vectors — wrong shape,
+  * SURVEY §2.1 #5). All indicator columns are one single projection.
+  */
+class OneHotEncoder(columns: Seq[String])
+    extends GraftEstimator[OneHotEncoderModel] {
+  override def fitDF(df: DataFrame): OneHotEncoderModel = {
+    val byCol = Lookup.distinctPairs(df, columns).groupBy(_.getInt(0))
+    val cats = columns.indices.map { i =>
+      byCol.getOrElse(i, Array.empty[Row])
+        .filterNot(_.isNullAt(1)).map(_.getString(1)).distinct.sorted.toSeq
+    }
+    new OneHotEncoderModel(columns, cats)
+  }
+}
+
+class OneHotEncoderModel(
+    cols: Seq[String],
+    val categories: Seq[Seq[String]])
+    extends GraftModel[OneHotEncoderModel] {
+  override def transformDF(df: DataFrame): DataFrame = {
+    val indicator = cols.zip(categories).flatMap { case (c, cats) =>
+      cats.map { cat =>
+        when(col(c).cast(StringType) === lit(cat), 1.0).otherwise(0.0)
+          .as(s"${c}__$cat")
+      }
+    }
+    df.select(df.columns.map(col).toSeq ++ indicator: _*)
+  }
+}

@@ -1,0 +1,216 @@
+package graft.operators
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Projection: keep (`drop=false`) or drop (`drop=true`) the given columns.
+  * Reference: dfpipeline/ColumnSelector.py:45-65. Maps to a Catalyst
+  * projection, so column pruning reaches the parquet scan for free. */
+class ColumnSelector(columns: Seq[String], drop: Boolean = false)
+    extends GraftTransformer {
+  override def transformDF(df: DataFrame): DataFrame =
+    if (drop) df.drop(columns: _*)
+    else df.select(columns.map(col): _*)
+}
+
+/** Cast columns to a target type. Reference: dfpipeline/TypeConverter.py:43-63
+  * (`astype`). Nulls survive the cast (pandas NaN ⇔ Spark null). */
+class TypeConverter(columns: Seq[String], to: DataType)
+    extends GraftTransformer {
+  override def transformDF(df: DataFrame): DataFrame =
+    columns.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(to)))
+}
+
+/** Drop rows whose value in any of `columns` is in `dropValues`; rows with
+  * null in those columns are KEPT (pandas `isin` is false for NaN).
+  * Reference: dfpipeline/RowTransformer.py:44-58 — the only
+  * row-cardinality-changing operator in the surface; a plain Catalyst filter
+  * which pushes down to the scan. */
+class RowTransformer(columns: Seq[String], dropValues: Seq[Any])
+    extends GraftTransformer {
+  override def transformDF(df: DataFrame): DataFrame = {
+    val keep = columns
+      .map(c => col(c).isNull || !col(c).isin(dropValues: _*))
+      .reduce(_ && _)
+    df.filter(keep)
+  }
+}
+
+/** Value remapping. Reference: dfpipeline/MapTransformer.py:64-116.
+  *
+  *  - exact mode: `df[out] = df[in].replace(dict)` — equality match per
+  *    value, unmatched values keep the original; a null key matches null
+  *    (the reference maps `np.nan` keys, MapTransformer.py:52-54).
+  *  - regex mode: sequential `regexp_replace` per (pattern, replacement) in
+  *    entry order (pandas substring-replace semantics).
+  *  - defaultValue: after mapping, any value not among the mapping's values
+  *    (including null) becomes `defaultValue` (MapTransformer.py:84-88).
+  *  - dtype: optional final cast.
+  *
+  * Entry order is load-bearing (SURVEY §2.5.4) → `mapping` is an ordered Seq.
+  * Everything is a codegen'd `when`-chain; no UDFs.
+  */
+class MapTransformer(
+    inputs: Seq[String],
+    outputs: Seq[String],
+    mapping: Seq[(Any, Any)],
+    regex: Boolean = false,
+    defaultValue: Option[Any] = None,
+    dtype: Option[DataType] = None)
+    extends GraftTransformer {
+  require(inputs.length == outputs.length)
+
+  private def mapped(c: Column): Column =
+    if (regex) {
+      mapping.foldLeft(c.cast(StringType)) { case (acc, (k, v)) =>
+        regexp_replace(acc, k.toString, v.toString)
+      }
+    } else {
+      val chain = mapping.foldLeft(Option.empty[Column]) {
+        case (acc, (k, v)) =>
+          val cond = if (k == null) c.isNull else c === lit(k)
+          Some(acc.fold(when(cond, lit(v)))(_.when(cond, lit(v))))
+      }
+      chain.fold(c)(_.otherwise(c))
+    }
+
+  override def transformDF(df: DataFrame): DataFrame =
+    inputs.zip(outputs).foldLeft(df) { case (d, (in, out)) =>
+      var e = mapped(col(in))
+      defaultValue.foreach { dv =>
+        val vals = mapping.map(_._2).filter(_ != null)
+        e = when(e.isin(vals: _*), e).otherwise(lit(dv))
+      }
+      dtype.foreach(t => e = e.cast(t))
+      d.withColumn(out, e)
+    }
+}
+
+/** Token/prefix extraction. Reference: dfpipeline/StringSplitter.py:71-101.
+  *  - separator mode: literal split, keep first (`keep=0`) or last
+  *    (`keep = -1`) token.
+  *  - index mode: prefix `x[:index]` (`keep=0`) or suffix `x[index:]`
+  *    (`keep = -1`), positive `index` only.
+  */
+class StringSplitter(
+    inputs: Seq[String],
+    outputs: Seq[String],
+    separator: Option[String] = None,
+    index: Option[Int] = None,
+    keep: Int = 0)
+    extends GraftTransformer {
+  require(inputs.length == outputs.length)
+  require(separator.nonEmpty || index.nonEmpty)
+
+  private def piece(c: Column): Column = separator match {
+    case Some(sep) =>
+      val parts = split(c.cast(StringType), Pattern.quote(sep), -1)
+      element_at(parts, if (keep == 0) 1 else -1)
+    case None =>
+      val i = index.get
+      val s = c.cast(StringType)
+      if (keep == 0) substring(s, 1, i) else s.substr(lit(i + 1), length(s))
+  }
+
+  override def transformDF(df: DataFrame): DataFrame =
+    inputs.zip(outputs).foldLeft(df) { case (d, (in, out)) =>
+      d.withColumn(out, piece(col(in)))
+    }
+}
+
+/** Composite-key builder. Reference: dfpipeline/StringConcatenator.py:49-65.
+  *
+  * Left fold over each input tuple:
+  * `out = strip(str(out)) + sep + strip(str(next))` where
+  * `strip = rstrip('0').rstrip('.')` — numeric-looking strings lose trailing
+  * zeros then trailing dots, so `"100.0" → "100"` and (the documented quirk)
+  * `"100" → "1"`. A 1-element tuple is a plain column copy with no strip.
+  * Divergence from pandas: null stays null (pandas `astype(str)` would
+  * produce the literal `"nan"`).
+  */
+class StringConcatenator(
+    inputs: Seq[Seq[String]],
+    outputs: Seq[String],
+    separator: String)
+    extends GraftTransformer {
+  require(inputs.length == outputs.length)
+
+  private def strip(c: Column): Column =
+    regexp_replace(regexp_replace(c, "0+$", ""), "\\.+$", "")
+
+  override def transformDF(df: DataFrame): DataFrame =
+    inputs.zip(outputs).foldLeft(df) { case (d, (tuple, out)) =>
+      val e =
+        if (tuple.lengthCompare(1) == 0) col(tuple.head)
+        else
+          tuple.tail.foldLeft(col(tuple.head).cast(StringType)) { (acc, c) =>
+            concat(strip(acc), lit(separator),
+              strip(col(c).cast(StringType)))
+          }
+      d.withColumn(out, e)
+    }
+}
+
+/** Date-field extraction. Reference: dfpipeline/DateTransformer.py:48-79.
+  *
+  * Parses `column` (string dates, or epoch seconds relative to `origin`) —
+  * replacing it with the parsed timestamp like the reference does — and
+  * derives six long columns:
+  * `_MY` month, `_WY` ISO week, `_DY` day-of-year, `_DM` day-of-month,
+  * `_DW` day-of-week with Monday=0 (Spark `dayofweek` is Sunday=1 →
+  * `(dow+5) % 7`), `_HD` hour.
+  */
+class DateTransformer(column: String, origin: Option[String] = None)
+    extends GraftTransformer {
+  override def transformDF(df: DataFrame): DataFrame = {
+    val ts = origin match {
+      case Some(o) =>
+        timestamp_seconds(
+          unix_timestamp(to_timestamp(lit(o))) + col(column).cast(LongType))
+      case None => to_timestamp(col(column))
+    }
+    val d = df.withColumn(column, ts)
+    val t = col(column)
+    val fields = Seq(
+      "MY" -> month(t), "WY" -> weekofyear(t), "DY" -> dayofyear(t),
+      "DM" -> dayofmonth(t), "DW" -> (dayofweek(t) + lit(5)) % lit(7),
+      "HD" -> hour(t))
+    fields.foldLeft(d) { case (acc, (suffix, e)) =>
+      acc.withColumn(s"${column}_$suffix", e.cast(LongType))
+    }
+  }
+}
+
+/** The scalar-UDF surface. Reference: dfpipeline/FunctionTransformer.py:53-93
+  * compiles Python lambdas to an ONNX dataflow via CPython bytecode walking
+  * (dfpipeline/walkBytecode.py). On Spark the compiler is Catalyst itself:
+  * the user supplies a `Seq[Column] => Column` expression lambda (SURVEY
+  * §2.3) and gets whole-stage codegen; an opaque JVM closure via
+  * `org.apache.spark.sql.functions.udf` is the documented slow path.
+  */
+class FunctionTransformer(
+    inputs: Seq[Seq[String]],
+    outputs: Seq[String],
+    fn: Seq[Column] => Column)
+    extends GraftTransformer {
+  require(inputs.length == outputs.length)
+  override def transformDF(df: DataFrame): DataFrame =
+    inputs.zip(outputs).foldLeft(df) { case (d, (ins, out)) =>
+      d.withColumn(out, fn(ins.map(col)))
+    }
+}
+
+object FunctionTransformer {
+  def apply(inputs: Seq[String], outputs: Seq[String], fn: Column => Column) =
+    new FunctionTransformer(inputs.map(Seq(_)), outputs,
+      (cs: Seq[Column]) => fn(cs.head))
+  def apply2(
+      inputs: Seq[(String, String)],
+      outputs: Seq[String],
+      fn: (Column, Column) => Column) =
+    new FunctionTransformer(inputs.map(t => Seq(t._1, t._2)), outputs,
+      (cs: Seq[Column]) => fn(cs(0), cs(1)))
+}

@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Missing-value fill. Reference: dfpipeline/Imputer.py:43-79.
+  *
+  * Deliberate reference quirk preserved (SURVEY §2.5.1): there is NO fit —
+  * `mean`/`median` are computed on the frame being transformed, at transform
+  * time. All per-column statistics are computed in ONE distributed aggregate
+  * pass (`avg`/exact `percentile`), then applied as `coalesce(col, stat)`.
+  * `strategy=None` fills the constant `value` (type-coerced like pandas
+  * upcasting). Exact percentile (not approx) keeps oracle parity with
+  * pandas/DuckDB `median`.
+  */
+class Imputer(
+    inputs: Seq[String],
+    outputs: Seq[String],
+    strategy: Option[String] = None,
+    value: Any = -1)
+    extends GraftTransformer {
+  require(inputs.length == outputs.length)
+
+  override def transformDF(df: DataFrame): DataFrame = strategy match {
+    case None =>
+      inputs.zip(outputs).foldLeft(df) { case (d, (in, out)) =>
+        d.withColumn(out, coalesce(col(in), lit(value)))
+      }
+    case Some(s) =>
+      val aggs = inputs.map { c =>
+        s match {
+          case "mean"   => avg(col(c))
+          case "median" => percentile(col(c), lit(0.5))
+          case other =>
+            throw new IllegalArgumentException(s"strategy $other")
+        }
+      }
+      val statRow = df.agg(aggs.head, aggs.tail: _*).head()
+      inputs.zip(outputs).zipWithIndex.foldLeft(df) {
+        case (d, ((in, out), i)) =>
+          d.withColumn(out, coalesce(col(in), lit(statRow.get(i))))
+      }
+  }
+}
+
+/** Replace infrequent values. Reference: dfpipeline/MinorityTransformer.py:
+  * 50-66 — counts are transform-time (`value_counts` on the incoming frame);
+  * values with frequency < threshold (and nulls) become `replacedTo`.
+  *
+  * Implemented as aggregate + equi-join (not a `count(*) over (partition by
+  * col)` window: a single-key window shuffles everything into per-value
+  * partitions and dies on skewed hot keys at scale; the groupBy pre-combines
+  * map-side and AQE broadcasts the small count table).
+  */
+class MinorityTransformer(
+    inputs: Seq[String],
+    outputs: Seq[String],
+    threshold: Long,
+    replacedTo: Any)
+    extends GraftTransformer {
+  require(inputs.length == outputs.length)
+
+  override def transformDF(df: DataFrame): DataFrame =
+    inputs.zip(outputs).zipWithIndex.foldLeft(df) {
+      case (d, ((in, out), i)) =>
+        val k = s"__mt_k$i"
+        val cnt = s"__mt_c$i"
+        val counts = d.groupBy(col(in).as(k)).agg(count(lit(1)).as(cnt))
+          .filter(col(k).isNotNull)
+        d.join(counts, col(in) === col(k), "left")
+          .withColumn(out,
+            when(col(cnt) >= threshold, col(in)).otherwise(lit(replacedTo)))
+          .drop(k, cnt)
+    }
+}
+
+/** Range-based value rewrite. Reference: dfpipeline/RangeTransformer.py:54-96.
+  *
+  * Rules are `((upperBound, lowerBound), replacement)` — note the reference's
+  * key order is (upper, lower) — with inclusive bounds, `None` = unbounded,
+  * `(None, None)` ignored. Masks are evaluated against the ORIGINAL column and
+  * later rules overwrite earlier ones (last-match-wins), so the `when`-chain
+  * is built in reverse rule order. Replacements are constants or
+  * `"mean"`/`"median"`/`"most_frequent"` computed at transform time over the
+  * matched subset (whole column if `useAllElements`); all subset statistics
+  * for all columns run in ONE aggregate pass via conditional aggregates
+  * (`avg(when(mask, c))`, exact `percentile`, `mode`). Nulls never match a
+  * mask and pass through unchanged.
+  */
+class RangeTransformer(
+    inputs: Seq[String],
+    outputs: Seq[String],
+    rules: Seq[((Option[Double], Option[Double]), Any)],
+    useAllElements: Boolean = false)
+    extends GraftTransformer {
+  require(inputs.length == outputs.length)
+
+  private def mask(c: Column, upper: Option[Double], lower: Option[Double]) =
+    (lower.map(c >= _).toSeq ++ upper.map(c <= _).toSeq).reduce(_ && _)
+
+  override def transformDF(df: DataFrame): DataFrame = {
+    val active = rules.filter { case ((u, l), _) => u.nonEmpty || l.nonEmpty }
+    val statAggs = scala.collection.mutable.ArrayBuffer.empty[Column]
+    val statIdx = scala.collection.mutable.Map.empty[(String, Int), Int]
+    for {
+      in <- inputs
+      (((u, l), v), ri) <- active.zipWithIndex
+    } v match {
+      case s: String =>
+        val c = col(in)
+        val subset = if (useAllElements) c else when(mask(c, u, l), c)
+        statIdx((in, ri)) = statAggs.length
+        statAggs += (s match {
+          case "mean"          => avg(subset)
+          case "median"        => percentile(subset, lit(0.5))
+          case "most_frequent" => mode(subset)
+          case other =>
+            throw new IllegalArgumentException(s"replacement $other")
+        })
+      case _ => ()
+    }
+    val statRow =
+      if (statAggs.nonEmpty) df.agg(statAggs.head, statAggs.tail.toSeq: _*).head()
+      else null
+    inputs.zip(outputs).foldLeft(df) { case (d, (in, out)) =>
+      val c = col(in)
+      val chain = active.zipWithIndex.reverse
+        .foldLeft(Option.empty[Column]) { case (acc, (((u, l), v), ri)) =>
+          val repl = v match {
+            case _: String => lit(statRow.get(statIdx((in, ri))))
+            case x         => lit(x)
+          }
+          val m = mask(c, u, l)
+          Some(acc.fold(when(m, repl))(_.when(m, repl)))
+        }
+      d.withColumn(out, chain.fold(c)(_.otherwise(c)))
+    }
+  }
+}
+
+/** Distinct-value set algebra. Reference: dfpipeline/SetTransformer.py:43-91 —
+  * operates on the SET of column values (not rows): `set(first) ∩/∪/−
+  * set(second)`, result handed to a callback. Operands are a column name or a
+  * literal value list.
+  *
+  * Spark mapping: `distinct` + `intersect`/`union`/`except` on single-column
+  * frames (SURVEY §2.1 #17). Divergence: the reference also writes the result
+  * list into a None-padded column of the original frame, which has no
+  * well-defined row order on a distributed multiset — here `transform` leaves
+  * the frame unchanged and the result is exposed via [[resultDF]] / the
+  * callback (sorted for determinism).
+  */
+class SetTransformer(
+    firstOperand: Either[String, Seq[String]],
+    secondOperand: Either[String, Seq[String]],
+    setOperation: String,
+    outputFunc: Option[Seq[String] => Unit] = None)
+    extends GraftTransformer {
+
+  def resultDF(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def side(op: Either[String, Seq[String]]): DataFrame = op match {
+      case Left(c)   => df.select(col(c).cast(StringType).as("value")).distinct()
+      case Right(vs) => vs.toDF("value").distinct()
+    }
+    val (a, b) = (side(firstOperand), side(secondOperand))
+    setOperation match {
+      case "&" | "*" => a.intersect(b)
+      case "|" | "+" => a.union(b).distinct()
+      case "-"       => a.except(b)
+      case other     => throw new IllegalArgumentException(s"set op $other")
+    }
+  }
+
+  override def transformDF(df: DataFrame): DataFrame = {
+    outputFunc.foreach { f =>
+      f(resultDF(df).collect().map(_.getString(0)).toSeq.sorted)
+    }
+    df
+  }
+}
