@@ -1,0 +1,200 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.sim.Similarity
+import graft.text.{Dedup, TextAnalyzer, TextFunctions}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline queries (dedup / similarity / text analysis /
+  * multimodal) over the `documents` and `embeddings` tables, with DuckDB
+  * oracles wherever the computation is SQL-expressible; hash-based ops
+  * (minhash/simhash/fingerprint/LSH) are deterministic but use xxhash64,
+  * which DuckDB lacks → rows-only checks, covered instead by scalatest specs
+  * with planted duplicates.
+  */
+object DataQueries {
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"), Seq("text"), "doc_id")
+        .select("doc_id", "lang", "source", "n_chars")),
+
+    "q_dedup_groups" -> ((s, d) =>
+      Dedup.duplicateGroups(t(s, d, "documents"), Seq("text"), "doc_id")),
+
+    "q_text_stats" -> ((s, d) =>
+      new TextAnalyzer("text", "t").transform(t(s, d, "documents"))
+        .select("doc_id", "t_n_tokens", "t_punct_ratio", "t_stopword_ratio",
+          "t_quality", "t_lang")),
+
+    "q_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.fingerprint(col("text")).as("fp"))),
+
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minHashLSH(t(s, d, "documents"), "text", "doc_id")
+        .filter(col("est_jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"),
+          round(col("est_jaccard"), 6).as("est_jaccard"))),
+
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simHashNearDup(t(s, d, "documents"), "text", "doc_id")),
+
+    "q_ngram_jaccard" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 40)
+      val a = docs.select(col("doc_id").as("id_a"), col("text").as("ta"))
+      val b = docs.select(col("doc_id").as("id_b"), col("text").as("tb"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          TextFunctions.ngramJaccard(col("ta"), col("tb"), 3).as("jaccard"))
+    }),
+
+    "q_sim_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queries, "query_id", "qvec", k = 5)
+        .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"))
+    }),
+
+    "q_sim_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.lshTopK(emb, "vec_id", "embedding",
+          queries, "query_id", "qvec", k = 5, dim = 64)
+        .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"))
+    }),
+
+    "q_embed_neardup" -> ((s, d) =>
+      Similarity.embeddingNearDup(t(s, d, "embeddings"), "vec_id",
+          "embedding", dim = 64, threshold = 0.3)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))),
+
+    "q_multimodal" -> ((s, d) =>
+      Multimodal.decodeImages(
+        Multimodal.withBlob(t(s, d, "documents"), "text", "blob"),
+        "doc_id", "blob")),
+
+    "q_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(
+        Multimodal.withBlob(t(s, d, "documents"), "text", "blob"),
+        "doc_id", "blob", frameBytes = 64, stride = 2))
+  )
+
+  // Shared SQL fragments (duplicated single-quotes are SQL escaping).
+  private val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+  private val punctClass = "[.,;:!?''\"()\\[\\]{}\\-]"
+
+  private def langScoreSql(markers: Seq[String]): String =
+    s"len(list_filter(ts, t -> t IN (${markers.map(m => s"'$m'").mkString(", ")})))"
+
+  def oracleSql: Map[String, String] = {
+    val scores = TextFunctions.LangMarkers
+      .map { case (l, ms) => l -> s"s_$l" }
+    val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+    val langCase = TextFunctions.LangMarkers
+      .map { case (l, _) => s"WHEN s_$l = $best AND s_$l > 0 THEN '$l'" }
+      .mkString(" ")
+    val stops = TextFunctions.Stopwords.map(s => s"'$s'").mkString(", ")
+
+    Map(
+      "q_dedup_exact" ->
+        """SELECT doc_id, lang, source, n_chars FROM (
+             SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id)
+               AS rn FROM documents) WHERE rn = 1""",
+
+      "q_dedup_groups" ->
+        """SELECT text, count(*) AS n_rows, min(doc_id) AS keeper_id
+           FROM documents GROUP BY text HAVING count(*) > 1""",
+
+      "q_text_stats" -> {
+        val scoreDefs = TextFunctions.LangMarkers
+          .map { case (l, ms) => s"${langScoreSql(ms)} AS s_$l" }
+          .mkString(",\n               ")
+        s"""WITH tk AS (
+              SELECT doc_id, text, $toks AS ts FROM documents),
+            sc AS (
+              SELECT doc_id, text, ts,
+               $scoreDefs
+              FROM tk)
+            SELECT doc_id,
+              len(ts) AS t_n_tokens,
+              CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                CAST(length(text) -
+                     length(regexp_replace(text, '$punctClass', '', 'g'))
+                     AS DOUBLE) / CAST(length(text) AS DOUBLE) END
+                AS t_punct_ratio,
+              CASE WHEN len(ts) = 0 THEN 0.0 ELSE
+                CAST(len(list_filter(ts, t -> t IN ($stops))) AS DOUBLE) /
+                CAST(len(ts) AS DOUBLE) END AS t_stopword_ratio,
+              least(CAST(length(text) AS DOUBLE) / 2000.0, 1.0) * 0.4 +
+              (1.0 - CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                 CAST(length(text) -
+                      length(regexp_replace(text, '$punctClass', '', 'g'))
+                      AS DOUBLE) / CAST(length(text) AS DOUBLE) END) * 0.3 +
+              (1.0 - abs((CASE WHEN len(ts) = 0 THEN 0.0 ELSE
+                 CAST(len(list_filter(ts, t -> t IN ($stops))) AS DOUBLE) /
+                 CAST(len(ts) AS DOUBLE) END) - 0.35)) * 0.3 AS t_quality,
+              CASE $langCase ELSE 'und' END AS t_lang
+            FROM sc"""
+      },
+
+      "q_ngram_jaccard" ->
+        """WITH sh AS (
+             SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+             FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+                   FROM documents WHERE doc_id < 40))
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CASE WHEN len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) = 0
+                  THEN 0.0
+                  ELSE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+                       CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))
+                            AS DOUBLE) END AS jaccard
+           FROM sh a, sh b WHERE a.doc_id < b.doc_id""",
+
+      // embeddings cast to DOUBLE[] so DuckDB accumulates in double like our
+      // CosineSimilarity expression, and round() returns DOUBLE (on FLOAT it
+      // would return DECIMAL → schema mismatch)
+      "q_sim_topk" ->
+        """SELECT q.vec_id AS query_id, e.vec_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(q.embedding AS DOUBLE[])), 6)
+               AS sim
+           FROM embeddings e,
+                (SELECT * FROM embeddings WHERE vec_id < 10) q
+           QUALIFY row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             CAST(q.embedding AS DOUBLE[]))
+                        DESC,
+                      e.vec_id) <= 5""",
+
+      "q_multimodal" ->
+        """SELECT doc_id AS id,
+             CAST(1 + octet_length(encode(text)) % 512 AS INTEGER) AS width,
+             CAST(1 + (octet_length(encode(text)) * 7) % 512 AS INTEGER)
+               AS height,
+             CAST(3 AS INTEGER) AS channels,
+             CAST((1 + octet_length(encode(text)) % 512) AS BIGINT) *
+               (1 + (octet_length(encode(text)) * 7) % 512) * 3 AS n_pixels
+           FROM documents""",
+
+      "q_frames" ->
+        """SELECT doc_id AS id, CAST(u AS INTEGER) AS frame_index,
+             CAST(u AS BIGINT) * 64 AS byte_offset
+           FROM (SELECT doc_id,
+                   unnest(range(0, octet_length(encode(text)) // 64, 2)) AS u
+                 FROM documents)"""
+    )
+  }
+}

@@ -27,7 +27,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_pipeline")(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    classicQueries ++ DataQueries.queries
+
+  def oracleSql: Map[String, String] =
+    classicOracleSql ++ DataQueries.oracleSql
+
+  private def classicQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- stateless operators -------------------------------------------
     "q_select" -> ((s, d) =>
       new ColumnSelector(Seq("c_custkey", "c_name", "c_acctbal"))
@@ -242,7 +248,7 @@ object SparkEntry {
     })
   )
 
-  def oracleSql: Map[String, String] = {
+  private def classicOracleSql: Map[String, String] = {
     val stripSeg = stripSql("c_mktsegment")
     val stripNat = stripSql("CAST(c_nationkey AS VARCHAR)")
     Map(

@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+
+/** Cosine similarity of two float/double array columns as a native Catalyst
+  * expression: one fused loop computing dot product and both norms, fully
+  * code-generated — the hot inner loop of brute-force ANN search. The
+  * higher-order-function formulation (`aggregate(zip_with(...))`) allocates
+  * an intermediate array per row-pair; at 100 TB of candidate pairs that
+  * allocation IS the workload, hence the custom expression (SURVEY §4 /
+  * builder preference order (b)).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  private def elemIsDouble(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType,
+    right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _),
+          ArrayType(FloatType | DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim needs two float/double arrays, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    val (dl, dr) = (elemIsDouble(left), elemIsDouble(right))
+    while (i < n) {
+      val xi = if (dl) x.getDouble(i) else x.getFloat(i).toDouble
+      val yi = if (dr) y.getDouble(i) else y.getFloat(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+    }
+    val d = math.sqrt(nx) * math.sqrt(ny)
+    if (d == 0.0) 0.0 else dot / d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val getL = if (elemIsDouble(left)) s"$a.getDouble(i)"
+                 else s"(double) $a.getFloat(i)"
+      val getR = if (elemIsDouble(right)) s"$b.getDouble(i)"
+                 else s"(double) $b.getFloat(i)"
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double dot = 0.0, nx = 0.0, ny = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  double xi = $getL; double yi = $getR;
+         |  dot += xi * yi; nx += xi * xi; ny += yi * yi;
+         |}
+         |double dd = java.lang.Math.sqrt(nx) * java.lang.Math.sqrt(ny);
+         |${ev.value} = (dd == 0.0) ? 0.0 : dot / dd;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** 64-bit SimHash of an array of token hashes (long): per bit position,
+  * majority vote of the tokens' hash bits. One code-generated loop instead of
+  * 64 higher-order aggregates.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 needs array<bigint>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val cnt = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      val h = arr.getLong(i)
+      var k = 0
+      while (k < 64) {
+        if (((h >>> k) & 1L) == 1L) cnt(k) += 1 else cnt(k) -= 1
+        k += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var k = 0
+    while (k < 64) { if (cnt(k) > 0) out |= (1L << k); k += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+       |int[] cnt = new int[64];
+       |for (int i = 0; i < $a.numElements(); i++) {
+       |  long h = $a.getLong(i);
+       |  for (int k = 0; k < 64; k++) {
+       |    if (((h >>> k) & 1L) == 1L) cnt[k]++; else cnt[k]--;
+       |  }
+       |}
+       |long out = 0L;
+       |for (int k = 0; k < 64; k++) if (cnt[k] > 0) out |= (1L << k);
+       |${ev.value} = out;
+     """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}
+
+/** Column-level entry points for graft's custom expressions. */
+object GraftFunctions {
+  def cosine_sim(a: Column, b: Column): Column =
+    Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+
+  def simhash64(tokenHashes: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(tokenHashes)))
+
+  /** Optional SQL registration (`SELECT cosine_sim(a, b) ...`). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_sim",
+      es => CosineSimilarity(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("simhash64",
+      es => SimHash64(es.head), "built-in")
+  }
+}

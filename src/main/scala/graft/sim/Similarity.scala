@@ -1,0 +1,120 @@
+package graft.sim
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`). Brute-force cosine top-k is the exact baseline; the
+  * scale path buckets by random-hyperplane LSH signatures so only bucket
+  * collisions pay the cosine loop. The cosine itself is the code-generated
+  * [[graft.functions.CosineSimilarity]] expression.
+  */
+object Similarity {
+
+  def cosine(a: Column, b: Column): Column = GraftFunctions.cosine_sim(a, b)
+
+  /** Exact top-k: broadcast the (small) query set against every row, then a
+    * two-stage top-k — a per-input-partition cut (partition-local window)
+    * before the per-query global cut — so no single task ever sees all N
+    * rows of one query (the naive single window would funnel N rows per
+    * query through one partition). */
+  def bruteForceTopK(
+      data: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int): DataFrame = {
+    val scored = data.crossJoin(broadcast(queries))
+      .withColumn("sim", cosine(col(vecCol), col(qVecCol)))
+      .select(col(qIdCol), col(idCol), col("sim"))
+    val local = Window.partitionBy(col(qIdCol), spark_partition_id())
+      .orderBy(col("sim").desc, col(idCol))
+    val global = Window.partitionBy(col(qIdCol))
+      .orderBy(col("sim").desc, col(idCol))
+    scored
+      .withColumn("__lr", row_number().over(local)).filter(col("__lr") <= k)
+      .withColumn("rank", row_number().over(global)).filter(col("rank") <= k)
+      .select(qIdCol, idCol, "sim", "rank")
+  }
+
+  /** Deterministic pseudo-random unit-free hyperplanes (seeded). */
+  private def planes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  private def dotLit(vec: Column, plane: Seq[Double]): Column =
+    GraftFunctions.cosine_sim(vec, typedlit(plane.toArray)) // sign(cos)=sign(dot)
+
+  /** Pack the sign bits of `nPlanes` hyperplane projections into an int. */
+  def lshSignature(
+      vec: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column =
+    planes(nPlanes, dim, seed).zipWithIndex
+      .map { case (p, i) =>
+        when(dotLit(vec, p) >= 0, lit(1 << i)).otherwise(lit(0))
+      }
+      .reduce(_ + _)
+
+  /** LSH-bucketed ANN top-k: signature bands → bucket join → exact cosine on
+    * collisions only. Recall < 1 by construction (report alongside the
+    * brute-force baseline); `bands` of `nPlanes/bands` bits each — a pair is
+    * a candidate if any band agrees. */
+  def lshTopK(
+      data: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, dim: Int, nPlanes: Int = 16, bands: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    require(nPlanes % bands == 0)
+    val r = nPlanes / bands
+    val mask = (1 << r) - 1
+    def bucketed(df: DataFrame, id: String, vec: String): DataFrame = {
+      val sig = lshSignature(col(vec), nPlanes, dim, seed)
+      df.withColumn("__sig", sig)
+        .select(col(id), col(vec), explode(array((0 until bands).map(j =>
+          struct(lit(j).as("band"),
+            shiftrightunsigned(col("__sig"), j * r).bitwiseAND(lit(mask))
+              .as("bucket"))): _*)).as("__b"))
+        .select(col(id), col(vec), col("__b.band"), col("__b.bucket"))
+    }
+    val cand = bucketed(data, idCol, vecCol)
+      .join(bucketed(broadcast(queries), qIdCol, qVecCol), Seq("band", "bucket"))
+      .select(col(qIdCol), col(idCol), col(vecCol), col(qVecCol))
+      .distinct()
+      .withColumn("sim", cosine(col(vecCol), col(qVecCol)))
+      .select(col(qIdCol), col(idCol), col("sim"))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("sim").desc, col(idCol))
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(qIdCol, idCol, "sim", "rank")
+  }
+
+  /** Embedding near-duplicate pairs: LSH self-join buckets, then exact
+    * cosine ≥ threshold. */
+  def embeddingNearDup(
+      data: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double = 0.95, nPlanes: Int = 16, bands: Int = 4,
+      maxBucket: Int = 1000, seed: Long = 42L): DataFrame = {
+    require(nPlanes % bands == 0)
+    val r = nPlanes / bands
+    val mask = (1 << r) - 1
+    val sig = lshSignature(col(vecCol), nPlanes, dim, seed)
+    val buckets = data.withColumn("__sig", sig)
+      .select(col(idCol), col(vecCol), explode(array((0 until bands).map(j =>
+        struct(lit(j).as("band"),
+          shiftrightunsigned(col("__sig"), j * r).bitwiseAND(lit(mask))
+            .as("bucket"))): _*)).as("__b"))
+      .select(col(idCol), col(vecCol), col("__b.band"), col("__b.bucket"))
+    val counts = buckets.groupBy("band", "bucket").count()
+    val ok = buckets
+      .join(counts.filter(col("count") <= maxBucket), Seq("band", "bucket"))
+    val a = ok.select(col("band"), col("bucket"), col(idCol).as("id_a"),
+      col(vecCol).as("__v_a"))
+    val b = ok.select(col("band"), col("bucket"), col(idCol).as("id_b"),
+      col(vecCol).as("__v_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "__v_a", "__v_b").distinct()
+      .withColumn("sim", cosine(col("__v_a"), col("__v_b")))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+}

@@ -1,0 +1,164 @@
+package graft.text
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication for large-scale training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram-Jaccard verification. All paths are shuffle-conscious:
+  * counts pre-combine map-side, candidate generation goes through bounded LSH
+  * buckets (never an all-pairs join), and pathological hot buckets are
+  * dropped with an explicit cap rather than silently exploding quadratically.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the row with the smallest `orderCol` per key group.
+    * Hash-partition by content key; duplicate groups are tiny, so the
+    * per-group window is skew-safe. */
+  def exact(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Duplicate groups: one row per content key that occurs more than once,
+    * with the keeper id and the duplicate count (no unbounded
+    * `collect_list` — scale-safe). */
+  def duplicateGroups(
+      df: DataFrame, keys: Seq[String], idCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), min(col(idCol)).as("keeper_id"))
+      .filter(col("n_rows") > 1)
+
+  /** MinHash signature: `numHashes` independent min-hashes over the word
+    * shingles, derived from one base xxhash64 per shingle re-seeded per
+    * position (no multiply — overflow-free under ANSI mode). */
+  def minHashSignature(text: Column, numHashes: Int, shingleK: Int): Column = {
+    val hashes = transform(
+      TextFunctions.wordShingles(text, shingleK), s => xxhash64(s))
+    minHashOfHashes(hashes, numHashes)
+  }
+
+  private def minHashOfHashes(hashes: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(i =>
+      array_min(transform(hashes, h => xxhash64(lit(i), h)))): _*)
+
+  /** MinHash + banded LSH near-duplicate candidate pairs.
+    *
+    * shingle → per-shingle hash → `numHashes` min-hash signature → `bands`
+    * band hashes → explode to (band, bucket) → equi-self-join within buckets.
+    * Buckets larger than `maxBucket` docs are dropped (hot-bucket cap: a
+    * degenerate bucket of B docs would emit B²/2 pairs; the cap bounds the
+    * blowup and is logged in the result via the `capped` count being absent).
+    * Returns (id_a, id_b, est_jaccard) with id_a < id_b, est_jaccard = share
+    * of agreeing signature positions.
+    */
+  def minHashLSH(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3,
+      maxBucket: Int = 100): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val withSig = df
+      .withColumn("__sh",
+        transform(TextFunctions.wordShingles(col(textCol), shingleK),
+          s => xxhash64(s)))
+      .filter(size(col("__sh")) > 0)
+      .withColumn("__sig", minHashOfHashes(col("__sh"), numHashes))
+      .select(col(idCol), col("__sig"))
+
+    val buckets = withSig
+      .select(col(idCol), explode(array((0 until bands).map(j =>
+        struct(lit(j).as("band"),
+          xxhash64(lit(j), slice(col("__sig"), j * r + 1, r)).as("bucket"))
+      ): _*)).as("__b"))
+      .select(col(idCol), col("__b.band"), col("__b.bucket"))
+
+    // aggregate + join (not a window): pre-combines map-side and lets AQE
+    // broadcast the small count relation; a window over (band,bucket) would
+    // funnel each hot bucket through one task.
+    val counts = buckets.groupBy("band", "bucket").count()
+    val ok = buckets
+      .join(counts.filter(col("count") <= maxBucket), Seq("band", "bucket"))
+      .select(col("band"), col("bucket"), col(idCol))
+
+    val pairs = ok.toDF("band", "bucket", "id_a")
+      .join(ok.toDF("band", "bucket", "id_b"), Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    val est = aggregate(
+      zip_with(col("__sig_a"), col("__sig_b"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble)
+
+    pairs
+      .join(withSig.select(col(idCol).as("id_a"), col("__sig").as("__sig_a")),
+        "id_a")
+      .join(withSig.select(col(idCol).as("id_b"), col("__sig").as("__sig_b")),
+        "id_b")
+      .withColumn("est_jaccard", est)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** 64-bit SimHash of the text (majority vote over token-hash bits — one
+    * codegen'd loop, [[graft.functions.SimHash64]]). */
+  def simHash(text: Column): Column =
+    GraftFunctions.simhash64(
+      transform(TextFunctions.tokensLower(text), t => xxhash64(t)))
+
+  /** SimHash near-duplicate pairs with Hamming distance ≤ `maxHamming`.
+    * Candidates come from 4 × 16-bit chunk banding: any pair within Hamming
+    * distance 3 must agree on at least one chunk (pigeonhole), so the recall
+    * of the bucket join is exact for maxHamming ≤ 3. */
+  def simHashNearDup(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming <= 3, "4x16 banding guarantees recall only to 3 bits")
+    val sigs = df.select(col(idCol), simHash(col(textCol)).as("__sim"))
+    val buckets = sigs.select(col(idCol), col("__sim"),
+      explode(array((0 until 4).map(j => struct(lit(j).as("band"),
+        (shiftrightunsigned(col("__sim"), j * 16) % lit(65536L)).as("bucket"))
+      ): _*)).as("__b"))
+      .select(col(idCol), col("__sim"), col("__b.band"), col("__b.bucket"))
+    val counts = buckets.groupBy("band", "bucket").count()
+    val ok = buckets
+      .join(counts.filter(col("count") <= maxBucket), Seq("band", "bucket"))
+    val a = ok.select(col("band"), col("bucket"), col(idCol).as("id_a"),
+      col("__sim").as("__sim_a"))
+    val b = ok.select(col("band"), col("bucket"), col(idCol).as("id_b"),
+      col("__sim").as("__sim_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming",
+        bit_count(col("__sim_a").bitwiseXOR(col("__sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming").distinct()
+  }
+
+  /** Verify candidate pairs with exact n-gram Jaccard: join the texts back
+    * and keep pairs at or above `threshold`. */
+  def verifyJaccard(
+      pairs: DataFrame,
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleK: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val ta = docs.select(col(idCol).as("id_a"), col(textCol).as("__text_a"))
+    val tb = docs.select(col(idCol).as("id_b"), col(textCol).as("__text_b"))
+    pairs.join(ta, "id_a").join(tb, "id_b")
+      .withColumn("jaccard",
+        TextFunctions.ngramJaccard(col("__text_a"), col("__text_b"), shingleK))
+      .filter(col("jaccard") >= threshold)
+      .drop("__text_a", "__text_b")
+  }
+}

@@ -1,0 +1,120 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines
+  * (BASELINE.json north star — beyond the reference's surface). Everything
+  * here is a pure Column expression: whole-stage-codegen'd, no UDFs, and
+  * (deliberately) free of transcendental functions so the DuckDB oracle can
+  * reproduce results bit-for-bit with +,-,*,/ in the same evaluation order.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of the raw text (empty string → one empty token,
+    * matching `str.split` / `regexp_split_to_array` behavior). */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
+
+  /** Lowercased tokens, the unit for language/stopword statistics. */
+  def tokensLower(c: Column): Column = split(trim(lower(c)), "\\s+")
+
+  private val PunctClass = """[.,;:!?'"()\[\]{}\-]"""
+
+  /** Fraction of characters that are punctuation; 0 for empty text. */
+  def punctRatio(c: Column): Column = {
+    val len = length(c)
+    when(len === 0, 0.0).otherwise(
+      (len - length(regexp_replace(c, PunctClass, ""))).cast("double") /
+        len.cast("double"))
+  }
+
+  /** Small fixed English stopword list (kept tiny so the oracle SQL can
+    * repeat it literally). */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "is", "in", "that", "it")
+
+  def stopwordRatio(c: Column): Column = {
+    val ts = tokensLower(c)
+    val hits = size(filter(ts, t => t.isin(Stopwords.map(x => x: Any): _*)))
+    when(size(ts) === 0, 0.0)
+      .otherwise(hits.cast("double") / size(ts).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]:
+    * 0.4·min(len/2000, 1)  — enough content
+    * + 0.3·(1 − punctRatio) — not punctuation soup
+    * + 0.3·(1 − |stopwordRatio − 0.35|) — natural-language-like function-word
+    * density. Rational arithmetic only (see object doc).
+    */
+  def qualityScore(c: Column): Column =
+    least(length(c).cast("double") / lit(2000.0), lit(1.0)) * lit(0.4) +
+      (lit(1.0) - punctRatio(c)) * lit(0.3) +
+      (lit(1.0) - abs(stopwordRatio(c) - lit(0.35))) * lit(0.3)
+
+  /** Per-language marker words for the n-gram/stopword language heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "with", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "que", "pour", "dans", "il"),
+    "es" -> Seq("el", "los", "las", "es", "y", "por", "para", "con", "se"))
+
+  def langScore(c: Column, markers: Seq[String]): Column =
+    size(filter(tokensLower(c), t => t.isin(markers.map(x => x: Any): _*)))
+
+  /** Heuristic language id: argmax of marker-hit counts, ties broken in
+    * [[LangMarkers]] order; no hits → "und" (undetermined). */
+  def languageId(c: Column): Column = {
+    val scores = LangMarkers.map { case (l, ms) => l -> langScore(c, ms) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === best && s > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Normalized text: lowercase, whitespace-collapsed. */
+  def normalized(c: Column): Column = array_join(tokensLower(c), " ")
+
+  /** 64-bit content fingerprint of the normalized text (xxhash64 — the
+    * codegen'd Spark-native rolling hash). Equal fingerprints ⇔ equal
+    * normalized content (mod collisions). */
+  def fingerprint(c: Column): Column = xxhash64(normalized(c))
+
+  /** `k`-word shingles of the text: ["a b c", "b c d", ...]; fewer than `k`
+    * words → empty array. */
+  def wordShingles(c: Column, k: Int): Column = {
+    val ws = tokensLower(c)
+    when(size(ws) < k, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), size(ws) - lit(k - 1)),
+        i => array_join(slice(ws, i, lit(k)), " ")))
+  }
+
+  /** Exact n-gram Jaccard similarity of two texts' shingle sets. */
+  def ngramJaccard(a: Column, b: Column, k: Int): Column = {
+    val (da, db) = (array_distinct(wordShingles(a, k)),
+      array_distinct(wordShingles(b, k)))
+    val inter = size(array_intersect(da, db))
+    val union = size(da) + size(db) - inter
+    when(union === 0, 0.0)
+      .otherwise(inter.cast("double") / union.cast("double"))
+  }
+}
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.GraftTransformer
+
+/** Pipeline stage bundling the text statistics over one column. */
+class TextAnalyzer(input: String, prefix: String)
+    extends GraftTransformer {
+  override def transformDF(df: DataFrame): DataFrame = {
+    val c = col(input)
+    df.withColumns(Map(
+      s"${prefix}_n_tokens" -> TextFunctions.tokenCount(c),
+      s"${prefix}_punct_ratio" -> TextFunctions.punctRatio(c),
+      s"${prefix}_stopword_ratio" -> TextFunctions.stopwordRatio(c),
+      s"${prefix}_quality" -> TextFunctions.qualityScore(c),
+      s"${prefix}_lang" -> TextFunctions.languageId(c),
+      s"${prefix}_fingerprint" -> TextFunctions.fingerprint(c)))
+  }
+}
