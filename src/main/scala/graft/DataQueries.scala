@@ -17,6 +17,16 @@ object DataQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The driver's events.parquet stores TIMESTAMP(NANOS), which Spark's
+    * parquet reader rejects outright — read nanos as long (legacy conf) and
+    * rebuild a microsecond timestamp (`div 1000` — exact integer division,
+    * no double round-trip). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(t(s, d, "documents"), Seq("text"), "doc_id")
@@ -84,7 +94,21 @@ object DataQueries {
     "q_frames" -> ((s, d) =>
       Multimodal.sampleFrames(
         Multimodal.withBlob(t(s, d, "documents"), "text", "blob"),
-        "doc_id", "blob", frameBytes = 64, stride = 2))
+        "doc_id", "blob", frameBytes = 64, stride = 2)),
+
+    // batch form of Streaming.windowedStats — same plan, bounded source
+    "q_events" -> ((s, d) =>
+      readEvents(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+        .select(col("window.start").cast("long").as("window_start"),
+          col("event_type"), col("n_events"),
+          round(col("total_value"), 6).as("total_value"))),
+
+    "q_events_json" -> ((s, d) =>
+      readEvents(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k")))
   )
 
   // Shared SQL fragments (duplicated single-quotes are SQL escaping).
@@ -194,7 +218,19 @@ object DataQueries {
              CAST(u AS BIGINT) * 64 AS byte_offset
            FROM (SELECT doc_id,
                    unnest(range(0, octet_length(encode(text)) // 64, 2)) AS u
-                 FROM documents)"""
+                 FROM documents)""",
+
+      "q_events" ->
+        """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+               AS window_start,
+             event_type, count(*) AS n_events,
+             round(sum(value), 6) AS total_value
+           FROM events GROUP BY 1, 2""",
+
+      "q_events_json" ->
+        """SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events"""
     )
   }
 }

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.ml.PipelineModel
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface (SURVEY §2.10 / P6 extension — the reference
+  * has no streaming; this is the natural serving path for fitted pipelines).
+  *
+  * A fitted `PipelineModel`'s state is frozen training statistics (encoder
+  * dictionaries, group aggregates) applied as stateless Column expressions /
+  * broadcast joins — so `model.transform` composes directly onto a streaming
+  * DataFrame with no extra state store: scoring a stream IS the batch plan
+  * over an unbounded source. Transform-time-statistics operators (Imputer
+  * mean, MinorityTransformer, RangeTransformer stat rules) are the
+  * exception: they aggregate the transform input and are rejected on
+  * streams by Spark's unsupported-operation check — freeze them at fit time
+  * into constants before streaming (SURVEY §7.4, flagged).
+  */
+object Streaming {
+
+  /** Score an unbounded stream with a fitted pipeline (stateless). */
+  def score(model: PipelineModel, stream: DataFrame): DataFrame =
+    model.transform(stream)
+
+  /** Watermarked tumbling-window aggregate over the events shape
+    * (`ts: timestamp, event_type: string, value: double`). */
+  def windowedStats(
+      events: DataFrame,
+      watermark: String = "10 minutes",
+      windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  case class UserEvent(user_id: Long, value: Double)
+  case class UserRunning(user_id: Long, n: Long, total: Double)
+
+  /** Custom per-key state: running count/sum per user via
+    * `mapGroupsWithState` — the KeyValueGroupedDataset state API the
+    * reference has no analog for. */
+  def runningPerUser(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          val next = it.foldLeft(prev)((acc, e) =>
+            UserRunning(uid, acc.n + 1, acc.total + e.value))
+          state.update(next)
+          next
+      }
+  }
+}

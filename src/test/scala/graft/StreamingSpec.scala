@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators._
+import graft.streaming.Streaming
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming behavior: the same fitted pipeline scores a stream,
+  * and windowed aggregates match their batch equivalents (memory sink +
+  * processAllAvailable drives parquet as a synchronous stream). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  // The driver's events.parquet carries TIMESTAMP(NANOS), which the batch
+  // reader accepts but the streaming parquet source rejects — re-write with
+  // µs timestamps for the streaming suite.
+  private lazy val streamDir: String = {
+    val out = "target/tmp/events_us"
+    DataQueries.readEvents(spark, dir)
+      .write.mode("overwrite").parquet(out)
+    out
+  }
+  private lazy val batchEvents = spark.read.parquet(streamDir)
+
+  test("windowed stats on a stream equal the batch plan") {
+    val stream = spark.readStream.schema(batchEvents.schema)
+      .parquet(streamDir)
+    val q = Streaming.windowedStats(stream).writeStream
+      .outputMode("complete").format("memory").queryName("win_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("win_out")
+      .select("window_start", "event_type", "n_events")
+    val batch = Streaming.windowedStats(batchEvents)
+      .select("window_start", "event_type", "n_events")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    assert(batch.count() > 0)
+  }
+
+  test("a fitted pipeline scores a stream statelessly") {
+    val model = DFPipeline(
+      new ComplementLabelEncoder(Seq("event_type"), Seq("type_code")),
+      new FrequencyEncoder(Seq("event_type"), Seq("type_freq"),
+        normalize = true)).fit(batchEvents)
+    val stream = spark.readStream.schema(batchEvents.schema)
+      .parquet(streamDir)
+    val q = Streaming.score(model, stream).writeStream
+      .outputMode("append").format("memory").queryName("score_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val scored = spark.table("score_out")
+    val batchScored = model.transform(batchEvents)
+    assert(scored.count() == batchEvents.count())
+    assert(scored.select("event_id", "type_code", "type_freq")
+      .exceptAll(batchScored.select("event_id", "type_code", "type_freq"))
+      .isEmpty)
+  }
+
+  test("mapGroupsWithState running per-user totals") {
+    val stream = spark.readStream.schema(batchEvents.schema)
+      .parquet(streamDir)
+      .select(col("user_id"), col("value")).as[Streaming.UserEvent]
+    val q = Streaming.runningPerUser(stream).writeStream
+      .outputMode("update").format("memory").queryName("state_out").start()
+    try q.processAllAvailable() finally q.stop()
+    // final state per user (last update) must equal the batch aggregate
+    val last = spark.table("state_out")
+      .groupBy("user_id").agg(max("n").as("n"))
+    val batch = batchEvents.groupBy("user_id")
+      .agg(count(lit(1)).as("n"))
+    assert(last.exceptAll(batch).isEmpty)
+  }
+}
