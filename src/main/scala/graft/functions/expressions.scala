@@ -119,6 +119,94 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** MinHash signature over an array of TOKEN hashes: shingles of `shingleK`
+  * consecutive token hashes are combined with a boost-style hash fold and
+  * fed through `numHashes` murmur-finalizer remixes, all in ONE fused loop —
+  * no intermediate shingle strings or arrays (the naive
+  * `transform(slice+array_join)` formulation allocates a string per shingle
+  * and re-traverses the array per hash position; at corpus scale that
+  * allocation dominates the whole dedup job). Fewer than `shingleK` tokens →
+  * empty signature.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int, shingleK: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash needs array<bigint>, got ${t.sql}")
+  }
+
+  // deterministic per-position seeds; remix = murmur3 64-bit finalizer
+  private lazy val seeds: Array[Long] = {
+    val rnd = new java.util.SplittableRandom(42L)
+    Array.fill(numHashes)(rnd.nextLong())
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < shingleK)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.empty[Long])
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i <= n - shingleK) {
+      var sh = 0L
+      var j = 0
+      while (j < shingleK) {
+        sh ^= arr.getLong(i + j) + 0x9e3779b97f4a7c15L + (sh << 6) + (sh >>> 2)
+        j += 1
+      }
+      var k = 0
+      while (k < numHashes) {
+        var x = sh ^ seeds(k)
+        x ^= (x >>> 33); x *= 0xff51afd7ed558ccdL
+        x ^= (x >>> 33); x *= 0xc4ceb9fe1a85ec53L
+        x ^= (x >>> 33)
+        if (x < mins(k)) mins(k) = x
+        k += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val seedsRef = ctx.addReferenceObj("minhashSeeds", seeds, "long[]")
+    nullSafeCodeGen(ctx, ev, a => s"""
+       |int n = $a.numElements();
+       |long[] mins;
+       |if (n < $shingleK) {
+       |  mins = new long[0];
+       |} else {
+       |  mins = new long[$numHashes];
+       |  java.util.Arrays.fill(mins, Long.MAX_VALUE);
+       |  for (int i = 0; i <= n - $shingleK; i++) {
+       |    long sh = 0L;
+       |    for (int j = 0; j < $shingleK; j++) {
+       |      sh ^= $a.getLong(i + j) + 0x9e3779b97f4a7c15L + (sh << 6)
+       |            + (sh >>> 2);
+       |    }
+       |    for (int k = 0; k < $numHashes; k++) {
+       |      long x = sh ^ $seedsRef[k];
+       |      x ^= (x >>> 33); x *= 0xff51afd7ed558ccdL;
+       |      x ^= (x >>> 33); x *= 0xc4ceb9fe1a85ec53L;
+       |      x ^= (x >>> 33);
+       |      if (x < mins[k]) mins[k] = x;
+       |    }
+       |  }
+       |}
+       |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+       |  .fromPrimitiveArray(mins);
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSignature =
+    copy(child = c)
+}
+
 /** Column-level entry points for graft's custom expressions. */
 object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column =
@@ -126,6 +214,11 @@ object GraftFunctions {
 
   def simhash64(tokenHashes: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokenHashes)))
+
+  def minhash_signature(
+      tokenHashes: Column, numHashes: Int, shingleK: Int = 1): Column =
+    Bridge.column(MinHashSignature(Bridge.expression(tokenHashes), numHashes,
+      shingleK))
 
   /** Optional SQL registration (`SELECT cosine_sim(a, b) ...`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

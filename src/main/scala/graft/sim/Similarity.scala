@@ -97,12 +97,15 @@ object Similarity {
     val r = nPlanes / bands
     val mask = (1 << r) - 1
     val sig = lshSignature(col(vecCol), nPlanes, dim, seed)
+    // persisted: the signature projection feeds the count aggregate and both
+    // sides of the pair join
     val buckets = data.withColumn("__sig", sig)
       .select(col(idCol), col(vecCol), explode(array((0 until bands).map(j =>
         struct(lit(j).as("band"),
           shiftrightunsigned(col("__sig"), j * r).bitwiseAND(lit(mask))
             .as("bucket"))): _*)).as("__b"))
       .select(col(idCol), col(vecCol), col("__b.band"), col("__b.bucket"))
+      .persist()
     val counts = buckets.groupBy("band", "bucket").count()
     val ok = buckets
       .join(counts.filter(col("count") <= maxBucket), Seq("band", "bucket"))

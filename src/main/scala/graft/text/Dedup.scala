@@ -31,18 +31,14 @@ object Dedup {
       .agg(count(lit(1)).as("n_rows"), min(col(idCol)).as("keeper_id"))
       .filter(col("n_rows") > 1)
 
-  /** MinHash signature: `numHashes` independent min-hashes over the word
-    * shingles, derived from one base xxhash64 per shingle re-seeded per
-    * position (no multiply — overflow-free under ANSI mode). */
-  def minHashSignature(text: Column, numHashes: Int, shingleK: Int): Column = {
-    val hashes = transform(
-      TextFunctions.wordShingles(text, shingleK), s => xxhash64(s))
-    minHashOfHashes(hashes, numHashes)
-  }
-
-  private def minHashOfHashes(hashes: Column, numHashes: Int): Column =
-    array((0 until numHashes).map(i =>
-      array_min(transform(hashes, h => xxhash64(lit(i), h)))): _*)
+  /** MinHash signature: one xxhash64 per TOKEN, then the fused
+    * shingle-combine + min-hash code-generated expression
+    * ([[graft.functions.MinHashSignature]]) — no per-shingle string ever
+    * materializes. */
+  def minHashSignature(text: Column, numHashes: Int, shingleK: Int): Column =
+    GraftFunctions.minhash_signature(
+      transform(TextFunctions.tokensLower(text), t => xxhash64(t)),
+      numHashes, shingleK)
 
   /** MinHash + banded LSH near-duplicate candidate pairs.
     *
@@ -64,13 +60,14 @@ object Dedup {
       maxBucket: Int = 100): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    // signatures feed three join branches (buckets, both pair sides) —
+    // persist so the hash pass runs once, not 3×
     val withSig = df
-      .withColumn("__sh",
-        transform(TextFunctions.wordShingles(col(textCol), shingleK),
-          s => xxhash64(s)))
-      .filter(size(col("__sh")) > 0)
-      .withColumn("__sig", minHashOfHashes(col("__sh"), numHashes))
+      .withColumn("__sig",
+        minHashSignature(col(textCol), numHashes, shingleK))
+      .filter(size(col("__sig")) > 0)
       .select(col(idCol), col("__sig"))
+      .persist()
 
     val buckets = withSig
       .select(col(idCol), explode(array((0 until bands).map(j =>
@@ -124,6 +121,7 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     require(maxHamming <= 3, "4x16 banding guarantees recall only to 3 bits")
     val sigs = df.select(col(idCol), simHash(col(textCol)).as("__sim"))
+      .persist()
     val buckets = sigs.select(col(idCol), col("__sim"),
       explode(array((0 until 4).map(j => struct(lit(j).as("band"),
         (shiftrightunsigned(col("__sim"), j * 16) % lit(65536L)).as("bucket"))

@@ -35,8 +35,10 @@ object TextFunctions {
   val Stopwords: Seq[String] =
     Seq("the", "a", "an", "and", "of", "to", "is", "in", "that", "it")
 
-  def stopwordRatio(c: Column): Column = {
-    val ts = tokensLower(c)
+  def stopwordRatio(c: Column): Column = stopwordRatioT(tokensLower(c))
+
+  /** Same, over a pre-split token column (single-pass pipelines). */
+  def stopwordRatioT(ts: Column): Column = {
     val hits = size(filter(ts, t => t.isin(Stopwords.map(x => x: Any): _*)))
     when(size(ts) === 0, 0.0)
       .otherwise(hits.cast("double") / size(ts).cast("double"))
@@ -49,9 +51,12 @@ object TextFunctions {
     * density. Rational arithmetic only (see object doc).
     */
   def qualityScore(c: Column): Column =
+    qualityScoreT(c, tokensLower(c))
+
+  def qualityScoreT(c: Column, ts: Column): Column =
     least(length(c).cast("double") / lit(2000.0), lit(1.0)) * lit(0.4) +
       (lit(1.0) - punctRatio(c)) * lit(0.3) +
-      (lit(1.0) - abs(stopwordRatio(c) - lit(0.35))) * lit(0.3)
+      (lit(1.0) - abs(stopwordRatioT(ts) - lit(0.35))) * lit(0.3)
 
   /** Per-language marker words for the n-gram/stopword language heuristic. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
@@ -65,8 +70,12 @@ object TextFunctions {
 
   /** Heuristic language id: argmax of marker-hit counts, ties broken in
     * [[LangMarkers]] order; no hits → "und" (undetermined). */
-  def languageId(c: Column): Column = {
-    val scores = LangMarkers.map { case (l, ms) => l -> langScore(c, ms) }
+  def languageId(c: Column): Column = languageIdT(tokensLower(c))
+
+  def languageIdT(ts: Column): Column = {
+    val scores = LangMarkers.map { case (l, ms) =>
+      l -> size(filter(ts, t => t.isin(ms.map(x => x: Any): _*)))
+    }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
       when(s === best && s > 0, lit(l)).otherwise(acc)
@@ -104,17 +113,23 @@ object TextFunctions {
 import org.apache.spark.sql.DataFrame
 import graft.operators.GraftTransformer
 
-/** Pipeline stage bundling the text statistics over one column. */
+/** Pipeline stage bundling the text statistics over one column. The token
+  * array is materialized ONCE in a first projection and every statistic
+  * reads it — without this, each statistic re-splits the text (the
+  * higher-order-function subtrees don't share work across lambdas). */
 class TextAnalyzer(input: String, prefix: String)
     extends GraftTransformer {
   override def transformDF(df: DataFrame): DataFrame = {
     val c = col(input)
-    df.withColumns(Map(
-      s"${prefix}_n_tokens" -> TextFunctions.tokenCount(c),
-      s"${prefix}_punct_ratio" -> TextFunctions.punctRatio(c),
-      s"${prefix}_stopword_ratio" -> TextFunctions.stopwordRatio(c),
-      s"${prefix}_quality" -> TextFunctions.qualityScore(c),
-      s"${prefix}_lang" -> TextFunctions.languageId(c),
-      s"${prefix}_fingerprint" -> TextFunctions.fingerprint(c)))
+    val toks = s"__${prefix}_toks"
+    df.withColumn(toks, TextFunctions.tokensLower(c))
+      .withColumns(Map(
+        s"${prefix}_n_tokens" -> TextFunctions.tokenCount(c),
+        s"${prefix}_punct_ratio" -> TextFunctions.punctRatio(c),
+        s"${prefix}_stopword_ratio" -> TextFunctions.stopwordRatioT(col(toks)),
+        s"${prefix}_quality" -> TextFunctions.qualityScoreT(c, col(toks)),
+        s"${prefix}_lang" -> TextFunctions.languageIdT(col(toks)),
+        s"${prefix}_fingerprint" -> xxhash64(array_join(col(toks), " "))))
+      .drop(toks)
   }
 }
