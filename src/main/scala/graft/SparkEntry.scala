@@ -225,6 +225,66 @@ object SparkEntry {
         .select(col("s_suppkey"), round(col("bal_scaled"), 6).as("bal_scaled"))
     }),
 
+    // ---- benchmark-shaped composite pipelines (FIXTURES.md) ------------
+    // insurance-style: DateTransformer → bulk ComplementLabelEncoder →
+    // ColumnSelector (Insurance1.py:69-74 shape)
+    "q_pipeline_insurance" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val model = DFPipeline(
+        new DateTransformer("o_orderdate"),
+        new ComplementLabelEncoder(
+          Seq("o_orderpriority", "o_orderstatus"),
+          Seq("priority_code", "status_code")),
+        new ColumnSelector(Seq("o_orderdate", "o_custkey", "o_totalprice",
+          "o_orderpriority", "o_orderstatus"), drop = true))
+        .fit(orders)
+      model.transform(orders)
+    }),
+
+    // mental-health-style: RowTransformer → transform-time median Imputer →
+    // MapTransformer → ComplementLabelEncoder → minmax Scaler
+    // (MentalHealth1.py:114-203 shape)
+    "q_pipeline_mental" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .withColumn("disc_n", when(col("l_discount") === 0.0, lit(null))
+          .otherwise(col("l_discount")))
+      val filtered = new RowTransformer(Seq("l_linestatus"), Seq("O"))
+        .transform(li)
+      val model = DFPipeline(
+        new Imputer(Seq("disc_n"), Seq("disc_n"), Some("median")),
+        new MapTransformer(Seq("l_returnflag"), Seq("flag"),
+          Seq(("A", "ACC"), ("N", "NONE"), ("R", "RET"))),
+        new ComplementLabelEncoder(Seq("flag"), Seq("flag_code")),
+        new Scaler(Seq("l_extendedprice"), Seq("price_mm"), "minmax"))
+        .fit(filtered)
+      model.transform(filtered)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("disc_n"), 6).as("disc_n"),
+          col("flag"), col("flag_code"),
+          round(col("price_mm"), 6).as("price_mm"))
+    }),
+
+    // categorical-encoding-style: StringSplitter (index + separator modes) →
+    // TypeConverter → FunctionTransformer → standard Scaler → OneHotEncoder
+    // (CategoricalEncoding1.py:64-86 shape)
+    "q_pipeline_catenc" -> ((s, d) => {
+      val part = t(s, d, "part")
+      val model = DFPipeline(
+        new StringSplitter(Seq("p_brand"), Seq("brand_num"),
+          index = Some(6), keep = -1),
+        new TypeConverter(Seq("brand_num"), IntegerType),
+        FunctionTransformer(Seq("brand_num"), Seq("brand_num"), _ - lit(1)),
+        new StringSplitter(Seq("p_type"), Seq("type_head"),
+          separator = Some(" "), keep = 0),
+        new Scaler(Seq("p_retailprice"), Seq("retail_std"), "standard"),
+        new OneHotEncoder(Seq("type_head")))
+        .fit(part)
+      model.transform(part)
+        .drop("p_name", "p_brand", "p_type", "p_size", "p_retailprice",
+          "type_head")
+        .withColumn("retail_std", round(col("retail_std"), 6))
+    }),
+
     // ---- flagship pipeline (SURVEY §7.3) -------------------------------
     "q_pipeline" -> ((s, d) => {
       val customer = t(s, d, "customer")
@@ -418,6 +478,73 @@ object SparkEntry {
            round((s_acctbal - (SELECT avg(s_acctbal) FROM supplier)) /
                  (SELECT stddev(s_acctbal) FROM supplier), 6) AS bal_scaled
            FROM supplier""",
+
+      "q_pipeline_insurance" ->
+        """WITH pv AS (
+             SELECT o_orderpriority AS v,
+               CAST(row_number() OVER (ORDER BY o_orderpriority) - 1
+                    AS INTEGER) AS code
+             FROM (SELECT DISTINCT o_orderpriority FROM orders)),
+           sv AS (
+             SELECT o_orderstatus AS v,
+               CAST(row_number() OVER (ORDER BY o_orderstatus) - 1
+                    AS INTEGER) AS code
+             FROM (SELECT DISTINCT o_orderstatus FROM orders))
+           SELECT o.o_orderkey,
+             month(o.o_orderdate) AS "o_orderdate_MY",
+             weekofyear(o.o_orderdate) AS "o_orderdate_WY",
+             dayofyear(o.o_orderdate) AS "o_orderdate_DY",
+             day(o.o_orderdate) AS "o_orderdate_DM",
+             isodow(o.o_orderdate) - 1 AS "o_orderdate_DW",
+             hour(o.o_orderdate) AS "o_orderdate_HD",
+             pv.code AS priority_code, sv.code AS status_code
+           FROM orders o JOIN pv ON o.o_orderpriority = pv.v
+                         JOIN sv ON o.o_orderstatus = sv.v""",
+
+      "q_pipeline_mental" ->
+        """WITH f AS (
+             SELECT *, nullif(l_discount, 0.0) AS disc_n FROM lineitem
+             WHERE l_linestatus IS NULL OR l_linestatus NOT IN ('O')),
+           fm AS (
+             SELECT f.*,
+               CASE WHEN l_returnflag = 'A' THEN 'ACC'
+                    WHEN l_returnflag = 'N' THEN 'NONE'
+                    WHEN l_returnflag = 'R' THEN 'RET'
+                    ELSE l_returnflag END AS flag
+             FROM f),
+           vocab AS (
+             SELECT flag AS v,
+               CAST(row_number() OVER (ORDER BY flag) - 1 AS INTEGER) AS code
+             FROM (SELECT DISTINCT flag FROM fm))
+           SELECT fm.l_orderkey, fm.l_linenumber,
+             round(coalesce(fm.disc_n, (SELECT median(disc_n) FROM f)), 6)
+               AS disc_n,
+             fm.flag, vocab.code AS flag_code,
+             round((fm.l_extendedprice -
+                    (SELECT min(l_extendedprice) FROM f)) /
+                   ((SELECT max(l_extendedprice) FROM f) -
+                    (SELECT min(l_extendedprice) FROM f)), 6) AS price_mm
+           FROM fm JOIN vocab ON fm.flag = vocab.v""",
+
+      "q_pipeline_catenc" ->
+        """SELECT p_partkey,
+             CAST(substring(p_brand, 7) AS INTEGER) - 1 AS brand_num,
+             round((p_retailprice - (SELECT avg(p_retailprice) FROM part)) /
+                   (SELECT stddev_pop(p_retailprice) FROM part), 6)
+               AS retail_std,
+             CASE WHEN split_part(p_type, ' ', 1) = 'ECONOMY' THEN 1.0
+                  ELSE 0.0 END AS "type_head__ECONOMY",
+             CASE WHEN split_part(p_type, ' ', 1) = 'LARGE' THEN 1.0
+                  ELSE 0.0 END AS "type_head__LARGE",
+             CASE WHEN split_part(p_type, ' ', 1) = 'MEDIUM' THEN 1.0
+                  ELSE 0.0 END AS "type_head__MEDIUM",
+             CASE WHEN split_part(p_type, ' ', 1) = 'PROMO' THEN 1.0
+                  ELSE 0.0 END AS "type_head__PROMO",
+             CASE WHEN split_part(p_type, ' ', 1) = 'SMALL' THEN 1.0
+                  ELSE 0.0 END AS "type_head__SMALL",
+             CASE WHEN split_part(p_type, ' ', 1) = 'STANDARD' THEN 1.0
+                  ELSE 0.0 END AS "type_head__STANDARD"
+           FROM part""",
 
       "q_pipeline" ->
         s"""WITH j AS (
