@@ -15,26 +15,24 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = GraftFunctions.cosine_sim(a, b)
 
-  /** Exact top-k: broadcast the (small) query set against every row, then a
-    * two-stage top-k — a per-input-partition cut (partition-local window)
-    * before the per-query global cut — so no single task ever sees all N
-    * rows of one query (the naive single window would funnel N rows per
-    * query through one partition). */
+  /** Exact top-k: broadcast the (small) query set against every row, score
+    * with the codegen'd cosine, and cut with the [[graft.functions
+    * .CollectTopK]] bounded-heap aggregate — partial heaps combine map-side,
+    * so the shuffle carries `partitions × k` candidates per query, never all
+    * N scored rows of a query through one task. */
   def bruteForceTopK(
       data: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int): DataFrame = {
     val scored = data.crossJoin(broadcast(queries))
-      .withColumn("sim", cosine(col(vecCol), col(qVecCol)))
-      .select(col(qIdCol), col(idCol), col("sim"))
-    val local = Window.partitionBy(col(qIdCol), spark_partition_id())
-      .orderBy(col("sim").desc, col(idCol))
-    val global = Window.partitionBy(col(qIdCol))
-      .orderBy(col("sim").desc, col(idCol))
-    scored
-      .withColumn("__lr", row_number().over(local)).filter(col("__lr") <= k)
-      .withColumn("rank", row_number().over(global)).filter(col("rank") <= k)
-      .select(qIdCol, idCol, "sim", "rank")
+      .select(col(qIdCol),
+        struct(cosine(col(vecCol), col(qVecCol)).as("score"),
+          col(idCol).cast("long").as("id")).as("__cand"))
+    scored.groupBy(col(qIdCol))
+      .agg(graft.functions.TopK.collect_top_k(col("__cand"), k).as("__top"))
+      .select(col(qIdCol), posexplode(col("__top")).as(Seq("__pos", "__t")))
+      .select(col(qIdCol), col("__t.id").as(idCol),
+        col("__t.score").as("sim"), (col("__pos") + 1).as("rank"))
   }
 
   /** Deterministic pseudo-random unit-free hyperplanes (seeded). */
