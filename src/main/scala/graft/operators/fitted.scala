@@ -90,8 +90,8 @@ class ComplementLabelEncoder(
 object ComplementLabelEncoder { val Sentinel = "extra_category_" }
 
 class ComplementLabelEncoderModel(
-    ins: Seq[String],
-    outs: Seq[String],
+    val ins: Seq[String],
+    val outs: Seq[String],
     val maps: Seq[Map[String, Int]])
     extends GraftModel[ComplementLabelEncoderModel] {
   override def transformDF(df: DataFrame): DataFrame = {
@@ -141,9 +141,9 @@ class FrequencyEncoder(
 }
 
 class FrequencyEncoderModel(
-    ins: Seq[String],
-    outs: Seq[String],
-    normalize: Boolean,
+    val ins: Seq[String],
+    val outs: Seq[String],
+    val normalize: Boolean,
     val maps: Seq[Map[String, Double]])
     extends GraftModel[FrequencyEncoderModel] {
   override def transformDF(df: DataFrame): DataFrame =
@@ -225,10 +225,10 @@ object Aggregator {
 case class AggLookup(df: DataFrame, broadcastable: Boolean)
 
 class AggregatorModel(
-    ins: Seq[String],
-    outs: Seq[String],
-    groupby: Seq[String],
-    func: String,
+    val ins: Seq[String],
+    val outs: Seq[String],
+    val groupby: Seq[String],
+    val func: String,
     val globals: Seq[Any],
     val lookups: Seq[AggLookup])
     extends GraftModel[AggregatorModel] {
@@ -283,9 +283,9 @@ class Scaler(inputs: Seq[String], outputs: Seq[String], strategy: String)
 case class ScalerStats(minRaw: Any, max: Double, mean: Double, stdPop: Double)
 
 class ScalerModel(
-    ins: Seq[String],
-    outs: Seq[String],
-    strategy: String,
+    val ins: Seq[String],
+    val outs: Seq[String],
+    val strategy: String,
     val stats: Seq[ScalerStats])
     extends GraftModel[ScalerModel] {
   override def transformDF(df: DataFrame): DataFrame =
@@ -327,7 +327,7 @@ class OneHotEncoder(columns: Seq[String])
 }
 
 class OneHotEncoderModel(
-    cols: Seq[String],
+    val cols: Seq[String],
     val categories: Seq[Seq[String]])
     extends GraftModel[OneHotEncoderModel] {
   override def transformDF(df: DataFrame): DataFrame = {

@@ -1,0 +1,269 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.ml.{PipelineModel, Transformer}
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types.DataType
+import org.json4s._
+import org.json4s.jackson.JsonMethods._
+
+/** Fitted-pipeline persistence — the role the reference's ONNX export plays
+  * (DataframePipeline.export, SURVEY §3.2): freeze a fitted pipeline to
+  * storage and reload it for serving.
+  *
+  * Layout: `<path>/pipeline.json` (stage params + small fitted state) plus
+  * `<path>/data/<i>_<j>/` parquet relations for grouped-Aggregator lookups
+  * (which may be too large for JSON, and at 100 TB never pass through the
+  * driver at all).
+  *
+  * Unsupported stages throw at save time with a clear message:
+  * `FunctionTransformer`/`SetTransformer` carry Scala closures (code, not
+  * state — the reference has the same boundary: its lambdas need the
+  * bytecode compiler), and `WrapTransformerModel` wraps arbitrary spark.ml
+  * models (persist those with spark.ml's own writers).
+  */
+object GraftPersistence {
+
+  private def anyToJson(v: Any): JValue = v match {
+    case null       => JObject("t" -> JString("n"))
+    case s: String  => JObject("t" -> JString("s"), "v" -> JString(s))
+    case i: Int     => JObject("t" -> JString("i"), "v" -> JInt(i))
+    case l: Long    => JObject("t" -> JString("l"), "v" -> JInt(l))
+    case d: Double  => JObject("t" -> JString("d"), "v" -> JDouble(d))
+    case f: Float   => JObject("t" -> JString("d"), "v" -> JDouble(f.toDouble))
+    case b: Boolean => JObject("t" -> JString("b"), "v" -> JBool(b))
+    case other => throw new IllegalArgumentException(
+      s"unsupported literal type ${other.getClass} in persisted stage")
+  }
+
+  private def jsonToAny(j: JValue): Any = {
+    val JString(t) = j \ "t"
+    (t, j \ "v") match {
+      case ("n", _)          => null
+      case ("s", JString(s)) => s
+      case ("i", JInt(i))    => i.toInt
+      case ("l", JInt(i))    => i.toLong
+      case ("d", JDouble(d)) => d
+      case ("b", JBool(b))   => b
+      case other => throw new IllegalArgumentException(s"bad literal $other")
+    }
+  }
+
+  private def strs(j: JValue): Seq[String] =
+    j.asInstanceOf[JArray].arr.map { case JString(s) => s; case x => x.toString }
+  private def jarr(xs: Seq[JValue]): JArray = JArray(xs.toList)
+  private def jstrs(xs: Seq[String]): JArray = jarr(xs.map(JString(_)))
+  private def optD(j: JValue): Option[Double] = j match {
+    case JDouble(d) => Some(d)
+    case JInt(i)    => Some(i.toDouble)
+    case _          => None
+  }
+
+  private def stageToJson(
+      st: Transformer, idx: Int, path: String): JObject = st match {
+    case t: ColumnSelector => JObject(
+      "type" -> JString("ColumnSelector"),
+      "columns" -> jstrs(t.columns), "drop" -> JBool(t.drop))
+    case t: TypeConverter => JObject(
+      "type" -> JString("TypeConverter"),
+      "columns" -> jstrs(t.columns), "to" -> JString(t.to.json))
+    case t: RowTransformer => JObject(
+      "type" -> JString("RowTransformer"),
+      "columns" -> jstrs(t.columns),
+      "dropValues" -> jarr(t.dropValues.map(anyToJson)))
+    case t: MapTransformer => JObject(
+      "type" -> JString("MapTransformer"),
+      "inputs" -> jstrs(t.inputs), "outputs" -> jstrs(t.outputs),
+      "mapping" -> jarr(t.mapping.map { case (k, v) =>
+        JObject("k" -> anyToJson(k), "v" -> anyToJson(v)) }),
+      "regex" -> JBool(t.regex),
+      "default" -> t.defaultValue.map(anyToJson).getOrElse(JNothing),
+      "dtype" -> t.dtype.map(d => JString(d.json)).getOrElse(JNothing))
+    case t: StringSplitter => JObject(
+      "type" -> JString("StringSplitter"),
+      "inputs" -> jstrs(t.inputs), "outputs" -> jstrs(t.outputs),
+      "separator" -> t.separator.map(JString(_)).getOrElse(JNothing),
+      "index" -> t.index.map(i => JInt(i)).getOrElse(JNothing),
+      "keep" -> JInt(t.keep))
+    case t: StringConcatenator => JObject(
+      "type" -> JString("StringConcatenator"),
+      "inputs" -> jarr(t.inputs.map(jstrs)),
+      "outputs" -> jstrs(t.outputs), "separator" -> JString(t.separator))
+    case t: DateTransformer => JObject(
+      "type" -> JString("DateTransformer"),
+      "column" -> JString(t.column),
+      "origin" -> t.origin.map(JString(_)).getOrElse(JNothing))
+    case t: Imputer => JObject(
+      "type" -> JString("Imputer"),
+      "inputs" -> jstrs(t.inputs), "outputs" -> jstrs(t.outputs),
+      "strategy" -> t.strategy.map(JString(_)).getOrElse(JNothing),
+      "value" -> anyToJson(t.value))
+    case t: MinorityTransformer => JObject(
+      "type" -> JString("MinorityTransformer"),
+      "inputs" -> jstrs(t.inputs), "outputs" -> jstrs(t.outputs),
+      "threshold" -> JInt(t.threshold),
+      "replacedTo" -> anyToJson(t.replacedTo))
+    case t: RangeTransformer => JObject(
+      "type" -> JString("RangeTransformer"),
+      "inputs" -> jstrs(t.inputs), "outputs" -> jstrs(t.outputs),
+      "rules" -> jarr(t.rules.map { case ((u, l), v) => JObject(
+        "upper" -> u.map(JDouble(_)).getOrElse(JNothing),
+        "lower" -> l.map(JDouble(_)).getOrElse(JNothing),
+        "value" -> anyToJson(v)) }),
+      "useAllElements" -> JBool(t.useAllElements))
+    case m: ComplementLabelEncoderModel => JObject(
+      "type" -> JString("ComplementLabelEncoderModel"),
+      "ins" -> jstrs(m.ins), "outs" -> jstrs(m.outs),
+      "maps" -> jarr(m.maps.map(mm => JObject(mm.toList.map {
+        case (k, v) => k -> (JInt(v): JValue) }))))
+    case m: FrequencyEncoderModel => JObject(
+      "type" -> JString("FrequencyEncoderModel"),
+      "ins" -> jstrs(m.ins), "outs" -> jstrs(m.outs),
+      "normalize" -> JBool(m.normalize),
+      "maps" -> jarr(m.maps.map(mm => JObject(mm.toList.map {
+        case (k, v) => k -> (JDouble(v): JValue) }))))
+    case m: ScalerModel => JObject(
+      "type" -> JString("ScalerModel"),
+      "ins" -> jstrs(m.ins), "outs" -> jstrs(m.outs),
+      "strategy" -> JString(m.strategy),
+      "stats" -> jarr(m.stats.map(s => JObject(
+        "minRaw" -> anyToJson(s.minRaw), "max" -> JDouble(s.max),
+        "mean" -> JDouble(s.mean), "stdPop" -> JDouble(s.stdPop)))))
+    case m: OneHotEncoderModel => JObject(
+      "type" -> JString("OneHotEncoderModel"),
+      "cols" -> jstrs(m.cols),
+      "categories" -> jarr(m.categories.map(jstrs)))
+    case m: AggregatorModel =>
+      val lookupPaths = m.lookups.zipWithIndex.map { case (lk, j) =>
+        val rel = s"data/${idx}_$j"
+        lk.df.write.mode("overwrite").parquet(s"$path/$rel")
+        JObject("path" -> JString(rel),
+          "broadcastable" -> JBool(lk.broadcastable))
+      }
+      JObject(
+        "type" -> JString("AggregatorModel"),
+        "ins" -> jstrs(m.ins), "outs" -> jstrs(m.outs),
+        "groupby" -> jstrs(m.groupby), "func" -> JString(m.func),
+        "globals" -> jarr(m.globals.map(anyToJson)),
+        "lookups" -> jarr(lookupPaths))
+    case other => throw new UnsupportedOperationException(
+      s"stage ${other.getClass.getSimpleName} is not persistable " +
+        "(closure-bearing stages carry code, not state; wrapped spark.ml " +
+        "models persist via spark.ml writers)")
+  }
+
+  private def stageFromJson(
+      j: JValue, spark: SparkSession, path: String): Transformer = {
+    val JString(tpe) = j \ "type"
+    def o(field: String): Option[JValue] = j \ field match {
+      case JNothing => None
+      case x        => Some(x)
+    }
+    tpe match {
+      case "ColumnSelector" =>
+        new ColumnSelector(strs(j \ "columns"),
+          (j \ "drop").asInstanceOf[JBool].value)
+      case "TypeConverter" =>
+        new TypeConverter(strs(j \ "columns"),
+          DataType.fromJson((j \ "to").asInstanceOf[JString].s))
+      case "RowTransformer" =>
+        new RowTransformer(strs(j \ "columns"),
+          (j \ "dropValues").asInstanceOf[JArray].arr.map(jsonToAny))
+      case "MapTransformer" =>
+        new MapTransformer(strs(j \ "inputs"), strs(j \ "outputs"),
+          (j \ "mapping").asInstanceOf[JArray].arr.map(e =>
+            (jsonToAny(e \ "k"), jsonToAny(e \ "v"))),
+          (j \ "regex").asInstanceOf[JBool].value,
+          o("default").map(jsonToAny),
+          o("dtype").map(d => DataType.fromJson(d.asInstanceOf[JString].s)))
+      case "StringSplitter" =>
+        new StringSplitter(strs(j \ "inputs"), strs(j \ "outputs"),
+          o("separator").map(_.asInstanceOf[JString].s),
+          o("index").map(_.asInstanceOf[JInt].num.toInt),
+          (j \ "keep").asInstanceOf[JInt].num.toInt)
+      case "StringConcatenator" =>
+        new StringConcatenator(
+          (j \ "inputs").asInstanceOf[JArray].arr.map(strs),
+          strs(j \ "outputs"), (j \ "separator").asInstanceOf[JString].s)
+      case "DateTransformer" =>
+        new DateTransformer((j \ "column").asInstanceOf[JString].s,
+          o("origin").map(_.asInstanceOf[JString].s))
+      case "Imputer" =>
+        new Imputer(strs(j \ "inputs"), strs(j \ "outputs"),
+          o("strategy").map(_.asInstanceOf[JString].s),
+          jsonToAny(j \ "value"))
+      case "MinorityTransformer" =>
+        new MinorityTransformer(strs(j \ "inputs"), strs(j \ "outputs"),
+          (j \ "threshold").asInstanceOf[JInt].num.toLong,
+          jsonToAny(j \ "replacedTo"))
+      case "RangeTransformer" =>
+        new RangeTransformer(strs(j \ "inputs"), strs(j \ "outputs"),
+          (j \ "rules").asInstanceOf[JArray].arr.map(r =>
+            ((optD(r \ "upper"), optD(r \ "lower")), jsonToAny(r \ "value"))),
+          (j \ "useAllElements").asInstanceOf[JBool].value)
+      case "ComplementLabelEncoderModel" =>
+        new ComplementLabelEncoderModel(strs(j \ "ins"), strs(j \ "outs"),
+          (j \ "maps").asInstanceOf[JArray].arr.map(m =>
+            m.asInstanceOf[JObject].obj.map { case (k, v) =>
+              k -> v.asInstanceOf[JInt].num.toInt }.toMap))
+      case "FrequencyEncoderModel" =>
+        new FrequencyEncoderModel(strs(j \ "ins"), strs(j \ "outs"),
+          (j \ "normalize").asInstanceOf[JBool].value,
+          (j \ "maps").asInstanceOf[JArray].arr.map(m =>
+            m.asInstanceOf[JObject].obj.map { case (k, v) =>
+              k -> (v match {
+                case JDouble(d) => d
+                case JInt(i)    => i.toDouble
+                case x => throw new IllegalArgumentException(x.toString)
+              }) }.toMap))
+      case "ScalerModel" =>
+        new ScalerModel(strs(j \ "ins"), strs(j \ "outs"),
+          (j \ "strategy").asInstanceOf[JString].s,
+          (j \ "stats").asInstanceOf[JArray].arr.map(s => ScalerStats(
+            jsonToAny(s \ "minRaw"),
+            (s \ "max").asInstanceOf[JDouble].num,
+            (s \ "mean").asInstanceOf[JDouble].num,
+            (s \ "stdPop").asInstanceOf[JDouble].num)))
+      case "OneHotEncoderModel" =>
+        new OneHotEncoderModel(strs(j \ "cols"),
+          (j \ "categories").asInstanceOf[JArray].arr.map(strs))
+      case "AggregatorModel" =>
+        new AggregatorModel(strs(j \ "ins"), strs(j \ "outs"),
+          strs(j \ "groupby"), (j \ "func").asInstanceOf[JString].s,
+          (j \ "globals").asInstanceOf[JArray].arr.map(jsonToAny),
+          (j \ "lookups").asInstanceOf[JArray].arr.map { lk =>
+            AggLookup(
+              spark.read.parquet(
+                s"$path/${(lk \ "path").asInstanceOf[JString].s}"),
+              (lk \ "broadcastable").asInstanceOf[JBool].value)
+          })
+      case other =>
+        throw new IllegalArgumentException(s"unknown stage type $other")
+    }
+  }
+
+  def save(model: PipelineModel, path: String): Unit = {
+    Files.createDirectories(Paths.get(path))
+    val stages = model.stages.zipWithIndex.map { case (st, i) =>
+      stageToJson(st, i, path)
+    }
+    val json = compact(render(JObject("stages" -> jarr(stages.toSeq))))
+    Files.writeString(Paths.get(s"$path/pipeline.json"), json)
+  }
+
+  def load(spark: SparkSession, path: String): LoadedPipelineModel = {
+    val j = parse(Files.readString(Paths.get(s"$path/pipeline.json")))
+    val stages = (j \ "stages").asInstanceOf[JArray].arr
+      .map(s => stageFromJson(s, spark, path))
+    new LoadedPipelineModel(stages)
+  }
+}
+
+/** A reloaded fitted pipeline: folds its transformer stages like
+  * `PipelineModel.transform` (whose constructor is private[ml]). */
+class LoadedPipelineModel(val stages: Seq[Transformer])
+    extends GraftTransformer {
+  override def transformDF(df: org.apache.spark.sql.DataFrame) =
+    stages.foldLeft(df)((d, st) => st.transform(d).toDF())
+}

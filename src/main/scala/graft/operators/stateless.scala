@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
 /** Projection: keep (`drop=false`) or drop (`drop=true`) the given columns.
   * Reference: dfpipeline/ColumnSelector.py:45-65. Maps to a Catalyst
   * projection, so column pruning reaches the parquet scan for free. */
-class ColumnSelector(columns: Seq[String], drop: Boolean = false)
+class ColumnSelector(val columns: Seq[String], val drop: Boolean = false)
     extends GraftTransformer {
   override def transformDF(df: DataFrame): DataFrame =
     if (drop) df.drop(columns: _*)
@@ -18,7 +18,7 @@ class ColumnSelector(columns: Seq[String], drop: Boolean = false)
 
 /** Cast columns to a target type. Reference: dfpipeline/TypeConverter.py:43-63
   * (`astype`). Nulls survive the cast (pandas NaN ⇔ Spark null). */
-class TypeConverter(columns: Seq[String], to: DataType)
+class TypeConverter(val columns: Seq[String], val to: DataType)
     extends GraftTransformer {
   override def transformDF(df: DataFrame): DataFrame =
     columns.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(to)))
@@ -29,7 +29,7 @@ class TypeConverter(columns: Seq[String], to: DataType)
   * Reference: dfpipeline/RowTransformer.py:44-58 — the only
   * row-cardinality-changing operator in the surface; a plain Catalyst filter
   * which pushes down to the scan. */
-class RowTransformer(columns: Seq[String], dropValues: Seq[Any])
+class RowTransformer(val columns: Seq[String], val dropValues: Seq[Any])
     extends GraftTransformer {
   override def transformDF(df: DataFrame): DataFrame = {
     val keep = columns
@@ -54,12 +54,12 @@ class RowTransformer(columns: Seq[String], dropValues: Seq[Any])
   * Everything is a codegen'd `when`-chain; no UDFs.
   */
 class MapTransformer(
-    inputs: Seq[String],
-    outputs: Seq[String],
-    mapping: Seq[(Any, Any)],
-    regex: Boolean = false,
-    defaultValue: Option[Any] = None,
-    dtype: Option[DataType] = None)
+    val inputs: Seq[String],
+    val outputs: Seq[String],
+    val mapping: Seq[(Any, Any)],
+    val regex: Boolean = false,
+    val defaultValue: Option[Any] = None,
+    val dtype: Option[DataType] = None)
     extends GraftTransformer {
   require(inputs.length == outputs.length)
 
@@ -96,11 +96,11 @@ class MapTransformer(
   *    (`keep = -1`), positive `index` only.
   */
 class StringSplitter(
-    inputs: Seq[String],
-    outputs: Seq[String],
-    separator: Option[String] = None,
-    index: Option[Int] = None,
-    keep: Int = 0)
+    val inputs: Seq[String],
+    val outputs: Seq[String],
+    val separator: Option[String] = None,
+    val index: Option[Int] = None,
+    val keep: Int = 0)
     extends GraftTransformer {
   require(inputs.length == outputs.length)
   require(separator.nonEmpty || index.nonEmpty)
@@ -132,9 +132,9 @@ class StringSplitter(
   * produce the literal `"nan"`).
   */
 class StringConcatenator(
-    inputs: Seq[Seq[String]],
-    outputs: Seq[String],
-    separator: String)
+    val inputs: Seq[Seq[String]],
+    val outputs: Seq[String],
+    val separator: String)
     extends GraftTransformer {
   require(inputs.length == outputs.length)
 
@@ -163,7 +163,7 @@ class StringConcatenator(
   * `_DW` day-of-week with Monday=0 (Spark `dayofweek` is Sunday=1 →
   * `(dow+5) % 7`), `_HD` hour.
   */
-class DateTransformer(column: String, origin: Option[String] = None)
+class DateTransformer(val column: String, val origin: Option[String] = None)
     extends GraftTransformer {
   override def transformDF(df: DataFrame): DataFrame = {
     val ts = origin match {

@@ -15,10 +15,10 @@ import org.apache.spark.sql.types._
   * pandas/DuckDB `median`.
   */
 class Imputer(
-    inputs: Seq[String],
-    outputs: Seq[String],
-    strategy: Option[String] = None,
-    value: Any = -1)
+    val inputs: Seq[String],
+    val outputs: Seq[String],
+    val strategy: Option[String] = None,
+    val value: Any = -1)
     extends GraftTransformer {
   require(inputs.length == outputs.length)
 
@@ -54,10 +54,10 @@ class Imputer(
   * map-side and AQE broadcasts the small count table).
   */
 class MinorityTransformer(
-    inputs: Seq[String],
-    outputs: Seq[String],
-    threshold: Long,
-    replacedTo: Any)
+    val inputs: Seq[String],
+    val outputs: Seq[String],
+    val threshold: Long,
+    val replacedTo: Any)
     extends GraftTransformer {
   require(inputs.length == outputs.length)
 
@@ -89,10 +89,10 @@ class MinorityTransformer(
   * mask and pass through unchanged.
   */
 class RangeTransformer(
-    inputs: Seq[String],
-    outputs: Seq[String],
-    rules: Seq[((Option[Double], Option[Double]), Any)],
-    useAllElements: Boolean = false)
+    val inputs: Seq[String],
+    val outputs: Seq[String],
+    val rules: Seq[((Option[Double], Option[Double]), Any)],
+    val useAllElements: Boolean = false)
     extends GraftTransformer {
   require(inputs.length == outputs.length)
 

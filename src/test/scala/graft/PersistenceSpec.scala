@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Save/load round-trip: a fitted pipeline reloaded from disk must produce
+  * byte-identical transforms (the reference's export-then-serve contract,
+  * SURVEY §3.2). */
+class PersistenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val train = Seq(
+    (1L, "BUILDING", 1, 100.0, Some(0.1)),
+    (2L, "BUILDING", 1, 200.0, None),
+    (3L, "AUTO", 2, 300.0, Some(0.3)),
+    (4L, "AUTO", 2, 500.0, Some(0.5)))
+    .toDF("row_id", "seg", "nat", "price", "disc")
+
+  lazy val serve = Seq(
+    (1L, "BUILDING", 1, 150.0, Some(0.2)),
+    (2L, "UNSEEN", 9, 250.0, None))
+    .toDF("row_id", "seg", "nat", "price", "disc")
+
+  test("full-pipeline save/load round trip") {
+    val model = DFPipeline(
+      new StringConcatenator(Seq(Seq("seg", "nat")), Seq("key"), "_"),
+      new ComplementLabelEncoder(Seq("key"), Seq("key_code")),
+      new FrequencyEncoder(Seq("key"), Seq("key_freq"), normalize = true),
+      new Aggregator(Seq("price"), Seq("price_mean"), Seq("key"), "mean"),
+      new Aggregator(Seq("price"), Seq("price_gmean"), Nil, "mean"),
+      new Scaler(Seq("price"), Seq("price_mm"), "minmax"),
+      new MapTransformer(Seq("seg"), Seq("seg2"), Seq(("AUTO", "A"))),
+      new RangeTransformer(Seq("price"), Seq("price_r"),
+        Seq(((Some(300.0), None), -1.0))),
+      new Imputer(Seq("disc"), Seq("disc"), None, 0.0),
+      new TypeConverter(Seq("nat"), DoubleType),
+      new ColumnSelector(Seq("seg"), drop = true))
+      .fit(train)
+
+    val dir = "target/tmp/persist_test"
+    GraftPersistence.save(model, dir)
+    val loaded = GraftPersistence.load(spark, dir)
+
+    val a = model.transform(serve).orderBy("row_id").collect().toSeq
+    val b = loaded.transform(serve).orderBy("row_id").collect().toSeq
+    assert(a == b)
+    // unseen key behavior survives the round trip
+    val r = loaded.transform(serve).filter(col("row_id") === 2).head()
+    assert(r.getAs[Double]("key_freq") == 0.0)
+    assert(r.isNullAt(r.fieldIndex("price_mean")))
+  }
+
+  test("closure-bearing stages refuse to persist with a clear error") {
+    val m = DFPipeline(
+      FunctionTransformer(Seq("price"), Seq("p2"), _ * 2)).fit(train)
+    val e = intercept[UnsupportedOperationException] {
+      GraftPersistence.save(m, "target/tmp/persist_fail")
+    }
+    assert(e.getMessage.contains("not persistable"))
+  }
+}
