@@ -27,7 +27,10 @@ object DataQueries {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    mainQueries ++ sourceQueries
+
+  private def mainQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(t(s, d, "documents"), Seq("text"), "doc_id")
         .select("doc_id", "lang", "source", "n_chars")),
@@ -110,6 +113,19 @@ object DataQueries {
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k")))
   )
+
+  /** CSV ingestion round trip: parquet → csv → [[graft.sources.Sources
+    * .readCsv]] with explicit schema; matching the plain-parquet oracle
+    * proves the csv path is lossless (doubles round-trip via full-precision
+    * text). */
+  private def sourceQueries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q_csv_source" -> ((s, d) => {
+      val src = t(s, d, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+      val dir = "target/tmp/q_csv_source"
+      src.write.mode("overwrite").option("header", "true").csv(dir)
+      graft.sources.Sources.readCsv(s, dir, src.schema)
+    }))
 
   // Shared SQL fragments (duplicated single-quotes are SQL escaping).
   private val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
@@ -230,7 +246,10 @@ object DataQueries {
       "q_events_json" ->
         """SELECT event_id,
              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-           FROM events"""
+           FROM events""",
+
+      "q_csv_source" ->
+        "SELECT c_custkey, c_name, c_acctbal FROM customer"
     )
   }
 }

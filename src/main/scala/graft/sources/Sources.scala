@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DoubleType, FloatType, StructType}
+
+/** Sources & sinks. The reference's only ingestion path is `pd.read_csv`
+  * in its benchmarks (FraudDetection1.py:92-93 etc.) with dtype maps and
+  * NaN-string missing markers; parquet is the engine's native format.
+  * At 100 TB: always pass an explicit schema (schema inference is a full
+  * extra scan), and land CSV into partitioned parquet before iterating.
+  */
+object Sources {
+
+  /** CSV with explicit schema (no inference scan); `"NaN"` and empty cells
+    * become null, matching pandas' default missing markers. */
+  def readCsv(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      header: Boolean = true,
+      delimiter: String = ","): DataFrame = {
+    val raw = spark.read
+      .schema(schema)
+      .option("header", header.toString)
+      .option("sep", delimiter)
+      .option("nullValue", "")
+      .option("nanValue", "NaN")
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+    // null discipline (SURVEY §1.2): pandas NaN ⇔ Spark null — the csv
+    // reader parses "NaN" into an IEEE NaN value; normalize it to null
+    schema.fields.filter(f =>
+      f.dataType == DoubleType || f.dataType == FloatType)
+      .foldLeft(raw) { (d, f) =>
+        d.withColumn(f.name,
+          org.apache.spark.sql.functions.when(
+            org.apache.spark.sql.functions.isnan(
+              org.apache.spark.sql.functions.col(f.name)), null)
+            .otherwise(org.apache.spark.sql.functions.col(f.name)))
+      }
+  }
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Hive-style partitioned parquet sink — the layout that makes partition
+    * pruning (and therefore 100 TB interactivity) possible downstream. */
+  def writePartitioned(
+      df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+}
