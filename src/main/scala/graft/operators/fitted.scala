@@ -44,12 +44,21 @@ private[operators] object Lookup {
     * stringValue) pairs for all `cols` — a single shuffle fits every
     * column's dictionary instead of one job per column. */
   def distinctPairs(df: DataFrame, cols: Seq[String]): Array[Row] =
+    distinctPairsDF(df, cols).collect()
+
+  def distinctPairsDF(df: DataFrame, cols: Seq[String]): DataFrame =
     df.select(
         posexplode(array(cols.map(c => col(c).cast(StringType)): _*))
           .as(Seq("__i", "__v")))
       .distinct()
-      .collect()
 }
+
+/** A fitted per-column dictionary: driver-resident map for normal
+  * cardinalities, distributed lookup relation when the vocabulary is too
+  * large to collect (SCALE.md known-limit #1 — the 100 TB path). */
+sealed trait Dict extends Serializable
+case class SmallDict(m: Map[String, Int], sentinelCode: Int) extends Dict
+case class BigDict(lookup: DataFrame, sentinelCode: Int) extends Dict
 
 /** Label encoding with an always-present unseen/missing sentinel class.
   * Reference: dfpipeline/ComplementLabelEncoder.py:39-78.
@@ -69,38 +78,92 @@ private[operators] object Lookup {
   */
 class ComplementLabelEncoder(
     inputs: Seq[String] = Nil,
-    outputs: Seq[String] = Nil)
+    outputs: Seq[String] = Nil,
+    maxCollect: Long = ComplementLabelEncoder.DefaultMaxCollect)
     extends GraftEstimator[ComplementLabelEncoderModel] {
   override def fitDF(df: DataFrame): ComplementLabelEncoderModel = {
     val ins = GraftSchema.resolve(inputs, df)
     val outs = if (outputs.isEmpty) ins else outputs
     val S = ComplementLabelEncoder.Sentinel
-    val byCol = Lookup.distinctPairs(df, ins).groupBy(_.getInt(0))
-    val maps = ins.indices.map { i =>
-      val vals = byCol.getOrElse(i, Array.empty[Row])
-        .map(r => if (r.isNullAt(1)) S else r.getString(1))
-        .distinct.sorted
-      val classes = if (vals.contains(S)) vals else vals :+ S
-      classes.zipWithIndex.toMap
-    }
-    new ComplementLabelEncoderModel(ins, outs, maps)
+    val pairs = Lookup.distinctPairsDF(df, ins).persist()
+    try {
+      val sizes = pairs.groupBy("__i").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val dicts = ins.indices.map { i =>
+        if (sizes.getOrElse(i, 0L) <= maxCollect) {
+          val vals = pairs.filter(col("__i") === i).collect()
+            .map(r => if (r.isNullAt(1)) S else r.getString(1))
+            .distinct.sorted
+          val classes = if (vals.contains(S)) vals else vals :+ S
+          val m = classes.zipWithIndex.toMap
+          SmallDict(m, m(S))
+        } else {
+          // 100 TB path: vocabulary never touches the driver. Missing/null
+          // folds into the sentinel value; codes come from a distributed
+          // sort + zipWithIndex (stable, matches the lexicographic
+          // contract); a training set with no missing values appends the
+          // sentinel AFTER the sorted classes (its code = vocab size, which
+          // is exactly what lookup misses default to at transform time).
+          val values = pairs.filter(col("__i") === i)
+            .select(coalesce(col("__v"), lit(S)).as("value"))
+            .distinct()
+          val hasMissing = values.filter(col("value") === S).count() > 0
+          val sorted = values.sort("value")
+          val spark = df.sparkSession
+          val indexed = spark.createDataFrame(
+            sorted.rdd.zipWithIndex.map { case (r, idx) =>
+              Row(r.getString(0), idx.toInt)
+            },
+            StructType(Seq(StructField("value", StringType),
+              StructField("code", IntegerType))))
+            .persist()
+          val n = indexed.count() // materialize before pairs unpersists
+          val sentCode =
+            if (hasMissing)
+              indexed.filter(col("value") === S).head().getInt(1)
+            else n.toInt
+          BigDict(indexed, sentCode)
+        }
+      }
+      new ComplementLabelEncoderModel(ins, outs, dicts)
+    } finally { pairs.unpersist(); () }
   }
 }
 
-object ComplementLabelEncoder { val Sentinel = "extra_category_" }
+object ComplementLabelEncoder {
+  val Sentinel = "extra_category_"
+  val DefaultMaxCollect = 1000000L
+}
 
 class ComplementLabelEncoderModel(
     val ins: Seq[String],
     val outs: Seq[String],
-    val maps: Seq[Map[String, Int]])
+    val dicts: Seq[Dict])
     extends GraftModel[ComplementLabelEncoderModel] {
+  /** Small-dict maps (tests/persistence); throws on a BigDict column. */
+  def maps: Seq[Map[String, Int]] =
+    dicts.map { case SmallDict(m, _) => m
+                case _: BigDict => throw new IllegalStateException(
+                  "distributed dictionary has no driver-side map") }
+
   override def transformDF(df: DataFrame): DataFrame = {
     val S = ComplementLabelEncoder.Sentinel
-    ins.zip(outs).zip(maps).foldLeft(df) { case (d, ((in, out), m)) =>
-      val sentCode = m(S)
+    ins.zip(outs).zip(dicts).foldLeft(df) { case (d, ((in, out), dict)) =>
       val key = coalesce(col(in).cast(StringType), lit(S))
-      Lookup.withLookup[Int](d, out, key, m,
-        lit(sentCode), _.cast(IntegerType), s"cle_$out")
+      dict match {
+        case SmallDict(m, sentCode) =>
+          Lookup.withLookup[Int](d, out, key, m,
+            lit(sentCode), _.cast(IntegerType), s"cle_$out")
+        case BigDict(lookup, sentCode) =>
+          // no broadcast hint: the relation may be huge; AQE decides
+          val l = lookup.withColumnRenamed("value", s"__cle_k_$out")
+            .withColumnRenamed("code", s"__cle_v_$out")
+          d.join(l, key === col(s"__cle_k_$out"), "left")
+            .withColumn(out,
+              coalesce(col(s"__cle_v_$out"), lit(sentCode))
+                .cast(IntegerType))
+            .drop(s"__cle_k_$out", s"__cle_v_$out")
+      }
     }
   }
 }
@@ -111,32 +174,53 @@ class ComplementLabelEncoderModel(
   * unseen values and nulls default to 1 (raw, long) or 0.0 (normalized,
   * double). One distributed groupBy pass fits every column's map.
   */
+/** A fitted value→frequency dictionary (double: exact for counts < 2^53,
+  * and the ratio for the normalized mode). */
+sealed trait FreqDict extends Serializable
+case class SmallFreq(m: Map[String, Double]) extends FreqDict
+case class BigFreq(lookup: DataFrame) extends FreqDict
+
 class FrequencyEncoder(
     inputs: Seq[String],
     outputs: Seq[String],
-    normalize: Boolean = false)
+    normalize: Boolean = false,
+    maxCollect: Long = ComplementLabelEncoder.DefaultMaxCollect)
     extends GraftEstimator[FrequencyEncoderModel] {
   require(inputs.length == outputs.length)
 
   override def fitDF(df: DataFrame): FrequencyEncoderModel = {
-    val counts = df
+    val countsDF = df
       .select(
         posexplode(array(inputs.map(c => col(c).cast(StringType)): _*))
           .as(Seq("__i", "__v")))
       .filter(col("__v").isNotNull)
       .groupBy("__i", "__v").agg(count(lit(1)).as("__c"))
-      .collect()
-    val byCol = counts.groupBy(_.getInt(0))
-    // counts stored as exact doubles (counts < 2^53) so one map type serves
-    // both the raw (→ cast long) and normalized paths
-    val maps = inputs.indices.map { i =>
-      val rows = byCol.getOrElse(i, Array.empty[Row])
-      if (normalize) {
-        val total = rows.map(_.getLong(2)).sum.toDouble
-        rows.map(r => r.getString(1) -> r.getLong(2) / total).toMap
-      } else rows.map(r => r.getString(1) -> r.getLong(2).toDouble).toMap
-    }
-    new FrequencyEncoderModel(inputs, outputs, normalize, maps)
+      .persist()
+    try {
+      val sizes = countsDF.groupBy("__i").agg(
+          count(lit(1)).as("n"), sum("__c").as("total"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val dicts = inputs.indices.map { i =>
+        val (n, total) = sizes.getOrElse(i, (0L, 0L))
+        if (n <= maxCollect) {
+          val rows = countsDF.filter(col("__i") === i).collect()
+          SmallFreq(
+            if (normalize)
+              rows.map(r => r.getString(1) -> r.getLong(2) / total.toDouble)
+                .toMap
+            else rows.map(r => r.getString(1) -> r.getLong(2).toDouble).toMap)
+        } else {
+          // 100 TB path: the frequency table stays distributed
+          val v = if (normalize) col("__c") / lit(total.toDouble)
+                  else col("__c").cast(DoubleType)
+          val lookup = countsDF.filter(col("__i") === i)
+            .select(col("__v").as("value"), v.as("freq")).persist()
+          lookup.count() // materialize before countsDF unpersists
+          BigFreq(lookup)
+        }
+      }
+      new FrequencyEncoderModel(inputs, outputs, normalize, dicts)
+    } finally { countsDF.unpersist(); () }
   }
 }
 
@@ -144,17 +228,30 @@ class FrequencyEncoderModel(
     val ins: Seq[String],
     val outs: Seq[String],
     val normalize: Boolean,
-    val maps: Seq[Map[String, Double]])
+    val dicts: Seq[FreqDict])
     extends GraftModel[FrequencyEncoderModel] {
+  def maps: Seq[Map[String, Double]] =
+    dicts.map { case SmallFreq(m) => m
+                case _: BigFreq => throw new IllegalStateException(
+                  "distributed frequency table has no driver-side map") }
+
   override def transformDF(df: DataFrame): DataFrame =
-    ins.zip(outs).zip(maps).foldLeft(df) { case (d, ((in, out), m)) =>
+    ins.zip(outs).zip(dicts).foldLeft(df) { case (d, ((in, out), dict)) =>
       val key = col(in).cast(StringType)
-      if (normalize)
-        Lookup.withLookup[Double](d, out, key, m, lit(0.0),
-          _.cast(DoubleType), s"fe_$out")
-      else
-        Lookup.withLookup[Double](d, out, key, m, lit(1.0),
-          _.cast(LongType), s"fe_$out")
+      val default = if (normalize) lit(0.0) else lit(1.0)
+      val finish: Column => Column =
+        if (normalize) _.cast(DoubleType) else _.cast(LongType)
+      dict match {
+        case SmallFreq(m) =>
+          Lookup.withLookup[Double](d, out, key, m, default, finish,
+            s"fe_$out")
+        case BigFreq(lookup) =>
+          val l = lookup.withColumnRenamed("value", s"__fe_k_$out")
+            .withColumnRenamed("freq", s"__fe_v_$out")
+          d.join(l, key === col(s"__fe_k_$out"), "left")
+            .withColumn(out, finish(coalesce(col(s"__fe_v_$out"), default)))
+            .drop(s"__fe_k_$out", s"__fe_v_$out")
+      }
     }
 }
 

@@ -115,14 +115,31 @@ object GraftPersistence {
     case m: ComplementLabelEncoderModel => JObject(
       "type" -> JString("ComplementLabelEncoderModel"),
       "ins" -> jstrs(m.ins), "outs" -> jstrs(m.outs),
-      "maps" -> jarr(m.maps.map(mm => JObject(mm.toList.map {
-        case (k, v) => k -> (JInt(v): JValue) }))))
+      "dicts" -> jarr(m.dicts.zipWithIndex.map {
+        case (SmallDict(mm, sent), _) => JObject(
+          "kind" -> JString("small"), "sentinelCode" -> JInt(sent),
+          "m" -> JObject(mm.toList.map { case (k, v) =>
+            k -> (JInt(v): JValue) }))
+        case (BigDict(lookup, sent), j) =>
+          val rel = s"data/${idx}_cle_$j"
+          lookup.write.mode("overwrite").parquet(s"$path/$rel")
+          JObject("kind" -> JString("big"), "sentinelCode" -> JInt(sent),
+            "path" -> JString(rel))
+      }))
     case m: FrequencyEncoderModel => JObject(
       "type" -> JString("FrequencyEncoderModel"),
       "ins" -> jstrs(m.ins), "outs" -> jstrs(m.outs),
       "normalize" -> JBool(m.normalize),
-      "maps" -> jarr(m.maps.map(mm => JObject(mm.toList.map {
-        case (k, v) => k -> (JDouble(v): JValue) }))))
+      "dicts" -> jarr(m.dicts.zipWithIndex.map {
+        case (SmallFreq(mm), _) => JObject(
+          "kind" -> JString("small"),
+          "m" -> JObject(mm.toList.map { case (k, v) =>
+            k -> (JDouble(v): JValue) }))
+        case (BigFreq(lookup), j) =>
+          val rel = s"data/${idx}_fe_$j"
+          lookup.write.mode("overwrite").parquet(s"$path/$rel")
+          JObject("kind" -> JString("big"), "path" -> JString(rel))
+      }))
     case m: ScalerModel => JObject(
       "type" -> JString("ScalerModel"),
       "ins" -> jstrs(m.ins), "outs" -> jstrs(m.outs),
@@ -204,19 +221,35 @@ object GraftPersistence {
           (j \ "useAllElements").asInstanceOf[JBool].value)
       case "ComplementLabelEncoderModel" =>
         new ComplementLabelEncoderModel(strs(j \ "ins"), strs(j \ "outs"),
-          (j \ "maps").asInstanceOf[JArray].arr.map(m =>
-            m.asInstanceOf[JObject].obj.map { case (k, v) =>
-              k -> v.asInstanceOf[JInt].num.toInt }.toMap))
+          (j \ "dicts").asInstanceOf[JArray].arr.map { d =>
+            val JInt(sent) = d \ "sentinelCode"
+            d \ "kind" match {
+              case JString("small") => SmallDict(
+                (d \ "m").asInstanceOf[JObject].obj.map { case (k, v) =>
+                  k -> v.asInstanceOf[JInt].num.toInt }.toMap,
+                sent.toInt)
+              case _ => BigDict(
+                spark.read.parquet(
+                  s"$path/${(d \ "path").asInstanceOf[JString].s}"),
+                sent.toInt)
+            }
+          })
       case "FrequencyEncoderModel" =>
         new FrequencyEncoderModel(strs(j \ "ins"), strs(j \ "outs"),
           (j \ "normalize").asInstanceOf[JBool].value,
-          (j \ "maps").asInstanceOf[JArray].arr.map(m =>
-            m.asInstanceOf[JObject].obj.map { case (k, v) =>
-              k -> (v match {
-                case JDouble(d) => d
-                case JInt(i)    => i.toDouble
-                case x => throw new IllegalArgumentException(x.toString)
-              }) }.toMap))
+          (j \ "dicts").asInstanceOf[JArray].arr.map { d =>
+            d \ "kind" match {
+              case JString("small") => SmallFreq(
+                (d \ "m").asInstanceOf[JObject].obj.map { case (k, v) =>
+                  k -> (v match {
+                    case JDouble(x) => x
+                    case JInt(i)    => i.toDouble
+                    case x => throw new IllegalArgumentException(x.toString)
+                  }) }.toMap)
+              case _ => BigFreq(spark.read.parquet(
+                s"$path/${(d \ "path").asInstanceOf[JString].s}"))
+            }
+          })
       case "ScalerModel" =>
         new ScalerModel(strs(j \ "ins"), strs(j \ "outs"),
           (j \ "strategy").asInstanceOf[JString].s,
