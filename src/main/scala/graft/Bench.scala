@@ -24,13 +24,21 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
-    spark.catalog.clearCache()
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // two timed iterations, min per query: steady-state time without
+    // GC/scheduler noise; cache cleared between so nothing rides a
+    // previous iteration's persisted intermediates
+    val iterations = (1 to 2).map { _ =>
+      spark.catalog.clearCache()
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
+    val results = SparkEntry.queries.keys.map { name =>
+      name -> iterations.map(_(name)).min
+    }.toMap
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -22,6 +22,10 @@ object DataQueries {
     * rebuild a microsecond timestamp (`div 1000` — exact integer division,
     * no double round-trip). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    // The conf must stay set while the (lazy) plan executes — per-task
+    // footer conversion consults it — so it cannot be restored here. Session
+    // side effect is strictly enabling: without it, nanos-parquet reads
+    // fail outright; with it, they arrive as longs (converted below).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -48,24 +48,85 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val getL = if (elemIsDouble(left)) s"$a.getDouble(i)"
-                 else s"(double) $a.getFloat(i)"
-      val getR = if (elemIsDouble(right)) s"$b.getDouble(i)"
-                 else s"(double) $b.getFloat(i)"
+      // all locals via freshName: two instances of this expression can land
+      // in the same codegen scope (non-nullable inputs skip the wrapping
+      // null-check block) and fixed names would fail janino compilation
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny"); val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi"); val dd = ctx.freshName("dd")
+      val getL = if (elemIsDouble(left)) s"$a.getDouble($i)"
+                 else s"(double) $a.getFloat($i)"
+      val getR = if (elemIsDouble(right)) s"$b.getDouble($i)"
+                 else s"(double) $b.getFloat($i)"
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, nx = 0.0, ny = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xi = $getL; double yi = $getR;
-         |  dot += xi * yi; nx += xi * xi; ny += yi * yi;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $getL; double $yi = $getR;
+         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |}
-         |double dd = java.lang.Math.sqrt(nx) * java.lang.Math.sqrt(ny);
-         |${ev.value} = (dd == 0.0) ? 0.0 : dot / dd;
+         |double $dd = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+         |${ev.value} = ($dd == 0.0) ? 0.0 : $dot / $dd;
        """.stripMargin
     })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plain dot product of two float/double arrays — the bucketing pass of
+  * hyperplane LSH needs only the SIGN of the projection, so computing the
+  * full cosine (both norms + two sqrts per plane per row) would triple the
+  * arithmetic on the hottest scan. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  private def elemIsDouble(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType,
+    right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _),
+          ArrayType(FloatType | DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"dot_product needs two float/double arrays, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var i = 0
+    val (dl, dr) = (elemIsDouble(left), elemIsDouble(right))
+    while (i < n) {
+      val xi = if (dl) x.getDouble(i) else x.getFloat(i).toDouble
+      val yi = if (dr) y.getDouble(i) else y.getFloat(i).toDouble
+      dot += xi * yi; i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val getL = if (elemIsDouble(left)) s"$a.getDouble($i)"
+                 else s"(double) $a.getFloat($i)"
+      val getR = if (elemIsDouble(right)) s"$b.getDouble($i)"
+                 else s"(double) $b.getFloat($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { $dot += $getL * $getR; }
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
 }
 
@@ -102,18 +163,23 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => s"""
-       |int[] cnt = new int[64];
-       |for (int i = 0; i < $a.numElements(); i++) {
-       |  long h = $a.getLong(i);
-       |  for (int k = 0; k < 64; k++) {
-       |    if (((h >>> k) & 1L) == 1L) cnt[k]++; else cnt[k]--;
+    nullSafeCodeGen(ctx, ev, a => {
+      val cnt = ctx.freshName("cnt"); val i = ctx.freshName("i")
+      val h = ctx.freshName("h"); val k = ctx.freshName("k")
+      val out = ctx.freshName("out")
+      s"""
+       |int[] $cnt = new int[64];
+       |for (int $i = 0; $i < $a.numElements(); $i++) {
+       |  long $h = $a.getLong($i);
+       |  for (int $k = 0; $k < 64; $k++) {
+       |    if ((($h >>> $k) & 1L) == 1L) $cnt[$k]++; else $cnt[$k]--;
        |  }
        |}
-       |long out = 0L;
-       |for (int k = 0; k < 64; k++) if (cnt[k] > 0) out |= (1L << k);
-       |${ev.value} = out;
-     """.stripMargin)
+       |long $out = 0L;
+       |for (int $k = 0; $k < 64; $k++) if ($cnt[$k] > 0) $out |= (1L << $k);
+       |${ev.value} = $out;
+     """.stripMargin
+    })
 
   override protected def withNewChildInternal(c: Expression): SimHash64 =
     copy(child = c)
@@ -175,32 +241,38 @@ case class MinHashSignature(child: Expression, numHashes: Int, shingleK: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val seedsRef = ctx.addReferenceObj("minhashSeeds", seeds, "long[]")
-    nullSafeCodeGen(ctx, ev, a => s"""
-       |int n = $a.numElements();
-       |long[] mins;
-       |if (n < $shingleK) {
-       |  mins = new long[0];
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i"); val sh = ctx.freshName("sh")
+      val j = ctx.freshName("j"); val k = ctx.freshName("k")
+      val x = ctx.freshName("x")
+      s"""
+       |int $n = $a.numElements();
+       |long[] $mins;
+       |if ($n < $shingleK) {
+       |  $mins = new long[0];
        |} else {
-       |  mins = new long[$numHashes];
-       |  java.util.Arrays.fill(mins, Long.MAX_VALUE);
-       |  for (int i = 0; i <= n - $shingleK; i++) {
-       |    long sh = 0L;
-       |    for (int j = 0; j < $shingleK; j++) {
-       |      sh ^= $a.getLong(i + j) + 0x9e3779b97f4a7c15L + (sh << 6)
-       |            + (sh >>> 2);
+       |  $mins = new long[$numHashes];
+       |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+       |  for (int $i = 0; $i <= $n - $shingleK; $i++) {
+       |    long $sh = 0L;
+       |    for (int $j = 0; $j < $shingleK; $j++) {
+       |      $sh ^= $a.getLong($i + $j) + 0x9e3779b97f4a7c15L + ($sh << 6)
+       |            + ($sh >>> 2);
        |    }
-       |    for (int k = 0; k < $numHashes; k++) {
-       |      long x = sh ^ $seedsRef[k];
-       |      x ^= (x >>> 33); x *= 0xff51afd7ed558ccdL;
-       |      x ^= (x >>> 33); x *= 0xc4ceb9fe1a85ec53L;
-       |      x ^= (x >>> 33);
-       |      if (x < mins[k]) mins[k] = x;
+       |    for (int $k = 0; $k < $numHashes; $k++) {
+       |      long $x = $sh ^ $seedsRef[$k];
+       |      $x ^= ($x >>> 33); $x *= 0xff51afd7ed558ccdL;
+       |      $x ^= ($x >>> 33); $x *= 0xc4ceb9fe1a85ec53L;
+       |      $x ^= ($x >>> 33);
+       |      if ($x < $mins[$k]) $mins[$k] = $x;
        |    }
        |  }
        |}
        |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-       |  .fromPrimitiveArray(mins);
-     """.stripMargin)
+       |  .fromPrimitiveArray($mins);
+     """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(c: Expression): MinHashSignature =
@@ -211,6 +283,9 @@ case class MinHashSignature(child: Expression, numHashes: Int, shingleK: Int)
 object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+
+  def dot_product(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
 
   def simhash64(tokenHashes: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokenHashes)))

@@ -27,6 +27,18 @@ object GraftSchema {
     * list means "all current columns at fit/transform time". */
   def resolve(cols: Seq[String], df: DataFrame): Seq[String] =
     if (cols.isEmpty) df.columns.toSeq else cols
+
+  def resolve(cols: Seq[String], schema: StructType): Seq[String] =
+    if (cols.isEmpty) schema.fieldNames.toSeq else cols
+
+  /** Replace `name`'s type if present, else append the field. */
+  def withField(schema: StructType, name: String,
+      dt: org.apache.spark.sql.types.DataType): StructType =
+    if (schema.fieldNames.contains(name))
+      StructType(schema.fields.map(f =>
+        if (f.name == name) org.apache.spark.sql.types.StructField(name, dt)
+        else f))
+    else schema.add(name, dt)
 }
 
 /** Stateless operator: pure DataFrame → DataFrame plan extension. */

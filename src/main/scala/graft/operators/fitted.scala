@@ -81,6 +81,14 @@ class ComplementLabelEncoder(
     outputs: Seq[String] = Nil,
     maxCollect: Long = ComplementLabelEncoder.DefaultMaxCollect)
     extends GraftEstimator[ComplementLabelEncoderModel] {
+  // output columns are statically known (int codes) — declare them so
+  // Pipeline.fit's upfront schema validation lets downstream stages see them
+  override def transformSchema(schema: StructType): StructType = {
+    val ins = GraftSchema.resolve(inputs, schema)
+    val outs = if (outputs.isEmpty) ins else outputs
+    outs.foldLeft(schema)((s, o) => GraftSchema.withField(s, o, IntegerType))
+  }
+
   override def fitDF(df: DataFrame): ComplementLabelEncoderModel = {
     val ins = GraftSchema.resolve(inputs, df)
     val outs = if (outputs.isEmpty) ins else outputs
@@ -188,6 +196,10 @@ class FrequencyEncoder(
     extends GraftEstimator[FrequencyEncoderModel] {
   require(inputs.length == outputs.length)
 
+  override def transformSchema(schema: StructType): StructType =
+    outputs.foldLeft(schema)((s, o) => GraftSchema.withField(s, o,
+      if (normalize) DoubleType else LongType))
+
   override def fitDF(df: DataFrame): FrequencyEncoderModel = {
     val countsDF = df
       .select(
@@ -280,6 +292,16 @@ class Aggregator(
   require(inputs.length == outputs.length)
   require(groupby.isEmpty || groupby.length == inputs.length)
 
+  override def transformSchema(schema: StructType): StructType =
+    inputs.zip(outputs).foldLeft(schema) { case (s, (in, out)) =>
+      val dt = func match {
+        case "count" | "nunique" => LongType
+        case "min" | "max" if s.fieldNames.contains(in) => s(in).dataType
+        case _ => DoubleType
+      }
+      GraftSchema.withField(s, out, dt)
+    }
+
   override def fitDF(df: DataFrame): AggregatorModel = {
     if (groupby.isEmpty) {
       val aggs = inputs.map(c => Aggregator.aggExpr(func, col(c)))
@@ -291,12 +313,18 @@ class Aggregator(
         val aggDF = df.filter(col(key).isNotNull)
           .groupBy(col(key).as("__agg_k"))
           .agg(Aggregator.aggExpr(func, col(in)).as("__agg_v"))
-        val n = aggDF.count()
-        if (n <= Aggregator.CollectMax)
-          AggLookup(df.sparkSession.createDataFrame(
-            java.util.Arrays.asList(aggDF.collect(): _*), aggDF.schema),
+        // persist so the size probe and the fetch (or the transform-time
+        // join, in the big case) read the materialized aggregate — NOT a
+        // limit(): a global limit funnels the relation through one task
+        val cached = aggDF.persist()
+        val n = cached.count()
+        if (n <= Aggregator.CollectMax) {
+          val local = AggLookup(df.sparkSession.createDataFrame(
+            java.util.Arrays.asList(cached.collect(): _*), aggDF.schema),
             broadcastable = true)
-        else AggLookup(aggDF, broadcastable = false)
+          cached.unpersist()
+          local
+        } else AggLookup(cached, broadcastable = false)
       }
       new AggregatorModel(inputs, outputs, groupby, func, Nil, lookups)
     }
@@ -359,6 +387,14 @@ class AggregatorModel(
 class Scaler(inputs: Seq[String], outputs: Seq[String], strategy: String)
     extends GraftEstimator[ScalerModel] {
   require(inputs.length == outputs.length)
+
+  override def transformSchema(schema: StructType): StructType =
+    inputs.zip(outputs).foldLeft(schema) { case (s, (in, out)) =>
+      val dt =
+        if (strategy == "min" && s.fieldNames.contains(in)) s(in).dataType
+        else DoubleType
+      GraftSchema.withField(s, out, dt)
+    }
 
   override def fitDF(df: DataFrame): ScalerModel = {
     val aggs = inputs.flatMap { c =>

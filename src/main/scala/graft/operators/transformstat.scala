@@ -180,4 +180,10 @@ class SetTransformer(
     }
     df
   }
+
+  // schema is untouched; overriding avoids the default empty-frame
+  // transformDF probe, which would fire the user callback with a spurious
+  // empty result during Pipeline schema validation
+  override def transformSchema(
+      schema: org.apache.spark.sql.types.StructType) = schema
 }

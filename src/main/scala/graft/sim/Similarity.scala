@@ -42,7 +42,7 @@ object Similarity {
   }
 
   private def dotLit(vec: Column, plane: Seq[Double]): Column =
-    GraftFunctions.cosine_sim(vec, typedlit(plane.toArray)) // sign(cos)=sign(dot)
+    GraftFunctions.dot_product(vec, typedlit(plane.toArray))
 
   /** Pack the sign bits of `nPlanes` hyperplane projections into an int. */
   def lshSignature(
@@ -111,11 +111,15 @@ object Similarity {
       col(vecCol).as("__v_a"))
     val b = ok.select(col("band"), col("bucket"), col(idCol).as("id_b"),
       col(vecCol).as("__v_b"))
-    a.join(b, Seq("band", "bucket"))
+    val result = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "__v_a", "__v_b").distinct()
       .withColumn("sim", cosine(col("__v_a"), col("__v_b")))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
+      .persist()
+    result.count() // materialize, then release the bucket cache
+    buckets.unpersist()
+    result
   }
 }

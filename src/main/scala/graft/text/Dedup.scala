@@ -94,13 +94,17 @@ object Dedup {
         (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble)
 
-    pairs
+    val result = pairs
       .join(withSig.select(col(idCol).as("id_a"), col("__sig").as("__sig_a")),
         "id_a")
       .join(withSig.select(col(idCol).as("id_b"), col("__sig").as("__sig_b")),
         "id_b")
       .withColumn("est_jaccard", est)
       .select("id_a", "id_b", "est_jaccard")
+      .persist()
+    result.count() // materialize, then release the signature cache
+    withSig.unpersist()
+    result
   }
 
   /** 64-bit SimHash of the text (majority vote over token-hash bits — one
@@ -124,7 +128,11 @@ object Dedup {
       .persist()
     val buckets = sigs.select(col(idCol), col("__sim"),
       explode(array((0 until 4).map(j => struct(lit(j).as("band"),
-        (shiftrightunsigned(col("__sim"), j * 16) % lit(65536L)).as("bucket"))
+        // mask, NOT `% 65536`: % keeps the dividend's sign, so a negative
+        // signature (bit 63 set) would land in a different bucket than a
+        // positive one with the same low 16 bits, breaking exact recall
+        shiftrightunsigned(col("__sim"), j * 16).bitwiseAND(lit(0xFFFFL))
+          .as("bucket"))
       ): _*)).as("__b"))
       .select(col(idCol), col("__sim"), col("__b.band"), col("__b.bucket"))
     val counts = buckets.groupBy("band", "bucket").count()
@@ -134,12 +142,16 @@ object Dedup {
       col("__sim").as("__sim_a"))
     val b = ok.select(col("band"), col("bucket"), col(idCol).as("id_b"),
       col("__sim").as("__sim_b"))
-    a.join(b, Seq("band", "bucket"))
+    val result = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming",
         bit_count(col("__sim_a").bitwiseXOR(col("__sim_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming").distinct()
+      .persist()
+    result.count() // materialize, then release the signature cache
+    sigs.unpersist()
+    result
   }
 
   /** Verify candidate pairs with exact n-gram Jaccard: join the texts back

@@ -124,7 +124,9 @@ class TextAnalyzer(input: String, prefix: String)
     val toks = s"__${prefix}_toks"
     df.withColumn(toks, TextFunctions.tokensLower(c))
       .withColumns(Map(
-        s"${prefix}_n_tokens" -> TextFunctions.tokenCount(c),
+        // lowering doesn't change whitespace, so the materialized token
+        // array's size IS the raw token count — no second split
+        s"${prefix}_n_tokens" -> size(col(toks)).cast("long"),
         s"${prefix}_punct_ratio" -> TextFunctions.punctRatio(c),
         s"${prefix}_stopword_ratio" -> TextFunctions.stopwordRatioT(col(toks)),
         s"${prefix}_quality" -> TextFunctions.qualityScoreT(c, col(toks)),
