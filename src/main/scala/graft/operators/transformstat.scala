@@ -18,7 +18,8 @@ class Imputer(
     val inputs: Seq[String],
     val outputs: Seq[String],
     val strategy: Option[String] = None,
-    val value: Any = -1)
+    val value: Any = -1,
+    val distributedMedian: Boolean = false)
     extends GraftTransformer {
   require(inputs.length == outputs.length)
 
@@ -26,6 +27,14 @@ class Imputer(
     case None =>
       inputs.zip(outputs).foldLeft(df) { case (d, (in, out)) =>
         d.withColumn(out, coalesce(col(in), lit(value)))
+      }
+    case Some("median") if distributedMedian =>
+      // 100 TB path: histogram-narrowing exact median (no per-buffer
+      // value table — SCALE.md limit #2); same values as `percentile`
+      val meds = ExactStats.medians(df, inputs)
+      inputs.zip(outputs).zip(meds).foldLeft(df) {
+        case (d, ((in, out), m)) =>
+          d.withColumn(out, coalesce(col(in), lit(m.orNull)))
       }
     case Some(s) =>
       val aggs = inputs.map { c =>
