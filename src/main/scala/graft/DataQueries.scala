@@ -53,8 +53,8 @@ object DataQueries {
           TextFunctions.fingerprint(col("text")).as("fp"))),
 
     "q_dedup_minhash" -> ((s, d) =>
-      Dedup.minHashLSH(t(s, d, "documents"), "text", "doc_id")
-        .filter(col("est_jaccard") >= 0.5)
+      Dedup.minHashLSH(t(s, d, "documents"), "text", "doc_id",
+          minEstJaccard = 0.5)
         .select(col("id_a"), col("id_b"),
           round(col("est_jaccard"), 6).as("est_jaccard"))),
 

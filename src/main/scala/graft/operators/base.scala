@@ -31,13 +31,13 @@ object GraftSchema {
   def resolve(cols: Seq[String], schema: StructType): Seq[String] =
     if (cols.isEmpty) schema.fieldNames.toSeq else cols
 
-  /** Replace `name`'s type if present, else append the field. */
+  /** Replace `name`'s type if present (keeping nullability/metadata), else
+    * append the field. */
   def withField(schema: StructType, name: String,
       dt: org.apache.spark.sql.types.DataType): StructType =
     if (schema.fieldNames.contains(name))
       StructType(schema.fields.map(f =>
-        if (f.name == name) org.apache.spark.sql.types.StructField(name, dt)
-        else f))
+        if (f.name == name) f.copy(dataType = dt) else f))
     else schema.add(name, dt)
 }
 

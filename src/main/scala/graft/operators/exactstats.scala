@@ -10,21 +10,30 @@ import org.apache.spark.sql.functions._
   * which is the wrong shape at 100 TB (SCALE.md known-limit #2). This is
   * histogram-narrowing selection instead: each round ONE scan histograms
   * every still-active target into `buckets` ranges (batched across columns
-  * via posexplode like the encoder fits), the bucket containing the target
-  * rank refines a MEMBERSHIP PREDICATE (the same floor expression that
-  * bucketed — no float-boundary drift between "counted in bucket b" and
-  * "selected next round"), and once few enough values remain they are
-  * collected and selected exactly. Rounds are O(log_buckets(n)); per-task
-  * memory is O(buckets × columns).
+  * via posexplode like the encoder fits) and also collects each bucket's
+  * count/min/max, so the chosen bucket's stats seed the next round with no
+  * extra pass. The bucket containing the target rank refines a MEMBERSHIP
+  * PREDICATE (the same floor expression that bucketed — no float-boundary
+  * drift between "counted in bucket b" and "selected next round"); once few
+  * enough values remain they are collected and selected exactly. Rounds are
+  * O(log_buckets(n)); per-task memory is O(buckets × columns).
   *
-  * Median matches pandas: mean of the two middle order statistics for even
-  * counts; NaN/null excluded (skipna).
+  * Semantics are pandas `median`: mean of the two middle order statistics
+  * for even counts, NaN and null EXCLUDED (skipna — note Spark's
+  * `percentile` instead orders NaN largest; the engine's null discipline
+  * normalizes NaN→null on ingest, so the difference only shows on frames
+  * that bypassed ingest). ±Infinity participates in the ordering like any
+  * value (resolved by direct counting, not bucketing).
   */
 object ExactStats {
 
+  private val NegInf = Double.NegativeInfinity
+  private val PosInf = Double.PositiveInfinity
+
   private case class Target(
       colName: String, idx: Int, rank: Long, // 0-indexed rank wanted
-      member: Column, below: Long)
+      member: Column, below: Long,
+      cnt: Long, mn: Double, mx: Double)
 
   def medians(
       df: DataFrame,
@@ -36,78 +45,115 @@ object ExactStats {
         .otherwise(col(c).cast("double")).as(c))
     val base = df.select(clean: _*)
 
-    val nRow = base.agg(count(col(cols.head)),
-      cols.tail.map(c => count(col(c))): _*).head()
-    val ns = cols.indices.map(nRow.getLong)
+    // round 0: one scan for count/min/max (+ infinity counts) per column
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)), min(col(c)), max(col(c)),
+      count(when(col(c) === NegInf, 1)), count(when(col(c) === PosInf, 1))))
+    val row = base.agg(aggs.head, aggs.tail: _*).head()
+    val ns = cols.indices.map(i => row.getLong(i * 5))
 
+    val resolved = scala.collection.mutable.Map.empty[(Int, Long), Double]
     var targets: Seq[Target] = cols.indices.flatMap { i =>
       val n = ns(i)
       if (n == 0) Nil
-      else Seq((n - 1) / 2, n / 2).distinct.map(r =>
-        Target(cols(i), i, r, col(cols(i)).isNotNull, 0L))
+      else {
+        val (mn, mx) = (row.getDouble(i * 5 + 1), row.getDouble(i * 5 + 2))
+        val (nNeg, nPos) = (row.getLong(i * 5 + 3), row.getLong(i * 5 + 4))
+        Seq((n - 1) / 2, n / 2).distinct.flatMap { r =>
+          // ±Infinity can't be bucketed (w would be Inf) — resolve by rank
+          // position against the infinity counts, else narrow to finite
+          if (r < nNeg) { resolved((i, r)) = NegInf; Nil }
+          else if (r >= n - nPos) { resolved((i, r)) = PosInf; Nil }
+          else {
+            val member = col(cols(i)).isNotNull &&
+              col(cols(i)) > NegInf && col(cols(i)) < PosInf
+            Seq(Target(cols(i), i, r, member, nNeg,
+              n - nNeg - nPos,
+              if (nNeg > 0) NegInf else mn, // refreshed by a measured pass
+              if (nPos > 0) PosInf else mx))
+          }
+        }
+      }
     }
-    val resolved = scala.collection.mutable.Map.empty[(Int, Long), Double]
+    // refresh finite min/max where infinities polluted the global ones
+    val needStats = targets.filter(t => t.mn == NegInf || t.mx == PosInf)
+    if (needStats.nonEmpty) {
+      val sAggs = needStats.flatMap(t => Seq(
+        min(when(t.member, col(t.colName))),
+        max(when(t.member, col(t.colName)))))
+      val sRow = base.agg(sAggs.head, sAggs.tail: _*).head()
+      val fixed = needStats.zipWithIndex.map { case (t, j) =>
+        (t.idx, t.rank) -> t.copy(mn = sRow.getDouble(j * 2),
+          mx = sRow.getDouble(j * 2 + 1))
+      }.toMap
+      targets = targets.map(t => fixed.getOrElse((t.idx, t.rank), t))
+    }
 
     var guard = 0
     while (targets.nonEmpty && guard < 64) {
       guard += 1
-      // one scan: count/min/max of each target's member set
-      val aggs = targets.flatMap(t => Seq(
-        count(when(t.member, col(t.colName))),
-        min(when(t.member, col(t.colName))),
-        max(when(t.member, col(t.colName)))))
-      val row = base.agg(aggs.head, aggs.tail: _*).head()
-      val stats = targets.indices.map(j =>
-        (row.getLong(j * 3), row.getDouble(j * 3 + 1),
-          row.getDouble(j * 3 + 2)))
-
-      val next = scala.collection.mutable.ArrayBuffer.empty[(Target, Double, Double)]
-      targets.zip(stats).foreach { case (t, (cnt, mn, mx)) =>
-        if (mn == mx) resolved((t.idx, t.rank)) = mn
-        else if (cnt <= collectThreshold) {
+      val next = scala.collection.mutable.ArrayBuffer.empty[Target]
+      targets.foreach { t =>
+        if (t.mn == t.mx) resolved((t.idx, t.rank)) = t.mn
+        else if (t.cnt <= collectThreshold) {
           val vals = base.filter(t.member).select(col(t.colName))
             .collect().map(_.getDouble(0)).sorted
           resolved((t.idx, t.rank)) = vals((t.rank - t.below).toInt)
-        } else next += ((t, mn, mx))
+        } else next += t
       }
 
-      // histogram round for the rest — one scan for all remaining targets
+      // one scan: histogram with per-bucket count/min/max for all targets;
+      // the chosen bucket's stats seed the next round
       targets =
         if (next.isEmpty) Nil
         else {
-          val bucketOf = next.toSeq.map { case (t, mn, mx) =>
-            val w = (mx - mn) / buckets
-            least(floor((col(t.colName) - lit(mn)) / lit(w)),
+          val acts = next.toSeq
+          val bucketOf = acts.map { t =>
+            val w = (t.mx - t.mn) / buckets
+            least(floor((col(t.colName) - lit(t.mn)) / lit(w)),
               lit(buckets - 1)).cast("int")
           }
           val hist = base
-            .select(posexplode(array(next.toSeq.zip(bucketOf).map {
-              case ((t, _, _), b) => when(t.member, b)
-            }: _*)).as(Seq("__t", "__b")))
-            .filter(col("__b").isNotNull)
-            .groupBy("__t", "__b").count().collect()
+            .select(posexplode(array(acts.zip(bucketOf).map {
+              case (t, b) =>
+                when(t.member, struct(b.as("b"),
+                  col(t.colName).as("v")))
+            }: _*)).as(Seq("__t", "__s")))
+            .filter(col("__s").isNotNull)
+            .groupBy(col("__t"), col("__s.b").as("__b"))
+            .agg(count(lit(1)).as("c"), min("__s.v").as("mn"),
+              max("__s.v").as("mx"))
+            .collect()
             .groupBy(_.getInt(0))
-          next.toSeq.zip(bucketOf).zipWithIndex.map {
-            case (((t, _, _), bExpr), j) =>
+          acts.zip(bucketOf).zipWithIndex.map {
+            case ((t, bExpr), j) =>
               val byBucket = hist.getOrElse(j, Array.empty)
-                .map(r => r.getInt(1) -> r.getLong(2)).toMap
+                .map(r => r.getInt(1) -> (r.getLong(2), r.getDouble(3),
+                  r.getDouble(4))).toMap
               var cum = t.below
               var b = 0
               while (b < buckets &&
-                cum + byBucket.getOrElse(b, 0L) <= t.rank) {
-                cum += byBucket.getOrElse(b, 0L); b += 1
+                cum + byBucket.get(b).fold(0L)(_._1) <= t.rank) {
+                cum += byBucket.get(b).fold(0L)(_._1); b += 1
               }
-              // refine membership with the SAME bucketing expression that
-              // produced the counts — cum stays exactly consistent
-              t.copy(member = t.member && bExpr === lit(b), below = cum)
+              val (bc, bmn, bmx) = byBucket(b)
+              // refine with the SAME bucketing expression that produced the
+              // counts — cum stays exactly consistent
+              t.copy(member = t.member && bExpr === lit(b), below = cum,
+                cnt = bc, mn = bmn, mx = bmx)
           }
         }
     }
 
     cols.indices.map { i =>
       if (ns(i) == 0) None
-      else Some((resolved((i, (ns(i) - 1) / 2)) +
-        resolved((i, ns(i) / 2))) / 2)
+      else {
+        val lo = resolved((i, (ns(i) - 1) / 2))
+        val hi = resolved((i, ns(i) / 2))
+        // halves are exact in binary (exponent decrement); (lo+hi)/2 would
+        // overflow to Infinity near Double.MaxValue
+        Some(if (lo == hi) lo else lo / 2 + hi / 2)
+      }
     }
   }
 }

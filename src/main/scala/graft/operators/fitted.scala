@@ -297,6 +297,11 @@ class Aggregator(
       val dt = func match {
         case "count" | "nunique" => LongType
         case "min" | "max" if s.fieldNames.contains(in) => s(in).dataType
+        case "sum" if s.fieldNames.contains(in) => s(in).dataType match {
+          case ByteType | ShortType | IntegerType | LongType => LongType
+          case d: DecimalType => d // approximate: sum widens precision
+          case _ => DoubleType
+        }
         case _ => DoubleType
       }
       GraftSchema.withField(s, out, dt)

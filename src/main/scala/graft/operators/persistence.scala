@@ -98,7 +98,8 @@ object GraftPersistence {
       "type" -> JString("Imputer"),
       "inputs" -> jstrs(t.inputs), "outputs" -> jstrs(t.outputs),
       "strategy" -> t.strategy.map(JString(_)).getOrElse(JNothing),
-      "value" -> anyToJson(t.value))
+      "value" -> anyToJson(t.value),
+      "distributedMedian" -> JBool(t.distributedMedian))
     case t: MinorityTransformer => JObject(
       "type" -> JString("MinorityTransformer"),
       "inputs" -> jstrs(t.inputs), "outputs" -> jstrs(t.outputs),
@@ -209,7 +210,8 @@ object GraftPersistence {
       case "Imputer" =>
         new Imputer(strs(j \ "inputs"), strs(j \ "outputs"),
           o("strategy").map(_.asInstanceOf[JString].s),
-          jsonToAny(j \ "value"))
+          jsonToAny(j \ "value"),
+          o("distributedMedian").exists(_.asInstanceOf[JBool].value))
       case "MinorityTransformer" =>
         new MinorityTransformer(strs(j \ "inputs"), strs(j \ "outputs"),
           (j \ "threshold").asInstanceOf[JInt].num.toLong,

@@ -57,7 +57,8 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       shingleK: Int = 3,
-      maxBucket: Int = 100): DataFrame = {
+      maxBucket: Int = 100,
+      minEstJaccard: Double = 0.0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     // signatures feed three join branches (buckets, both pair sides) —
@@ -100,9 +101,12 @@ object Dedup {
       .join(withSig.select(col(idCol).as("id_b"), col("__sig").as("__sig_b")),
         "id_b")
       .withColumn("est_jaccard", est)
+      .filter(col("est_jaccard") >= minEstJaccard)
       .select("id_a", "id_b", "est_jaccard")
       .persist()
-    result.count() // materialize, then release the signature cache
+    // the returned frame stays persisted (callers filter/join it repeatedly;
+    // unpersist it when done) — materializing lets the signature cache go
+    result.count()
     withSig.unpersist()
     result
   }

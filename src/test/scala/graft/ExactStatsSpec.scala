@@ -58,6 +58,27 @@ class ExactStatsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("infinities participate in the ordering without breaking narrowing") {
+    val cases = Seq(
+      Seq(1.0, Double.PositiveInfinity, 2.0, 3.0, Double.PositiveInfinity),
+      Seq(Double.PositiveInfinity, Double.PositiveInfinity, 1.0),
+      Seq(Double.NegativeInfinity, 5.0, 7.0),
+      Seq(Double.NegativeInfinity, Double.PositiveInfinity))
+    cases.foreach { xs =>
+      val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("row_id", "x")
+      val got = ExactStats.medians(df, Seq("x"), buckets = 4,
+        collectThreshold = 1).head.get
+      val exp = localMedian(xs)
+      assert(got == exp || (got.isNaN && exp.isNaN), s"for $xs: $got vs $exp")
+    }
+  }
+
+  test("no overflow near Double.MaxValue") {
+    val df = Seq((1L, 1.0e308), (2L, 1.6e308)).toDF("row_id", "x")
+    assert(ExactStats.medians(df, Seq("x")).head.get == 1.3e308)
+  }
+
   test("Imputer distributedMedian fills the same value as percentile") {
     val df = Seq((1L, Some(1.0)), (2L, Some(3.0)), (3L, Some(5.0)), (4L, None))
       .toDF("row_id", "x")
