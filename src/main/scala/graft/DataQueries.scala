@@ -88,6 +88,31 @@ object DataQueries {
         .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"))
     }),
 
+    "q_sim_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.ivfTopK(emb, "vec_id", "embedding",
+          queries, "query_id", "qvec", k = 5)
+        .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"))
+    }),
+
+    // classic relational aggregation over the biggest table (the engine is
+    // a general analytics surface too) — TPC-H Q1 shape
+    "q_relational_agg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          round(avg("l_extendedprice"), 6).as("avg_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+
     "q_embed_neardup" -> ((s, d) =>
       Similarity.embeddingNearDup(t(s, d, "embeddings"), "vec_id",
           "embedding", dim = 64, threshold = 0.3)
@@ -253,7 +278,21 @@ object DataQueries {
            FROM events""",
 
       "q_csv_source" ->
-        "SELECT c_custkey, c_name, c_acctbal FROM customer"
+        "SELECT c_custkey, c_name, c_acctbal FROM customer",
+
+      "q_relational_agg" ->
+        """SELECT l_returnflag, l_linestatus,
+             sum(l_quantity) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 2)
+               AS sum_disc_price,
+             round(avg(l_quantity), 6) AS avg_qty,
+             round(avg(l_extendedprice), 6) AS avg_price,
+             round(avg(l_discount), 6) AS avg_disc,
+             count(*) AS count_order
+           FROM lineitem
+           WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+           GROUP BY l_returnflag, l_linestatus"""
     )
   }
 }

@@ -85,6 +85,53 @@ object Similarity {
       .select(qIdCol, idCol, "sim", "rank")
   }
 
+  /** IVF-style ANN top-k: a k-means coarse quantizer (spark.ml KMeans)
+    * partitions the corpus into `nCentroids` cells; each query probes its
+    * `nProbe` nearest cells and pays the exact cosine only there. The
+    * centroid table is tiny and broadcast; the candidate join is an
+    * equi-join on the cell id, so the work scales with corpus/nCentroids ×
+    * nProbe per query instead of the full corpus. Recall < 1 by
+    * construction (probe more cells to trade time for recall). */
+  def ivfTopK(
+      data: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = data.sparkSession
+    import spark.implicits._
+    val withVec = data.withColumn("__v", array_to_vector(col(vecCol)))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nCentroids).setSeed(seed)
+      .setFeaturesCol("__v").setPredictionCol("__cell")
+      .fit(withVec)
+    val assigned = model.transform(withVec)
+      .select(col(idCol), col(vecCol), col("__cell"))
+    val centers = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("__cell", "__cvec")
+    // queries × centroids is tiny: rank cells per query, keep nProbe
+    val sq = queries.crossJoin(broadcast(centers))
+      .withColumn("__d2", aggregate(
+        zip_with(col(qVecCol).cast("array<double>"), col("__cvec"),
+          (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+    val probeW = Window.partitionBy(col(qIdCol)).orderBy(col("__d2"),
+      col("__cell"))
+    val probes = sq.withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nProbe)
+      .select(col(qIdCol), col(qVecCol), col("__cell"))
+    val scored = probes.join(assigned, "__cell")
+      .select(col(qIdCol),
+        struct(cosine(col(vecCol), col(qVecCol)).as("score"),
+          col(idCol).cast("long").as("id")).as("__cand"))
+    scored.groupBy(col(qIdCol))
+      .agg(graft.functions.TopK.collect_top_k(col("__cand"), k).as("__top"))
+      .select(col(qIdCol), posexplode(col("__top")).as(Seq("__pos", "__t")))
+      .select(col(qIdCol), col("__t.id").as(idCol),
+        col("__t.score").as("sim"), (col("__pos") + 1).as("rank"))
+  }
+
   /** Embedding near-duplicate pairs: LSH self-join buckets, then exact
     * cosine ≥ threshold. */
   def embeddingNearDup(

@@ -145,6 +145,16 @@ class SimilaritySpec extends SparkSpec {
       math.abs(r.getAs[Double]("sim") - 1.0) < 1e-9))
   }
 
+  test("IVF top-k probes the query's own cell (self at sim 1.0)") {
+    val q = vecs.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val out = Similarity.ivfTopK(vecs, "vec_id", "embedding",
+      q, "query_id", "qvec", k = 3, nCentroids = 2, nProbe = 1).collect()
+    assert(out.nonEmpty)
+    assert(out.exists(r => r.getAs[Long]("vec_id") == 0L &&
+      math.abs(r.getAs[Double]("sim") - 1.0) < 1e-9))
+  }
+
   test("embedding near-dup finds the identical-direction pair") {
     val out = Similarity.embeddingNearDup(vecs, "vec_id", "embedding",
       dim = 3, threshold = 0.9)
