@@ -51,6 +51,27 @@ class Imputer(
           d.withColumn(out, coalesce(col(in), lit(statRow.get(i))))
       }
   }
+
+  /** Freeze the transform-time statistics against `train` into a stateless
+    * stage (the streaming option, SURVEY §7.4: unbounded streams can't
+    * aggregate their own transform input). */
+  def freeze(train: DataFrame): GraftTransformer =
+    strategy match {
+      case None => this // constant fill is already stateless
+      case Some(s) =>
+        val aggs = inputs.map(c =>
+          if (s == "mean") avg(col(c)) else percentile(col(c), lit(0.5)))
+        val statRow = train.agg(aggs.head, aggs.tail: _*).head()
+        val stats = inputs.indices.map(statRow.get)
+        val (ins, outs) = (inputs, outputs)
+        new GraftTransformer {
+          override def transformDF(df: DataFrame): DataFrame =
+            ins.zip(outs).zip(stats).foldLeft(df) {
+              case (d, ((in, out), v)) =>
+                d.withColumn(out, coalesce(col(in), lit(v)))
+            }
+        }
+    }
 }
 
 /** Replace infrequent values. Reference: dfpipeline/MinorityTransformer.py:
@@ -71,17 +92,34 @@ class MinorityTransformer(
   require(inputs.length == outputs.length)
 
   override def transformDF(df: DataFrame): DataFrame =
+    applyWith(df, in => df.groupBy(col(in)).agg(count(lit(1))))
+
+  private def applyWith(
+      df: DataFrame, countsOf: String => DataFrame): DataFrame =
     inputs.zip(outputs).zipWithIndex.foldLeft(df) {
       case (d, ((in, out), i)) =>
         val k = s"__mt_k$i"
         val cnt = s"__mt_c$i"
-        val counts = d.groupBy(col(in).as(k)).agg(count(lit(1)).as(cnt))
-          .filter(col(k).isNotNull)
+        val counts = countsOf(in).toDF(k, cnt).filter(col(k).isNotNull)
         d.join(counts, col(in) === col(k), "left")
           .withColumn(out,
             when(col(cnt) >= threshold, col(in)).otherwise(lit(replacedTo)))
           .drop(k, cnt)
     }
+
+  /** Freeze the value counts against `train` (streaming option): the frozen
+    * count relations join against any future frame, including streams. */
+  def freeze(train: DataFrame): GraftTransformer = {
+    val frozenCounts = inputs.map { in =>
+      in -> train.groupBy(col(in)).agg(count(lit(1))).persist()
+    }.toMap
+    frozenCounts.values.foreach(_.count())
+    val self = this
+    new GraftTransformer {
+      override def transformDF(df: DataFrame): DataFrame =
+        self.applyWith(df, frozenCounts(_))
+    }
+  }
 }
 
 /** Range-based value rewrite. Reference: dfpipeline/RangeTransformer.py:54-96.
@@ -108,8 +146,24 @@ class RangeTransformer(
   private def mask(c: Column, upper: Option[Double], lower: Option[Double]) =
     (lower.map(c >= _).toSeq ++ upper.map(c <= _).toSeq).reduce(_ && _)
 
-  override def transformDF(df: DataFrame): DataFrame = {
-    val active = rules.filter { case ((u, l), _) => u.nonEmpty || l.nonEmpty }
+  override def transformDF(df: DataFrame): DataFrame =
+    applyWith(df, computeStats(df))
+
+  /** Freeze the subset statistics against `train` (streaming option). */
+  def freeze(train: DataFrame): GraftTransformer = {
+    val frozen = computeStats(train)
+    val self = this
+    new GraftTransformer {
+      override def transformDF(df: DataFrame): DataFrame =
+        self.applyWith(df, frozen)
+    }
+  }
+
+  private def active = rules.filter { case ((u, l), _) =>
+    u.nonEmpty || l.nonEmpty
+  }
+
+  private def computeStats(df: DataFrame): (Row, Map[(String, Int), Int]) = {
     val statAggs = scala.collection.mutable.ArrayBuffer.empty[Column]
     val statIdx = scala.collection.mutable.Map.empty[(String, Int), Int]
     for {
@@ -129,9 +183,15 @@ class RangeTransformer(
         })
       case _ => ()
     }
-    val statRow =
+    val row =
       if (statAggs.nonEmpty) df.agg(statAggs.head, statAggs.tail.toSeq: _*).head()
       else null
+    (row, statIdx.toMap)
+  }
+
+  private def applyWith(
+      df: DataFrame, stats: (Row, Map[(String, Int), Int])): DataFrame = {
+    val (statRow, statIdx) = stats
     inputs.zip(outputs).foldLeft(df) { case (d, (in, out)) =>
       val c = col(in)
       val chain = active.zipWithIndex.reverse

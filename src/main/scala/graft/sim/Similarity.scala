@@ -152,8 +152,8 @@ object Similarity {
       .select(col(idCol), col(vecCol), col("__b.band"), col("__b.bucket"))
       .persist()
     val counts = buckets.groupBy("band", "bucket").count()
-    val ok = buckets
-      .join(counts.filter(col("count") <= maxBucket), Seq("band", "bucket"))
+    val ok = graft.text.Dedup.capBuckets(buckets, counts, maxBucket,
+      "embeddingNearDup")
     val a = ok.select(col("band"), col("bucket"), col(idCol).as("id_a"),
       col(vecCol).as("__v_a"))
     val b = ok.select(col("band"), col("bucket"), col(idCol).as("id_b"),

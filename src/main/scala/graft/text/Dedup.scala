@@ -12,6 +12,22 @@ import org.apache.spark.sql.functions._
   * dropped with an explicit cap rather than silently exploding quadratically.
   */
 object Dedup {
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Count + warn about buckets dropped by the hot-bucket cap, so capped
+    * coverage is never silent (a dropped bucket means those docs were not
+    * compared — SCALE.md). Returns the surviving buckets. */
+  private[graft] def capBuckets(
+      buckets: DataFrame, counts: DataFrame, maxBucket: Int,
+      what: String): DataFrame = {
+    val dropped = counts.filter(col("count") > maxBucket).count()
+    if (dropped > 0)
+      log.warn(s"$what: $dropped bucket(s) over the $maxBucket-doc cap were " +
+        "dropped; their members were not compared (raise maxBucket or add " +
+        "bands to restore coverage)")
+    buckets.join(counts.filter(col("count") <= maxBucket),
+      Seq("band", "bucket"))
+  }
 
   /** Exact dedup: keep the row with the smallest `orderCol` per key group.
     * Hash-partition by content key; duplicate groups are tiny, so the
@@ -81,8 +97,7 @@ object Dedup {
     // broadcast the small count relation; a window over (band,bucket) would
     // funnel each hot bucket through one task.
     val counts = buckets.groupBy("band", "bucket").count()
-    val ok = buckets
-      .join(counts.filter(col("count") <= maxBucket), Seq("band", "bucket"))
+    val ok = capBuckets(buckets, counts, maxBucket, "minHashLSH")
       .select(col("band"), col("bucket"), col(idCol))
 
     val pairs = ok.toDF("band", "bucket", "id_a")
@@ -140,8 +155,7 @@ object Dedup {
       ): _*)).as("__b"))
       .select(col(idCol), col("__sim"), col("__b.band"), col("__b.bucket"))
     val counts = buckets.groupBy("band", "bucket").count()
-    val ok = buckets
-      .join(counts.filter(col("count") <= maxBucket), Seq("band", "bucket"))
+    val ok = capBuckets(buckets, counts, maxBucket, "simHashNearDup")
     val a = ok.select(col("band"), col("bucket"), col(idCol).as("id_a"),
       col("__sim").as("__sim_a"))
     val b = ok.select(col("band"), col("bucket"), col(idCol).as("id_b"),

@@ -54,6 +54,35 @@ class StreamingSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("frozen transform-time-stat operators score a stream") {
+    import graft.operators.{Imputer, MinorityTransformer, RangeTransformer}
+    val train = batchEvents
+      .withColumn("v_n", when(col("value") < 0, lit(null))
+        .otherwise(col("value")))
+    val frozenImp = new Imputer(Seq("v_n"), Seq("v_filled"), Some("mean"))
+      .freeze(train)
+    val frozenMin = new MinorityTransformer(Seq("event_type"), Seq("et2"),
+      2, "rare").freeze(train)
+    val frozenRange = new RangeTransformer(Seq("value"), Seq("v_r"),
+      Seq(((Some(100.0), Some(0.0)), "mean"))).freeze(train)
+    val stream = spark.readStream.schema(batchEvents.schema)
+      .parquet(streamDir)
+      .withColumn("v_n", when(col("value") < 0, lit(null))
+        .otherwise(col("value")))
+    val scored = frozenRange.transform(
+      frozenMin.transform(frozenImp.transform(stream)))
+    val q = scored.writeStream.outputMode("append")
+      .format("memory").queryName("frozen_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("frozen_out")
+    val batchRef = frozenRange.transform(
+      frozenMin.transform(frozenImp.transform(train)))
+    assert(got.count() == batchEvents.count())
+    assert(got.select("event_id", "v_filled", "et2", "v_r")
+      .exceptAll(batchRef.select("event_id", "v_filled", "et2", "v_r"))
+      .isEmpty)
+  }
+
   test("mapGroupsWithState running per-user totals") {
     val stream = spark.readStream.schema(batchEvents.schema)
       .parquet(streamDir)
