@@ -155,6 +155,36 @@ class SimilaritySpec extends SparkSpec {
       math.abs(r.getAs[Double]("sim") - 1.0) < 1e-9))
   }
 
+  test("measured recall of LSH and IVF vs brute force on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    def resultSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val exact = resultSet(Similarity.bruteForceTopK(
+      emb, "vec_id", "embedding", q, "query_id", "qvec", k = 5))
+    val lsh = resultSet(Similarity.lshTopK(
+      emb, "vec_id", "embedding", q, "query_id", "qvec", k = 5, dim = 64))
+    val ivf = resultSet(Similarity.ivfTopK(
+      emb, "vec_id", "embedding", q, "query_id", "qvec", k = 5))
+    val lshRecall = (lsh & exact).size.toDouble / exact.size
+    val ivfRecall = (ivf & exact).size.toDouble / exact.size
+    info(f"recall@5 — lsh: $lshRecall%.2f, ivf: $ivfRecall%.2f")
+    // every method must at least find each query itself (sim 1.0)
+    assert((0L until 20L).forall(i => lsh.contains((i, i))))
+    assert((0L until 20L).forall(i => ivf.contains((i, i))))
+    assert(lshRecall > 0.2 && ivfRecall > 0.2)
+  }
+
+  test("custom expressions registered for SQL") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+                simhash64(array(0L)) AS s""").head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getLong(1) == 0L)
+  }
+
   test("embedding near-dup finds the identical-direction pair") {
     val out = Similarity.embeddingNearDup(vecs, "vec_id", "embedding",
       dim = 3, threshold = 0.9)

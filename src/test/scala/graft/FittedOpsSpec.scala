@@ -178,6 +178,18 @@ class WrapTransformerSpec extends SparkSpec {
     assertCol(out, "col3", Seq(2.0, 2.0, 2.0, 2.0))
     assertCol(out, "col4", Seq(4.0, 4.0, 4.0, 4.0))
   }
+  test("wrapped MinMaxScaler over multiple columns (per-column fit)") {
+    // tests/test_wrap.py:63-70 — minmax is column-wise, so per-column
+    // wrapped fits equal the sklearn block fit; nulls pass through as null
+    val d = Seq((1L, Some(1.0), Some(10.0)), (2L, Some(3.0), None),
+      (3L, Some(5.0), Some(30.0))).toDF("row_id", "a", "b")
+    val out = new WrapTransformer(Seq("a", "b"), Seq("a", "b"),
+      () => new org.apache.spark.ml.feature.MinMaxScaler())
+      .fit(d).transform(d)
+    assertColApprox(out, "a", Seq(Some(0.0), Some(0.5), Some(1.0)))
+    assertColApprox(out, "b", Seq(Some(0.0), None, Some(1.0)))
+  }
+
   test("wrapped StringIndexer (alphabetAsc ≈ LabelEncoder)") {
     val out = new WrapTransformer(Seq("col1"), Seq("col1"),
       () => new org.apache.spark.ml.feature.StringIndexer()
