@@ -41,6 +41,13 @@ object GraftSchema {
     else schema.add(name, dt)
 }
 
+/** A frozen transform-time-statistics stage (see `freeze` on Imputer /
+  * MinorityTransformer / RangeTransformer): stateless at transform time;
+  * `release()` frees any persisted state it holds. */
+abstract class FrozenStage extends GraftTransformer {
+  def release(): Unit = ()
+}
+
 /** Stateless operator: pure DataFrame → DataFrame plan extension. */
 abstract class GraftTransformer extends Transformer {
   override val uid: String = Identifiable.randomUID(getClass.getSimpleName)

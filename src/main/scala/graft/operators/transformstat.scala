@@ -28,50 +28,46 @@ class Imputer(
       inputs.zip(outputs).foldLeft(df) { case (d, (in, out)) =>
         d.withColumn(out, coalesce(col(in), lit(value)))
       }
-    case Some("median") if distributedMedian =>
-      // 100 TB path: histogram-narrowing exact median (no per-buffer
-      // value table — SCALE.md limit #2); same values as `percentile`
-      val meds = ExactStats.medians(df, inputs)
-      inputs.zip(outputs).zip(meds).foldLeft(df) {
-        case (d, ((in, out), m)) =>
-          d.withColumn(out, coalesce(col(in), lit(m.orNull)))
-      }
-    case Some(s) =>
-      val aggs = inputs.map { c =>
-        s match {
-          case "mean"   => avg(col(c))
-          case "median" => percentile(col(c), lit(0.5))
-          case other =>
-            throw new IllegalArgumentException(s"strategy $other")
-        }
-      }
-      val statRow = df.agg(aggs.head, aggs.tail: _*).head()
-      inputs.zip(outputs).zipWithIndex.foldLeft(df) {
-        case (d, ((in, out), i)) =>
-          d.withColumn(out, coalesce(col(in), lit(statRow.get(i))))
-      }
+    case Some(_) =>
+      applyStats(df, computeStats(df))
   }
+
+  /** The per-column statistics (validated strategy; honors
+    * `distributedMedian` — SCALE.md limit #2). */
+  private def computeStats(df: DataFrame): Seq[Any] = strategy.get match {
+    case "median" if distributedMedian =>
+      ExactStats.medians(df, inputs).map(_.orNull)
+    case s @ ("mean" | "median") =>
+      val aggs = inputs.map(c =>
+        if (s == "mean") avg(col(c)) else percentile(col(c), lit(0.5)))
+      val statRow = df.agg(aggs.head, aggs.tail: _*).head()
+      inputs.indices.map(statRow.get)
+    case other => throw new IllegalArgumentException(s"strategy $other")
+  }
+
+  private def applyStats(df: DataFrame, stats: Seq[Any]): DataFrame =
+    inputs.zip(outputs).zip(stats).foldLeft(df) {
+      case (d, ((in, out), v)) =>
+        d.withColumn(out, coalesce(col(in), lit(v)))
+    }
 
   /** Freeze the transform-time statistics against `train` into a stateless
     * stage (the streaming option, SURVEY §7.4: unbounded streams can't
-    * aggregate their own transform input). */
-  def freeze(train: DataFrame): GraftTransformer =
-    strategy match {
-      case None => this // constant fill is already stateless
-      case Some(s) =>
-        val aggs = inputs.map(c =>
-          if (s == "mean") avg(col(c)) else percentile(col(c), lit(0.5)))
-        val statRow = train.agg(aggs.head, aggs.tail: _*).head()
-        val stats = inputs.indices.map(statRow.get)
-        val (ins, outs) = (inputs, outputs)
-        new GraftTransformer {
-          override def transformDF(df: DataFrame): DataFrame =
-            ins.zip(outs).zip(stats).foldLeft(df) {
-              case (d, ((in, out), v)) =>
-                d.withColumn(out, coalesce(col(in), lit(v)))
-            }
-        }
-    }
+    * aggregate their own transform input). Same validation and
+    * `distributedMedian` behavior as the live path. */
+  def freeze(train: DataFrame): FrozenStage = strategy match {
+    case None =>
+      val self = this
+      new FrozenStage {
+        override def transformDF(df: DataFrame) = self.transformDF(df)
+      }
+    case Some(_) =>
+      val stats = computeStats(train)
+      val self = this
+      new FrozenStage {
+        override def transformDF(df: DataFrame) = self.applyStats(df, stats)
+      }
+  }
 }
 
 /** Replace infrequent values. Reference: dfpipeline/MinorityTransformer.py:
@@ -108,16 +104,20 @@ class MinorityTransformer(
     }
 
   /** Freeze the value counts against `train` (streaming option): the frozen
-    * count relations join against any future frame, including streams. */
-  def freeze(train: DataFrame): GraftTransformer = {
+    * count relations join against any future frame, including streams.
+    * The relations stay persisted — call `release()` on the returned stage
+    * when done with it. */
+  def freeze(train: DataFrame): FrozenStage = {
     val frozenCounts = inputs.map { in =>
       in -> train.groupBy(col(in)).agg(count(lit(1))).persist()
     }.toMap
     frozenCounts.values.foreach(_.count())
     val self = this
-    new GraftTransformer {
+    new FrozenStage {
       override def transformDF(df: DataFrame): DataFrame =
         self.applyWith(df, frozenCounts(_))
+      override def release(): Unit =
+        frozenCounts.values.foreach { d => d.unpersist(); () }
     }
   }
 }
@@ -150,10 +150,10 @@ class RangeTransformer(
     applyWith(df, computeStats(df))
 
   /** Freeze the subset statistics against `train` (streaming option). */
-  def freeze(train: DataFrame): GraftTransformer = {
+  def freeze(train: DataFrame): FrozenStage = {
     val frozen = computeStats(train)
     val self = this
-    new GraftTransformer {
+    new FrozenStage {
       override def transformDF(df: DataFrame): DataFrame =
         self.applyWith(df, frozen)
     }

@@ -100,7 +100,16 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val spark = data.sparkSession
     import spark.implicits._
-    val withVec = data.withColumn("__v", array_to_vector(col(vecCol)))
+    // cluster and probe on L2-NORMALIZED vectors: on the unit sphere L2
+    // order equals cosine order, so cells follow the scoring metric even
+    // for non-unit-norm embeddings (exact cosine still scores raw vectors)
+    def unit(c: Column): Column = {
+      val d = c.cast("array<double>")
+      val n = sqrt(aggregate(transform(d, x => x * x), lit(0.0),
+        (acc, x) => acc + x))
+      transform(d, x => when(n === 0, x).otherwise(x / n))
+    }
+    val withVec = data.withColumn("__v", array_to_vector(unit(col(vecCol))))
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(nCentroids).setSeed(seed)
       .setFeaturesCol("__v").setPredictionCol("__cell")
@@ -113,7 +122,7 @@ object Similarity {
     // queries × centroids is tiny: rank cells per query, keep nProbe
     val sq = queries.crossJoin(broadcast(centers))
       .withColumn("__d2", aggregate(
-        zip_with(col(qVecCol).cast("array<double>"), col("__cvec"),
+        zip_with(unit(col(qVecCol)), col("__cvec"),
           (a, b) => (a - b) * (a - b)),
         lit(0.0), (acc, x) => acc + x))
     val probeW = Window.partitionBy(col(qIdCol)).orderBy(col("__d2"),
@@ -152,8 +161,8 @@ object Similarity {
       .select(col(idCol), col(vecCol), col("__b.band"), col("__b.bucket"))
       .persist()
     val counts = buckets.groupBy("band", "bucket").count()
-    val ok = graft.text.Dedup.capBuckets(buckets, counts, maxBucket,
-      "embeddingNearDup")
+    val (ok, countsCached) = graft.text.Dedup.capBuckets(buckets, counts,
+      maxBucket, "embeddingNearDup")
     val a = ok.select(col("band"), col("bucket"), col(idCol).as("id_a"),
       col(vecCol).as("__v_a"))
     val b = ok.select(col("band"), col("bucket"), col(idCol).as("id_b"),
@@ -167,6 +176,7 @@ object Similarity {
       .persist()
     result.count() // materialize, then release the bucket cache
     buckets.unpersist()
+    countsCached.unpersist()
     result
   }
 }

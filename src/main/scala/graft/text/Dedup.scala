@@ -19,14 +19,18 @@ object Dedup {
     * compared — SCALE.md). Returns the surviving buckets. */
   private[graft] def capBuckets(
       buckets: DataFrame, counts: DataFrame, maxBucket: Int,
-      what: String): DataFrame = {
-    val dropped = counts.filter(col("count") > maxBucket).count()
+      what: String): (DataFrame, DataFrame) = {
+    // persisted so the drop-count action and the join read one materialized
+    // aggregate instead of recomputing the bucket groupBy twice; callers
+    // unpersist the returned counts frame once their result materializes
+    val cached = counts.persist()
+    val dropped = cached.filter(col("count") > maxBucket).count()
     if (dropped > 0)
       log.warn(s"$what: $dropped bucket(s) over the $maxBucket-doc cap were " +
         "dropped; their members were not compared (raise maxBucket or add " +
         "bands to restore coverage)")
-    buckets.join(counts.filter(col("count") <= maxBucket),
-      Seq("band", "bucket"))
+    (buckets.join(cached.filter(col("count") <= maxBucket),
+      Seq("band", "bucket")), cached)
   }
 
   /** Exact dedup: keep the row with the smallest `orderCol` per key group.
@@ -97,8 +101,9 @@ object Dedup {
     // broadcast the small count relation; a window over (band,bucket) would
     // funnel each hot bucket through one task.
     val counts = buckets.groupBy("band", "bucket").count()
-    val ok = capBuckets(buckets, counts, maxBucket, "minHashLSH")
-      .select(col("band"), col("bucket"), col(idCol))
+    val (ok0, countsCached) = capBuckets(buckets, counts, maxBucket,
+      "minHashLSH")
+    val ok = ok0.select(col("band"), col("bucket"), col(idCol))
 
     val pairs = ok.toDF("band", "bucket", "id_a")
       .join(ok.toDF("band", "bucket", "id_b"), Seq("band", "bucket"))
@@ -123,6 +128,7 @@ object Dedup {
     // unpersist it when done) — materializing lets the signature cache go
     result.count()
     withSig.unpersist()
+    countsCached.unpersist()
     result
   }
 
@@ -155,7 +161,8 @@ object Dedup {
       ): _*)).as("__b"))
       .select(col(idCol), col("__sim"), col("__b.band"), col("__b.bucket"))
     val counts = buckets.groupBy("band", "bucket").count()
-    val ok = capBuckets(buckets, counts, maxBucket, "simHashNearDup")
+    val (ok, countsCached) = capBuckets(buckets, counts, maxBucket,
+      "simHashNearDup")
     val a = ok.select(col("band"), col("bucket"), col(idCol).as("id_a"),
       col("__sim").as("__sim_a"))
     val b = ok.select(col("band"), col("bucket"), col(idCol).as("id_b"),
@@ -169,6 +176,7 @@ object Dedup {
       .persist()
     result.count() // materialize, then release the signature cache
     sigs.unpersist()
+    countsCached.unpersist()
     result
   }
 
