@@ -109,9 +109,16 @@ object Similarity {
         (acc, x) => acc + x))
       transform(d, x => when(n === 0, x).otherwise(x / n))
     }
+    // persisted: KMeans iterates over it and the assignment reads it again
     val withVec = data.withColumn("__v", array_to_vector(unit(col(vecCol))))
+      .persist()
+    // coarse quantization doesn't need a converged clustering — random init
+    // and few iterations: kmeans|| init plus 20 iterations is ~30 Spark
+    // jobs of pure scheduling overhead, and cell QUALITY only shifts the
+    // recall/probe tradeoff marginally
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(nCentroids).setSeed(seed)
+      .setInitMode("random").setMaxIter(8)
       .setFeaturesCol("__v").setPredictionCol("__cell")
       .fit(withVec)
     val assigned = model.transform(withVec)
@@ -134,11 +141,15 @@ object Similarity {
       .select(col(qIdCol),
         struct(cosine(col(vecCol), col(qVecCol)).as("score"),
           col(idCol).cast("long").as("id")).as("__cand"))
-    scored.groupBy(col(qIdCol))
+    val result = scored.groupBy(col(qIdCol))
       .agg(graft.functions.TopK.collect_top_k(col("__cand"), k).as("__top"))
       .select(col(qIdCol), posexplode(col("__top")).as(Seq("__pos", "__t")))
       .select(col(qIdCol), col("__t.id").as(idCol),
         col("__t.score").as("sim"), (col("__pos") + 1).as("rank"))
+      .persist()
+    result.count() // materialize, then free the normalized-vector cache
+    withVec.unpersist()
+    result
   }
 
   /** Embedding near-duplicate pairs: LSH self-join buckets, then exact
