@@ -314,22 +314,33 @@ class Aggregator(
       new AggregatorModel(inputs, outputs, Nil, func,
         inputs.indices.map(row.get), Nil)
     } else {
-      val lookups = inputs.zip(groupby).map { case (in, key) =>
+      // one aggregation pass and one transform-time join PER DISTINCT KEY:
+      // multiple inputs grouped by the same key (the fraud shape: mean and
+      // std of several columns by one composite key) fuse into a single
+      // relation instead of one shuffle + join per input
+      val byKey = inputs.zip(outputs).zip(groupby)
+        .map { case ((in, out), key) => (key, in, out) }
+      val lookups = groupby.distinct.map { key =>
+        val cols = byKey.filter(_._1 == key)
+        val aggs = cols.map { case (_, in, out) =>
+          Aggregator.aggExpr(func, col(in)).as(s"__agg_v_$out")
+        }
         val aggDF = df.filter(col(key).isNotNull)
           .groupBy(col(key).as("__agg_k"))
-          .agg(Aggregator.aggExpr(func, col(in)).as("__agg_v"))
+          .agg(aggs.head, aggs.tail: _*)
         // persist so the size probe and the fetch (or the transform-time
         // join, in the big case) read the materialized aggregate — NOT a
         // limit(): a global limit funnels the relation through one task
         val cached = aggDF.persist()
         val n = cached.count()
         if (n <= Aggregator.CollectMax) {
-          val local = AggLookup(df.sparkSession.createDataFrame(
-            java.util.Arrays.asList(cached.collect(): _*), aggDF.schema),
+          val local = AggLookup(key, cols.map(_._3),
+            df.sparkSession.createDataFrame(
+              java.util.Arrays.asList(cached.collect(): _*), aggDF.schema),
             broadcastable = true)
           cached.unpersist()
           local
-        } else AggLookup(cached, broadcastable = false)
+        } else AggLookup(key, cols.map(_._3), cached, broadcastable = false)
       }
       new AggregatorModel(inputs, outputs, groupby, func, Nil, lookups)
     }
@@ -352,7 +363,10 @@ object Aggregator {
   }
 }
 
-case class AggLookup(df: DataFrame, broadcastable: Boolean)
+/** One fitted per-key aggregate relation: columns `__agg_k` plus one
+  * `__agg_v_<out>` per served output. */
+case class AggLookup(
+    key: String, outs: Seq[String], df: DataFrame, broadcastable: Boolean)
 
 class AggregatorModel(
     val ins: Seq[String],
@@ -368,13 +382,12 @@ class AggregatorModel(
         d.withColumn(out, lit(v))
       }
     } else {
-      outs.zip(groupby).zip(lookups).foldLeft(df) {
-        case (d, ((out, key), lk)) =>
-          val right0 = lk.df.withColumnRenamed("__agg_v", s"__agg_v_$out")
-          val right = if (lk.broadcastable) broadcast(right0) else right0
-          d.join(right, col(key) === col("__agg_k"), "left")
-            .withColumn(out, col(s"__agg_v_$out"))
-            .drop("__agg_k", s"__agg_v_$out")
+      lookups.foldLeft(df) { case (d, lk) =>
+        val right = if (lk.broadcastable) broadcast(lk.df) else lk.df
+        val joined = d.join(right, col(lk.key) === col("__agg_k"), "left")
+        lk.outs.foldLeft(joined)((dd, o) =>
+            dd.withColumn(o, col(s"__agg_v_$o")))
+          .drop("__agg_k" +: lk.outs.map(o => s"__agg_v_$o"): _*)
       }
     }
 }

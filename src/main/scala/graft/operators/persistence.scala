@@ -156,7 +156,8 @@ object GraftPersistence {
       val lookupPaths = m.lookups.zipWithIndex.map { case (lk, j) =>
         val rel = s"data/${idx}_$j"
         lk.df.write.mode("overwrite").parquet(s"$path/$rel")
-        JObject("path" -> JString(rel),
+        JObject("path" -> JString(rel), "key" -> JString(lk.key),
+          "outs" -> jstrs(lk.outs),
           "broadcastable" -> JBool(lk.broadcastable))
       }
       JObject(
@@ -269,6 +270,8 @@ object GraftPersistence {
           (j \ "globals").asInstanceOf[JArray].arr.map(jsonToAny),
           (j \ "lookups").asInstanceOf[JArray].arr.map { lk =>
             AggLookup(
+              (lk \ "key").asInstanceOf[JString].s,
+              strs(lk \ "outs"),
               spark.read.parquet(
                 s"$path/${(lk \ "path").asInstanceOf[JString].s}"),
               (lk \ "broadcastable").asInstanceOf[JBool].value)

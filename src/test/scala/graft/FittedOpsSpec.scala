@@ -95,6 +95,16 @@ class AggregatorSpec extends SparkSpec {
     val serve = Seq((1L, 0, "device-1"), (2L, 0, "NEW")).toDF("row_id", "col1", "col2")
     assertCol(m.transform(serve), "m", Seq(2.0, null))
   }
+  test("inputs sharing a group key fuse into one relation and one join") {
+    val m = new Aggregator(Seq("col1", "col1"), Seq("m1", "m2"),
+      Seq("col2", "col2"), "mean").fit(df)
+    assert(m.lookups.size == 1)
+    assert(m.lookups.head.outs == Seq("m1", "m2"))
+    val out = m.transform(df)
+    assertCol(out, "m1", Seq(2.0, 2.0, 4.0, 4.0))
+    assertCol(out, "m2", Seq(2.0, 2.0, 4.0, 4.0))
+  }
+
   test("std is sample std (pandas ddof=1)") {
     val m = new Aggregator(Seq("col1"), Seq("s"), Nil, "std").fit(df)
     assertColApprox(m.transform(df), "s",
