@@ -287,10 +287,14 @@ class Aggregator(
     inputs: Seq[String],
     outputs: Seq[String],
     groupby: Seq[String] = Nil,
-    func: String)
+    func: String,
+    customAgg: Option[Column => Column] = None)
     extends GraftEstimator[AggregatorModel] {
   require(inputs.length == outputs.length)
   require(groupby.isEmpty || groupby.length == inputs.length)
+
+  private def aggOf(c: Column): Column =
+    customAgg.fold(Aggregator.aggExpr(func, c))(f => f(c))
 
   override def transformSchema(schema: StructType): StructType =
     inputs.zip(outputs).foldLeft(schema) { case (s, (in, out)) =>
@@ -309,7 +313,7 @@ class Aggregator(
 
   override def fitDF(df: DataFrame): AggregatorModel = {
     if (groupby.isEmpty) {
-      val aggs = inputs.map(c => Aggregator.aggExpr(func, col(c)))
+      val aggs = inputs.map(c => aggOf(col(c)))
       val row = df.agg(aggs.head, aggs.tail: _*).head()
       new AggregatorModel(inputs, outputs, Nil, func,
         inputs.indices.map(row.get), Nil)
@@ -323,7 +327,7 @@ class Aggregator(
       val lookups = groupby.distinct.map { key =>
         val cols = byKey.filter(_._1 == key)
         val aggs = cols.map { case (_, in, out) =>
-          Aggregator.aggExpr(func, col(in)).as(s"__agg_v_$out")
+          aggOf(col(in)).as(s"__agg_v_$out")
         }
         val aggDF = df.filter(col(key).isNotNull)
           .groupBy(col(key).as("__agg_k"))
@@ -349,6 +353,16 @@ class Aggregator(
 
 object Aggregator {
   val CollectMax = 1000000L
+
+  /** The reference accepts arbitrary callables for `func`
+    * (`Series.aggregate`, Aggregator.py:73-74); the Spark analog is a
+    * Column-expression aggregate — codegen'd like the named ones. The
+    * `name` labels the stage (and schema: custom aggregates declare
+    * DoubleType unless the name matches a known func). */
+  def custom(
+      inputs: Seq[String], outputs: Seq[String], groupby: Seq[String],
+      name: String, agg: Column => Column): Aggregator =
+    new Aggregator(inputs, outputs, groupby, name, Some(agg))
   def aggExpr(f: String, c: Column): Column = f match {
     case "mean"    => avg(c)
     case "std"     => stddev_samp(c)

@@ -105,6 +105,16 @@ class AggregatorSpec extends SparkSpec {
     assertCol(out, "m2", Seq(2.0, 2.0, 4.0, 4.0))
   }
 
+  test("custom callable aggregate (the reference's Series.aggregate surface)") {
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+    val m = Aggregator.custom(Seq("col1"), Seq("range"), Seq("col2"),
+      "range", c => fmax(c) - fmin(c)).fit(df)
+    assertCol(m.transform(df), "range", Seq(0, 0, 0, 0))
+    val g = Aggregator.custom(Seq("col1"), Seq("spread"), Nil,
+      "spread", c => fmax(c) - fmin(c)).fit(df)
+    assertCol(g.transform(df), "spread", Seq(2, 2, 2, 2))
+  }
+
   test("std is sample std (pandas ddof=1)") {
     val m = new Aggregator(Seq("col1"), Seq("s"), Nil, "std").fit(df)
     assertColApprox(m.transform(df), "s",
