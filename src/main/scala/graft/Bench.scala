@@ -25,10 +25,11 @@ object Bench {
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
 
-    // two timed iterations, min per query: steady-state time without
-    // GC/scheduler noise; cache cleared between so nothing rides a
-    // previous iteration's persisted intermediates
-    val iterations = (1 to 2).map { _ =>
+    // three timed iterations, min per query: steady-state time without
+    // GC/scheduler/co-tenant noise (observed ±40% between runs on this
+    // box); cache cleared between so nothing rides a previous iteration's
+    // persisted intermediates
+    val iterations = (1 to 3).map { _ =>
       spark.catalog.clearCache()
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
