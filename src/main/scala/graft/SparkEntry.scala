@@ -273,7 +273,8 @@ object SparkEntry {
         new StringSplitter(Seq("p_brand"), Seq("brand_num"),
           index = Some(6), keep = -1),
         new TypeConverter(Seq("brand_num"), IntegerType),
-        FunctionTransformer(Seq("brand_num"), Seq("brand_num"), _ - lit(1)),
+        FunctionTransformer.fromOp(Seq(Seq("brand_num")), Seq("brand_num"),
+          Op.in(0) - Op.lit(1)),
         new StringSplitter(Seq("p_type"), Seq("type_head"),
           separator = Some(" "), keep = 0),
         new Scaler(Seq("p_retailprice"), Seq("retail_std"), "standard"),
@@ -283,6 +284,27 @@ object SparkEntry {
         .drop("p_name", "p_brand", "p_type", "p_size", "p_retailprice",
           "type_head")
         .withColumn("retail_std", round(col("retail_std"), 6))
+    }),
+
+    // ---- persistence: save → load → serve (SURVEY §3.2) ----------------
+    // The reloaded pipeline (not the fitted one) produces the output, so
+    // CORRECTNESS green means the op-tree JSON round trip is faithful.
+    "q_persist_function" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val model = DFPipeline(
+        FunctionTransformer.fromOp(
+          Seq(Seq("l_quantity", "l_extendedprice")), Seq("qty_score"),
+          Op.when(Op.in(0) > Op.lit(30.0), Op.lit(30.0))
+            .otherwise(Op.sqrt(Op.in(0) * Op.in(1)))),
+        new SetTransformer(Left("l_returnflag"), Right(Seq("A", "R")), "*"),
+        new Scaler(Seq("l_tax"), Seq("tax_mm"), "minmax"))
+        .fit(li)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_persist_q").toString
+      GraftPersistence.save(model, dir)
+      GraftPersistence.load(s, dir).transform(li)
+        .select(col("l_orderkey"), col("l_linenumber"), col("qty_score"),
+          round(col("tax_mm"), 6).as("tax_mm"))
     }),
 
     // ---- flagship pipeline (SURVEY §7.3) -------------------------------
@@ -545,6 +567,15 @@ object SparkEntry {
              CASE WHEN split_part(p_type, ' ', 1) = 'STANDARD' THEN 1.0
                   ELSE 0.0 END AS "type_head__STANDARD"
            FROM part""",
+
+      "q_persist_function" ->
+        """SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity > 30.0 THEN 30.0
+                ELSE sqrt(l_quantity * l_extendedprice) END AS qty_score,
+           round((l_tax - (SELECT min(l_tax) FROM lineitem)) /
+                 ((SELECT max(l_tax) FROM lineitem) -
+                  (SELECT min(l_tax) FROM lineitem)), 6) AS tax_mm
+           FROM lineitem""",
 
       "q_pipeline" ->
         s"""WITH j AS (

@@ -17,38 +17,19 @@ import org.json4s.jackson.JsonMethods._
   * (which may be too large for JSON, and at 100 TB never pass through the
   * driver at all).
   *
-  * Unsupported stages throw at save time with a clear message:
-  * `FunctionTransformer`/`SetTransformer` carry Scala closures (code, not
-  * state — the reference has the same boundary: its lambdas need the
-  * bytecode compiler), and `WrapTransformerModel` wraps arbitrary spark.ml
-  * models (persist those with spark.ml's own writers).
+  * `FunctionTransformer` persists when built via `fromOp` (its expression
+  * is a serializable [[Op]] tree — the analog of the reference's
+  * bytecode→ONNX export for lambda stages); `SetTransformer` persists in
+  * its callback-free form. Closure-carrying variants throw at save time
+  * with a clear message (code, not state — the reference has the same
+  * boundary: its lambdas need the bytecode compiler), as does
+  * `WrapTransformerModel` (persist wrapped spark.ml models with spark.ml's
+  * own writers).
   */
 object GraftPersistence {
 
-  private def anyToJson(v: Any): JValue = v match {
-    case null       => JObject("t" -> JString("n"))
-    case s: String  => JObject("t" -> JString("s"), "v" -> JString(s))
-    case i: Int     => JObject("t" -> JString("i"), "v" -> JInt(i))
-    case l: Long    => JObject("t" -> JString("l"), "v" -> JInt(l))
-    case d: Double  => JObject("t" -> JString("d"), "v" -> JDouble(d))
-    case f: Float   => JObject("t" -> JString("d"), "v" -> JDouble(f.toDouble))
-    case b: Boolean => JObject("t" -> JString("b"), "v" -> JBool(b))
-    case other => throw new IllegalArgumentException(
-      s"unsupported literal type ${other.getClass} in persisted stage")
-  }
-
-  private def jsonToAny(j: JValue): Any = {
-    val JString(t) = j \ "t"
-    (t, j \ "v") match {
-      case ("n", _)          => null
-      case ("s", JString(s)) => s
-      case ("i", JInt(i))    => i.toInt
-      case ("l", JInt(i))    => i.toLong
-      case ("d", JDouble(d)) => d
-      case ("b", JBool(b))   => b
-      case other => throw new IllegalArgumentException(s"bad literal $other")
-    }
-  }
+  private def anyToJson(v: Any): JValue = LitJson.write(v)
+  private def jsonToAny(j: JValue): Any = LitJson.read(j)
 
   private def strs(j: JValue): Seq[String] =
     j.asInstanceOf[JArray].arr.map { case JString(s) => s; case x => x.toString }
@@ -166,6 +147,27 @@ object GraftPersistence {
         "groupby" -> jstrs(m.groupby), "func" -> JString(m.func),
         "globals" -> jarr(m.globals.map(anyToJson)),
         "lookups" -> jarr(lookupPaths))
+    case t: FunctionTransformer if t.op.nonEmpty => JObject(
+      "type" -> JString("FunctionTransformer"),
+      "inputs" -> jarr(t.inputs.map(jstrs)),
+      "outputs" -> jstrs(t.outputs),
+      "op" -> Op.toJson(t.op.get))
+    case t: SetTransformer if t.outputFunc.isEmpty =>
+      def operand(o: Either[String, Seq[String]]): JValue = o match {
+        case Left(c)   => JObject("col" -> JString(c))
+        case Right(vs) => JObject("values" -> jstrs(vs))
+      }
+      JObject(
+        "type" -> JString("SetTransformer"),
+        "first" -> operand(t.firstOperand),
+        "second" -> operand(t.secondOperand),
+        "operation" -> JString(t.setOperation))
+    case t: FunctionTransformer => throw new UnsupportedOperationException(
+      "this FunctionTransformer carries an opaque Scala closure; build it " +
+        "with FunctionTransformer.fromOp (a serializable Op tree) to persist")
+    case t: SetTransformer => throw new UnsupportedOperationException(
+      "SetTransformer with an outputFunc callback carries code; drop the " +
+        "callback (use resultDF) to persist")
     case other => throw new UnsupportedOperationException(
       s"stage ${other.getClass.getSimpleName} is not persistable " +
         "(closure-bearing stages carry code, not state; wrapped spark.ml " +
@@ -276,6 +278,17 @@ object GraftPersistence {
                 s"$path/${(lk \ "path").asInstanceOf[JString].s}"),
               (lk \ "broadcastable").asInstanceOf[JBool].value)
           })
+      case "FunctionTransformer" =>
+        FunctionTransformer.fromOp(
+          (j \ "inputs").asInstanceOf[JArray].arr.map(strs),
+          strs(j \ "outputs"), Op.fromJson(j \ "op"))
+      case "SetTransformer" =>
+        def operand(v: JValue): Either[String, Seq[String]] = v \ "col" match {
+          case JString(c) => Left(c)
+          case _          => Right(strs(v \ "values"))
+        }
+        new SetTransformer(operand(j \ "first"), operand(j \ "second"),
+          (j \ "operation").asInstanceOf[JString].s)
       case other =>
         throw new IllegalArgumentException(s"unknown stage type $other")
     }

@@ -192,9 +192,10 @@ class DateTransformer(val column: String, val origin: Option[String] = None)
   * `org.apache.spark.sql.functions.udf` is the documented slow path.
   */
 class FunctionTransformer(
-    inputs: Seq[Seq[String]],
-    outputs: Seq[String],
-    fn: Seq[Column] => Column)
+    val inputs: Seq[Seq[String]],
+    val outputs: Seq[String],
+    fn: Seq[Column] => Column,
+    val op: Option[Op] = None)
     extends GraftTransformer {
   require(inputs.length == outputs.length)
   override def transformDF(df: DataFrame): DataFrame =
@@ -213,4 +214,11 @@ object FunctionTransformer {
       fn: (Column, Column) => Column) =
     new FunctionTransformer(inputs.map(t => Seq(t._1, t._2)), outputs,
       (cs: Seq[Column]) => fn(cs(0), cs(1)))
+
+  /** The persistable form: the expression is an [[Op]] tree (data, not a
+    * closure), so [[GraftPersistence]] can round-trip the stage — the role
+    * the reference's bytecode→ONNX export plays for lambda stages
+    * (FunctionTransformer.py:68-87). Same tree applied per input tuple. */
+  def fromOp(inputs: Seq[Seq[String]], outputs: Seq[String], op: Op) =
+    new FunctionTransformer(inputs, outputs, cs => op.toColumn(cs), Some(op))
 }

@@ -221,10 +221,10 @@ class RangeTransformer(
   * callback (sorted for determinism).
   */
 class SetTransformer(
-    firstOperand: Either[String, Seq[String]],
-    secondOperand: Either[String, Seq[String]],
-    setOperation: String,
-    outputFunc: Option[Seq[String] => Unit] = None)
+    val firstOperand: Either[String, Seq[String]],
+    val secondOperand: Either[String, Seq[String]],
+    val setOperation: String,
+    val outputFunc: Option[Seq[String] => Unit] = None)
     extends GraftTransformer {
 
   def resultDF(df: DataFrame): DataFrame = {

@@ -57,6 +57,61 @@ class PersistenceSpec extends SparkSpec {
     val e = intercept[UnsupportedOperationException] {
       GraftPersistence.save(m, "target/tmp/persist_fail")
     }
-    assert(e.getMessage.contains("not persistable"))
+    assert(e.getMessage.contains("fromOp"))
+  }
+
+  test("Op tree JSON round trip is structural identity") {
+    import Op._
+    val tree = when(in(0) > lit(3.0) && !isnull(in(1)), sqrt(in(0) * in(1)))
+      .when(isnan(in(0)), lit(null))
+      .otherwise(pow(abs(in(0)), lit(2.0)) + least(in(1), lit(0), in(0))
+        - element_at(split(lower(in(2)), " "), 1).cast(DoubleType))
+    assert(Op.fromJson(Op.toJson(tree)) == tree)
+  }
+
+  test("FunctionTransformer.fromOp and SetTransformer survive save/load") {
+    val tree = {
+      import Op._
+      when(isnull(in(1)), lit(-1.0))
+        .otherwise(sqrt(in(0)) * greatest(in(1), lit(0.05)))
+    }
+    val ft = FunctionTransformer.fromOp(
+      Seq(Seq("price", "disc")), Seq("score"), tree)
+    val st = new SetTransformer(Left("seg"), Right(Seq("AUTO", "X")), "&")
+    val model = DFPipeline(ft, st,
+      new Scaler(Seq("price"), Seq("p_mm"), "minmax")).fit(train)
+
+    val dir = "target/tmp/persist_optree"
+    GraftPersistence.save(model, dir)
+    val loaded = GraftPersistence.load(spark, dir)
+
+    val a = model.transform(serve).orderBy("row_id").collect().toSeq
+    val b = loaded.transform(serve).orderBy("row_id").collect().toSeq
+    assert(a == b)
+    // the reloaded SetTransformer still computes its set algebra
+    val setStage = loaded.stages.collectFirst { case s: SetTransformer => s }
+    assert(setStage.nonEmpty)
+    assert(setStage.get.resultDF(serve).collect().isEmpty) // no AUTO in serve
+  }
+
+  test("op whitelist lowers to the same values as the Column closures") {
+    val df = Seq((4.0, -2.0, "A B"), (9.0, 3.0, "C D"))
+      .toDF("x", "y", "s")
+    val tree = {
+      import Op._
+      ceil(exp(lit(1.0))) + floor(log(in(0))) +
+        pow(in(1), lit(2.0)) / greatest(in(0), in(1), lit(1.0)) +
+        when(element_at(split(lower(in(2)), " "), 1) === lit("a"), lit(10.0))
+          .otherwise(lit(0.0))
+    }
+    val viaOp = FunctionTransformer.fromOp(
+      Seq(Seq("x", "y", "s")), Seq("out"), tree)
+      .transform(df).select("out").as[Double].collect().toSeq
+    val viaCol = df.select(
+      (ceil(exp(lit(1.0))) + floor(log(col("x"))) +
+        pow(col("y"), lit(2.0)) / greatest(col("x"), col("y"), lit(1.0)) +
+        when(element_at(split(lower(col("s")), " "), 1) === "a", 10.0)
+          .otherwise(0.0)).as("out")).as[Double].collect().toSeq
+    assert(viaOp == viaCol)
   }
 }
