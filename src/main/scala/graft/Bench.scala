@@ -20,9 +20,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // noop sink: fully evaluates every output column (count() would let
+    // Catalyst prune the projected expressions under count(*), silently
+    // timing a plan that skips the work being benchmarked)
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
     val warmDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try run(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
 
     // three timed iterations, min per query: steady-state time without
@@ -33,7 +39,7 @@ object Bench {
       spark.catalog.clearCache()
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
         name -> (System.nanoTime() - t0) / 1e9
       }
     }

@@ -8,10 +8,20 @@ import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline queries (dedup / similarity / text analysis /
   * multimodal) over the `documents` and `embeddings` tables, with DuckDB
-  * oracles wherever the computation is SQL-expressible; hash-based ops
-  * (minhash/simhash/fingerprint/LSH) are deterministic but use xxhash64,
-  * which DuckDB lacks → rows-only checks, covered instead by scalatest specs
-  * with planted duplicates.
+  * oracles wherever the end-to-end result is SQL-reproducible:
+  *  - q_dedup_minhash ends in an exact n-gram-Jaccard verify at 0.8, where
+  *    the banded-MinHash candidate recall is 1 on this corpus (per-pair miss
+  *    probability (1−J⁴)¹⁶ ≤ 2e-4 at J ≥ 0.8, and the hashes are seeded —
+  *    deterministic), so the oracle is the brute-force Jaccard join;
+  *  - q_sim_ivf probes every cell (nProbe = nCentroids), which makes IVF
+  *    exact BY CONSTRUCTION — the oracle is the brute-force top-k; partial
+  *    -probe recall is asserted in IndexSpec/DataOpsSpec;
+  *  - q_fingerprint uses the md5 fingerprint (engine-portable), so the
+  *    oracle recomputes it.
+  * The remaining hash-based ops (simhash, LSH top-k, embedding near-dup)
+  * are deterministic but xxhash/hyperplane-based with recall < 1, which no
+  * SQL engine reproduces → rows-only checks, covered by scalatest specs
+  * with planted duplicates and measured-recall floors.
   */
 object DataQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -50,13 +60,19 @@ object DataQueries {
     "q_fingerprint" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"),
-          TextFunctions.fingerprint(col("text")).as("fp"))),
+          TextFunctions.fingerprintMd5(col("text")).as("fp"))),
 
-    "q_dedup_minhash" -> ((s, d) =>
-      Dedup.minHashLSH(t(s, d, "documents"), "text", "doc_id",
-          minEstJaccard = 0.5)
-        .select(col("id_a"), col("id_b"),
-          round(col("est_jaccard"), 6).as("est_jaccard"))),
+    // the full near-dup pipeline: banded-MinHash candidates → exact
+    // n-gram-Jaccard verify ≥ 0.8 (see object doc for why this is
+    // oracle-exact on this corpus)
+    "q_dedup_minhash" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val cand = Dedup.minHashLSH(docs, "text", "doc_id",
+        minEstJaccard = 0.5)
+      Dedup.verifyJaccard(cand.select("id_a", "id_b"), docs, "text",
+          "doc_id", shingleK = 3, threshold = 0.8)
+        .select("id_a", "id_b", "jaccard")
+    }),
 
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simHashNearDup(t(s, d, "documents"), "text", "doc_id")),
@@ -88,12 +104,16 @@ object DataQueries {
         .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"))
     }),
 
+    // nProbe = nCentroids probes every cell → exact by construction (the
+    // oracle is brute-force top-k) while still exercising the quantizer,
+    // the cell assignment, and the probe join; partial-probe recall is
+    // asserted in IndexSpec
     "q_sim_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       Similarity.ivfTopK(emb, "vec_id", "embedding",
-          queries, "query_id", "qvec", k = 5)
+          queries, "query_id", "qvec", k = 5, nCentroids = 16, nProbe = 16)
         .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"))
     }),
 
@@ -213,6 +233,48 @@ object DataQueries {
               CASE $langCase ELSE 'und' END AS t_lang
             FROM sc"""
       },
+
+      "q_fingerprint" ->
+        """SELECT doc_id,
+             md5(array_to_string(
+               regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS fp
+           FROM documents""",
+
+      // brute-force exact word-trigram Jaccard over all pairs ≥ 0.8 — the
+      // ground truth the MinHash candidates + verify pipeline must equal
+      "q_dedup_minhash" ->
+        """WITH sh AS (
+             SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+             FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+                   FROM documents))
+           SELECT id_a, id_b, jaccard FROM (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CASE WHEN len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) = 0
+                    THEN 0.0
+                    ELSE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+                         CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))
+                              AS DOUBLE) END AS jaccard
+             FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+           WHERE jaccard >= 0.8""",
+
+      // q_sim_ivf probes every cell → exact; the oracle is brute-force top-k
+      "q_sim_ivf" ->
+        """SELECT q.vec_id AS query_id, e.vec_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(q.embedding AS DOUBLE[])), 6)
+               AS sim
+           FROM embeddings e,
+                (SELECT * FROM embeddings WHERE vec_id < 10) q
+           QUALIFY row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             CAST(q.embedding AS DOUBLE[]))
+                        DESC,
+                      e.vec_id) <= 5""",
 
       "q_ngram_jaccard" ->
         """WITH sh AS (

@@ -90,6 +90,12 @@ object TextFunctions {
     * normalized content (mod collisions). */
   def fingerprint(c: Column): Column = xxhash64(normalized(c))
 
+  /** 128-bit hex content fingerprint of the normalized text. Same dedup
+    * semantics as [[fingerprint]]; md5 is engine-portable (any SQL engine
+    * reproduces it — xxhash64 is Spark-specific), which is what you want
+    * when fingerprints cross system boundaries. */
+  def fingerprintMd5(c: Column): Column = md5(normalized(c).cast("binary"))
+
   /** `k`-word shingles of the text: ["a b c", "b c d", ...]; fewer than `k`
     * words → empty array. */
   def wordShingles(c: Column, k: Int): Column = {

@@ -173,7 +173,10 @@ class SimilaritySpec extends SparkSpec {
     // every method must at least find each query itself (sim 1.0)
     assert((0L until 20L).forall(i => lsh.contains((i, i))))
     assert((0L until 20L).forall(i => ivf.contains((i, i))))
-    assert(lshRecall > 0.2 && ivfRecall > 0.2)
+    // default knobs must not hand a user coin-flip recall: uniform random
+    // 64-d embeddings are the worst case and still clear 0.8
+    assert(lshRecall >= 0.8, s"lsh recall@5 $lshRecall below 0.8 floor")
+    assert(ivfRecall >= 0.6, s"ivf recall@5 $ivfRecall below 0.6 floor")
   }
 
   test("custom expressions registered for SQL") {

@@ -1,0 +1,87 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.sim.{IvfIndex, Similarity}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.functions._
+
+/** The fitted-ANN-index contract: fit once, query many — queries are pure
+  * broadcast-probe joins with zero clustering work, the index round-trips
+  * through save/load, and full probing is exact. */
+class IndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  lazy val q = emb.filter(col("vec_id") < 10)
+    .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+
+  private def resultSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+
+  test("full probing (nProbe = nCentroids) is exact") {
+    val index = IvfIndex.fit(emb, "vec_id", "embedding", nCentroids = 16)
+    val exact = resultSet(Similarity.bruteForceTopK(
+      emb, "vec_id", "embedding", q, "query_id", "qvec", k = 5))
+    val full = resultSet(index.query(q, "query_id", "qvec", k = 5,
+      nProbe = 16))
+    assert(full == exact)
+    index.release()
+  }
+
+  test("fit once / query many: no clustering work in the query path") {
+    val index = IvfIndex.fit(emb, "vec_id", "embedding", nCentroids = 16)
+    val jobs = new AtomicInteger
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val r1 = resultSet(index.query(q, "query_id", "qvec", 5, 4))
+      val r2 = resultSet(index.query(q, "query_id", "qvec", 5, 4))
+      assert(r1 == r2) // deterministic, no refit drift
+      Thread.sleep(500) // listener bus is async
+      // a spark.ml KMeans fit alone is ~10 driver-synchronized jobs; two
+      // pure probe-join queries stay well under that
+      assert(jobs.get() <= 8, s"query path ran ${jobs.get()} jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    index.release()
+  }
+
+  test("save/load round trip serves identical results") {
+    val index = IvfIndex.fit(emb, "vec_id", "embedding", nCentroids = 16)
+    val dir = "target/tmp/ivf_index"
+    index.save(dir)
+    val loaded = IvfIndex.load(spark, dir)
+    assert(loaded.centroids.map(_.toSeq).toSeq ==
+      index.centroids.map(_.toSeq).toSeq)
+    val a = index.query(q, "query_id", "qvec", 5, 4)
+      .collect().map(_.toSeq).toSet
+    val b = loaded.query(q, "query_id", "qvec", 5, 4)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+    index.release(); loaded.release()
+  }
+
+  test("partial probing trades recall, never correctness of returned sims") {
+    val index = IvfIndex.fit(emb, "vec_id", "embedding", nCentroids = 16)
+    val exact = Similarity.bruteForceTopK(
+      emb, "vec_id", "embedding", q, "query_id", "qvec", k = 5)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 9).as("sim"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val part = index.query(q, "query_id", "qvec", 5, 4)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 9).as("sim"))
+      .as[(Long, Long, Double)].collect()
+    // every returned sim is the true cosine (ANN approximates the candidate
+    // set, never the scores); recall floor asserted in DataOpsSpec
+    val wrong = part.filter { case (qid, id, sim) =>
+      exact.get((qid, id)).exists(e => math.abs(e - sim) > 1e-9)
+    }
+    assert(wrong.isEmpty, s"sims diverge: ${wrong.take(3).toSeq}")
+    index.release()
+  }
+}
