@@ -19,17 +19,6 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = GraftFunctions.cosine_sim(a, b)
 
-  /** L2-normalize an embedding column (cast to double; zero vectors pass
-    * through unchanged). On the unit sphere L2 order equals cosine order, so
-    * quantizer cells follow the scoring metric even for non-unit-norm
-    * embeddings. */
-  private[sim] def unit(c: Column): Column = {
-    val d = c.cast("array<double>")
-    val n = sqrt(aggregate(transform(d, x => x * x), lit(0.0),
-      (acc, x) => acc + x))
-    transform(d, x => when(n === 0, x).otherwise(x / n))
-  }
-
   /** Exact top-k: broadcast the (small) query set against every row, score
     * with the codegen'd cosine, and cut with the [[graft.functions
     * .CollectTopK]] bounded-heap aggregate — partial heaps combine map-side,
@@ -211,27 +200,19 @@ class IvfIndex private[sim] (
 
   def nCentroids: Int = centroids.length
 
-  /** Rank all cells by distance from each (unit-normalized) query vector and
-    * keep the `nProbe` nearest; ties break on cell id. Pure expression — no
+  /** Rank all cells by angular distance from each query vector and keep the
+    * `nProbe` nearest; ties break on cell id. Pure expression — no
     * clustering work at query time. */
   private def probes(
       queries: DataFrame, qIdCol: String, qVecCol: String,
-      nProbe: Int): DataFrame = {
-    val entries = centroids.zipWithIndex.map { case (c, i) =>
-      val c2 = c.map(x => x * x).sum
-      struct(
-        (lit(1.0 + c2) -
-          lit(2.0) * GraftFunctions.dot_product(col("__u"), typedlit(c)))
-          .as("d"),
-        lit(i).as("cell"))
-    }
+      nProbe: Int): DataFrame =
     queries
-      .withColumn("__u", Similarity.unit(col(qVecCol)))
       .withColumn("__probe",
-        slice(array_sort(array(entries.toIndexedSeq: _*)), 1, nProbe))
+        slice(array_sort(array(
+          IvfIndex.cellEntries(col(qVecCol), centroids).toIndexedSeq: _*)),
+          1, nProbe))
       .select(col(qIdCol), col(qVecCol), explode(col("__probe")).as("__p"))
       .select(col(qIdCol), col(qVecCol), col("__p.cell").as("__cell"))
-  }
 
   /** Top-k per query over the probed cells. With `nProbe = nCentroids` every
     * cell is probed and the result is exact. */
@@ -272,12 +253,19 @@ object IvfIndex {
       seed: Long = 42L): IvfIndex = {
     val n = data.count()
     val m = math.max(1L, n / maxSample)
+    // raw vectors out, normalize driver-side: an L2-normalize as a Spark
+    // higher-order function re-evaluates the norm aggregate per ELEMENT
+    // (interpreted, O(dim²) per row) — on the driver it's one pass
     val sampled = data
       .filter(pmod(xxhash64(col(idCol)), lit(m)) === 0)
-      .select(Similarity.unit(col(vecCol)).as("__u"))
+      .select(col(vecCol).cast("array<double>"))
       .limit(maxSample)
       .collect()
-      .map(_.getSeq[Double](0).toArray)
+      .map { r =>
+        val v = r.getSeq[Double](0).toArray
+        val norm = math.sqrt(v.map(x => x * x).sum)
+        if (norm == 0) v else v.map(_ / norm)
+      }
     val centroids = lloyds(sampled, nCentroids, maxIter, seed)
     val index = new IvfIndex(centroids,
       assign(data, idCol, vecCol, centroids).persist(), idCol, vecCol)
@@ -302,26 +290,38 @@ object IvfIndex {
       (j \ "vecCol").asInstanceOf[JString].s)
   }
 
+  /** Per-cell `(angular distance, cell id)` structs for one vector against
+    * the fitted centroid matrix — `array_min`/`array_sort` over them gives
+    * the nearest cell / the probe ranking with a deterministic id
+    * tie-break.
+    *
+    * Built on the fused [[graft.functions.CosineSimilarity]] expression
+    * (which normalizes internally, so cells are angular Voronoi regions —
+    * Lloyd's ran on unit vectors, so this matches the training metric), and
+    * deliberately with NO per-centroid scalar literals: scalars inline into
+    * the generated source, so every re-fit would be a whole-stage-codegen
+    * cache miss paying seconds of janino compilation; array literals live
+    * in the codegen references table and keep the source text identical
+    * across fits. */
+  private[sim] def cellEntries(
+      vec: Column, centroids: Array[Array[Double]]): Seq[Column] =
+    centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        (lit(1.0) - GraftFunctions.cosine_sim(vec, typedlit(c))).as("d"),
+        lit(i).as("cell"))
+    }.toSeq
+
   /** One distributed projection: nearest-centroid id per row via the literal
-    * centroid matrix (codegen'd dot products, deterministic index
+    * centroid matrix (fused codegen cosines, deterministic index
     * tie-break). */
   private def assign(
       data: DataFrame, idCol: String, vecCol: String,
-      centroids: Array[Array[Double]]): DataFrame = {
-    val entries = centroids.zipWithIndex.map { case (c, i) =>
-      val c2 = c.map(x => x * x).sum
-      struct(
-        (lit(1.0 + c2) -
-          lit(2.0) * GraftFunctions.dot_product(col("__u"), typedlit(c)))
-          .as("d"),
-        lit(i).as("cell"))
-    }
+      centroids: Array[Array[Double]]): DataFrame =
     data
-      .withColumn("__u", Similarity.unit(col(vecCol)))
       .withColumn("__cell",
-        array_min(array(entries.toIndexedSeq: _*)).getField("cell"))
+        array_min(array(cellEntries(col(vecCol), centroids).toIndexedSeq: _*))
+          .getField("cell"))
       .select(col(idCol), col(vecCol), col("__cell"))
-  }
 
   /** Seeded Lloyd's iterations on the driver-side sample (k-means++ init).
     * Coarse quantization doesn't need a converged clustering — cell quality
