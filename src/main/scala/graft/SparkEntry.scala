@@ -219,10 +219,20 @@ object SparkEntry {
 
     "q_wrap" -> ((s, d) => {
       val df = t(s, d, "supplier")
-      new WrapTransformer(Seq("s_acctbal"), Seq("bal_scaled"),
-        () => new org.apache.spark.ml.feature.StandardScaler().setWithMean(true))
-        .fit(df).transform(df)
-        .select(col("s_suppkey"), round(col("bal_scaled"), 6).as("bal_scaled"))
+      val model = DFPipeline(
+        WrapTransformer(Seq("s_acctbal"), Seq("bal_scaled"),
+          () => new org.apache.spark.ml.feature.StandardScaler()
+            .setWithMean(true)),
+        // tuple entry: ONE minmax stage fitted over both columns
+        // (WrapTransform.py:72-75)
+        WrapTransformer.tuples(
+          Seq(Seq("s_acctbal", "s_nationkey")), Seq(Seq("bal_mm", "nat_mm")),
+          () => new org.apache.spark.ml.feature.MinMaxScaler()))
+        .fit(df)
+      model.transform(df)
+        .select(col("s_suppkey"), round(col("bal_scaled"), 6).as("bal_scaled"),
+          round(col("bal_mm"), 6).as("bal_mm"),
+          round(col("nat_mm"), 6).as("nat_mm"))
     }),
 
     // ---- benchmark-shaped composite pipelines (FIXTURES.md) ------------
@@ -498,7 +508,14 @@ object SparkEntry {
       "q_wrap" ->
         """SELECT s_suppkey,
            round((s_acctbal - (SELECT avg(s_acctbal) FROM supplier)) /
-                 (SELECT stddev(s_acctbal) FROM supplier), 6) AS bal_scaled
+                 (SELECT stddev(s_acctbal) FROM supplier), 6) AS bal_scaled,
+           round((s_acctbal - (SELECT min(s_acctbal) FROM supplier)) /
+                 ((SELECT max(s_acctbal) FROM supplier) -
+                  (SELECT min(s_acctbal) FROM supplier)), 6) AS bal_mm,
+           round((s_nationkey - (SELECT min(s_nationkey) FROM supplier)) /
+                 CAST((SELECT max(s_nationkey) FROM supplier) -
+                      (SELECT min(s_nationkey) FROM supplier) AS DOUBLE), 6)
+             AS nat_mm
            FROM supplier""",
 
       "q_pipeline_insurance" ->

@@ -9,44 +9,56 @@ import org.apache.spark.sql.types._
 
 /** Adapter wrapping an arbitrary `spark.ml` stage into the engine's
   * column-in/column-out convention. Reference: dfpipeline/WrapTransform.py:
-  * 53-116 — one deep-copied transformer is fitted PER INPUT COLUMN and its
-  * output written back to the paired output column.
+  * 53-116 — one deep-copied transformer is fitted per input entry and its
+  * output written back to the paired output entry, where an entry is a
+  * single column OR a column tuple (WrapTransform.py:72-75: a tuple fits ONE
+  * transformer over the multi-column frame and writes the multi-column
+  * result back to the output tuple).
   *
-  * `mkStage` builds a fresh stage per column (the deep-copy analog). Stages
+  * `mkStage` builds a fresh stage per entry (the deep-copy analog). Stages
   * that consume `Vector` columns (StandardScaler & friends) are adapted via
-  * `VectorAssembler` + `vector_to_array`; plain-column stages get their
-  * `inputCol(s)`/`outputCol(s)` params set by reflection on the Params API.
-  * sklearn emits NaN for missing doubles; those are normalized back to null
-  * (pandas NaN ⇔ Spark null, SURVEY §1.2).
+  * `VectorAssembler` + `vector_to_array` — a tuple assembles all its columns
+  * into one vector and the fitted output vector is split back positionally.
+  * Plain-column stages get their `inputCol(s)`/`outputCol(s)` params set by
+  * reflection on the Params API (a tuple requires the stage to support the
+  * plural forms, e.g. `org.apache.spark.ml.feature.Imputer`). sklearn emits
+  * NaN for missing doubles; those are normalized back to null (pandas NaN ⇔
+  * Spark null, SURVEY §1.2).
   */
 class WrapTransformer(
-    inputs: Seq[String],
-    outputs: Seq[String],
+    val inputs: Seq[Seq[String]],
+    val outputs: Seq[Seq[String]],
     mkStage: () => PipelineStage)
     extends GraftEstimator[WrapTransformerModel] {
   require(inputs.length == outputs.length)
+  require(inputs.zip(outputs).forall { case (i, o) => i.length == o.length },
+    "each input tuple needs an output tuple of the same arity")
 
   override def fitDF(df: DataFrame): WrapTransformerModel = {
-    val fitted = inputs.zipWithIndex.map { case (in, i) =>
+    val fitted = inputs.zipWithIndex.map { case (ins, i) =>
       val tmpIn = s"__wrap_in_$i"
-      val tmpOut = s"__wrap_out_$i"
+      val tmpOuts = ins.indices.map(j => s"__wrap_out_${i}_$j")
       mkStage() match {
         case v if WrapTransformer.needsVector(v) =>
+          // one assembled vector per tuple → ONE fitted model over all its
+          // columns (the reference's tuple semantics), split back by slot
           val asm = new VectorAssembler()
-            .setInputCols(Array(in)).setOutputCol(tmpIn)
+            .setInputCols(ins.toArray).setOutputCol(tmpIn)
             .setHandleInvalid("keep")
-          val stage = WrapTransformer.setCols(v, tmpIn, tmpOut)
+          val stage = WrapTransformer.setCols(v, Seq(tmpIn), Seq(tmpOuts.head))
           val model = stage.asInstanceOf[org.apache.spark.ml.Estimator[_]]
             .fit(asm.transform(df)).asInstanceOf[Transformer]
-          FittedWrap(in, tmpOut, Some(asm), model, fromVector = true)
+          FittedWrap(ins, Seq(tmpOuts.head), Some(asm), model,
+            fromVector = true)
         case e: org.apache.spark.ml.Estimator[_] =>
-          val stage = WrapTransformer.setCols(e, in, tmpOut)
-          FittedWrap(in, tmpOut, None,
+          val stage = WrapTransformer.setCols(e, ins, tmpOuts)
+          FittedWrap(ins, tmpOuts, None,
             stage.asInstanceOf[org.apache.spark.ml.Estimator[_]].fit(df)
               .asInstanceOf[Transformer], fromVector = false)
         case t: Transformer =>
-          FittedWrap(in, tmpOut, None,
-            WrapTransformer.setCols(t, in, tmpOut).asInstanceOf[Transformer],
+          FittedWrap(ins, tmpOuts, None,
+            WrapTransformer.setCols(t, ins, tmpOuts)
+              .asInstanceOf[Transformer],
             fromVector = false)
       }
     }
@@ -55,6 +67,16 @@ class WrapTransformer(
 }
 
 object WrapTransformer {
+  /** Single-column entries (the common case). */
+  def apply(inputs: Seq[String], outputs: Seq[String],
+      mkStage: () => PipelineStage): WrapTransformer =
+    new WrapTransformer(inputs.map(Seq(_)), outputs.map(Seq(_)), mkStage)
+
+  /** One fitted stage per column TUPLE (WrapTransform.py:72-75). */
+  def tuples(inputs: Seq[Seq[String]], outputs: Seq[Seq[String]],
+      mkStage: () => PipelineStage): WrapTransformer =
+    new WrapTransformer(inputs, outputs, mkStage)
+
   def needsVector(s: PipelineStage): Boolean = s match {
     case _: StandardScaler | _: MinMaxScaler | _: MaxAbsScaler |
         _: RobustScaler => true
@@ -62,43 +84,55 @@ object WrapTransformer {
   }
 
   /** Set inputCol/outputCol (or the plural forms) via the Params API. */
-  def setCols(s: PipelineStage, in: String, out: String): PipelineStage = {
+  def setCols(
+      s: PipelineStage, ins: Seq[String], outs: Seq[String]): PipelineStage = {
     def trySet(name: String, v: Any): Boolean =
       if (s.hasParam(name)) { s.set(s.getParam(name), v); true } else false
-    if (!trySet("inputCol", in)) trySet("inputCols", Array(in))
-    if (!trySet("outputCol", out)) trySet("outputCols", Array(out))
+    if (ins.length == 1) {
+      if (!trySet("inputCol", ins.head)) trySet("inputCols", ins.toArray)
+      if (!trySet("outputCol", outs.head)) trySet("outputCols", outs.toArray)
+    } else {
+      if (!trySet("inputCols", ins.toArray) ||
+          !trySet("outputCols", outs.toArray))
+        throw new UnsupportedOperationException(
+          s"${s.getClass.getSimpleName} has no inputCols/outputCols params; " +
+            "a column tuple needs a multi-column stage (or a vector stage, " +
+            "which is assembled automatically)")
+    }
     s
   }
 }
 
 case class FittedWrap(
-    in: String,
-    tmpOut: String,
+    ins: Seq[String],
+    tmpOuts: Seq[String],
     assembler: Option[VectorAssembler],
     model: Transformer,
     fromVector: Boolean)
 
 class WrapTransformerModel(
-    ins: Seq[String],
-    outs: Seq[String],
+    ins: Seq[Seq[String]],
+    outs: Seq[Seq[String]],
     fitted: Seq[FittedWrap])
     extends GraftModel[WrapTransformerModel] {
   override def transformDF(df: DataFrame): DataFrame =
-    outs.zip(fitted).foldLeft(df) { case (d, (out, fw)) =>
+    outs.zip(fitted).foldLeft(df) { case (d, (outTuple, fw)) =>
       val pre = fw.assembler.fold(d)(_.transform(d).toDF())
       val applied = fw.model.transform(pre).toDF()
-      val raw: Column =
-        if (fw.fromVector)
-          element_at(vector_to_array(col(fw.tmpOut)), 1)
-        else col(fw.tmpOut)
-      val numeric = fw.fromVector ||
-        applied.schema(fw.tmpOut).dataType.isInstanceOf[NumericType]
-      val cleaned =
-        if (numeric)
-          when(isnan(raw.cast(DoubleType)), lit(null)).otherwise(raw)
-        else raw
-      applied
-        .withColumn(out, cleaned)
-        .drop(fw.assembler.map(_.getOutputCol).toSeq :+ fw.tmpOut: _*)
+      val withOuts = outTuple.zipWithIndex.foldLeft(applied) {
+        case (acc, (out, j)) =>
+          val raw: Column =
+            if (fw.fromVector)
+              element_at(vector_to_array(col(fw.tmpOuts.head)), j + 1)
+            else col(fw.tmpOuts(j))
+          val numeric = fw.fromVector ||
+            applied.schema(fw.tmpOuts(j)).dataType.isInstanceOf[NumericType]
+          val cleaned =
+            if (numeric)
+              when(isnan(raw.cast(DoubleType)), lit(null)).otherwise(raw)
+            else raw
+          acc.withColumn(out, cleaned)
+      }
+      withOuts.drop(fw.assembler.map(_.getOutputCol).toSeq ++ fw.tmpOuts: _*)
     }
 }

@@ -183,7 +183,7 @@ class WrapTransformerSpec extends SparkSpec {
     .toDF("row_id", "col1", "col2", "col3", "col4")
 
   test("wrapped StandardScaler (spark semantics: sample std)") {
-    val out = new WrapTransformer(Seq("col2"), Seq("col2"),
+    val out = WrapTransformer(Seq("col2"), Seq("col2"),
       () => new org.apache.spark.ml.feature.StandardScaler().setWithMean(true))
       .fit(df).transform(df)
     // mean 1.5, stddev_samp([1,1,2,2]) = 0.57735 → ±0.8660254
@@ -192,7 +192,7 @@ class WrapTransformerSpec extends SparkSpec {
         Some(0.8660254037844387), Some(0.8660254037844387)), 1e-9)
   }
   test("wrapped spark.ml Imputer (mean)") {
-    val out = new WrapTransformer(Seq("col3", "col4"), Seq("col3", "col4"),
+    val out = WrapTransformer(Seq("col3", "col4"), Seq("col3", "col4"),
       () => new org.apache.spark.ml.feature.Imputer().setStrategy("mean"))
       .fit(df).transform(df)
     assertCol(out, "col3", Seq(2.0, 2.0, 2.0, 2.0))
@@ -203,15 +203,49 @@ class WrapTransformerSpec extends SparkSpec {
     // wrapped fits equal the sklearn block fit; nulls pass through as null
     val d = Seq((1L, Some(1.0), Some(10.0)), (2L, Some(3.0), None),
       (3L, Some(5.0), Some(30.0))).toDF("row_id", "a", "b")
-    val out = new WrapTransformer(Seq("a", "b"), Seq("a", "b"),
+    val out = WrapTransformer(Seq("a", "b"), Seq("a", "b"),
       () => new org.apache.spark.ml.feature.MinMaxScaler())
       .fit(d).transform(d)
     assertColApprox(out, "a", Seq(Some(0.0), Some(0.5), Some(1.0)))
     assertColApprox(out, "b", Seq(Some(0.0), None, Some(1.0)))
   }
 
+  test("tuple input: ONE scaler fitted over the column tuple") {
+    // WrapTransform.py:72-75 — a tuple entry fits one transformer over the
+    // multi-column frame; minmax stats stay per-column, so the golden is
+    // sklearn's block fit_transform
+    val d = Seq((1L, 1.0, 10.0), (2L, 3.0, 20.0), (3L, 5.0, 40.0))
+      .toDF("row_id", "a", "b")
+    val out = WrapTransformer.tuples(Seq(Seq("a", "b")), Seq(Seq("x", "y")),
+      () => new org.apache.spark.ml.feature.MinMaxScaler())
+      .fit(d).transform(d)
+    assertColApprox(out, "x", Seq(Some(0.0), Some(0.5), Some(1.0)))
+    assertColApprox(out, "y",
+      Seq(Some(0.0), Some(1.0 / 3.0), Some(1.0)))
+    // inputs stay in place, outputs are new columns
+    assert(out.columns.toSeq == Seq("row_id", "a", "b", "x", "y"))
+  }
+
+  test("tuple input: multi-column stage via plural params (ml Imputer)") {
+    val out = WrapTransformer.tuples(
+      Seq(Seq("col3", "col4")), Seq(Seq("col3", "col4")),
+      () => new org.apache.spark.ml.feature.Imputer().setStrategy("mean"))
+      .fit(df).transform(df)
+    assertCol(out, "col3", Seq(2.0, 2.0, 2.0, 2.0))
+    assertCol(out, "col4", Seq(4.0, 4.0, 4.0, 4.0))
+  }
+
+  test("tuple input: stage without plural params fails with a clear error") {
+    val e = intercept[UnsupportedOperationException] {
+      WrapTransformer.tuples(Seq(Seq("col1", "col2")), Seq(Seq("o1", "o2")),
+        () => new org.apache.spark.ml.feature.Tokenizer())
+        .fit(df)
+    }
+    assert(e.getMessage.contains("inputCols"))
+  }
+
   test("wrapped StringIndexer (alphabetAsc ≈ LabelEncoder)") {
-    val out = new WrapTransformer(Seq("col1"), Seq("col1"),
+    val out = WrapTransformer(Seq("col1"), Seq("col1"),
       () => new org.apache.spark.ml.feature.StringIndexer()
         .setStringOrderType("alphabetAsc"))
       .fit(df).transform(df)
