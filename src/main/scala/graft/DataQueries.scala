@@ -143,6 +143,17 @@ object DataQueries {
         Multimodal.withBlob(t(s, d, "documents"), "text", "blob"),
         "doc_id", "blob")),
 
+    // REAL codec round trip: deterministic PNGs generated in-flight, decoded
+    // with javax.imageio (full pixel read); the oracle recomputes the
+    // metadata + solid-color luminance arithmetically
+    "q_multimodal_real" -> ((s, d) =>
+      Multimodal.imageFeatures(
+        Multimodal.syntheticImages(
+          t(s, d, "documents").filter(col("doc_id") < 50), "doc_id"),
+        "doc_id", "blob")
+        .select(col("id"), col("width"), col("height"), col("channels"),
+          round(col("mean_luma"), 6).as("mean_luma"))),
+
     "q_frames" -> ((s, d) =>
       Multimodal.sampleFrames(
         Multimodal.withBlob(t(s, d, "documents"), "text", "blob"),
@@ -319,6 +330,15 @@ object DataQueries {
              CAST((1 + octet_length(encode(text)) % 512) AS BIGINT) *
                (1 + (octet_length(encode(text)) * 7) % 512) * 3 AS n_pixels
            FROM documents""",
+
+      "q_multimodal_real" ->
+        """SELECT doc_id AS id,
+             CAST(1 + doc_id % 64 AS INTEGER) AS width,
+             CAST(1 + (doc_id * 3) % 64 AS INTEGER) AS height,
+             CAST(3 AS INTEGER) AS channels,
+             round(0.299 * (doc_id * 5 % 256) + 0.587 * (doc_id * 5 % 256) +
+                   0.114 * (doc_id * 5 % 256), 6) AS mean_luma
+           FROM documents WHERE doc_id < 50""",
 
       "q_frames" ->
         """SELECT doc_id AS id, CAST(u AS INTEGER) AS frame_index,

@@ -224,6 +224,45 @@ class MultimodalSpec extends SparkSpec {
     assert(out.filter(col("id") === 3).count() == 0)
   }
 
+  private def encodeImage(
+      w: Int, h: Int, rgb: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  test("real decode: javax.imageio parses true PNG/JPEG dimensions") {
+    val rows = Seq(
+      (1L, encodeImage(17, 9, 0x336699, "png")),
+      (2L, encodeImage(64, 32, 0xFF0000, "jpg")),
+      (3L, "not an image".getBytes("UTF-8")),
+      (4L, Array.empty[Byte]))
+    val df = rows.toDF("doc_id", "blob")
+    val out = Multimodal.decodeImagesIO(df, "doc_id", "blob")
+      .orderBy("id").collect()
+    // corrupt + empty payloads are dropped, not task failures
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L))
+    assert(out(0).getAs[Int]("width") == 17)
+    assert(out(0).getAs[Int]("height") == 9)
+    assert(out(0).getAs[Int]("channels") == 3)
+    assert(out(0).getAs[Long]("n_pixels") == 17L * 9 * 3)
+    assert(out(1).getAs[Int]("width") == 64)
+    assert(out(1).getAs[Int]("height") == 32)
+  }
+
+  test("real feature extraction: mean luminance of a solid-color PNG") {
+    // gray (128,128,128): luma = 128 exactly under the BT.601 weights
+    val df = Seq((1L, encodeImage(10, 10, 0x808080, "png")))
+      .toDF("doc_id", "blob")
+    val out = Multimodal.imageFeatures(df, "doc_id", "blob").collect()
+    assert(out.length == 1)
+    assert(math.abs(out(0).getAs[Double]("mean_luma") - 128.0) < 1e-9)
+    assert(out(0).getAs[Int]("width") == 10)
+  }
+
   test("resize plan keeps lineage as column math") {
     val dec = Multimodal.decodeImages(
       Multimodal.withBlob(docs, "text", "blob"), "doc_id", "blob")
