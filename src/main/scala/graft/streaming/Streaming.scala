@@ -37,6 +37,51 @@ object Streaming {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup: fingerprint the content column and keep the
+    * first arrival per fingerprint inside the watermark horizon.
+    * `dropDuplicatesWithinWatermark` bounds the state store by event time —
+    * a plain `dropDuplicates` would keep every fingerprint ever seen, which
+    * at 100 TB/day of documents is an unbounded state store; dedup across a
+    * longer horizon belongs in a periodic batch compaction over the sink. */
+  def dedupExact(
+      stream: DataFrame, textCol: String, tsCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    stream
+      .withColumn("__fp", graft.text.TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
+  /** Freeze a reference corpus into its MinHash band buckets — the STATIC
+    * side of streaming near-dup detection, fitted once (persisted and
+    * materialized; release with `unpersist()` when retired). */
+  def freezeNearDupCorpus(
+      corpus: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3): DataFrame = {
+    val frozen = graft.text.Dedup
+      .bandBuckets(corpus, textCol, idCol, numHashes, bands, shingleK)
+      .withColumnRenamed(idCol, "corpus_id")
+      .persist()
+    frozen.count()
+    frozen
+  }
+
+  /** Near-duplicate candidates of a live stream against a frozen corpus:
+    * the stream's band buckets stream-static-join the frozen bucket
+    * relation — a stateless equi-join per micro-batch, no streaming state.
+    * Emits `(idCol, corpus_id)` candidate pairs (one per agreeing band;
+    * dedup/verify downstream — an in-stream `dropDuplicates` on the pair
+    * would grow state unboundedly). */
+  def nearDupCandidates(
+      stream: DataFrame, textCol: String, idCol: String,
+      frozenCorpus: DataFrame,
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3): DataFrame =
+    graft.text.Dedup
+      .bandBuckets(stream, textCol, idCol, numHashes, bands, shingleK)
+      .join(frozenCorpus, Seq("band", "bucket"))
+      .filter(col(idCol) =!= col("corpus_id"))
+      .select(col(idCol), col("corpus_id"))
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserRunning(user_id: Long, n: Long, total: Double)
 

@@ -60,6 +60,33 @@ object Dedup {
       transform(TextFunctions.tokensLower(text), t => xxhash64(t)),
       numHashes, shingleK)
 
+  /** (id, band, bucket) rows for a signature frame (`idCol`, `__sig`). */
+  private def bucketsOfSig(
+      withSig: DataFrame, idCol: String, bands: Int, r: Int): DataFrame =
+    withSig
+      .select(col(idCol), explode(array((0 until bands).map(j =>
+        struct(lit(j).as("band"),
+          xxhash64(lit(j), slice(col("__sig"), j * r + 1, r)).as("bucket"))
+      ): _*)).as("__b"))
+      .select(col(idCol), col("__b.band"), col("__b.bucket"))
+
+  /** MinHash band buckets of a text frame: `(id, band, bucket)` rows.
+    * The candidate generator inside [[minHashLSH]], exposed standalone as
+    * the static side of streaming near-dup detection
+    * ([[graft.streaming.Streaming.freezeNearDupCorpus]]) — works on
+    * unbounded frames too (pure projection + explode, no state). */
+  def bandBuckets(
+      df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val withSig = df
+      .withColumn("__sig",
+        minHashSignature(col(textCol), numHashes, shingleK))
+      .filter(size(col("__sig")) > 0)
+      .select(col(idCol), col("__sig"))
+    bucketsOfSig(withSig, idCol, bands, numHashes / bands)
+  }
+
   /** MinHash + banded LSH near-duplicate candidate pairs.
     *
     * shingle → per-shingle hash → `numHashes` min-hash signature → `bands`
@@ -90,12 +117,7 @@ object Dedup {
       .select(col(idCol), col("__sig"))
       .persist()
 
-    val buckets = withSig
-      .select(col(idCol), explode(array((0 until bands).map(j =>
-        struct(lit(j).as("band"),
-          xxhash64(lit(j), slice(col("__sig"), j * r + 1, r)).as("bucket"))
-      ): _*)).as("__b"))
-      .select(col(idCol), col("__b.band"), col("__b.bucket"))
+    val buckets = bucketsOfSig(withSig, idCol, bands, r)
 
     // aggregate + join (not a window): pre-combines map-side and lets AQE
     // broadcast the small count relation; a window over (band,bucket) would

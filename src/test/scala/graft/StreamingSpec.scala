@@ -83,6 +83,48 @@ class StreamingSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("streaming exact dedup matches the batch distinct set") {
+    val stream = spark.readStream.schema(batchEvents.schema)
+      .parquet(streamDir)
+    val q = Streaming.dedupExact(stream, "props", "ts",
+      watermark = "1 hour").writeStream
+      .outputMode("append").format("memory").queryName("dedup_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("dedup_out")
+    val batchKeys = batchEvents.select("props").distinct()
+    // one survivor per distinct content, and each survivor is real content
+    assert(streamed.count() == batchKeys.count())
+    assert(streamed.select("props").exceptAll(batchKeys).isEmpty)
+  }
+
+  test("frozen-minhash candidates: stream-static join covers batch pairs") {
+    val docsDir = {
+      val out = "target/tmp/docs_stream"
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .write.mode("overwrite").parquet(out)
+      out
+    }
+    val corpus = spark.read.parquet(docsDir)
+    val frozen = Streaming.freezeNearDupCorpus(corpus, "text", "doc_id")
+    val stream = spark.readStream.schema(corpus.schema).parquet(docsDir)
+    val q = Streaming.nearDupCandidates(stream, "text", "doc_id", frozen)
+      .writeStream
+      .outputMode("append").format("memory").queryName("cand_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamedPairs = spark.table("cand_out")
+      .select(least(col("doc_id"), col("corpus_id")).as("a"),
+        greatest(col("doc_id"), col("corpus_id")).as("b"))
+      .as[(Long, Long)].collect().toSet
+    // every batch near-dup candidate pair is found by the streaming join
+    val batchPairs = graft.text.Dedup
+      .minHashLSH(corpus, "text", "doc_id")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(batchPairs.nonEmpty)
+    assert(batchPairs.subsetOf(streamedPairs),
+      s"missing ${(batchPairs -- streamedPairs).take(3)}")
+    frozen.unpersist()
+  }
+
   test("mapGroupsWithState running per-user totals") {
     val stream = spark.readStream.schema(batchEvents.schema)
       .parquet(streamDir)
