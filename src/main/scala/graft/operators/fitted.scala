@@ -112,6 +112,11 @@ class ComplementLabelEncoder(
           // contract); a training set with no missing values appends the
           // sentinel AFTER the sorted classes (its code = vocab size, which
           // is exactly what lookup misses default to at transform time).
+          // Cost note: zipWithIndex is inherently TWO jobs per big column
+          // (one to size the sorted partitions, one to stamp offsets) plus
+          // the hasMissing probe — the price of global contiguous codes
+          // without a driver round trip; the shared `pairs` cache keeps the
+          // underlying distinct-scan at one pass for all columns.
           val values = pairs.filter(col("__i") === i)
             .select(coalesce(col("__v"), lit(S)).as("value"))
             .distinct()

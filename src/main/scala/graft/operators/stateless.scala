@@ -90,10 +90,16 @@ class MapTransformer(
 }
 
 /** Token/prefix extraction. Reference: dfpipeline/StringSplitter.py:71-101.
-  *  - separator mode: literal split, keep first (`keep=0`) or last
-  *    (`keep = -1`) token.
-  *  - index mode: prefix `x[:index]` (`keep=0`) or suffix `x[index:]`
-  *    (`keep = -1`), positive `index` only.
+  *  - separator mode: literal split, `str(x).split(sep)[keep]` with ANY
+  *    Python list index (0 first, -1 last, arbitrary positive/negative —
+  *    StringSplitter.py:89 doesn't restrict it). An out-of-range index
+  *    yields null where pandas raises IndexError — the Spark-native analog
+  *    of a per-row crash.
+  *  - index mode: Python slice `x[:index]` (`keep=0`) or `x[index:]`
+  *    (`keep = -1`), `index` may be negative with Python semantics
+  *    (`x[:-2]` drops the last 2 chars, `x[-2:]` keeps them); other `keep`
+  *    values are rejected exactly like the reference's assert
+  *    (StringSplitter.py:98).
   */
 class StringSplitter(
     val inputs: Seq[String],
@@ -104,15 +110,27 @@ class StringSplitter(
     extends GraftTransformer {
   require(inputs.length == outputs.length)
   require(separator.nonEmpty || index.nonEmpty)
+  require(separator.nonEmpty || keep == 0 || keep == -1,
+    "keep can be set only to 0 or -1") // index mode, StringSplitter.py:98
 
   private def piece(c: Column): Column = separator match {
     case Some(sep) =>
       val parts = split(c.cast(StringType), Pattern.quote(sep), -1)
-      element_at(parts, if (keep == 0) 1 else -1)
+      // try_element_at is 1-based from the front, negative from the back —
+      // Python's list indexing shifted by one on the positive side; the
+      // `try_` form nulls out-of-range instead of throwing (ANSI mode)
+      try_element_at(parts, lit(if (keep >= 0) keep + 1 else keep))
     case None =>
       val i = index.get
       val s = c.cast(StringType)
-      if (keep == 0) substring(s, 1, i) else s.substr(lit(i + 1), length(s))
+      val len = length(s)
+      if (keep == 0) {
+        if (i >= 0) substring(s, 1, i)
+        else s.substr(lit(1), greatest(len + lit(i), lit(0))) // x[:-n]
+      } else {
+        if (i >= 0) s.substr(lit(i + 1), len)
+        else s.substr(greatest(len + lit(i), lit(0)) + lit(1), len) // x[-n:]
+      }
   }
 
   override def transformDF(df: DataFrame): DataFrame =

@@ -39,6 +39,32 @@ class DistributedFitSpec extends SparkSpec {
     assertCol(big.transform(serveF), "n", Seq(0.75, 0.0))
   }
 
+  test("multi-column forced BigDict fit matches the collect path exactly") {
+    // one shared distinct-pairs scan must yield per-column BigDicts whose
+    // codes equal the SmallDict (collect) fit on every column at once —
+    // including a null-bearing column and a no-null column in the SAME fit
+    val train = Seq(
+      (1L, Some("a"), "x", Some(10)), (2L, Some("b"), "y", Some(20)),
+      (3L, None, "y", None), (4L, Some("a"), "z", Some(10)))
+      .toDF("row_id", "c1", "c2", "c3")
+    val serve = Seq((1L, "a", "z", "10"), (2L, "NEW", "nope", "99"))
+      .toDF("row_id", "c1", "c2", "c3")
+    val big = new ComplementLabelEncoder(
+      Seq("c1", "c2", "c3"), Seq("o1", "o2", "o3"), maxCollect = 0)
+      .fit(train)
+    assert(big.dicts.forall(_.isInstanceOf[BigDict]))
+    val small = new ComplementLabelEncoder(
+      Seq("c1", "c2", "c3"), Seq("o1", "o2", "o3")).fit(train)
+    assert(small.dicts.forall(!_.isInstanceOf[BigDict]))
+    val a = big.transform(serve).orderBy("row_id").collect().toSeq
+    val b = small.transform(serve).orderBy("row_id").collect().toSeq
+    assert(a == b)
+    // null-bearing column: sentinel sorted in ("extra_category_" > "b");
+    // no-null column: sentinel appended last (code = vocab size)
+    assertCol(big.transform(train), "o1", Seq(0, 1, 2, 0))
+    assertCol(big.transform(serve), "o2", Seq(2, 3))
+  }
+
   test("big-dict model survives save/load") {
     val model = DFPipeline(
       new ComplementLabelEncoder(Seq("col1"), Seq("col1"), maxCollect = 0))

@@ -126,6 +126,42 @@ class StringSplitterSpec extends SparkSpec {
       index = Some(2), keep = -1).transform(df)
     assertCol(out, "ID_suffix", Seq("cd", "mn", "yz"))
   }
+  // StringSplitter.py:89 — keep is any Python list index
+  test("separator keep=1 → second token; out of range → null") {
+    val out = new StringSplitter(Seq("Email"), Seq("mid"),
+      separator = Some("."), keep = 1).transform(df)
+    assertCol(out, "mid", Seq("jp", "us", "us"))
+    val far = new StringSplitter(Seq("Email"), Seq("far"),
+      separator = Some("."), keep = 5).transform(df)
+    assertCol(far, "far", Seq(null, null, null))
+  }
+  test("separator keep=-2 → second-to-last token") {
+    val out = new StringSplitter(Seq("Email"), Seq("m2"),
+      separator = Some("."), keep = -2).transform(df)
+    assertCol(out, "m2", Seq("jp", "us", "bob"))
+  }
+  // Python slice semantics for negative index
+  test("index negative: x[:-n] and x[-n:]") {
+    val pre = new StringSplitter(Seq("ID"), Seq("p"),
+      index = Some(-1), keep = 0).transform(df)
+    assertCol(pre, "p", Seq("abc", "klm", "wxy"))
+    val suf = new StringSplitter(Seq("ID"), Seq("s"),
+      index = Some(-3), keep = -1).transform(df)
+    assertCol(suf, "s", Seq("bcd", "lmn", "xyz"))
+    // |index| > len → empty prefix / whole string suffix, like Python
+    val over = new StringSplitter(Seq("ID"), Seq("o"),
+      index = Some(-9), keep = 0).transform(df)
+    assertCol(over, "o", Seq("", "", ""))
+    val overS = new StringSplitter(Seq("ID"), Seq("os"),
+      index = Some(-9), keep = -1).transform(df)
+    assertCol(overS, "os", Seq("abcd", "klmn", "wxyz"))
+  }
+  test("index mode rejects keep outside {0,-1} like the reference assert") {
+    intercept[IllegalArgumentException] {
+      new StringSplitter(Seq("ID"), Seq("x"), index = Some(2), keep = 3)
+    }
+    ()
+  }
 }
 
 class StringConcatenatorSpec extends SparkSpec {
