@@ -67,8 +67,11 @@ object DataQueries {
     // oracle-exact on this corpus)
     "q_dedup_minhash" -> ((s, d) => {
       val docs = t(s, d, "documents")
+      // maxBucket raised above any bucket this corpus can produce: the
+      // hot-bucket cap DROPS whole buckets (logged), which would silently
+      // lose true pairs relative to the uncapped brute-force oracle
       val cand = Dedup.minHashLSH(docs, "text", "doc_id",
-        minEstJaccard = 0.5)
+        minEstJaccard = 0.5, maxBucket = 1000000)
       Dedup.verifyJaccard(cand.select("id_a", "id_b"), docs, "text",
           "doc_id", shingleK = 3, threshold = 0.8)
         .select("id_a", "id_b", "jaccard")

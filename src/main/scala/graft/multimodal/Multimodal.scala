@@ -82,12 +82,17 @@ object Multimodal {
       if (img == null) None
       else {
         val (w, h) = (img.getWidth, img.getHeight)
+        // bulk row grabs into a reused buffer: per-pixel getRGB(x, y) pays
+        // a ColorModel conversion + dispatch per PIXEL — on megapixel
+        // images that dominates the whole decode
+        val row = new Array[Int](w)
         var sum = 0.0
         var y = 0
         while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
           var x = 0
           while (x < w) {
-            val rgb = img.getRGB(x, y)
+            val rgb = row(x)
             val r = (rgb >> 16) & 0xFF
             val g = (rgb >> 8) & 0xFF
             val b = rgb & 0xFF

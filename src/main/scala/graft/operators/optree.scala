@@ -127,12 +127,18 @@ object Op {
         case ("isnull", Seq(x))   => x.isNull
         case ("lower", Seq(x))    => F.lower(x)
         case ("upper", Seq(x))    => F.upper(x)
+        // Pattern.quote: the reference whitelist's split is Python's
+        // LITERAL str.split; Spark's split is regex-based, so "." or "|"
+        // would silently tokenize wrong without quoting
         case ("split", Seq(x, _)) => args(1) match {
-          case Lit(p: String) => F.split(x, p)
+          case Lit(p: String) =>
+            F.split(x, java.util.regex.Pattern.quote(p))
           case other => throw new IllegalArgumentException(
             s"split pattern must be a string literal, got $other")
         }
-        case ("element_at", Seq(x, y)) => F.element_at(x, y)
+        // try_: under ANSI mode plain element_at throws on out-of-range,
+        // killing the job per bad row; null matches StringSplitter's choice
+        case ("element_at", Seq(x, y)) => F.try_element_at(x, y)
         case (other, xs) => throw new IllegalArgumentException(
           s"op $other/${xs.length} is not in the whitelist")
       }

@@ -98,13 +98,15 @@ object Similarity {
     val counts = dataBuckets.groupBy("band", "bucket").count()
     val (ok, countsCached) = graft.text.Dedup.capBuckets(dataBuckets, counts,
       maxBucket, "lshTopK")
+    // qvec rides along through the distinct (constant per qid, so the
+    // distinct cardinality is unchanged) — joining the raw queries frame
+    // back instead would break on query frames that still carry columns
+    // named like idCol/vecCol (ambiguous reference)
     val cand = ok
-      .join(bucketed(broadcast(queries), qIdCol, qVecCol)
-        .drop(qVecCol), Seq("band", "bucket"))
-      .select(col(qIdCol), col(idCol), col(vecCol))
+      .join(bucketed(broadcast(queries), qIdCol, qVecCol), Seq("band", "bucket"))
+      .select(col(qIdCol), col(qVecCol), col(idCol), col(vecCol))
       .distinct()
     val scored = cand
-      .join(broadcast(queries), qIdCol)
       .select(col(qIdCol),
         struct(cosine(col(vecCol), col(qVecCol)).as("score"),
           col(idCol).cast("long").as("id")).as("__cand"))
@@ -179,7 +181,7 @@ object Similarity {
   *
   * Scale design (the FAISS recipe, public knowledge):
   *  - the quantizer trains DRIVER-SIDE on a bounded, content-deterministic
-  *    sample (`xxhash64(id) % m == 0`, ≤ `maxSample` rows) — at 100 TB the
+  *    sample (`xxhash64(id) % m == 0`, ~`maxSample` rows) — at 100 TB the
   *    full corpus never feeds an iterative fit, and seeded Lloyd's on the
   *    sample runs zero Spark jobs;
   *  - cell assignment is ONE distributed projection: the centroid matrix is
@@ -251,15 +253,19 @@ object IvfIndex {
       data: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int = 16, maxSample: Int = 20000, maxIter: Int = 8,
       seed: Long = 42L): IvfIndex = {
+    // the count pass sizes the hash-sample modulus; fit deliberately pays
+    // two scans (count + filtered collect) to keep the sample purely
+    // content-determined — no limit(), whose survivors depend on partition
+    // arrival order, so the same corpus repartitioned differently would
+    // fit different centroids. ceil keeps expected survivors ≤ maxSample.
     val n = data.count()
-    val m = math.max(1L, n / maxSample)
+    val m = math.max(1L, (n + maxSample - 1) / maxSample)
     // raw vectors out, normalize driver-side: an L2-normalize as a Spark
     // higher-order function re-evaluates the norm aggregate per ELEMENT
     // (interpreted, O(dim²) per row) — on the driver it's one pass
     val sampled = data
       .filter(pmod(xxhash64(col(idCol)), lit(m)) === 0)
       .select(col(vecCol).cast("array<double>"))
-      .limit(maxSample)
       .collect()
       .map { r =>
         val v = r.getSeq[Double](0).toArray

@@ -54,15 +54,24 @@ object Streaming {
 
   /** Freeze a reference corpus into its MinHash band buckets — the STATIC
     * side of streaming near-dup detection, fitted once (persisted and
-    * materialized; release with `unpersist()` when retired). */
+    * materialized; release with `unpersist()` when retired). Hot buckets
+    * over `maxBucket` docs are dropped at freeze time with a logged
+    * warning, same guard as the batch dedup paths: one degenerate
+    * boilerplate bucket would otherwise multiply every matching stream row
+    * by the bucket size on every micro-batch. */
   def freezeNearDupCorpus(
       corpus: DataFrame, textCol: String, idCol: String,
-      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3): DataFrame = {
-    val frozen = graft.text.Dedup
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
+      maxBucket: Int = 10000): DataFrame = {
+    val buckets = graft.text.Dedup
       .bandBuckets(corpus, textCol, idCol, numHashes, bands, shingleK)
       .withColumnRenamed(idCol, "corpus_id")
-      .persist()
+    val counts = buckets.groupBy("band", "bucket").count()
+    val (ok, countsCached) = graft.text.Dedup.capBuckets(buckets, counts,
+      maxBucket, "freezeNearDupCorpus")
+    val frozen = ok.select("corpus_id", "band", "bucket").persist()
     frozen.count()
+    countsCached.unpersist()
     frozen
   }
 

@@ -114,4 +114,17 @@ class PersistenceSpec extends SparkSpec {
           .otherwise(0.0)).as("out")).as[Double].collect().toSeq
     assert(viaOp == viaCol)
   }
+
+  test("Op.split is literal (regex metachars quoted); element_at nulls OOR") {
+    val df = Seq(("a.b.c", 1), ("nodots", 2)).toDF("s", "k")
+    val tree = {
+      import Op._
+      element_at(split(in(0), "."), 2) // Python: str.split('.')[1]
+    }
+    val out = FunctionTransformer.fromOp(Seq(Seq("s")), Seq("tok"), tree)
+      .transform(df).select("tok").as[Option[String]].collect().toSeq
+    // regex-unquoted split on "." would tokenize every char to "" — the
+    // literal split yields "b"; the 1-token row nulls instead of throwing
+    assert(out == Seq(Some("b"), None))
+  }
 }
