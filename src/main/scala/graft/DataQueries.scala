@@ -21,7 +21,12 @@ import org.apache.spark.sql.functions._
   * The remaining hash-based ops (simhash, LSH top-k, embedding near-dup)
   * are deterministic but xxhash/hyperplane-based with recall < 1, which no
   * SQL engine reproduces → rows-only checks, covered by scalatest specs
-  * with planted duplicates and measured-recall floors.
+  * with planted duplicates and measured-recall floors. Measured (this
+  * corpus): true Jaccard-0.8 pairs reach simhash Hamming 9, so a
+  * verify-stage oracle like q_dedup_minhash's would mismatch (the 4×16
+  * banding only guarantees candidates to Hamming 3); and the embeddings
+  * table's max off-diagonal cosine is ~0.5 (no planted high-cosine dups),
+  * so every useful near-dup threshold sits where hyperplane-LSH recall < 1.
   */
 object DataQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -174,7 +179,30 @@ object DataQueries {
     "q_events_json" -> ((s, d) =>
       readEvents(s, d)
         .select(col("event_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("k")))
+          get_json_object(col("props"), "$.k").cast("long").as("k"))),
+
+    // corpus mixing: md5-deterministic stratified sample (the keep/drop
+    // decisions are engine-portable — the oracle replays them exactly)
+    "q_sample_stratified" -> ((s, d) =>
+      graft.text.Corpus.stratifiedSample(t(s, d, "documents"), "doc_id",
+          "lang", Map("en" -> 0.5, "de" -> 0.25), 0.1)
+        .select("doc_id", "lang", "source")),
+
+    // context-window construction: 50-token chunks, 10-token overlap
+    "q_chunk" -> ((s, d) =>
+      graft.text.Corpus.chunk(t(s, d, "documents"), "text", "doc_id",
+        chunkTokens = 50, overlap = 10)),
+
+    // PII redaction over text with deterministic planted PII (the corpus
+    // itself is synthetic prose, so plant all four pattern kinds)
+    "q_redact" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.text.Corpus.redact(concat(col("text"),
+            lit(" contact user"), col("doc_id"), lit("@example.com or "),
+            lit("555-123-4567, node 10.0.0."), col("doc_id") % 256,
+            lit(", docs at https://example.com/d/"), col("doc_id")))
+            .as("clean")))
   )
 
   /** CSV ingestion round trip: parquet → csv → [[graft.sources.Sources
@@ -361,6 +389,45 @@ object DataQueries {
         """SELECT event_id,
              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
            FROM events""",
+
+      // identical md5-top-60-bit uniform: ('0x'||hex)::BIGINT in DuckDB ==
+      // conv(hex,16,10) cast long in Spark; both divide by 2^60 as DOUBLE
+      "q_sample_stratified" ->
+        """SELECT doc_id, lang, source FROM documents
+           WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) / 1152921504606846976.0
+             < CASE WHEN lang = 'en' THEN 0.5
+                    WHEN lang = 'de' THEN 0.25
+                    ELSE 0.1 END""",
+
+      // starts 1, 41, 81, … (step = 50 − 10); DuckDB list slice a[s:e] is
+      // inclusive of e, hence s + 49
+      "q_chunk" ->
+        """SELECT doc_id,
+             CAST((s - 1) // 40 AS INTEGER) AS chunk_index,
+             array_to_string(ws[s:s + 49], ' ') AS chunk_text,
+             len(regexp_split_to_array(
+               array_to_string(ws[s:s + 49], ' '), '\s+')) AS chunk_tokens
+           FROM (SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\s+') AS ws
+                 FROM documents),
+             LATERAL (SELECT unnest(range(1, greatest(len(ws), 1) + 1, 40))
+                        AS s)""",
+
+      "q_redact" ->
+        """SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or 555-123-4567, node 10.0.0.'
+                    || CAST(doc_id % 256 AS VARCHAR)
+                    || ', docs at https://example.com/d/'
+                    || CAST(doc_id AS VARCHAR),
+               'https?://[^\s]+', '[URL]', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '(\(\d{3}\)\s?|\d{3}-)\d{3}-\d{4}', '[PHONE]', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')
+             AS clean
+           FROM documents""",
 
       "q_csv_source" ->
         "SELECT c_custkey, c_name, c_acctbal FROM customer",

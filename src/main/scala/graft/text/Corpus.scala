@@ -1,0 +1,81 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction operators for training-data pipelines: deterministic
+  * stratified sampling (data mixing), document chunking into token windows
+  * (context-window construction), and PII redaction. All pure Column
+  * expressions — codegen'd, shuffle-free, and engine-portable (md5-based
+  * sampling so any SQL engine reproduces the exact keep/drop decisions,
+  * which is what a 100 TB pipeline needs when sampling must be re-derivable
+  * years later by a different system).
+  */
+object Corpus {
+
+  /** 2^60 — the scale of the 15-hex-digit (60-bit) md5 prefix. */
+  private val HashScale = 1152921504606846976.0
+
+  /** Deterministic uniform in [0,1) from any column: the top 60 bits of
+    * md5(string form). Engine-portable: DuckDB's
+    * `('0x' || substr(md5(v), 1, 15))::BIGINT / 2^60` produces the identical
+    * double, so sampling decisions replay anywhere. Never use an RNG here —
+    * `rand()` re-rolls per task retry and per plan re-execution, silently
+    * changing the sample under AQE or speculative execution. */
+  def hashUniform(c: Column): Column =
+    conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long").cast("double") / lit(HashScale)
+
+  /** Stratified deterministic sample for corpus mixing: keep a row iff
+    * `hashUniform(id) < rate(stratum)`, where `rate` comes from `rates` or
+    * `defaultRate`. A pure filter — no shuffle, no sort, no RNG state; at
+    * 100 TB this costs one scan and prunes at the parquet row-group level
+    * when the stratum column is a partition key. */
+  def stratifiedSample(
+      df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val rate = rates.foldRight(lit(defaultRate): Column) {
+      case ((s, r), acc) => when(col(stratumCol) === s, lit(r)).otherwise(acc)
+    }
+    df.filter(hashUniform(col(idCol)) < rate)
+  }
+
+  /** Chunk documents into whitespace-token windows of `chunkTokens` tokens,
+    * starting every `chunkTokens - overlap` tokens (trailing chunks may be
+    * shorter). Output: (id, chunk_index, chunk_text, chunk_tokens). The
+    * explode multiplies rows ~len/step× but carries only the token slice —
+    * project away wide columns before calling this at scale. */
+  def chunk(
+      df: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens > overlap && overlap >= 0,
+      "need chunkTokens > overlap >= 0")
+    val step = chunkTokens - overlap
+    df.withColumn("__ws", TextFunctions.tokens(col(textCol)))
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(1), greatest(size(col("__ws")), lit(1)), lit(step)),
+          i => array_join(slice(col("__ws"), i, lit(chunkTokens)), " ")))
+          .as(Seq("chunk_index", "chunk_text")))
+      .withColumn("chunk_tokens",
+        size(split(col("chunk_text"), "\\s+")).cast("long"))
+  }
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "(\\(\\d{3}\\)\\s?|\\d{3}-)\\d{3}-\\d{4}"
+  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val UrlRe = "https?://[^\\s]+"
+
+  /** Redact common PII / pollution from text: URLs, then emails, then
+    * phone numbers, then IPv4 addresses (order matters — a URL may contain
+    * an @ or dotted quad; the patterns are deliberately simple enough to be
+    * valid in both Java regex and RE2, so the oracle replays them). */
+  def redact(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(c, UrlRe, "[URL]"),
+          EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]"),
+      Ipv4Re, "[IP]")
+}

@@ -1,0 +1,76 @@
+package graft
+
+import graft.text.Corpus
+import org.apache.spark.sql.functions._
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stratifiedSample keeps deterministic md5-based subsets per stratum") {
+    val df = (0 until 2000).map(i => (i.toLong, if (i % 2 == 0) "en" else "zh"))
+      .toDF("id", "lang")
+    val s1 = Corpus.stratifiedSample(df, "id", "lang",
+      Map("en" -> 0.5), 0.1).collect().map(r => r.getLong(0)).sorted.toSeq
+    val s2 = Corpus.stratifiedSample(df, "id", "lang",
+      Map("en" -> 0.5), 0.1).collect().map(r => r.getLong(0)).sorted.toSeq
+    assert(s1 == s2, "sample must be reproducible run-to-run")
+    val en = s1.count(_ % 2 == 0).toDouble / 1000
+    val zh = s1.count(_ % 2 == 1).toDouble / 1000
+    // md5 uniformity: binomial(1000, p) stays well within ±0.06 of p
+    assert(math.abs(en - 0.5) < 0.06, s"en rate $en")
+    assert(math.abs(zh - 0.1) < 0.06, s"zh rate $zh")
+  }
+
+  test("stratifiedSample of rate 0 and 1 strata") {
+    val df = (0 until 100).map(i => (i.toLong, if (i < 50) "all" else "none"))
+      .toDF("id", "lang")
+    val out = Corpus.stratifiedSample(df, "id", "lang",
+      Map("all" -> 1.0, "none" -> 0.0), 0.5).select("lang")
+      .as[String].collect().toSeq
+    assert(out.count(_ == "all") == 50 && !out.contains("none"))
+  }
+
+  test("chunk windows with overlap, short docs, and empty text") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens, chunk 4 overlap 1 → step 3
+      (2L, "x y"),                 // shorter than one chunk
+      (3L, "")                     // empty text → one empty chunk
+    ).toDF("id", "text")
+    val out = Corpus.chunk(df, "text", "id", chunkTokens = 4, overlap = 1)
+      .orderBy("id", "chunk_index")
+      .select("id", "chunk_index", "chunk_text", "chunk_tokens")
+      .as[(Long, Int, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0, "a b c d", 4L), (1L, 1, "d e f g", 4L), (1L, 2, "g h i j", 4L),
+      (1L, 3, "j", 1L),
+      (2L, 0, "x y", 2L),
+      (3L, 0, "", 1L)))
+  }
+
+  test("chunk rejects overlap >= chunkTokens") {
+    val df = Seq((1L, "a b")).toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      Corpus.chunk(df, "text", "id", chunkTokens = 3, overlap = 3)
+    }
+  }
+
+  test("redact replaces urls, emails, phones, and IPs in order") {
+    val df = Seq(
+      "mail me at first.last+tag@sub.example.co.uk today",
+      "call (555) 123-4567 or 555-987-6543",
+      "host 192.168.0.1 port 80",
+      "see https://a.b/c?d=e@f and http://plain.example",
+      "no pii here, just 1.5 and v2.0 and 1.2.3.4.5"
+    ).toDF("t")
+    val out = df.select(Corpus.redact(col("t")).as("r"))
+      .as[String].collect().toSeq
+    assert(out(0) == "mail me at [EMAIL] today")
+    assert(out(1) == "call [PHONE] or [PHONE]")
+    assert(out(2) == "host [IP] port 80")
+    // URL pass runs first, so the @ inside the URL never becomes [EMAIL]
+    assert(out(3) == "see [URL] and [URL]")
+    // version-ish numbers survive; 5-part dotted quads: the first 4 parts
+    // match the IPv4 pattern (documented greedy behavior)
+    assert(out(4) == "no pii here, just 1.5 and v2.0 and [IP].5")
+  }
+}
