@@ -210,13 +210,23 @@ object DataQueries {
     * proves the csv path is lossless (doubles round-trip via full-precision
     * text). */
   private def sourceQueries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q_csv_source" -> ((s, d) => {
-      val src = t(s, d, "customer")
-        .select("c_custkey", "c_name", "c_acctbal")
-      val dir = "target/tmp/q_csv_source"
-      src.write.mode("overwrite").option("header", "true").csv(dir)
-      graft.sources.Sources.readCsv(s, dir, src.schema)
-    }))
+    Map(
+      "q_csv_source" -> ((s, d) => {
+        val src = t(s, d, "customer")
+          .select("c_custkey", "c_name", "c_acctbal")
+        val dir = "target/tmp/q_csv_source"
+        src.write.mode("overwrite").option("header", "true").csv(dir)
+        graft.sources.Sources.readCsv(s, dir, src.schema)
+      }),
+      // JSONL round trip incl. the free-text column (escaping must be
+      // lossless); matching the plain-parquet oracle proves it
+      "q_jsonl_source" -> ((s, d) => {
+        val src = t(s, d, "documents")
+          .select("doc_id", "text", "lang", "n_chars")
+        val dir = "target/tmp/q_jsonl_source"
+        graft.sources.Sources.writeJsonl(src, dir)
+        graft.sources.Sources.readJsonl(s, dir, src.schema)
+      }))
 
   // Shared SQL fragments (duplicated single-quotes are SQL escaping).
   private val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
@@ -431,6 +441,9 @@ object DataQueries {
 
       "q_csv_source" ->
         "SELECT c_custkey, c_name, c_acctbal FROM customer",
+
+      "q_jsonl_source" ->
+        "SELECT doc_id, text, lang, n_chars FROM documents",
 
       "q_relational_agg" ->
         """SELECT l_returnflag, l_linestatus,

@@ -43,6 +43,19 @@ object Sources {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** JSON-Lines with explicit schema — the interchange format most raw
+    * training-data drops arrive in. Schema mandatory for the same reason as
+    * CSV (inference is a full extra scan of 100 TB); malformed lines land in
+    * a `_corrupt_record` column when the schema carries one, else the read
+    * is PERMISSIVE (fields null out). */
+  def readJsonl(
+      spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+
+  /** JSON-Lines sink (one object per line, gzip-friendly at scale). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
   /** Hive-style partitioned parquet sink — the layout that makes partition
     * pruning (and therefore 100 TB interactivity) possible downstream. */
   def writePartitioned(

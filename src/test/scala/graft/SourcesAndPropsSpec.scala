@@ -26,6 +26,39 @@ class SourcesSpec extends SparkSpec {
     assert(r(2).getDouble(2) == 2.0)
   }
 
+  test("jsonl round trip is lossless incl. newlines/quotes/unicode") {
+    val dir = "target/tmp/src_jsonl"
+    val src = Seq(
+      (1L, "plain text", "en"),
+      (2L, "line\nbreak and \"quotes\" and tab\t", "de"),
+      (3L, "unicode: café 中文 😀", "zh"),
+      (4L, null.asInstanceOf[String], "en")
+    ).toDF("id", "text", "lang")
+    Sources.writeJsonl(src, dir)
+    val back = Sources.readJsonl(spark, dir, src.schema)
+    // compare names+types (a json read is always nullable)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      src.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("id").collect().toSeq ==
+      src.orderBy("id").collect().toSeq)
+  }
+
+  test("jsonl malformed lines null out under PERMISSIVE with schema") {
+    val dir = "target/tmp/src_jsonl_bad"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/in.json"),
+      """{"id": 1, "text": "ok"}""" + "\nnot json at all\n" +
+        """{"id": 3, "text": "also ok"}""" + "\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val df = Sources.readJsonl(spark, s"$dir/in.json", schema)
+    val rows = df.collect()
+    assert(rows.length == 3)
+    assert(rows.count(_.isNullAt(0)) == 1) // the corrupt line, fields null
+    assert(df.filter(col("id").isNotNull).count() == 2)
+  }
+
   test("partitioned parquet sink prunes partitions on read") {
     val df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
     val out = "target/tmp/src_part"
