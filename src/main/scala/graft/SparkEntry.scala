@@ -148,6 +148,16 @@ object SparkEntry {
         Right(Seq("BUILDING", "MACHINERY", "NOPE")), "*")
         .resultDF(t(s, d, "customer"))),
 
+    // the reference's padded positional output column
+    // (SetTransformer.py:84-89), made deterministic by orderCol
+    "q_setop_padded" -> ((s, d) =>
+      new SetTransformer(Left("c_mktsegment"),
+        Right(Seq("BUILDING", "MACHINERY", "NOPE")), "*",
+        outputFunc = None, outputOperand = Some("set_out"),
+        orderCol = Some("c_custkey"))
+        .transform(t(s, d, "customer").select("c_custkey", "c_mktsegment"))
+        .select("c_custkey", "c_mktsegment", "set_out")),
+
     // ---- fitted operators ----------------------------------------------
     "q_le" -> ((s, d) => {
       val df = t(s, d, "customer")
@@ -438,6 +448,18 @@ object SparkEntry {
       "q_setop" ->
         """SELECT DISTINCT c_mktsegment AS value FROM customer
            WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'NOPE')""",
+
+      "q_setop_padded" ->
+        """WITH res AS (
+             SELECT value, row_number() OVER (ORDER BY value) - 1 AS idx
+             FROM (SELECT DISTINCT c_mktsegment AS value FROM customer
+                   WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'NOPE'))),
+           rws AS (
+             SELECT c_custkey, c_mktsegment,
+               row_number() OVER (ORDER BY c_custkey) - 1 AS idx
+             FROM customer)
+           SELECT r.c_custkey, r.c_mktsegment, res.value AS set_out
+           FROM rws r LEFT JOIN res USING (idx)""",
 
       "q_le" ->
         """WITH vocab AS (

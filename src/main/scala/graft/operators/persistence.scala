@@ -161,7 +161,9 @@ object GraftPersistence {
         "type" -> JString("SetTransformer"),
         "first" -> operand(t.firstOperand),
         "second" -> operand(t.secondOperand),
-        "operation" -> JString(t.setOperation))
+        "operation" -> JString(t.setOperation),
+        "output" -> t.outputOperand.map(JString(_)).getOrElse(JNull),
+        "orderCol" -> t.orderCol.map(JString(_)).getOrElse(JNull))
     case t: FunctionTransformer => throw new UnsupportedOperationException(
       "this FunctionTransformer carries an opaque Scala closure; build it " +
         "with FunctionTransformer.fromOp (a serializable Op tree) to persist")
@@ -287,8 +289,15 @@ object GraftPersistence {
           case JString(c) => Left(c)
           case _          => Right(strs(v \ "values"))
         }
+        def optStr(v: JValue): Option[String] = v match {
+          case JString(s) => Some(s)
+          case _          => None
+        }
         new SetTransformer(operand(j \ "first"), operand(j \ "second"),
-          (j \ "operation").asInstanceOf[JString].s)
+          (j \ "operation").asInstanceOf[JString].s,
+          outputFunc = None,
+          outputOperand = optStr(j \ "output"),
+          orderCol = optStr(j \ "orderCol"))
       case other =>
         throw new IllegalArgumentException(s"unknown stage type $other")
     }

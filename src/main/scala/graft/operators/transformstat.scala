@@ -214,17 +214,24 @@ class RangeTransformer(
   * literal value list.
   *
   * Spark mapping: `distinct` + `intersect`/`union`/`except` on single-column
-  * frames (SURVEY §2.1 #17). Divergence: the reference also writes the result
-  * list into a None-padded column of the original frame, which has no
-  * well-defined row order on a distributed multiset — here `transform` leaves
-  * the frame unchanged and the result is exposed via [[resultDF]] / the
-  * callback (sorted for determinism).
+  * frames (SURVEY §2.1 #17). The reference also writes the result list into a
+  * None-padded column of the original frame (SetTransformer.py:84-89) by
+  * POSITION — meaningless on an unordered distributed multiset, so the padded
+  * column is produced only when the caller names both `outputOperand` and an
+  * `orderCol` that defines "first rows": sorted set elements land on the
+  * lowest-`orderCol` rows, the rest null (the reference's `list(set(...))`
+  * order is itself arbitrary, so a sorted order is a determinism upgrade, not
+  * a semantic change). Cost note: positional assignment forces one global
+  * sort of the frame plus zipWithIndex's sizing pass — inherent to the
+  * semantics, pay it only when you ask for the column.
   */
 class SetTransformer(
     val firstOperand: Either[String, Seq[String]],
     val secondOperand: Either[String, Seq[String]],
     val setOperation: String,
-    val outputFunc: Option[Seq[String] => Unit] = None)
+    val outputFunc: Option[Seq[String] => Unit] = None,
+    val outputOperand: Option[String] = None,
+    val orderCol: Option[String] = None)
     extends GraftTransformer {
 
   def resultDF(df: DataFrame): DataFrame = {
@@ -247,12 +254,38 @@ class SetTransformer(
     outputFunc.foreach { f =>
       f(resultDF(df).collect().map(_.getString(0)).toSeq.sorted)
     }
-    df
+    outputOperand match {
+      case None => df
+      case Some(out) =>
+        val ord = orderCol.getOrElse(throw new IllegalArgumentException(
+          "outputOperand requires orderCol: positional padding has no " +
+            "meaning on an unordered distributed multiset"))
+        val spark = df.sparkSession
+        val resIdx = spark.createDataFrame(
+          resultDF(df).sort("value").rdd.zipWithIndex.map {
+            case (r, i) => Row(i, r.getString(0))
+          },
+          StructType(Seq(StructField("__idx", LongType),
+            StructField(out, StringType))))
+        // reference asserts len(result) <= len(df) (SetTransformer.py:86-87)
+        val nRes = resIdx.count()
+        val nRows = df.count()
+        if (nRes > nRows) throw new IllegalStateException(
+          s"set result has $nRes elements but the frame only $nRows rows")
+        val rows = df.sort(ord)
+        val rowsIdx = spark.createDataFrame(
+          rows.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+          StructType(rows.schema.fields :+ StructField("__idx", LongType)))
+        rowsIdx.join(broadcast(resIdx), Seq("__idx"), "left").drop("__idx")
+    }
   }
 
-  // schema is untouched; overriding avoids the default empty-frame
-  // transformDF probe, which would fire the user callback with a spurious
-  // empty result during Pipeline schema validation
+  // overriding avoids the default empty-frame transformDF probe, which
+  // would fire the user callback with a spurious empty result during
+  // Pipeline schema validation
   override def transformSchema(
-      schema: org.apache.spark.sql.types.StructType) = schema
+      schema: org.apache.spark.sql.types.StructType) = outputOperand match {
+    case None      => schema
+    case Some(out) => StructType(schema.fields :+ StructField(out, StringType))
+  }
 }

@@ -94,6 +94,19 @@ class PersistenceSpec extends SparkSpec {
     assert(setStage.get.resultDF(serve).collect().isEmpty) // no AUTO in serve
   }
 
+  test("SetTransformer padded-output params survive save/load") {
+    val st = new SetTransformer(Left("seg"), Right(Seq("AUTO", "B")), "|",
+      None, outputOperand = Some("set_out"), orderCol = Some("row_id"))
+    val model = DFPipeline(st).fit(train)
+    val dir = "target/tmp/persist_setpad"
+    GraftPersistence.save(model, dir)
+    val loaded = GraftPersistence.load(spark, dir)
+    val a = model.transform(train).orderBy("row_id").collect().toSeq
+    val b = loaded.transform(train).orderBy("row_id").collect().toSeq
+    assert(a == b)
+    assert(a.head.schema.fieldNames.contains("set_out"))
+  }
+
   test("op whitelist lowers to the same values as the Column closures") {
     val df = Seq((4.0, -2.0, "A B"), (9.0, 3.0, "C D"))
       .toDF("x", "y", "s")

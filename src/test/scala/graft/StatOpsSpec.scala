@@ -132,4 +132,28 @@ class SetTransformerSpec extends SparkSpec {
       Some(r => got = r)).transform(df).count()
     assert(got == Seq("female"))
   }
+
+  // SetTransformer.py:84-89 — the None-padded positional output column,
+  // deterministic here via orderCol
+  test("padded output column: sorted elements on lowest-order rows") {
+    val out = new SetTransformer(Left("sex"), Right(Seq("male", "female", "x")),
+      "*", None, outputOperand = Some("set_out"), orderCol = Some("row_id"))
+      .transform(df)
+    assertCol(out, "set_out", Seq("female", "male",
+      null, null, null, null, null, null))
+    assert(out.columns.toSeq ==
+      Seq("row_id", "sex", "set_out"))
+  }
+
+  test("padded output requires orderCol; oversized result throws") {
+    intercept[IllegalArgumentException] {
+      new SetTransformer(Left("sex"), Right(Seq("male")), "*", None,
+        outputOperand = Some("o")).transform(df)
+    }
+    val tiny = df.limit(1)
+    intercept[IllegalStateException] {
+      new SetTransformer(Left("sex"), Right(Seq("a", "b", "c")), "|", None,
+        outputOperand = Some("o"), orderCol = Some("row_id")).transform(tiny)
+    }
+  }
 }
