@@ -193,6 +193,24 @@ object DataQueries {
       graft.text.Corpus.chunk(t(s, d, "documents"), "text", "doc_id",
         chunkTokens = 50, overlap = 10)),
 
+    // int8 embedding quantization round trip: per-vector scale, quantized
+    // stats, and the max reconstruction error — all engine-reproducible
+    // arithmetic (round(x·127/maxabs)), so the oracle replays it exactly
+    "q_embed_quant" -> ((s, d) => {
+      import graft.sim.Quantize._
+      t(s, d, "embeddings")
+        .withColumn("__scale", int8Scale(col("embedding")))
+        .withColumn("__q", int8Quantize(col("embedding"), col("__scale")))
+        .select(col("vec_id"),
+          col("__scale").as("scale"),
+          aggregate(col("__q"), lit(0L), (acc, x) => acc + x.cast("long"))
+            .as("q_sum"),
+          array_min(col("__q")).cast("int").as("q_min"),
+          array_max(col("__q")).cast("int").as("q_max"),
+          maxAbsError(col("embedding"), col("__q"), col("__scale"))
+            .as("max_err"))
+    }),
+
     // PII redaction over text with deterministic planted PII (the corpus
     // itself is synthetic prose, so plant all four pattern kinds)
     "q_redact" -> ((s, d) =>
@@ -423,6 +441,31 @@ object DataQueries {
                  FROM documents),
              LATERAL (SELECT unnest(range(1, greatest(len(ws), 1) + 1, 40))
                         AS s)""",
+
+      // same double arithmetic and round-half-away-from-zero in both engines
+      "q_embed_quant" ->
+        """WITH v AS (
+             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ws
+             FROM embeddings),
+           s AS (
+             SELECT vec_id, ws,
+               list_max(list_transform(ws, x -> abs(x))) / 127.0 AS scale
+             FROM v),
+           q AS (
+             SELECT vec_id, ws, scale,
+               CASE WHEN scale = 0
+                    THEN list_transform(ws, x -> CAST(0 AS TINYINT))
+                    ELSE list_transform(ws,
+                           x -> CAST(round(x / scale) AS TINYINT)) END AS qs
+             FROM s)
+           SELECT vec_id, scale,
+             CAST(list_sum(list_transform(qs, x -> CAST(x AS BIGINT)))
+                  AS BIGINT) AS q_sum,
+             CAST(list_min(qs) AS INTEGER) AS q_min,
+             CAST(list_max(qs) AS INTEGER) AS q_max,
+             list_max(list_transform(list_zip(ws, qs),
+               p -> abs(p[1] - CAST(p[2] AS DOUBLE) * scale))) AS max_err
+           FROM q""",
 
       "q_redact" ->
         """SELECT doc_id,

@@ -54,6 +54,33 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("int8 quantize: bounded error, clamp range, zero-vector identity") {
+    import graft.sim.Quantize._
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector
+      (3L, Array(100.0f, -100.0f, 1.0f, 0.003f))
+    ).toDF("id", "v")
+      .withColumn("scale", int8Scale(col("v")))
+      .withColumn("q", int8Quantize(col("v"), col("scale")))
+      .withColumn("err", maxAbsError(col("v"), col("q"), col("scale")))
+      .withColumn("back", int8Dequantize(col("q"), col("scale")))
+    val rows = df.orderBy("id").collect()
+    // row 1: scale = 1/127; q = round(x*127)
+    assert(rows(0).getSeq[Byte](3) == Seq[Byte](64, -127, 32, 0))
+    // zero vector: scale 0, all-zero q, zero error
+    assert(rows(1).getDouble(2) == 0.0)
+    assert(rows(1).getSeq[Byte](3).forall(_ == 0))
+    assert(rows(1).getDouble(4) == 0.0)
+    // error bound: |x - deq| <= scale/2 everywhere
+    rows.foreach { r =>
+      assert(r.getDouble(4) <= r.getDouble(2) / 2 + 1e-12,
+        s"err ${r.getDouble(4)} vs scale ${r.getDouble(2)}")
+    }
+    // every quantized value within int8 symmetric range
+    assert(rows.flatMap(_.getSeq[Byte](3)).forall(b => b >= -127 && b <= 127))
+  }
+
   test("redact replaces urls, emails, phones, and IPs in order") {
     val df = Seq(
       "mail me at first.last+tag@sub.example.co.uk today",
