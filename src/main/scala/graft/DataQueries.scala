@@ -141,6 +141,23 @@ object DataQueries {
           round(avg("l_discount"), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))),
 
+    // per-group curation: best 3 docs per source by length, heap-aggregated
+    // (no per-group window funnel)
+    "q_topk_per_group" -> ((s, d) =>
+      graft.relational.Relational.topKPerGroup(
+        t(s, d, "documents"), Seq("source"), "n_chars", "doc_id", 3)),
+
+    // salting identity: the salted join must equal the plain join the
+    // oracle computes
+    "q_salted_join" -> ((s, d) =>
+      graft.relational.Relational.saltedJoin(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity")),
+        t(s, d, "orders").select(col("o_orderkey").as("l_orderkey"),
+          col("o_custkey")),
+        Seq("l_orderkey"), saltFactor = 8)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "o_custkey")),
+
     "q_embed_neardup" -> ((s, d) =>
       Similarity.embeddingNearDup(t(s, d, "embeddings"), "vec_id",
           "embedding", dim = 64, threshold = 0.3)
@@ -441,6 +458,20 @@ object DataQueries {
                  FROM documents),
              LATERAL (SELECT unnest(range(1, greatest(len(ws), 1) + 1, 40))
                         AS s)""",
+
+      "q_topk_per_group" ->
+        """SELECT source, doc_id,
+             CAST(n_chars AS DOUBLE) AS score,
+             CAST(rank AS INTEGER) AS rank
+           FROM (SELECT source, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id) AS rank
+                 FROM documents)
+           WHERE rank <= 3""",
+
+      "q_salted_join" ->
+        """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_custkey
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""",
 
       // same double arithmetic and round-half-away-from-zero in both engines
       "q_embed_quant" ->

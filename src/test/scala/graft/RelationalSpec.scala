@@ -1,0 +1,70 @@
+package graft
+
+import graft.relational.Relational
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a skewed fixture: one hot key with 500 rows, 50 cold keys
+  private lazy val skewed = ((1 to 500).map(i => (1L, s"hot$i")) ++
+    (1 to 50).map(i => (i.toLong + 1, s"cold$i"))).toDF("k", "payload")
+  private lazy val dim = (1 to 51).map(i => (i.toLong, s"name$i"))
+    .toDF("k", "name")
+
+  test("saltedJoin result equals the plain join (inner and left)") {
+    val plain = skewed.join(dim, Seq("k")).orderBy("payload")
+      .collect().toSeq
+    val salted = Relational.saltedJoin(skewed, dim, Seq("k"), 8)
+      .orderBy("payload").collect().toSeq
+    assert(salted == plain)
+
+    val dimHoley = dim.filter(col("k") =!= 1) // hot key unmatched
+    val plainL = skewed.join(dimHoley, Seq("k"), "left")
+      .orderBy("payload").collect().toSeq
+    val saltedL = Relational.saltedJoin(skewed, dimHoley, Seq("k"), 8, "left")
+      .orderBy("payload").collect().toSeq
+    assert(saltedL == plainL)
+    assert(plainL.count(_.isNullAt(2)) == 500) // hot rows kept, null name
+  }
+
+  test("saltedJoin rejects right/full outer") {
+    intercept[IllegalArgumentException] {
+      Relational.saltedJoin(skewed, dim, Seq("k"), 8, "full")
+    }
+  }
+
+  test("topKPerGroup matches the window formulation, ties on lower id") {
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 30.0), ("a", 4L, 20.0),
+      ("b", 5L, 1.0)).toDF("g", "id", "score")
+    val got = Relational.topKPerGroup(df, Seq("g"), "score", "id", 2)
+      .orderBy("g", "rank").collect().toSeq.map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // a: the two 30.0s, lower id first; b: its only row
+    assert(got == Seq(("a", 2L, 30.0, 1), ("a", 3L, 30.0, 2),
+      ("b", 5L, 1.0, 1)))
+  }
+
+  test("same-bucketing equi-join runs without a shuffle") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val facts = (1 to 1000).map(i => (i.toLong % 97, i.toLong))
+        .toDF("k", "v1")
+      val facts2 = (1 to 1000).map(i => (i.toLong % 97, i.toLong * 2))
+        .toDF("k", "v2")
+      Relational.writeBucketed(facts, "bkt_a", Seq("k"), 4)
+      Relational.writeBucketed(facts2, "bkt_b", Seq("k"), 4)
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() ==
+        facts.join(facts2, "k").count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+}
