@@ -158,6 +158,22 @@ object DataQueries {
         Seq("l_orderkey"), saltFactor = 8)
         .select("l_orderkey", "l_linenumber", "l_quantity", "o_custkey")),
 
+    // as-of join: each purchase matched to the user's most recent click at
+    // or before it (oracle: DuckDB's native ASOF LEFT JOIN)
+    "q_asof_join" -> ((s, d) => {
+      val ev = readEvents(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("value").as("click_value"),
+          unix_micros(col("ts")).as("click_ts_us"))
+      graft.relational.Relational.asofJoin(purchases, clicks, "ts",
+          Seq("user_id"), Seq("click_value", "click_ts_us"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("click_value"), col("click_ts_us"))
+    }),
+
     "q_embed_neardup" -> ((s, d) =>
       Similarity.embeddingNearDup(t(s, d, "embeddings"), "vec_id",
           "embedding", dim = 64, threshold = 0.3)
@@ -458,6 +474,13 @@ object DataQueries {
                  FROM documents),
              LATERAL (SELECT unnest(range(1, greatest(len(ws), 1) + 1, 40))
                         AS s)""",
+
+      "q_asof_join" ->
+        """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+             r.value AS click_value, epoch_us(r.ts) AS click_ts_us
+           FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+           ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+             ON l.user_id = r.user_id AND l.ts >= r.ts""",
 
       "q_topk_per_group" ->
         """SELECT source, doc_id,

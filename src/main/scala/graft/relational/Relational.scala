@@ -1,6 +1,7 @@
 package graft.relational
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational scale patterns that show up in every 100 TB pipeline:
@@ -61,6 +62,43 @@ object Relational {
         posexplode(col("__top")).as(Seq("__pos", "__t")): _*)
       .select(groupCols.map(col) ++ Seq(col("__t.id").as(idCol),
         col("__t.score").as("score"), (col("__pos") + 1).as("rank")): _*)
+
+  /** Backward as-of join — for each left row, the single most recent right
+    * row with `right.tsCol <= left.tsCol` in the same `byCols` group (ties
+    * at equal ts match, like DuckDB/pandas ASOF); left rows with no prior
+    * right row keep nulls (left-join semantics). Spark has no ASOF
+    * operator; the classic sort-merge formulation is ONE window pass over
+    * the tagged union — no join node at all:
+    * union(left tagged 1, right tagged 0) → window partition `byCols`
+    * order (ts, tag) → `last(value, ignoreNulls)` → keep left rows.
+    * One shuffle on `byCols`, every window function in the same frame
+    * evaluates in a single pass. A group's rows sort within one task —
+    * inherent to as-of semantics; split pathological groups by time range
+    * first if one key dominates. Right rows should be unique per
+    * (byCols, ts): among equal-ts right rows the match is the last in an
+    * unspecified order (same caveat as DuckDB ASOF).
+    *
+    * `rightCols` are carried from the right side and must not collide with
+    * left column names. */
+  def asofJoin(
+      left: DataFrame, right: DataFrame, tsCol: String,
+      byCols: Seq[String], rightCols: Seq[String]): DataFrame = {
+    val collisions = rightCols.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty, s"rename right columns $collisions")
+    val leftSide = left.withColumn("__side", lit(1))
+    val rightSide = right
+      .select((byCols :+ tsCol).map(col) ++ rightCols.map(col): _*)
+      .withColumn("__side", lit(0))
+    val unioned = leftSide.unionByName(rightSide, allowMissingColumns = true)
+    val w = Window.partitionBy(byCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rightCols
+      .foldLeft(unioned) { (d, c) =>
+        d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      }
+      .filter(col("__side") === 1).drop("__side")
+  }
 
   /** Write a bucketed, sorted parquet table: rows hash-partitioned into
     * `numBuckets` files per partition by `keys`. Two tables bucketed the

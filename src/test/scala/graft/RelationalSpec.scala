@@ -46,6 +46,32 @@ class RelationalSpec extends SparkSpec {
       ("b", 5L, 1.0, 1)))
   }
 
+  test("asofJoin: most recent right row at or before, per key; else null") {
+    val lefts = Seq(
+      ("A", 0L, 100L), ("A", 1L, 101L), ("A", 3L, 102L), ("A", 6L, 103L),
+      ("B", 4L, 104L)).toDF("u", "t", "lid")
+    val rights = Seq(
+      ("A", 1L, 10.0), ("A", 5L, 50.0)).toDF("u", "t", "rv")
+    val out = Relational.asofJoin(lefts, rights, "t", Seq("u"), Seq("rv"))
+      .orderBy("lid").collect().toSeq
+      .map(r => (r.getAs[Long]("lid"),
+        Option(r.getAs[java.lang.Double]("rv")).map(_.toDouble)))
+    assert(out == Seq(
+      (100L, None),       // before any right row
+      (101L, Some(10.0)), // tie at equal ts matches (inclusive)
+      (102L, Some(10.0)),
+      (103L, Some(50.0)),
+      (104L, None)))      // key with no right rows at all
+  }
+
+  test("asofJoin rejects colliding right column names") {
+    val l = Seq(("A", 1L, 1.0)).toDF("u", "t", "v")
+    val r = Seq(("A", 1L, 2.0)).toDF("u", "t", "v")
+    intercept[IllegalArgumentException] {
+      Relational.asofJoin(l, r, "t", Seq("u"), Seq("v"))
+    }
+  }
+
   test("same-bucketing equi-join runs without a shuffle") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
