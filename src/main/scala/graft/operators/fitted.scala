@@ -304,7 +304,7 @@ class Aggregator(
   override def transformSchema(schema: StructType): StructType =
     inputs.zip(outputs).foldLeft(schema) { case (s, (in, out)) =>
       val dt = func match {
-        case "count" | "nunique" => LongType
+        case "count" | "nunique" | "approx_nunique" => LongType
         case "min" | "max" if s.fieldNames.contains(in) => s(in).dataType
         case "sum" if s.fieldNames.contains(in) => s(in).dataType match {
           case ByteType | ShortType | IntegerType | LongType => LongType
@@ -378,6 +378,13 @@ object Aggregator {
     case "max"     => max(c)
     case "median"  => percentile(c, lit(0.5))
     case "nunique" => count_distinct(c)
+    // sketch variants for 100 TB fits, beyond the reference surface:
+    // exact nunique is a full distinct shuffle per key and exact median a
+    // sort — HyperLogLog++ (~2% default error) and a quantile sketch
+    // combine map-side in fixed memory instead. Same fitted-lookup serving.
+    case "approx_nunique" => approx_count_distinct(c)
+    case "approx_median" =>
+      percentile_approx(c, lit(0.5), lit(10000)).cast("double")
     case other     => throw new IllegalArgumentException(s"func $other")
   }
 }

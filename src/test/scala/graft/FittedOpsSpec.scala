@@ -115,6 +115,25 @@ class AggregatorSpec extends SparkSpec {
     assertCol(g.transform(df), "spread", Seq(2, 2, 2, 2))
   }
 
+  test("approx sketches track the exact aggregates (100 TB fit path)") {
+    val big = (1 to 5000).map(i => (i.toLong, i % 700, s"g${i % 3}"))
+      .toDF("row_id", "v", "g")
+    // HLL++ nunique: ±5% of the exact 700 distinct values
+    val ap = new Aggregator(Seq("v"), Seq("nu"), Nil, "approx_nunique")
+      .fit(big).transform(big).select("nu").head().getLong(0)
+    assert(math.abs(ap - 700L) <= 35, s"approx_nunique $ap vs 700")
+    // quantile-sketch median within 1% of the exact per-group median
+    val exact = new Aggregator(Seq("v"), Seq("m"), Seq("g"), "median")
+      .fit(big).transform(big)
+    val approx = new Aggregator(Seq("v"), Seq("m"), Seq("g"), "approx_median")
+      .fit(big).transform(big)
+    val pairs = colOf(exact, "m").map(_.asInstanceOf[Double])
+      .zip(colOf(approx, "m").map(_.asInstanceOf[Double]))
+    pairs.foreach { case (e, a) =>
+      assert(math.abs(e - a) <= math.max(1.0, e * 0.01), s"median $a vs $e")
+    }
+  }
+
   test("std is sample std (pandas ddof=1)") {
     val m = new Aggregator(Seq("col1"), Seq("s"), Nil, "std").fit(df)
     assertColApprox(m.transform(df), "s",
