@@ -475,12 +475,17 @@ object DataQueries {
              LATERAL (SELECT unnest(range(1, greatest(len(ws), 1) + 1, 40))
                         AS s)""",
 
+      // compare on epoch_us, not raw ts: the parquet timestamps carry
+      // nanos, which Spark's reader truncates to micros — a raw-ts ASOF
+      // would order same-microsecond pairs by sub-micro bits Spark can't see
       "q_asof_join" ->
-        """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
-             r.value AS click_value, epoch_us(r.ts) AS click_ts_us
-           FROM (SELECT * FROM events WHERE event_type = 'purchase') l
-           ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
-             ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        """SELECT l.event_id, l.user_id, l.tsu AS ts_us,
+             r.value AS click_value, r.tsu AS click_ts_us
+           FROM (SELECT event_id, user_id, epoch_us(ts) AS tsu
+                 FROM events WHERE event_type = 'purchase') l
+           ASOF LEFT JOIN (SELECT user_id, value, epoch_us(ts) AS tsu
+                           FROM events WHERE event_type = 'click') r
+             ON l.user_id = r.user_id AND l.tsu >= r.tsu""",
 
       "q_topk_per_group" ->
         """SELECT source, doc_id,

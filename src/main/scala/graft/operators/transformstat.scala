@@ -251,9 +251,13 @@ class SetTransformer(
   }
 
   override def transformDF(df: DataFrame): DataFrame = {
-    outputFunc.foreach { f =>
-      f(resultDF(df).collect().map(_.getString(0)).toSeq.sorted)
-    }
+    // the set result is collected ONCE (it is small by construction — the
+    // reference materializes it as a Python set) and shared by the callback
+    // and the padded column; re-deriving it per use would re-run the
+    // distinct/intersect DAG up to three times
+    lazy val elems: Seq[String] =
+      resultDF(df).collect().map(_.getString(0)).toSeq.sorted
+    outputFunc.foreach(f => f(elems))
     outputOperand match {
       case None => df
       case Some(out) =>
@@ -261,17 +265,16 @@ class SetTransformer(
           "outputOperand requires orderCol: positional padding has no " +
             "meaning on an unordered distributed multiset"))
         val spark = df.sparkSession
+        // reference asserts len(result) <= len(df) (SetTransformer.py:86-87)
+        val nRows = df.count()
+        if (elems.length > nRows) throw new IllegalStateException(
+          s"set result has ${elems.length} elements but the frame only " +
+            s"$nRows rows")
         val resIdx = spark.createDataFrame(
-          resultDF(df).sort("value").rdd.zipWithIndex.map {
-            case (r, i) => Row(i, r.getString(0))
-          },
+          spark.sparkContext.parallelize(
+            elems.zipWithIndex.map { case (v, i) => Row(i.toLong, v) }, 1),
           StructType(Seq(StructField("__idx", LongType),
             StructField(out, StringType))))
-        // reference asserts len(result) <= len(df) (SetTransformer.py:86-87)
-        val nRes = resIdx.count()
-        val nRows = df.count()
-        if (nRes > nRows) throw new IllegalStateException(
-          s"set result has $nRes elements but the frame only $nRows rows")
         val rows = df.sort(ord)
         val rowsIdx = spark.createDataFrame(
           rows.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },

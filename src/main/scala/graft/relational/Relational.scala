@@ -35,8 +35,14 @@ object Relational {
       .contains(joinType.toLowerCase),
       s"salting preserves only inner/left join semantics, not $joinType")
     require(saltFactor > 1, "saltFactor must be > 1")
+    // content-determined salt, NOT monotonically_increasing_id: a partial
+    // stage retry re-executes some map tasks, and a nondeterministic salt
+    // would route re-run rows to different reducers than the completed ones
+    // consumed (duplicated/lost rows — Spark does not roll back stages for
+    // nondeterministic expressions). Identical rows sharing a salt is fine:
+    // any fixed assignment preserves the join result.
     val salted = left.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor))
+      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(saltFactor))
         .cast("int"))
     val replicated = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
@@ -53,7 +59,16 @@ object Relational {
     * rows — ids are the narrow thing to shuffle. */
   def topKPerGroup(
       df: DataFrame, groupCols: Seq[String], scoreCol: String,
-      idCol: String, k: Int): DataFrame =
+      idCol: String, k: Int): DataFrame = {
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case t => throw new IllegalArgumentException(
+        s"idCol $idCol must be integral (got ${t.sql}): a silent cast to " +
+          "long would null out every id")
+    }
     df.groupBy(groupCols.map(col): _*)
       .agg(graft.functions.TopK.collect_top_k(
         struct(col(scoreCol).cast("double").as("score"),
@@ -62,6 +77,7 @@ object Relational {
         posexplode(col("__top")).as(Seq("__pos", "__t")): _*)
       .select(groupCols.map(col) ++ Seq(col("__t.id").as(idCol),
         col("__t.score").as("score"), (col("__pos") + 1).as("rank")): _*)
+  }
 
   /** Backward as-of join — for each left row, the single most recent right
     * row with `right.tsCol <= left.tsCol` in the same `byCols` group (ties
@@ -86,18 +102,24 @@ object Relational {
     val collisions = rightCols.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty, s"rename right columns $collisions")
     val leftSide = left.withColumn("__side", lit(1))
+    // ONE struct carries all right columns: per-column last(ignoreNulls)
+    // windows would each skip nulls independently and stitch a "match" out
+    // of DIFFERENT right rows whenever a right value is null — the struct
+    // is non-null exactly on right rows, so the matched struct is always
+    // one real row (nulls inside it included)
     val rightSide = right
-      .select((byCols :+ tsCol).map(col) ++ rightCols.map(col): _*)
+      .select(byCols.map(col) :+ col(tsCol) :+
+        struct(rightCols.map(col): _*).as("__rrow"): _*)
       .withColumn("__side", lit(0))
     val unioned = leftSide.unionByName(rightSide, allowMissingColumns = true)
     val w = Window.partitionBy(byCols.map(col): _*)
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    rightCols
-      .foldLeft(unioned) { (d, c) =>
-        d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-      }
-      .filter(col("__side") === 1).drop("__side")
+    unioned
+      .withColumn("__rrow", last(col("__rrow"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(col) ++
+        rightCols.map(c => col(s"__rrow.$c").as(c)): _*)
   }
 
   /** Write a bucketed, sorted parquet table: rows hash-partitioned into

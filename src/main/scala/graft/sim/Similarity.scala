@@ -98,15 +98,20 @@ object Similarity {
     val counts = dataBuckets.groupBy("band", "bucket").count()
     val (ok, countsCached) = graft.text.Dedup.capBuckets(dataBuckets, counts,
       maxBucket, "lshTopK")
-    // qvec rides along through the distinct (constant per qid, so the
-    // distinct cardinality is unchanged) — joining the raw queries frame
-    // back instead would break on query frames that still carry columns
-    // named like idCol/vecCol (ambiguous reference)
+    // the distinct dedups (qid, candidate) pairs only — carrying the
+    // ~512 B qvec array through it would double the shuffle bytes for zero
+    // extra dedup power (qvec is constant per qid); the vector comes back
+    // via a broadcast join of the 2-column query projection, which also
+    // avoids ambiguity with query frames carrying columns named like
+    // idCol/vecCol
+    val qb = bucketed(broadcast(queries), qIdCol, qVecCol)
     val cand = ok
-      .join(bucketed(broadcast(queries), qIdCol, qVecCol), Seq("band", "bucket"))
-      .select(col(qIdCol), col(qVecCol), col(idCol), col(vecCol))
+      .join(qb.drop(qVecCol), Seq("band", "bucket"))
+      .select(col(qIdCol), col(idCol), col(vecCol))
       .distinct()
     val scored = cand
+      .join(broadcast(qb.select(col(qIdCol), col(qVecCol)).distinct()),
+        qIdCol)
       .select(col(qIdCol),
         struct(cosine(col(vecCol), col(qVecCol)).as("score"),
           col(idCol).cast("long").as("id")).as("__cand"))

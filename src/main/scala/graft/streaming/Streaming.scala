@@ -63,14 +63,19 @@ object Streaming {
       corpus: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
       maxBucket: Int = 10000): DataFrame = {
+    // persisted BEFORE capBuckets: the shingle+minhash pass over the whole
+    // corpus otherwise runs twice (once for the counts aggregate, once for
+    // the surviving-buckets join) — same guard as lshTopK's dataBuckets
     val buckets = graft.text.Dedup
       .bandBuckets(corpus, textCol, idCol, numHashes, bands, shingleK)
       .withColumnRenamed(idCol, "corpus_id")
+      .persist()
     val counts = buckets.groupBy("band", "bucket").count()
     val (ok, countsCached) = graft.text.Dedup.capBuckets(buckets, counts,
       maxBucket, "freezeNearDupCorpus")
     val frozen = ok.select("corpus_id", "band", "bucket").persist()
     frozen.count()
+    buckets.unpersist()
     countsCached.unpersist()
     frozen
   }

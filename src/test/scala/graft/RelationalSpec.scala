@@ -64,6 +64,27 @@ class RelationalSpec extends SparkSpec {
       (104L, None)))      // key with no right rows at all
   }
 
+  test("asofJoin: a matched right row with null fields stays ONE row") {
+    // regression: per-column last(ignoreNulls) windows would stitch the
+    // ts=5 row's ts with the ts=1 row's value — a match that never existed
+    val lefts = Seq(("A", 6L, 100L)).toDF("u", "t", "lid")
+    val rights = Seq(
+      ("A", 1L, Some(10.0), 1L), ("A", 5L, None, 5L))
+      .toDF("u", "t", "rv", "rts")
+    val out = Relational.asofJoin(lefts, rights, "t", Seq("u"),
+      Seq("rv", "rts")).collect()
+    assert(out.length == 1)
+    assert(out.head.isNullAt(out.head.fieldIndex("rv"))) // ts=5 row's null
+    assert(out.head.getAs[Long]("rts") == 5L)            // same real row
+  }
+
+  test("topKPerGroup rejects non-integral id columns") {
+    val df = Seq(("a", "uuid-1", 1.0)).toDF("g", "id", "score")
+    intercept[IllegalArgumentException] {
+      Relational.topKPerGroup(df, Seq("g"), "score", "id", 2)
+    }
+  }
+
   test("asofJoin rejects colliding right column names") {
     val l = Seq(("A", 1L, 1.0)).toDF("u", "t", "v")
     val r = Seq(("A", 1L, 2.0)).toDF("u", "t", "v")
