@@ -36,6 +36,32 @@ class StreamingSpec extends SparkSpec {
     assert(batch.count() > 0)
   }
 
+  test("Corpus ops (redact/chunk/sample) run unchanged on a stream") {
+    // all three are stateless narrow expressions, so the same code drives
+    // batch and streaming; md5 sampling is retry-stable by construction
+    val docsDir = "target/tmp/docs_stream"
+    spark.read.parquet(s"$dir/documents.parquet")
+      .write.mode("overwrite").parquet(docsDir)
+    val batchDocs = spark.read.parquet(docsDir)
+    val stream = spark.readStream.schema(batchDocs.schema).parquet(docsDir)
+
+    def pipe(df: org.apache.spark.sql.DataFrame) =
+      graft.text.Corpus.chunk(
+        graft.text.Corpus.stratifiedSample(df, "doc_id", "lang",
+          Map("en" -> 0.5), 0.2)
+          .withColumn("text", graft.text.Corpus.redact(col("text"))),
+        "text", "doc_id", chunkTokens = 64, overlap = 0)
+
+    val q = pipe(stream).writeStream.outputMode("append")
+      .format("memory").queryName("corpus_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("corpus_out")
+    val batch = pipe(batchDocs)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+    assert(batch.count() > 0)
+  }
+
   test("a fitted pipeline scores a stream statelessly") {
     val model = DFPipeline(
       new ComplementLabelEncoder(Seq("event_type"), Seq("type_code")),
