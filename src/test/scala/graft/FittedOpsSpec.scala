@@ -29,6 +29,16 @@ class ComplementLabelEncoderSpec extends SparkSpec {
     // sorted: a < extra_category_ < zz
     assert(m.maps.head == Map("a" -> 0, "extra_category_" -> 1, "zz" -> 2))
   }
+  test("empty inputs = the reference's _PARM_ALL: encode every column in place") {
+    // DFPBase.py:25-33 / ComplementLabelEncoder.py:41-42 — inputs/outputs
+    // default to ALL columns, outputs overwrite in place
+    val df = Seq(("a", "x"), ("b", "y")).toDF("c1", "c2")
+    val out = new ComplementLabelEncoder().fit(df).transform(df)
+    assert(out.columns.toSeq == Seq("c1", "c2"))
+    assert(out.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.IntegerType))
+  }
+
   test("unicode lexicographic order matches codepoint order (BMP)") {
     val train = Seq((1L, "été"), (2L, "abc"), (3L, "Übung"), (4L, "中文"))
       .toDF("row_id", "col1")
