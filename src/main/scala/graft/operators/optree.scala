@@ -66,6 +66,9 @@ object Op {
   def pow(a: Op, b: Op): Op = Call("pow", Seq(a, b))
   def least(os: Op*): Op = Call("least", os)
   def greatest(os: Op*): Op = Call("greatest", os)
+  /** Element-wise mean of the operands (walkBytecode.py:65 `np.mean` →
+    * ONNX Mean). */
+  def mean(os: Op*): Op = Call("mean", os)
   def isnan(o: Op): Op = Call("isnan", Seq(o))
   def isnull(o: Op): Op = Call("isnull", Seq(o))
   def lower(o: Op): Op = Call("lower", Seq(o))
@@ -123,6 +126,8 @@ object Op {
         case ("pow", Seq(x, y))   => F.pow(x, y)
         case ("least", xs)        => F.least(xs: _*)
         case ("greatest", xs)     => F.greatest(xs: _*)
+        case ("mean", xs) if xs.nonEmpty =>
+          xs.map(_.cast("double")).reduce(_ + _) / F.lit(xs.length.toDouble)
         case ("isnan", Seq(x))    => F.isnan(x)
         case ("isnull", Seq(x))   => x.isNull
         case ("lower", Seq(x))    => F.lower(x)

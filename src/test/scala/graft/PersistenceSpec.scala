@@ -128,6 +128,15 @@ class PersistenceSpec extends SparkSpec {
     assert(viaOp == viaCol)
   }
 
+  test("Op.mean is element-wise over operands and survives JSON") {
+    val df = Seq((1.0, 3.0), (10.0, 0.0)).toDF("x", "y")
+    val tree = { import Op._; mean(in(0), in(1)) }
+    val reloaded = Op.fromJson(Op.toJson(tree))
+    val out = FunctionTransformer.fromOp(Seq(Seq("x", "y")), Seq("m"),
+      reloaded).transform(df).select("m").as[Double].collect().toSeq
+    assert(out == Seq(2.0, 5.0))
+  }
+
   test("Op.split is literal (regex metachars quoted); element_at nulls OOR") {
     val df = Seq(("a.b.c", 1), ("nodots", 2)).toDF("s", "k")
     val tree = {
