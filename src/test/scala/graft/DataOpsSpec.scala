@@ -165,17 +165,26 @@ class SimilaritySpec extends SparkSpec {
       emb, "vec_id", "embedding", q, "query_id", "qvec", k = 5))
     val lsh = resultSet(Similarity.lshTopK(
       emb, "vec_id", "embedding", q, "query_id", "qvec", k = 5, dim = 64))
+    val lshSingle = resultSet(Similarity.lshTopK(
+      emb, "vec_id", "embedding", q, "query_id", "qvec", k = 5, dim = 64,
+      multiProbe = false))
     val ivf = resultSet(Similarity.ivfTopK(
       emb, "vec_id", "embedding", q, "query_id", "qvec", k = 5))
     val lshRecall = (lsh & exact).size.toDouble / exact.size
+    val lshSingleRecall = (lshSingle & exact).size.toDouble / exact.size
     val ivfRecall = (ivf & exact).size.toDouble / exact.size
-    info(f"recall@5 — lsh: $lshRecall%.2f, ivf: $ivfRecall%.2f")
+    info(f"recall@5 — lsh(multiprobe): $lshRecall%.2f, " +
+      f"lsh(single): $lshSingleRecall%.2f, ivf: $ivfRecall%.2f")
     // every method must at least find each query itself (sim 1.0)
     assert((0L until 20L).forall(i => lsh.contains((i, i))))
     assert((0L until 20L).forall(i => ivf.contains((i, i))))
     // default knobs must not hand a user coin-flip recall: uniform random
-    // 64-d embeddings are the worst case and still clear 0.8
-    assert(lshRecall >= 0.8, s"lsh recall@5 $lshRecall below 0.8 floor")
+    // 64-d embeddings are the worst case. Multi-probe (the default) probes
+    // r extra query-side buckets per band and must clear 0.9; the
+    // single-probe floor stays 0.8.
+    assert(lshRecall >= 0.9, s"lsh recall@5 $lshRecall below 0.9 floor")
+    assert(lshSingleRecall >= 0.8,
+      s"single-probe lsh recall@5 $lshSingleRecall below 0.8 floor")
     assert(ivfRecall >= 0.6, s"ivf recall@5 $ivfRecall below 0.6 floor")
   }
 
