@@ -221,6 +221,12 @@ object DataQueries {
           "lang", Map("en" -> 0.5, "de" -> 0.25), 0.1)
         .select("doc_id", "lang", "source")),
 
+    // leakage-safe split: whole sources land on one side
+    "q_split_groups" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          graft.text.Corpus.splitLabel(col("source"), 0.25).as("split"))),
+
     // context-window construction: 50-token chunks, 10-token overlap
     "q_chunk" -> ((s, d) =>
       graft.text.Corpus.chunk(t(s, d, "documents"), "text", "doc_id",
@@ -460,6 +466,13 @@ object DataQueries {
              < CASE WHEN lang = 'en' THEN 0.5
                     WHEN lang = 'de' THEN 0.25
                     ELSE 0.1 END""",
+
+      "q_split_groups" ->
+        """SELECT doc_id, source,
+             CASE WHEN CAST(('0x' || substr(md5(source), 1, 15)) AS BIGINT)
+                         / 1152921504606846976.0 < 0.25
+                  THEN 'test' ELSE 'train' END AS split
+           FROM documents""",
 
       // starts 1, 41, 81, … (step = 50 − 10); DuckDB list slice a[s:e] is
       // inclusive of e, hence s + 49

@@ -61,6 +61,24 @@ object Corpus {
         size(split(col("chunk_text"), "\\s+")).cast("long"))
   }
 
+  /** Leakage-safe split label: assigns the whole GROUP (all rows sharing
+    * `groupCol`) to "test" iff hashUniform(group) < testFrac, else "train".
+    * Splitting by row instead would let near-duplicate documents of one
+    * source straddle the split — the classic contamination bug; splitting
+    * by group key keeps correlated content on one side. Deterministic and
+    * engine-portable like [[hashUniform]]. */
+  def splitLabel(groupCol: Column, testFrac: Double): Column =
+    when(hashUniform(groupCol) < testFrac, "test").otherwise("train")
+
+  /** Convenience: (train, test) frames from [[splitLabel]]. Both are pure
+    * filters over one scan — no shuffle, no materialization. */
+  def trainTestSplit(
+      df: DataFrame, groupCol: String,
+      testFrac: Double): (DataFrame, DataFrame) = {
+    val u = hashUniform(col(groupCol))
+    (df.filter(u >= testFrac), df.filter(u < testFrac))
+  }
+
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhoneRe = "(\\(\\d{3}\\)\\s?|\\d{3}-)\\d{3}-\\d{4}"
   private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"

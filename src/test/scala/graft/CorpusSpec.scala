@@ -30,6 +30,21 @@ class CorpusSpec extends SparkSpec {
     assert(out.count(_ == "all") == 50 && !out.contains("none"))
   }
 
+  test("trainTestSplit never splits a group across sides; partitions fully") {
+    val df = (0 until 1000).map(i => (i.toLong, s"src${i % 40}"))
+      .toDF("id", "src")
+    val (train, test) = Corpus.trainTestSplit(df, "src", 0.25)
+    val trainSrcs = train.select("src").distinct().as[String].collect().toSet
+    val testSrcs = test.select("src").distinct().as[String].collect().toSet
+    assert((trainSrcs & testSrcs).isEmpty, "a group straddles the split")
+    assert(train.count() + test.count() == 1000)
+    // label form agrees with the frame form
+    val labeled = df.withColumn("split", Corpus.splitLabel(col("src"), 0.25))
+    assert(labeled.filter(col("split") === "test").count() == test.count())
+    // 40 groups at 0.25: the test side is populated (p(empty) ~ 1e-5)
+    assert(testSrcs.nonEmpty && trainSrcs.nonEmpty)
+  }
+
   test("chunk windows with overlap, short docs, and empty text") {
     val df = Seq(
       (1L, "a b c d e f g h i j"), // 10 tokens, chunk 4 overlap 1 → step 3
