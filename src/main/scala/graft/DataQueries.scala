@@ -221,6 +221,15 @@ object DataQueries {
           "lang", Map("en" -> 0.5, "de" -> 0.25), 0.1)
         .select("doc_id", "lang", "source")),
 
+    // decontamination: training docs (id >= 40) sharing 5-gram shingles
+    // with the pretend eval set (id < 40)
+    "q_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.text.Corpus.contamination(
+        docs.filter(col("doc_id") >= 40), "text", "doc_id",
+        docs.filter(col("doc_id") < 40), "text", "doc_id", k = 5)
+    }),
+
     // leakage-safe split: whole sources land on one side
     "q_split_groups" -> ((s, d) =>
       t(s, d, "documents")
@@ -466,6 +475,22 @@ object DataQueries {
              < CASE WHEN lang = 'en' THEN 0.5
                     WHEN lang = 'de' THEN 0.25
                     ELSE 0.1 END""",
+
+      "q_contamination" ->
+        """WITH sh AS (
+             SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, len(ws) - 3),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                      ws[i+3] || ' ' || ws[i+4])) AS g
+             FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+                   FROM documents))
+           SELECT d.doc_id, b.doc_id AS bench_id,
+             CAST(len(list_intersect(d.g, b.g)) AS BIGINT) AS n_shared
+           FROM sh d, sh b
+           WHERE d.doc_id >= 40 AND b.doc_id < 40
+             AND len(list_intersect(d.g, b.g)) >= 1""",
 
       "q_split_groups" ->
         """SELECT doc_id, source,

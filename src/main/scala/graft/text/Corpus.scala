@@ -79,6 +79,33 @@ object Corpus {
     (df.filter(u >= testFrac), df.filter(u < testFrac))
   }
 
+  /** Benchmark decontamination: training docs sharing at least
+    * `minShared` distinct `k`-word shingles with any eval/benchmark doc.
+    * Output: (idCol, bench_id, n_shared) per contaminated pair.
+    *
+    * Shape at 100 TB: the corpus side explodes to (id, shingle) rows —
+    * wide fan-out but only two narrow columns — and equi-joins the
+    * BROADCAST distinct bench shingles (eval sets are tiny by definition),
+    * so the corpus never shuffles for the match; only the matched pairs
+    * (rare by construction) reach the count aggregate. Never an all-pairs
+    * or array-intersect-per-pair formulation. */
+  def contamination(
+      docs: DataFrame, textCol: String, idCol: String,
+      bench: DataFrame, benchTextCol: String, benchIdCol: String,
+      k: Int = 5, minShared: Int = 1): DataFrame = {
+    def shingled(df: DataFrame, text: String, id: String, outId: String) =
+      df.select(col(id).as(outId),
+          explode(array_distinct(TextFunctions.wordShingles(col(text), k)))
+            .as("__sh"))
+    val benchSh = shingled(bench, benchTextCol, benchIdCol, "bench_id")
+      .distinct()
+    shingled(docs, textCol, idCol, idCol)
+      .join(broadcast(benchSh), "__sh")
+      .groupBy(col(idCol), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhoneRe = "(\\(\\d{3}\\)\\s?|\\d{3}-)\\d{3}-\\d{4}"
   private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"

@@ -96,6 +96,22 @@ class CorpusSpec extends SparkSpec {
     assert(rows.flatMap(_.getSeq[Byte](3)).forall(b => b >= -127 && b <= 127))
   }
 
+  test("contamination finds shared-shingle pairs, counts distinct shingles") {
+    val train = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"), // shares 5-grams w/ b1
+      (101L, "totally unrelated words here nothing shared"),
+      (102L, "alpha beta gamma delta epsilon")       // exactly one 5-gram
+    ).toDF("id", "text")
+    val bench = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "other eval content entirely")).toDF("id", "text")
+    val out = Corpus.contamination(train, "text", "id", bench, "text", "id",
+      k = 5).orderBy("id", "bench_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    // 100 shares both 5-grams of b1; 102 shares the first one only
+    assert(out == Seq((100L, 1L, 2L), (102L, 1L, 1L)))
+  }
+
   test("redact replaces urls, emails, phones, and IPs in order") {
     val df = Seq(
       "mail me at first.last+tag@sub.example.co.uk today",
