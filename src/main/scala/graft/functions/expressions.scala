@@ -279,6 +279,81 @@ case class MinHashSignature(child: Expression, numHashes: Int, shingleK: Int)
     copy(child = c)
 }
 
+/** All `k`-token shingle hashes of a token-hash array — the string-free
+  * form of [[graft.text.TextFunctions.wordShingles]] for joins that only
+  * need shingle IDENTITY (decontamination, shingle-level dedup): the
+  * slice+array_join formulation materializes a string per shingle, measured
+  * 10×+ slower. Same combine as [[MinHashSignature]] plus a murmur3
+  * finalizer; two shingles share a hash iff their token-hash windows match
+  * (mod ~2⁻⁶⁴ collisions). Fewer than `k` tokens → empty array. */
+case class ShingleHashes(child: Expression, shingleK: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes needs array<bigint>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < shingleK)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.empty[Long])
+    val out = new Array[Long](n - shingleK + 1)
+    var i = 0
+    while (i <= n - shingleK) {
+      var sh = 0L
+      var j = 0
+      while (j < shingleK) {
+        sh ^= arr.getLong(i + j) + 0x9e3779b97f4a7c15L + (sh << 6) + (sh >>> 2)
+        j += 1
+      }
+      sh ^= (sh >>> 33); sh *= 0xff51afd7ed558ccdL
+      sh ^= (sh >>> 33); sh *= 0xc4ceb9fe1a85ec53L
+      sh ^= (sh >>> 33)
+      out(i) = sh
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val i = ctx.freshName("i"); val sh = ctx.freshName("sh")
+      val j = ctx.freshName("j")
+      s"""
+       |int $n = $a.numElements();
+       |long[] $out;
+       |if ($n < $shingleK) {
+       |  $out = new long[0];
+       |} else {
+       |  $out = new long[$n - $shingleK + 1];
+       |  for (int $i = 0; $i <= $n - $shingleK; $i++) {
+       |    long $sh = 0L;
+       |    for (int $j = 0; $j < $shingleK; $j++) {
+       |      $sh ^= $a.getLong($i + $j) + 0x9e3779b97f4a7c15L + ($sh << 6)
+       |            + ($sh >>> 2);
+       |    }
+       |    $sh ^= ($sh >>> 33); $sh *= 0xff51afd7ed558ccdL;
+       |    $sh ^= ($sh >>> 33); $sh *= 0xc4ceb9fe1a85ec53L;
+       |    $sh ^= ($sh >>> 33);
+       |    $out[$i] = $sh;
+       |  }
+       |}
+       |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+       |  .fromPrimitiveArray($out);
+     """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): ShingleHashes =
+    copy(child = c)
+}
+
 /** Column-level entry points for graft's custom expressions. */
 object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column =
@@ -294,6 +369,9 @@ object GraftFunctions {
       tokenHashes: Column, numHashes: Int, shingleK: Int = 1): Column =
     Bridge.column(MinHashSignature(Bridge.expression(tokenHashes), numHashes,
       shingleK))
+
+  def shingle_hashes(tokenHashes: Column, shingleK: Int): Column =
+    Bridge.column(ShingleHashes(Bridge.expression(tokenHashes), shingleK))
 
   /** Optional SQL registration (`SELECT cosine_sim(a, b) ...`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

