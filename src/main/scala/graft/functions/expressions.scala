@@ -196,12 +196,16 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   */
 case class MinHashSignature(child: Expression, numHashes: Int, shingleK: Int)
     extends UnaryExpression {
+  require(numHashes >= 1 && shingleK >= 1,
+    s"need numHashes >= 1 and shingleK >= 1, got $numHashes/$shingleK")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // containsNull must be false: getLong on a null slot silently reads 0
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"minhash needs array<bigint>, got ${t.sql}")
+      s"minhash needs array<bigint> without null elements, got ${t.sql}")
   }
 
   // deterministic per-position seeds; remix = murmur3 64-bit finalizer
@@ -288,12 +292,16 @@ case class MinHashSignature(child: Expression, numHashes: Int, shingleK: Int)
   * (mod ~2⁻⁶⁴ collisions). Fewer than `k` tokens → empty array. */
 case class ShingleHashes(child: Expression, shingleK: Int)
     extends UnaryExpression {
+  require(shingleK >= 1, s"shingle size must be >= 1, got $shingleK")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // containsNull must be false: getLong on a null slot silently reads 0,
+  // so a null element would collide with a token hashing to 0
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"shingle_hashes needs array<bigint>, got ${t.sql}")
+      s"shingle_hashes needs array<bigint> without null elements, got ${t.sql}")
   }
 
   override def nullSafeEval(a: Any): Any = {

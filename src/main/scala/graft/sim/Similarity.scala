@@ -127,9 +127,13 @@ object Similarity {
       .join(qb.drop(qVecCol), Seq("band", "bucket"))
       .select(col(qIdCol), col(idCol), col(vecCol))
       .distinct()
+    // the raw queries frame, NOT qb: re-reading qb here would re-evaluate
+    // the 48-plane signature + (r+1)-probe explode just to distinct it
+    // back to one row per query; dropDuplicates(qIdCol) guards duplicate
+    // query ids without hashing the vector array
     val scored = cand
-      .join(broadcast(qb.select(col(qIdCol), col(qVecCol)).distinct()),
-        qIdCol)
+      .join(broadcast(queries.select(col(qIdCol), col(qVecCol))
+        .dropDuplicates(qIdCol)), qIdCol)
       .select(col(qIdCol),
         struct(cosine(col(vecCol), col(qVecCol)).as("score"),
           col(idCol).cast("long").as("id")).as("__cand"))

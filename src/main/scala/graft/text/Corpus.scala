@@ -71,12 +71,16 @@ object Corpus {
     when(hashUniform(groupCol) < testFrac, "test").otherwise("train")
 
   /** Convenience: (train, test) frames from [[splitLabel]]. Both are pure
-    * filters over one scan — no shuffle, no materialization. */
+    * filters over one scan — no shuffle, no materialization. Defined VIA
+    * splitLabel so the two forms agree on null group keys: a raw
+    * `hashUniform < frac` filter pair would drop null-keyed rows from BOTH
+    * sides (NULL comparison), silently losing rows; here they land in
+    * train, like splitLabel's otherwise branch. */
   def trainTestSplit(
       df: DataFrame, groupCol: String,
       testFrac: Double): (DataFrame, DataFrame) = {
-    val u = hashUniform(col(groupCol))
-    (df.filter(u >= testFrac), df.filter(u < testFrac))
+    val lbl = splitLabel(col(groupCol), testFrac)
+    (df.filter(lbl === "train"), df.filter(lbl === "test"))
   }
 
   /** Benchmark decontamination: training docs sharing at least
@@ -97,6 +101,7 @@ object Corpus {
       docs: DataFrame, textCol: String, idCol: String,
       bench: DataFrame, benchTextCol: String, benchIdCol: String,
       k: Int = 5, minShared: Int = 1): DataFrame = {
+    require(k >= 1, s"shingle size k must be >= 1, got $k")
     def shingled(df: DataFrame, text: String, id: String, outId: String) =
       df.select(col(id).as(outId),
           explode(array_distinct(graft.functions.GraftFunctions.shingle_hashes(

@@ -45,6 +45,17 @@ class CorpusSpec extends SparkSpec {
     assert(testSrcs.nonEmpty && trainSrcs.nonEmpty)
   }
 
+  test("null group keys land in train (not dropped), both split forms agree") {
+    val df = Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, "b"))
+      .toDF("id", "src")
+    val (train, test) = Corpus.trainTestSplit(df, "src", 0.5)
+    assert(train.count() + test.count() == 3, "a null-keyed row was dropped")
+    val labeled = df.withColumn("s", Corpus.splitLabel(col("src"), 0.5))
+    assert(labeled.filter(col("src").isNull).select("s")
+      .as[String].head() == "train")
+    assert(train.filter(col("src").isNull).count() == 1)
+  }
+
   test("chunk windows with overlap, short docs, and empty text") {
     val df = Seq(
       (1L, "a b c d e f g h i j"), // 10 tokens, chunk 4 overlap 1 → step 3
