@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.ml.{Estimator, Model, Pipeline, PipelineStage, Transformer}
+import org.apache.spark.ml.{Estimator, Model, Pipeline, PipelineModel, PipelineStage, Transformer}
 import org.apache.spark.ml.param.ParamMap
 import org.apache.spark.ml.util.Identifiable
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
@@ -83,8 +83,20 @@ abstract class GraftEstimator[M <: GraftModel[M]] extends Estimator[M] {
 /** Pipeline factory mirroring `DataframePipeline(steps=[...])`
   * (dfpipeline/DataframePipeline.py:34-46) on `spark.ml.Pipeline` —
   * `fit`/`transform`/`fit_transform` interleaving (ibid:48-107) is exactly
-  * `Pipeline.fit` + `PipelineModel.transform`. */
+  * `Pipeline.fit` + `PipelineModel.transform`. The returned pipeline fits
+  * with shared-scan fit fusion ([[FitFusion]]): consecutive independent
+  * estimator fits over the same key collapse into one aggregation job. */
 object DFPipeline {
   def apply(stages: PipelineStage*): Pipeline =
-    new Pipeline().setStages(stages.toArray)
+    new GraftPipeline().setStages(stages.toArray)
+}
+
+/** `Pipeline` whose `fit` groups mutually-independent estimator fits into
+  * shared scans (see [[FitFusion]]); the result is a plain `PipelineModel`
+  * with identical stage models. */
+class GraftPipeline extends Pipeline {
+  override def setStages(value: Array[_ <: PipelineStage]): this.type =
+    { super.setStages(value); this }
+  override def fit(dataset: Dataset[_]): PipelineModel =
+    FitFusion.fitPipeline(getStages, dataset.toDF())
 }

@@ -89,6 +89,10 @@ class ComplementLabelEncoder(
     outs.foldLeft(schema)((s, o) => GraftSchema.withField(s, o, IntegerType))
   }
 
+  /** (inputs, outputs, maxCollect) for [[FitFusion]]'s shared-scan fit. */
+  private[operators] def fuseInfo: (Seq[String], Seq[String], Long) =
+    (inputs, outputs, maxCollect)
+
   override def fitDF(df: DataFrame): ComplementLabelEncoderModel = {
     val ins = GraftSchema.resolve(inputs, df)
     val outs = if (outputs.isEmpty) ins else outputs
@@ -201,6 +205,10 @@ class FrequencyEncoder(
     extends GraftEstimator[FrequencyEncoderModel] {
   require(inputs.length == outputs.length)
 
+  /** (inputs, outputs, normalize, maxCollect) for [[FitFusion]]. */
+  private[operators] def fuseInfo: (Seq[String], Seq[String], Boolean, Long) =
+    (inputs, outputs, normalize, maxCollect)
+
   override def transformSchema(schema: StructType): StructType =
     outputs.foldLeft(schema)((s, o) => GraftSchema.withField(s, o,
       if (normalize) DoubleType else LongType))
@@ -300,6 +308,11 @@ class Aggregator(
 
   private def aggOf(c: Column): Column =
     customAgg.fold(Aggregator.aggExpr(func, c))(f => f(c))
+
+  /** (inputs, outputs, groupby, func) for [[FitFusion]]. */
+  private[operators] def fuseInfo: (Seq[String], Seq[String], Seq[String], String) =
+    (inputs, outputs, groupby, func)
+  private[operators] def fuseAgg(c: Column): Column = aggOf(c)
 
   override def transformSchema(schema: StructType): StructType =
     inputs.zip(outputs).foldLeft(schema) { case (s, (in, out)) =>
@@ -432,6 +445,10 @@ class Scaler(inputs: Seq[String], outputs: Seq[String], strategy: String)
     extends GraftEstimator[ScalerModel] {
   require(inputs.length == outputs.length)
 
+  /** (inputs, outputs, strategy) for [[FitFusion]]'s one-pass scalar fit. */
+  private[operators] def fuseInfo: (Seq[String], Seq[String], String) =
+    (inputs, outputs, strategy)
+
   override def transformSchema(schema: StructType): StructType =
     inputs.zip(outputs).foldLeft(schema) { case (s, (in, out)) =>
       val dt =
@@ -493,6 +510,8 @@ class ScalerModel(
   */
 class OneHotEncoder(columns: Seq[String])
     extends GraftEstimator[OneHotEncoderModel] {
+  private[operators] def fuseCols: Seq[String] = columns
+
   override def fitDF(df: DataFrame): OneHotEncoderModel = {
     val byCol = Lookup.distinctPairs(df, columns).groupBy(_.getInt(0))
     val cats = columns.indices.map { i =>

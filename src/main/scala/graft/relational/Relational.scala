@@ -122,6 +122,71 @@ object Relational {
         rightCols.map(c => col(s"__rrow.$c").as(c)): _*)
   }
 
+  /** Sessionization: assign each row a per-key session index, where a new
+    * session starts whenever the gap to the key's previous event exceeds
+    * `gapSeconds`. The classic lag-flag-cumsum composition: one shuffle on
+    * `byCols`, both window functions share the same (byCols, ts, id) sort —
+    * a single window pass. `idCol` breaks timestamp ties deterministically
+    * (equal-ts events never open a session between them: their gap is 0).
+    * Output: input columns + `session_index` (0-based per key) — build a
+    * global id as e.g. `concat(key, '_', session_index)` if needed.
+    *
+    * At scale this is the streaming-sessionization batch twin: a key's
+    * whole history sorts within one task (inherent to per-key ordering);
+    * for multi-year reprocessing, pre-split by coarse time range first. */
+  def sessionize(
+      df: DataFrame, byCols: Seq[String], tsCol: String, idCol: String,
+      gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, "gapSeconds must be > 0")
+    val order = Seq(col(tsCol).asc, col(idCol).asc)
+    val w = Window.partitionBy(byCols.map(col): _*).orderBy(order: _*)
+    val gapUs = gapSeconds * 1000000L
+    val prev = lag(unix_micros(col(tsCol)), 1).over(w)
+    val newSession = when(
+      prev.isNull || unix_micros(col(tsCol)) - prev > gapUs, 1L).otherwise(0L)
+    df.withColumn("__new", newSession)
+      .withColumn("session_index", (sum(col("__new")).over(w) - 1L))
+      .drop("__new")
+  }
+
+  /** Interval (range) join: every (left, right) pair in the same `keys`
+    * group with `right.ts ∈ [left.ts + lowerUs, left.ts + upperUs]`
+    * (bounds inclusive, microsecond columns). Spark plans a raw
+    * inequality-join as BroadcastNestedLoop (quadratic); this is the binned
+    * formulation every scale engine uses: bin width = window width, the
+    * right side lands in one bin, the left side probes the (at most two)
+    * bins its window can overlap, the join is a plain equi-join on
+    * (keys, bin), and the exact predicate filters afterwards. Shuffle cost:
+    * ≤2× left + 1× right rows, hash-partitioned — never a nested loop.
+    * Output: all left columns + `rightCols` (which must not collide). */
+  def rangeJoin(
+      left: DataFrame, right: DataFrame,
+      leftTsUs: String, rightTsUs: String, keys: Seq[String],
+      lowerUs: Long, upperUs: Long, rightCols: Seq[String]): DataFrame = {
+    require(upperUs > lowerUs, "need upperUs > lowerUs")
+    val collisions = (rightCols :+ rightTsUs).toSet.intersect(
+      left.columns.toSet)
+    require(collisions.isEmpty, s"rename right columns $collisions")
+    val width = upperUs - lowerUs
+    // floorDiv in exact long arithmetic: subtracting the (always
+    // non-negative) pmod makes the numerator exactly divisible, so the
+    // double division is exact for |ts| < 2^53 µs (~year 2255) — no
+    // float-boundary bin flips; plain `/` or floor(double) would round
+    def binOf(c: org.apache.spark.sql.Column) =
+      ((c - pmod(c, lit(width))) / lit(width)).cast("long")
+    val l = left
+      .withColumn("__bin", explode(array_distinct(array(
+        binOf(col(leftTsUs) + lit(lowerUs)),
+        binOf(col(leftTsUs) + lit(upperUs))))))
+    val r = right
+      .select(keys.map(col) ++ (rightTsUs +: rightCols).map(col): _*)
+      .withColumn("__bin", binOf(col(rightTsUs)))
+    l.join(r, keys :+ "__bin")
+      .filter(col(rightTsUs).between(
+        col(leftTsUs) + lit(lowerUs), col(leftTsUs) + lit(upperUs)))
+      .drop("__bin")
+  }
+
   /** Write a bucketed, sorted parquet table: rows hash-partitioned into
     * `numBuckets` files per partition by `keys`. Two tables bucketed the
     * same way equi-join WITHOUT a shuffle (verified in RelationalSpec — no
