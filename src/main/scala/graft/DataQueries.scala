@@ -259,6 +259,67 @@ object DataQueries {
             .as("max_err"))
     }),
 
+    // sessionization: 30-min-gap sessions per user over the event stream
+    "q_sessionize" -> ((s, d) =>
+      graft.relational.Relational.sessionize(
+        readEvents(s, d), Seq("user_id"), "ts", "event_id", 1800L)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("session_index"))),
+
+    // corpus mixing with weights: en upsampled 2.5x, de halved, rest kept
+    "q_mix" -> ((s, d) =>
+      graft.text.Corpus.mixSources(t(s, d, "documents"), "doc_id", "lang",
+          Map("en" -> 2.5, "de" -> 0.5), 1.0)
+        .select("doc_id", "lang", "copy_id")),
+
+    // cross-document repeated 5-gram spans (word-level substring dedup)
+    "q_span_dedup" -> ((s, d) =>
+      graft.text.Dedup.duplicateSpans(t(s, d, "documents"), "text",
+        "doc_id", k = 5, minDocs = 2)),
+
+    // duplicate clusters: LSH candidates → exact-Jaccard verify (the
+    // oracle-exact q_dedup_minhash edge set) → connected components
+    "q_dup_components" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val cand = Dedup.minHashLSH(docs, "text", "doc_id",
+        minEstJaccard = 0.5, maxBucket = 1000000)
+      val pairs = Dedup.verifyJaccard(cand.select("id_a", "id_b"), docs,
+        "text", "doc_id", shingleK = 3, threshold = 0.8)
+      Dedup.duplicateComponents(pairs.select("id_a", "id_b"))
+        .select(col("id_a").as("doc_id"), col("component"))
+    }),
+
+    // Gopher-style repetition quality signals (pure per-row expressions)
+    "q_quality_rep" -> ((s, d) => {
+      val toks = graft.text.TextFunctions.tokensLower(col("text"))
+      t(s, d, "documents")
+        .withColumn("__t", toks)
+        .select(col("doc_id"),
+          graft.text.TextFunctions.typeTokenRatioT(col("__t")).as("ttr"),
+          graft.text.TextFunctions.topTokenFracT(col("__t"))
+            .as("top_token_frac"),
+          graft.text.TextFunctions.dupSentenceFrac(col("text"))
+            .as("dup_sent_frac"))
+    }),
+
+    // interval join: every click within the hour before each purchase,
+    // binned equi-join (never a nested loop)
+    "q_range_join" -> ((s, d) => {
+      val ev = readEvents(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          unix_micros(col("ts")).as("p_ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("c_ts_us"),
+          col("event_id").as("c_id"), col("value").as("click_value"))
+      graft.relational.Relational.rangeJoin(purchases, clicks,
+          "p_ts_us", "c_ts_us", Seq("user_id"),
+          lowerUs = -3600000000L, upperUs = 0L,
+          rightCols = Seq("c_id", "click_value"))
+        .select("p_id", "user_id", "p_ts_us", "c_id", "c_ts_us",
+          "click_value")
+    }),
+
     // PII redaction over text with deterministic planted PII (the corpus
     // itself is synthetic prose, so plant all four pattern kinds)
     "q_redact" -> ((s, d) =>
@@ -563,6 +624,115 @@ object DataQueries {
              list_max(list_transform(list_zip(ws, qs),
                p -> abs(p[1] - CAST(p[2] AS DOUBLE) * scale))) AS max_err
            FROM q""",
+
+      // session_index must be BIGINT on both sides (DuckDB SUM(int) is
+      // HUGEINT); unique (tsu, event_id) ordering makes RANGE==ROWS frames
+      "q_sessionize" ->
+        """SELECT event_id, user_id, tsu AS ts_us,
+             CAST(SUM(CASE WHEN prev IS NULL OR tsu - prev > 1800000000
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+                  AS BIGINT) - 1 AS session_index
+           FROM (SELECT event_id, user_id, epoch_us(ts) AS tsu,
+                   lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(ts), event_id) AS prev
+                 FROM events)""",
+
+      // identical md5-hash keep/upsample decisions (see q_sample_stratified)
+      "q_mix" ->
+        """WITH w AS (
+             SELECT doc_id, lang,
+               CASE WHEN lang = 'en' THEN 2.5
+                    WHEN lang = 'de' THEN 0.5 ELSE 1.0 END AS w,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) / 1152921504606846976.0 AS h
+             FROM documents),
+           r AS (
+             SELECT doc_id, lang,
+               CAST(floor(w) AS INTEGER) +
+                 CASE WHEN h < w - floor(w) THEN 1 ELSE 0 END AS reps
+             FROM w)
+           SELECT doc_id, lang, CAST(u AS INTEGER) AS copy_id
+           FROM r, LATERAL (SELECT unnest(range(reps)) AS u)""",
+
+      // same md5 gram fingerprints, same per-doc-distinct counting
+      "q_span_dedup" ->
+        """WITH g AS (
+             SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(1, len(ws) - 3),
+                 i -> md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                          ws[i+3] || ' ' || ws[i+4])))) AS gram
+             FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+                   FROM documents)),
+           f AS (SELECT gram, count(*) AS n_docs FROM g GROUP BY 1),
+           t AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
+           dp AS (SELECT g.doc_id, count(*) AS n_dup FROM g
+                  JOIN f USING (gram) WHERE f.n_docs >= 2 GROUP BY 1)
+           SELECT t.doc_id, t.n_grams,
+             coalesce(dp.n_dup, 0) AS n_dup_grams,
+             CAST(coalesce(dp.n_dup, 0) AS DOUBLE) / t.n_grams AS dup_frac
+           FROM t LEFT JOIN dp USING (doc_id)""",
+
+      // transitive closure over the brute-force Jaccard-0.8 pairs (the
+      // q_dedup_minhash edge set), component = min reachable id
+      "q_dup_components" ->
+        """WITH RECURSIVE sh AS (
+             SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+             FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+                   FROM documents)),
+           pairs AS (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM sh a, sh b WHERE a.doc_id < b.doc_id
+               AND len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) > 0
+               AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+                   (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+                   >= 0.8),
+           e AS (SELECT id_a AS a, id_b AS b FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+           reach(a, b) AS (
+             SELECT a, b FROM e
+             UNION
+             SELECT e.a, reach.b FROM e JOIN reach ON e.b = reach.a),
+           nodes AS (SELECT DISTINCT a AS node FROM e)
+           SELECT n.node AS doc_id,
+             least(n.node, min(r.b)) AS component
+           FROM nodes n LEFT JOIN reach r ON r.a = n.node
+           GROUP BY n.node""",
+
+      "q_quality_rep" ->
+        """WITH tk AS (
+             SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS ts,
+               list_filter(regexp_split_to_array(text, '\.\s+'),
+                           s -> len(trim(s)) > 0) AS sents
+             FROM documents)
+           SELECT doc_id,
+             CASE WHEN len(ts) = 0 THEN 0.0 ELSE
+               CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) END AS ttr,
+             CASE WHEN len(ts) = 0 THEN 0.0 ELSE
+               CAST(list_max(list_transform(list_distinct(ts),
+                      t -> len(list_filter(ts, x -> x = t)))) AS DOUBLE) /
+               len(ts) END AS top_token_frac,
+             CASE WHEN len(sents) = 0 THEN 0.0 ELSE
+               CAST(len(sents) - len(list_distinct(sents)) AS DOUBLE) /
+               len(sents) END AS dup_sent_frac
+           FROM tk""",
+
+      "q_range_join" ->
+        """SELECT p.event_id AS p_id, p.user_id, epoch_us(p.ts) AS p_ts_us,
+             c.event_id AS c_id, epoch_us(c.ts) AS c_ts_us,
+             c.value AS click_value
+           FROM events p JOIN events c
+             ON p.event_type = 'purchase' AND c.event_type = 'click'
+            AND p.user_id = c.user_id
+            AND epoch_us(c.ts)
+                BETWEEN epoch_us(p.ts) - 3600000000 AND epoch_us(p.ts)""",
 
       "q_redact" ->
         """SELECT doc_id,

@@ -96,6 +96,56 @@ object Streaming {
       .filter(col(idCol) =!= col("corpus_id"))
       .select(col(idCol), col("corpus_id"))
 
+  /** Input to [[asofStream]]: left rows (`is_right = false`) are matched,
+    * right rows (`is_right = true`) are remembered. */
+  case class TaggedEvent(
+    user_id: Long, ts_us: Long, is_right: Boolean, value: Double,
+    event_id: Long)
+  case class AsofMatch(
+    event_id: Long, user_id: Long, ts_us: Long,
+    right_value: Option[Double], right_ts_us: Option[Long])
+  case class RightBuffer(tsValues: List[(Long, Double)])
+
+  /** Streaming backward as-of join (Flink-style temporal join): each left
+    * event matches the most recent right event of the same key with
+    * `right.ts <= left.ts` — the streaming twin of
+    * [[graft.relational.Relational.asofJoin]]. Per-key state is a bounded
+    * buffer of the latest `maxBuffer` right events (ts-sorted); within a
+    * micro-batch events process in (ts, right-first) order, so equal-ts
+    * rights match their lefts like batch ASOF. Exact whenever the matching
+    * right arrives no later than the micro-batch of its left and within the
+    * buffer horizon; a right arriving in a LATER batch than a left it
+    * should have matched is missed (append mode emits each left once) —
+    * the same trade every streaming temporal join makes; re-run the batch
+    * asofJoin over the sink where perfect late-data handling matters. */
+  def asofStream(
+      events: Dataset[TaggedEvent],
+      maxBuffer: Int = 64): Dataset[AsofMatch] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[TaggedEvent],
+         state: GroupState[RightBuffer]) =>
+          // rights sort before lefts at equal ts (ties match, like DuckDB)
+          val batch = it.toVector.sortBy(e => (e.ts_us, !e.is_right))
+          var buf = state.getOption.map(_.tsValues).getOrElse(Nil)
+          val out = Vector.newBuilder[AsofMatch]
+          batch.foreach { e =>
+            if (e.is_right)
+              buf = ((e.ts_us, e.value) :: buf).sortBy(_._1)
+                .takeRight(maxBuffer)
+            else {
+              val m = buf.filter(_._1 <= e.ts_us).lastOption
+              out += AsofMatch(e.event_id, uid, e.ts_us,
+                m.map(_._2), m.map(_._1))
+            }
+          }
+          state.update(RightBuffer(buf))
+          out.result().iterator
+      }
+  }
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserRunning(user_id: Long, n: Long, total: Double)
 

@@ -61,6 +61,35 @@ object Corpus {
         size(split(col("chunk_text"), "\\s+")).cast("long"))
   }
 
+  /** Corpus mixing with per-stratum WEIGHTS, the generalization of
+    * [[stratifiedSample]] a training-data pipeline actually runs: weight
+    * w < 1 downsamples (keep with probability w), w > 1 upsamples (every
+    * row emitted ⌊w⌋ times, plus once more with probability w − ⌊w⌋ — e.g.
+    * w = 2.3 → 2 or 3 copies). Output = input columns + `copy_id`
+    * (0-based), so downstream shuffling/sharding can tell copies apart.
+    *
+    * Deterministic and engine-portable like [[hashUniform]] (the fractional
+    * decision hashes `idCol`): replays identically under task retries and
+    * in any SQL engine. A pure project + explode — no shuffle; row count
+    * multiplies by ~w per stratum, so at 100 TB project away columns you
+    * don't need before upsampling. */
+  def mixSources(
+      df: DataFrame, idCol: String, stratumCol: String,
+      weights: Map[String, Double], defaultWeight: Double): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0.0),
+      "weights must be >= 0")
+    val w = weights.foldRight(lit(defaultWeight): Column) {
+      case ((s, r), acc) => when(col(stratumCol) === s, lit(r)).otherwise(acc)
+    }
+    val reps = (floor(w) +
+      when(hashUniform(col(idCol)) < w - floor(w), 1).otherwise(0))
+      .cast("int")
+    // explode drops rows where the array is null (reps == 0) — exactly the
+    // downsample-discard case
+    df.withColumn("copy_id",
+      explode(when(reps >= 1, sequence(lit(0), reps - 1))))
+  }
+
   /** Leakage-safe split label: assigns the whole GROUP (all rows sharing
     * `groupCol`) to "test" iff hashUniform(group) < testFrac, else "train".
     * Splitting by row instead would let near-duplicate documents of one

@@ -202,6 +202,100 @@ object Dedup {
     result
   }
 
+  /** Cross-document repeated-span statistics — the word-k-gram
+    * approximation of substring dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better": repeated ≥50-token spans
+    * are memorization fuel). For every doc: how many of its distinct word
+    * `k`-grams also appear in at least `minDocs − 1` OTHER docs, and the
+    * duplicated fraction. Docs shorter than `k` tokens emit no grams and
+    * are absent from the output.
+    *
+    * Shape at 100 TB: each doc explodes to its DISTINCT gram fingerprints
+    * (md5 of the gram text — engine-portable, so the oracle replays it;
+    * swap in xxhash64 to halve shuffle bytes when portability isn't
+    * needed), the gram-frequency aggregate pre-combines map-side, and the
+    * per-doc stats are two narrow aggregates — never an all-pairs doc
+    * comparison. Output: (idCol, n_grams, n_dup_grams, dup_frac). */
+  def duplicateSpans(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int = 10, minDocs: Int = 2): DataFrame = {
+    require(k >= 1 && minDocs >= 2, "need k >= 1, minDocs >= 2")
+    val toks = TextFunctions.tokensLower(col(textCol))
+    // guard: sequence(1, 0) would generate a DESCENDING [1, 0] range
+    val grams = when(size(toks) >= k,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - (k - 1)),
+        i => md5(array_join(slice(toks, i, lit(k)), " ").cast("binary")))))
+    // the gram explode feeds three aggregates — persist so it runs once
+    val g = df.select(col(idCol), explode(grams).as("__gram")).persist()
+    // per-doc-distinct grams → count(*) per gram == containing-doc count
+    val freq = g.groupBy("__gram").agg(count(lit(1)).as("__n_docs"))
+    val dups = g.join(freq.filter(col("__n_docs") >= minDocs), "__gram")
+      .groupBy(idCol).agg(count(lit(1)).as("n_dup_grams"))
+    val totals = g.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
+    val result = totals.join(dups, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        (coalesce(col("n_dup_grams"), lit(0L)) / col("n_grams"))
+          .as("dup_frac"))
+      .persist()
+    result.count() // materialize, then release the gram cache
+    g.unpersist(blocking = false)
+    result
+  }
+
+  /** Connected components over a near-duplicate pair list: every doc in a
+    * transitive duplicate cluster gets the cluster's smallest id as
+    * `component` — the canonical-representative step after LSH + verify
+    * (keep one doc per component, drop the rest). Distributed min-label
+    * propagation: each round every node takes the min of its own and its
+    * neighbors' labels (one join + one aggregate per round), converging in
+    * O(cluster diameter) rounds — near-dup clusters are dense (verify
+    * emits most intra-cluster pairs), so diameter is small; `maxIter`
+    * bounds pathological chains. Only docs appearing in `pairs` are
+    * labeled (isolated docs are their own component trivially). */
+  def duplicateComponents(
+      pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
+      .union(pairs.select(col(idB).as("a"), col(idA).as("b")))
+      .distinct().persist()
+    // localCheckpoint (not persist): each round's plan would otherwise
+    // nest the whole previous round's plan — after ~10 rounds the lineage
+    // tree alone OOMs the driver. Checkpointing truncates lineage per
+    // round; on a cluster with a checkpoint dir configured, swap in
+    // reliable `checkpoint()` for fault tolerance across executor loss.
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint(eager = true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("b"),
+          col("component").as("__nbr")), "b")
+        .groupBy(col("a").as("node")).agg(min("__nbr").as("__nbr"))
+      val next = labels
+        .join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("__nbr"), col("component")))
+            .as("component"))
+        .localCheckpoint(eager = true)
+      changed = next
+        .join(labels.select(col("node"), col("component").as("__old")),
+          "node")
+        .filter(col("component") =!= col("__old")).count()
+      labels = next
+      it += 1
+    }
+    if (changed > 0)
+      log.warn(s"duplicateComponents: not converged after $maxIter rounds " +
+        "(a duplicate chain longer than maxIter links); labels are an " +
+        "upper bound — raise maxIter")
+    edges.unpersist(blocking = false)
+    labels.withColumnRenamed("node", idA)
+  }
+
   /** Verify candidate pairs with exact n-gram Jaccard: join the texts back
     * and keep pairs at or above `threshold`. */
   def verifyJaccard(

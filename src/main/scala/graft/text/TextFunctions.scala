@@ -105,6 +105,40 @@ object TextFunctions {
         i => array_join(slice(ws, i, lit(k)), " ")))
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1: repetitious
+    * documents are low-quality / memorization fuel), as pure per-row
+    * expressions over a pre-split token array — no shuffle. */
+
+  /** Type-token ratio: distinct tokens / tokens (1.0 = no repetition);
+    * 0 for empty. */
+  def typeTokenRatioT(ts: Column): Column =
+    when(size(ts) === 0, 0.0).otherwise(
+      size(array_distinct(ts)).cast("double") / size(ts).cast("double"))
+
+  /** Fraction of tokens taken by the single most frequent token; 0 for
+    * empty. Per-row O(distinct × tokens) — fine for documents; at extreme
+    * doc lengths switch to the explode + groupBy formulation. */
+  def topTokenFracT(ts: Column): Column =
+    when(size(ts) === 0, 0.0).otherwise(
+      array_max(transform(array_distinct(ts),
+        t => size(filter(ts, x => x === t))))
+        .cast("double") / size(ts).cast("double"))
+
+  /** Sentences: split on '.' + whitespace, empties dropped (Spark's split
+    * trims trailing empties, DuckDB's keeps them — filtering makes both
+    * engines agree). */
+  def sentences(c: Column): Column =
+    filter(split(c, "\\.\\s+"), s => length(trim(s)) > 0)
+
+  /** Fraction of a document's sentences that duplicate an earlier one —
+    * the duplicate-line fraction from the Gopher rules, over sentences. */
+  def dupSentenceFrac(c: Column): Column = {
+    val s = sentences(c)
+    when(size(s) === 0, 0.0).otherwise(
+      (size(s) - size(array_distinct(s))).cast("double") /
+        size(s).cast("double"))
+  }
+
   /** Exact n-gram Jaccard similarity of two texts' shingle sets. */
   def ngramJaccard(a: Column, b: Column, k: Int): Column = {
     val (da, db) = (array_distinct(wordShingles(a, k)),

@@ -1,0 +1,247 @@
+package graft
+
+import graft.relational.Relational
+import graft.streaming.Streaming
+import graft.text.{Corpus, Dedup, TextFunctions}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Round-3 operators: sessionization, interval (range) join, weighted
+  * corpus mixing, repeated-span detection, duplicate-cluster components,
+  * repetition-quality signals, and the streaming as-of join. */
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gap > 30 min opens a new session; ties never split") {
+    val us = 1000000L
+    val df = Seq(
+      // user 1: events at 0s, 10s, same-ts tie, 2000s (gap>1800), 2100s
+      (1L, 0L * us, 10L), (1L, 10L * us, 11L), (1L, 10L * us, 12L),
+      (1L, 2000L * us, 13L), (1L, 2100L * us, 14L),
+      // user 2: single event
+      (2L, 5L * us, 20L))
+      .toDF("user_id", "ts_us", "event_id")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val out = Relational.sessionize(df, Seq("user_id"), "ts", "event_id",
+      gapSeconds = 1800L)
+    val got = out.select("event_id", "session_index").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 0L, 11L -> 0L, 12L -> 0L, 13L -> 1L,
+      14L -> 1L, 20L -> 0L))
+  }
+
+  test("exactly-at-gap boundary stays in the session (strict >)") {
+    val us = 1000000L
+    val df = Seq((1L, 0L * us, 1L), (1L, 1800L * us, 2L))
+      .toDF("user_id", "ts_us", "event_id")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val out = Relational.sessionize(df, Seq("user_id"), "ts", "event_id", 1800L)
+    assert(out.select("session_index").collect().map(_.getLong(0)).toSet
+      == Set(0L))
+  }
+}
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("binned interval join equals the brute-force inequality join") {
+    val left = Seq((1L, 100L, 1000L), (1L, 101L, 5000L), (2L, 102L, 1000L))
+      .toDF("user_id", "p_id", "p_ts_us")
+    val right = Seq(
+      (1L, 201L, 900L), (1L, 202L, 1000L), (1L, 203L, 4500L),
+      (1L, 204L, 6000L), (2L, 205L, 100L), (3L, 206L, 1000L))
+      .toDF("user_id", "c_id", "c_ts_us")
+    val out = Relational.rangeJoin(left, right, "p_ts_us", "c_ts_us",
+      Seq("user_id"), lowerUs = -500L, upperUs = 0L,
+      rightCols = Seq("c_id"))
+    val got = out.select("p_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: c_ts in [p_ts-500, p_ts], same user
+    val expected = Set((100L, 201L), (100L, 202L), (101L, 203L))
+    assert(got == expected)
+
+    val brute = left.join(right, "user_id")
+      .filter(col("c_ts_us").between(col("p_ts_us") - 500, col("p_ts_us")))
+      .select("p_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute)
+  }
+
+  test("bin-boundary values match (exact long binning)") {
+    // window width 1000; right ts exactly at left+upper and left+lower
+    val left = Seq((1L, 1L, 10000L)).toDF("k", "p_id", "lts")
+    val right = Seq((1L, 2L, 9000L), (1L, 3L, 10000L), (1L, 4L, 8999L),
+      (1L, 5L, 10001L)).toDF("k", "c_id", "rts")
+    val out = Relational.rangeJoin(left, right, "lts", "rts", Seq("k"),
+      -1000L, 0L, Seq("c_id"))
+    assert(out.select("c_id").collect().map(_.getLong(0)).toSet
+      == Set(2L, 3L))
+  }
+
+  test("no broadcast-nested-loop in the plan") {
+    val left = Seq((1L, 1L, 10000L)).toDF("k", "p_id", "lts")
+    val right = Seq((1L, 2L, 9000L)).toDF("k", "c_id", "rts")
+    val plan = Relational.rangeJoin(left, right, "lts", "rts", Seq("k"),
+      -1000L, 0L, Seq("c_id")).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
+
+class MixSourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = (0L until 400L).map(i =>
+    (i, if (i % 2 == 0) "en" else "de")).toDF("id", "src")
+
+  test("integer weights repeat rows exactly") {
+    val out = Corpus.mixSources(docs, "id", "src",
+      Map("en" -> 3.0, "de" -> 1.0), 1.0)
+    val bySrc = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("en" -> 600L, "de" -> 200L))
+    // copy ids are 0..2 per en row
+    assert(out.filter(col("src") === "en").groupBy("id").count()
+      .select("count").distinct().collect().map(_.getLong(0)).toSeq
+      == Seq(3L))
+  }
+
+  test("fractional weights land near the expectation, deterministically") {
+    val out = Corpus.mixSources(docs, "id", "src",
+      Map("en" -> 2.5, "de" -> 0.5), 1.0)
+    val n = out.filter(col("src") === "en").count()
+    // 200 en docs × 2.5 = 500 expected; md5 uniformity keeps it close
+    assert(n > 450 && n < 550, s"en rows $n")
+    val n2 = Corpus.mixSources(docs, "id", "src",
+      Map("en" -> 2.5, "de" -> 0.5), 1.0)
+      .filter(col("src") === "en").count()
+    assert(n == n2, "mixing must be deterministic")
+  }
+
+  test("weight 0 drops the stratum") {
+    val out = Corpus.mixSources(docs, "id", "src", Map("de" -> 0.0), 1.0)
+    assert(out.filter(col("src") === "de").count() == 0)
+    assert(out.filter(col("src") === "en").count() == 200)
+  }
+}
+
+class SpanDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shared 5-gram spans are found; unique docs score 0") {
+    val boiler = "all rights reserved contact the publisher for details"
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta. $boiler"),
+      (2L, s"one two three four five six seven. $boiler"),
+      (3L, "completely unique text with no shared spans at all ok"),
+      (4L, "tiny"))
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, "text", "doc_id", k = 5, minDocs = 2)
+    val rows = out.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 4 has < 5 tokens → absent
+    assert(!rows.contains(4L))
+    assert(rows(3L)._2 == 0L)
+    // the 8-token boilerplate yields 4 shared 5-grams... but sentence glue
+    // creates grams spanning the '.'-joined boundary too — so assert ≥4
+    assert(rows(1L)._2 >= 4L && rows(2L)._2 >= 4L)
+    val fracs = out.filter(col("doc_id") === 3L)
+      .select("dup_frac").head().getDouble(0)
+    assert(fracs == 0.0)
+  }
+}
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("transitive clusters collapse to min-id components") {
+    // clusters {1,2,3} (chain), {7,8}, pair list never links 1-3 directly
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("long chain converges (diameter > 2 rounds)") {
+    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(0L) && got.size == 13)
+  }
+}
+
+class QualityRepSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetition signals: ttr, top-token fraction, duplicate sentences") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),
+      (2L, "all words here are different okay"),
+      (3L, "Buy now. Buy now. Totally new offer."),
+      (4L, ""))
+      .toDF("doc_id", "text")
+      .withColumn("__t", TextFunctions.tokensLower(col("text")))
+      .select(col("doc_id"),
+        TextFunctions.typeTokenRatioT(col("__t")).as("ttr"),
+        TextFunctions.topTokenFracT(col("__t")).as("ttf"),
+        TextFunctions.dupSentenceFrac(col("text")).as("dsf"))
+    val m = df.collect().map(r =>
+      r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(m(1L)._1 == 0.25 && m(1L)._2 == 1.0)
+    assert(m(2L)._1 == 1.0)
+    assert(math.abs(m(2L)._2 - 1.0 / 6.0) < 1e-12)
+    // "Buy now" duplicated: 3 sentences, 2 distinct → 1/3
+    assert(math.abs(m(3L)._3 - 1.0 / 3.0) < 1e-12)
+    // empty text: split yields [""] → filtered to empty → all zeros...
+    // except ttr/ttf see one empty token from split("") = [""]
+    assert(m(4L)._3 == 0.0)
+  }
+}
+
+class AsofStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming as-of matches batch asofJoin when arrival follows time") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Streaming.TaggedEvent]
+    val q = Streaming.asofStream(ms.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("asof_s").start()
+    try {
+      // batch 1: user 1 clicks at 100, 200; purchase at 150
+      ms.addData(
+        Streaming.TaggedEvent(1L, 100L, true, 10.0, 900L),
+        Streaming.TaggedEvent(1L, 150L, false, 0.0, 1L),
+        Streaming.TaggedEvent(1L, 200L, true, 20.0, 901L))
+      q.processAllAvailable()
+      // batch 2: purchase at 210 (matches click 200 from PREVIOUS batch —
+      // state carried); user 2 purchase with no clicks at all
+      ms.addData(
+        Streaming.TaggedEvent(1L, 210L, false, 0.0, 2L),
+        Streaming.TaggedEvent(2L, 500L, false, 0.0, 3L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("asof_s")
+      .select("event_id", "right_value", "right_ts_us").collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Double]),
+         Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+    assert(got == Map(
+      1L -> (Some(10.0), Some(100L)),
+      2L -> (Some(20.0), Some(200L)),
+      3L -> (None, None)))
+  }
+
+  test("equal-ts right matches its left (ASOF tie rule)") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Streaming.TaggedEvent]
+    val q = Streaming.asofStream(ms.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("asof_tie").start()
+    try {
+      ms.addData(
+        Streaming.TaggedEvent(1L, 100L, false, 0.0, 1L),
+        Streaming.TaggedEvent(1L, 100L, true, 42.0, 902L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val r = spark.table("asof_tie").select("right_value").head()
+    assert(r.getDouble(0) == 42.0)
+  }
+}
