@@ -1,7 +1,7 @@
 package graft.text
 
 import graft.functions.GraftFunctions
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -211,33 +211,37 @@ object Dedup {
     * are absent from the output.
     *
     * Shape at 100 TB: each doc explodes to its DISTINCT gram fingerprints
-    * (md5 of the gram text — engine-portable, so the oracle replays it;
-    * swap in xxhash64 to halve shuffle bytes when portability isn't
-    * needed), the gram-frequency aggregate pre-combines map-side, and the
-    * per-doc stats are two narrow aggregates — never an all-pairs doc
-    * comparison. Output: (idCol, n_grams, n_dup_grams, dup_frac). */
+    * via the fused [[graft.functions.ShingleHashes]] expression (8-byte
+    * xxhash combination of per-token hashes — no per-gram string ever
+    * materializes; same identity argument as [[graft.text.Corpus
+    * .contamination]]: collision odds ~2⁻⁶⁴ per gram pair, and the
+    * q_span_dedup oracle recomputes the counts from exact gram strings and
+    * matches), the gram-frequency aggregate pre-combines map-side, and the
+    * per-doc stats come from one mark-join + one aggregate — never an
+    * all-pairs doc comparison. Output: (idCol, n_grams, n_dup_grams,
+    * dup_frac). */
   def duplicateSpans(
       df: DataFrame, textCol: String, idCol: String,
       k: Int = 10, minDocs: Int = 2): DataFrame = {
     require(k >= 1 && minDocs >= 2, "need k >= 1, minDocs >= 2")
-    val toks = TextFunctions.tokensLower(col(textCol))
-    // guard: sequence(1, 0) would generate a DESCENDING [1, 0] range
-    val grams = when(size(toks) >= k,
-      array_distinct(transform(
-        sequence(lit(1), size(toks) - (k - 1)),
-        i => md5(array_join(slice(toks, i, lit(k)), " ").cast("binary")))))
-    // the gram explode feeds three aggregates — persist so it runs once
+    val grams0 = graft.functions.GraftFunctions.shingle_hashes(
+      transform(TextFunctions.tokensLower(col(textCol)), t => xxhash64(t)), k)
+    val grams = when(size(grams0) >= 1, array_distinct(grams0))
+    // the gram explode feeds the frequency aggregate and the mark join —
+    // persist so the shingle+md5 pass runs once
     val g = df.select(col(idCol), explode(grams).as("__gram")).persist()
-    // per-doc-distinct grams → count(*) per gram == containing-doc count
-    val freq = g.groupBy("__gram").agg(count(lit(1)).as("__n_docs"))
-    val dups = g.join(freq.filter(col("__n_docs") >= minDocs), "__gram")
-      .groupBy(idCol).agg(count(lit(1)).as("n_dup_grams"))
-    val totals = g.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
-    val result = totals.join(dups, Seq(idCol), "left")
-      .select(col(idCol), col("n_grams"),
-        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
-        (coalesce(col("n_dup_grams"), lit(0L)) / col("n_grams"))
-          .as("dup_frac"))
+    // per-doc-distinct grams → count(*) per gram == containing-doc count;
+    // filtered to the duplicated grams only, the relation is small and AQE
+    // broadcasts the mark join — the big frame then shuffles just ONCE
+    // (the per-doc aggregate), not once per statistic
+    val dupGrams = g.groupBy("__gram").agg(count(lit(1)).as("__n_docs"))
+      .filter(col("__n_docs") >= minDocs)
+      .withColumn("__is_dup", lit(1))
+      .drop("__n_docs")
+    val result = g.join(dupGrams, Seq("__gram"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"), count(col("__is_dup")).as("n_dup_grams"))
+      .withColumn("dup_frac", col("n_dup_grams") / col("n_grams"))
       .persist()
     result.count() // materialize, then release the gram cache
     g.unpersist(blocking = false)
@@ -247,26 +251,64 @@ object Dedup {
   /** Connected components over a near-duplicate pair list: every doc in a
     * transitive duplicate cluster gets the cluster's smallest id as
     * `component` — the canonical-representative step after LSH + verify
-    * (keep one doc per component, drop the rest). Distributed min-label
-    * propagation: each round every node takes the min of its own and its
-    * neighbors' labels (one join + one aggregate per round), converging in
-    * O(cluster diameter) rounds — near-dup clusters are dense (verify
-    * emits most intra-cluster pairs), so diameter is small; `maxIter`
-    * bounds pathological chains. Only docs appearing in `pairs` are
-    * labeled (isolated docs are their own component trivially). */
+    * (keep one doc per component, drop the rest). Only docs appearing in
+    * `pairs` are labeled (isolated docs are their own component
+    * trivially); ids must be integral.
+    *
+    * Two paths, same contract as the SmallDict/BigDict encoders: an edge
+    * list at or under `maxCollect` is solved driver-side with union-find
+    * (verified duplicate pairs are rare by construction — milliseconds,
+    * zero iterative jobs); above it, distributed min-label propagation —
+    * each round every node takes the min of its own and its neighbors'
+    * labels (one join + one aggregate per round), converging in
+    * O(cluster diameter) rounds (near-dup clusters are dense, so diameter
+    * is small; `maxIter` bounds pathological chains). */
   def duplicateComponents(
       pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-      maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
-      .union(pairs.select(col(idB).as("a"), col(idA).as("b")))
+      maxIter: Int = 20, maxCollect: Long = 1000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col(idA).cast("long").as("a"),
+        col(idB).cast("long").as("b"))
+      .union(pairs.select(col(idB).cast("long").as("a"),
+        col(idA).cast("long").as("b")))
       .distinct().persist()
+    val nEdges = edges.count()
+    if (nEdges <= maxCollect) {
+      // driver-side union-find with path compression + min-root finish
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) {
+          val next = parent.getOrElse(c, c); parent(c) = r; c = next
+        }
+        r
+      }
+      edges.collect().foreach { r =>
+        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      edges.unpersist(blocking = false)
+      val nodes = (parent.keys ++ parent.values).toArray.distinct
+      val rows = nodes.map(n => Row(n, find(n))).toSeq
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        new java.util.ArrayList[Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        StructType(Seq(StructField(idA, LongType, nullable = false),
+          StructField("component", LongType, nullable = false))))
+    }
     // localCheckpoint (not persist): each round's plan would otherwise
     // nest the whole previous round's plan — after ~10 rounds the lineage
     // tree alone OOMs the driver. Checkpointing truncates lineage per
     // round; on a cluster with a checkpoint dir configured, swap in
     // reliable `checkpoint()` for fault tolerance across executor loss.
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("component", col("node"))
+    // seed with round 1 folded in: label = min(self, direct neighbors) —
+    // dense clusters (verify emits most intra-cluster pairs) then converge
+    // on the first confirmation round
+    var labels = edges.groupBy(col("a").as("node"))
+      .agg(least(min(col("b")), col("a")).as("component"))
       .localCheckpoint(eager = true)
     var changed = 1L
     var it = 0

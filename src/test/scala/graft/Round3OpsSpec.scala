@@ -167,6 +167,18 @@ class ComponentsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.values.toSet == Set(0L) && got.size == 13)
   }
+
+  test("distributed path (maxCollect = 0) agrees with driver union-find") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L), (9L, 10L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val small = Dedup.duplicateComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.duplicateComponents(pairs, maxCollect = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(small == dist)
+    assert(small == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L,
+      9L -> 9L, 10L -> 9L, 11L -> 9L))
+  }
 }
 
 class QualityRepSpec extends SparkSpec {
