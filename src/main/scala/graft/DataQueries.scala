@@ -320,6 +320,30 @@ object DataQueries {
           "click_value")
     }),
 
+    // percentile clipping of a heavy-tailed money column (fit + serve)
+    "q_winsor" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      new graft.operators.Winsorizer(Seq("l_extendedprice"),
+          Seq("price_w"), 0.05, 0.95)
+        .fit(li).transform(li)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("price_w"), 6).as("price_w"))
+    }),
+
+    // rolling 3-order mean spend per customer (deterministic ROWS frame)
+    "q_rolling" -> ((s, d) =>
+      graft.relational.Relational.rollingAgg(
+        t(s, d, "orders"), Seq("o_custkey"), "o_orderdate", "o_orderkey",
+        "o_totalprice", n = 3, func = "mean", out = "roll_mean")
+        .select(col("o_orderkey"),
+          round(col("roll_mean"), 6).as("roll_mean"))),
+
+    // BM25 relevance of every doc against a fixed term bag
+    "q_bm25" -> ((s, d) =>
+      graft.text.Ranking.bm25(t(s, d, "documents"), "text", "doc_id",
+          Seq("the", "data", "model"))
+        .select(col("doc_id"), round(col("bm25"), 6).as("bm25"))),
+
     // PII redaction over text with deterministic planted PII (the corpus
     // itself is synthetic prose, so plant all four pattern kinds)
     "q_redact" -> ((s, d) =>
@@ -344,6 +368,15 @@ object DataQueries {
         val dir = "target/tmp/q_csv_source"
         src.write.mode("overwrite").option("header", "true").csv(dir)
         graft.sources.Sources.readCsv(s, dir, src.schema)
+      }),
+      // ORC round trip with explicit schema; matching the plain-parquet
+      // oracle proves losslessness
+      "q_orc_source" -> ((s, d) => {
+        val src = t(s, d, "supplier")
+          .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        val dir = "target/tmp/q_orc_source"
+        graft.sources.Sources.writeOrc(src, dir)
+        graft.sources.Sources.readOrc(s, dir, src.schema)
       }),
       // JSONL round trip incl. the free-text column (escaping must be
       // lossless); matching the plain-parquet oracle proves it
@@ -751,6 +784,58 @@ object DataQueries {
 
       "q_csv_source" ->
         "SELECT c_custkey, c_name, c_acctbal FROM customer",
+
+      "q_orc_source" ->
+        "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+
+      // quantile_cont == Spark's exact `percentile` (linear interpolation)
+      "q_winsor" ->
+        """SELECT l_orderkey, l_linenumber,
+             round(least(greatest(l_extendedprice,
+                     (SELECT quantile_cont(l_extendedprice, 0.05)
+                      FROM lineitem)),
+                   (SELECT quantile_cont(l_extendedprice, 0.95)
+                    FROM lineitem)), 6) AS price_w
+           FROM lineitem""",
+
+      "q_rolling" ->
+        """SELECT o_orderkey,
+             round(avg(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS roll_mean
+           FROM orders""",
+
+      // same BM25 constants (N, avgdl, per-term df) computed in SQL; ln()
+      // may differ from the JVM in the last ulp — round(6) absorbs it
+      "q_bm25" ->
+        """WITH tk AS (
+             SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+             FROM documents),
+           st AS (
+             SELECT count(*) AS n, avg(len(ts)) AS avgdl,
+               sum(CASE WHEN list_contains(ts, 'the') THEN 1 ELSE 0 END)
+                 AS df_the,
+               sum(CASE WHEN list_contains(ts, 'data') THEN 1 ELSE 0 END)
+                 AS df_data,
+               sum(CASE WHEN list_contains(ts, 'model') THEN 1 ELSE 0 END)
+                 AS df_model
+             FROM tk)
+           SELECT tk.doc_id, round(
+             ln(1 + (st.n - st.df_the + 0.5) / (st.df_the + 0.5)) *
+               (len(list_filter(ts, x -> x = 'the')) * 2.2) /
+               (len(list_filter(ts, x -> x = 'the')) +
+                1.2 * (0.25 + 0.75 * len(ts) / st.avgdl)) +
+             ln(1 + (st.n - st.df_data + 0.5) / (st.df_data + 0.5)) *
+               (len(list_filter(ts, x -> x = 'data')) * 2.2) /
+               (len(list_filter(ts, x -> x = 'data')) +
+                1.2 * (0.25 + 0.75 * len(ts) / st.avgdl)) +
+             ln(1 + (st.n - st.df_model + 0.5) / (st.df_model + 0.5)) *
+               (len(list_filter(ts, x -> x = 'model')) * 2.2) /
+               (len(list_filter(ts, x -> x = 'model')) +
+                1.2 * (0.25 + 0.75 * len(ts) / st.avgdl)) , 6) AS bm25
+           FROM tk, st""",
 
       "q_jsonl_source" ->
         "SELECT doc_id, text, lang, n_chars FROM documents",

@@ -501,6 +501,70 @@ class ScalerModel(
     }
 }
 
+/** Percentile clipping (winsorization) — feature-engineering extension
+  * beyond the reference surface: fit records the exact `lowerP`/`upperP`
+  * percentiles per input (one aggregate pass, sort-based exact
+  * `percentile` with linear interpolation — the same engine-portable
+  * semantics as Imputer's exact median); transform clips to [lo, hi] as
+  * double, nulls passing through. Robust-scaling preamble for heavy-tailed
+  * monetary/count features. */
+class Winsorizer(
+    inputs: Seq[String], outputs: Seq[String],
+    lowerP: Double = 0.01, upperP: Double = 0.99)
+    extends GraftEstimator[WinsorizerModel] {
+  require(inputs.length == outputs.length)
+  require(0.0 <= lowerP && lowerP < upperP && upperP <= 1.0,
+    "need 0 <= lowerP < upperP <= 1")
+
+  /** (inputs, outputs, lowerP, upperP) for [[FitFusion]]'s scalar fit. */
+  private[operators] def fuseInfo: (Seq[String], Seq[String], Double, Double) =
+    (inputs, outputs, lowerP, upperP)
+
+  override def transformSchema(schema: StructType): StructType =
+    outputs.foldLeft(schema)((s, o) =>
+      GraftSchema.withField(s, o, DoubleType))
+
+  override def fitDF(df: DataFrame): WinsorizerModel = {
+    val aggs = inputs.flatMap(c => Seq(
+      percentile(col(c), lit(lowerP)), percentile(col(c), lit(upperP))))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    new WinsorizerModel(inputs, outputs,
+      WinsorizerModel.boundsOf(row, inputs.length, 0))
+  }
+}
+
+class WinsorizerModel(
+    val ins: Seq[String],
+    val outs: Seq[String],
+    val bounds: Seq[(Option[Double], Option[Double])])
+    extends GraftModel[WinsorizerModel] {
+  override def transformDF(df: DataFrame): DataFrame =
+    ins.zip(outs).zip(bounds).foldLeft(df) {
+      case (d, ((in, out), (lo, hi))) =>
+        val c = col(in).cast(DoubleType)
+        // all-null fit column → no bounds → pass through; null values stay
+        // null (Spark's least/greatest SKIP nulls — unguarded they'd clip
+        // null to the lower bound)
+        val clipped = (lo, hi) match {
+          case (Some(l), Some(h)) =>
+            when(c.isNotNull, least(greatest(c, lit(l)), lit(h)))
+          case _ => c
+        }
+        d.withColumn(out, clipped)
+    }
+}
+
+object WinsorizerModel {
+  /** Decode 2·n percentile slots starting at `off` into per-column
+    * (lo, hi) bounds. */
+  private[operators] def boundsOf(
+      row: Row, n: Int, off: Int): Seq[(Option[Double], Option[Double])] =
+    (0 until n).map { i =>
+      (Option(row.get(off + i * 2)).map(_.asInstanceOf[Double]),
+       Option(row.get(off + i * 2 + 1)).map(_.asInstanceOf[Double]))
+    }
+}
+
 /** Dense one-hot columns. Reference: dfpipeline/OneHotEncoder.py:57-83.
   * fit: per column, the sorted distinct non-null (stringified) categories.
   * transform: for each category, append `col__cat` = 1.0/0.0 double

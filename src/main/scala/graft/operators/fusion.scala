@@ -85,6 +85,9 @@ object FitFusion {
       case e: Scaler =>
         val (ins, outs, _) = e.fuseInfo
         Some(ScalarPart(e, ins.toSet, Some(outs.toSet)))
+      case e: Winsorizer =>
+        val (ins, outs, _, _) = e.fuseInfo
+        Some(ScalarPart(e, ins.toSet, Some(outs.toSet)))
       case _ => None
     }
 
@@ -283,6 +286,12 @@ object FitFusion {
         case a: Aggregator =>
           val (ins, _, _, _) = a.fuseInfo
           ins.foreach(c => exprs += a.fuseAgg(col(c)))
+        case w: Winsorizer =>
+          val (ins, _, lo, hi) = w.fuseInfo
+          ins.foreach { c =>
+            exprs += percentile(col(c), lit(lo))
+            exprs += percentile(col(c), lit(hi))
+          }
       }
       off
     }
@@ -306,6 +315,10 @@ object FitFusion {
           val (ins, outs, _, func) = a.fuseInfo
           new AggregatorModel(ins, outs, Nil, func,
             ins.indices.map(i => row.get(off + i)), Nil)
+        case w: Winsorizer =>
+          val (ins, outs, _, _) = w.fuseInfo
+          new WinsorizerModel(ins, outs,
+            WinsorizerModel.boundsOf(row, ins.length, off))
       }
     }
   }

@@ -133,6 +133,12 @@ object GraftPersistence {
       "type" -> JString("OneHotEncoderModel"),
       "cols" -> jstrs(m.cols),
       "categories" -> jarr(m.categories.map(jstrs)))
+    case m: WinsorizerModel => JObject(
+      "type" -> JString("WinsorizerModel"),
+      "ins" -> jstrs(m.ins), "outs" -> jstrs(m.outs),
+      "bounds" -> jarr(m.bounds.map { case (lo, hi) => JObject(
+        "lo" -> lo.fold[JValue](JNull)(JDouble(_)),
+        "hi" -> hi.fold[JValue](JNull)(JDouble(_))) }))
     case m: AggregatorModel =>
       val lookupPaths = m.lookups.zipWithIndex.map { case (lk, j) =>
         val rel = s"data/${idx}_$j"
@@ -268,6 +274,10 @@ object GraftPersistence {
       case "OneHotEncoderModel" =>
         new OneHotEncoderModel(strs(j \ "cols"),
           (j \ "categories").asInstanceOf[JArray].arr.map(strs))
+      case "WinsorizerModel" =>
+        new WinsorizerModel(strs(j \ "ins"), strs(j \ "outs"),
+          (j \ "bounds").asInstanceOf[JArray].arr.map(b =>
+            (optD(b \ "lo"), optD(b \ "hi"))))
       case "AggregatorModel" =>
         new AggregatorModel(strs(j \ "ins"), strs(j \ "outs"),
           strs(j \ "groupby"), (j \ "func").asInstanceOf[JString].s,

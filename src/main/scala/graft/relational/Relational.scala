@@ -149,6 +149,23 @@ object Relational {
       .drop("__new")
   }
 
+  /** Rolling window aggregate: `func` over the last `n` rows per key,
+    * ordered by (`orderCol`, `idCol`) — the unique id tie-break makes the
+    * frame deterministic, so any engine reproduces it. One shuffle on
+    * `byCols`; the frame is ROWS-based (`n−1 PRECEDING .. CURRENT ROW`).
+    * `func` accepts the [[graft.operators.Aggregator]] names
+    * (mean/sum/min/max/count/std/...). */
+  def rollingAgg(
+      df: DataFrame, byCols: Seq[String], orderCol: String, idCol: String,
+      valueCol: String, n: Int, func: String, out: String): DataFrame = {
+    require(n >= 1, "window must cover at least the current row")
+    val w = Window.partitionBy(byCols.map(col): _*)
+      .orderBy(col(orderCol).asc, col(idCol).asc)
+      .rowsBetween(-(n - 1).toLong, Window.currentRow)
+    df.withColumn(out,
+      graft.operators.Aggregator.aggExpr(func, col(valueCol)).over(w))
+  }
+
   /** Interval (range) join: every (left, right) pair in the same `keys`
     * group with `right.ts ∈ [left.ts + lowerUs, left.ts + upperUs]`
     * (bounds inclusive, microsecond columns). Spark plans a raw

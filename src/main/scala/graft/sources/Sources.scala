@@ -11,6 +11,16 @@ import org.apache.spark.sql.types.{DoubleType, FloatType, StructType}
   */
 object Sources {
 
+  /** ORC with explicit schema — Spark's other first-class columnar format
+    * (predicate pushdown + column pruning like parquet); useful when
+    * landing data from Hive-era pipelines. */
+  def readOrc(
+      spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** CSV with explicit schema (no inference scan); `"NaN"` and empty cells
     * become null, matching pandas' default missing markers. */
   def readCsv(

@@ -146,6 +146,43 @@ object Streaming {
       }
   }
 
+  case class SessionEvent(user_id: Long, ts_us: Long, event_id: Long)
+  case class SessionAssign(
+    event_id: Long, user_id: Long, ts_us: Long, session_index: Long)
+  case class SessionState(lastTsUs: Long, index: Long)
+
+  /** Streaming sessionization — the unbounded twin of
+    * [[graft.relational.Relational.sessionize]]: per key, a new session
+    * opens when the gap since the key's previous event exceeds
+    * `gapSeconds`. State per key is two longs (last timestamp + session
+    * counter); within a micro-batch events process in (ts, event_id)
+    * order. Matches the batch operator whenever events arrive
+    * time-ordered per key across batches (the same contract as
+    * [[asofStream]]; late events would extend a session the batch twin
+    * would split). */
+  def sessionizeStream(
+      events: Dataset[SessionEvent], gapSeconds: Long): Dataset[SessionAssign] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapSeconds * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[SessionEvent],
+         state: GroupState[SessionState]) =>
+          val batch = it.toVector.sortBy(e => (e.ts_us, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, -1L))
+          val out = Vector.newBuilder[SessionAssign]
+          batch.foreach { e =>
+            val fresh =
+              st.index < 0 || e.ts_us - st.lastTsUs > gapUs
+            st = SessionState(e.ts_us, if (fresh) st.index + 1 else st.index)
+            out += SessionAssign(e.event_id, uid, e.ts_us, st.index)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserRunning(user_id: Long, n: Long, total: Double)
 

@@ -209,6 +209,119 @@ class QualityRepSpec extends SparkSpec {
   }
 }
 
+class WinsorizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("clips to exact percentiles; nulls pass through") {
+    // 0..100: p10 = 10.0, p90 = 90.0 exactly (index = p*(n-1) integral)
+    val df = ((0 to 100).map(i => (i.toLong, Some(i.toDouble))) :+
+      (999L, Option.empty[Double]))
+      .toDF("row_id", "v")
+    val m = new operators.Winsorizer(Seq("v"), Seq("w"), 0.1, 0.9).fit(df)
+    val out = m.transform(df)
+    assert(colOf(out.filter($"row_id" === 0L), "w") == Seq(10.0))
+    assert(colOf(out.filter($"row_id" === 100L), "w") == Seq(90.0))
+    assert(colOf(out.filter($"row_id" === 50L), "w") == Seq(50.0))
+    assert(colOf(out.filter($"row_id" === 999L), "w") == Seq(null))
+  }
+
+  test("persistence round trip") {
+    val df = (0 to 100).map(i => (i.toLong, i.toDouble)).toDF("row_id", "v")
+    val model = operators.DFPipeline(
+      new operators.Winsorizer(Seq("v"), Seq("w"), 0.1, 0.9)).fit(df)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_winsor").toString
+    operators.GraftPersistence.save(model, dir)
+    val re = operators.GraftPersistence.load(spark, dir)
+    assert(rowsOf(re.transform(df), "w") == rowsOf(model.transform(df), "w"))
+  }
+
+  test("fuses with Scaler into one scalar fit (results unchanged)") {
+    val df = (0 to 100).map(i => (i.toLong, i.toDouble)).toDF("row_id", "v")
+    val stages = () => Seq(
+      new operators.Winsorizer(Seq("v"), Seq("w"), 0.1, 0.9),
+      new operators.Scaler(Seq("v"), Seq("s"), "standard"))
+    val fused = operators.DFPipeline(stages(): _*).fit(df).transform(df)
+    val seq = stages().foldLeft(df)((d, e) => e.fit(d).transform(d))
+    assert(rowsOf(fused, "w", "s") == rowsOf(seq, "w", "s"))
+  }
+}
+
+class RollingAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rolling-3 mean per key, short prefixes use what exists") {
+    val df = Seq((1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, 30.0),
+      (1L, 4L, 40.0), (2L, 5L, 100.0))
+      .toDF("k", "id", "v")
+    val out = relational.Relational.rollingAgg(df, Seq("k"), "id", "id",
+      "v", n = 3, func = "mean", out = "rm")
+    val got = out.select("id", "rm").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 10.0, 2L -> 15.0, 3L -> 20.0, 4L -> 30.0,
+      5L -> 100.0))
+  }
+}
+
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("term-bearing docs outrank term-free docs; rare terms outweigh") {
+    val df = Seq(
+      (1L, "data data data pipeline"),
+      (2L, "the the the the"),
+      (3L, "nothing relevant here at all"),
+      (4L, "data model"))
+      .toDF("doc_id", "text")
+    val out = text.Ranking.bm25(df, "text", "doc_id", Seq("data", "model"))
+    val s = out.select("doc_id", "bm25").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s(3L) == 0.0 && s(2L) == 0.0)
+    assert(s(1L) > 0.0 && s(4L) > 0.0)
+    // doc 4 carries the rarer 'model' term too → must outrank doc 1's
+    // saturated tf on 'data' alone
+    assert(s(4L) > s(1L))
+  }
+}
+
+class SessionizeStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming sessionization matches batch across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val us = 1000000L
+    val ms = MemoryStream[Streaming.SessionEvent]
+    val q = Streaming.sessionizeStream(ms.toDS(), gapSeconds = 1800L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_s").start()
+    try {
+      ms.addData(
+        Streaming.SessionEvent(1L, 0L, 1L),
+        Streaming.SessionEvent(1L, 10L * us, 2L))
+      q.processAllAvailable()
+      // session split lands ACROSS the batch boundary (state carries)
+      ms.addData(
+        Streaming.SessionEvent(1L, 2000L * us, 3L),
+        Streaming.SessionEvent(2L, 0L, 4L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sess_s")
+      .select("event_id", "session_index").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
+
+    val batch = relational.Relational.sessionize(
+      Seq((1L, 0L, 1L), (1L, 10L * us, 2L), (1L, 2000L * us, 3L),
+        (2L, 0L, 4L))
+        .toDF("user_id", "ts_us", "event_id")
+        .withColumn("ts", timestamp_micros(col("ts_us"))),
+      Seq("user_id"), "ts", "event_id", 1800L)
+      .select("event_id", "session_index").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == batch)
+  }
+}
+
 class AsofStreamSpec extends SparkSpec {
   import spark.implicits._
 
