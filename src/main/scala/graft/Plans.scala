@@ -76,7 +76,24 @@ object Plans {
       ("q_contamination", "decontamination: corpus shingles equi-join the " +
         "BROADCAST bench shingles — the corpus side never shuffles for " +
         "the match; only matched pairs reach the count aggregate.",
-        SparkEntry.queries("q_contamination")(spark, d)))
+        SparkEntry.queries("q_contamination")(spark, d)),
+      ("q_range_join", "binned interval join: each left row explodes to " +
+        "its ≤2 candidate time bins, the join is a plain equi-join on " +
+        "(user, bin) with the exact BETWEEN as a post-filter — NOT the " +
+        "BroadcastNestedLoopJoin Spark plans for a raw inequality join.",
+        SparkEntry.queries("q_range_join")(spark, d)),
+      ("q_sessionize", "one Exchange on user_id; the lag flag and the " +
+        "cumulative session counter evaluate in the same Window sort.",
+        SparkEntry.queries("q_sessionize")(spark, d)),
+      ("q_span_dedup", "repeated-span stats: distinct fused-hash grams " +
+        "explode (8 B each), the rare duplicated-gram relation broadcasts " +
+        "back as the mark join, one per-doc aggregate finishes — the " +
+        "corpus text is scanned once.",
+        SparkEntry.queries("q_span_dedup")(spark, d)),
+      ("q_bm25", "corpus statistics fold into literals (one prior agg " +
+        "job); scoring is a single codegen'd Project over the pruned " +
+        "scan — no shuffle, no join.",
+        SparkEntry.queries("q_bm25")(spark, d)))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative queries (sf0.01)\n")
