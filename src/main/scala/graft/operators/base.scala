@@ -99,4 +99,10 @@ class GraftPipeline extends Pipeline {
     { super.setStages(value); this }
   override def fit(dataset: Dataset[_]): PipelineModel =
     FitFusion.fitPipeline(getStages, dataset.toDF())
+  // persist as a plain Pipeline: Pipeline.load checks the metadata
+  // className and would reject this subclass's name (the reload then fits
+  // unfused — fusion is a fit-time optimization, not part of the saved
+  // contract)
+  override def write: org.apache.spark.ml.util.MLWriter =
+    new Pipeline(uid).setStages(getStages).write
 }

@@ -184,6 +184,8 @@ object Relational {
     val collisions = (rightCols :+ rightTsUs).toSet.intersect(
       left.columns.toSet)
     require(collisions.isEmpty, s"rename right columns $collisions")
+    require(!left.columns.contains("__bin") && !rightCols.contains("__bin"),
+      "__bin is reserved by rangeJoin")
     val width = upperUs - lowerUs
     // floorDiv in exact long arithmetic: subtracting the (always
     // non-negative) pmod makes the numerator exactly divisible, so the

@@ -132,10 +132,11 @@ object Streaming {
           var buf = state.getOption.map(_.tsValues).getOrElse(Nil)
           val out = Vector.newBuilder[AsofMatch]
           batch.foreach { e =>
-            if (e.is_right)
-              buf = ((e.ts_us, e.value) :: buf).sortBy(_._1)
-                .takeRight(maxBuffer)
-            else {
+            if (e.is_right) {
+              // ordered insert into the ts-sorted buffer (no full re-sort)
+              val (lo, hi) = buf.partition(_._1 <= e.ts_us)
+              buf = (lo ::: (e.ts_us, e.value) :: hi).takeRight(maxBuffer)
+            } else {
               val m = buf.filter(_._1 <= e.ts_us).lastOption
               out += AsofMatch(e.event_id, uid, e.ts_us,
                 m.map(_._2), m.map(_._1))

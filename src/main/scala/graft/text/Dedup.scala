@@ -267,10 +267,13 @@ object Dedup {
       pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
       maxIter: Int = 20, maxCollect: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
+    // self-pairs carry no connectivity and are dropped up front — BOTH
+    // paths then agree that a doc appearing only in (x, x) is unlabeled
     val edges = pairs.select(col(idA).cast("long").as("a"),
         col(idB).cast("long").as("b"))
       .union(pairs.select(col(idB).cast("long").as("a"),
         col(idA).cast("long").as("b")))
+      .filter(col("a") =!= col("b"))
       .distinct().persist()
     val nEdges = edges.count()
     if (nEdges <= maxCollect) {

@@ -32,8 +32,10 @@ object Ranking {
         terms.map(t => sum(when(array_contains(toks, t), 1L).otherwise(0L)))
     val row = df.agg(statAggs.head, statAggs.tail: _*).head()
     val n = row.getLong(0).toDouble
+    // sums/avg over ZERO rows are null — guard each (count alone is 0)
     val avgdl = Option(row.get(1)).fold(0.0)(_.asInstanceOf[Double])
-    val dfs = terms.indices.map(i => row.getLong(2 + i).toDouble)
+    val dfs = terms.indices.map(i =>
+      Option(row.get(2 + i)).fold(0.0)(_.asInstanceOf[Long].toDouble))
 
     val score = terms.zip(dfs).map { case (t, dft) =>
       val idf = math.log(1.0 + (n - dft + 0.5) / (dft + 0.5))

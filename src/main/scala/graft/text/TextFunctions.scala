@@ -124,9 +124,9 @@ object TextFunctions {
         t => size(filter(ts, x => x === t))))
         .cast("double") / size(ts).cast("double"))
 
-  /** Sentences: split on '.' + whitespace, empties dropped (Spark's split
-    * trims trailing empties, DuckDB's keeps them — filtering makes both
-    * engines agree). */
+  /** Sentences: split on '.' + whitespace, empties dropped on BOTH engine
+    * sides — empty-fragment handling at text boundaries is where split
+    * semantics diverge across engines, so neither side may keep them. */
   def sentences(c: Column): Column =
     filter(split(c, "\\.\\s+"), s => length(trim(s)) > 0)
 

@@ -123,6 +123,19 @@ class FusionSpec extends SparkSpec {
     assertCol(fused, "k_freq", Seq(2L, 2L, 2L, 1L, 1L, 2L))
   }
 
+  test("DFPipeline still round-trips through Spark ML Pipeline persistence") {
+    // graft stages persist via GraftPersistence; the ML-writer contract
+    // matters for pipelines of standard writable Spark stages
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pipe_io").toString
+    val sql = new org.apache.spark.ml.feature.SQLTransformer()
+      .setStatement("SELECT k FROM __THIS__")
+    DFPipeline(sql).write.overwrite().save(dir)
+    val re = org.apache.spark.ml.Pipeline.load(dir)
+    val out = re.fit(train).transform(train)
+    assert(out.columns.toSeq == Seq("k"))
+  }
+
   test("interleaving preserved: stateless stage between fused fits") {
     val df = train
     val stages = () => Seq(

@@ -168,6 +168,16 @@ class ComponentsSpec extends SparkSpec {
     assert(got.values.toSet == Set(0L) && got.size == 13)
   }
 
+  test("self-pairs are ignored identically on both paths") {
+    val pairs = Seq((5L, 5L), (1L, 2L)).toDF("id_a", "id_b")
+    val small = Dedup.duplicateComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.duplicateComponents(pairs, maxCollect = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(small == Map(1L -> 1L, 2L -> 1L))
+    assert(small == dist)
+  }
+
   test("distributed path (maxCollect = 0) agrees with driver union-find") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L), (9L, 10L), (10L, 11L))
       .toDF("id_a", "id_b")
@@ -281,6 +291,11 @@ class Bm25Spec extends SparkSpec {
     // doc 4 carries the rarer 'model' term too → must outrank doc 1's
     // saturated tf on 'data' alone
     assert(s(4L) > s(1L))
+  }
+
+  test("empty corpus yields an empty scored frame (no NPE)") {
+    val df = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(text.Ranking.bm25(df, "text", "doc_id", Seq("data")).count() == 0)
   }
 }
 
