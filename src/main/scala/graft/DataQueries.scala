@@ -277,6 +277,11 @@ object DataQueries {
       graft.text.Dedup.duplicateSpans(t(s, d, "documents"), "text",
         "doc_id", k = 5, minDocs = 2)),
 
+    // substring-dedup rewrite: spans owned by an earlier doc are deleted
+    "q_span_removal" -> ((s, d) =>
+      graft.text.Dedup.removeDuplicateSpans(t(s, d, "documents"), "text",
+        "doc_id", k = 5)),
+
     // duplicate clusters: LSH candidates → exact-Jaccard verify (the
     // oracle-exact q_dedup_minhash edge set) → connected components
     "q_dup_components" -> ((s, d) => {
@@ -707,6 +712,42 @@ object DataQueries {
              coalesce(dp.n_dup, 0) AS n_dup_grams,
              CAST(coalesce(dp.n_dup, 0) AS DOUBLE) / t.n_grams AS dup_frac
            FROM t LEFT JOIN dp USING (doc_id)""",
+
+      // same ownership rule from exact gram strings (hash identity on the
+      // Spark side — same collision argument as q_span_dedup)
+      "q_span_removal" ->
+        """WITH d AS (
+             SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+             FROM documents),
+           lg AS (
+             SELECT doc_id, ws, list_transform(ws, w -> lower(w)) AS lw
+             FROM d),
+           g AS (
+             SELECT doc_id, i AS pos,
+               lw[i] || ' ' || lw[i+1] || ' ' || lw[i+2] || ' ' ||
+               lw[i+3] || ' ' || lw[i+4] AS gram
+             FROM lg, LATERAL (SELECT unnest(range(1, len(lw) - 3)) AS i)),
+           own AS (SELECT gram, min(doc_id) AS owner FROM g GROUP BY 1),
+           dup AS (
+             SELECT g.doc_id, list(g.pos) AS starts
+             FROM g JOIN own USING (gram) WHERE own.owner < g.doc_id
+             GROUP BY g.doc_id),
+           r AS (
+             SELECT lg.doc_id, lg.ws, coalesce(dup.starts, []) AS starts
+             FROM lg LEFT JOIN dup USING (doc_id)),
+           k2 AS (
+             SELECT doc_id, ws,
+               list_filter(list_transform(range(1, len(ws) + 1),
+                 i -> CASE WHEN len(list_filter(starts,
+                             s -> i >= s AND i <= s + 4)) = 0
+                           THEN ws[i] END), x -> x IS NOT NULL) AS kept
+             FROM r)
+           SELECT doc_id,
+             -- DuckDB array_to_string([]) is NULL; Spark array_join is ''
+             coalesce(array_to_string(kept, ' '), '') AS clean_text,
+             CAST(len(ws) AS BIGINT) AS n_tokens,
+             CAST(len(ws) - len(kept) AS BIGINT) AS n_removed
+           FROM k2""",
 
       // transitive closure over the brute-force Jaccard-0.8 pairs (the
       // q_dedup_minhash edge set), component = min reachable id

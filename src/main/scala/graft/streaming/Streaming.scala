@@ -96,6 +96,29 @@ object Streaming {
       .filter(col(idCol) =!= col("corpus_id"))
       .select(col(idCol), col("corpus_id"))
 
+  /** Streaming interval join — the unbounded twin of
+    * [[graft.relational.Relational.rangeJoin]], built on Spark's NATIVE
+    * stream-stream join: with watermarks on both sides and a time-range
+    * join condition, Structured Streaming bounds each side's state store
+    * to the window + watermark horizon and emits inner matches as they
+    * form (no custom state code — this is exactly the workload the
+    * built-in join was designed for, so we use it rather than
+    * flatMapGroupsWithState). Matches right rows with
+    * `right.ts ∈ [left.ts − lookbackSec, left.ts]` on equal `keys`.
+    * Column names must be disjoint apart from `keys`. */
+  def rangeJoinStream(
+      left: DataFrame, leftTsCol: String,
+      right: DataFrame, rightTsCol: String,
+      keys: Seq[String], lookbackSec: Long,
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTsCol, watermark)
+    val r = right.withWatermark(rightTsCol, watermark)
+    val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
+      r(rightTsCol) >= l(leftTsCol) - expr(s"INTERVAL $lookbackSec SECONDS") &&
+      r(rightTsCol) <= l(leftTsCol)
+    keys.foldLeft(l.join(r, cond, "inner"))((d, k) => d.drop(r(k)))
+  }
+
   /** Input to [[asofStream]]: left rows (`is_right = false`) are matched,
     * right rows (`is_right = true`) are remembered. */
   case class TaggedEvent(

@@ -248,6 +248,49 @@ object Dedup {
     result
   }
 
+  /** Cross-document span REMOVAL — the rewrite step of substring dedup
+    * (Lee et al. 2021): every `k`-token span whose gram is owned by an
+    * earlier document (ownership = smallest doc id containing the gram) is
+    * deleted from later documents; the owner keeps its copy. Output:
+    * (idCol, clean_text, n_tokens, n_removed) — docs shorter than `k`
+    * tokens pass through untouched.
+    *
+    * Shape at 100 TB: positions ride the same fused [[graft.functions
+    * .ShingleHashes]] explode as [[duplicateSpans]]; the ownership
+    * aggregate pre-combines map-side; only POSITIONS of claimed spans
+    * (rare) come back — as a per-doc int set bounded by doc length — via
+    * one aggregate + one join; the rewrite itself is a pure per-row
+    * expression over the token array. Matching is case-insensitive
+    * (lowercased grams), the rewrite preserves original-case tokens. */
+  def removeDuplicateSpans(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int = 10): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val lowerToks = transform(TextFunctions.tokens(col(textCol)),
+      t => lower(t))
+    val gramHashes = graft.functions.GraftFunctions.shingle_hashes(
+      transform(lowerToks, t => xxhash64(t)), k)
+    val g = df.select(col(idCol),
+      posexplode(gramHashes).as(Seq("__pos0", "__gh")))
+    val owners = g.groupBy("__gh").agg(min(col(idCol)).as("__owner"))
+    // 1-based span starts claimed by an EARLIER doc; bounded by doc length
+    val dupStarts = g.join(owners, "__gh")
+      .filter(col("__owner") < col(idCol))
+      .groupBy(idCol)
+      .agg(collect_set(col("__pos0") + 1).as("__starts"))
+    val starts = coalesce(col("__starts"),
+      array().cast("array<int>"))
+    val toks = TextFunctions.tokens(col(textCol))
+    val kept = filter(col("__toks"), (t, i0) =>
+      !exists(starts, s => (i0 + 1).between(s, s + lit(k - 1))))
+    df.join(dupStarts, Seq(idCol), "left")
+      .withColumn("__toks", toks)
+      .select(col(idCol),
+        array_join(kept, " ").as("clean_text"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        (size(col("__toks")) - size(kept)).cast("long").as("n_removed"))
+  }
+
   /** Connected components over a near-duplicate pair list: every doc in a
     * transitive duplicate cluster gets the cluster's smallest id as
     * `component` — the canonical-representative step after LSH + verify

@@ -150,6 +150,42 @@ class SpanDedupSpec extends SparkSpec {
   }
 }
 
+class SpanRemovalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("later docs lose spans the earliest doc owns; owner keeps its copy") {
+    val boiler = "All Rights Reserved Contact The Publisher"  // 6 tokens
+    val docs = Seq(
+      (1L, s"alpha beta gamma. $boiler"),
+      (2L, s"one two three four five. $boiler and more"),
+      (3L, "totally unique text"))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, "text", "doc_id", k = 5)
+    val m = out.collect().map(r =>
+      r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+    // doc 1 owns every gram it has → untouched
+    assert(m(1L)._1 == s"alpha beta gamma. $boiler" && m(1L)._2 == 0L)
+    // doc 3 shares nothing → untouched (and < 5 tokens anyway)
+    assert(m(3L)._1 == "totally unique text" && m(3L)._2 == 0L)
+    // doc 2 loses the boilerplate span (and overlapping-gram-covered
+    // neighbors), keeps its own prefix
+    assert(m(2L)._1.startsWith("one two three four five."))
+    assert(m(2L)._1 == "one two three four five. and more")
+    assert(m(2L)._2 == 6L)
+  }
+
+  test("case-insensitive matching, original case preserved") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over it"),
+      (2L, "intro words THE QUICK BROWN FOX JUMPS tail"))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, "text", "doc_id", k = 5)
+    val m = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(2L) == "intro words tail")
+    assert(m(1L) == "the quick brown fox jumps over it")
+  }
+}
+
 class ComponentsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -216,6 +252,58 @@ class QualityRepSpec extends SparkSpec {
     // empty text: split yields [""] → filtered to empty → all zeros...
     // except ttr/ttf see one empty token from split("") = [""]
     assert(m(4L)._3 == 0.0)
+  }
+}
+
+class RangeJoinStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native stream-stream interval join equals the batch rangeJoin") {
+    val us = 1000000L
+    val rows = Seq(
+      // user 1: clicks at 0s, 30s, purchase at 40s (lookback 60s: both),
+      // click at 200s (outside any purchase window)
+      (1L, 0L, "click", 10L), (1L, 30L, "click", 11L),
+      (1L, 40L, "purchase", 12L), (1L, 200L, "click", 13L),
+      // user 2: purchase with no prior click
+      (2L, 50L, "purchase", 20L))
+    val dir = "target/tmp/range_join_stream"
+    rows.toDF("user_id", "sec", "event_type", "event_id")
+      // modern base: second 0 would sit exactly on the initial watermark
+      .withColumn("ts", timestamp_micros((col("sec") + 1000000000L) * us))
+      .drop("sec")
+      .write.mode("overwrite").parquet(dir)
+    val batch = spark.read.parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+
+    def purchases(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"))
+    def clicks(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"))
+
+    val q = Streaming.rangeJoinStream(
+        purchases(stream), "p_ts", clicks(stream), "c_ts",
+        Seq("user_id"), lookbackSec = 60L)
+      .select("p_id", "c_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("rj_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("rj_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((12L, 10L), (12L, 11L)))
+
+    val b = relational.Relational.rangeJoin(
+      purchases(batch).withColumn("p_us", unix_micros(col("p_ts"))),
+      clicks(batch).withColumn("c_us", unix_micros(col("c_ts")))
+        .drop("c_ts"),
+      "p_us", "c_us", Seq("user_id"), -60L * us, 0L, Seq("c_id"))
+      .select("p_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == b)
   }
 }
 
