@@ -525,8 +525,10 @@ class Winsorizer(
       GraftSchema.withField(s, o, DoubleType))
 
   override def fitDF(df: DataFrame): WinsorizerModel = {
-    val aggs = inputs.flatMap(c => Seq(
-      percentile(col(c), lit(lowerP)), percentile(col(c), lit(upperP))))
+    // ONE percentile aggregate per column (array of percentages) — two
+    // separate exact percentiles would each buffer the whole column
+    val aggs = inputs.map(c =>
+      percentile(col(c), array(lit(lowerP), lit(upperP))))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     new WinsorizerModel(inputs, outputs,
       WinsorizerModel.boundsOf(row, inputs.length, 0))
@@ -555,13 +557,17 @@ class WinsorizerModel(
 }
 
 object WinsorizerModel {
-  /** Decode 2·n percentile slots starting at `off` into per-column
-    * (lo, hi) bounds. */
+  /** Decode n array-percentile slots (`[lo, hi]` each, null on an all-null
+    * column) starting at `off` into per-column bounds. */
   private[operators] def boundsOf(
       row: Row, n: Int, off: Int): Seq[(Option[Double], Option[Double])] =
     (0 until n).map { i =>
-      (Option(row.get(off + i * 2)).map(_.asInstanceOf[Double]),
-       Option(row.get(off + i * 2 + 1)).map(_.asInstanceOf[Double]))
+      Option(row.get(off + i)) match {
+        case Some(arr) =>
+          val s = arr.asInstanceOf[scala.collection.Seq[Double]]
+          (Some(s(0)), Some(s(1)))
+        case None => (None, None)
+      }
     }
 }
 

@@ -288,10 +288,8 @@ object FitFusion {
           ins.foreach(c => exprs += a.fuseAgg(col(c)))
         case w: Winsorizer =>
           val (ins, _, lo, hi) = w.fuseInfo
-          ins.foreach { c =>
-            exprs += percentile(col(c), lit(lo))
-            exprs += percentile(col(c), lit(hi))
-          }
+          ins.foreach(c =>
+            exprs += percentile(col(c), array(lit(lo), lit(hi))))
       }
       off
     }
