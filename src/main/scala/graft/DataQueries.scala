@@ -848,7 +848,8 @@ object DataQueries {
            FROM orders""",
 
       // same BM25 constants (N, avgdl, per-term df) computed in SQL; ln()
-      // may differ from the JVM in the last ulp — round(6) absorbs it
+      // may differ from the JVM in the last ulp — round(6) absorbs it;
+      // coalesce matches Spark's all-null-corpus → 0.0 fallback
       "q_bm25" ->
         """WITH tk AS (
              SELECT doc_id,
@@ -863,7 +864,7 @@ object DataQueries {
                sum(CASE WHEN list_contains(ts, 'model') THEN 1 ELSE 0 END)
                  AS df_model
              FROM tk)
-           SELECT tk.doc_id, round(
+           SELECT tk.doc_id, round(coalesce(
              ln(1 + (st.n - st.df_the + 0.5) / (st.df_the + 0.5)) *
                (len(list_filter(ts, x -> x = 'the')) * 2.2) /
                (len(list_filter(ts, x -> x = 'the')) +
@@ -875,7 +876,7 @@ object DataQueries {
              ln(1 + (st.n - st.df_model + 0.5) / (st.df_model + 0.5)) *
                (len(list_filter(ts, x -> x = 'model')) * 2.2) /
                (len(list_filter(ts, x -> x = 'model')) +
-                1.2 * (0.25 + 0.75 * len(ts) / st.avgdl)) , 6) AS bm25
+                1.2 * (0.25 + 0.75 * len(ts) / st.avgdl)), 0.0), 6) AS bm25
            FROM tk, st""",
 
       "q_jsonl_source" ->

@@ -159,6 +159,9 @@ object Relational {
       df: DataFrame, byCols: Seq[String], orderCol: String, idCol: String,
       valueCol: String, n: Int, func: String, out: String): DataFrame = {
     require(n >= 1, "window must cover at least the current row")
+    require(func != "nunique",
+      "distinct aggregates cannot run over a window frame (Spark " +
+        "limitation); use approx_nunique")
     val w = Window.partitionBy(byCols.map(col): _*)
       .orderBy(col(orderCol).asc, col(idCol).asc)
       .rowsBetween(-(n - 1).toLong, Window.currentRow)

@@ -111,6 +111,10 @@ object Streaming {
       right: DataFrame, rightTsCol: String,
       keys: Seq[String], lookbackSec: Long,
       watermark: String = "10 minutes"): DataFrame = {
+    val collisions = left.columns.toSet
+      .intersect(right.columns.toSet) -- keys
+    require(collisions.isEmpty,
+      s"rename non-key columns shared by both sides: $collisions")
     val l = left.withWatermark(leftTsCol, watermark)
     val r = right.withWatermark(rightTsCol, watermark)
     val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
@@ -156,7 +160,11 @@ object Streaming {
           val out = Vector.newBuilder[AsofMatch]
           batch.foreach { e =>
             if (e.is_right) {
-              // ordered insert into the ts-sorted buffer (no full re-sort)
+              // ordered insert into the ts-sorted buffer (no full re-sort);
+              // placing the new entry AFTER its ts-equals makes the
+              // newest-arrived equal-ts right win the match — the tie is
+              // 'unspecified order' in the batch twin's contract, pinned
+              // here to latest-arrival for state-like semantics
               val (lo, hi) = buf.partition(_._1 <= e.ts_us)
               buf = (lo ::: (e.ts_us, e.value) :: hi).takeRight(maxBuffer)
             } else {
@@ -187,6 +195,7 @@ object Streaming {
   def sessionizeStream(
       events: Dataset[SessionEvent], gapSeconds: Long): Dataset[SessionAssign] = {
     import events.sparkSession.implicits._
+    require(gapSeconds > 0, "gapSeconds must be > 0") // same as batch twin
     val gapUs = gapSeconds * 1000000L
     events
       .groupByKey(_.user_id)

@@ -266,18 +266,30 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       k: Int = 10): DataFrame = {
     require(k >= 1, "need k >= 1")
+    val reserved = Seq("__toks", "__starts", "__pos0", "__gh")
+      .filter(df.columns.contains)
+    require(reserved.isEmpty, s"$reserved reserved by removeDuplicateSpans")
     val lowerToks = transform(TextFunctions.tokens(col(textCol)),
       t => lower(t))
     val gramHashes = graft.functions.GraftFunctions.shingle_hashes(
       transform(lowerToks, t => xxhash64(t)), k)
+    // persisted: the tokenize+hash+shingle explode feeds BOTH the ownership
+    // aggregate and the claim join (same guard as duplicateSpans)
     val g = df.select(col(idCol),
       posexplode(gramHashes).as(Seq("__pos0", "__gh")))
+      .persist()
     val owners = g.groupBy("__gh").agg(min(col(idCol)).as("__owner"))
     // 1-based span starts claimed by an EARLIER doc; bounded by doc length
     val dupStarts = g.join(owners, "__gh")
       .filter(col("__owner") < col(idCol))
       .groupBy(idCol)
       .agg(collect_set(col("__pos0") + 1).as("__starts"))
+      .persist()
+    // materialize the small claimed-positions relation, then release the
+    // big gram explode; dupStarts stays cached inside the returned plan
+    // (bounded: docs-with-dups × positions) until the plan is dropped
+    dupStarts.count()
+    g.unpersist(blocking = false)
     val starts = coalesce(col("__starts"),
       array().cast("array<int>"))
     val toks = TextFunctions.tokens(col(textCol))

@@ -23,6 +23,7 @@ object Ranking {
       df: DataFrame, textCol: String, idCol: String, terms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75, out: String = "bm25"): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
+    require(!df.columns.contains("__toks"), "__toks is reserved by bm25")
     val toks = TextFunctions.tokensLower(col(textCol))
     // the scoring expressions read the ONE materialized token array
     val dl = size(col("__toks")).cast("double")
