@@ -214,6 +214,12 @@ object DataQueries {
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))),
 
+    // deterministic training shards: balanced assignment + reproducible
+    // within-shard pseudo-shuffle, both md5-derived (engine-portable)
+    "q_shard" -> ((s, d) =>
+      graft.text.Corpus.shardBy(t(s, d, "documents"), "doc_id", 8)
+        .select("doc_id", "shard_id", "shard_rank")),
+
     // corpus mixing: md5-deterministic stratified sample (the keep/drop
     // decisions are engine-portable — the oracle replays them exactly)
     "q_sample_stratified" -> ((s, d) =>
@@ -564,6 +570,16 @@ object DataQueries {
         """SELECT event_id,
              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
            FROM events""",
+
+      "q_shard" ->
+        """SELECT doc_id,
+             CAST(floor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                1, 15)) AS BIGINT)
+                        / 1152921504606846976.0 * 8) AS INTEGER) AS shard_id,
+             CAST(('0x' || substr(md5('shuffle:' ||
+                                      CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) / 1152921504606846976.0 AS shard_rank
+           FROM documents""",
 
       // identical md5-top-60-bit uniform: ('0x'||hex)::BIGINT in DuckDB ==
       // conv(hex,16,10) cast long in Spark; both divide by 2^60 as DOUBLE

@@ -145,6 +145,25 @@ object Corpus {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Deterministic shard assignment + within-shard order for training
+    * output: `shard_id = floor(hashUniform(id) · n)` and `shard_rank` =
+    * a second independent hash — so shards are balanced in expectation,
+    * document order within a shard is a reproducible pseudo-shuffle
+    * (training wants documents decorrelated from ingest order), and the
+    * whole layout replays bit-identically in any engine, under task
+    * retries, years later. Write with
+    * `df.repartition(n, col("shard_id")).sortWithinPartitions("shard_rank")`
+    * — one shuffle, then streaming writes. */
+  def shardBy(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, "need nShards >= 1")
+    df.withColumn("shard_id",
+        floor(hashUniform(col(idCol)) * nShards).cast("int"))
+      // independent second hash: salt the id before hashing (md5 of
+      // "shuffle:<id>" is uncorrelated with md5 of "<id>")
+      .withColumn("shard_rank",
+        hashUniform(concat(lit("shuffle:"), col(idCol).cast("string"))))
+  }
+
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhoneRe = "(\\(\\d{3}\\)\\s?|\\d{3}-)\\d{3}-\\d{4}"
   private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"

@@ -124,6 +124,27 @@ class MixSourcesSpec extends SparkSpec {
   }
 }
 
+class ShardBySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shards are deterministic, in range, and roughly balanced") {
+    val docs = (0L until 4000L).map(i => Tuple1(i)).toDF("id")
+    val a = Corpus.shardBy(docs, "id", 8)
+    val sizes = a.groupBy("shard_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == (0 until 8).toSet)
+    // 4000/8 = 500 expected; md5 uniformity keeps each within ±25%
+    sizes.values.foreach(n => assert(n > 375 && n < 625, s"shard size $n"))
+    val b = Corpus.shardBy(docs, "id", 8)
+    assert(a.exceptAll(b).isEmpty, "sharding must replay identically")
+    // the within-shard rank is independent of the shard hash: ranks of
+    // shard 0 span (0,1) rather than clustering in [0, 1/8)
+    val ranks = a.filter($"shard_id" === 0).select("shard_rank")
+      .collect().map(_.getDouble(0))
+    assert(ranks.max > 0.8 && ranks.min < 0.2)
+  }
+}
+
 class SpanDedupSpec extends SparkSpec {
   import spark.implicits._
 
