@@ -3,7 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Distributed EXACT median without per-partition value buffering.
+/** Distributed EXACT median / quantiles without per-partition value
+  * buffering.
   *
   * Spark's sort-based `percentile` is exact but accumulates a value→count
   * table per aggregation buffer — memory grows with column cardinality,
@@ -40,6 +41,61 @@ object ExactStats {
       cols: Seq[String],
       buckets: Int = 4096,
       collectThreshold: Long = 100000L): Seq[Option[Double]] = {
+    val (ns, resolved) = selectRanks(df, cols, buckets, collectThreshold,
+      n => Seq((n - 1) / 2, n / 2).distinct)
+    cols.indices.map { i =>
+      if (ns(i) == 0) None
+      else {
+        val lo = resolved((i, (ns(i) - 1) / 2))
+        val hi = resolved((i, ns(i) / 2))
+        // halves are exact in binary (exponent decrement); (lo+hi)/2 would
+        // overflow to Infinity near Double.MaxValue
+        Some(if (lo == hi) lo else lo / 2 + hi / 2)
+      }
+    }
+  }
+
+  /** Exact linear-interpolated quantiles (Spark `percentile` / DuckDB
+    * `quantile_cont` semantics: position `p·(n−1)` between the two
+    * surrounding order statistics) for every (column, p) pair — same
+    * histogram-narrowing machinery as [[medians]], all columns' and
+    * percentiles' ranks narrowed in the same shared scans. Returns one
+    * `Seq[Option[Double]]` (aligned with `ps`) per column. */
+  def quantiles(
+      df: DataFrame,
+      cols: Seq[String],
+      ps: Seq[Double],
+      buckets: Int = 4096,
+      collectThreshold: Long = 100000L): Seq[Seq[Option[Double]]] = {
+    require(ps.forall(p => p >= 0.0 && p <= 1.0), "percentiles in [0,1]")
+    def ranksFor(n: Long): Seq[Long] = ps.flatMap { p =>
+      val pos = p * (n - 1)
+      Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
+    }.distinct
+    val (ns, resolved) = selectRanks(df, cols, buckets, collectThreshold,
+      ranksFor)
+    cols.indices.map { i =>
+      val n = ns(i)
+      if (n == 0) ps.map(_ => None)
+      else ps.map { p =>
+        val pos = p * (n - 1)
+        val (lo, hi) = (math.floor(pos).toLong, math.ceil(pos).toLong)
+        val (vLo, vHi) = (resolved((i, lo)), resolved((i, hi)))
+        Some(if (lo == hi) vLo else vLo + (pos - lo) * (vHi - vLo))
+      }
+    }
+  }
+
+  /** Resolve the wanted 0-indexed order statistics (`ranksOf(n)` per
+    * column) to exact values; returns (non-null counts, (colIdx, rank) →
+    * value). */
+  private def selectRanks(
+      df: DataFrame,
+      cols: Seq[String],
+      buckets: Int,
+      collectThreshold: Long,
+      ranksOf: Long => Seq[Long])
+      : (IndexedSeq[Long], scala.collection.Map[(Int, Long), Double]) = {
     val clean = cols.map(c =>
       when(isnan(col(c).cast("double")), lit(null))
         .otherwise(col(c).cast("double")).as(c))
@@ -59,7 +115,7 @@ object ExactStats {
       else {
         val (mn, mx) = (row.getDouble(i * 5 + 1), row.getDouble(i * 5 + 2))
         val (nNeg, nPos) = (row.getLong(i * 5 + 3), row.getLong(i * 5 + 4))
-        Seq((n - 1) / 2, n / 2).distinct.flatMap { r =>
+        ranksOf(n).flatMap { r =>
           // ±Infinity can't be bucketed (w would be Inf) — resolve by rank
           // position against the infinity counts, else narrow to finite
           if (r < nNeg) { resolved((i, r)) = NegInf; Nil }
@@ -145,15 +201,6 @@ object ExactStats {
         }
     }
 
-    cols.indices.map { i =>
-      if (ns(i) == 0) None
-      else {
-        val lo = resolved((i, (ns(i) - 1) / 2))
-        val hi = resolved((i, ns(i) / 2))
-        // halves are exact in binary (exponent decrement); (lo+hi)/2 would
-        // overflow to Infinity near Double.MaxValue
-        Some(if (lo == hi) lo else lo / 2 + hi / 2)
-      }
-    }
+    (ns, resolved)
   }
 }

@@ -510,7 +510,8 @@ class ScalerModel(
   * monetary/count features. */
 class Winsorizer(
     inputs: Seq[String], outputs: Seq[String],
-    lowerP: Double = 0.01, upperP: Double = 0.99)
+    lowerP: Double = 0.01, upperP: Double = 0.99,
+    distributedPercentiles: Boolean = false)
     extends GraftEstimator[WinsorizerModel] {
   require(inputs.length == outputs.length)
   require(0.0 <= lowerP && lowerP < upperP && upperP <= 1.0,
@@ -519,19 +520,30 @@ class Winsorizer(
   /** (inputs, outputs, lowerP, upperP) for [[FitFusion]]'s scalar fit. */
   private[operators] def fuseInfo: (Seq[String], Seq[String], Double, Double) =
     (inputs, outputs, lowerP, upperP)
+  private[operators] def isDistributed: Boolean = distributedPercentiles
 
   override def transformSchema(schema: StructType): StructType =
     outputs.foldLeft(schema)((s, o) =>
       GraftSchema.withField(s, o, DoubleType))
 
   override def fitDF(df: DataFrame): WinsorizerModel = {
-    // ONE percentile aggregate per column (array of percentages) — two
-    // separate exact percentiles would each buffer the whole column
-    val aggs = inputs.map(c =>
-      percentile(col(c), array(lit(lowerP), lit(upperP))))
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
-    new WinsorizerModel(inputs, outputs,
-      WinsorizerModel.boundsOf(row, inputs.length, 0))
+    val bounds =
+      if (distributedPercentiles) {
+        // 100 TB path: histogram-narrowing exact selection — O(log) scan
+        // rounds, O(buckets × columns) per-task memory, identical
+        // interpolation semantics (ExactStatsSpec asserts equality)
+        ExactStats.quantiles(df, inputs, Seq(lowerP, upperP))
+          .map(s => (s(0), s(1)))
+      } else {
+        // ONE percentile aggregate per column (array of percentages) —
+        // exact and cheapest at moderate scale, but each aggregation
+        // buffer holds a value→count table of the whole column
+        val aggs = inputs.map(c =>
+          percentile(col(c), array(lit(lowerP), lit(upperP))))
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        WinsorizerModel.boundsOf(row, inputs.length, 0)
+      }
+    new WinsorizerModel(inputs, outputs, bounds)
   }
 }
 

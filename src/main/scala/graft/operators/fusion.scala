@@ -86,8 +86,11 @@ object FitFusion {
         val (ins, outs, _) = e.fuseInfo
         Some(ScalarPart(e, ins.toSet, Some(outs.toSet)))
       case e: Winsorizer =>
-        val (ins, outs, _, _) = e.fuseInfo
-        Some(ScalarPart(e, ins.toSet, Some(outs.toSet)))
+        if (e.isDistributed) None // multi-pass fit: nothing to fuse into
+        else {
+          val (ins, outs, _, _) = e.fuseInfo
+          Some(ScalarPart(e, ins.toSet, Some(outs.toSet)))
+        }
       case _ => None
     }
 

@@ -366,6 +366,41 @@ class WinsorizerSpec extends SparkSpec {
   }
 }
 
+class QuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("histogram-narrowing quantiles == Spark exact percentile") {
+    val rnd = new scala.util.Random(7L)
+    // duplicates, negatives, a null, and skew — interpolation edges
+    val vals = (1 to 3000).map(_ => math.floor(rnd.nextGaussian() * 50) / 7.0)
+    val df = vals.zipWithIndex
+      .map { case (v, i) => (i.toLong, Some(v)) }
+      .++(Seq((99999L, Option.empty[Double])))
+      .toDF("row_id", "v")
+    val ps = Seq(0.0, 0.01, 0.25, 0.5, 0.9, 0.99, 1.0)
+    val got = operators.ExactStats
+      .quantiles(df, Seq("v"), ps, buckets = 16, collectThreshold = 10L)
+      .head.map(_.get)
+    val expected = df
+      .agg(percentile(col("v"), typedlit(ps.toArray)))
+      .head().getSeq[Double](0)
+    got.zip(expected).zip(ps).foreach { case ((g, e), p) =>
+      assert(math.abs(g - e) < 1e-12, s"p=$p: $g vs $e")
+    }
+  }
+
+  test("distributed Winsorizer bounds == sort-based bounds, end to end") {
+    val df = (1 to 500).map(i => (i.toLong, (i % 97).toDouble))
+      .toDF("row_id", "v")
+    val a = new operators.Winsorizer(Seq("v"), Seq("w"), 0.05, 0.95)
+      .fit(df)
+    val b = new operators.Winsorizer(Seq("v"), Seq("w"), 0.05, 0.95,
+      distributedPercentiles = true).fit(df)
+    assert(a.bounds == b.bounds)
+    assert(rowsOf(a.transform(df), "w") == rowsOf(b.transform(df), "w"))
+  }
+}
+
 class RollingAggSpec extends SparkSpec {
   import spark.implicits._
 
