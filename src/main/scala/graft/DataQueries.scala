@@ -349,6 +349,13 @@ object DataQueries {
         .select(col("o_orderkey"),
           round(col("roll_mean"), 6).as("roll_mean"))),
 
+    // corpus-statistical quality: mean unigram log-prob per doc
+    "q_unigram_quality" -> ((s, d) =>
+      graft.text.Ranking.unigramLogProb(t(s, d, "documents"), "text",
+          "doc_id")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("avg_logprob"), 6).as("avg_logprob"))),
+
     // BM25 relevance of every doc against a fixed term bag
     "q_bm25" -> ((s, d) =>
       graft.text.Ranking.bm25(t(s, d, "documents"), "text", "doc_id",
@@ -862,6 +869,20 @@ object DataQueries {
                ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS roll_mean
            FROM orders""",
+
+      // same unigram distribution computed in SQL; round(6) absorbs
+      // ln()/avg ulp and summation-order differences
+      "q_unigram_quality" ->
+        """WITH tk AS (
+             SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+             FROM documents),
+           f AS (SELECT t, count(*) AS c FROM tk GROUP BY 1),
+           tot AS (SELECT count(*) AS n FROM tk)
+           SELECT doc_id, count(*) AS n_tokens,
+             round(avg(ln(CAST(f.c AS DOUBLE) / tot.n)), 6) AS avg_logprob
+           FROM tk JOIN f USING (t), tot
+           GROUP BY doc_id""",
 
       // same BM25 constants (N, avgdl, per-term df) computed in SQL; ln()
       // may differ from the JVM in the last ulp — round(6) absorbs it;

@@ -10,6 +10,36 @@ import org.apache.spark.sql.functions._
   */
 object Ranking {
 
+  /** Corpus-statistical quality score: each document's mean unigram
+    * log-probability under the corpus's own unigram distribution — the
+    * workable unigram reduction of CCNet-style LM-perplexity filtering
+    * (documents full of corpus-typical words score high; token-salad and
+    * boilerplate-free gibberish score low). No smoothing needed: scoring
+    * the fit corpus means every token has count ≥ 1.
+    *
+    * Shape at 100 TB: one token explode feeds the vocabulary count
+    * (shuffle bounded by vocabulary after map-side combine); the scoring
+    * join brings the frequency relation to the token stream (AQE
+    * broadcasts typical vocabularies) and one per-doc aggregate finishes.
+    * Output: (idCol, n_tokens, avg_logprob). */
+  def unigramLogProb(
+      df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tk = df.select(col(idCol),
+      explode(TextFunctions.tokensLower(col(textCol))).as("__t"))
+      .persist()
+    val freq = tk.groupBy("__t").agg(count(lit(1)).as("__c"))
+    val total = tk.count().toDouble
+    val result = tk.join(freq, "__t")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(log(col("__c").cast("double") / lit(total)))
+          .as("avg_logprob"))
+      .persist()
+    result.count() // materialize, then release the token explode
+    tk.unpersist(blocking = false)
+    result
+  }
+
   /** BM25 score of every document against a fixed bag of query `terms`.
     *
     * One aggregate pass collects the corpus statistics (N, average doc

@@ -441,6 +441,22 @@ class Bm25Spec extends SparkSpec {
     val df = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(text.Ranking.bm25(df, "text", "doc_id", Seq("data")).count() == 0)
   }
+
+  test("unigram log-prob: corpus-typical docs outscore rare-token docs") {
+    val df = Seq(
+      (1L, "common common common"),
+      (2L, "common rare"),
+      (3L, "unique1 unique2"))
+      .toDF("doc_id", "text")
+    val m = text.Ranking.unigramLogProb(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // corpus: common x4, rare x1, unique1 x1, unique2 x1; total 7
+    val (p4, p1) = (math.log(4.0 / 7), math.log(1.0 / 7))
+    assert(m(1L)._1 == 3L && math.abs(m(1L)._2 - p4) < 1e-12)
+    assert(math.abs(m(2L)._2 - (p4 + p1) / 2) < 1e-12)
+    assert(math.abs(m(3L)._2 - p1) < 1e-12)
+    assert(m(1L)._2 > m(2L)._2 && m(2L)._2 > m(3L)._2)
+  }
 }
 
 class SessionizeStreamSpec extends SparkSpec {
