@@ -278,6 +278,14 @@ object DataQueries {
           Map("en" -> 2.5, "de" -> 0.5), 1.0)
         .select("doc_id", "lang", "copy_id")),
 
+    // C4-style line dedup: lines synthesized deterministically (the corpus
+    // is single-line) by splitting at " the " — both engines replay it
+    "q_dedup_lines" -> ((s, d) =>
+      Dedup.dedupLines(
+        t(s, d, "documents").withColumn("text",
+          regexp_replace(col("text"), " the ", "\n")),
+        "text", "doc_id")),
+
     // cross-document repeated 5-gram spans (word-level substring dedup)
     "q_span_dedup" -> ((s, d) =>
       graft.text.Dedup.duplicateSpans(t(s, d, "documents"), "text",
@@ -341,6 +349,15 @@ object DataQueries {
           round(col("price_w"), 6).as("price_w"))
     }),
 
+    // quantile discretization: quartile bin of a heavy-tailed money column
+    "q_bin" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      new graft.operators.QuantileBinner(Seq("l_extendedprice"),
+          Seq("price_bin"), nBins = 4)
+        .fit(li).transform(li)
+        .select("l_orderkey", "l_linenumber", "price_bin")
+    }),
+
     // rolling 3-order mean spend per customer (deterministic ROWS frame)
     "q_rolling" -> ((s, d) =>
       graft.relational.Relational.rollingAgg(
@@ -361,6 +378,58 @@ object DataQueries {
       graft.text.Ranking.bm25(t(s, d, "documents"), "text", "doc_id",
           Seq("the", "data", "model"))
         .select(col("doc_id"), round(col("bm25"), 6).as("bm25"))),
+
+    // per-doc top-5 TF-IDF keywords (rank on round(tfidf,6) — engine-stable)
+    "q_tfidf" -> ((s, d) =>
+      graft.text.Ranking.tfidfTopTerms(t(s, d, "documents"), "text",
+          "doc_id", kTerms = 5)
+        .select(col("doc_id"), col("term"), col("tf"),
+          round(col("tfidf"), 6).as("tfidf"), col("rank"))),
+
+    // corpus-statistical quality, bigram form: mean ln P(w2|w1) per doc
+    "q_bigram_quality" -> ((s, d) =>
+      graft.text.Ranking.bigramLogProb(t(s, d, "documents"), "text",
+          "doc_id")
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("avg_logprob"), 6).as("avg_logprob"))),
+
+    // maximal duplicated-span intervals (the ranges q_span_removal deletes)
+    "q_span_ranges" -> ((s, d) =>
+      graft.text.Dedup.duplicateSpanRanges(t(s, d, "documents"), "text",
+        "doc_id", k = 5)),
+
+    // GPT-style sequence packing: 64-token training sequences, 4 shards
+    "q_pack" -> ((s, d) =>
+      graft.text.Corpus.packSequences(t(s, d, "documents"), "text",
+        "doc_id", ctxTokens = 64, nShards = 4)),
+
+    // pivot = conditional aggregation (explicit values: one pass, no
+    // distinct-collect pre-job)
+    "q_pivot" -> ((s, d) =>
+      graft.relational.Relational.pivotAgg(t(s, d, "lineitem"),
+          Seq("l_returnflag"), "l_linestatus", Seq("O", "F"),
+          sum("l_quantity"))
+        .select(col("l_returnflag"), col("O").as("qty_O"),
+          col("F").as("qty_F"))),
+
+    // unpivot (wide→long): one row per (id, metric) — a generate, no shuffle
+    "q_unpivot" -> ((s, d) =>
+      t(s, d, "lineitem").unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "value")),
+
+    // rollup: (flag,status) + (flag) + () grand total in ONE shuffle
+    "q_rollup" -> ((s, d) =>
+      t(s, d, "lineitem").rollup("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"),
+          grouping_id().as("gid"))),
+
+    // cube: all four grouping sets in ONE shuffle
+    "q_cube" -> ((s, d) =>
+      t(s, d, "lineitem").cube("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"),
+          grouping_id().as("gid"))),
 
     // PII redaction over text with deterministic planted PII (the corpus
     // itself is synthetic prose, so plant all four pattern kinds)
@@ -716,6 +785,31 @@ object DataQueries {
            SELECT doc_id, lang, CAST(u AS INTEGER) AS copy_id
            FROM r, LATERAL (SELECT unnest(range(reps)) AS u)""",
 
+      // same first-occurrence rule from exact line strings (hash identity
+      // on the Spark side — same collision argument as q_span_dedup)
+      "q_dedup_lines" ->
+        """WITH src AS (
+             SELECT doc_id, regexp_replace(text, ' the ', chr(10), 'g') AS t
+             FROM documents),
+           ls AS (SELECT doc_id, string_split(t, chr(10)) AS xs FROM src),
+           l AS (SELECT doc_id, xs[p] AS line, p
+                 FROM ls, LATERAL (SELECT unnest(range(1, len(xs) + 1)) AS p)),
+           k AS (SELECT doc_id, line, p,
+                   trim(line) = '' OR
+                   row_number() OVER (PARTITION BY trim(line)
+                                      ORDER BY doc_id, p) = 1 AS keep
+                 FROM l),
+           agg AS (SELECT doc_id,
+                     coalesce(string_agg(CASE WHEN keep THEN line END,
+                                         chr(10) ORDER BY p), '')
+                       AS clean_text,
+                     count(CASE WHEN keep THEN 1 END) AS n_kept
+                   FROM k GROUP BY doc_id)
+           SELECT ls.doc_id, agg.clean_text,
+             CAST(len(xs) AS BIGINT) AS n_lines,
+             CAST(len(xs) - n_kept AS BIGINT) AS n_removed
+           FROM ls JOIN agg USING (doc_id)""",
+
       // same md5 gram fingerprints, same per-doc-distinct counting
       "q_span_dedup" ->
         """WITH g AS (
@@ -852,6 +946,21 @@ object DataQueries {
       "q_orc_source" ->
         "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
 
+      // quantile_cont == Spark's exact `percentile`; bin = #cuts below
+      "q_bin" ->
+        """WITH c AS (
+             SELECT quantile_cont(l_extendedprice, 0.25) AS c1,
+               quantile_cont(l_extendedprice, 0.50) AS c2,
+               quantile_cont(l_extendedprice, 0.75) AS c3
+             FROM lineitem)
+           SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_extendedprice IS NULL THEN NULL ELSE
+               CAST((CASE WHEN l_extendedprice > c.c1 THEN 1 ELSE 0 END) +
+                    (CASE WHEN l_extendedprice > c.c2 THEN 1 ELSE 0 END) +
+                    (CASE WHEN l_extendedprice > c.c3 THEN 1 ELSE 0 END)
+                 AS INTEGER) END AS price_bin
+           FROM lineitem, c""",
+
       // quantile_cont == Spark's exact `percentile` (linear interpolation)
       "q_winsor" ->
         """SELECT l_orderkey, l_linenumber,
@@ -915,6 +1024,134 @@ object DataQueries {
                (len(list_filter(ts, x -> x = 'model')) +
                 1.2 * (0.25 + 0.75 * len(ts) / st.avgdl)), 0.0), 6) AS bm25
            FROM tk, st""",
+
+      // same tf/df relations; ranking on round(tfidf,6) absorbs ln() ulp
+      "q_tfidf" ->
+        """WITH tk AS (
+             SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+             FROM documents),
+           tf AS (SELECT doc_id, t, count(*) AS tf FROM tk GROUP BY 1, 2),
+           dfq AS (SELECT t, count(*) AS dfc FROM tf GROUP BY 1),
+           n AS (SELECT count(*) AS nd FROM documents)
+           SELECT doc_id, t AS term, tf,
+             round(tf * ln(nd / dfc), 6) AS tfidf,
+             CAST(rank AS INTEGER) AS rank
+           FROM (SELECT tf.doc_id, tf.t, tf.tf, n.nd, dfq.dfc,
+                   row_number() OVER (PARTITION BY tf.doc_id
+                     ORDER BY round(tf.tf * ln(n.nd / dfq.dfc), 6) DESC,
+                              tf.t) AS rank
+                 FROM tf JOIN dfq USING (t), n)
+           WHERE rank <= 5""",
+
+      // same bigram distribution: P(w2|w1) = c12 / sum(c12 per prefix)
+      "q_bigram_quality" ->
+        """WITH tk AS (
+             SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+             FROM documents),
+           bg AS (
+             SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+             FROM tk, LATERAL (SELECT unnest(range(1, len(ts))) AS i)),
+           f AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+           p AS (SELECT w1, w2, c12,
+                   sum(c12) OVER (PARTITION BY w1) AS c1 FROM f)
+           SELECT bg.doc_id, count(*) AS n_bigrams,
+             round(avg(ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))), 6)
+               AS avg_logprob
+           FROM bg JOIN p USING (w1, w2) GROUP BY 1""",
+
+      // same ownership + gaps-and-islands merge from exact gram strings
+      "q_span_ranges" ->
+        """WITH d AS (
+             SELECT doc_id,
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                 w -> lower(w)) AS lw
+             FROM documents),
+           g AS (
+             SELECT doc_id, i AS pos,
+               lw[i] || ' ' || lw[i+1] || ' ' || lw[i+2] || ' ' ||
+               lw[i+3] || ' ' || lw[i+4] AS gram
+             FROM d, LATERAL (SELECT unnest(range(1, len(lw) - 3)) AS i)),
+           own AS (SELECT gram, min(doc_id) AS owner FROM g GROUP BY 1),
+           c AS (SELECT g.doc_id, g.pos FROM g
+                 JOIN own USING (gram) WHERE own.owner < g.doc_id),
+           m AS (SELECT doc_id, pos,
+                   CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id
+                                                  ORDER BY pos) + 5
+                        THEN 1 ELSE 0 END AS brk
+                 FROM c),
+           i AS (SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                 FROM m)
+           SELECT doc_id,
+             CAST(min(pos) AS BIGINT) AS span_start,
+             CAST(max(pos) + 4 AS BIGINT) AS span_end,
+             count(*) AS n_grams,
+             CAST(max(pos) + 4 - min(pos) + 1 AS BIGINT) AS span_tokens
+           FROM i GROUP BY doc_id, island""",
+
+      // same md5 shard/order + exact integer packing arithmetic
+      "q_pack" ->
+        """WITH d AS (
+             SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws,
+               CAST(floor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                  1, 15)) AS BIGINT)
+                          / 1152921504606846976.0 * 4) AS INTEGER)
+                 AS shard_id,
+               CAST(('0x' || substr(md5('shuffle:' ||
+                                        CAST(doc_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) / 1152921504606846976.0 AS shard_rank
+             FROM documents),
+           c AS (
+             SELECT doc_id, ws, shard_id, CAST(len(ws) AS BIGINT) AS n,
+               CAST(sum(len(ws)) OVER (PARTITION BY shard_id
+                      ORDER BY shard_rank, doc_id
+                      ROWS UNBOUNDED PRECEDING) - len(ws) AS BIGINT) AS strt
+             FROM d WHERE len(ws) >= 1),
+           e AS (
+             SELECT doc_id, ws, shard_id, n, strt,
+               CAST(u AS BIGINT) AS seq_index
+             FROM c, LATERAL (SELECT unnest(range(strt // 64,
+                                       (strt + n - 1) // 64 + 1)) AS u))
+           SELECT shard_id, seq_index, doc_id,
+             greatest(strt, seq_index * 64) - strt AS doc_offset,
+             greatest(strt, seq_index * 64) - seq_index * 64 AS seq_offset,
+             least(strt + n, (seq_index + 1) * 64)
+               - greatest(strt, seq_index * 64) AS n_tokens,
+             array_to_string(
+               ws[CAST(greatest(strt, seq_index * 64) - strt + 1 AS INTEGER)
+                  :CAST(least(strt + n, (seq_index + 1) * 64) - strt
+                        AS INTEGER)], ' ') AS slice_text
+           FROM e""",
+
+      "q_pivot" ->
+        """SELECT l_returnflag,
+             sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_O,
+             sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_F
+           FROM lineitem GROUP BY 1""",
+
+      "q_unpivot" ->
+        """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+             l_quantity AS value FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+           FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+           FROM lineitem""",
+
+      "q_rollup" ->
+        """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+             count(*) AS n,
+             CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+           FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+      "q_cube" ->
+        """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+             count(*) AS n,
+             CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+           FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
 
       "q_jsonl_source" ->
         "SELECT doc_id, text, lang, n_chars FROM documents",

@@ -583,6 +583,79 @@ object WinsorizerModel {
     }
 }
 
+/** Quantile discretization — the fitted-cuts sibling of
+  * [[graft.operators.RangeTransformer]] (whose ranges are user-given) and
+  * [[Winsorizer]] (whose percentiles clip instead of label): fit learns
+  * each input column's `nBins − 1` interior EXACT percentile cut points
+  * (same interpolation as Imputer's median — DuckDB `quantile_cont`
+  * semantics); transform appends an int bin index in [0, nBins) counting
+  * the cuts strictly below the value (a value equal to a cut falls in the
+  * lower bin; nulls stay null; an all-null fit column bins to null).
+  *
+  * Scale shape: ONE array-percentile aggregate fits all cuts of a column
+  * in one buffer (never a percentile agg per cut), and
+  * `distributedPercentiles = true` swaps in [[ExactStats.quantiles]]'s
+  * histogram-narrowing selection — O(log) scan rounds with
+  * O(buckets × columns) task memory — when value→count buffers would blow
+  * up at 100 TB. The transform is a pure codegen'd when-chain.
+  */
+class QuantileBinner(
+    inputs: Seq[String], outputs: Seq[String], nBins: Int = 4,
+    distributedPercentiles: Boolean = false)
+    extends GraftEstimator[QuantileBinnerModel] {
+  require(inputs.length == outputs.length)
+  require(nBins >= 2, "need nBins >= 2")
+
+  /** (inputs, outputs, interior percentiles) for [[FitFusion]]'s scalar
+    * fit. */
+  private[operators] def fuseInfo: (Seq[String], Seq[String], Seq[Double]) =
+    (inputs, outputs, (1 until nBins).map(_.toDouble / nBins))
+  private[operators] def isDistributed: Boolean = distributedPercentiles
+
+  override def transformSchema(schema: StructType): StructType =
+    outputs.foldLeft(schema)((s, o) =>
+      GraftSchema.withField(s, o, IntegerType))
+
+  override def fitDF(df: DataFrame): QuantileBinnerModel = {
+    val ps = (1 until nBins).map(_.toDouble / nBins)
+    val cuts: Seq[Option[Seq[Double]]] =
+      if (distributedPercentiles)
+        ExactStats.quantiles(df, inputs, ps)
+          .map(s => if (s.forall(_.isDefined)) Some(s.map(_.get)) else None)
+      else {
+        val aggs = inputs.map(c =>
+          percentile(col(c), array(ps.map(lit(_)): _*)))
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        inputs.indices.map(i => Option(row.get(i))
+          .map(_.asInstanceOf[scala.collection.Seq[Double]].toSeq))
+      }
+    new QuantileBinnerModel(inputs, outputs, cuts)
+  }
+}
+
+class QuantileBinnerModel(
+    val ins: Seq[String],
+    val outs: Seq[String],
+    val cuts: Seq[Option[Seq[Double]]])
+    extends GraftModel[QuantileBinnerModel] {
+  override def transformDF(df: DataFrame): DataFrame =
+    ins.zip(outs).zip(cuts).foldLeft(df) {
+      case (d, ((in, out), cs)) =>
+        val c = col(in).cast(DoubleType)
+        val bin = cs match {
+          case Some(bounds) =>
+            // null guard: unguarded, null > cut is null and the sum
+            // null-poisons — but the CONTRACT is bin(null) = null, which
+            // the guard makes explicit rather than accidental
+            when(c.isNotNull,
+              bounds.map(b => when(c > lit(b), 1).otherwise(0))
+                .reduce(_ + _).cast(IntegerType))
+          case None => lit(null).cast(IntegerType)
+        }
+        d.withColumn(out, bin)
+    }
+}
+
 /** Dense one-hot columns. Reference: dfpipeline/OneHotEncoder.py:57-83.
   * fit: per column, the sorted distinct non-null (stringified) categories.
   * transform: for each category, append `col__cat` = 1.0/0.0 double

@@ -91,6 +91,12 @@ object FitFusion {
           val (ins, outs, _, _) = e.fuseInfo
           Some(ScalarPart(e, ins.toSet, Some(outs.toSet)))
         }
+      case e: QuantileBinner =>
+        if (e.isDistributed) None // multi-pass fit: nothing to fuse into
+        else {
+          val (ins, outs, _) = e.fuseInfo
+          Some(ScalarPart(e, ins.toSet, Some(outs.toSet)))
+        }
       case _ => None
     }
 
@@ -293,6 +299,10 @@ object FitFusion {
           val (ins, _, lo, hi) = w.fuseInfo
           ins.foreach(c =>
             exprs += percentile(col(c), array(lit(lo), lit(hi))))
+        case q: QuantileBinner =>
+          val (ins, _, ps) = q.fuseInfo
+          ins.foreach(c =>
+            exprs += percentile(col(c), array(ps.map(lit(_)): _*)))
       }
       off
     }
@@ -320,6 +330,11 @@ object FitFusion {
           val (ins, outs, _, _) = w.fuseInfo
           new WinsorizerModel(ins, outs,
             WinsorizerModel.boundsOf(row, ins.length, off))
+        case q: QuantileBinner =>
+          val (ins, outs, _) = q.fuseInfo
+          val cuts = ins.indices.map(i => Option(row.get(off + i))
+            .map(_.asInstanceOf[scala.collection.Seq[Double]].toSeq))
+          new QuantileBinnerModel(ins, outs, cuts)
       }
     }
   }

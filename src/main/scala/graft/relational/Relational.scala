@@ -209,6 +209,22 @@ object Relational {
       .drop("__bin")
   }
 
+  /** Pivot: one output column per `values` entry, filled by `agg` over the
+    * matching rows — a plain conditional aggregation in disguise (one
+    * shuffle on `groupCols`, map-side combined, same cost as the groupBy
+    * alone). `values` is REQUIRED here deliberately: Spark's
+    * values-less overload first runs a whole separate distinct-collect
+    * job over `pivotCol` and fails past
+    * `spark.sql.pivotMaxValues` — at 100 TB the explicit list is both the
+    * cheap and the safe form (and fixes the output schema statically,
+    * which downstream code needs anyway). */
+  def pivotAgg(
+      df: DataFrame, groupCols: Seq[String], pivotCol: String,
+      values: Seq[String], agg: org.apache.spark.sql.Column): DataFrame = {
+    require(values.nonEmpty, "explicit pivot values are required (see doc)")
+    df.groupBy(groupCols.map(col): _*).pivot(pivotCol, values).agg(agg)
+  }
+
   /** Write a bucketed, sorted parquet table: rows hash-partitioned into
     * `numBuckets` files per partition by `keys`. Two tables bucketed the
     * same way equi-join WITHOUT a shuffle (verified in RelationalSpec — no

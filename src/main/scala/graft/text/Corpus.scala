@@ -164,6 +164,60 @@ object Corpus {
         hashUniform(concat(lit("shuffle:"), col(idCol).cast("string"))))
   }
 
+  /** GPT-style sequence packing: concatenate the token streams of all
+    * documents (in [[shardBy]]'s deterministic pseudo-shuffled order,
+    * independently within each of `nShards` shards) and chop the stream
+    * into fixed `ctxTokens`-token training sequences. Documents straddle
+    * sequence boundaries — exactly the "concat and chop" construction GPT
+    * pipelines use, so no padding is ever needed. Output: one row per
+    * (document × sequence) overlap —
+    * (shard_id, seq_index, idCol, doc_offset, seq_offset, n_tokens,
+    * slice_text) with 0-based offsets; a training example is the
+    * seq_offset-ordered concatenation of one (shard_id, seq_index) group.
+    *
+    * Shape at 100 TB: token offsets need a running sum over an ORDER, and
+    * a global order can't scale — but the shard is the natural packing
+    * unit anyway (each shard is one output training file), so the cumsum
+    * window partitions by shard: `nShards` parallel tasks, each sorting
+    * only its shard (the same work the final sorted write does). The
+    * explode emits ⌈n/ctx⌉+1 rows per doc at most; everything else is
+    * per-row arithmetic. Deterministic and engine-portable end to end
+    * (md5 shard/order + exact integer arithmetic). */
+  def packSequences(
+      df: DataFrame, textCol: String, idCol: String,
+      ctxTokens: Int, nShards: Int): DataFrame = {
+    require(ctxTokens >= 1 && nShards >= 1,
+      "need ctxTokens >= 1 and nShards >= 1")
+    val ctx = lit(ctxTokens.toLong)
+    val sharded = shardBy(df, idCol, nShards)
+      .withColumn("__toks", TextFunctions.tokens(col(textCol)))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .filter(col("__n") >= 1L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard_id")
+      .orderBy(col("shard_rank"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    // global (within-shard) token offset of the doc's first token
+    val withStart = sharded
+      .withColumn("__start", sum(col("__n")).over(w) - col("__n"))
+    // integral floor division (offsets are non-negative): `div`, never `/`
+    // (double division) — bit-exact at any offset magnitude
+    val binLo = expr(s"__start div ${ctxTokens.toLong}")
+    val binHi = expr(s"(__start + __n - 1) div ${ctxTokens.toLong}")
+    val lo = greatest(col("__start"), col("seq_index") * ctx)
+    val hi = least(col("__start") + col("__n"), (col("seq_index") + 1) * ctx)
+    withStart
+      .withColumn("seq_index", explode(sequence(binLo, binHi)))
+      .select(col("shard_id"), col("seq_index"), col(idCol),
+        (lo - col("__start")).as("doc_offset"),
+        (lo - col("seq_index") * ctx).as("seq_offset"),
+        (hi - lo).as("n_tokens"),
+        array_join(slice(col("__toks"),
+          (lo - col("__start") + 1).cast("int"),
+          (hi - lo).cast("int")), " ").as("slice_text"))
+  }
+
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhoneRe = "(\\(\\d{3}\\)\\s?|\\d{3}-)\\d{3}-\\d{4}"
   private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"

@@ -303,6 +303,117 @@ object Dedup {
         (size(col("__toks")) - size(kept)).cast("long").as("n_removed"))
   }
 
+  /** C4-style LINE-level exact dedup across the whole corpus: every
+    * distinct non-blank line (identity = exact trimmed text) is kept only
+    * at its FIRST occurrence — the smallest (doc id, line position) — and
+    * deleted from every later document; blank lines always stay (they
+    * carry structure, not content). This is the classic paragraph/line
+    * boilerplate killer (C4 deduplicated repeated three-sentence spans;
+    * Gopher/RefinedWeb dedup at the line level) complementing
+    * [[removeDuplicateSpans]]: lines are non-overlapping natural units, so
+    * the rewrite never splits a sentence mid-window. `lineSep` is a
+    * LITERAL separator (used for both split and rejoin). Output:
+    * (idCol, clean_text, n_lines, n_removed).
+    *
+    * Shape at 100 TB: the line explode shuffles 8-byte xxhash64 line keys
+    * (never the line text) into the first-occurrence aggregate — hash
+    * identity, same ~2⁻⁶⁴ collision argument as [[duplicateSpans]], and
+    * the q_dedup_lines oracle recomputes from exact strings and matches;
+    * the keep-test is one broadcast-friendly join back (AQE broadcasts the
+    * duplicated-lines side when small) and the reassembly one per-doc
+    * aggregate bounded by document size. */
+  def dedupLines(
+      df: DataFrame, textCol: String, idCol: String,
+      lineSep: String = "\n"): DataFrame = {
+    require(lineSep.nonEmpty, "need a non-empty line separator")
+    val reserved = Seq("__pos", "__line", "__key", "__first", "__kept")
+      .filter(df.columns.contains)
+    require(reserved.isEmpty, s"$reserved reserved by dedupLines")
+    val sepRe = java.util.regex.Pattern.quote(lineSep)
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), sepRe)).as(Seq("__pos", "__line")))
+      .withColumn("__key", xxhash64(trim(col("__line"))))
+      .persist()
+    val firsts = lines.filter(trim(col("__line")) =!= "")
+      .groupBy("__key")
+      .agg(min(struct(col(idCol).as("id"), col("__pos").as("pos")))
+        .as("__first"))
+    val rebuilt = lines.join(firsts, Seq("__key"), "left")
+      .filter(trim(col("__line")) === "" ||
+        struct(col(idCol).as("id"), col("__pos").as("pos")) === col("__first"))
+      .groupBy(idCol)
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos").as("p"),
+            col("__line").as("l")))), s => s.getField("l")), lineSep)
+          .as("clean_text"),
+        count(lit(1)).as("__kept"))
+    val result = df
+      .select(col(idCol),
+        size(split(col(textCol), sepRe)).cast("long").as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("__kept"), lit(0L))).as("n_removed"))
+      .persist()
+    result.count() // materialize, then release the line explode
+    lines.unpersist(blocking = false)
+    result
+  }
+
+  /** Maximal duplicated-span RANGES — the span-extraction step of
+    * substring dedup (Lee et al. 2021 report repeated spans, not gram
+    * counts): for every document, the maximal token intervals covered by
+    * `k`-token grams owned by an earlier document (ownership = smallest
+    * containing doc id, same rule as [[removeDuplicateSpans]] — so
+    * `removeDuplicateSpans` deletes exactly these ranges). Overlapping and
+    * adjacent gram intervals merge: gram starts p, p' (p < p') merge iff
+    * p' ≤ p + k (their [p, p+k−1] windows overlap or touch). Output:
+    * (idCol, span_start, span_end, n_grams, span_tokens) with 1-based
+    * inclusive token positions.
+    *
+    * Shape at 100 TB: same fused gram-hash explode + ownership aggregate
+    * as [[removeDuplicateSpans]]; the interval merge is the classic
+    * gaps-and-islands window (lag + cumulative break flags) partitioned by
+    * DOCUMENT — per-partition state is bounded by one doc's gram count, so
+    * no hot-group risk. */
+  def duplicateSpanRanges(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int = 10): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val lowerToks = transform(TextFunctions.tokens(col(textCol)),
+      t => lower(t))
+    val gramHashes = graft.functions.GraftFunctions.shingle_hashes(
+      transform(lowerToks, t => xxhash64(t)), k)
+    // persisted: the tokenize+hash+shingle explode feeds both the
+    // ownership aggregate and the claim join (same guard as the siblings)
+    val g = df.select(col(idCol),
+        posexplode(gramHashes).as(Seq("__pos0", "__gh")))
+      .persist()
+    val owners = g.groupBy("__gh").agg(min(col(idCol)).as("__owner"))
+    val claimed = g.join(owners, "__gh")
+      .filter(col("__owner") < col(idCol))
+      .select(col(idCol), (col("__pos0") + 1).cast("long").as("__start"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__start"))
+    // first row per doc: lag is null → when() is null → otherwise(0),
+    // which is the island-0 seed both engines agree on
+    val brk = when(
+      col("__start") > lag(col("__start"), 1).over(w) + k, 1L).otherwise(0L)
+    val result = claimed
+      .withColumn("__island", sum(brk).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min("__start").as("span_start"),
+        (max("__start") + (k - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .withColumn("span_tokens", col("span_end") - col("span_start") + 1)
+      .drop("__island")
+      .persist()
+    result.count() // materialize, then release the gram explode
+    g.unpersist(blocking = false)
+    result
+  }
+
   /** Connected components over a near-duplicate pair list: every doc in a
     * transitive duplicate cluster gets the cluster's smallest id as
     * `component` — the canonical-representative step after LSH + verify

@@ -40,6 +40,89 @@ object Ranking {
     result
   }
 
+  /** Per-document top-`kTerms` terms by TF-IDF — the classic keyword /
+    * topic-signal extraction step before clustering or curation. TF is the
+    * raw in-document count, IDF the standard `ln(N / df)` (every term has
+    * df ≥ 1 on the fit corpus, so no smoothing is needed).
+    *
+    * Shape at 100 TB: the token explode pre-combines map-side into the
+    * (doc, term) relation; document frequency is a second vocabulary-
+    * bounded aggregate over that relation (never a re-scan of the corpus);
+    * AQE broadcasts the df relation back onto the doc-term side. The final
+    * top-k window partitions by DOCUMENT — per-partition state is bounded
+    * by a single doc's distinct terms, so there is no hot-group risk (the
+    * reason topKPerGroup's heap aggregate isn't needed here). Ranking
+    * orders by round(tfidf, 6) then term, so ties — and the last-ulp ln()
+    * differences between engines — never reorder (the oracle replays the
+    * ranking exactly). Output: (idCol, term, tf, tfidf, rank). */
+  def tfidfTopTerms(
+      df: DataFrame, textCol: String, idCol: String,
+      kTerms: Int): DataFrame = {
+    require(kTerms >= 1, "need kTerms >= 1")
+    val nDocs = df.count().toDouble
+    val tf = df.select(col(idCol),
+        explode(TextFunctions.tokensLower(col(textCol))).as("__t"))
+      .groupBy(col(idCol), col("__t"))
+      .agg(count(lit(1)).as("tf"))
+      .persist()
+    val dfreq = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(round(col("tfidf"), 6).desc, col("__t").asc)
+    val result = tf.join(dfreq, "__t")
+      .withColumn("tfidf", col("tf") * log(lit(nDocs) / col("__df")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kTerms)
+      .select(col(idCol), col("__t").as("term"), col("tf"),
+        col("tfidf"), col("rank"))
+      .persist()
+    result.count() // materialize, then release the doc-term relation
+    tf.unpersist(blocking = false)
+    result
+  }
+
+  /** Bigram upgrade of [[unigramLogProb]]: each document's mean bigram
+    * log-probability `ln P(w2 | w1)` under the corpus's own bigram
+    * distribution, with `P(w2|w1) = c(w1 w2) / c(w1 ·)` (the prefix count
+    * is the sum of bigram counts starting at `w1`, so probabilities per
+    * prefix sum to exactly 1 and no end-of-document token is needed).
+    * One step closer to CCNet's LM-perplexity filter than the unigram
+    * form: token-salad with plausible words but implausible ORDER now
+    * scores low. Documents with fewer than 2 tokens emit no bigrams and
+    * are absent from the output.
+    *
+    * Shape at 100 TB: one bigram explode feeds the bigram-count aggregate
+    * (map-side combined, bounded by bigram vocabulary); the prefix count
+    * is a window over the bigram-TYPE relation (vocabulary-bounded — a hot
+    * prefix like "the" groups its successor types, not its token stream);
+    * the scoring join + per-doc aggregate mirror the unigram plan.
+    * Output: (idCol, n_bigrams, avg_logprob). */
+  def bigramLogProb(
+      df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = TextFunctions.tokensLower(col(textCol))
+    // sequence(1, size-1) is guarded: at size < 2 sequence would DESCEND
+    // (memory gotcha) — the when() leaves null and explode drops the doc
+    val bg = df.select(col(idCol),
+        explode(when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1),
+            i => struct(element_at(toks, i).as("w1"),
+              element_at(toks, i + 1).as("w2"))))).as("__bg"))
+      .select(col(idCol), col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+      .persist()
+    val freq = bg.groupBy("__w1", "__w2").agg(count(lit(1)).as("__c12"))
+    val probs = freq.withColumn("__c1",
+      sum(col("__c12")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("__w1")))
+    val result = bg.join(probs, Seq("__w1", "__w2"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(log(col("__c12") / col("__c1"))).as("avg_logprob"))
+      .persist()
+    result.count() // materialize, then release the bigram explode
+    bg.unpersist(blocking = false)
+    result
+  }
+
   /** BM25 score of every document against a fixed bag of query `terms`.
     *
     * One aggregate pass collects the corpus statistics (N, average doc
