@@ -139,6 +139,11 @@ object GraftPersistence {
       "bounds" -> jarr(m.bounds.map { case (lo, hi) => JObject(
         "lo" -> lo.fold[JValue](JNull)(JDouble(_)),
         "hi" -> hi.fold[JValue](JNull)(JDouble(_))) }))
+    case m: QuantileBinnerModel => JObject(
+      "type" -> JString("QuantileBinnerModel"),
+      "ins" -> jstrs(m.ins), "outs" -> jstrs(m.outs),
+      "cuts" -> jarr(m.cuts.map(
+        _.fold[JValue](JNull)(cs => jarr(cs.map(JDouble(_)))))))
     case m: AggregatorModel =>
       val lookupPaths = m.lookups.zipWithIndex.map { case (lk, j) =>
         val rel = s"data/${idx}_$j"
@@ -278,6 +283,15 @@ object GraftPersistence {
         new WinsorizerModel(strs(j \ "ins"), strs(j \ "outs"),
           (j \ "bounds").asInstanceOf[JArray].arr.map(b =>
             (optD(b \ "lo"), optD(b \ "hi"))))
+      case "QuantileBinnerModel" =>
+        new QuantileBinnerModel(strs(j \ "ins"), strs(j \ "outs"),
+          (j \ "cuts").asInstanceOf[JArray].arr.map {
+            case JNull => None
+            case a: JArray =>
+              Some(a.arr.map(_.asInstanceOf[JDouble].num))
+            case other => throw new IllegalArgumentException(
+              s"bad cuts entry: $other")
+          })
       case "AggregatorModel" =>
         new AggregatorModel(strs(j \ "ins"), strs(j \ "outs"),
           strs(j \ "groupby"), (j \ "func").asInstanceOf[JString].s,

@@ -94,6 +94,24 @@ class PersistenceSpec extends SparkSpec {
     assert(setStage.get.resultDF(serve).collect().isEmpty) // no AUTO in serve
   }
 
+  test("QuantileBinner cuts survive save/load (incl. all-null column)") {
+    val t2 = train.withColumn("allnull",
+      lit(null).cast(DoubleType))
+    val model = DFPipeline(
+      new QuantileBinner(Seq("price", "allnull"),
+        Seq("price_bin", "null_bin"), nBins = 4)).fit(t2)
+    val dir = "target/tmp/persist_binner"
+    GraftPersistence.save(model, dir)
+    val loaded = GraftPersistence.load(spark, dir)
+    val s2 = serve.withColumn("allnull", lit(null).cast(DoubleType))
+    val a = model.transform(s2).orderBy("row_id").collect().toSeq
+    val b = loaded.transform(s2).orderBy("row_id").collect().toSeq
+    assert(a == b)
+    val lm = loaded.stages.collectFirst {
+      case m: QuantileBinnerModel => m }.get
+    assert(lm.cuts.head.get.length == 3 && lm.cuts(1).isEmpty)
+  }
+
   test("SetTransformer padded-output params survive save/load") {
     val st = new SetTransformer(Left("seg"), Right(Seq("AUTO", "B")), "|",
       None, outputOperand = Some("set_out"), orderCol = Some("row_id"))
