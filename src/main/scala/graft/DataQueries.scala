@@ -17,16 +17,20 @@ import org.apache.spark.sql.functions._
   *    exact BY CONSTRUCTION — the oracle is the brute-force top-k; partial
   *    -probe recall is asserted in IndexSpec/DataOpsSpec;
   *  - q_fingerprint uses the md5 fingerprint (engine-portable), so the
-  *    oracle recomputes it.
-  * The remaining hash-based ops (simhash, LSH top-k, embedding near-dup)
-  * are deterministic but xxhash/hyperplane-based with recall < 1, which no
-  * SQL engine reproduces → rows-only checks, covered by scalatest specs
-  * with planted duplicates and measured-recall floors. Measured (this
-  * corpus): true Jaccard-0.8 pairs reach simhash Hamming 9, so a
-  * verify-stage oracle like q_dedup_minhash's would mismatch (the 4×16
-  * banding only guarantees candidates to Hamming 3); and the embeddings
-  * table's max off-diagonal cosine is ~0.5 (no planted high-cosine dups),
-  * so every useful near-dup threshold sits where hyperplane-LSH recall < 1.
+  *    oracle recomputes it;
+  *  - q_dedup_simhash runs the portable (md5-token-hash) simhash: the
+  *    oracle recomputes the exact 60-bit signatures in SQL and — because
+  *    4×16 banding has EXACT recall to Hamming 3 by pigeonhole — compares
+  *    all-pairs Hamming distances directly, no banding replication needed;
+  *  - q_sim_lsh / q_embed_neardup run the portable hyperplane family
+  *    (md5-derived integer weights × 2²⁰-quantized vectors → every
+  *    projection integer-exact in double arithmetic under any summation
+  *    order), so the oracle replays the exact signatures and candidate
+  *    sets: any band agreeing (near-dup) / any band within one probe bit
+  *    (multi-probe top-k).
+  * Every query in this file is therefore fully DuckDB-oracled; the
+  * non-portable default paths (xxhash simhash, Gaussian planes) keep their
+  * planted-duplicate and measured-recall scalatest floors.
   */
 object DataQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -82,8 +86,12 @@ object DataQueries {
         .select("id_a", "id_b", "jaccard")
     }),
 
+    // portable = md5 token hashes → the DuckDB oracle replays the exact
+    // signatures; banding recall is exact (pigeonhole) so the oracle is a
+    // plain all-pairs Hamming filter
     "q_dedup_simhash" -> ((s, d) =>
-      Dedup.simHashNearDup(t(s, d, "documents"), "text", "doc_id")),
+      Dedup.simHashNearDup(t(s, d, "documents"), "text", "doc_id",
+        portable = true)),
 
     "q_ngram_jaccard" -> ((s, d) => {
       val docs = t(s, d, "documents").filter(col("doc_id") < 40)
@@ -103,12 +111,16 @@ object DataQueries {
         .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"))
     }),
 
+    // portable md5-integer hyperplanes over 2^20-quantized vectors: every
+    // projection is integer-exact in double arithmetic, so the oracle
+    // replays the exact signatures, candidate set (any band within 1 probe
+    // bit), and top-k
     "q_sim_lsh" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       Similarity.lshTopK(emb, "vec_id", "embedding",
-          queries, "query_id", "qvec", k = 5, dim = 64)
+          queries, "query_id", "qvec", k = 5, dim = 64, portable = true)
         .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"))
     }),
 
@@ -174,9 +186,11 @@ object DataQueries {
           col("click_value"), col("click_ts_us"))
     }),
 
+    // portable planes (see q_sim_lsh): the oracle replays signatures and the
+    // any-band-agrees candidate set exactly
     "q_embed_neardup" -> ((s, d) =>
       Similarity.embeddingNearDup(t(s, d, "embeddings"), "vec_id",
-          "embedding", dim = 64, threshold = 0.3)
+          "embedding", dim = 64, threshold = 0.3, portable = true)
         .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))),
 
     "q_multimodal" -> ((s, d) =>
@@ -482,6 +496,30 @@ object DataQueries {
   private def langScoreSql(markers: Seq[String]): String =
     s"len(list_filter(ts, t -> t IN (${markers.map(m => s"'$m'").mkString(", ")})))"
 
+  /** Portable hyperplane-signature CTEs (q_sim_lsh / q_embed_neardup):
+    * integer weights from md5("plane:p:d") × 2²⁰-quantized vectors, the
+    * exact arithmetic of [[graft.sim.Similarity.portablePlanes]] — every
+    * projection term is an integer ≤ 2⁴⁰, so the double sums are exact and
+    * the sign bits replay bit-for-bit. */
+  private def planeSigCte(nPlanes: Int): String =
+    s"""pw AS (
+          SELECT p, d,
+            CAST(('0x' || substr(md5('plane:' || p || ':' || d), 1, 5))
+                 AS BIGINT) - 524288 AS w
+          FROM range($nPlanes) tp(p), range(64) td(d)),
+        ev AS (
+          SELECT vec_id, d,
+            floor(CAST(embedding[d + 1] AS DOUBLE) * 1048576.0) AS q
+          FROM embeddings, range(64) td(d)),
+        dots AS (
+          SELECT vec_id, p, sum(ev.q * pw.w) AS s
+          FROM ev JOIN pw USING (d) GROUP BY vec_id, p),
+        sig AS (
+          SELECT vec_id,
+            sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << p)
+                ELSE CAST(0 AS BIGINT) END) AS sig
+          FROM dots GROUP BY vec_id)"""
+
   def oracleSql: Map[String, String] = {
     val scores = TextFunctions.LangMarkers
       .map { case (l, ms) => l -> s"s_$l" }
@@ -608,6 +646,76 @@ object DataQueries {
                                              CAST(q.embedding AS DOUBLE[]))
                         DESC,
                       e.vec_id) <= 5""",
+
+      // exact replay of the portable 60-bit md5 simhash; banding recall is
+      // exact to Hamming 3 (pigeonhole), so all-pairs Hamming IS the result
+      "q_dedup_simhash" ->
+        """WITH tok AS (
+             SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+             FROM documents),
+           h AS (
+             SELECT doc_id,
+               CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+             FROM tok),
+           bits AS (
+             SELECT doc_id, j,
+               sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS c
+             FROM h, range(60) rj(j) GROUP BY doc_id, j),
+           sig AS (
+             SELECT doc_id,
+               sum(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << j)
+                   ELSE CAST(0 AS BIGINT) END) AS sig
+             FROM bits GROUP BY doc_id)
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.sig, b.sig)) <= 3""",
+
+      // exact replay of the portable-plane signatures; candidates = any of
+      // the 12 4-bit bands within one probe bit of the query's bucket
+      // (multi-probe), ranked by full-precision cosine with the CollectTopK
+      // tie-break (score desc, id asc)
+      "q_sim_lsh" -> {
+        val bandHit = (0 until 12).map { j =>
+          val sh = 4 * j
+          s"bit_count(xor((ds.sig >> $sh) & 15, (qs.sig >> $sh) & 15)) <= 1"
+        }.mkString("\n                  OR ")
+        s"""WITH ${planeSigCte(48)}
+            SELECT query_id, vec_id, round(cos, 6) AS sim FROM (
+              SELECT qs.vec_id AS query_id, ds.vec_id,
+                list_cosine_similarity(CAST(de.embedding AS DOUBLE[]),
+                                       CAST(qe.embedding AS DOUBLE[])) AS cos
+              FROM sig ds
+              JOIN sig qs ON qs.vec_id < 10
+              JOIN embeddings de ON de.vec_id = ds.vec_id
+              JOIN embeddings qe ON qe.vec_id = qs.vec_id
+              WHERE $bandHit)
+            QUALIFY row_number() OVER (
+              PARTITION BY query_id ORDER BY cos DESC, vec_id) <= 5"""
+      },
+
+      // exact replay of the portable-plane signatures; candidates = any of
+      // the 4 4-bit bands agreeing, then the exact cosine threshold
+      "q_embed_neardup" -> {
+        val bandEq = (0 until 4).map { j =>
+          val sh = 4 * j
+          s"((a.sig >> $sh) & 15) = ((b.sig >> $sh) & 15)"
+        }.mkString("\n                  OR ")
+        s"""WITH ${planeSigCte(16)}
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                           CAST(eb.embedding AS DOUBLE[])), 6)
+                AS sim
+            FROM sig a
+            JOIN sig b ON a.vec_id < b.vec_id
+            JOIN embeddings ea ON ea.vec_id = a.vec_id
+            JOIN embeddings eb ON eb.vec_id = b.vec_id
+            WHERE ($bandEq)
+              AND list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                         CAST(eb.embedding AS DOUBLE[]))
+                    >= 0.3"""
+      },
 
       "q_multimodal" ->
         """SELECT doc_id AS id,

@@ -51,17 +51,54 @@ object Similarity {
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Engine-portable hyperplanes: integer weights uniform in
+    * [-2¹⁹, 2¹⁹) taken from the first 5 hex chars of md5("plane:p:d") —
+    * the value any SQL engine recomputes as
+    * `('0x' || substr(md5('plane:'||p||':'||d), 1, 5))::BIGINT - 524288`.
+    * Uniform (rather than Gaussian) weights are still a valid sign-random-
+    * projection family; recall differs marginally from the Gaussian default.
+    */
+  private[graft] def portablePlanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map { p =>
+      (0 until dim).map { d =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"plane:$p:$d"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString
+        (java.lang.Long.parseLong(hex.substring(0, 5), 16) - 524288).toDouble
+      }
+    }
+
+  /** floor(x · 2²⁰) per element: a power-of-two scaling is EXACT for float
+    * inputs, so the quantized values are integers ≤ 2²⁰ in magnitude.
+    * Dotted against the ≤ 2¹⁹ integer portable-plane weights, every term is
+    * ≤ 2⁴⁰ and any 64-dim sum ≤ 2⁴⁶ < 2⁵³ — integer-exact in double
+    * arithmetic under ANY summation order, which is what makes the signature
+    * bit-for-bit reproducible by an external SQL oracle. */
+  private[graft] def quantize(vec: Column): Column =
+    // Spark floor() yields LongType; cast back for the double-array
+    // DotProduct (values ≤ 2²⁰, so the round-trip is exact)
+    transform(vec, x => floor(x.cast("double") * lit(1048576.0)).cast("double"))
+
   private def dotLit(vec: Column, plane: Seq[Double]): Column =
     GraftFunctions.dot_product(vec, typedlit(plane.toArray))
 
-  /** Pack the sign bits of `nPlanes` hyperplane projections into a long. */
+  /** Pack the sign bits of `nPlanes` hyperplane projections into a long.
+    * `portable = true` switches to the md5-derived integer planes over the
+    * quantized vector (exact cross-engine replay — see [[portablePlanes]]);
+    * the default stays the seeded Gaussian family. */
   def lshSignature(
-      vec: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column =
-    planes(nPlanes, dim, seed).zipWithIndex
+      vec: Column, nPlanes: Int, dim: Int, seed: Long = 42L,
+      portable: Boolean = false): Column = {
+    val ps = if (portable) portablePlanes(nPlanes, dim)
+             else planes(nPlanes, dim, seed)
+    val v = if (portable) quantize(vec) else vec
+    ps.zipWithIndex
       .map { case (p, i) =>
-        when(dotLit(vec, p) >= 0, lit(1L << i)).otherwise(lit(0L))
+        when(dotLit(v, p) >= 0, lit(1L << i)).otherwise(lit(0L))
       }
       .reduce(_ + _)
+  }
 
   /** LSH-bucketed ANN top-k: signature bands → bucket join → exact cosine on
     * collisions only, hot buckets capped (a degenerate sign pattern would
@@ -87,14 +124,14 @@ object Similarity {
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, dim: Int, nPlanes: Int = 48, bands: Int = 12,
       maxBucket: Int = 100000, seed: Long = 42L,
-      multiProbe: Boolean = true): DataFrame = {
+      multiProbe: Boolean = true, portable: Boolean = false): DataFrame = {
     require(nPlanes % bands == 0)
     val r = nPlanes / bands
     val mask = (1L << r) - 1
     def bucketed(
         df: DataFrame, id: String, vec: String,
         probe: Boolean): DataFrame = {
-      val sig = lshSignature(col(vec), nPlanes, dim, seed)
+      val sig = lshSignature(col(vec), nPlanes, dim, seed, portable)
       val entries = (0 until bands).flatMap { j =>
         val base = shiftrightunsigned(col("__sig"), j * r)
           .bitwiseAND(lit(mask))
@@ -167,11 +204,12 @@ object Similarity {
   def embeddingNearDup(
       data: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double = 0.95, nPlanes: Int = 16, bands: Int = 4,
-      maxBucket: Int = 1000, seed: Long = 42L): DataFrame = {
+      maxBucket: Int = 1000, seed: Long = 42L,
+      portable: Boolean = false): DataFrame = {
     require(nPlanes % bands == 0)
     val r = nPlanes / bands
     val mask = (1L << r) - 1
-    val sig = lshSignature(col(vecCol), nPlanes, dim, seed)
+    val sig = lshSignature(col(vecCol), nPlanes, dim, seed, portable)
     // persisted: the signature projection feeds the count aggregate and both
     // sides of the pair join
     val buckets = data.withColumn("__sig", sig)

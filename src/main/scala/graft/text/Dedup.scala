@@ -154,24 +154,39 @@ object Dedup {
     result
   }
 
+  /** Engine-portable 60-bit token hash: `conv(substr(md5(t),1,15),16,10)` —
+    * the value DuckDB recomputes as `('0x'||substr(md5(t),1,15))::BIGINT`
+    * (same trick as [[graft.text.Corpus.hashUniform]]). */
+  private def md5TokenHash(t: Column): Column =
+    conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long")
+
   /** 64-bit SimHash of the text (majority vote over token-hash bits — one
-    * codegen'd loop, [[graft.functions.SimHash64]]). */
-  def simHash(text: Column): Column =
+    * codegen'd loop, [[graft.functions.SimHash64]]). `portable = true` hashes
+    * tokens with the 60-bit md5 prefix instead of xxhash64: bits 60-63 are
+    * then always 0 (majority of all-zero bits), and the signature is exactly
+    * reproducible by any SQL engine with md5 — the q_dedup_simhash oracle
+    * recomputes it. xxhash64 stays the default (faster, full 64 bits). */
+  def simHash(text: Column, portable: Boolean = false): Column =
     GraftFunctions.simhash64(
-      transform(TextFunctions.tokensLower(text), t => xxhash64(t)))
+      transform(TextFunctions.tokensLower(text),
+        t => if (portable) md5TokenHash(t) else xxhash64(t)))
 
   /** SimHash near-duplicate pairs with Hamming distance ≤ `maxHamming`.
     * Candidates come from 4 × 16-bit chunk banding: any pair within Hamming
     * distance 3 must agree on at least one chunk (pigeonhole), so the recall
-    * of the bucket join is exact for maxHamming ≤ 3. */
+    * of the bucket join is exact for maxHamming ≤ 3 — which is also why the
+    * oracle for the portable mode can skip the banding and compare all-pairs
+    * Hamming distances directly. */
   def simHashNearDup(
       df: DataFrame,
       textCol: String,
       idCol: String,
       maxHamming: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      portable: Boolean = false): DataFrame = {
     require(maxHamming <= 3, "4x16 banding guarantees recall only to 3 bits")
-    val sigs = df.select(col(idCol), simHash(col(textCol)).as("__sim"))
+    val sigs = df.select(col(idCol),
+        simHash(col(textCol), portable).as("__sim"))
       .persist()
     val buckets = sigs.select(col(idCol), col("__sim"),
       explode(array((0 until 4).map(j => struct(lit(j).as("band"),
