@@ -170,6 +170,34 @@ object DataQueries {
         Seq("l_orderkey"), saltFactor = 8)
         .select("l_orderkey", "l_linenumber", "l_quantity", "o_custkey")),
 
+    // EXISTS / NOT EXISTS filters: orders with(out) a BUILDING-segment
+    // customer — the right side is a projected broadcast filter list
+    "q_semi_join" -> ((s, d) =>
+      graft.relational.Relational.semiJoin(
+        t(s, d, "orders"),
+        t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("o_custkey")),
+        Seq("o_custkey"), broadcastRight = true)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+
+    "q_anti_join" -> ((s, d) =>
+      graft.relational.Relational.antiJoin(
+        t(s, d, "orders"),
+        t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("o_custkey")),
+        Seq("o_custkey"), broadcastRight = true)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+
+    // one Expand + one shuffle for detail + per-flag + grand total
+    // (l_quantity is integral-valued, so the double sums are exact)
+    "q_grouping_sets" -> ((s, d) =>
+      graft.relational.Relational.groupingSetsAgg(
+        t(s, d, "lineitem"),
+        Seq(Seq("l_returnflag", "l_linestatus"), Seq("l_returnflag"),
+          Seq.empty),
+        Seq(sum("l_quantity").as("sum_qty"),
+          count(lit(1)).as("n_rows")))),
+
     // as-of join: each purchase matched to the user's most recent click at
     // or before it (oracle: DuckDB's native ASOF LEFT JOIN)
     "q_asof_join" -> ((s, d) => {
@@ -320,6 +348,31 @@ object DataQueries {
         "text", "doc_id", shingleK = 3, threshold = 0.8)
       Dedup.duplicateComponents(pairs.select("id_a", "id_b"))
         .select(col("id_a").as("doc_id"), col("component"))
+    }),
+
+    // SemDeDup-style semantic dedup: portable near-dup pairs → connected
+    // components → keep the min-id representative per cluster
+    "q_semantic_dedup" -> ((s, d) =>
+      graft.sim.Similarity.semanticDedup(t(s, d, "embeddings"), "vec_id",
+          "embedding", dim = 64, threshold = 0.3, portable = true)
+        .select("vec_id")),
+
+    // Gopher-style quality gate: pure per-row rational arithmetic, so the
+    // oracle replays the exact stats and keep decisions (no rounding)
+    "q_gopher" -> ((s, d) =>
+      TextFunctions.gopherStats(t(s, d, "documents"), "text", minWords = 40)
+        .select("doc_id", "n_words", "mean_word_len", "alpha_frac",
+          "stop_hits", "gopher_keep")),
+
+    // DSIR importance scoring: all documents scored against the src0 slice
+    // as the "target" distribution (md5-hashed unigram buckets, add-one
+    // smoothing); score is aggregate-derived → rounded 6dp on both sides
+    "q_dsir" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.text.Corpus.dsirScore(docs, "text", "doc_id",
+          docs.filter(col("source") === "src0"), "text", buckets = 256)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("dsir_score"), 6).as("dsir_score"))
     }),
 
     // Gopher-style repetition quality signals (pure per-row expressions)
@@ -1003,6 +1056,105 @@ object DataQueries {
              least(n.node, min(r.b)) AS component
            FROM nodes n LEFT JOIN reach r ON r.a = n.node
            GROUP BY n.node""",
+
+      // transitive closure over the portable embedding near-dup pairs
+      // (q_embed_neardup's edge set); keep = min-id representative per
+      // component plus everything that near-duplicates nothing
+      "q_semantic_dedup" -> {
+        val bandEq = (0 until 4).map { j =>
+          val sh = 4 * j
+          s"((a.sig >> $sh) & 15) = ((b.sig >> $sh) & 15)"
+        }.mkString("\n                  OR ")
+        s"""WITH RECURSIVE ${planeSigCte(16)},
+            cand AS (
+              SELECT a.vec_id AS ia, b.vec_id AS ib
+              FROM sig a
+              JOIN sig b ON a.vec_id < b.vec_id
+              JOIN embeddings ea ON ea.vec_id = a.vec_id
+              JOIN embeddings eb ON eb.vec_id = b.vec_id
+              WHERE ($bandEq)
+                AND list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                           CAST(eb.embedding AS DOUBLE[]))
+                      >= 0.3),
+            e AS (SELECT ia AS a, ib AS b FROM cand
+                  UNION SELECT ib, ia FROM cand),
+            reach(a, b) AS (
+              SELECT a, b FROM e
+              UNION
+              SELECT e.a, reach.b FROM e JOIN reach ON e.b = reach.a),
+            comp AS (
+              SELECT n.a AS node, least(n.a, min(r.b)) AS component
+              FROM (SELECT DISTINCT a FROM e) n
+              LEFT JOIN reach r ON r.a = n.a GROUP BY n.a)
+            SELECT vec_id FROM embeddings
+            WHERE vec_id NOT IN
+              (SELECT node FROM comp WHERE node <> component)"""
+      },
+
+      "q_gopher" ->
+        s"""WITH tk AS (
+              SELECT doc_id, $toks AS ts FROM documents),
+            st AS (
+              SELECT doc_id,
+                CAST(len(ts) AS BIGINT) AS n_words,
+                CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE)
+                  / len(ts) AS mean_word_len,
+                CAST(len(list_filter(ts, t -> regexp_matches(t, '[a-z]')))
+                     AS DOUBLE) / len(ts) AS alpha_frac,
+                CAST(len(list_filter(ts, t -> t IN ($stops))) AS BIGINT)
+                  AS stop_hits
+              FROM tk)
+            SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+              (n_words BETWEEN 40 AND 100000)
+                AND (mean_word_len BETWEEN 3.0 AND 10.0)
+                AND alpha_frac >= 0.8 AND stop_hits >= 2 AS gopher_keep
+            FROM st""",
+
+      // identical md5 bucket hashing, add-one smoothing, ln ratios; the
+      // per-doc mean is aggregate-derived → rounded 6dp on both sides
+      "q_dsir" ->
+        s"""WITH sb AS (
+              SELECT doc_id,
+                CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 256 AS b
+              FROM (SELECT doc_id, unnest($toks) AS t FROM documents)),
+            tb AS (
+              SELECT
+                CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 256 AS b
+              FROM (SELECT unnest($toks) AS t FROM documents
+                    WHERE source = 'src0')),
+            sc AS (SELECT b, count(*) AS scnt FROM sb GROUP BY b),
+            tc AS (SELECT b, count(*) AS tcnt FROM tb GROUP BY b),
+            tot AS (SELECT (SELECT count(*) FROM sb) AS stot,
+                           (SELECT count(*) FROM tb) AS ttot),
+            stats AS (
+              SELECT coalesce(sc.b, tc.b) AS b,
+                ln(CAST(coalesce(tcnt, 0) + 1 AS DOUBLE)
+                   / CAST(ttot + 256 AS DOUBLE)) -
+                ln(CAST(coalesce(scnt, 0) + 1 AS DOUBLE)
+                   / CAST(stot + 256 AS DOUBLE)) AS lr
+              FROM sc FULL OUTER JOIN tc ON sc.b = tc.b, tot)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+              round(avg(lr), 6) AS dsir_score
+            FROM sb JOIN stats USING (b) GROUP BY doc_id""",
+
+      "q_semi_join" ->
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+           WHERE EXISTS (SELECT 1 FROM customer c
+                         WHERE c.c_custkey = o.o_custkey
+                           AND c.c_mktsegment = 'BUILDING')""",
+
+      "q_anti_join" ->
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+           WHERE NOT EXISTS (SELECT 1 FROM customer c
+                             WHERE c.c_custkey = o.o_custkey
+                               AND c.c_mktsegment = 'BUILDING')""",
+
+      "q_grouping_sets" ->
+        """SELECT l_returnflag, l_linestatus,
+             sum(l_quantity) AS sum_qty, count(*) AS n_rows
+           FROM lineitem
+           GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                   (l_returnflag), ())""",
 
       "q_quality_rep" ->
         """WITH tk AS (

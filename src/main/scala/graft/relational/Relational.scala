@@ -79,6 +79,49 @@ object Relational {
         col("__t.score").as("score"), (col("__pos") + 1).as("rank")): _*)
   }
 
+  /** EXISTS filter: left rows with at least one `keys` match in `right` —
+    * left_semi, the dedup-safe form (an inner join against a non-unique
+    * right would duplicate left rows; semi never does, and Spark stops
+    * probing a key on first hit). The right side is projected to the join
+    * keys before the join so only keys shuffle/broadcast; pass
+    * `broadcastRight = true` when it's a small filter list (blocklist,
+    * allowlist, contaminated-id set) to pin the broadcast even when stats
+    * mislead AQE. */
+  def semiJoin(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      broadcastRight: Boolean = false): DataFrame = {
+    val r = right.select(keys.map(col): _*)
+    left.join(if (broadcastRight) broadcast(r) else r, keys, "left_semi")
+  }
+
+  /** NOT EXISTS filter: left rows with NO `keys` match in `right` —
+    * left_anti, the blocklist/decontamination join (drop documents whose
+    * fingerprint/domain/id appears in a ban list). Same projection +
+    * broadcast notes as [[semiJoin]]. Null keys never match (SQL NOT IN
+    * semantics differ — this is NOT EXISTS). */
+  def antiJoin(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      broadcastRight: Boolean = false): DataFrame = {
+    val r = right.select(keys.map(col): _*)
+    left.join(if (broadcastRight) broadcast(r) else r, keys, "left_anti")
+  }
+
+  /** GROUPING SETS aggregation: one pass computing `aggs` for each grouping
+    * set (e.g. `Seq(Seq("a","b"), Seq("a"), Seq())` = detail + per-a +
+    * grand total). Spark plans ONE Expand + ONE shuffle for all sets —
+    * cheaper than unioning per-set groupBys, which would re-scan the input
+    * per set; rollup/cube are the special cases. Columns absent from a set
+    * are null in that set's rows (the standard marker — add `grouping_id`
+    * upstream if the data itself contains nulls in group columns). */
+  def groupingSetsAgg(
+      df: DataFrame, sets: Seq[Seq[String]],
+      aggs: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    require(sets.nonEmpty && aggs.nonEmpty, "need grouping sets and aggs")
+    val groupCols = sets.flatten.distinct
+    df.groupingSets(sets.map(_.map(col)), groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Backward as-of join — for each left row, the single most recent right
     * row with `right.tsCol <= left.tsCol` in the same `byCols` group (ties
     * at equal ts match, like DuckDB/pandas ASOF); left rows with no prior

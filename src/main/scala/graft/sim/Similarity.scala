@@ -238,6 +238,32 @@ object Similarity {
     countsCached.unpersist()
     result
   }
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    * drop all but one representative of every group of embedding-space
+    * near-duplicates. Pairs come from [[embeddingNearDup]] (LSH-bucketed,
+    * capped — never all-pairs), groups from [[graft.text.Dedup
+    * .duplicateComponents]] (min-label propagation, so each component's
+    * label IS its minimum member id), and the keeper per group is that
+    * minimum id — every other member is dropped via one left_anti join.
+    * Rows that near-duplicate nothing pass through untouched. Returns the
+    * kept subset of `data` with its original schema. */
+  def semanticDedup(
+      data: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double = 0.95, nPlanes: Int = 16, bands: Int = 4,
+      maxBucket: Int = 1000, seed: Long = 42L,
+      portable: Boolean = false): DataFrame = {
+    val pairs = embeddingNearDup(data, idCol, vecCol, dim, threshold,
+      nPlanes, bands, maxBucket, seed, portable)
+    val comp = graft.text.Dedup.duplicateComponents(pairs)
+    // no broadcast hint: the drop list is data-dependent (could be most of
+    // the corpus in a heavily-duplicated crawl) — let AQE size the join
+    val drops = comp.filter(col("id_a") =!= col("component"))
+      .select(col("id_a").as(idCol))
+    val result = data.join(drops, Seq(idCol), "left_anti").persist()
+    result.count() // materialize before releasing the pairs cache
+    pairs.unpersist(blocking = false)
+    result
+  }
 }
 
 /** A fitted IVF (inverted-file) ANN index: a k-means coarse quantizer

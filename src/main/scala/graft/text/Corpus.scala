@@ -218,6 +218,64 @@ object Corpus {
           (hi - lo).cast("int")), " ").as("slice_text"))
   }
 
+  /** DSIR-style importance score (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", public): score each
+    * source document by how much more likely its hashed-unigram profile is
+    * under a TARGET corpus distribution than under the source distribution
+    * — the standard cheap proxy for "select web data that looks like the
+    * high-quality target". Features are md5-hashed token buckets
+    * (`buckets` of them), both distributions add-one smoothed; the score is
+    * the per-token mean of `log p_target(b) − log p_source(b)` (≈ the
+    * per-token log importance weight; resample/filter on it downstream,
+    * e.g. keep the top quantile via [[graft.operators.QuantileBinner]]).
+    *
+    * Scale shape: the two distribution fits are ONE map-side-combined
+    * aggregate each, producing ≤ `buckets` rows (a broadcast-sized
+    * relation by construction — the whole point of feature hashing); the
+    * scoring pass is explode → broadcast-join → per-doc aggregate. The
+    * token bucket is the engine-portable md5 hash, so an external SQL
+    * engine replays fits and scores exactly. Output: (idCol, n_tokens,
+    * dsir_score). */
+  def dsirScore(
+      df: DataFrame, textCol: String, idCol: String,
+      target: DataFrame, targetTextCol: String,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2, "need at least 2 hash buckets")
+    val reserved = Seq("__b", "__sc", "__tc", "__lr")
+      .filter(df.columns.contains)
+    require(reserved.isEmpty, s"$reserved reserved by dsirScore")
+    def bucketOf(t: Column): Column =
+      pmod(conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long"),
+        lit(buckets.toLong))
+    def tokenBuckets(frame: DataFrame, text: String, cols: Seq[Column]) =
+      frame.select(cols :+
+        explode(TextFunctions.tokensLower(col(text))).as("__t"): _*)
+        .select(cols :+ bucketOf(col("__t")).as("__b"): _*)
+    // source tokens feed both the source fit and the scoring join —
+    // persist so the tokenize+hash pass runs once
+    val srcTok = tokenBuckets(df, textCol, Seq(col(idCol))).persist()
+    val srcTotal = srcTok.count()
+    val tgtTok = tokenBuckets(target, targetTextCol, Seq.empty)
+    val tgtCnt = tgtTok.groupBy("__b").agg(count(lit(1)).as("__tc"))
+    val tgtTotal = tgtTok.count()
+    val srcCnt = srcTok.groupBy("__b").agg(count(lit(1)).as("__sc"))
+    // full outer: a bucket seen on only one side still needs its smoothed
+    // probability on the other
+    val stats = srcCnt.join(tgtCnt, Seq("__b"), "full_outer")
+      .select(col("__b"),
+        (log((coalesce(col("__tc"), lit(0L)) + lit(1L)).cast("double") /
+            lit((tgtTotal + buckets).toDouble)) -
+          log((coalesce(col("__sc"), lit(0L)) + lit(1L)).cast("double") /
+            lit((srcTotal + buckets).toDouble))).as("__lr"))
+    val result = srcTok.join(broadcast(stats), "__b")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), avg(col("__lr")).as("dsir_score"))
+      .persist()
+    result.count() // materialize, then release the token cache
+    srcTok.unpersist(blocking = false)
+    result
+  }
+
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhoneRe = "(\\(\\d{3}\\)\\s?|\\d{3}-)\\d{3}-\\d{4}"
   private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"

@@ -139,6 +139,45 @@ object TextFunctions {
         size(s).cast("double"))
   }
 
+  /** Gopher-style document quality gate (Rae et al. 2021 §A1.1, public):
+    * word-count bounds, mean-word-length bounds, minimum alphabetic-word
+    * fraction, and minimum stopword evidence, each as a pure per-row
+    * expression over ONE materialized token array (a single projection, no
+    * shuffle — the filter runs at scan speed and pushes nothing to a
+    * second pass). Appends the four statistics plus the combined
+    * `gopher_keep` flag; thresholds default to the published rules.
+    * Rational arithmetic only (integer sums ÷ counts), so any SQL engine
+    * replays the exact doubles and the exact keep decisions. */
+  def gopherStats(
+      df: org.apache.spark.sql.DataFrame, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8, minStopHits: Int = 2)
+      : org.apache.spark.sql.DataFrame = {
+    require(!df.columns.contains("__g_toks"),
+      "__g_toks is reserved by gopherStats")
+    val ts = col("__g_toks")
+    val n = size(ts)
+    val meanLen = aggregate(ts, lit(0L), (a, t) => a + length(t))
+      .cast("double") / n.cast("double")
+    val alphaFrac =
+      size(filter(ts, t => t.rlike("[a-z]"))).cast("double") /
+        n.cast("double")
+    val stopHits =
+      size(filter(ts, t => t.isin(Stopwords.map(x => x: Any): _*)))
+    df.withColumn("__g_toks", tokensLower(col(textCol)))
+      .withColumns(Map(
+        "n_words" -> n.cast("long"),
+        "mean_word_len" -> meanLen,
+        "alpha_frac" -> alphaFrac,
+        "stop_hits" -> stopHits.cast("long"),
+        "gopher_keep" ->
+          (n.between(minWords, maxWords) &&
+            meanLen.between(minMeanLen, maxMeanLen) &&
+            alphaFrac >= minAlphaFrac && stopHits >= minStopHits)))
+      .drop("__g_toks")
+  }
+
   /** Exact n-gram Jaccard similarity of two texts' shingle sets. */
   def ngramJaccard(a: Column, b: Column, k: Int): Column = {
     val (da, db) = (array_distinct(wordShingles(a, k)),
