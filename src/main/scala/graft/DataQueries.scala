@@ -94,12 +94,18 @@ object DataQueries {
         portable = true)),
 
     "q_ngram_jaccard" -> ((s, d) => {
+      // shingle once per DOC before the deliberate 40-doc cross join, so
+      // each pair pays one array_intersect — not a re-shingle of both texts
       val docs = t(s, d, "documents").filter(col("doc_id") < 40)
-      val a = docs.select(col("doc_id").as("id_a"), col("text").as("ta"))
-      val b = docs.select(col("doc_id").as("id_b"), col("text").as("tb"))
+        .select(col("doc_id"), TextFunctions.tokensLower(col("text")).as("__ts"))
+        .select(col("doc_id"),
+          array_distinct(TextFunctions.wordShinglesT(col("__ts"), 3)).as("__sh"))
+      val a = docs.select(col("doc_id").as("id_a"), col("__sh").as("__sh_a"))
+      val b = docs.select(col("doc_id").as("id_b"), col("__sh").as("__sh_b"))
       a.crossJoin(b).filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          TextFunctions.ngramJaccard(col("ta"), col("tb"), 3).as("jaccard"))
+          TextFunctions.shingleJaccard(col("__sh_a"), col("__sh_b"))
+            .as("jaccard"))
     }),
 
     "q_sim_topk" -> ((s, d) => {

@@ -531,12 +531,20 @@ object Dedup {
       idCol: String,
       shingleK: Int = 3,
       threshold: Double = 0.8): DataFrame = {
-    val ta = docs.select(col(idCol).as("id_a"), col(textCol).as("__text_a"))
-    val tb = docs.select(col(idCol).as("id_b"), col(textCol).as("__text_b"))
-    pairs.join(ta, "id_a").join(tb, "id_b")
+    // shingle each doc ONCE (token array materialized first — see
+    // wordShinglesT's doc), carry the distinct shingle arrays through the
+    // joins, and pay only one array_intersect per candidate pair
+    def shingled(idOut: String, shOut: String) = docs
+      .select(col(idCol).as(idOut),
+        TextFunctions.tokensLower(col(textCol)).as("__ts"))
+      .select(col(idOut),
+        array_distinct(TextFunctions.wordShinglesT(col("__ts"), shingleK))
+          .as(shOut))
+    pairs.join(shingled("id_a", "__sh_a"), "id_a")
+      .join(shingled("id_b", "__sh_b"), "id_b")
       .withColumn("jaccard",
-        TextFunctions.ngramJaccard(col("__text_a"), col("__text_b"), shingleK))
+        TextFunctions.shingleJaccard(col("__sh_a"), col("__sh_b")))
       .filter(col("jaccard") >= threshold)
-      .drop("__text_a", "__text_b")
+      .drop("__sh_a", "__sh_b")
   }
 }

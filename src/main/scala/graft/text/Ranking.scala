@@ -99,14 +99,20 @@ object Ranking {
     * Output: (idCol, n_bigrams, avg_logprob). */
   def bigramLogProb(
       df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = TextFunctions.tokensLower(col(textCol))
-    // sequence(1, size-1) is guarded: at size < 2 sequence would DESCEND
-    // (memory gotcha) — the when() leaves null and explode drops the doc
-    val bg = df.select(col(idCol),
-        explode(when(size(toks) >= 2,
-          transform(sequence(lit(1), size(toks) - 1),
-            i => struct(element_at(toks, i).as("w1"),
-              element_at(toks, i + 1).as("w2"))))).as("__bg"))
+    // the token array must be a MATERIALIZED column before the pairing
+    // lambda touches it: a lambda body referencing the raw split(...)
+    // expression re-evaluates the whole split per ELEMENT (O(tokens²)
+    // string work per doc — measured 4× on the full-corpus bench);
+    // zip_with over two slices of the materialized array is O(tokens)
+    val ts = col("__ts")
+    val bg = df
+      .select(col(idCol), TextFunctions.tokensLower(col(textCol)).as("__ts"))
+      .select(col(idCol),
+        explode(when(size(ts) >= 2,
+          zip_with(
+            slice(ts, lit(1), size(ts) - 1),
+            slice(ts, lit(2), size(ts) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2"))))).as("__bg"))
       .select(col(idCol), col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
       .persist()
     val freq = bg.groupBy("__w1", "__w2").agg(count(lit(1)).as("__c12"))

@@ -96,14 +96,19 @@ object TextFunctions {
     * when fingerprints cross system boundaries. */
   def fingerprintMd5(c: Column): Column = md5(normalized(c).cast("binary"))
 
-  /** `k`-word shingles of the text: ["a b c", "b c d", ...]; fewer than `k`
-    * words → empty array. */
-  def wordShingles(c: Column, k: Int): Column = {
-    val ws = tokensLower(c)
+  /** `k`-word shingles over a pre-split token array. The token array MUST
+    * be a materialized column (or cheap attribute), not a raw `split(...)`
+    * expression: a lambda body referencing a computed subtree re-evaluates
+    * it per ELEMENT (O(tokens²) string work per row). */
+  def wordShinglesT(ws: Column, k: Int): Column =
     when(size(ws) < k, array().cast("array<string>")).otherwise(
       transform(sequence(lit(1), size(ws) - lit(k - 1)),
         i => array_join(slice(ws, i, lit(k)), " ")))
-  }
+
+  /** `k`-word shingles of the text: ["a b c", "b c d", ...]; fewer than `k`
+    * words → empty array. Convenience form — in hot paths materialize the
+    * token array first and use [[wordShinglesT]] (see its doc). */
+  def wordShingles(c: Column, k: Int): Column = wordShinglesT(tokensLower(c), k)
 
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1: repetitious
     * documents are low-quality / memorization fuel), as pure per-row
@@ -178,15 +183,22 @@ object TextFunctions {
       .drop("__g_toks")
   }
 
-  /** Exact n-gram Jaccard similarity of two texts' shingle sets. */
-  def ngramJaccard(a: Column, b: Column, k: Int): Column = {
-    val (da, db) = (array_distinct(wordShingles(a, k)),
-      array_distinct(wordShingles(b, k)))
+  /** Jaccard similarity of two PRE-COMPUTED distinct shingle arrays — the
+    * per-pair cost is one intersect, with the shingling paid once per DOC
+    * upstream, not once per pair. */
+  def shingleJaccard(da: Column, db: Column): Column = {
     val inter = size(array_intersect(da, db))
     val union = size(da) + size(db) - inter
     when(union === 0, 0.0)
       .otherwise(inter.cast("double") / union.cast("double"))
   }
+
+  /** Exact n-gram Jaccard similarity of two texts' shingle sets.
+    * Convenience form for one-off pairs; joins/self-joins should shingle
+    * each side once and use [[shingleJaccard]]. */
+  def ngramJaccard(a: Column, b: Column, k: Int): Column =
+    shingleJaccard(array_distinct(wordShingles(a, k)),
+      array_distinct(wordShingles(b, k)))
 }
 
 import org.apache.spark.sql.DataFrame
