@@ -390,3 +390,30 @@ object GraftFunctions {
       es => SimHash64(es.head), "built-in")
   }
 }
+
+/** Session-extension registration of the custom codegen'd expressions:
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions` makes
+  * `cosine_sim`/`dot_product`/`simhash64` available in EVERY session of the
+  * application — pure-SQL users, thrift-server connections, and notebooks
+  * included — without any driver code calling [[GraftFunctions.register]].
+  * This is the supported Spark extension point (injectFunction), the same
+  * mechanism a custom Rule/Strategy would use; the engine deliberately
+  * needs no custom optimizer rules (Catalyst already covers its plans —
+  * SURVEY §4), so functions are the only injection. */
+class GraftExtensions
+    extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(
+      ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (es: Seq[Expression]) => SimHash64(es.head)))
+  }
+}

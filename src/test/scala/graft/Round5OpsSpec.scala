@@ -188,3 +188,29 @@ class PortableHashSpec extends SparkSpec {
     assert(w(0)(0) == 150301.0)
   }
 }
+
+class GraftExtensionsSpec extends SparkSpec {
+  import org.apache.spark.sql.SparkSession
+
+  test("spark.sql.extensions-style injection works in a fresh session") {
+    val base = spark // force the shared session (and its context) to exist
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql(
+        "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c, " +
+          "simhash64(array(1L)) AS s, " +
+          "dot_product(array(2.0D), array(3.0D)) AS d").head()
+      assert(r.getDouble(0) == 1.0)
+      assert(r.getLong(1) == 1L) // single hash 1 → only bit 0 wins the vote
+      assert(r.getDouble(2) == 6.0)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}
