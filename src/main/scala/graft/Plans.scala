@@ -93,7 +93,28 @@ object Plans {
       ("q_bm25", "corpus statistics fold into literals (one prior agg " +
         "job); scoring is a single codegen'd Project over the pruned " +
         "scan — no shuffle, no join.",
-        SparkEntry.queries("q_bm25")(spark, d)))
+        SparkEntry.queries("q_bm25")(spark, d)),
+      ("q_grouping_sets", "ONE Expand + ONE hash aggregate for detail, " +
+        "subtotal, and grand total — not a union of per-set groupBys " +
+        "re-scanning the input.",
+        SparkEntry.queries("q_grouping_sets")(spark, d)),
+      ("q_anti_join", "NOT EXISTS as BroadcastHashJoin(LeftAnti) over the " +
+        "projected filter list — the fact side never shuffles.",
+        SparkEntry.queries("q_anti_join")(spark, d)),
+      ("q_gopher", "quality gate: every statistic and the keep flag in one " +
+        "codegen'd Project over a pruned scan (one token-array " +
+        "materialization) — filters at scan speed.",
+        SparkEntry.queries("q_gopher")(spark, d)),
+      ("q_dsir", "DSIR scoring: the bucket-stats relation (≤ `buckets` " +
+        "rows by construction) broadcasts back onto the token explode; " +
+        "per-doc aggregate is the only real shuffle.",
+        SparkEntry.queries("q_dsir")(spark, d)),
+      ("q_bigram_quality", "bigram LM: pairing is zip_with over the " +
+        "materialized token array (O(tokens) — a lambda referencing the " +
+        "raw split would re-split per element); the prefix-count window " +
+        "runs over the vocabulary-sized bigram-type relation, not the " +
+        "token stream.",
+        SparkEntry.queries("q_bigram_quality")(spark, d)))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative queries (sf0.01)\n")
