@@ -284,6 +284,16 @@ object DataQueries {
         docs.filter(col("doc_id") < 40), "text", "doc_id", k = 5)
     }),
 
+    // same exact output as q_contamination — the Bloom sketch is only a
+    // corpus-side pre-filter (false positives die in the exact join), so
+    // the oracle is the same brute-force intersect
+    "q_contamination_bloom" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.text.Corpus.contaminationBloom(
+        docs.filter(col("doc_id") >= 40), "text", "doc_id",
+        docs.filter(col("doc_id") < 40), "text", "doc_id", k = 5)
+    }),
+
     // leakage-safe split: whole sources land on one side
     "q_split_groups" -> ((s, d) =>
       t(s, d, "documents")
@@ -835,6 +845,24 @@ object DataQueries {
                     ELSE 0.1 END""",
 
       "q_contamination" ->
+        """WITH sh AS (
+             SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, len(ws) - 3),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                      ws[i+3] || ' ' || ws[i+4])) AS g
+             FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+                   FROM documents))
+           SELECT d.doc_id, b.doc_id AS bench_id,
+             CAST(len(list_intersect(d.g, b.g)) AS BIGINT) AS n_shared
+           FROM sh d, sh b
+           WHERE d.doc_id >= 40 AND b.doc_id < 40
+             AND len(list_intersect(d.g, b.g)) >= 1""",
+
+      // identical result to q_contamination (the Bloom sketch is only a
+      // pre-filter) — same brute-force oracle
+      "q_contamination_bloom" ->
         """WITH sh AS (
              SELECT doc_id,
                list_distinct(list_transform(

@@ -218,6 +218,68 @@ object Corpus {
           (hi - lo).cast("int")), " ").as("slice_text"))
   }
 
+  /** Sketch-based decontamination: IDENTICAL output to [[contamination]]
+    * (same exact semi-match semantics — the Bloom filter is only a
+    * corpus-side pre-filter whose false positives die in the exact join),
+    * but the corpus grams are first tested against an `fpp`-sized Bloom
+    * sketch of the benchmark grams using Spark's own
+    * `BloomFilterAggregate` / `BloomFilterMightContain` expressions (the
+    * machinery behind its runtime row-level filters — codegen'd, no UDF).
+    *
+    * Why it matters at 100 TB: [[contamination]] broadcasts the full
+    * benchmark gram SET and probes a hash relation per corpus gram; here
+    * the membership test is a bitset of
+    * `-n·ln(fpp)/ln²2` bits (e.g. 10⁸ bench grams at fpp 1% ≈ 120 MB —
+    * broadcastable where the exact set is not), and non-matching grams
+    * (~everything) are dropped INSIDE the scan stage before any join
+    * probe. The exact join then runs over the surviving ~fpp fraction. */
+  def contaminationBloom(
+      docs: DataFrame, textCol: String, idCol: String,
+      bench: DataFrame, benchTextCol: String, benchIdCol: String,
+      k: Int = 5, minShared: Int = 1, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    require(k >= 1, s"shingle size k must be >= 1, got $k")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    def shingled(df: DataFrame, text: String, id: String, outId: String) =
+      df.select(col(id).as(outId),
+          explode(array_distinct(graft.functions.GraftFunctions.shingle_hashes(
+            transform(TextFunctions.tokensLower(col(text)), t => xxhash64(t)),
+            k))).as("__sh"))
+    // bench shingles feed the count, the bloom build, and the exact join —
+    // persist the (small) benchmark side once
+    val benchSh = shingled(bench, benchTextCol, benchIdCol, "bench_id")
+      .distinct().persist()
+    val n = math.max(1L, benchSh.count())
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(n, fpp)
+    val bloomBytes = benchSh.agg(Bridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(
+          Bridge.expression(col("__sh")),
+          Bridge.expression(lit(n)),
+          Bridge.expression(lit(numBits)))
+        .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    // empty benchmark → null aggregate; the pre-filter degenerates to
+    // "drop everything", which is also what the exact join would produce
+    val mightContain =
+      if (bloomBytes == null) lit(false)
+      else Bridge.column(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          Bridge.expression(lit(bloomBytes)),
+          Bridge.expression(col("__sh"))))
+    val result = shingled(docs, textCol, idCol, idCol)
+      .filter(mightContain)
+      .join(broadcast(benchSh), "__sh")
+      .groupBy(col(idCol), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .persist()
+    result.count() // materialize, then release the bench-shingle cache
+    benchSh.unpersist(blocking = false)
+    result
+  }
+
   /** DSIR-style importance score (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling", public): score each
     * source document by how much more likely its hashed-unigram profile is

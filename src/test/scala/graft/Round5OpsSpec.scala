@@ -214,3 +214,31 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 }
+
+class ContaminationBloomSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "one two three four five six seven"),
+    (2L, "totally unrelated words with no overlap here"),
+    (3L, "one two three four five and then more")).toDF("doc_id", "text")
+  private val bench = Seq(
+    (100L, "zz one two three four five zz")).toDF("doc_id", "text")
+
+  test("bloom path equals the exact contamination result") {
+    val exact = Corpus.contamination(docs, "text", "doc_id",
+      bench, "text", "doc_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bloom = Corpus.contaminationBloom(docs, "text", "doc_id",
+      bench, "text", "doc_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bloom == exact)
+    assert(bloom.map(_._1) == Set(1L, 3L)) // doc 2 shares no 5-gram
+  }
+
+  test("empty benchmark contaminates nothing") {
+    val bloom = Corpus.contaminationBloom(docs, "text", "doc_id",
+      bench.filter(col("doc_id") < 0), "text", "doc_id", k = 5)
+    assert(bloom.count() == 0)
+  }
+}
