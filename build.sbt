@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run/runMain output goes straight to this process's stdout/stderr
+// instead of through sbt's logger: the Bench JSON contract line must be a
+// raw stdout line (the logger's "[info] " prefix breaks line-oriented JSON
+// parsing downstream).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
