@@ -294,6 +294,22 @@ object DataQueries {
         docs.filter(col("doc_id") < 40), "text", "doc_id", k = 5)
     }),
 
+    // flagship curation composition: Gopher quality gate → exact dedup
+    // (first occurrence per text) → DSIR importance selection (docs that
+    // look more like the src0 target than the corpus average)
+    "q_curation" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val clean = TextFunctions.gopherStats(docs, "text", minWords = 40)
+        .filter(col("gopher_keep"))
+        .select("doc_id", "text")
+      val deduped = Dedup.exact(clean, Seq("text"), "doc_id")
+      graft.text.Corpus.dsirScore(deduped, "text", "doc_id",
+          docs.filter(col("source") === "src0"), "text", buckets = 256)
+        .filter(col("dsir_score") > 0)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("dsir_score"), 6).as("dsir_score"))
+    }),
+
     // leakage-safe split: whole sources land on one side
     "q_split_groups" -> ((s, d) =>
       t(s, d, "documents")
@@ -1170,6 +1186,54 @@ object DataQueries {
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
               round(avg(lr), 6) AS dsir_score
             FROM sb JOIN stats USING (b) GROUP BY doc_id""",
+
+      // the composed pipeline, replayed stage by stage: gopher gate →
+      // first-occurrence dedup → DSIR (source distribution fit on the
+      // SURVIVING docs, target on src0) → positive-score selection
+      "q_curation" ->
+        s"""WITH tk AS (
+              SELECT doc_id, text, $toks AS ts FROM documents),
+            g AS (
+              SELECT doc_id, text FROM tk
+              WHERE (len(ts) BETWEEN 40 AND 100000)
+                AND (CAST(list_sum(list_transform(ts, t -> length(t)))
+                          AS DOUBLE) / len(ts) BETWEEN 3.0 AND 10.0)
+                AND CAST(len(list_filter(ts,
+                             t -> regexp_matches(t, '[a-z]')))
+                         AS DOUBLE) / len(ts) >= 0.8
+                AND len(list_filter(ts, t -> t IN ($stops))) >= 2),
+            dd AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                  row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+                FROM g) WHERE rn = 1),
+            sb AS (
+              SELECT doc_id,
+                CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 256 AS b
+              FROM (SELECT doc_id,
+                      unnest(regexp_split_to_array(trim(lower(text)),
+                                                   '\\s+')) AS t
+                    FROM dd)),
+            tb AS (
+              SELECT
+                CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 256 AS b
+              FROM (SELECT unnest($toks) AS t FROM documents
+                    WHERE source = 'src0')),
+            sc AS (SELECT b, count(*) AS scnt FROM sb GROUP BY b),
+            tc AS (SELECT b, count(*) AS tcnt FROM tb GROUP BY b),
+            tot AS (SELECT (SELECT count(*) FROM sb) AS stot,
+                           (SELECT count(*) FROM tb) AS ttot),
+            stats AS (
+              SELECT coalesce(sc.b, tc.b) AS b,
+                ln(CAST(coalesce(tcnt, 0) + 1 AS DOUBLE)
+                   / CAST(ttot + 256 AS DOUBLE)) -
+                ln(CAST(coalesce(scnt, 0) + 1 AS DOUBLE)
+                   / CAST(stot + 256 AS DOUBLE)) AS lr
+              FROM sc FULL OUTER JOIN tc ON sc.b = tc.b, tot)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+              round(avg(lr), 6) AS dsir_score
+            FROM sb JOIN stats USING (b) GROUP BY doc_id
+            HAVING avg(lr) > 0""",
 
       "q_semi_join" ->
         """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
