@@ -176,6 +176,13 @@ object DataQueries {
         Seq("l_orderkey"), saltFactor = 8)
         .select("l_orderkey", "l_linenumber", "l_quantity", "o_custkey")),
 
+    // exact heavy hitters behind a CMS pre-filter: suppliers with >= 600
+    // lineitems (CMS overestimates only → no false negatives → the result
+    // is exactly GROUP BY HAVING, which is the oracle)
+    "q_heavy_hitters" -> ((s, d) =>
+      graft.relational.Relational.heavyHitters(
+        t(s, d, "lineitem"), "l_suppkey", minCount = 600)),
+
     // EXISTS / NOT EXISTS filters: orders with(out) a BUILDING-segment
     // customer — the right side is a projected broadcast filter list
     "q_semi_join" -> ((s, d) =>
@@ -529,6 +536,20 @@ object DataQueries {
       t(s, d, "lineitem").cube("l_returnflag", "l_linestatus")
         .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"),
           grouping_id().as("gid"))),
+
+    // canonical normalization (planted composed + decomposed accents — the
+    // corpus itself is ASCII): strip accents, collapse whitespace, lower.
+    // "é" is U+0065 + combining acute — the decomposed form crawls
+    // actually emit; both engines strip it identically
+    "q_normalize" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.normalizeText(
+            // explicit escapes keep this file ASCII (no tool can
+            // re-normalize them): composed accents + a decomposed e+U+0301
+            concat(lit("Caf\u00e9  na\u00efve e\u0301 "), col("text"),
+              lit("  Z\u00fcrich \u00c0 \u00c9 \u00ce \u00d5 \u00dc \u00e7 \u00f1")))
+            .as("norm"))),
 
     // PII redaction over text with deterministic planted PII (the corpus
     // itself is synthetic prose, so plant all four pattern kinds)
@@ -936,6 +957,23 @@ object DataQueries {
                      ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id) AS rank
                  FROM documents)
            WHERE rank <= 3""",
+
+      "q_heavy_hitters" ->
+        """SELECT l_suppkey, count(*) AS cnt
+           FROM lineitem GROUP BY l_suppkey HAVING count(*) >= 600""",
+
+      // chr() concatenation keeps the SQL ASCII; the codepoints mirror the
+      // Scala \u escapes exactly (233=é 239=ï 769=combining acute 252=ü
+      // 192=À 201=É 206=Î 213=Õ 220=Ü 231=ç 241=ñ)
+      "q_normalize" ->
+        """SELECT doc_id,
+             lower(trim(regexp_replace(strip_accents(
+               'Caf' || chr(233) || '  na' || chr(239) || 've e' ||
+               chr(769) || ' ' || text || '  Z' || chr(252) || 'rich ' ||
+               chr(192) || ' ' || chr(201) || ' ' || chr(206) || ' ' ||
+               chr(213) || ' ' || chr(220) || ' ' || chr(231) || ' ' ||
+               chr(241)), '\s+', ' ', 'g'))) AS norm
+           FROM documents""",
 
       "q_salted_join" ->
         """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_custkey

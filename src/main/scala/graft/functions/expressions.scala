@@ -362,6 +362,64 @@ case class ShingleHashes(child: Expression, shingleK: Int)
     copy(child = c)
 }
 
+/** Accent/diacritic stripping as a native codegen'd expression: NFD
+  * decomposition, drop combining marks (Unicode category Mn), recompose
+  * NFC — `café naïve Zürich` → `cafe naive Zurich`. The canonical text
+  * normalization before exact/near dedup (visually-identical strings that
+  * differ only in composed vs decomposed accents, or accent presence, are
+  * the classic cause of missed duplicates in crawled corpora). Matches
+  * DuckDB's `strip_accents` on Latin-script text, which is what lets
+  * q_normalize oracle-verify end to end. ASCII rows (the overwhelming
+  * majority of an English corpus) take a scan-only fast path — no
+  * Normalizer call, no allocation. */
+case class StripAccents(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"strip_accents needs a string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(s: Any): Any = {
+    val u = s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    StripAccents.stripUtf8(u)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.StripAccents.stripUtf8($c)")
+
+  override protected def withNewChildInternal(c: Expression): StripAccents =
+    copy(child = c)
+}
+
+object StripAccents {
+  private val Marks = java.util.regex.Pattern.compile("\\p{Mn}+")
+
+  /** Static entry point shared by interpreted eval and generated code. */
+  def stripUtf8(u: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    // pure-ASCII fast path: every UTF-8 byte < 0x80 → nothing to normalize
+    // (byte scan, no decode, returns the input buffer untouched)
+    val n = u.numBytes()
+    var i = 0
+    var ascii = true
+    while (ascii && i < n) {
+      if ((u.getByte(i) & 0x80) != 0) ascii = false
+      i += 1
+    }
+    if (ascii) return u
+    val s = u.toString
+    import java.text.Normalizer
+    val stripped = Normalizer.normalize(
+      Marks.matcher(Normalizer.normalize(s, Normalizer.Form.NFD))
+        .replaceAll(""),
+      Normalizer.Form.NFC)
+    org.apache.spark.unsafe.types.UTF8String.fromString(stripped)
+  }
+}
+
 /** Column-level entry points for graft's custom expressions. */
 object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column =
@@ -380,6 +438,9 @@ object GraftFunctions {
 
   def shingle_hashes(tokenHashes: Column, shingleK: Int): Column =
     Bridge.column(ShingleHashes(Bridge.expression(tokenHashes), shingleK))
+
+  def strip_accents(s: Column): Column =
+    Bridge.column(StripAccents(Bridge.expression(s)))
 
   /** Optional SQL registration (`SELECT cosine_sim(a, b) ...`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -415,5 +476,8 @@ class GraftExtensions
     ext.injectFunction((FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (es: Seq[Expression]) => SimHash64(es.head)))
+    ext.injectFunction((FunctionIdentifier("strip_accents"),
+      new ExpressionInfo(classOf[StripAccents].getName, "strip_accents"),
+      (es: Seq[Expression]) => StripAccents(es.head)))
   }
 }

@@ -268,6 +268,62 @@ object Relational {
     df.groupBy(groupCols.map(col): _*).pivot(pivotCol, values).agg(agg)
   }
 
+  /** EXACT heavy hitters — every value of `keyCol` occurring at least
+    * `minCount` times, with its exact count — using a Count-Min-Sketch
+    * pre-filter (`df.stat.countMinSketch`, the same spark-sketch CMS that
+    * backs Spark's own stat functions). Two passes:
+    *
+    *   1. one aggregate builds the fixed-size sketch (width ~2/eps ×
+    *      depth ~ln(1/(1−confidence)) counters, merged tree-wise — the
+    *      sketch size is independent of both row count and distinct-key
+    *      count);
+    *   2. the exact `groupBy(key).count()` runs only over rows whose
+    *      sketch estimate reaches `minCount`.
+    *
+    * CMS never underestimates, so the pre-filter has NO false negatives —
+    * the result is exactly `GROUP BY key HAVING count(*) >= minCount`
+    * (false positives die in the exact count). The point at 100 TB: a
+    * plain groupBy-having shuffles the ENTIRE distinct key domain
+    * (billions of URLs/fingerprints) to answer a question about the few
+    * hot keys; here the shuffle carries only rows whose key is
+    * estimated-hot — for genuinely skewed data a tiny fraction. This is
+    * the hot-key detector that decides when [[saltedJoin]] is needed.
+    * Null keys are excluded (a null group is a data-quality signal, not a
+    * heavy hitter). Output: (keyCol, cnt). */
+  def heavyHitters(
+      df: DataFrame, keyCol: String, minCount: Long,
+      eps: Double = 1e-3, confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    import org.apache.spark.sql.types._
+    val dt = df.schema(keyCol).dataType
+    val isString = dt == StringType
+    if (!isString && !Seq[DataType](ByteType, ShortType, IntegerType,
+        LongType).contains(dt))
+      throw new IllegalArgumentException(
+        s"heavyHitters supports string/integral keys, got ${dt.sql}")
+    val rows = df.filter(col(keyCol).isNotNull)
+    val sketch = rows.stat.countMinSketch(col(keyCol), eps, confidence, seed)
+    val bc = df.sparkSession.sparkContext.broadcast(sketch)
+    val thr = minCount
+    // CMS probe is an opaque JVM call — a udf here is fine: it's a FILTER
+    // on the already-scanned row, not a per-row allocation in a hot loop,
+    // and everything downstream of it stays codegen'd
+    val mightBeHot =
+      if (isString)
+        udf((v: String) => bc.value.estimateCount(v) >= thr)
+          .apply(col(keyCol))
+      else
+        // CMS hashes all integral types through longValue, so probing the
+        // long cast matches however the column was added
+        udf((v: Long) => bc.value.estimateCount(v) >= thr)
+          .apply(col(keyCol).cast("long"))
+    rows.filter(mightBeHot)
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
+
   /** Write a bucketed, sorted parquet table: rows hash-partitioned into
     * `numBuckets` files per partition by `keys`. Two tables bucketed the
     * same way equi-join WITHOUT a shuffle (verified in RelationalSpec — no

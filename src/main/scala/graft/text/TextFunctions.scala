@@ -20,6 +20,21 @@ object TextFunctions {
   /** Lowercased tokens, the unit for language/stopword statistics. */
   def tokensLower(c: Column): Column = split(trim(lower(c)), "\\s+")
 
+  /** Canonical text normalization before dedup/fingerprinting: strip
+    * accents (NFD → drop combining marks → NFC, via the codegen'd
+    * [[graft.functions.StripAccents]] expression), collapse whitespace
+    * runs to single spaces, trim, and optionally lowercase. Two crawls of
+    * the same page routinely differ only in composed-vs-decomposed
+    * accents or whitespace — without this pass exact dedup misses them.
+    * Pure narrow expressions: runs at scan speed, nothing shuffles. */
+  def normalizeText(c: Column, lowercase: Boolean = true): Column = {
+    val stripped = graft.functions.GraftFunctions.strip_accents(c)
+    // collapse BEFORE trim: trim only strips spaces, so a trailing tab or
+    // newline must first become a space for trim to catch it
+    val collapsed = trim(regexp_replace(stripped, "\\s+", " "))
+    if (lowercase) lower(collapsed) else collapsed
+  }
+
   private val PunctClass = """[.,;:!?'"()\[\]{}\-]"""
 
   /** Fraction of characters that are punctuation; 0 for empty text. */

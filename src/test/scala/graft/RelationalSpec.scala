@@ -93,6 +93,38 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("heavyHitters equals GROUP BY HAVING exactly (long and string keys)") {
+    // skew: key 1 × 500, key 2 × 40, 50 singletons, plus nulls
+    val longKeys = ((1 to 500).map(_ => Some(1L)) ++
+      (1 to 40).map(_ => Some(2L)) ++
+      (1 to 50).map(i => Some(100L + i)) ++ Seq(None, None))
+      .toDF("k")
+    val expected = longKeys.filter(col("k").isNotNull)
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 40).orderBy("k").collect().toSeq
+    val got = Relational.heavyHitters(longKeys, "k", 40)
+      .orderBy("k").collect().toSeq
+    assert(got == expected)
+    assert(got.map(r => (r.getLong(0), r.getLong(1))) ==
+      Seq((1L, 500L), (2L, 40L)))
+
+    val strKeys = ((1 to 30).map(_ => "hot") ++ (1 to 29).map(_ => "warm") ++
+      (1 to 28).map(i => s"cold$i")).toDF("s")
+    val gotS = Relational.heavyHitters(strKeys, "s", 29)
+      .orderBy("s").collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+    assert(gotS == Seq(("hot", 30L), ("warm", 29L)))
+  }
+
+  test("heavyHitters rejects non-key types and bad thresholds") {
+    val df = Seq(1.5, 2.5).toDF("d")
+    intercept[IllegalArgumentException] {
+      Relational.heavyHitters(df, "d", 1)
+    }
+    intercept[IllegalArgumentException] {
+      Relational.heavyHitters(Seq(1L).toDF("k"), "k", 0)
+    }
+  }
+
   test("same-bucketing equi-join runs without a shuffle") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
