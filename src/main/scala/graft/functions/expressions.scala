@@ -362,6 +362,46 @@ case class ShingleHashes(child: Expression, shingleK: Int)
     copy(child = c)
 }
 
+/** Order-preserving bit key of a double: `doubleToLongBits` with the
+  * classic sign-fold (`bits ^ ((bits >> 63) & 0x7fff…)`) so SIGNED long
+  * order equals double order — -Inf < … < -0.0 < 0.0 < … < +Inf, with
+  * every distinct double a distinct key. This turns exact quantile
+  * selection into integer-range narrowing ([[graft.operators.ExactStats]]):
+  * bucketing by high key bits needs no min/max pre-pass and has no
+  * float-boundary drift between "counted in bucket b" and "selected next
+  * round" — the predicate is an integer range. NaN must be filtered by the
+  * caller (its bit pattern would land above +Inf). */
+case class DoubleSortKey(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"double_sort_key needs a double, got ${t.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    DoubleSortKey.keyOf(v.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.DoubleSortKey.keyOf($c)")
+
+  override protected def withNewChildInternal(c: Expression): DoubleSortKey =
+    copy(child = c)
+}
+
+object DoubleSortKey {
+  def keyOf(v: Double): Long = {
+    val bits = java.lang.Double.doubleToLongBits(v)
+    bits ^ ((bits >> 63) & 0x7fffffffffffffffL)
+  }
+
+  /** Inverse of [[keyOf]] (driver-side decode of a fully-narrowed key). */
+  def doubleOf(k: Long): Double =
+    java.lang.Double.longBitsToDouble(k ^ ((k >> 63) & 0x7fffffffffffffffL))
+}
+
 /** Accent/diacritic stripping as a native codegen'd expression: NFD
   * decomposition, drop combining marks (Unicode category Mn), recompose
   * NFC — `café naïve Zürich` → `cafe naive Zurich`. The canonical text
@@ -441,6 +481,9 @@ object GraftFunctions {
 
   def strip_accents(s: Column): Column =
     Bridge.column(StripAccents(Bridge.expression(s)))
+
+  def double_sort_key(d: Column): Column =
+    Bridge.column(DoubleSortKey(Bridge.expression(d)))
 
   /** Optional SQL registration (`SELECT cosine_sim(a, b) ...`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -8,38 +8,44 @@ import org.apache.spark.sql.functions._
   *
   * Spark's sort-based `percentile` is exact but accumulates a value→count
   * table per aggregation buffer — memory grows with column cardinality,
-  * which is the wrong shape at 100 TB (SCALE.md known-limit #2). This is
-  * histogram-narrowing selection instead: each round ONE scan histograms
-  * every still-active target into `buckets` ranges (batched across columns
-  * via posexplode like the encoder fits) and also collects each bucket's
-  * count/min/max, so the chosen bucket's stats seed the next round with no
-  * extra pass. The bucket containing the target rank refines a MEMBERSHIP
-  * PREDICATE (the same floor expression that bucketed — no float-boundary
-  * drift between "counted in bucket b" and "selected next round"); once few
-  * enough values remain they are collected and selected exactly. Rounds are
-  * O(log_buckets(n)); per-task memory is O(buckets × columns).
+  * and the final single-threaded merge+sort of that table dominates even
+  * at moderate scale (measured ~2 s on a 600 k-row double column). This is
+  * selection by INTEGER RANGE NARROWING over the order-preserving bit key
+  * of each double ([[graft.functions.DoubleSortKey]]: signed long order ==
+  * double order):
   *
-  * Semantics are pandas `median`: mean of the two middle order statistics
-  * for even counts, NaN and null EXCLUDED (skipna — note Spark's
-  * `percentile` instead orders NaN largest; the engine's null discipline
-  * normalizes NaN→null on ingest, so the difference only shows on frames
-  * that bypassed ingest). ±Infinity participates in the ordering like any
-  * value (resolved by direct counting, not bucketing).
+  *   - round 1: ONE scan histograms every column by the top key bits
+  *     (batched across columns via posexplode, map-side combined); the
+  *     per-column non-null counts fall out of the same histogram, so there
+  *     is no separate count/min/max pass and ±Infinity needs no special
+  *     case (its keys are ordinary longs);
+  *   - each further round re-histograms only the key range still containing
+  *     each target rank, one scan for ALL pending targets, `bits` more key
+  *     bits per round — membership is an integer `BETWEEN`, so there is no
+  *     float-boundary drift between "counted in bucket b" and "selected
+  *     next round", and a fully-narrowed range (keyLo == keyHi) decodes to
+  *     its double directly, scan-free;
+  *   - once a target's range holds ≤ `collectThreshold` values, all such
+  *     targets' survivors are collected in ONE batched scan and selected
+  *     exactly on the driver.
+  *
+  * Rounds are O(64 / log2(buckets)); per-task memory is
+  * O(buckets × columns). Typical data resolves in 2 jobs: the round-1
+  * histogram and the batched collect.
+  *
+  * Semantics are pandas `median` / Spark `percentile` / DuckDB
+  * `quantile_cont`: linear interpolation between order statistics, NaN and
+  * null EXCLUDED (skipna — note Spark's `percentile` instead orders NaN
+  * largest; the engine's null discipline normalizes NaN→null on ingest, so
+  * the difference only shows on frames that bypassed ingest). ±Infinity
+  * participates in the ordering like any value.
   */
 object ExactStats {
-
-  private val NegInf = Double.NegativeInfinity
-  private val PosInf = Double.PositiveInfinity
-
-  private case class Target(
-      colName: String, idx: Int, rank: Long, // 0-indexed rank wanted
-      member: Column, below: Long,
-      cnt: Long, mn: Double, mx: Double)
 
   def medians(
       df: DataFrame,
       cols: Seq[String],
-      buckets: Int = 4096,
+      buckets: Int = 65536,
       collectThreshold: Long = 100000L): Seq[Option[Double]] = {
     val (ns, resolved) = selectRanks(df, cols, buckets, collectThreshold,
       n => Seq((n - 1) / 2, n / 2).distinct)
@@ -58,14 +64,14 @@ object ExactStats {
   /** Exact linear-interpolated quantiles (Spark `percentile` / DuckDB
     * `quantile_cont` semantics: position `p·(n−1)` between the two
     * surrounding order statistics) for every (column, p) pair — same
-    * histogram-narrowing machinery as [[medians]], all columns' and
-    * percentiles' ranks narrowed in the same shared scans. Returns one
+    * narrowing machinery as [[medians]], all columns' and percentiles'
+    * ranks narrowed in the same shared scans. Returns one
     * `Seq[Option[Double]]` (aligned with `ps`) per column. */
   def quantiles(
       df: DataFrame,
       cols: Seq[String],
       ps: Seq[Double],
-      buckets: Int = 4096,
+      buckets: Int = 65536,
       collectThreshold: Long = 100000L): Seq[Seq[Option[Double]]] = {
     require(ps.forall(p => p >= 0.0 && p <= 1.0), "percentiles in [0,1]")
     def ranksFor(n: Long): Seq[Long] = ps.flatMap { p =>
@@ -86,6 +92,13 @@ object ExactStats {
     }
   }
 
+  private case class Target(
+      idx: Int, rank: Long, // column index, 0-indexed rank wanted
+      shift: Int,           // next round histograms (key >> shift)
+      keyLo: Long, keyHi: Long, // active key range, inclusive
+      below: Long,          // values of this column strictly below keyLo
+      cnt: Long)            // values inside [keyLo, keyHi]
+
   /** Resolve the wanted 0-indexed order statistics (`ranksOf(n)` per
     * column) to exact values; returns (non-null counts, (colIdx, rank) →
     * value). */
@@ -96,109 +109,98 @@ object ExactStats {
       collectThreshold: Long,
       ranksOf: Long => Seq[Long])
       : (IndexedSeq[Long], scala.collection.Map[(Int, Long), Double]) = {
-    val clean = cols.map(c =>
-      when(isnan(col(c).cast("double")), lit(null))
-        .otherwise(col(c).cast("double")).as(c))
-    val base = df.select(clean: _*)
-
-    // round 0: one scan for count/min/max (+ infinity counts) per column
-    val aggs = cols.flatMap(c => Seq(
-      count(col(c)), min(col(c)), max(col(c)),
-      count(when(col(c) === NegInf, 1)), count(when(col(c) === PosInf, 1))))
-    val row = base.agg(aggs.head, aggs.tail: _*).head()
-    val ns = cols.indices.map(i => row.getLong(i * 5))
+    import graft.functions.{DoubleSortKey, GraftFunctions}
+    // bits per round from the buckets knob (log2, clamped to [4, 16])
+    val bits = 63 - java.lang.Long.numberOfLeadingZeros(
+      math.max(16, math.min(65536, buckets)).toLong)
+    val keyed = df.select(cols.zipWithIndex.map { case (c, i) =>
+      GraftFunctions.double_sort_key(
+        when(isnan(col(c).cast("double")), lit(null))
+          .otherwise(col(c).cast("double"))).as(s"__k$i")
+    }: _*)
+    def key(i: Int) = col(s"__k$i")
 
     val resolved = scala.collection.mutable.Map.empty[(Int, Long), Double]
-    var targets: Seq[Target] = cols.indices.flatMap { i =>
-      val n = ns(i)
-      if (n == 0) Nil
-      else {
-        val (mn, mx) = (row.getDouble(i * 5 + 1), row.getDouble(i * 5 + 2))
-        val (nNeg, nPos) = (row.getLong(i * 5 + 3), row.getLong(i * 5 + 4))
-        ranksOf(n).flatMap { r =>
-          // ±Infinity can't be bucketed (w would be Inf) — resolve by rank
-          // position against the infinity counts, else narrow to finite
-          if (r < nNeg) { resolved((i, r)) = NegInf; Nil }
-          else if (r >= n - nPos) { resolved((i, r)) = PosInf; Nil }
-          else {
-            val member = col(cols(i)).isNotNull &&
-              col(cols(i)) > NegInf && col(cols(i)) < PosInf
-            Seq(Target(cols(i), i, r, member, nNeg,
-              n - nNeg - nPos,
-              if (nNeg > 0) NegInf else mn, // refreshed by a measured pass
-              if (nPos > 0) PosInf else mx))
-          }
-        }
+    val pendingCollect = scala.collection.mutable.ArrayBuffer.empty[Target]
+    var active = Seq.empty[Target]
+
+    // walk a target's sorted (bucket, count) histogram to the bucket
+    // containing its rank; the narrowed range is the bucket's exact integer
+    // key span
+    def narrow(t: Target, hist: Seq[(Long, Long)]): Unit = {
+      var cum = t.below
+      var j = 0
+      while (j < hist.length && cum + hist(j)._2 <= t.rank) {
+        cum += hist(j)._2; j += 1
       }
-    }
-    // refresh finite min/max where infinities polluted the global ones
-    val needStats = targets.filter(t => t.mn == NegInf || t.mx == PosInf)
-    if (needStats.nonEmpty) {
-      val sAggs = needStats.flatMap(t => Seq(
-        min(when(t.member, col(t.colName))),
-        max(when(t.member, col(t.colName)))))
-      val sRow = base.agg(sAggs.head, sAggs.tail: _*).head()
-      val fixed = needStats.zipWithIndex.map { case (t, j) =>
-        (t.idx, t.rank) -> t.copy(mn = sRow.getDouble(j * 2),
-          mx = sRow.getDouble(j * 2 + 1))
-      }.toMap
-      targets = targets.map(t => fixed.getOrElse((t.idx, t.rank), t))
+      val (b, c) = hist(j)
+      val (lo, hi) =
+        if (t.shift <= 0) (b, b)
+        else (b << t.shift, ((b + 1) << t.shift) - 1)
+      val nt = t.copy(shift = math.max(0, t.shift - bits),
+        keyLo = lo, keyHi = hi, below = cum, cnt = c)
+      if (lo == hi) resolved((nt.idx, nt.rank)) = DoubleSortKey.doubleOf(lo)
+      else if (c <= collectThreshold) pendingCollect += nt
+      else active :+= nt
     }
 
+    // round 1: full-domain histogram of every column in one scan; n per
+    // column = sum of its bucket counts
+    val shift0 = 64 - bits
+    val h0 = keyed.select(posexplode(array(cols.indices.map(i =>
+        shiftright(key(i), shift0)): _*)).as(Seq("__t", "__b")))
+      .filter(col("__b").isNotNull)
+      .groupBy("__t", "__b").agg(count(lit(1)).as("c"))
+      .collect()
+      .groupBy(_.getInt(0))
+    val histByCol = h0.map { case (i, rows) =>
+      i -> rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    }
+    val ns = cols.indices.map(i => histByCol.get(i).fold(0L)(_.map(_._2).sum))
+    cols.indices.foreach { i =>
+      if (ns(i) > 0) ranksOf(ns(i)).foreach { r =>
+        narrow(Target(i, r, shift0, Long.MinValue, Long.MaxValue, 0L, ns(i)),
+          histByCol(i))
+      }
+    }
+
+    // narrowing rounds: ONE scan histograms all still-active targets
     var guard = 0
-    while (targets.nonEmpty && guard < 64) {
+    val maxRounds = 64 / bits + 2
+    while (active.nonEmpty && guard < maxRounds) {
       guard += 1
-      val next = scala.collection.mutable.ArrayBuffer.empty[Target]
-      targets.foreach { t =>
-        if (t.mn == t.mx) resolved((t.idx, t.rank)) = t.mn
-        else if (t.cnt <= collectThreshold) {
-          val vals = base.filter(t.member).select(col(t.colName))
-            .collect().map(_.getDouble(0)).sorted
-          resolved((t.idx, t.rank)) = vals((t.rank - t.below).toInt)
-        } else next += t
+      val acts = active; active = Seq.empty
+      val hist = keyed.select(posexplode(array(acts.map(t =>
+          when(key(t.idx).between(t.keyLo, t.keyHi),
+            shiftright(key(t.idx), t.shift))): _*)).as(Seq("__t", "__b")))
+        .filter(col("__b").isNotNull)
+        .groupBy("__t", "__b").agg(count(lit(1)).as("c"))
+        .collect()
+        .groupBy(_.getInt(0))
+      acts.zipWithIndex.foreach { case (t, j) =>
+        narrow(t, hist(j).map(r => (r.getLong(1), r.getLong(2)))
+          .sortBy(_._1).toSeq)
       }
+    }
+    require(active.isEmpty,
+      s"quantile narrowing did not converge in $maxRounds rounds")
 
-      // one scan: histogram with per-bucket count/min/max for all targets;
-      // the chosen bucket's stats seed the next round
-      targets =
-        if (next.isEmpty) Nil
-        else {
-          val acts = next.toSeq
-          val bucketOf = acts.map { t =>
-            val w = (t.mx - t.mn) / buckets
-            least(floor((col(t.colName) - lit(t.mn)) / lit(w)),
-              lit(buckets - 1)).cast("int")
-          }
-          val hist = base
-            .select(posexplode(array(acts.zip(bucketOf).map {
-              case (t, b) =>
-                when(t.member, struct(b.as("b"),
-                  col(t.colName).as("v")))
-            }: _*)).as(Seq("__t", "__s")))
-            .filter(col("__s").isNotNull)
-            .groupBy(col("__t"), col("__s.b").as("__b"))
-            .agg(count(lit(1)).as("c"), min("__s.v").as("mn"),
-              max("__s.v").as("mx"))
-            .collect()
-            .groupBy(_.getInt(0))
-          acts.zip(bucketOf).zipWithIndex.map {
-            case ((t, bExpr), j) =>
-              val byBucket = hist.getOrElse(j, Array.empty)
-                .map(r => r.getInt(1) -> (r.getLong(2), r.getDouble(3),
-                  r.getDouble(4))).toMap
-              var cum = t.below
-              var b = 0
-              while (b < buckets &&
-                cum + byBucket.get(b).fold(0L)(_._1) <= t.rank) {
-                cum += byBucket.get(b).fold(0L)(_._1); b += 1
-              }
-              val (bc, bmn, bmx) = byBucket(b)
-              // refine with the SAME bucketing expression that produced the
-              // counts — cum stays exactly consistent
-              t.copy(member = t.member && bExpr === lit(b), below = cum,
-                cnt = bc, mn = bmn, mx = bmx)
-          }
-        }
+    // batched final selection: ONE scan collects every pending target's
+    // surviving keys; exact order statistics on the driver (signed key
+    // order == double order, so sorting keys IS sorting values)
+    if (pendingCollect.nonEmpty) {
+      val pend = pendingCollect.toSeq
+      val rows = keyed.select(posexplode(array(pend.map(t =>
+          when(key(t.idx).between(t.keyLo, t.keyHi), key(t.idx))): _*))
+          .as(Seq("__t", "__k")))
+        .filter(col("__k").isNotNull)
+        .collect()
+      val byTarget = rows.groupBy(_.getInt(0))
+      pend.zipWithIndex.foreach { case (t, j) =>
+        val ks = byTarget(j).map(_.getLong(1)).sorted
+        resolved((t.idx, t.rank)) =
+          DoubleSortKey.doubleOf(ks((t.rank - t.below).toInt))
+      }
     }
 
     (ns, resolved)

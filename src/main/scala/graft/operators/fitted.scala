@@ -503,11 +503,13 @@ class ScalerModel(
 
 /** Percentile clipping (winsorization) — feature-engineering extension
   * beyond the reference surface: fit records the exact `lowerP`/`upperP`
-  * percentiles per input (one aggregate pass, sort-based exact
-  * `percentile` with linear interpolation — the same engine-portable
-  * semantics as Imputer's exact median); transform clips to [lo, hi] as
-  * double, nulls passing through. Robust-scaling preamble for heavy-tailed
-  * monetary/count features. */
+  * percentiles per input via [[ExactStats.quantiles]] (key-range
+  * narrowing, ~2 scans, bounded task memory — same linear-interpolation
+  * semantics as sort-based `percentile` and Imputer's exact median);
+  * transform clips to [lo, hi] as double, nulls passing through.
+  * Robust-scaling preamble for heavy-tailed monetary/count features.
+  * `distributedPercentiles = true` opts the stage out of [[FitFusion]]
+  * (fused shared-scan fits use `percentile` buffers). */
 class Winsorizer(
     inputs: Seq[String], outputs: Seq[String],
     lowerP: Double = 0.01, upperP: Double = 0.99,
@@ -527,22 +529,17 @@ class Winsorizer(
       GraftSchema.withField(s, o, DoubleType))
 
   override def fitDF(df: DataFrame): WinsorizerModel = {
-    val bounds =
-      if (distributedPercentiles) {
-        // 100 TB path: histogram-narrowing exact selection — O(log) scan
-        // rounds, O(buckets × columns) per-task memory, identical
-        // interpolation semantics (ExactStatsSpec asserts equality)
-        ExactStats.quantiles(df, inputs, Seq(lowerP, upperP))
-          .map(s => (s(0), s(1)))
-      } else {
-        // ONE percentile aggregate per column (array of percentages) —
-        // exact and cheapest at moderate scale, but each aggregation
-        // buffer holds a value→count table of the whole column
-        val aggs = inputs.map(c =>
-          percentile(col(c), array(lit(lowerP), lit(upperP))))
-        val row = df.agg(aggs.head, aggs.tail: _*).head()
-        WinsorizerModel.boundsOf(row, inputs.length, 0)
-      }
+    // key-range narrowing exact selection (ExactStats): O(log) scan
+    // rounds, O(buckets × columns) per-task memory, identical
+    // interpolation to sort-based `percentile` (ExactStatsSpec asserts
+    // equality) — and measurably faster even at bench scale, because
+    // `percentile`'s value→count buffer merge+sort is single-threaded.
+    // The standalone fit therefore ALWAYS takes this path; the
+    // `distributedPercentiles` flag now only opts the stage out of
+    // FitFusion (whose shared-scan fused aggregate uses `percentile`
+    // buffers — the right trade when many fits share one pass).
+    val bounds = ExactStats.quantiles(df, inputs, Seq(lowerP, upperP))
+      .map(s => (s(0), s(1)))
     new WinsorizerModel(inputs, outputs, bounds)
   }
 }
@@ -592,12 +589,11 @@ object WinsorizerModel {
   * the cuts strictly below the value (a value equal to a cut falls in the
   * lower bin; nulls stay null; an all-null fit column bins to null).
   *
-  * Scale shape: ONE array-percentile aggregate fits all cuts of a column
-  * in one buffer (never a percentile agg per cut), and
-  * `distributedPercentiles = true` swaps in [[ExactStats.quantiles]]'s
-  * histogram-narrowing selection — O(log) scan rounds with
-  * O(buckets × columns) task memory — when value→count buffers would blow
-  * up at 100 TB. The transform is a pure codegen'd when-chain.
+  * Scale shape: [[ExactStats.quantiles]] fits ALL cuts of all columns in
+  * the same shared narrowing scans — O(log) rounds with
+  * O(buckets × columns) task memory, no value→count buffers (see the
+  * Winsorizer.fitDF note; `distributedPercentiles = true` only opts out
+  * of [[FitFusion]]). The transform is a pure codegen'd when-chain.
   */
 class QuantileBinner(
     inputs: Seq[String], outputs: Seq[String], nBins: Int = 4,
@@ -618,17 +614,11 @@ class QuantileBinner(
 
   override def fitDF(df: DataFrame): QuantileBinnerModel = {
     val ps = (1 until nBins).map(_.toDouble / nBins)
+    // always the ExactStats key-range narrowing path — see the
+    // Winsorizer.fitDF note (the flag only opts out of FitFusion)
     val cuts: Seq[Option[Seq[Double]]] =
-      if (distributedPercentiles)
-        ExactStats.quantiles(df, inputs, ps)
-          .map(s => if (s.forall(_.isDefined)) Some(s.map(_.get)) else None)
-      else {
-        val aggs = inputs.map(c =>
-          percentile(col(c), array(ps.map(lit(_)): _*)))
-        val row = df.agg(aggs.head, aggs.tail: _*).head()
-        inputs.indices.map(i => Option(row.get(i))
-          .map(_.asInstanceOf[scala.collection.Seq[Double]].toSeq))
-      }
+      ExactStats.quantiles(df, inputs, ps)
+        .map(s => if (s.forall(_.isDefined)) Some(s.map(_.get)) else None)
     new QuantileBinnerModel(inputs, outputs, cuts)
   }
 }
