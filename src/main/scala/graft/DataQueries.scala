@@ -537,6 +537,32 @@ object DataQueries {
         .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"),
           grouping_id().as("gid"))),
 
+    // domain blocklist gate over planted URLs: subdomains of a blocked
+    // domain drop too (suffix-explode equi-join, never a LIKE scan);
+    // non-URL rows keep (null domain)
+    "q_url_filter" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").withColumn("url",
+        when(col("doc_id") % 10 === 0, lit("not a url"))
+          .otherwise(concat(lit("https://sub"), col("doc_id") % 5,
+            lit(".host"), col("doc_id") % 20, lit(".example.com/p/"),
+            col("doc_id"))))
+      val blocked = Seq("host3.example.com", "host7.example.com",
+        "badsite.org").toDF("domain")
+      graft.text.Corpus.domainFilter(docs, "url", "doc_id", blocked,
+          "domain")
+        .select(col("doc_id"),
+          graft.text.Corpus.urlDomain(col("url")).as("domain"))
+    }),
+
+    // BPE pre-tokenization: GPT-2-style regex splits (identical in Java
+    // and RE2 — no lookahead), count + words for the tokens-per-word ratio
+    "q_pretokenize" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.bpeTokenCount(col("text")).as("n_bpe"),
+          TextFunctions.tokenCount(col("text")).as("n_words"))),
+
     // canonical normalization (planted composed + decomposed accents — the
     // corpus itself is ASCII): strip accents, collapse whitespace, lower.
     // "é" is U+0065 + combining acute — the decomposed form crawls
@@ -585,6 +611,33 @@ object DataQueries {
         graft.sources.Sources.writeOrc(src, dir)
         graft.sources.Sources.readOrc(s, dir, src.schema)
       }),
+      // binaryFile ingestion round trip: one .bin file per document (the
+      // multimodal landing layout), read back via the binaryFile source;
+      // length + md5 against the parquet oracle proves byte-lossless
+      // ingestion. The writer is driver-side FIXTURE SETUP over 100 rows —
+      // the operator under test is the distributed read.
+      "q_binary_source" -> ((s, d) => {
+        val dir = java.nio.file.Paths.get("target/tmp/q_binary_source")
+        if (java.nio.file.Files.exists(dir)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+        java.nio.file.Files.createDirectories(dir)
+        t(s, d, "documents").filter(col("doc_id") < 100)
+          .select("doc_id", "text").collect().foreach { r =>
+            java.nio.file.Files.write(
+              dir.resolve(s"${r.get(0)}.bin"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        graft.sources.Sources.readBinaryFiles(s, dir.toString, "*.bin")
+          .select(
+            regexp_extract(col("path"), "([0-9]+)\\.bin$", 1).cast("long")
+              .as("doc_id"),
+            col("length"),
+            md5(col("content")).as("content_md5"))
+      }),
+
       // JSONL round trip incl. the free-text column (escaping must be
       // lossless); matching the plain-parquet oracle proves it
       "q_jsonl_source" -> ((s, d) => {
@@ -961,6 +1014,45 @@ object DataQueries {
       "q_heavy_hitters" ->
         """SELECT l_suppkey, count(*) AS cnt
            FROM lineitem GROUP BY l_suppkey HAVING count(*) >= 600""",
+
+      // suffix semantics written out literally: blocked exact domain or
+      // any ".<blocked>" subdomain; unparseable URLs (null domain) keep
+      "q_url_filter" ->
+        """WITH u AS (
+             SELECT doc_id,
+               CASE WHEN doc_id % 10 = 0 THEN 'not a url'
+                    ELSE 'https://sub' || (doc_id % 5) || '.host' ||
+                         (doc_id % 20) || '.example.com/p/' || doc_id
+               END AS url
+             FROM documents),
+           dd AS (
+             SELECT doc_id,
+               nullif(lower(regexp_extract(url,
+                 '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)),
+                 '') AS domain
+             FROM u)
+           SELECT doc_id, domain FROM dd
+           WHERE domain IS NULL OR NOT (
+             domain IN ('host3.example.com', 'host7.example.com',
+                        'badsite.org')
+             OR domain LIKE '%.host3.example.com'
+             OR domain LIKE '%.host7.example.com'
+             OR domain LIKE '%.badsite.org')""",
+
+      "q_binary_source" ->
+        """SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS length,
+             md5(text) AS content_md5
+           FROM documents WHERE doc_id < 100""",
+
+      // the '' is SQL escaping of the pattern's leading apostrophe
+      "q_pretokenize" ->
+        """SELECT doc_id,
+             len(regexp_extract_all(text,
+               '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+               AS n_bpe,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_words
+           FROM documents""",
 
       // chr() concatenation keeps the SQL ASCII; the codepoints mirror the
       // Scala \u escapes exactly (233=é 239=ï 769=combining acute 252=ü

@@ -150,8 +150,8 @@ object Similarity {
     // logged, never silent
     val dataBuckets = bucketed(data, idCol, vecCol, probe = false).persist()
     val counts = dataBuckets.groupBy("band", "bucket").count()
-    val (ok, countsCached) = graft.text.Dedup.capBuckets(dataBuckets, counts,
-      maxBucket, "lshTopK")
+    val (ok, countsCached, reportDrops) = graft.text.Dedup.capBuckets(
+      dataBuckets, counts, maxBucket, "lshTopK")
     // the distinct dedups (qid, candidate) pairs only — carrying the
     // ~512 B qvec array through it would double the shuffle bytes for zero
     // extra dedup power (qvec is constant per qid); the vector comes back
@@ -176,6 +176,7 @@ object Similarity {
           col(idCol).cast("long").as("id")).as("__cand"))
     val result = topKFinish(scored, qIdCol, idCol, k).persist()
     result.count() // materialize, then release the bucket cache
+    reportDrops()
     dataBuckets.unpersist()
     countsCached.unpersist()
     result
@@ -220,8 +221,8 @@ object Similarity {
       .select(col(idCol), col(vecCol), col("__b.band"), col("__b.bucket"))
       .persist()
     val counts = buckets.groupBy("band", "bucket").count()
-    val (ok, countsCached) = graft.text.Dedup.capBuckets(buckets, counts,
-      maxBucket, "embeddingNearDup")
+    val (ok, countsCached, reportDrops) = graft.text.Dedup.capBuckets(
+      buckets, counts, maxBucket, "embeddingNearDup")
     val a = ok.select(col("band"), col("bucket"), col(idCol).as("id_a"),
       col(vecCol).as("__v_a"))
     val b = ok.select(col("band"), col("bucket"), col(idCol).as("id_b"),
@@ -234,6 +235,7 @@ object Similarity {
       .select("id_a", "id_b", "sim")
       .persist()
     result.count() // materialize, then release the bucket cache
+    reportDrops()
     buckets.unpersist()
     countsCached.unpersist()
     result

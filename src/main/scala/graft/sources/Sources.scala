@@ -21,6 +21,19 @@ object Sources {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
+  /** Binary-file ingestion — the multimodal landing path (image/audio/video
+    * shards on disk → one row per file: path, modificationTime, length,
+    * content). `glob` pushes the extension filter into the FILE LISTING
+    * (pathGlobFilter), so non-matching files are never opened; cap
+    * per-task memory via `spark.sql.files.maxPartitionBytes` since each
+    * row materializes a whole file. Feed the result to
+    * [[graft.multimodal.Multimodal]] decoders. */
+  def readBinaryFiles(
+      spark: SparkSession, path: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+
   /** CSV with explicit schema (no inference scan); `"NaN"` and empty cells
     * become null, matching pandas' default missing markers. */
   def readCsv(

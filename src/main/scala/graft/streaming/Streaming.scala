@@ -71,10 +71,11 @@ object Streaming {
       .withColumnRenamed(idCol, "corpus_id")
       .persist()
     val counts = buckets.groupBy("band", "bucket").count()
-    val (ok, countsCached) = graft.text.Dedup.capBuckets(buckets, counts,
-      maxBucket, "freezeNearDupCorpus")
+    val (ok, countsCached, reportDrops) = graft.text.Dedup.capBuckets(
+      buckets, counts, maxBucket, "freezeNearDupCorpus")
     val frozen = ok.select("corpus_id", "band", "bucket").persist()
     frozen.count()
+    reportDrops()
     buckets.unpersist()
     countsCached.unpersist()
     frozen

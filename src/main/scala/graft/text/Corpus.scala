@@ -355,4 +355,47 @@ object Corpus {
           EmailRe, "[EMAIL]"),
         PhoneRe, "[PHONE]"),
       Ipv4Re, "[IP]")
+
+  /** Registrable host of a URL, lowercased: the `scheme://HOST` capture via
+    * a regex valid in both Java and RE2 (NOT java.net.URI — its parse
+    * failures and case quirks would be impossible for an external engine to
+    * replay; crawl-curation decisions must be re-derivable). Strips any
+    * `user@` prefix and `:port`; null/non-URL → null. */
+  def urlDomain(c: Column): Column = {
+    val host =
+      regexp_extract(c, "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)",
+        1)
+    when(host === "", lit(null)).otherwise(lower(host))
+  }
+
+  /** Domain blocklist filter — the standard crawl-curation gate (UT1-style
+    * blocklists, spam/SEO domains): drop rows whose [[urlDomain]] is a
+    * blocked domain OR any subdomain of one (`ads.example.com` matches a
+    * blocked `example.com`). Subdomain matching is done by exploding each
+    * domain's label SUFFIXES (`a.b.com` → `a.b.com`, `b.com`, `com` — at
+    * most a handful per row) and EQUI-joining the blocklist, so both joins
+    * stay hash joins (the blocklist broadcasts; a `LIKE`/endsWith theta
+    * join would go nested-loop and scan the whole list per row). Hit ids
+    * come back through one semi join + one anti join on `idCol`; the
+    * corpus text itself never shuffles. Rows with no parseable domain are
+    * KEPT (an unparseable URL is a data-quality signal, not a block
+    * decision). */
+  def domainFilter(
+      df: DataFrame, urlCol: String, idCol: String, blocked: DataFrame,
+      blockedCol: String): DataFrame = {
+    val dom = urlDomain(col(urlCol))
+    val b = broadcast(
+      blocked.select(lower(col(blockedCol)).as("__blocked")).distinct())
+    // all dot-suffixes of the domain: slice(parts, i, n) for i = 1..n
+    // (null domain → empty array, or sequence(1, -1) would throw)
+    val parts = split(dom, "\\.")
+    val sufs = when(dom.isNull, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(parts)),
+        i => array_join(slice(parts, i, size(parts)), ".")))
+    val hits = df
+      .select(col(idCol), explode(sufs).as("__suf"))
+      .join(b, col("__suf") === col("__blocked"), "left_semi")
+      .select(idCol).distinct()
+    df.join(hits, Seq(idCol), "left_anti")
+  }
 }

@@ -14,23 +14,26 @@ import org.apache.spark.sql.functions._
 object Dedup {
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** Count + warn about buckets dropped by the hot-bucket cap, so capped
-    * coverage is never silent (a dropped bucket means those docs were not
-    * compared — SCALE.md). Returns the surviving buckets. */
+  /** Cap hot buckets and report the ones dropped, so capped coverage is
+    * never silent (a dropped bucket means those docs were not compared —
+    * SCALE.md). Returns (surviving buckets, cached counts, report
+    * thunk): callers invoke the thunk AFTER materializing their result —
+    * the drop count then reads the already-cached aggregate (~free)
+    * instead of forcing an extra scheduling wave up front — and unpersist
+    * the counts frame last. */
   private[graft] def capBuckets(
       buckets: DataFrame, counts: DataFrame, maxBucket: Int,
-      what: String): (DataFrame, DataFrame) = {
-    // persisted so the drop-count action and the join read one materialized
-    // aggregate instead of recomputing the bucket groupBy twice; callers
-    // unpersist the returned counts frame once their result materializes
+      what: String): (DataFrame, DataFrame, () => Unit) = {
     val cached = counts.persist()
-    val dropped = cached.filter(col("count") > maxBucket).count()
-    if (dropped > 0)
-      log.warn(s"$what: $dropped bucket(s) over the $maxBucket-doc cap were " +
-        "dropped; their members were not compared (raise maxBucket or add " +
-        "bands to restore coverage)")
+    val report = () => {
+      val dropped = cached.filter(col("count") > maxBucket).count()
+      if (dropped > 0)
+        log.warn(s"$what: $dropped bucket(s) over the $maxBucket-doc cap " +
+          "were dropped; their members were not compared (raise maxBucket " +
+          "or add bands to restore coverage)")
+    }
     (buckets.join(cached.filter(col("count") <= maxBucket),
-      Seq("band", "bucket")), cached)
+      Seq("band", "bucket")), cached, report)
   }
 
   /** Exact dedup: keep the row with the smallest `orderCol` per key group.
@@ -123,8 +126,8 @@ object Dedup {
     // broadcast the small count relation; a window over (band,bucket) would
     // funnel each hot bucket through one task.
     val counts = buckets.groupBy("band", "bucket").count()
-    val (ok0, countsCached) = capBuckets(buckets, counts, maxBucket,
-      "minHashLSH")
+    val (ok0, countsCached, reportDrops) = capBuckets(buckets, counts,
+      maxBucket, "minHashLSH")
     val ok = ok0.select(col("band"), col("bucket"), col(idCol))
 
     val pairs = ok.toDF("band", "bucket", "id_a")
@@ -149,6 +152,7 @@ object Dedup {
     // the returned frame stays persisted (callers filter/join it repeatedly;
     // unpersist it when done) — materializing lets the signature cache go
     result.count()
+    reportDrops()
     withSig.unpersist()
     countsCached.unpersist()
     result
@@ -198,8 +202,8 @@ object Dedup {
       ): _*)).as("__b"))
       .select(col(idCol), col("__sim"), col("__b.band"), col("__b.bucket"))
     val counts = buckets.groupBy("band", "bucket").count()
-    val (ok, countsCached) = capBuckets(buckets, counts, maxBucket,
-      "simHashNearDup")
+    val (ok, countsCached, reportDrops) = capBuckets(buckets, counts,
+      maxBucket, "simHashNearDup")
     val a = ok.select(col("band"), col("bucket"), col(idCol).as("id_a"),
       col("__sim").as("__sim_a"))
     val b = ok.select(col("band"), col("bucket"), col(idCol).as("id_b"),
@@ -212,6 +216,7 @@ object Dedup {
       .select("id_a", "id_b", "hamming").distinct()
       .persist()
     result.count() // materialize, then release the signature cache
+    reportDrops()
     sigs.unpersist()
     countsCached.unpersist()
     result

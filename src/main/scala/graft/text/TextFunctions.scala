@@ -35,6 +35,25 @@ object TextFunctions {
     if (lowercase) lower(collapsed) else collapsed
   }
 
+  /** GPT-2-style pre-tokenizer pattern (public knowledge — the regex
+    * family used by byte-pair-encoding tokenizers to pre-split text into
+    * merge candidates: contraction suffixes, space-prefixed letter runs,
+    * digit runs, punctuation runs, whitespace). Deliberately free of
+    * lookahead so RE2-based engines (the DuckDB oracle) and Java produce
+    * identical splits — cross-checked token-for-token in q_pretokenize. */
+  val BpePattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** The pre-token array itself (empty text → empty array). */
+  def bpeTokens(c: Column): Column =
+    regexp_extract_all(c, lit(BpePattern), lit(0))
+
+  /** Pre-token count — the standard proxy for "how many BPE tokens will
+    * this document cost" before a real tokenizer runs (each pre-token
+    * splits into ≥1 BPE tokens, and for common words exactly 1). Pure
+    * narrow expression: runs at scan speed. */
+  def bpeTokenCount(c: Column): Column = size(bpeTokens(c)).cast("long")
+
   private val PunctClass = """[.,;:!?'"()\[\]{}\-]"""
 
   /** Fraction of characters that are punctuation; 0 for empty text. */

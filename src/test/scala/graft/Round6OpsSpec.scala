@@ -40,6 +40,23 @@ class NormalizeTextSpec extends SparkSpec {
       .head().getString(0) == "Cafe du Monde")
   }
 
+  test("bpeTokens splits like the GPT-2 pre-tokenizer family") {
+    val s = "The quick brown fox's 42 jumps, over 3.14 miles!  Don't " +
+      "stop-now; e.g. U.S.A. 'quoted'   spaces"
+    val df = Seq(s).toDF("t")
+    val toks = df.select(TextFunctions.bpeTokens(col("t")).as("x"))
+      .head().getSeq[String](0)
+    // cross-checked against DuckDB regexp_extract_all with the same
+    // pattern: identical 36 splits
+    assert(toks.length == 36)
+    assert(toks.take(8) ==
+      Seq("The", " quick", " brown", " fox", "'s", " 42", " jumps", ","))
+    assert(df.select(TextFunctions.bpeTokenCount(col("t"))).head.getLong(0)
+      == 36L)
+    assert(Seq("").toDF("t")
+      .select(TextFunctions.bpeTokenCount(col("t"))).head.getLong(0) == 0L)
+  }
+
   test("normalizeText makes accent-variant duplicates exactly equal") {
     // the dedup motivation: same page crawled twice with different
     // Unicode normalization must collapse to one key
@@ -49,5 +66,51 @@ class NormalizeTextSpec extends SparkSpec {
     val keys = df.select(TextFunctions.normalizeText(col("text")).as("k"))
       .distinct().count()
     assert(keys == 1L)
+  }
+}
+
+class UrlOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("urlDomain extracts lowercased host, strips user/port, null on junk") {
+    val df = Seq(
+      "https://WWW.Example.COM/path?q=1",
+      "http://user:pw@Host.org:8080/x",
+      "ftp://files.example.net",
+      "not a url",
+      "relative/path",
+      "").toDF("u")
+    val got = df.select(graft.text.Corpus.urlDomain(col("u")).as("d"))
+      .collect().map(r => Option(r.getString(0))).toSeq
+    assert(got == Seq(Some("www.example.com"), Some("host.org"),
+      Some("files.example.net"), None, None, None))
+  }
+
+  test("domainFilter drops blocked domains and their subdomains only") {
+    val docs = Seq(
+      (1L, "https://example.com/a"),        // exact block
+      (2L, "https://ads.example.com/b"),    // subdomain block
+      (3L, "https://example.com.evil.io/c"), // NOT a suffix match - keeps
+      (4L, "https://good.org/d"),
+      (5L, "junk"),                          // null domain - keeps
+      (6L, "https://deep.ads.example.com/e") // deeper subdomain block
+    ).toDF("id", "url")
+    val blocked = Seq("EXAMPLE.com").toDF("dom") // case-insensitive
+    val kept = graft.text.Corpus.domainFilter(docs, "url", "id",
+        blocked, "dom")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(3L, 4L, 5L))
+  }
+
+  test("binaryFile round trip preserves exact bytes") {
+    val dir = java.nio.file.Files.createTempDirectory("binsrc")
+    val payload = Array[Byte](0, 1, -1, 127, -128, 10, 13)
+    java.nio.file.Files.write(dir.resolve("7.bin"), payload)
+    java.nio.file.Files.write(dir.resolve("skip.txt"), "x".getBytes)
+    val got = graft.sources.Sources.readBinaryFiles(spark, dir.toString,
+      "*.bin").select("length", "content").collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == payload.length.toLong)
+    assert(got(0).getAs[Array[Byte]](1).toSeq == payload.toSeq)
   }
 }
