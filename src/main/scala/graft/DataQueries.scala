@@ -12,7 +12,10 @@ import org.apache.spark.sql.functions._
   *  - q_dedup_minhash ends in an exact n-gram-Jaccard verify at 0.8, where
   *    the banded-MinHash candidate recall is 1 on this corpus (per-pair miss
   *    probability (1−J⁴)¹⁶ ≤ 2e-4 at J ≥ 0.8, and the hashes are seeded —
-  *    deterministic), so the oracle is the brute-force Jaccard join;
+  *    deterministic; candidates flow to the verify WITHOUT an estimate
+  *    prefilter — withEstimate = false — so no true pair can be lost to an
+  *    unlucky signature estimate), so the oracle is the brute-force
+  *    Jaccard join;
   *  - q_sim_ivf probes every cell (nProbe = nCentroids), which makes IVF
   *    exact BY CONSTRUCTION — the oracle is the brute-force top-k; partial
   *    -probe recall is asserted in IndexSpec/DataOpsSpec;
@@ -80,8 +83,8 @@ object DataQueries {
       // hot-bucket cap DROPS whole buckets (logged), which would silently
       // lose true pairs relative to the uncapped brute-force oracle
       val cand = Dedup.minHashLSH(docs, "text", "doc_id",
-        minEstJaccard = 0.5, maxBucket = 1000000)
-      Dedup.verifyJaccard(cand.select("id_a", "id_b"), docs, "text",
+        maxBucket = 1000000, withEstimate = false)
+      Dedup.verifyJaccard(cand, docs, "text",
           "doc_id", shingleK = 3, threshold = 0.8)
         .select("id_a", "id_b", "jaccard")
     }),
@@ -382,8 +385,8 @@ object DataQueries {
     "q_dup_components" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val cand = Dedup.minHashLSH(docs, "text", "doc_id",
-        minEstJaccard = 0.5, maxBucket = 1000000)
-      val pairs = Dedup.verifyJaccard(cand.select("id_a", "id_b"), docs,
+        maxBucket = 1000000, withEstimate = false)
+      val pairs = Dedup.verifyJaccard(cand, docs,
         "text", "doc_id", shingleK = 3, threshold = 0.8)
       Dedup.duplicateComponents(pairs.select("id_a", "id_b"))
         .select(col("id_a").as("doc_id"), col("component"))

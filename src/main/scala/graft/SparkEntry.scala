@@ -221,6 +221,14 @@ object SparkEntry {
         .select("c_custkey", "bal_min")
     }),
 
+    // robust scaling: (x - median) / IQR, exact quartiles (ExactStats)
+    "q_scaler_robust" -> ((s, d) => {
+      val df = t(s, d, "customer")
+      new Scaler(Seq("c_acctbal"), Seq("bal_rob"), "robust")
+        .fit(df).transform(df)
+        .select(col("c_custkey"), round(col("bal_rob"), 6).as("bal_rob"))
+    }),
+
     "q_onehot" -> ((s, d) => {
       val df = t(s, d, "customer")
       new OneHotEncoder(Seq("c_mktsegment")).fit(df).transform(df)
@@ -511,6 +519,16 @@ object SparkEntry {
       "q_scaler_min" ->
         """SELECT c_custkey,
            c_acctbal - (SELECT min(c_acctbal) FROM customer) AS bal_min
+           FROM customer""",
+
+      // quantile_cont == the engine's exact interpolated quartiles
+      "q_scaler_robust" ->
+        """SELECT c_custkey,
+           round((c_acctbal -
+                  (SELECT quantile_cont(c_acctbal, 0.5) FROM customer)) /
+                 ((SELECT quantile_cont(c_acctbal, 0.75) FROM customer) -
+                  (SELECT quantile_cont(c_acctbal, 0.25) FROM customer)),
+                 6) AS bal_rob
            FROM customer""",
 
       "q_onehot" ->

@@ -440,6 +440,12 @@ class AggregatorModel(
   * tests/test_scale.py:48-51); `minmax` → `(x-min)/(max-min)` as double
   * (degenerate max==min → `x-min`, sklearn's handle-zeros rule);
   * `standard` → `(x-mean)/std` with std==0 treated as 1.
+  *
+  * Extension beyond the reference: `robust` → `(x - median) / IQR`
+  * (sklearn RobustScaler semantics, IQR==0 treated as 1) — the
+  * outlier-immune scaling for heavy-tailed features; quartiles come from
+  * [[ExactStats.quantiles]] (exact, distributed, no value→count buffers),
+  * so the fit is multi-pass and opts out of [[FitFusion]].
   */
 class Scaler(inputs: Seq[String], outputs: Seq[String], strategy: String)
     extends GraftEstimator[ScalerModel] {
@@ -458,6 +464,15 @@ class Scaler(inputs: Seq[String], outputs: Seq[String], strategy: String)
     }
 
   override def fitDF(df: DataFrame): ScalerModel = {
+    if (strategy == "robust") {
+      val qs = ExactStats.quantiles(df, inputs, Seq(0.25, 0.5, 0.75))
+      val stats = qs.map { q =>
+        ScalerStats(minRaw = null, max = 0.0, mean = 0.0, stdPop = 0.0,
+          median = q(1).getOrElse(0.0),
+          iqr = (for (a <- q(0); b <- q(2)) yield b - a).getOrElse(0.0))
+      }
+      return new ScalerModel(inputs, outputs, strategy, stats)
+    }
     val aggs = inputs.flatMap { c =>
       Seq(min(col(c)), max(col(c)).cast(DoubleType),
         avg(col(c)), stddev_pop(col(c)))
@@ -474,7 +489,8 @@ class Scaler(inputs: Seq[String], outputs: Seq[String], strategy: String)
   }
 }
 
-case class ScalerStats(minRaw: Any, max: Double, mean: Double, stdPop: Double)
+case class ScalerStats(minRaw: Any, max: Double, mean: Double,
+    stdPop: Double, median: Double = 0.0, iqr: Double = 0.0)
 
 class ScalerModel(
     val ins: Seq[String],
@@ -495,6 +511,9 @@ class ScalerModel(
         case "standard" =>
           val sd = if (st.stdPop == 0.0) 1.0 else st.stdPop
           (c.cast(DoubleType) - lit(st.mean)) / lit(sd)
+        case "robust" =>
+          val scale = if (st.iqr == 0.0) 1.0 else st.iqr
+          (c.cast(DoubleType) - lit(st.median)) / lit(scale)
         case other => throw new IllegalArgumentException(s"strategy $other")
       }
       d.withColumn(out, e)

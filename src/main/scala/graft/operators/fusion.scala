@@ -83,8 +83,9 @@ object FitFusion {
             Some(outs.toSet), Aggregator.CollectMax))
         else None
       case e: Scaler =>
-        val (ins, outs, _) = e.fuseInfo
-        Some(ScalarPart(e, ins.toSet, Some(outs.toSet)))
+        val (ins, outs, strategy) = e.fuseInfo
+        if (strategy == "robust") None // quantile fit: multi-pass, no fusion
+        else Some(ScalarPart(e, ins.toSet, Some(outs.toSet)))
       case e: Winsorizer =>
         if (e.isDistributed) None // multi-pass fit: nothing to fuse into
         else {

@@ -128,7 +128,8 @@ object GraftPersistence {
       "strategy" -> JString(m.strategy),
       "stats" -> jarr(m.stats.map(s => JObject(
         "minRaw" -> anyToJson(s.minRaw), "max" -> JDouble(s.max),
-        "mean" -> JDouble(s.mean), "stdPop" -> JDouble(s.stdPop)))))
+        "mean" -> JDouble(s.mean), "stdPop" -> JDouble(s.stdPop),
+        "median" -> JDouble(s.median), "iqr" -> JDouble(s.iqr)))))
     case m: OneHotEncoderModel => JObject(
       "type" -> JString("OneHotEncoderModel"),
       "cols" -> jstrs(m.cols),
@@ -275,7 +276,10 @@ object GraftPersistence {
             jsonToAny(s \ "minRaw"),
             (s \ "max").asInstanceOf[JDouble].num,
             (s \ "mean").asInstanceOf[JDouble].num,
-            (s \ "stdPop").asInstanceOf[JDouble].num)))
+            (s \ "stdPop").asInstanceOf[JDouble].num,
+            // absent in pipelines saved before the robust strategy
+            optD(s \ "median").getOrElse(0.0),
+            optD(s \ "iqr").getOrElse(0.0))))
       case "OneHotEncoderModel" =>
         new OneHotEncoderModel(strs(j \ "cols"),
           (j \ "categories").asInstanceOf[JArray].arr.map(strs))

@@ -99,7 +99,14 @@ object Dedup {
     * blowup and is logged in the result via the `capped` count being absent).
     * Returns (id_a, id_b, est_jaccard) with id_a < id_b, est_jaccard = share
     * of agreeing signature positions.
-    */
+    *
+    * `withEstimate = false` skips the est_jaccard computation entirely
+    * (two signature joins) and returns (id_a, id_b) only — the right call
+    * when candidates go straight to [[verifyJaccard]]: the exact verify
+    * re-scores every pair anyway, and an estimate PREFILTER is strictly a
+    * recall risk there (a true pair with unlucky signature agreement below
+    * `minEstJaccard` would be dropped before the exact check could save
+    * it). */
   def minHashLSH(
       df: DataFrame,
       textCol: String,
@@ -108,7 +115,8 @@ object Dedup {
       bands: Int = 16,
       shingleK: Int = 3,
       maxBucket: Int = 100,
-      minEstJaccard: Double = 0.0): DataFrame = {
+      minEstJaccard: Double = 0.0,
+      withEstimate: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     // signatures feed three join branches (buckets, both pair sides) —
@@ -140,14 +148,15 @@ object Dedup {
         (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble)
 
-    val result = pairs
-      .join(withSig.select(col(idCol).as("id_a"), col("__sig").as("__sig_a")),
-        "id_a")
-      .join(withSig.select(col(idCol).as("id_b"), col("__sig").as("__sig_b")),
-        "id_b")
-      .withColumn("est_jaccard", est)
-      .filter(col("est_jaccard") >= minEstJaccard)
-      .select("id_a", "id_b", "est_jaccard")
+    val result = (if (!withEstimate) pairs
+      else pairs
+        .join(withSig.select(col(idCol).as("id_a"), col("__sig").as("__sig_a")),
+          "id_a")
+        .join(withSig.select(col(idCol).as("id_b"), col("__sig").as("__sig_b")),
+          "id_b")
+        .withColumn("est_jaccard", est)
+        .filter(col("est_jaccard") >= minEstJaccard)
+        .select("id_a", "id_b", "est_jaccard"))
       .persist()
     // the returned frame stays persisted (callers filter/join it repeatedly;
     // unpersist it when done) — materializing lets the signature cache go

@@ -114,3 +114,38 @@ class UrlOpsSpec extends SparkSpec {
     assert(got(0).getAs[Array[Byte]](1).toSeq == payload.toSeq)
   }
 }
+
+class RobustScalerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("robust strategy equals (x - median) / IQR with exact quartiles") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 100.0).toDF("x") // outlier-heavy
+    val got = new graft.operators.Scaler(Seq("x"), Seq("y"), "robust")
+      .fit(df).transform(df)
+      .orderBy("x").collect().map(_.getDouble(1)).toSeq
+    // median = 3, q1 = 2, q3 = 4, iqr = 2
+    assert(got == Seq(-1.0, -0.5, 0.0, 0.5, 48.5))
+  }
+
+  test("robust degenerate IQR = 0 scales by 1; nulls pass through") {
+    val df = Seq(Some(5.0), Some(5.0), Some(5.0), None).toDF("x")
+    val got = new graft.operators.Scaler(Seq("x"), Seq("y"), "robust")
+      .fit(df).transform(df)
+      .collect().map(r => Option(r.get(1)).map(_.asInstanceOf[Double])).toSeq
+    assert(got == Seq(Some(0.0), Some(0.0), Some(0.0), None))
+  }
+
+  test("robust ScalerModel persists and reloads") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 100.0).toDF("x")
+    val m = new graft.operators.Scaler(Seq("x"), Seq("y"), "robust").fit(df)
+    val dir = java.nio.file.Files.createTempDirectory("robsc").toString
+    val pipe = graft.operators.DFPipeline(
+      new graft.operators.Scaler(Seq("x"), Seq("y"), "robust")).fit(df)
+    graft.operators.GraftPersistence.save(pipe, dir)
+    val loaded = graft.operators.GraftPersistence.load(spark, dir)
+    val a = m.transform(df).orderBy("x").collect().map(_.getDouble(1)).toSeq
+    val b = loaded.transform(df).orderBy("x").collect()
+      .map(_.getAs[Double]("y")).toSeq
+    assert(a == b)
+  }
+}
