@@ -253,6 +253,15 @@ object DataQueries {
         .select(col("id"), col("width"), col("height"), col("channels"),
           round(col("mean_luma"), 6).as("mean_luma"))),
 
+    // REAL audio round trip: deterministic WAVs generated in-flight,
+    // decoded with javax.sound (full PCM read); the square-wave RMS is
+    // integer-exact, so the oracle replays everything arithmetically
+    "q_audio" -> ((s, d) =>
+      Multimodal.audioFeatures(
+        Multimodal.syntheticWavs(
+          t(s, d, "documents").filter(col("doc_id") < 200), "doc_id"),
+        "doc_id", "blob")),
+
     "q_frames" -> ((s, d) =>
       Multimodal.sampleFrames(
         Multimodal.withBlob(t(s, d, "documents"), "text", "blob"),
@@ -284,6 +293,12 @@ object DataQueries {
       graft.text.Corpus.stratifiedSample(t(s, d, "documents"), "doc_id",
           "lang", Map("en" -> 0.5, "de" -> 0.25), 0.1)
         .select("doc_id", "lang", "source")),
+
+    // fixed-budget sampling: exactly 5 docs per language, md5-rank order
+    // (heap-aggregated — no per-group window funnel), engine-replayable
+    "q_sample_n" -> ((s, d) =>
+      graft.text.Corpus.sampleNPerGroup(t(s, d, "documents"), Seq("lang"),
+        "doc_id", 5)),
 
     // decontamination: training docs (id >= 40) sharing 5-gram shingles
     // with the pretend eval set (id < 40)
@@ -898,6 +913,16 @@ object DataQueries {
                    0.114 * (doc_id * 5 % 256), 6) AS mean_luma
            FROM documents WHERE doc_id < 50""",
 
+      "q_audio" ->
+        """SELECT doc_id AS id,
+             CAST(8000 AS INTEGER) AS sample_rate,
+             CAST(1 AS INTEGER) AS channels,
+             CAST(16 AS INTEGER) AS bits,
+             CAST(1 + doc_id % 500 AS BIGINT) AS n_samples,
+             (1 + doc_id % 500) * 0.125 AS duration_ms,
+             CAST(1 + (doc_id * 7) % 10000 AS DOUBLE) AS rms
+           FROM documents WHERE doc_id < 200""",
+
       "q_frames" ->
         """SELECT doc_id AS id, CAST(u AS INTEGER) AS frame_index,
              CAST(u AS BIGINT) * 64 AS byte_offset
@@ -926,6 +951,17 @@ object DataQueries {
                                       CAST(doc_id AS VARCHAR)), 1, 15))
                     AS BIGINT) / 1152921504606846976.0 AS shard_rank
            FROM documents""",
+
+      // rank by the raw 60-bit hash (monotone in the uniform), ties on id —
+      // the same order the CollectTopK heap uses
+      "q_sample_n" ->
+        """SELECT lang, doc_id, CAST(rank AS INTEGER) AS sample_rank FROM (
+             SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                  1, 15)) AS BIGINT), doc_id) AS rank
+             FROM documents)
+           WHERE rank <= 5""",
 
       // identical md5-top-60-bit uniform: ('0x'||hex)::BIGINT in DuckDB ==
       // conv(hex,16,10) cast long in Spark; both divide by 2^60 as DOUBLE

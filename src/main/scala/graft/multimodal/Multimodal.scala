@@ -18,6 +18,12 @@ case class ImageFeatures(
 /** Sampled video frame record (stub). */
 case class SampledFrame(id: Long, frame_index: Int, byte_offset: Long)
 
+/** Decoded-audio record: format metadata + duration + signal RMS (raw
+  * PCM units). */
+case class AudioFeatures(
+    id: Long, sample_rate: Int, channels: Int, bits: Int,
+    n_samples: Long, duration_ms: Double, rms: Double)
+
 /** Multimodal-column plumbing: image/audio/video travel as opaque `binary`
   * columns with typed metadata structs. The per-record decode runs in
   * `mapPartitions` — the JVM analog of a batched pandas UDF: one iterator
@@ -31,8 +37,12 @@ case class SampledFrame(id: Long, frame_index: Int, byte_offset: Long)
   *  - [[decodeImages]] keeps the deterministic STUB (`len % 512`
   *    arithmetic) for the synthetic testdata tables, whose blobs are not
   *    real image bytes.
-  * Video demux ([[sampleFrames]]) stays a stub — no container parser ships
-  * with the JVM — but the flatMap fan-out shape is the real contract.
+  * Audio is REAL too: [[audioFeatures]] decodes WAV/AIFF/AU via
+  * javax.sound (JVM-builtin) — header metadata + full-PCM RMS — with
+  * [[syntheticWavs]] generating genuine RIFF payloads for the round-trip
+  * oracle. Video demux ([[sampleFrames]]) stays a stub — no container
+  * parser ships with the JVM — but the flatMap fan-out shape is the real
+  * contract.
   */
 object Multimodal {
 
@@ -161,6 +171,94 @@ object Multimodal {
       }
     }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .toDF(idCol, "blob")
+  }
+
+  /** REAL audio decode via javax.sound (JVM-builtin WAV/AIFF/AU parsing):
+    * format metadata from the RIFF header, full PCM read for the RMS.
+    * RMS is computed in RAW 16-bit sample units (not normalized), so for
+    * deterministic fixtures it is integer-exact and oracle-checkable;
+    * non-16-bit payloads report rms = 0 (metadata still real).
+    * Undecodable/empty payloads are dropped. */
+  private[multimodal] def wavFeatures(
+      id: Long, bytes: Array[Byte]): Option[AudioFeatures] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val bits = fmt.getSampleSizeInBits
+        val sr = fmt.getSampleRate.toInt
+        val frameBytes = fmt.getFrameSize
+        val data = ais.readAllBytes()
+        val nFrames = if (frameBytes > 0) data.length / frameBytes else 0
+        val rms =
+          if (bits == 16 && data.length >= 2) {
+            val bb = java.nio.ByteBuffer.wrap(data)
+              .order(if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                     else java.nio.ByteOrder.LITTLE_ENDIAN)
+            val n = data.length / 2
+            var sum = 0.0
+            var i = 0
+            while (i < n) { val s = bb.getShort(i * 2).toDouble; sum += s * s; i += 1 }
+            math.sqrt(sum / n)
+          } else 0.0
+        Some(AudioFeatures(id, sr, fmt.getChannels, bits, nFrames.toLong,
+          if (sr > 0) nFrames * 1000.0 / sr else 0.0, rms))
+      } finally ais.close()
+    } catch {
+      case _: Exception => None // corrupt payload: skip, don't fail the task
+    }
+  }
+
+  /** Decode a binary audio column (real javax.sound codec); undecodable
+    * rows are dropped. Same mapPartitions contract as the image path. */
+  def audioFeatures(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val in = df.select(col(idCol).cast("long"), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    in.mapPartitions(it => it.flatMap { case (id, bytes) =>
+      wavFeatures(id, bytes)
+    })(Encoders.product[AudioFeatures]).toDF()
+  }
+
+  /** Deterministic REAL WAV per id (PCM16 mono 8 kHz; `n = 1 + id % 500`
+    * samples of an alternating-sign square wave with amplitude
+    * `A = 1 + 7·id % 10000`). Every |sample| = A, so RMS = A EXACTLY in
+    * double arithmetic (A² ≤ 2³⁰ exact, the mean of n equal values is
+    * exact, and sqrt of an exact square is exact) — which is what lets the
+    * q_audio oracle check a full codec round trip arithmetically. */
+  def syntheticWavs(df: DataFrame, idCol: String): DataFrame = {
+    val in = df.select(col(idCol).cast("long")).as(Encoders.scalaLong)
+    in.mapPartitions { it =>
+      it.map { id =>
+        val n = (1 + id % 500).toInt
+        val amp = (1 + (id * 7) % 10000).toShort
+        val samples = Array.tabulate[Short](n)(i =>
+          if (i % 2 == 0) amp else (-amp).toShort)
+        (id, wavBytes(samples, 8000))
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF(idCol, "blob")
+  }
+
+  /** Canonical 44-byte RIFF/WAVE header + little-endian PCM16 mono data. */
+  private[multimodal] def wavBytes(
+      samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1) // PCM
+    bb.putShort(1) // mono
+    bb.putInt(sampleRate)
+    bb.putInt(sampleRate * 2) // byte rate
+    bb.putShort(2) // block align
+    bb.putShort(16) // bits
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
   }
 
   /** Decode a binary image column to typed metadata, batch-wise per

@@ -40,6 +40,32 @@ object Corpus {
     df.filter(hashUniform(col(idCol)) < rate)
   }
 
+  /** Deterministic fixed-BUDGET sample: exactly `n` rows per group (fewer
+    * if the group is smaller) — "5000 documents per source/language", the
+    * quota form of sampling that [[stratifiedSample]]'s rate form can't
+    * express. Selection order is the md5-uniform rank of `idCol` (ties on
+    * id), so the sample is engine-replayable and stable under task retry;
+    * the cut runs on the bounded-heap [[graft.functions.CollectTopK]]
+    * aggregate — partial heaps combine map-side, the shuffle carries
+    * `partitions × n` candidates per group, and no hot group ever funnels
+    * through one task (the `row_number() OVER` failure mode). Output:
+    * group cols + (idCol, sample_rank); join ids back for full rows.
+    * `idCol` must be integral (the heap carries (double, long)). */
+  def sampleNPerGroup(
+      df: DataFrame, groupCols: Seq[String], idCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    val u = hashUniform(col(idCol))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.TopK.collect_top_k(
+        struct((-u).as("score"), col(idCol).cast("long").as("id")), n)
+        .as("__top"))
+      .select(groupCols.map(col) :+
+        posexplode(col("__top")).as(Seq("__pos", "__t")): _*)
+      .select(groupCols.map(col) ++ Seq(col("__t.id").as(idCol),
+        (col("__pos") + 1).as("sample_rank")): _*)
+  }
+
   /** Chunk documents into whitespace-token windows of `chunkTokens` tokens,
     * starting every `chunkTokens - overlap` tokens (trailing chunks may be
     * shorter). Output: (id, chunk_index, chunk_text, chunk_tokens). The

@@ -149,3 +149,67 @@ class RobustScalerSpec extends SparkSpec {
     assert(a == b)
   }
 }
+
+class SampleNPerGroupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactly n per group; smaller groups keep all; matches window form") {
+    val df = ((1 to 20).map(i => ("big", i.toLong)) ++
+      (21 to 23).map(i => ("small", i.toLong))).toDF("g", "id")
+    val got = graft.text.Corpus.sampleNPerGroup(df, Seq("g"), "id", 5)
+    val counts = got.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("big" -> 5L, "small" -> 3L))
+
+    // equals the row_number() formulation ordered by the same hash
+    val u = graft.text.Corpus.hashUniform(col("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(u.asc, col("id").asc)
+    val expected = df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= 5)
+      .select("g", "id", "sample_rank")
+      .orderBy("g", "sample_rank").collect().toSeq
+    val gotRows = got.select(col("g"), col("id"),
+        col("sample_rank").cast("int").as("sample_rank"))
+      .orderBy("g", "sample_rank").collect().toSeq
+    assert(gotRows == expected)
+  }
+
+  test("sample is deterministic across invocations") {
+    val df = (1 to 100).map(i => ("g", i.toLong)).toDF("g", "id")
+    val a = graft.text.Corpus.sampleNPerGroup(df, Seq("g"), "id", 10)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = graft.text.Corpus.sampleNPerGroup(df.repartition(7), Seq("g"),
+        "id", 10)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+  }
+}
+
+class AudioSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("WAV round trip: real javax.sound decode recovers format + exact RMS") {
+    val df = Seq(3L, 10L, 499L, 1000L).toDF("id")
+    val got = graft.multimodal.Multimodal.audioFeatures(
+        graft.multimodal.Multimodal.syntheticWavs(df, "id"), "id", "blob")
+      .orderBy("id").collect()
+    assert(got.length == 4)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == 8000)             // sample_rate
+      assert(r.getInt(2) == 1)                // channels
+      assert(r.getInt(3) == 16)               // bits
+      assert(r.getLong(4) == 1 + id % 500)    // n_samples
+      assert(r.getDouble(5) == (1 + id % 500) * 0.125) // duration_ms
+      assert(r.getDouble(6) == (1 + (id * 7) % 10000).toDouble) // exact RMS
+    }
+  }
+
+  test("undecodable audio payloads are dropped, not failed") {
+    val junk = Seq((1L, Array[Byte](1, 2, 3)),
+      (2L, Array.empty[Byte])).toDF("id", "blob")
+    assert(graft.multimodal.Multimodal.audioFeatures(junk, "id", "blob")
+      .count() == 0L)
+  }
+}
