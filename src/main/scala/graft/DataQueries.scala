@@ -267,6 +267,16 @@ object DataQueries {
         Multimodal.withBlob(t(s, d, "documents"), "text", "blob"),
         "doc_id", "blob", frameBytes = 64, stride = 2)),
 
+    // REAL video round trip: canonical AVI containers generated in-flight,
+    // demuxed with the actual RIFF chunk-tree parser; the fixed header
+    // layout puts frame k's data at 232 + k*(8+fsz), so the oracle
+    // replays the demux arithmetically
+    "q_video" -> ((s, d) =>
+      Multimodal.demuxFrames(
+        Multimodal.syntheticAvis(
+          t(s, d, "documents").filter(col("doc_id") < 300), "doc_id"),
+        "doc_id", "blob", stride = 3)),
+
     // batch form of Streaming.windowedStats — same plan, bounded source
     "q_events" -> ((s, d) =>
       readEvents(s, d)
@@ -929,6 +939,17 @@ object DataQueries {
            FROM (SELECT doc_id,
                    unnest(range(0, octet_length(encode(text)) // 64, 2)) AS u
                  FROM documents)""",
+
+      "q_video" ->
+        """SELECT doc_id AS id, CAST(u AS INTEGER) AS frame_index,
+             CAST(232 + u * (8 + fsz) AS BIGINT) AS byte_offset,
+             CAST(fsz AS INTEGER) AS frame_bytes,
+             CAST(32 * (1 + doc_id % 8) AS INTEGER) AS width,
+             CAST(24 * (1 + doc_id % 6) AS INTEGER) AS height,
+             CAST(1 + doc_id % 24 AS INTEGER) AS n_frames
+           FROM (SELECT doc_id, 16 + 2 * ((3 * doc_id) % 33) AS fsz,
+                   unnest(range(0, 1 + doc_id % 24, 3)) AS u
+                 FROM documents WHERE doc_id < 300)""",
 
       "q_events" ->
         """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)

@@ -24,6 +24,12 @@ case class AudioFeatures(
     id: Long, sample_rate: Int, channels: Int, bits: Int,
     n_samples: Long, duration_ms: Double, rms: Double)
 
+/** Demuxed video frame: absolute byte location of a stream-0 chunk inside
+  * the container, plus the container's header metadata. */
+case class VideoFrame(
+    id: Long, frame_index: Int, byte_offset: Long, frame_bytes: Int,
+    width: Int, height: Int, n_frames: Int)
+
 /** Multimodal-column plumbing: image/audio/video travel as opaque `binary`
   * columns with typed metadata structs. The per-record decode runs in
   * `mapPartitions` — the JVM analog of a batched pandas UDF: one iterator
@@ -40,9 +46,11 @@ case class AudioFeatures(
   * Audio is REAL too: [[audioFeatures]] decodes WAV/AIFF/AU via
   * javax.sound (JVM-builtin) — header metadata + full-PCM RMS — with
   * [[syntheticWavs]] generating genuine RIFF payloads for the round-trip
-  * oracle. Video demux ([[sampleFrames]]) stays a stub — no container
-  * parser ships with the JVM — but the flatMap fan-out shape is the real
-  * contract.
+  * oracle. And so is video: [[demuxFrames]] walks the RIFF/AVI chunk
+  * tree ([[parseAvi]] — LIST descent, even-byte alignment, avih header,
+  * 00dc/00db stream chunks) against [[syntheticAvis]]' canonical
+  * containers; [[sampleFrames]] keeps the codec-free stride stub for
+  * blobs that aren't real containers.
   */
 object Multimodal {
 
@@ -278,6 +286,143 @@ object Multimodal {
       .withColumn("scale_x", col("width").cast("double") / lit(targetW.toDouble))
       .withColumn("scale_y", col("height").cast("double") / lit(targetH.toDouble))
       .withColumn("out_pixels", lit(targetW.toLong * targetH * 3))
+
+  /** REAL RIFF/AVI container parse: walks the chunk tree (LIST descent,
+    * even-byte chunk padding), reads `dwWidth`/`dwHeight` from the `avih`
+    * header, and locates every stream-0 video chunk (`00dc`/`00db`) —
+    * absolute data offset + payload size. Returns None for anything that
+    * is not a well-formed AVI; a truncated tail stops the walk rather
+    * than failing the task. */
+  private[graft] def parseAvi(
+      bytes: Array[Byte]): Option[(Int, Int, Vector[(Long, Int)])] = {
+    if (bytes == null || bytes.length < 12) return None
+    def fourcc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var width = 0
+    var height = 0
+    val frames = Vector.newBuilder[(Long, Int)]
+    def walk(start: Int, end: Int): Unit = {
+      var p = start
+      var ok = true
+      while (ok && p + 8 <= end) {
+        val tag = fourcc(p)
+        val size = bb.getInt(p + 4)
+        // Long math: a corrupt 32-bit size must not overflow the cursor
+        val next = p.toLong + 8 + size + (size & 1) // chunks align to even
+        if (size < 0 || next > Int.MaxValue) ok = false
+        else if (tag == "LIST" && size >= 4 && p + 12 <= end) {
+          // descend even into a truncated LIST tail (real demuxer behavior
+          // for a cut-off file): clamp the inner walk at the data we have
+          walk(p + 12, math.min(next, end.toLong).toInt)
+          p = next.toInt
+        } else if (next > end) ok = false // truncated data chunk: stop
+        else {
+          if (tag == "avih" && size >= 40) {
+            width = bb.getInt(p + 8 + 32)
+            height = bb.getInt(p + 8 + 36)
+          } else if (tag == "00dc" || tag == "00db")
+            frames += (((p + 8).toLong, size))
+          p = next.toInt
+        }
+      }
+    }
+    walk(12, bytes.length)
+    Some((width, height, frames.result()))
+  }
+
+  /** Demux a binary AVI column with the real container parser and emit
+    * every `stride`-th stream-0 frame as
+    * (id, frame_index, byte_offset, frame_bytes, width, height, n_frames)
+    * — the seekable locations a GPU decode stage would read, without ever
+    * shipping pixel data through the shuffle. Non-AVI payloads are
+    * dropped. flatMap fan-out, same contract as [[sampleFrames]]. */
+  def demuxFrames(
+      df: DataFrame, idCol: String, binCol: String,
+      stride: Int = 1): DataFrame = {
+    require(stride >= 1, s"need stride >= 1, got $stride")
+    val in = df.select(col(idCol).cast("long"), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    in.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        parseAvi(bytes).iterator.flatMap { case (w, h, frames) =>
+          (0 until frames.length by stride).iterator.map { f =>
+            val (off, sz) = frames(f)
+            VideoFrame(id, f, off, sz, w, h, frames.length)
+          }
+        }
+      }
+    }(Encoders.product[VideoFrame]).toDF()
+  }
+
+  /** Deterministic REAL AVI per id: `n = 1 + id % 24` frames of
+    * `fsz = 16 + 2·((3·id) % 33)` bytes each (even — no pad chunks),
+    * `width = 32·(1 + id % 8)`, `height = 24·(1 + id % 6)`, in a
+    * canonical RIFF layout (12-byte RIFF header, 200-byte hdrl LIST,
+    * movi LIST at 212). Frame k's data therefore sits at EXACTLY
+    * `232 + k·(8 + fsz)` — which is what lets the q_video oracle replay
+    * the whole demux arithmetically. */
+  def syntheticAvis(df: DataFrame, idCol: String): DataFrame = {
+    val in = df.select(col(idCol).cast("long")).as(Encoders.scalaLong)
+    in.mapPartitions { it =>
+      it.map { id =>
+        val n = (1 + id % 24).toInt
+        val fsz = (16 + 2 * ((3 * id) % 33)).toInt
+        val w = (32 * (1 + id % 8)).toInt
+        val h = (24 * (1 + id % 6)).toInt
+        (id, aviBytes(n, fsz, w, h))
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF(idCol, "blob")
+  }
+
+  /** Canonical minimal AVI: RIFF(12) + LIST hdrl(200: avih 64 + LIST strl
+    * 124(strh 64 + strf 48)) + LIST movi(12 + n·(8+fsz)); all sizes
+    * little-endian, frame payloads even-sized so no alignment padding. */
+  private[graft] def aviBytes(
+      nFrames: Int, frameBytes: Int, width: Int, height: Int): Array[Byte] = {
+    val moviContent = nFrames * (8 + frameBytes)
+    val total = 12 + 200 + 12 + moviContent
+    val bb = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+    cc("RIFF"); bb.putInt(total - 8); cc("AVI ")
+    cc("LIST"); bb.putInt(192); cc("hdrl")
+    cc("avih"); bb.putInt(56)
+    bb.putInt(33366) // dwMicroSecPerFrame (~30 fps)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    bb.putInt(nFrames) // dwTotalFrames
+    bb.putInt(0)
+    bb.putInt(1) // dwStreams
+    bb.putInt(frameBytes)
+    bb.putInt(width); bb.putInt(height)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    cc("LIST"); bb.putInt(116); cc("strl")
+    cc("strh"); bb.putInt(56)
+    cc("vids"); cc("DIB ") // fccType / fccHandler (uncompressed)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    bb.putInt(1); bb.putInt(30) // dwScale / dwRate = 30 fps
+    bb.putInt(0); bb.putInt(nFrames) // dwStart / dwLength
+    bb.putInt(frameBytes); bb.putInt(0); bb.putInt(0)
+    bb.putShort(0); bb.putShort(0); bb.putShort(width.toShort)
+    bb.putShort(height.toShort) // rcFrame
+    cc("strf"); bb.putInt(40)
+    bb.putInt(40) // biSize
+    bb.putInt(width); bb.putInt(height)
+    bb.putShort(1); bb.putShort(24) // planes / bpp
+    bb.putInt(0); bb.putInt(frameBytes)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    cc("LIST"); bb.putInt(4 + moviContent); cc("movi")
+    var k = 0
+    while (k < nFrames) {
+      cc("00dc"); bb.putInt(frameBytes)
+      var i = 0
+      while (i < frameBytes) { bb.put(((k + i) & 0xff).toByte); i += 1 }
+      k += 1
+    }
+    bb.array()
+  }
 
   /** Frame sampling stub for video blobs: every `stride`-th "frame",
     * emitted as (id, frame_index, byte_offset) rows — a flatMap shape, so

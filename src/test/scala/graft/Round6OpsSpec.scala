@@ -213,3 +213,58 @@ class AudioSpec extends SparkSpec {
       .count() == 0L)
   }
 }
+
+class VideoDemuxSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.multimodal.Multimodal
+
+  test("AVI round trip: real chunk-tree parse recovers frames + header") {
+    val df = Seq(0L, 7L, 23L, 100L).toDF("id")
+    val got = Multimodal.demuxFrames(Multimodal.syntheticAvis(df, "id"),
+        "id", "blob", stride = 1)
+      .orderBy("id", "frame_index").collect()
+    val byId = got.groupBy(_.getLong(0))
+    Seq(0L, 7L, 23L, 100L).foreach { id =>
+      val rows = byId(id)
+      val n = (1 + id % 24).toInt
+      val fsz = (16 + 2 * ((3 * id) % 33)).toInt
+      assert(rows.length == n)
+      rows.zipWithIndex.foreach { case (r, k) =>
+        assert(r.getInt(1) == k)
+        assert(r.getLong(2) == 232L + k * (8 + fsz)) // fixed-layout offset
+        assert(r.getInt(3) == fsz)
+        assert(r.getInt(4) == 32 * (1 + id % 8).toInt)
+        assert(r.getInt(5) == 24 * (1 + id % 6).toInt)
+        assert(r.getInt(6) == n)
+      }
+    }
+  }
+
+  test("parser is offset-exact: frame bytes at reported offset are the chunk") {
+    val bytes = Multimodal.aviBytes(nFrames = 3, frameBytes = 20,
+      width = 64, height = 48)
+    val Some((w, h, frames)) = Multimodal.parseAvi(bytes)
+    assert((w, h) == (64, 48) && frames.length == 3)
+    frames.zipWithIndex.foreach { case ((off, sz), k) =>
+      assert(sz == 20)
+      // chunk tag sits 8 bytes before the data offset
+      assert(new String(bytes, off.toInt - 8, 4, "US-ASCII") == "00dc")
+      assert(bytes(off.toInt) == ((k + 0) & 0xff).toByte)
+    }
+  }
+
+  test("non-AVI and truncated payloads are dropped, not failed") {
+    val junk = Seq(
+      (1L, Array[Byte](1, 2, 3)),
+      (2L, Array.empty[Byte]),
+      (3L, "RIFFxxxxWAVE".getBytes("US-ASCII")), // RIFF but not AVI
+      // well-formed AVI cut mid-frame: parse stops cleanly at the tail
+      // (total 308 bytes; 256 keeps frame 0 whole, cuts frame 1's header)
+      (4L, Multimodal.aviBytes(3, 20, 64, 48).take(256))
+    ).toDF("id", "blob")
+    val got = Multimodal.demuxFrames(junk, "id", "blob")
+      .select("id", "n_frames").collect()
+    assert(got.forall(_.getLong(0) == 4L))
+    assert(got.length == 1 && got.head.getInt(1) == 1) // only frame 0 fits
+  }
+}
