@@ -186,6 +186,28 @@ object DataQueries {
       graft.relational.Relational.heavyHitters(
         t(s, d, "lineitem"), "l_suppkey", minCount = 600)),
 
+    // whole correlation matrix in ONE aggregation pass over the scan
+    "q_corr" -> ((s, d) =>
+      graft.relational.Relational.corrMatrix(t(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    // one-scan numeric profile (count/nulls/distinct/min/max/mean per col)
+    "q_profile" -> ((s, d) =>
+      graft.relational.Relational.profile(t(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))),
+
+    // keyed MERGE: doc_id < 100 rows replaced (lang='upd'), doc_id < 20
+    // re-landed under fresh negative keys, everything else surviving
+    "q_upsert" -> ((s, d) => {
+      val base = t(s, d, "documents")
+      val updates = base.filter(col("doc_id") < 100)
+        .withColumn("lang", lit("upd"))
+        .unionByName(base.filter(col("doc_id") < 20)
+          .withColumn("doc_id", -col("doc_id") - 1))
+      graft.relational.Relational.upsert(base, updates, Seq("doc_id"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    }),
+
     // EXISTS / NOT EXISTS filters: orders with(out) a BUILDING-segment
     // customer — the right side is a projected broadcast filter list
     "q_semi_join" -> ((s, d) =>
@@ -236,6 +258,25 @@ object DataQueries {
       Similarity.embeddingNearDup(t(s, d, "embeddings"), "vec_id",
           "embedding", dim = 64, threshold = 0.3, portable = true)
         .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))),
+
+    // self kNN over the whole corpus (portable planes → the oracle replays
+    // the exact candidate sets); maxBucket high enough that nothing caps
+    // at oracle scale
+    "q_knn" -> ((s, d) =>
+      Similarity.knnJoin(t(s, d, "embeddings"), "vec_id", "embedding",
+          k = 3, dim = 64, maxBucket = 1000000, portable = true)
+        .select(col("vec_id"), col("nbr_id"),
+          round(col("sim"), 6).as("sim"), col("rank"))),
+
+    // per-label mean embedding, unpivoted to (label, pos, val) rows so the
+    // hash compare sees scalars; avg is aggregate-derived → 6dp both sides
+    "q_centroids" -> ((s, d) =>
+      graft.sim.Embeddings.groupCentroids(t(s, d, "embeddings"),
+          Seq("label"), "embedding")
+        .select(col("label"), col("n_vectors"),
+          posexplode(col("centroid")).as(Seq("pos", "__v")))
+        .select(col("label"), col("n_vectors"), col("pos"),
+          round(col("__v"), 6).as("centroid_val"))),
 
     "q_multimodal" -> ((s, d) =>
       Multimodal.decodeImages(
@@ -882,6 +923,41 @@ object DataQueries {
               PARTITION BY query_id ORDER BY cos DESC, vec_id) <= 5"""
       },
 
+      // exact replay of the portable-plane signatures; candidates = any
+      // band agreeing, then rank per source row (cos DESC, nbr ASC — the
+      // CollectTopK heap's exact order)
+      "q_knn" -> {
+        val bandEq = (0 until 4).map { j =>
+          val sh = 4 * j
+          s"((a.sig >> $sh) & 15) = ((b.sig >> $sh) & 15)"
+        }.mkString("\n                  OR ")
+        s"""WITH ${planeSigCte(16)},
+            cand AS (
+              SELECT a.vec_id, b.vec_id AS nbr_id,
+                list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                       CAST(eb.embedding AS DOUBLE[])) AS cos
+              FROM sig a
+              JOIN sig b ON a.vec_id <> b.vec_id
+              JOIN embeddings ea ON ea.vec_id = a.vec_id
+              JOIN embeddings eb ON eb.vec_id = b.vec_id
+              WHERE ($bandEq))
+            SELECT vec_id, nbr_id, round(cos, 6) AS sim,
+              CAST(rank AS INTEGER) AS rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rank
+              FROM cand)
+            WHERE rank <= 3"""
+      },
+
+      "q_centroids" ->
+        """SELECT label, CAST(n AS BIGINT) AS n_vectors,
+             CAST(i AS INTEGER) AS pos, round(av, 6) AS centroid_val
+           FROM (
+             SELECT label, i - 1 AS i,
+               avg(CAST(embedding[i] AS DOUBLE)) AS av, count(*) AS n
+             FROM embeddings, range(1, 65) t(i)
+             GROUP BY label, i - 1)""",
+
       // exact replay of the portable-plane signatures; candidates = any of
       // the 4 4-bit bands agreeing, then the exact cosine threshold
       "q_embed_neardup" -> {
@@ -1074,6 +1150,39 @@ object DataQueries {
       "q_heavy_hitters" ->
         """SELECT l_suppkey, count(*) AS cnt
            FROM lineitem GROUP BY l_suppkey HAVING count(*) >= 600""",
+
+      "q_corr" -> {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
+          "l_tax")
+        (for { i <- cols.indices; j <- (i + 1) until cols.size } yield
+          s"""SELECT '${cols(i)}' AS col_a, '${cols(j)}' AS col_b,
+               round(corr(${cols(i)}, ${cols(j)}), 6) AS corr
+             FROM lineitem""").mkString("\nUNION ALL\n")
+      },
+
+      "q_profile" -> {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+        cols.map(c =>
+          s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+               count($c) AS n_nonnull, count(DISTINCT $c) AS n_distinct,
+               CAST(min($c) AS DOUBLE) AS min_val,
+               CAST(max($c) AS DOUBLE) AS max_val,
+               round(avg($c), 6) AS mean_val
+             FROM lineitem""").mkString("\nUNION ALL\n")
+      },
+
+      "q_upsert" ->
+        """WITH upd AS (
+             SELECT doc_id, text, 'upd' AS lang, source, n_chars
+             FROM documents WHERE doc_id < 100
+             UNION ALL
+             SELECT -doc_id - 1, text, lang, source, n_chars
+             FROM documents WHERE doc_id < 20)
+           SELECT doc_id, text, lang, source, n_chars FROM upd
+           UNION ALL
+           SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+           FROM documents d
+           WHERE d.doc_id NOT IN (SELECT doc_id FROM upd)""",
 
       // suffix semantics written out literally: blocked exact domain or
       // any ".<blocked>" subdomain; unparseable URLs (null domain) keep

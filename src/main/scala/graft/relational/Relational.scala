@@ -324,6 +324,78 @@ object Relational {
       .filter(col("cnt") >= minCount)
   }
 
+  /** Pairwise Pearson correlation of `cols` in ONE aggregation pass: all
+    * n·(n-1)/2 `corr` aggregates evaluate over a single scan/shuffle (no
+    * per-pair jobs — at 100 TB the scan dominates, so one pass for the
+    * whole matrix is the only acceptable shape), then the 1-row result
+    * unpivots driver-free via `stack`. Output: (col_a, col_b, corr) for
+    * i < j pairs, 6dp (aggregate-derived). Pearson is ddof-invariant, so
+    * this matches any engine's sample/population convention. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need >= 2 columns, got ${cols.size}")
+    require(cols.forall(c => !c.contains("'") && !c.contains("`")),
+      "column names must not contain quote characters")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      round(corr(col(a), col(b)), 6).as(s"__c_${a}__${b}")
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${pairs.size}, " +
+        pairs.map { case (a, b) => s"'$a', '$b', `__c_${a}__${b}`" }
+          .mkString(", ") +
+        ") AS (col_a, col_b, corr)"))
+  }
+
+  /** One-pass numeric data profile — row count, non-null count, distinct
+    * count, min/max/mean per column — the first query anyone runs against
+    * an unknown 100 TB table, shaped so it stays ONE scan: every
+    * per-column aggregate lives in a single `agg` (exact distincts expand
+    * to one Expand + one aggregation, not a job per column), and the
+    * 1-row result unpivots via `stack`. `exactDistinct = false` swaps in
+    * HyperLogLog `approx_count_distinct` — the right default at scale,
+    * where an exact distinct of a high-cardinality column is its own
+    * shuffle of all values. Output: (column_name, n_rows, n_nonnull,
+    * n_distinct, min_val, max_val, mean_val), doubles, mean 6dp. */
+  def profile(
+      df: DataFrame, cols: Seq[String],
+      exactDistinct: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "need >= 1 column")
+    require(cols.forall(c => !c.contains("'") && !c.contains("`")),
+      "column names must not contain quote characters")
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        (if (exactDistinct) countDistinct(col(c))
+         else approx_count_distinct(col(c))).as(s"__nd_$c"),
+        min(col(c)).cast("double").as(s"__min_$c"),
+        max(col(c)).cast("double").as(s"__max_$c"),
+        round(avg(col(c)), 6).as(s"__avg_$c"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.size}, " +
+        cols.map(c =>
+          s"'$c', __n, `__nn_$c`, `__nd_$c`, `__min_$c`, `__max_$c`, " +
+          s"`__avg_$c`").mkString(", ") +
+        ") AS (column_name, n_rows, n_nonnull, n_distinct, min_val, " +
+        "max_val, mean_val)"))
+  }
+
+  /** Keyed upsert (MERGE): rows of `updates` replace `base` rows sharing
+    * their key; unmatched base rows survive; brand-new update keys append.
+    * Shape: `updates ∪ (base ANTI-JOIN update-keys)` — the anti join
+    * probes only the projected distinct key set, so when updates are the
+    * typical daily increment the probe side broadcasts and the 100 TB
+    * base never shuffles. Schemas must match by name (`unionByName`).
+    * If `updates` carries duplicate keys, all its rows are kept — dedup
+    * upstream if last-write-wins is wanted. */
+  def upsert(
+      base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    updates.unionByName(
+      base.join(updates.select(keys.map(col): _*).distinct(),
+        keys, "left_anti"))
+
   /** Write a bucketed, sorted parquet table: rows hash-partitioned into
     * `numBuckets` files per partition by `keys`. Two tables bucketed the
     * same way equi-join WITHOUT a shuffle (verified in RelationalSpec — no

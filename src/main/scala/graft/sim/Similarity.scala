@@ -240,6 +240,55 @@ object Similarity {
     countsCached.unpersist()
     result
   }
+  /** Self kNN join: the `k` nearest neighbors of EVERY row, over the
+    * same LSH-bucketed candidate generation as [[embeddingNearDup]] —
+    * the all-rows variant of [[lshTopK]], whose broadcast-queries shape
+    * is wrong when the query set IS the corpus. Candidates are bucket
+    * collisions only (capped, never all-pairs), scored with the exact
+    * cosine, and cut per row by the bounded-heap CollectTopK aggregate
+    * (map-side combine; no row's candidate set funnels through one
+    * task). Recall < 1 by construction, same trade as every LSH path —
+    * kNN-density pruning and diversity curation tolerate that by design.
+    * Output: (idCol, nbr_id, sim, rank), best first; rows whose vector
+    * collides with nothing emit no rows. */
+  def knnJoin(
+      data: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int, nPlanes: Int = 16, bands: Int = 4,
+      maxBucket: Int = 1000, seed: Long = 42L,
+      portable: Boolean = false): DataFrame = {
+    require(nPlanes % bands == 0)
+    val r = nPlanes / bands
+    val mask = (1L << r) - 1
+    val sig = lshSignature(col(vecCol), nPlanes, dim, seed, portable)
+    val buckets = data.withColumn("__sig", sig)
+      .select(col(idCol), col(vecCol), explode(array((0 until bands).map(j =>
+        struct(lit(j).as("band"),
+          shiftrightunsigned(col("__sig"), j * r).bitwiseAND(lit(mask))
+            .as("bucket"))): _*)).as("__b"))
+      .select(col(idCol), col(vecCol), col("__b.band"), col("__b.bucket"))
+      .persist()
+    val counts = buckets.groupBy("band", "bucket").count()
+    val (ok, countsCached, reportDrops) = graft.text.Dedup.capBuckets(
+      buckets, counts, maxBucket, "knnJoin")
+    val a = ok.select(col("band"), col("bucket"), col(idCol),
+      col(vecCol).as("__v"))
+    val b = ok.select(col("band"), col("bucket"),
+      col(idCol).as("nbr_id"), col(vecCol).as("__v_n"))
+    val scored = a.join(b, Seq("band", "bucket"))
+      .filter(col(idCol) =!= col("nbr_id"))
+      .select(col(idCol), col("nbr_id"), col("__v"), col("__v_n"))
+      .distinct()
+      .select(col(idCol),
+        struct(cosine(col("__v"), col("__v_n")).as("score"),
+          col("nbr_id").cast("long").as("id")).as("__cand"))
+    val result = topKFinish(scored, idCol, "nbr_id", k).persist()
+    result.count() // materialize, then release the bucket cache
+    reportDrops()
+    buckets.unpersist()
+    countsCached.unpersist()
+    result
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
     * drop all but one representative of every group of embedding-space
     * near-duplicates. Pairs come from [[embeddingNearDup]] (LSH-bucketed,

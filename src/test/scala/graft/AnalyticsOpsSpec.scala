@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.relational.Relational
+import graft.sim.{Embeddings, Similarity}
+
+class CorrMatrixSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pairwise Pearson matches direct corr; one row per i<j pair") {
+    val df = Seq((1.0, 2.0, -1.0), (2.0, 4.1, -2.0), (3.0, 5.9, -3.0),
+      (4.0, 8.2, -4.0)).toDF("x", "y", "z")
+    val got = Relational.corrMatrix(df, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(got.keySet == Set(("x", "y"), ("x", "z"), ("y", "z")))
+    val direct = df.agg(corr("x", "y"), corr("x", "z"), corr("y", "z"))
+      .head()
+    assert(got(("x", "y")) == math.rint(direct.getDouble(0) * 1e6) / 1e6)
+    assert(got(("x", "z")) == -1.0)
+    assert(got(("y", "z")) == math.rint(direct.getDouble(2) * 1e6) / 1e6)
+  }
+
+  test("whole matrix is a single aggregation pass (one Aggregate pair)") {
+    val df = Seq((1.0, 2.0, 3.0)).toDF("a", "b", "c")
+    val plan = Relational.corrMatrix(df, Seq("a", "b", "c"))
+      .queryExecution.optimizedPlan
+    val nAgg = plan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.length
+    assert(nAgg == 1, s"expected 1 Aggregate, got $nAgg")
+  }
+}
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("per-column counts/nulls/distinct/min/max/mean; nulls excluded") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, null), (2.0, 10.0), (2.0, 20.0), (4.0, null))
+      .toDF("x", "y")
+    val got = Relational.profile(df, Seq("x", "y"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    assert(got("x") == ((4L, 4L, 3L, 1.0, 4.0, 2.25)))
+    assert(got("y") == ((4L, 2L, 2L, 10.0, 20.0, 15.0)))
+  }
+
+  test("approx distinct mode still runs in one aggregate") {
+    val df = (1 to 1000).map(_.toDouble).toDF("x")
+    val row = Relational.profile(df, Seq("x"), exactDistinct = false).head()
+    // HLL at default 5% rsd: allow 3σ
+    assert(math.abs(row.getLong(3) - 1000L) <= 150)
+  }
+}
+
+class UpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("updates replace, base survives, new keys append") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val updates = Seq((2L, "B"), (9L, "new")).toDF("id", "v")
+    val got = Relational.upsert(base, updates, Seq("id"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "B"), (3L, "c"), (9L, "new")))
+  }
+
+  test("composite keys and duplicate update rows are preserved") {
+    val base = Seq((1L, "x", "old"), (1L, "y", "old")).toDF("k1", "k2", "v")
+    val updates = Seq((1L, "x", "n1"), (1L, "x", "n2")).toDF("k1", "k2", "v")
+    val got = Relational.upsert(base, updates, Seq("k1", "k2"))
+      .orderBy("k1", "k2", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq((1L, "x", "n1"), (1L, "x", "n2"), (1L, "y", "old")))
+  }
+}
+
+class GroupCentroidsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("per-group position-wise mean; null vectors ignored") {
+    val df = Seq(
+      ("a", Array(1.0f, 2.0f)), ("a", Array(3.0f, 6.0f)),
+      ("b", Array(10.0f, 0.0f)), ("b", null))
+      .toDF("g", "vec")
+    val got = Embeddings.groupCentroids(df, Seq("g"), "vec")
+      .orderBy("g").collect()
+    assert(got.length == 2)
+    assert(got(0).getString(0) == "a" && got(0).getLong(2) == 2L)
+    assert(got(0).getSeq[Double](1) == Seq(2.0, 4.0))
+    assert(got(1).getString(0) == "b" && got(1).getLong(2) == 1L)
+    assert(got(1).getSeq[Double](1) == Seq(10.0, 0.0))
+  }
+}
+
+class KnnJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("every row gets <= k neighbors, self excluded, best-first order") {
+    // 3 tight clusters of 4 vectors: neighbors must come from the own
+    // cluster (cosine ~1 within, ~orthogonal across)
+    val vecs = for {
+      c <- 0 until 3; i <- 0 until 4
+    } yield {
+      val v = Array.fill(8)(0.0f)
+      v(c) = 1.0f
+      v(3 + c) = 0.01f * i // tiny within-cluster jitter
+      (c * 4 + i.toLong, v)
+    }
+    val df = vecs.toDF("id", "vec")
+    val got = Similarity.knnJoin(df, "id", "vec", k = 3, dim = 8,
+      nPlanes = 16, bands = 8) // 2-bit bands: high recall on 12 vectors
+    val rows = got.collect()
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)), "self excluded")
+    val byId = rows.groupBy(_.getLong(0))
+    byId.values.foreach { rs =>
+      assert(rs.length <= 3)
+      val sims = rs.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+      assert(sims == sims.sorted.reverse, "best-first by rank")
+    }
+    // within-cluster neighbors dominate: same-cluster pairs have sim >.99
+    val sameCluster = rows.count(r =>
+      r.getLong(0) / 4 == r.getLong(1) / 4)
+    assert(sameCluster >= rows.length * 9 / 10, "clusters are neighbors")
+  }
+
+  test("portable mode matches the non-portable candidate machinery shape") {
+    val df = (0L until 30L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
+    }.toDF("id", "vec")
+    val got = Similarity.knnJoin(df, "id", "vec", k = 2, dim = 8,
+      portable = true)
+    assert(got.count() > 0)
+    assert(got.columns.toSeq == Seq("id", "nbr_id", "sim", "rank"))
+  }
+}
