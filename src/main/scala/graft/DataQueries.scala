@@ -514,6 +514,25 @@ object DataQueries {
           "click_value")
     }),
 
+    // interval × interval: purchase sessions [ts, ts+30 min] overlapping
+    // click sessions [ts, ts+10 min] per user — binned equi-join, each
+    // pair owned by its overlap-start bin (no distinct)
+    "q_overlap_join" -> ((s, d) => {
+      val ev = readEvents(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          unix_micros(col("ts")).as("p_start"),
+          (unix_micros(col("ts")) + lit(1800000000L)).as("p_end"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("c_id"),
+          unix_micros(col("ts")).as("c_start"),
+          (unix_micros(col("ts")) + lit(600000000L)).as("c_end"))
+      graft.relational.Relational.overlapJoin(purchases, clicks,
+          "p_start", "p_end", "c_start", "c_end", Seq("user_id"),
+          Seq("c_id"), binUs = 1800000000L)
+        .select("p_id", "user_id", "c_id", "c_start")
+    }),
+
     // percentile clipping of a heavy-tailed money column (fit + serve)
     "q_winsor" -> ((s, d) => {
       val li = t(s, d, "lineitem")
@@ -1581,6 +1600,15 @@ object DataQueries {
             AND p.user_id = c.user_id
             AND epoch_us(c.ts)
                 BETWEEN epoch_us(p.ts) - 3600000000 AND epoch_us(p.ts)""",
+
+      "q_overlap_join" ->
+        """SELECT p.event_id AS p_id, p.user_id, c.event_id AS c_id,
+             epoch_us(c.ts) AS c_start
+           FROM events p JOIN events c
+             ON p.event_type = 'purchase' AND c.event_type = 'click'
+            AND p.user_id = c.user_id
+            AND epoch_us(p.ts) <= epoch_us(c.ts) + 600000000
+            AND epoch_us(c.ts) <= epoch_us(p.ts) + 1800000000""",
 
       "q_redact" ->
         """SELECT doc_id,

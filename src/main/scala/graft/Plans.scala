@@ -114,7 +114,28 @@ object Plans {
         "raw split would re-split per element); the prefix-count window " +
         "runs over the vocabulary-sized bigram-type relation, not the " +
         "token stream.",
-        SparkEntry.queries("q_bigram_quality")(spark, d)))
+        SparkEntry.queries("q_bigram_quality")(spark, d)),
+      ("q_corr", "whole correlation matrix in ONE aggregation over one " +
+        "scan (6 corr aggregates share the pass); stack unpivots the " +
+        "1-row result without a shuffle.",
+        SparkEntry.queries("q_corr")(spark, d)),
+      ("q_profile", "one-scan profile: all per-column aggregates " +
+        "(incl. exact distincts via a single Expand) in one aggregation " +
+        "tree — not a job per column.",
+        SparkEntry.queries("q_profile")(spark, d)),
+      ("q_upsert", "keyed MERGE: the base side anti-joins a broadcast " +
+        "distinct-key list — the 100 TB side never shuffles; updates " +
+        "union on top.",
+        SparkEntry.queries("q_upsert")(spark, d)),
+      ("q_sample_n", "fixed-budget per-group sample: md5-rank cut by the " +
+        "bounded-heap objectHashAggregate (partial_collect_top_k " +
+        "map-side) — shuffle carries partitions × n rows per group, " +
+        "never the group.",
+        SparkEntry.queries("q_sample_n")(spark, d)),
+      ("q_centroids", "group centroids: posexplode → partial avg per " +
+        "(group, pos) map-side; the dim-bounded collect_list reassembly " +
+        "is the only second shuffle.",
+        SparkEntry.queries("q_centroids")(spark, d)))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative queries (sf0.01)\n")

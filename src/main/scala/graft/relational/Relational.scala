@@ -324,6 +324,53 @@ object Relational {
       .filter(col("cnt") >= minCount)
   }
 
+  /** Interval-overlap join: rows pair when their [start, end] intervals
+    * (µs longs, both inclusive) overlap and `keys` match — the
+    * two-sided sibling of [[rangeJoin]]'s point-in-window. Same binned
+    * formulation: each side explodes to the `binUs`-wide bins its
+    * interval covers and the join is a plain equi-join on (keys, bin)
+    * with the exact overlap predicate as a post-filter — never the
+    * BroadcastNestedLoopJoin a raw inequality join plans to. A pair
+    * meeting in several bins is kept exactly once WITHOUT a distinct:
+    * only the bin containing `greatest(start_l, start_r)` (the overlap's
+    * first instant, provably present on both sides) owns the pair.
+    *
+    * Explosion factor is span/binUs + 1 per row — size `binUs` near the
+    * typical span (a row's cost is its interval length over the bin
+    * width, the inherent price of binned interval matching). Rows with
+    * end < start (or null bounds) are dropped, not errors. */
+  def overlapJoin(
+      left: DataFrame, right: DataFrame,
+      leftStartUs: String, leftEndUs: String,
+      rightStartUs: String, rightEndUs: String,
+      keys: Seq[String], rightCols: Seq[String], binUs: Long): DataFrame = {
+    require(binUs > 0, s"need binUs > 0, got $binUs")
+    val collisions = (rightCols ++ Seq(rightStartUs, rightEndUs)).toSet
+      .intersect(left.columns.toSet)
+    require(collisions.isEmpty, s"rename right columns $collisions")
+    require(!left.columns.contains("__bin") && !rightCols.contains("__bin"),
+      "__bin is reserved by overlapJoin")
+    // exact long floor-division bins (see rangeJoin's binOf)
+    def binOf(c: org.apache.spark.sql.Column) =
+      ((c - pmod(c, lit(binUs))) / lit(binUs)).cast("long")
+    val l = left
+      .filter(col(leftEndUs) >= col(leftStartUs))
+      .withColumn("__bin", explode(sequence(
+        binOf(col(leftStartUs)), binOf(col(leftEndUs)))))
+    val r = right
+      .select(keys.map(col) ++
+        (Seq(rightStartUs, rightEndUs) ++ rightCols).map(col): _*)
+      .filter(col(rightEndUs) >= col(rightStartUs))
+      .withColumn("__bin", explode(sequence(
+        binOf(col(rightStartUs)), binOf(col(rightEndUs)))))
+    l.join(r, keys :+ "__bin")
+      .filter(col(leftStartUs) <= col(rightEndUs) &&
+        col(rightStartUs) <= col(leftEndUs))
+      .filter(col("__bin") ===
+        binOf(greatest(col(leftStartUs), col(rightStartUs))))
+      .drop("__bin")
+  }
+
   /** Pairwise Pearson correlation of `cols` in ONE aggregation pass: all
     * n·(n-1)/2 `corr` aggregates evaluate over a single scan/shuffle (no
     * per-pair jobs — at 100 TB the scan dominates, so one pass for the

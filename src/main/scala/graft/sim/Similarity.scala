@@ -371,6 +371,23 @@ class IvfIndex private[sim] (
     Similarity.topKFinish(scored, qIdCol, idCol, k)
   }
 
+  /** Streaming serve — fit once, score query streams forever: the probe
+    * ranking is a pure expression over the centroid LITERALS (no
+    * clustering work, no driver state in the stream), the cell match is
+    * a stateless stream-static equi-join against the persisted
+    * assignment relation, and the cosine is a per-row column. Emits
+    * (qIdCol, idCol, sim) scored candidates; cut top-k per micro-batch
+    * downstream (foreachBatch → [[graft.functions.TopK.collect_top_k]])
+    * — an in-stream global aggregate would hold every past query's
+    * state forever. */
+  def scoreStream(
+      stream: DataFrame, qIdCol: String, qVecCol: String,
+      nProbe: Int): DataFrame =
+    probes(stream, qIdCol, qVecCol, nProbe)
+      .join(assigned, "__cell")
+      .select(col(qIdCol), col(idCol),
+        Similarity.cosine(col(vecCol), col(qVecCol)).as("sim"))
+
   /** Persist the index: `<path>/assignments/` parquet + `<path>/index.json`
     * (centroids, column names). */
   def save(path: String): Unit = {

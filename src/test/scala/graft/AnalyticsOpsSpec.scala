@@ -95,6 +95,47 @@ class GroupCentroidsSpec extends SparkSpec {
   }
 }
 
+class OverlapJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def brute(
+      l: Seq[(Long, Long, Long, String)],
+      r: Seq[(Long, Long, Long, String)]): Set[(String, String)] =
+    (for {
+      (lk, ls, le, ln) <- l
+      (rk, rs, re, rn) <- r
+      if lk == rk && ls <= re && rs <= le
+    } yield (ln, rn)).toSet
+
+  test("matches brute-force overlap semantics, each pair exactly once") {
+    val l = Seq((1L, 0L, 100L, "a"), (1L, 250L, 260L, "b"),
+      (2L, 0L, 1000L, "c"), (1L, 90L, 210L, "d"))
+    val r = Seq((1L, 50L, 150L, "x"), (1L, 200L, 300L, "y"),
+      (2L, 999L, 2000L, "z"), (3L, 0L, 10L, "w"))
+    val ldf = l.toDF("k", "l_start", "l_end", "l_name")
+    val rdf = r.toDF("k", "r_start", "r_end", "r_name")
+    // bin width much smaller than spans: pairs meet in MANY bins, the
+    // overlap-start-bin rule must still emit each exactly once
+    for (binUs <- Seq(7L, 100L, 1000L)) {
+      val got = graft.relational.Relational.overlapJoin(
+          ldf, rdf, "l_start", "l_end", "r_start", "r_end",
+          Seq("k"), Seq("r_name"), binUs)
+        .select("l_name", "r_name").collect()
+        .map(x => (x.getString(0), x.getString(1))).toSeq
+      assert(got.length == got.distinct.length, s"dups at binUs=$binUs")
+      assert(got.toSet == brute(l, r), s"binUs=$binUs")
+    }
+  }
+
+  test("inverted and null intervals are dropped, not errors") {
+    val ldf = Seq((1L, 100L, 0L, "inv")).toDF("k", "l_start", "l_end", "ln")
+    val rdf = Seq((1L, 0L, 200L, "x")).toDF("k", "r_start", "r_end", "rn")
+    assert(graft.relational.Relational.overlapJoin(ldf, rdf,
+      "l_start", "l_end", "r_start", "r_end", Seq("k"), Seq("rn"),
+      50L).count() == 0L)
+  }
+}
+
 class KnnJoinSpec extends SparkSpec {
   import spark.implicits._
 

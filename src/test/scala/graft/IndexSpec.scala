@@ -66,6 +66,32 @@ class IndexSpec extends SparkSpec {
     index.release(); loaded.release()
   }
 
+  test("scoreStream serves a query stream; full probe equals batch query") {
+    // parquet-backed stream of the same 10 queries → stream-static join
+    // against the fitted assignments; per-batch top-k downstream equals
+    // the batch query() result
+    val index = IvfIndex.fit(emb, "vec_id", "embedding", nCentroids = 16)
+    val qDir = "target/tmp/ann_queries"
+    q.write.mode("overwrite").parquet(qDir)
+    val stream = spark.readStream.schema(q.schema).parquet(qDir)
+    val scored = index.scoreStream(stream, "query_id", "qvec", nProbe = 16)
+    val qry = scored.writeStream.outputMode("append")
+      .format("memory").queryName("ann_serve").start()
+    try qry.processAllAvailable() finally qry.stop()
+    // downstream micro-batch cut: CollectTopK over the emitted candidates
+    val top = spark.table("ann_serve")
+      .groupBy("query_id")
+      .agg(graft.functions.TopK.collect_top_k(
+        struct(col("sim").as("score"),
+          col("vec_id").cast("long").as("id")), 5).as("__top"))
+      .select(col("query_id"), explode(col("__top.id")).as("vec_id"))
+      .as[(Long, Long)].collect().toSet
+    val batch = resultSet(index.query(q, "query_id", "qvec", k = 5,
+      nProbe = 16))
+    assert(top == batch)
+    index.release()
+  }
+
   test("partial probing trades recall, never correctness of returned sims") {
     val index = IvfIndex.fit(emb, "vec_id", "embedding", nCentroids = 16)
     val exact = Similarity.bruteForceTopK(
