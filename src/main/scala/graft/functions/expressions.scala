@@ -460,6 +460,58 @@ object StripAccents {
   }
 }
 
+/** First 60 bits of md5 as a non-negative long — the engine-portable hash
+  * (DuckDB: `('0x' || substr(md5(x), 1, 15))::BIGINT`) computed straight
+  * from the digest bytes. The composed Spark form
+  * (`conv(substring(md5(cast binary), 1, 15), 16, 10) cast long`)
+  * allocates a 32-char hex string, a substring, AND a base-16→base-10
+  * string parse PER VALUE — on per-token paths (portable simhash, DSIR
+  * buckets) those allocations are the workload. One digest call, zero
+  * strings. */
+case class Md5Hash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"md5_hash60 needs a string or binary, got ${t.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any = v match {
+    case u: org.apache.spark.unsafe.types.UTF8String =>
+      Md5Hash60.top60(u.getBytes)
+    case b: Array[Byte] => Md5Hash60.top60(b)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => child.dataType match {
+      case StringType => s"graft.functions.Md5Hash60.top60($c.getBytes())"
+      case _ => s"graft.functions.Md5Hash60.top60($c)"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Md5Hash60 =
+    copy(child = c)
+}
+
+object Md5Hash60 {
+  private val digest =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** Static entry point shared by interpreted eval and generated code:
+    * big-endian long of the first 8 digest bytes, high 60 bits kept —
+    * identical to parsing the first 15 hex chars. */
+  def top60(bytes: Array[Byte]): Long = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+}
+
 /** Column-level entry points for graft's custom expressions. */
 object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column =
@@ -484,6 +536,9 @@ object GraftFunctions {
 
   def double_sort_key(d: Column): Column =
     Bridge.column(DoubleSortKey(Bridge.expression(d)))
+
+  def md5_hash60(c: Column): Column =
+    Bridge.column(Md5Hash60(Bridge.expression(c)))
 
   /** Optional SQL registration (`SELECT cosine_sim(a, b) ...`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -212,24 +212,31 @@ object Similarity {
     val mask = (1L << r) - 1
     val sig = lshSignature(col(vecCol), nPlanes, dim, seed, portable)
     // persisted: the signature projection feeds the count aggregate and both
-    // sides of the pair join
+    // sides of the pair join. IDs ONLY — carrying the vector payload
+    // through the bucket join + distinct would shuffle ~vecBytes × bands ×
+    // bucketSize per row; the vectors come back via two narrow joins on
+    // the deduped pair set instead (same trade as lshTopK's query side)
     val buckets = data.withColumn("__sig", sig)
-      .select(col(idCol), col(vecCol), explode(array((0 until bands).map(j =>
+      .select(col(idCol), explode(array((0 until bands).map(j =>
         struct(lit(j).as("band"),
           shiftrightunsigned(col("__sig"), j * r).bitwiseAND(lit(mask))
             .as("bucket"))): _*)).as("__b"))
-      .select(col(idCol), col(vecCol), col("__b.band"), col("__b.bucket"))
+      .select(col(idCol), col("__b.band"), col("__b.bucket"))
       .persist()
     val counts = buckets.groupBy("band", "bucket").count()
     val (ok, countsCached, reportDrops) = graft.text.Dedup.capBuckets(
       buckets, counts, maxBucket, "embeddingNearDup")
-    val a = ok.select(col("band"), col("bucket"), col(idCol).as("id_a"),
-      col(vecCol).as("__v_a"))
-    val b = ok.select(col("band"), col("bucket"), col(idCol).as("id_b"),
-      col(vecCol).as("__v_b"))
-    val result = a.join(b, Seq("band", "bucket"))
+    val a = ok.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val b = ok.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    val pairs = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "__v_a", "__v_b").distinct()
+      .select("id_a", "id_b").distinct()
+    val vecs = data.select(col(idCol), col(vecCol))
+    val result = pairs
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__v_a")),
+        "id_a")
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("__v_b")),
+        "id_b")
       .withColumn("sim", cosine(col("__v_a"), col("__v_b")))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
@@ -260,24 +267,29 @@ object Similarity {
     val r = nPlanes / bands
     val mask = (1L << r) - 1
     val sig = lshSignature(col(vecCol), nPlanes, dim, seed, portable)
+    // id-only buckets; vectors rejoin on the deduped pair set (see
+    // embeddingNearDup — shuffling vector payloads through the bucket
+    // join is the one way this goes quadratic in bytes)
     val buckets = data.withColumn("__sig", sig)
-      .select(col(idCol), col(vecCol), explode(array((0 until bands).map(j =>
+      .select(col(idCol), explode(array((0 until bands).map(j =>
         struct(lit(j).as("band"),
           shiftrightunsigned(col("__sig"), j * r).bitwiseAND(lit(mask))
             .as("bucket"))): _*)).as("__b"))
-      .select(col(idCol), col(vecCol), col("__b.band"), col("__b.bucket"))
+      .select(col(idCol), col("__b.band"), col("__b.bucket"))
       .persist()
     val counts = buckets.groupBy("band", "bucket").count()
     val (ok, countsCached, reportDrops) = graft.text.Dedup.capBuckets(
       buckets, counts, maxBucket, "knnJoin")
-    val a = ok.select(col("band"), col("bucket"), col(idCol),
-      col(vecCol).as("__v"))
-    val b = ok.select(col("band"), col("bucket"),
-      col(idCol).as("nbr_id"), col(vecCol).as("__v_n"))
-    val scored = a.join(b, Seq("band", "bucket"))
+    val a = ok.select(col("band"), col("bucket"), col(idCol))
+    val b = ok.select(col("band"), col("bucket"), col(idCol).as("nbr_id"))
+    val pairs = a.join(b, Seq("band", "bucket"))
       .filter(col(idCol) =!= col("nbr_id"))
-      .select(col(idCol), col("nbr_id"), col("__v"), col("__v_n"))
-      .distinct()
+      .select(col(idCol), col("nbr_id")).distinct()
+    val vecs = data.select(col(idCol), col(vecCol))
+    val scored = pairs
+      .join(vecs.select(col(idCol), col(vecCol).as("__v")), idCol)
+      .join(vecs.select(col(idCol).as("nbr_id"), col(vecCol).as("__v_n")),
+        "nbr_id")
       .select(col(idCol),
         struct(cosine(col("__v"), col("__v_n")).as("score"),
           col("nbr_id").cast("long").as("id")).as("__cand"))

@@ -23,8 +23,8 @@ object Corpus {
     * `rand()` re-rolls per task retry and per plan re-execution, silently
     * changing the sample under AQE or speculative execution. */
   def hashUniform(c: Column): Column =
-    conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10)
-      .cast("long").cast("double") / lit(HashScale)
+    graft.functions.GraftFunctions.md5_hash60(c.cast("string"))
+      .cast("double") / lit(HashScale)
 
   /** Stratified deterministic sample for corpus mixing: keep a row iff
     * `hashUniform(id) < rate(stratum)`, where `rate` comes from `rates` or
@@ -333,7 +333,7 @@ object Corpus {
       .filter(df.columns.contains)
     require(reserved.isEmpty, s"$reserved reserved by dsirScore")
     def bucketOf(t: Column): Column =
-      pmod(conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long"),
+      pmod(graft.functions.GraftFunctions.md5_hash60(t),
         lit(buckets.toLong))
     def tokenBuckets(frame: DataFrame, text: String, cols: Seq[Column]) =
       frame.select(cols :+

@@ -167,11 +167,13 @@ object Dedup {
     result
   }
 
-  /** Engine-portable 60-bit token hash: `conv(substr(md5(t),1,15),16,10)` —
-    * the value DuckDB recomputes as `('0x'||substr(md5(t),1,15))::BIGINT`
-    * (same trick as [[graft.text.Corpus.hashUniform]]). */
+  /** Engine-portable 60-bit token hash — the value DuckDB recomputes as
+    * `('0x'||substr(md5(t),1,15))::BIGINT` (same trick as
+    * [[graft.text.Corpus.hashUniform]]), computed digest-direct by the
+    * fused [[graft.functions.Md5Hash60]] expression (no hex-string/conv
+    * allocations in the per-token loop). */
   private def md5TokenHash(t: Column): Column =
-    conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long")
+    graft.functions.GraftFunctions.md5_hash60(t)
 
   /** 64-bit SimHash of the text (majority vote over token-hash bits — one
     * codegen'd loop, [[graft.functions.SimHash64]]). `portable = true` hashes

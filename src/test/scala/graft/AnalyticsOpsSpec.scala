@@ -95,6 +95,32 @@ class GroupCentroidsSpec extends SparkSpec {
   }
 }
 
+class Md5Hash60Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("fused digest-direct hash equals the composed conv(substr(md5)) form") {
+    val df = (Seq("", "a", "hello world", "TöKen, with ünicode — 字",
+      "plane:3:17") ++ (0 until 200).map(i => s"tok$i")).toDF("s")
+    val composed = conv(substring(md5(col("s").cast("binary")), 1, 15),
+      16, 10).cast("long")
+    val mismatches = df.filter(
+      graft.functions.GraftFunctions.md5_hash60(col("s")) =!= composed)
+    assert(mismatches.count() == 0L)
+    // non-negative by construction (60 bits)
+    assert(df.filter(
+      graft.functions.GraftFunctions.md5_hash60(col("s")) < 0).count() == 0L)
+  }
+
+  test("binary input hashes the raw bytes (same as string's UTF-8 bytes)") {
+    val df = Seq("payload").toDF("s")
+    val viaString = df.select(
+      graft.functions.GraftFunctions.md5_hash60(col("s")).as("h")).head()
+    val viaBinary = df.select(graft.functions.GraftFunctions.md5_hash60(
+      col("s").cast("binary")).as("h")).head()
+    assert(viaString.getLong(0) == viaBinary.getLong(0))
+  }
+}
+
 class OverlapJoinSpec extends SparkSpec {
   import spark.implicits._
 
