@@ -146,6 +146,37 @@ object DataQueries {
         .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"))
     }),
 
+    // TPC-H Q3 shape: selective dim filter → broadcast → fact join →
+    // grouped revenue (the multi-join analytics plan, not just Q1's scan)
+    "q_tpch_q3" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = t(s, d, "lineitem")
+        .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          // NTZ parquet timestamp: hop through TZ (session is UTC) for
+          // epoch seconds — a direct NTZ→long cast is rejected
+          col("o_orderdate").cast("timestamp").cast("long")
+            .as("o_orderdate_s"),
+          col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") *
+          (lit(1) - col("l_discount"))), 6).as("revenue"))
+    }),
+
+    // deterministic 3-way train/val/test split (whole groups, md5 bins)
+    "q_split_fractions" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.text.Corpus.splitFractions(col("doc_id"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))),
+
     // classic relational aggregation over the biggest table (the engine is
     // a general analytics surface too) — TPC-H Q1 shape
     "q_relational_agg" -> ((s, d) =>
@@ -1853,7 +1884,31 @@ object DataQueries {
              count(*) AS count_order
            FROM lineitem
            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-           GROUP BY l_returnflag, l_linestatus"""
+           GROUP BY l_returnflag, l_linestatus""",
+
+      "q_tpch_q3" ->
+        """SELECT l.l_orderkey,
+             CAST(epoch(o.o_orderdate) AS BIGINT) AS o_orderdate_s,
+             o.o_orderpriority,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+               AS revenue
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           WHERE c.c_mktsegment = 'BUILDING'
+             AND o.o_orderdate < TIMESTAMP '1995-03-15'
+             AND l.l_shipdate > TIMESTAMP '1995-03-15'
+           GROUP BY 1, 2, 3""",
+
+      "q_split_fractions" ->
+        """SELECT doc_id,
+             CASE WHEN u >= 0.9 AND u < 1.0 THEN 'test'
+                  WHEN u >= 0.8 AND u < 0.9 THEN 'val'
+                  ELSE 'train' END AS split
+           FROM (SELECT doc_id,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) / 1152921504606846976.0 AS u
+                 FROM documents)"""
     )
   }
 }

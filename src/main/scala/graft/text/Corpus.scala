@@ -138,6 +138,30 @@ object Corpus {
     (df.filter(lbl === "train"), df.filter(lbl === "test"))
   }
 
+  /** N-way deterministic split ("train"/"val"/"test"/... by fraction):
+    * the md5-uniform of `groupCol` falls into cumulative-fraction bins,
+    * ordered as given — whole groups land on one side (leakage-safe,
+    * like [[splitLabel]]), the assignment replays identically under task
+    * retry, AQE, and in any other engine, and rows beyond the summed
+    * fractions (or with a null group) take the FIRST label, matching
+    * splitLabel's otherwise-train convention. Pure expression — no
+    * shuffle. */
+  def splitFractions(
+      groupCol: Column, fractions: Seq[(String, Double)]): Column = {
+    require(fractions.size >= 2, "need >= 2 split labels")
+    require(fractions.forall(_._2 > 0), "fractions must be > 0")
+    require(fractions.map(_._2).sum <= 1.0 + 1e-9,
+      s"fractions sum to ${fractions.map(_._2).sum} > 1")
+    val u = hashUniform(groupCol)
+    // [0, f1) → l1, [f1, f1+f2) → l2, ...; remainder + nulls → l1
+    val cuts = fractions.map(_._2).scanLeft(0.0)(_ + _)
+    fractions.zip(cuts.sliding(2).toSeq).tail
+      .foldLeft(lit(fractions.head._1)) {
+        case (acc, ((label, _), Seq(lo, hi))) =>
+          when(u >= lo && u < hi, label).otherwise(acc)
+      }
+  }
+
   /** Benchmark decontamination: training docs sharing at least
     * `minShared` distinct `k`-word shingles with any eval/benchmark doc.
     * Output: (idCol, bench_id, n_shared) per contaminated pair.

@@ -95,6 +95,43 @@ class GroupCentroidsSpec extends SparkSpec {
   }
 }
 
+class SplitFractionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("3-way split: fractions land, whole groups stay together, nulls → first") {
+    val df = ((1 to 2000).map(i => (s"g${i % 500}", i)) :+
+      (null.asInstanceOf[String], 0)).toDF("g", "x")
+    val lbl = graft.text.Corpus.splitFractions(col("g"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val got = df.withColumn("split", lbl)
+    val counts = got.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    assert(counts("train") > counts.getOrElse("val", 0L))
+    // every group maps to exactly one side
+    assert(got.filter(col("g").isNotNull).groupBy("g")
+      .agg(countDistinct("split").as("n")).filter(col("n") > 1)
+      .count() == 0L)
+    // null group takes the first label
+    assert(got.filter(col("g").isNull).select("split").head()
+      .getString(0) == "train")
+    // deterministic across repartition
+    val again = df.repartition(7).withColumn("split", lbl)
+      .orderBy("x").select("split").collect().toSeq
+    assert(again == got.orderBy("x").select("split").collect().toSeq)
+  }
+
+  test("fraction guards reject invalid specs") {
+    intercept[IllegalArgumentException] {
+      graft.text.Corpus.splitFractions(col("g"), Seq("a" -> 1.0))
+    }
+    intercept[IllegalArgumentException] {
+      graft.text.Corpus.splitFractions(col("g"),
+        Seq("a" -> 0.8, "b" -> 0.5))
+    }
+  }
+}
+
 class Md5Hash60Spec extends SparkSpec {
   import spark.implicits._
 
