@@ -539,18 +539,34 @@ object Dedup {
   }
 
   /** Verify candidate pairs with exact n-gram Jaccard: join the texts back
-    * and keep pairs at or above `threshold`. */
+    * and keep pairs at or above `threshold`. Each doc is shingled ONCE
+    * (token array materialized first — see wordShinglesT's doc), the
+    * distinct shingle arrays ride the joins, and each candidate pair pays
+    * one array_intersect.
+    *
+    * `restrictToCandidates = true` first left_semi-joins `docs` to the
+    * ids appearing in `pairs`, bounding the shingle work by the candidate
+    * count instead of the corpus — the right call at 100 TB, where
+    * near-dup candidates are a vanishing fraction of documents. Default
+    * OFF: when candidates cover much of the corpus (small or heavily
+    * duplicated inputs — measured +40% on the sf0.1 bench, where most
+    * docs have a near-dup), the two extra semi-join stages cost more
+    * than shingling everything. */
   def verifyJaccard(
       pairs: DataFrame,
       docs: DataFrame,
       textCol: String,
       idCol: String,
       shingleK: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
-    // shingle each doc ONCE (token array materialized first — see
-    // wordShinglesT's doc), carry the distinct shingle arrays through the
-    // joins, and pay only one array_intersect per candidate pair
-    def shingled(idOut: String, shOut: String) = docs
+      threshold: Double = 0.8,
+      restrictToCandidates: Boolean = false): DataFrame = {
+    val base =
+      if (!restrictToCandidates) docs
+      else docs.join(
+        pairs.select(col("id_a").as(idCol))
+          .union(pairs.select(col("id_b").as(idCol))).distinct(),
+        Seq(idCol), "left_semi")
+    def shingled(idOut: String, shOut: String) = base
       .select(col(idCol).as(idOut),
         TextFunctions.tokensLower(col(textCol)).as("__ts"))
       .select(col(idOut),

@@ -98,12 +98,14 @@ class DedupSpec extends SparkSpec {
 
   test("jaccard verification scores the planted near-dup below the exact dup") {
     val cand = Seq((10L, 11L), (10L, 12L), (10L, 13L)).toDF("id_a", "id_b")
-    val out = Dedup.verifyJaccard(cand, docs, "text", "doc_id",
-      threshold = 0.0).orderBy("id_b")
-    val j = colOf(out, "jaccard").map(_.asInstanceOf[Double])
-    assert(j(0) == 1.0)           // exact dup
-    assert(j(1) > 0.5 && j(1) < 1.0) // near dup
-    assert(j(2) == 0.0)           // unrelated
+    for (restrict <- Seq(false, true)) {
+      val out = Dedup.verifyJaccard(cand, docs, "text", "doc_id",
+        threshold = 0.0, restrictToCandidates = restrict).orderBy("id_b")
+      val j = colOf(out, "jaccard").map(_.asInstanceOf[Double])
+      assert(j(0) == 1.0, s"restrict=$restrict") // exact dup
+      assert(j(1) > 0.5 && j(1) < 1.0, s"restrict=$restrict") // near dup
+      assert(j(2) == 0.0, s"restrict=$restrict") // unrelated
+    }
   }
 }
 
