@@ -170,6 +170,25 @@ object DataQueries {
           (lit(1) - col("l_discount"))), 6).as("revenue"))
     }),
 
+    // top-100 corpus vocabulary with dense rank ids (global top-k plans
+    // as TakeOrderedAndProject — per-partition heaps, no full sort)
+    "q_vocab" -> ((s, d) =>
+      graft.text.Corpus.buildVocab(t(s, d, "documents"), "text",
+        size = 100)),
+
+    // script detection over deterministically-planted multilingual rows
+    // (the synthetic corpus is pure ASCII, so CJK/Cyrillic content is
+    // planted the same way q_redact plants PII)
+    "q_script" -> ((s, d) => {
+      val planted = t(s, d, "documents").withColumn("text2",
+        when(col("doc_id") % 7 === 0, lit("漢字文檔測試漢字電腦資料"))
+          .when(col("doc_id") % 7 === 1, lit("русский текст для проверки"))
+          .when(col("doc_id") % 7 === 2,
+            concat(col("text"), lit(" 漢字文檔測試")))
+          .otherwise(col("text")))
+      TextFunctions.scriptStats(planted, "text2", "doc_id")
+    }),
+
     // deterministic 3-way train/val/test split (whole groups, md5 bins)
     "q_split_fractions" -> ((s, d) =>
       t(s, d, "documents")
@@ -1899,6 +1918,52 @@ object DataQueries {
              AND o.o_orderdate < TIMESTAMP '1995-03-15'
              AND l.l_shipdate > TIMESTAMP '1995-03-15'
            GROUP BY 1, 2, 3""",
+
+      "q_vocab" ->
+        """WITH tok AS (
+             SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+               AS t
+             FROM documents),
+           cnt AS (
+             SELECT t, count(*) AS n_occurrences FROM tok
+             WHERE t <> '' GROUP BY t)
+           SELECT t AS token,
+             CAST(row_number() OVER (ORDER BY n_occurrences DESC, t) - 1
+                  AS BIGINT) AS token_id,
+             n_occurrences
+           FROM cnt
+           ORDER BY token_id LIMIT 100""",
+
+      "q_script" -> {
+        val cases =
+          """CASE WHEN doc_id % 7 = 0 THEN '漢字文檔測試漢字電腦資料'
+                  WHEN doc_id % 7 = 1 THEN 'русский текст для проверки'
+                  WHEN doc_id % 7 = 2 THEN text || ' 漢字文檔測試'
+                  ELSE text END"""
+        s"""WITH planted AS (SELECT doc_id, $cases AS t2 FROM documents),
+            counts AS (
+              SELECT doc_id,
+                length(t2) - length(regexp_replace(t2, '[A-Za-z]', '', 'g'))
+                  AS n_latin,
+                length(t2) - length(regexp_replace(t2,
+                  '[\\x{4E00}-\\x{9FFF}]', '', 'g')) AS n_cjk,
+                length(t2) - length(regexp_replace(t2,
+                  '[\\x{0400}-\\x{04FF}]', '', 'g')) AS n_cyrillic,
+                length(t2) - length(regexp_replace(t2,
+                  '[\\x{0600}-\\x{06FF}]', '', 'g')) AS n_arabic
+              FROM planted)
+            SELECT doc_id, n_latin, n_cjk, n_cyrillic, n_arabic,
+              CASE WHEN greatest(n_latin, n_cjk, n_cyrillic, n_arabic) = 0
+                     THEN 'none'
+                   WHEN n_latin = greatest(n_latin, n_cjk, n_cyrillic,
+                     n_arabic) THEN 'latin'
+                   WHEN n_cjk = greatest(n_latin, n_cjk, n_cyrillic,
+                     n_arabic) THEN 'cjk'
+                   WHEN n_cyrillic = greatest(n_latin, n_cjk, n_cyrillic,
+                     n_arabic) THEN 'cyrillic'
+                   ELSE 'arabic' END AS script
+            FROM counts"""
+      },
 
       "q_split_fractions" ->
         """SELECT doc_id,

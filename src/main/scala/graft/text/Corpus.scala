@@ -66,6 +66,34 @@ object Corpus {
         (col("__pos") + 1).as("sample_rank")): _*)
   }
 
+  /** Top-`size` token vocabulary by corpus frequency (ties on the token
+    * lexicographically), with dense contiguous ids in rank order —
+    * the tokenizer-training primer every pipeline needs. One token-count
+    * aggregate (map-side combined; the shuffle carries distinct tokens,
+    * bounded by vocabulary not corpus) and then a GLOBAL top-`size` that
+    * plans as TakeOrderedAndProject — per-partition heaps of `size`
+    * entries merged once, never a full sort of the vocabulary. The id
+    * assignment sorts only the `size` survivors in one task (bounded by
+    * construction). Output: (token, token_id, n_occurrences), id 0 =
+    * most frequent. */
+  def buildVocab(
+      df: DataFrame, textCol: String, size: Int): DataFrame = {
+    require(size >= 1, s"need size >= 1, got $size")
+    val counts = df
+      .select(explode(TextFunctions.tokensLower(col(textCol))).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy("__t").agg(count(lit(1)).as("n_occurrences"))
+    val top = counts
+      .orderBy(col("n_occurrences").desc, col("__t").asc)
+      .limit(size)
+    top
+      .withColumn("token_id",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_occurrences").desc, col("__t").asc)) - 1)
+      .select(col("__t").as("token"), col("token_id").cast("long")
+        .as("token_id"), col("n_occurrences"))
+  }
+
   /** Chunk documents into whitespace-token windows of `chunkTokens` tokens,
     * starting every `chunkTokens - overlap` tokens (trailing chunks may be
     * shorter). Output: (id, chunk_index, chunk_text, chunk_tokens). The

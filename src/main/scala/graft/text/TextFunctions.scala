@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for large-scale training-data pipelines
@@ -233,6 +233,32 @@ object TextFunctions {
   def ngramJaccard(a: Column, b: Column, k: Int): Column =
     shingleJaccard(array_distinct(wordShingles(a, k)),
       array_distinct(wordShingles(b, k)))
+
+  /** Unicode-script character counts + dominant-script label — the
+    * writing-system side of language id (languageId is Latin-marker-based;
+    * a CJK/Cyrillic/Arabic page needs the script signal first). Counts
+    * are codepoints removed by a BMP character-class replace — pure
+    * per-row expressions, replayable by any regex engine — and the
+    * dominant label ties in fixed precedence (latin > cjk > cyrillic >
+    * arabic), `"none"` when no scripted characters at all. No shuffle:
+    * quality gates like this belong in the ingest scan. */
+  def scriptStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    def cnt(cls: String) =
+      length(col(textCol)) - length(regexp_replace(col(textCol), cls, ""))
+    val out = df.select(col(idCol),
+      cnt("[A-Za-z]").cast("long").as("n_latin"),
+      cnt("[\\u4E00-\\u9FFF]").cast("long").as("n_cjk"),
+      cnt("[\\u0400-\\u04FF]").cast("long").as("n_cyrillic"),
+      cnt("[\\u0600-\\u06FF]").cast("long").as("n_arabic"))
+    val m = greatest(col("n_latin"), col("n_cjk"), col("n_cyrillic"),
+      col("n_arabic"))
+    out.withColumn("script",
+      when(m === 0, "none")
+        .when(col("n_latin") === m, "latin")
+        .when(col("n_cjk") === m, "cjk")
+        .when(col("n_cyrillic") === m, "cyrillic")
+        .otherwise("arabic"))
+  }
 }
 
 import org.apache.spark.sql.DataFrame
@@ -259,4 +285,5 @@ class TextAnalyzer(input: String, prefix: String)
         s"${prefix}_fingerprint" -> xxhash64(array_join(col(toks), " "))))
       .drop(toks)
   }
+
 }

@@ -95,6 +95,47 @@ class GroupCentroidsSpec extends SparkSpec {
   }
 }
 
+class BuildVocabSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rank-ordered dense ids; count-desc then token-asc ties") {
+    val df = Seq("b b b a a c", "a d d", "").toDF("text")
+    val got = graft.text.Corpus.buildVocab(df, "text", 3)
+      .orderBy("token_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // a:3, b:3, d:2, c:1 → top 3 with a before b (tie, lexicographic)
+    assert(got == Seq(("a", 0L, 3L), ("b", 1L, 3L), ("d", 2L, 2L)))
+  }
+
+  test("global top-k plans as TakeOrderedAndProject (no full sort)") {
+    val df = Seq("x y z").toDF("text")
+    val plan = graft.text.Corpus.buildVocab(df, "text", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+  }
+}
+
+class ScriptStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("per-script counts and dominant label with fixed tie precedence") {
+    val df = Seq(
+      (1L, "hello world"),
+      (2L, "漢字文檔"),
+      (3L, "русский текст"),
+      (4L, "مرحبا بالعالم"),
+      (5L, "ab 漢字"),     // tie 2-2 → latin precedence
+      (6L, "12345 !!!"))
+      .toDF("id", "t")
+    val got = graft.text.TextFunctions.scriptStats(df, "t", "id")
+      .orderBy("id").collect()
+    assert(got.map(_.getString(5)).toSeq ==
+      Seq("latin", "cjk", "cyrillic", "arabic", "latin", "none"))
+    assert(got(1).getLong(2) == 4L) // n_cjk
+    assert(got(2).getLong(3) == 12L) // n_cyrillic (spaces not counted)
+  }
+}
+
 class SplitFractionsSpec extends SparkSpec {
   import spark.implicits._
 
