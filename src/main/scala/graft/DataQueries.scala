@@ -176,6 +176,14 @@ object DataQueries {
       graft.text.Corpus.buildVocab(t(s, d, "documents"), "text",
         size = 100)),
 
+    // vocab-encode: top-100 vocabulary applied back to the corpus; ids as
+    // a space-joined string so any engine can replay the sequence
+    "q_encode" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.text.Corpus.encodeDocs(docs, "text", "doc_id",
+        graft.text.Corpus.buildVocab(docs, "text", size = 100))
+    }),
+
     // script detection over deterministically-planted multilingual rows
     // (the synthetic corpus is pure ASCII, so CJK/Cyrillic content is
     // planted the same way q_redact plants PII)
@@ -1933,6 +1941,38 @@ object DataQueries {
              n_occurrences
            FROM cnt
            ORDER BY token_id LIMIT 100""",
+
+      "q_encode" ->
+        """WITH raw AS (
+             SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+             FROM documents),
+           tokpos AS (
+             SELECT doc_id, unnest(arr) AS t,
+               unnest(range(1, len(arr) + 1)) AS ord
+             FROM raw),
+           tok0 AS (SELECT * FROM tokpos WHERE t <> ''),
+           cnt AS (
+             SELECT t, count(*) AS n FROM tok0 GROUP BY t),
+           vocab AS (
+             SELECT t AS token,
+               CAST(row_number() OVER (ORDER BY n DESC, t) - 1 AS BIGINT)
+                 AS token_id
+             FROM cnt ORDER BY token_id LIMIT 100),
+           enc AS (
+             SELECT tok0.doc_id, coalesce(v.token_id, -1) AS tid, tok0.ord
+             FROM tok0 LEFT JOIN vocab v ON tok0.t = v.token),
+           agg AS (
+             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_unk,
+               string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY ord)
+                 AS token_ids
+             FROM enc GROUP BY doc_id)
+           SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+             coalesce(a.n_unk, 0) AS n_unk,
+             coalesce(a.token_ids, '') AS token_ids
+           FROM documents d LEFT JOIN agg a USING (doc_id)""",
 
       "q_script" -> {
         val cases =

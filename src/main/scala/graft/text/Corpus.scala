@@ -94,6 +94,34 @@ object Corpus {
         .as("token_id"), col("n_occurrences"))
   }
 
+  /** Encode documents against a [[buildVocab]] vocabulary: each whitespace
+    * token maps to its `token_id`, out-of-vocabulary tokens to `unkId`.
+    * The vocabulary is bounded by construction (buildVocab's `size`), so it
+    * collects into ONE map literal and encoding is a pure per-row
+    * expression — no join, no shuffle, runs at scan speed on every
+    * executor. (For a vocabulary too large for a plan literal — millions
+    * of entries — switch to posexplode + broadcast join + re-aggregate;
+    * at typical tokenizer sizes the literal wins by a full shuffle.)
+    * Output per document: `n_tokens`, `n_unk`, and `token_ids` as a
+    * space-joined id string (engine-portable: any SQL engine reproduces
+    * it with a string_agg ordered by token position). */
+  def encodeDocs(
+      df: DataFrame, textCol: String, idCol: String,
+      vocab: DataFrame, unkId: Long = -1L): DataFrame = {
+    val entries = vocab.select("token", "token_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(!entries.valuesIterator.contains(unkId),
+      s"unkId $unkId collides with a vocabulary id")
+    val m = typedLit(entries)
+    val toks = filter(TextFunctions.tokensLower(col(textCol)),
+      t => t =!= "")
+    val ids = transform(toks, t => coalesce(element_at(m, t), lit(unkId)))
+    df.select(col(idCol),
+      size(ids).cast("long").as("n_tokens"),
+      size(filter(ids, i => i === unkId)).cast("long").as("n_unk"),
+      array_join(transform(ids, _.cast("string")), " ").as("token_ids"))
+  }
+
   /** Chunk documents into whitespace-token windows of `chunkTokens` tokens,
     * starting every `chunkTokens - overlap` tokens (trailing chunks may be
     * shorter). Output: (id, chunk_index, chunk_text, chunk_tokens). The

@@ -115,6 +115,32 @@ class BuildVocabSpec extends SparkSpec {
   }
 }
 
+class EncodeDocsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ids in vocab rank order; OOV -> unkId; empty doc -> empty") {
+    val df = Seq((1L, "b b b a a c"), (2L, "a zz d d"), (3L, ""))
+      .toDF("doc_id", "text")
+    val vocab = graft.text.Corpus.buildVocab(df, "text", 3)
+    // vocab: a(0), b(1), d(2); c and zz are OOV
+    val got = graft.text.Corpus.encodeDocs(df, "text", "doc_id", vocab)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == Seq(
+      (6L, 1L, "1 1 1 0 0 -1"),
+      (4L, 1L, "0 -1 2 2"),
+      (0L, 0L, "")))
+  }
+
+  test("unkId colliding with a vocabulary id is rejected") {
+    val df = Seq((1L, "a b")).toDF("doc_id", "text")
+    val vocab = graft.text.Corpus.buildVocab(df, "text", 2)
+    intercept[IllegalArgumentException] {
+      graft.text.Corpus.encodeDocs(df, "text", "doc_id", vocab, unkId = 0L)
+    }
+  }
+}
+
 class ScriptStatsSpec extends SparkSpec {
   import spark.implicits._
 
