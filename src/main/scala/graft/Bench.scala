@@ -26,8 +26,17 @@ object Bench {
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (iteration aid; the
+    // driver never sets it, so round benches always cover everything)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val queries = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
+    queries.foreach { case (_, fn) =>
       try run(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
 
@@ -37,13 +46,13 @@ object Bench {
     // persisted intermediates
     val iterations = (1 to 3).map { _ =>
       spark.catalog.clearCache()
-      SparkEntry.queries.map { case (name, fn) =>
+      queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
         name -> (System.nanoTime() - t0) / 1e9
       }
     }
-    val results = SparkEntry.queries.keys.map { name =>
+    val results = queries.keys.map { name =>
       name -> iterations.map(_(name)).min
     }.toMap
     val total = if (results.nonEmpty) results.values.sum else 0.0

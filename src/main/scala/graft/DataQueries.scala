@@ -510,8 +510,13 @@ object DataQueries {
       val docs = t(s, d, "documents")
       val cand = Dedup.minHashLSH(docs, "text", "doc_id",
         maxBucket = 1000000, withEstimate = false)
+      // candidates are a vanishing fraction of docs here (few hundred
+      // pairs from 50k docs at sf0.1) — restrict shingling to them; at
+      // 100 TB this is the difference between shingling the corpus twice
+      // and shingling only the near-dup suspects
       val pairs = Dedup.verifyJaccard(cand, docs,
-        "text", "doc_id", shingleK = 3, threshold = 0.8)
+        "text", "doc_id", shingleK = 3, threshold = 0.8,
+        restrictToCandidates = true)
       Dedup.duplicateComponents(pairs.select("id_a", "id_b"))
         .select(col("id_a").as("doc_id"), col("component"))
     }),

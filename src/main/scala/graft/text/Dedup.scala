@@ -452,10 +452,12 @@ object Dedup {
     * `pairs` are labeled (isolated docs are their own component
     * trivially); ids must be integral.
     *
-    * Two paths, same contract as the SmallDict/BigDict encoders: an edge
-    * list at or under `maxCollect` is solved driver-side with union-find
-    * (verified duplicate pairs are rare by construction — milliseconds,
-    * zero iterative jobs); above it, distributed min-label propagation —
+    * Two paths, same contract as the SmallDict/BigDict encoders: a pair
+    * list at or under `maxCollect` rows is solved driver-side with
+    * union-find straight off the raw pairs — no symmetrize, no distinct,
+    * zero shuffles (verified duplicate pairs are rare by construction —
+    * milliseconds, zero iterative jobs); above it, the pairs are
+    * symmetrized + deduplicated and distributed min-label propagation runs —
     * each round every node takes the min of its own and its neighbors'
     * labels (one join + one aggregate per round), converging in
     * O(cluster diameter) rounds (near-dup clusters are dense, so diameter
@@ -465,15 +467,17 @@ object Dedup {
       maxIter: Int = 20, maxCollect: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
     // self-pairs carry no connectivity and are dropped up front — BOTH
-    // paths then agree that a doc appearing only in (x, x) is unlabeled
-    val edges = pairs.select(col(idA).cast("long").as("a"),
+    // paths then agree that a doc appearing only in (x, x) is unlabeled.
+    // Undirected, possibly-duplicated pairs: union-find is insensitive to
+    // edge direction and multiplicity, so the common (driver-side) path
+    // pays NO shuffle at all — symmetrization + distinct happen only if
+    // the edge list overflows into the iterative path.
+    val undirected = pairs.select(col(idA).cast("long").as("a"),
         col(idB).cast("long").as("b"))
-      .union(pairs.select(col(idB).cast("long").as("a"),
-        col(idA).cast("long").as("b")))
       .filter(col("a") =!= col("b"))
-      .distinct().persist()
-    val nEdges = edges.count()
-    if (nEdges <= maxCollect) {
+      .persist()
+    val nPairs = undirected.count()
+    if (nPairs <= maxCollect) {
       // driver-side union-find with path compression + min-root finish
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
@@ -485,11 +489,11 @@ object Dedup {
         }
         r
       }
-      edges.collect().foreach { r =>
+      undirected.collect().foreach { r =>
         val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
-      edges.unpersist(blocking = false)
+      undirected.unpersist(blocking = false)
       val nodes = (parent.keys ++ parent.values).toArray.distinct
       val rows = nodes.map(n => Row(n, find(n))).toSeq
       import org.apache.spark.sql.types._
@@ -499,6 +503,11 @@ object Dedup {
         StructType(Seq(StructField(idA, LongType, nullable = false),
           StructField("component", LongType, nullable = false))))
     }
+    val edges = undirected
+      .union(undirected.select(col("b").as("a"), col("a").as("b")))
+      .distinct().persist()
+    edges.count()
+    undirected.unpersist(blocking = false)
     // localCheckpoint (not persist): each round's plan would otherwise
     // nest the whole previous round's plan — after ~10 rounds the lineage
     // tree alone OOMs the driver. Checkpointing truncates lineage per
