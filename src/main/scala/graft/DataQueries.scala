@@ -204,6 +204,24 @@ object DataQueries {
           graft.text.Corpus.splitFractions(col("doc_id"),
             Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))),
 
+    // declarative expectation suite over the biggest table: all row-level
+    // rules in ONE fused scan-aggregate, uniqueness on its key shuffle,
+    // FK as a null-safe anti-join count against orders
+    "q_validate" -> ((s, d) => {
+      import graft.relational.Relational._
+      checkConstraints(t(s, d, "lineitem"), Seq(
+        NotNull("l_orderkey"),
+        NotNull("l_shipdate"),
+        InRange("l_quantity", 1, 50),
+        InRange("l_discount", 0, 0.05),
+        Accepted("l_returnflag", Seq("A", "N", "R")),
+        Accepted("l_linestatus", Seq("F")),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        Unique(Seq("l_orderkey")),
+        ForeignKey("l_orderkey", t(s, d, "orders"), "o_orderkey"),
+        ForeignKey("l_partkey", t(s, d, "region"), "r_regionkey")))
+    }),
+
     // classic relational aggregation over the biggest table (the engine is
     // a general analytics surface too) — TPC-H Q1 shape
     "q_relational_agg" -> ((s, d) =>
@@ -1903,6 +1921,56 @@ object DataQueries {
 
       "q_jsonl_source" ->
         "SELECT doc_id, text, lang, n_chars FROM documents",
+
+      "q_validate" ->
+        """SELECT 'not_null(l_orderkey)' AS "constraint",
+             CAST(count(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT)
+               AS n_violations FROM lineitem
+           UNION ALL
+           SELECT 'not_null(l_shipdate)',
+             CAST(count(*) FILTER (WHERE l_shipdate IS NULL) AS BIGINT)
+           FROM lineitem
+           UNION ALL
+           SELECT 'in_range(l_quantity,1.0,50.0)',
+             CAST(count(*) FILTER (WHERE l_quantity IS NOT NULL
+               AND (l_quantity < 1.0 OR l_quantity > 50.0)) AS BIGINT)
+           FROM lineitem
+           UNION ALL
+           SELECT 'in_range(l_discount,0.0,0.05)',
+             CAST(count(*) FILTER (WHERE l_discount IS NOT NULL
+               AND (l_discount < 0.0 OR l_discount > 0.05)) AS BIGINT)
+           FROM lineitem
+           UNION ALL
+           SELECT 'accepted(l_returnflag)',
+             CAST(count(*) FILTER (WHERE l_returnflag IS NOT NULL
+               AND l_returnflag NOT IN ('A', 'N', 'R')) AS BIGINT)
+           FROM lineitem
+           UNION ALL
+           SELECT 'accepted(l_linestatus)',
+             CAST(count(*) FILTER (WHERE l_linestatus IS NOT NULL
+               AND l_linestatus NOT IN ('F')) AS BIGINT)
+           FROM lineitem
+           UNION ALL
+           SELECT 'unique(l_orderkey,l_linenumber)',
+             CAST(coalesce(sum(greatest(cnt - 1, 0)), 0) AS BIGINT)
+           FROM (SELECT count(*) AS cnt FROM lineitem
+                 GROUP BY l_orderkey, l_linenumber)
+           UNION ALL
+           SELECT 'unique(l_orderkey)',
+             CAST(coalesce(sum(greatest(cnt - 1, 0)), 0) AS BIGINT)
+           FROM (SELECT count(*) AS cnt FROM lineitem GROUP BY l_orderkey)
+           UNION ALL
+           SELECT 'foreign_key(l_orderkey)', CAST(count(*) AS BIGINT)
+           FROM lineitem l
+           LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+             ON l.l_orderkey = o.o_orderkey
+           WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
+           UNION ALL
+           SELECT 'foreign_key(l_partkey)', CAST(count(*) AS BIGINT)
+           FROM lineitem l
+           LEFT JOIN (SELECT DISTINCT r_regionkey FROM region) r
+             ON l.l_partkey = r.r_regionkey
+           WHERE l.l_partkey IS NOT NULL AND r.r_regionkey IS NULL""",
 
       "q_relational_agg" ->
         """SELECT l_returnflag, l_linestatus,

@@ -449,6 +449,86 @@ object Relational {
     * Exchange in the plan): at 100 TB this turns every fact-to-fact join on
     * the bucket key from the dominant shuffle into a local zip. Bucket
     * metadata lives in the session catalog (`saveAsTable`). */
+  /** Declarative data-validation constraints with a violations report —
+    * the expectation-suite primitive every ingest gate needs. Row-level
+    * rules (`NotNull`, `InRange`, `Accepted`) all fuse into ONE
+    * aggregation over a single scan (a sum of violation indicators per
+    * rule — adding a rule adds a column to the agg, not a pass over the
+    * data). `Unique` pays its necessary shuffle on the key columns and
+    * counts the surplus rows (`Σ max(cnt−1, 0)` — the rows a dedup would
+    * drop); `ForeignKey` is a null-safe anti-join count against the
+    * referenced keys (SQL FK semantics: null keys pass), sized by AQE —
+    * broadcast when the dimension is small, shuffle when it isn't.
+    * Output: one `(constraint, n_violations)` row per rule (unordered —
+    * the labels are the keys). */
+  sealed trait Constraint { def label: String }
+  /** Violation: the column is null. */
+  case class NotNull(col: String) extends Constraint {
+    def label = s"not_null($col)"
+  }
+  /** Violation: non-null value outside `[lo, hi]`. */
+  case class InRange(col: String, lo: Double, hi: Double)
+      extends Constraint {
+    def label = s"in_range($col,$lo,$hi)"
+  }
+  /** Violation: non-null value not in `values`. */
+  case class Accepted(col: String, values: Seq[String])
+      extends Constraint {
+    def label = s"accepted($col)"
+  }
+  /** Violation: each surplus row sharing a key tuple beyond the first. */
+  case class Unique(cols: Seq[String]) extends Constraint {
+    def label = s"unique(${cols.mkString(",")})"
+  }
+  /** Violation: non-null key with no match in `ref.refCol`. */
+  case class ForeignKey(col: String, ref: DataFrame, refCol: String)
+      extends Constraint {
+    def label = s"foreign_key($col)"
+  }
+
+  def checkConstraints(
+      df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
+    require(constraints.nonEmpty, "need at least one constraint")
+    val rowRules: Seq[(String, org.apache.spark.sql.Column)] =
+      constraints.collect {
+        case c @ NotNull(name) =>
+          c.label -> col(name).isNull.cast("long")
+        case c @ InRange(name, lo, hi) =>
+          c.label -> (col(name).isNotNull &&
+            (col(name) < lo || col(name) > hi)).cast("long")
+        case c @ Accepted(name, vs) =>
+          c.label -> (col(name).isNotNull &&
+            !col(name).isin(vs: _*)).cast("long")
+      }
+    // labels hold dots/parens, so the agg uses positional internal names
+    // and the labels only ever appear as map-literal keys
+    val fused: Option[DataFrame] =
+      if (rowRules.isEmpty) None
+      else Some(df.agg(
+          sum(rowRules.head._2).as("__r0"),
+          rowRules.tail.zipWithIndex.map { case ((_, c), i) =>
+            sum(c).as(s"__r${i + 1}") }: _*)
+        .select(explode(map(rowRules.zipWithIndex.flatMap {
+          case ((l, _), i) =>
+            Seq(lit(l), coalesce(col(s"__r$i"), lit(0L))) }: _*))
+          .as(Seq("constraint", "n_violations"))))
+    val perRule: Seq[DataFrame] = constraints.collect {
+      case c @ Unique(cols_) =>
+        df.groupBy(cols_.map(col): _*).agg(count(lit(1)).as("__cnt"))
+          .agg(coalesce(sum(greatest(col("__cnt") - 1, lit(0L))), lit(0L))
+            .as("n_violations"))
+          .select(lit(c.label).as("constraint"), col("n_violations"))
+      case c @ ForeignKey(name, ref, refCol) =>
+        df.select(col(name)).filter(col(name).isNotNull)
+          .join(ref.select(col(refCol).as(name)).distinct(),
+            Seq(name), "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
+          .select(lit(c.label).as("constraint"), col("n_violations"))
+    }
+    val parts = fused.toSeq ++ perRule
+    parts.reduce(_ unionByName _)
+  }
+
   def writeBucketed(
       df: DataFrame, table: String, keys: Seq[String],
       numBuckets: Int): Unit =

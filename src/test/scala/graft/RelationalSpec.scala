@@ -147,3 +147,48 @@ class RelationalSpec extends SparkSpec {
     }
   }
 }
+
+class CheckConstraintsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.relational.Relational._
+
+  test("each rule type counts exactly its violations") {
+    val df = Seq[(java.lang.Long, String, java.lang.Double)](
+      (1L, "A", 5.0), (1L, "A", 7.0), (2L, "N", 60.0),
+      (3L, "X", null), (null, "A", 3.0))
+      .toDF("k", "flag", "qty")
+    val ref = Seq(1L, 2L).toDF("rk")
+    val got = checkConstraints(df, Seq(
+      NotNull("k"), NotNull("qty"),
+      InRange("qty", 1, 50),
+      Accepted("flag", Seq("A", "N")),
+      Unique(Seq("k")),
+      ForeignKey("k", ref, "rk")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "not_null(k)" -> 1L,          // the null k
+      "not_null(qty)" -> 1L,        // the null qty
+      "in_range(qty,1.0,50.0)" -> 1L, // 60.0; null qty not counted
+      "accepted(flag)" -> 1L,       // X
+      "unique(k)" -> 1L,            // second row with k=1 (nulls group too)
+      "foreign_key(k)" -> 1L))      // k=3; null k passes
+  }
+
+  test("row-level rules fuse into one aggregate over one scan") {
+    val df = Seq((1L, 2.0)).toDF("k", "v")
+    val plan = checkConstraints(df, Seq(
+      NotNull("k"), InRange("v", 0, 1), Accepted("k", Seq("1"))))
+      .queryExecution.executedPlan.toString
+    // one fused agg -> no union branches, a single scan of the input
+    assert(!plan.contains("Union"), plan.take(500))
+  }
+
+  test("all-clean input reports zeros, never nulls") {
+    val df = Seq((1L, "A"), (2L, "N")).toDF("k", "flag")
+    val got = checkConstraints(df, Seq(
+      NotNull("k"), Unique(Seq("k")),
+      ForeignKey("k", Seq(1L, 2L).toDF("rk"), "rk")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.values.forall(_ == 0L))
+  }
+}
