@@ -204,6 +204,17 @@ object DataQueries {
           graft.text.Corpus.splitFractions(col("doc_id"),
             Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))),
 
+    // Z-order clustering key over three event dimensions — the layout
+    // primitive behind multi-dimensional data skipping; pure integer
+    // bit-interleave any engine replays exactly
+    "q_zorder" -> ((s, d) =>
+      readEvents(s, d).select(col("event_id"),
+        graft.relational.Layout.mortonKey(Seq(
+          (unix_timestamp(col("ts")).cast("double"),
+            1704067200.0, 1706745600.0),
+          (col("user_id").cast("double"), 0.0, 2048.0),
+          (col("value"), 0.0, 512.0)), bits = 8).as("zkey"))),
+
     // declarative expectation suite over the biggest table: all row-level
     // rules in ONE fused scan-aggregate, uniqueness on its key shuffle,
     // FK as a null-safe anti-join count against orders
@@ -1921,6 +1932,27 @@ object DataQueries {
 
       "q_jsonl_source" ->
         "SELECT doc_id, text, lang, n_chars FROM documents",
+
+      "q_zorder" -> {
+        val quant = Seq(
+          ("CAST(epoch_us(ts) // 1000000 AS DOUBLE)",
+            1704067200.0, 2678400.0),
+          ("CAST(user_id AS DOUBLE)", 0.0, 2048.0),
+          ("value", 0.0, 512.0)).zipWithIndex.map {
+          case ((x, lo, span), i) =>
+            s"""least(greatest(coalesce(CAST(floor(($x - $lo) / $span
+               * 256.0) AS BIGINT), 0), 0), 255) AS q$i"""
+        }.mkString(",\n               ")
+        val interleave = (for {
+          b <- 0 until 8
+          i <- 0 until 3
+        } yield s"(((q$i >> $b) & 1) << ${b * 3 + i})").mkString(" | ")
+        s"""WITH q AS (
+              SELECT event_id,
+               $quant
+              FROM events)
+            SELECT event_id, $interleave AS zkey FROM q"""
+      },
 
       "q_validate" ->
         """SELECT 'not_null(l_orderkey)' AS "constraint",

@@ -192,3 +192,46 @@ class CheckConstraintsSpec extends SparkSpec {
     assert(got.values.forall(_ == 0L))
   }
 }
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.relational.Layout
+
+  test("morton interleave: bit b of dim i lands at position b*n+i") {
+    val df = Seq((3.0, 1.0)).toDF("x", "y")
+    val got = df.select(Layout.mortonKey(
+      Seq((col("x"), 0.0, 4.0), (col("y"), 0.0, 4.0)), bits = 2))
+      .head.getLong(0)
+    // x=3 (11b), y=1 (01b) -> bits: x0@0, y0@1, x1@2, y1@3 -> 0111b
+    assert(got == 7L)
+  }
+
+  test("out-of-range clamps to edge cells; null clamps low") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (-5.0, 99.0), (null, 2.0)).toDF("x", "y")
+    val keys = df.select(Layout.mortonKey(
+      Seq((col("x"), 0.0, 4.0), (col("y"), 0.0, 4.0)), bits = 2))
+      .collect().map(_.getLong(0))
+    // (-5 -> cell 0, 99 -> cell 3): y bits 11 at positions 1,3 -> 10
+    // (null -> cell 0, 2 -> cell 2): y bits 10 at positions 1,3 -> 8
+    assert(keys.toSeq == Seq(10L, 8L))
+  }
+
+  test("locality: nearby points share high key bits, far points do not") {
+    val near = Seq((10.0, 10.0), (11.0, 11.0), (200.0, 200.0))
+      .toDF("x", "y")
+      .select(Layout.mortonKey(
+        Seq((col("x"), 0.0, 256.0), (col("y"), 0.0, 256.0)), bits = 8))
+      .collect().map(_.getLong(0))
+    assert(math.abs(near(0) - near(1)) < math.abs(near(0) - near(2)))
+  }
+
+  test("clusterByKey plans a range exchange + partition-local sort") {
+    val df = (1 to 100).map(i => (i.toLong, i * 7 % 100)).toDF("id", "k")
+    val plan = Layout.clusterByKey(df, col("k"), 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan.take(400))
+    assert(plan.contains("Sort") && !plan.contains("global=true"),
+      plan.take(400))
+  }
+}
