@@ -135,7 +135,19 @@ object Plans {
       ("q_centroids", "group centroids: posexplode → partial avg per " +
         "(group, pos) map-side; the dim-bounded collect_list reassembly " +
         "is the only second shuffle.",
-        SparkEntry.queries("q_centroids")(spark, d)))
+        SparkEntry.queries("q_centroids")(spark, d)),
+      ("q_vocab", "global top-k vocabulary plans as TakeOrderedAndProject " +
+        "over the token-count aggregate — per-partition heaps of `size` " +
+        "entries, never a full vocabulary sort.",
+        SparkEntry.queries("q_vocab")(spark, d)),
+      ("q_validate", "expectation suite: every row-level rule is one sum " +
+        "in ONE aggregate over ONE scan; unique/FK branches pay only " +
+        "their own necessary shuffle/anti-join.",
+        SparkEntry.queries("q_validate")(spark, d)),
+      ("q_zorder", "Z-order key: pure shift/mask/or terms in a single " +
+        "codegen'd Project — clustering keys for a 100 TB table at scan " +
+        "speed, no shuffle.",
+        SparkEntry.queries("q_zorder")(spark, d)))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative queries (sf0.01)\n")
