@@ -215,6 +215,12 @@ object DataQueries {
           (col("user_id").cast("double"), 0.0, 2048.0),
           (col("value"), 0.0, 512.0)), bits = 8).as("zkey"))),
 
+    // exact key-skew diagnosis on the stream's user key — the
+    // measurement that decides salting / AQE skew thresholds
+    "q_skew" -> ((s, d) =>
+      graft.relational.Relational.skewStats(readEvents(s, d),
+        Seq("user_id"))),
+
     // declarative expectation suite over the biggest table: all row-level
     // rules in ONE fused scan-aggregate, uniqueness on its key shuffle,
     // FK as a null-safe anti-join count against orders
@@ -1953,6 +1959,27 @@ object DataQueries {
               FROM events)
             SELECT event_id, $interleave AS zkey FROM q"""
       },
+
+      "q_skew" ->
+        """WITH c AS (
+             SELECT concat_ws('|', CAST(user_id AS VARCHAR)) AS key,
+               count(*) AS cnt
+             FROM events GROUP BY 1),
+           a AS (
+             SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(max(cnt) AS BIGINT) AS max_cnt
+             FROM c),
+           t AS (SELECT key AS top_key FROM c
+                 ORDER BY cnt DESC, key DESC LIMIT 1)
+           SELECT n_rows, n_keys, max_cnt,
+             round(CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE), 6)
+               AS avg_cnt,
+             round(CAST(max_cnt AS DOUBLE) /
+               (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)), 6)
+               AS skew_ratio,
+             top_key
+           FROM a, t""",
 
       "q_validate" ->
         """SELECT 'not_null(l_orderkey)' AS "constraint",

@@ -54,4 +54,28 @@ object Layout {
       df: DataFrame, keyCol: Column, numPartitions: Int): DataFrame =
     df.repartitionByRange(numPartitions, keyCol)
       .sortWithinPartitions(keyCol)
+
+  /** Hive-layout partitioned parquet write (`path/col=value/...`): reads
+    * filtered on the partition columns prune whole directories at
+    * planning time — the other half of the skipping story next to
+    * [[clusterByKey]] (partition columns prune coarsely by value, the
+    * Z-order sort prunes within a partition by footer stats).
+    *
+    * The pre-write `repartition` on the partition columns is the part
+    * everyone forgets: without it every task writes a file into every
+    * partition directory — tasks × partitions small files, the classic
+    * 100 TB table killer. With it, each partition's rows coalesce into
+    * a bounded number of writers; `maxRecordsPerFile` (0 = unlimited)
+    * re-splits oversized partitions. */
+  def writePartitioned(
+      df: DataFrame, path: String, partitionCols: Seq[String],
+      maxRecordsPerFile: Long = 0L): Unit = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    df.repartition(partitionCols.map(col): _*)
+      .write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .mode("overwrite")
+      .parquet(path)
+  }
 }

@@ -449,6 +449,38 @@ object Relational {
     * Exchange in the plan): at 100 TB this turns every fact-to-fact join on
     * the bucket key from the dominant shuffle into a local zip. Bucket
     * metadata lives in the session catalog (`saveAsTable`). */
+  /** Exact key-skew diagnosis — the measurement you run BEFORE choosing
+    * a salted join or AQE skew threshold: one row with the corpus/key
+    * cardinalities, the hottest key and its count, the mean per-key
+    * count, and `skew_ratio = max/mean` (1.0 = perfectly uniform; a
+    * ratio near `n_keys` means one key owns the table). One shuffle on
+    * the key (the same shuffle the join under diagnosis would pay) into
+    * a one-row global aggregate; the hottest key rides the same pass as
+    * a `max(struct(cnt, key))` — no second job, no sort, ties break to
+    * the lexicographically largest key deterministically. Multi-column
+    * keys diagnose as their `concat_ws("|")` form. */
+  def skewStats(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val counts = df
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .select(concat_ws("|",
+        keyCols.map(c => col(c).cast("string")): _*).as("__key"),
+        col("__cnt"))
+    counts.agg(
+        sum(col("__cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("__cnt")).as("max_cnt"),
+        max(struct(col("__cnt"), col("__key"))).as("__top"))
+      .select(col("n_rows"), col("n_keys"), col("max_cnt"),
+        round(col("n_rows").cast("double") / col("n_keys").cast("double"),
+          6).as("avg_cnt"),
+        round(col("max_cnt").cast("double") /
+          (col("n_rows").cast("double") / col("n_keys").cast("double")),
+          6).as("skew_ratio"),
+        col("__top.__key").as("top_key"))
+  }
+
   /** Declarative data-validation constraints with a violations report —
     * the expectation-suite primitive every ingest gate needs. Row-level
     * rules (`NotNull`, `InRange`, `Accepted`) all fuse into ONE

@@ -235,3 +235,55 @@ class LayoutSpec extends SparkSpec {
       plan.take(400))
   }
 }
+
+class SkewStatsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.relational.Relational
+
+  test("counts, hottest key, and max/mean ratio are exact") {
+    // key a: 6 rows, b: 2, c: 2 -> n=10, keys=3, max=6, avg=10/3
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq.fill(2)("c"))
+      .toDF("k")
+    val r = Relational.skewStats(df, Seq("k")).head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 3L &&
+      r.getLong(2) == 6L)
+    assert(r.getDouble(3) == math.rint(10.0 / 3.0 * 1e6) / 1e6)
+    assert(r.getDouble(4) == math.rint(6.0 / (10.0 / 3.0) * 1e6) / 1e6)
+    assert(r.getString(5) == "a")
+    // count ties break to the lexicographically largest key
+    val tie = Relational.skewStats(Seq("x", "y").toDF("k"), Seq("k")).head
+    assert(tie.getString(5) == "y")
+  }
+
+  test("one aggregation pass after the key shuffle (no extra job/sort)") {
+    val df = Seq("a", "b").toDF("k")
+    val plan = Relational.skewStats(df, Seq("k"))
+      .queryExecution.executedPlan.toString
+    // no SortExec node (SortAggregate over zero grouping keys is fine —
+    // it never materializes a sort) and only the two necessary
+    // exchanges: the key shuffle + the single-partition finish
+    assert(!plan.contains("Sort ["), plan.take(400))
+    assert(plan.sliding(9).count(_ == "Exchange ") == 2, plan.take(600))
+  }
+}
+
+class WritePartitionedSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.relational.Layout
+
+  test("hive layout on disk; reads prune partitions at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part")
+      .toString
+    val df = Seq((1L, "click"), (2L, "view"), (3L, "click"), (4L, "buy"))
+      .toDF("id", "etype")
+    Layout.writePartitioned(df, dir, Seq("etype"))
+    val dirs = new java.io.File(dir).listFiles.map(_.getName)
+      .filter(_.startsWith("etype=")).sorted
+    assert(dirs.toSeq == Seq("etype=buy", "etype=click", "etype=view"))
+    val back = spark.read.parquet(dir).filter(col("etype") === "click")
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(etype"),
+      scan.take(600))
+    assert(back.count() == 2)
+  }
+}
