@@ -215,6 +215,12 @@ object DataQueries {
           (col("user_id").cast("double"), 0.0, 2048.0),
           (col("value"), 0.0, 512.0)), bits = 8).as("zkey"))),
 
+    // exact equal-width histogram of event values — one scan-aggregate,
+    // bin ids and edges as replayable floor arithmetic
+    "q_histogram" -> ((s, d) =>
+      graft.relational.Relational.histogram(readEvents(s, d), "value",
+        lo = 0.0, hi = 512.0, nBins = 16)),
+
     // exact key-skew diagnosis on the stream's user key — the
     // measurement that decides salting / AQE skew thresholds
     "q_skew" -> ((s, d) =>
@@ -1959,6 +1965,20 @@ object DataQueries {
               FROM events)
             SELECT event_id, $interleave AS zkey FROM q"""
       },
+
+      "q_histogram" ->
+        """WITH f AS (
+             SELECT CAST(value AS DOUBLE) AS v FROM events
+             WHERE value IS NOT NULL AND CAST(value AS DOUBLE) >= 0.0
+               AND CAST(value AS DOUBLE) < 512.0),
+           b AS (
+             SELECT least(CAST(floor((v - 0.0) / 512.0 * 16) AS BIGINT),
+               15) AS bin
+             FROM f)
+           SELECT bin, 0.0 + bin * 512.0 / 16.0 AS lo_edge,
+             0.0 + (bin + 1) * 512.0 / 16.0 AS hi_edge,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM b GROUP BY bin""",
 
       "q_skew" ->
         """WITH c AS (

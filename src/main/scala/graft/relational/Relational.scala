@@ -449,6 +449,34 @@ object Relational {
     * Exchange in the plan): at 100 TB this turns every fact-to-fact join on
     * the bucket key from the dominant shuffle into a local zip. Bucket
     * metadata lives in the session catalog (`saveAsTable`). */
+  /** Exact equal-width histogram: `nBins` bins over `[lo, hi)`, one
+    * `(bin, lo_edge, hi_edge, cnt)` row per NON-EMPTY bin (empty bins
+    * cost nothing and the reader re-derives them from the edges).
+    * Out-of-range and null values are excluded by the range filter.
+    * ONE aggregation over one scan — the bin id is a codegen'd floor
+    * expression, the shuffle carries at most `nBins` partial counts per
+    * partition. Edges are computed as `lo + i*(hi-lo)/nBins` (not
+    * accumulated) so they replay bit-identically anywhere. */
+  def histogram(
+      df: DataFrame, valueCol: String, lo: Double, hi: Double,
+      nBins: Int): DataFrame = {
+    require(nBins >= 1, s"need nBins >= 1, got $nBins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    val v = col(valueCol).cast("double")
+    val bin = least(
+      floor((v - lit(lo)) / lit(hi - lo) * lit(nBins)).cast("long"),
+      lit(nBins - 1L))
+    df.filter(v.isNotNull && v >= lo && v < hi)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("bin"),
+        (lit(lo) + col("bin") * lit(hi - lo) / lit(nBins.toDouble))
+          .as("lo_edge"),
+        (lit(lo) + (col("bin") + 1) * lit(hi - lo) / lit(nBins.toDouble))
+          .as("hi_edge"),
+        col("cnt"))
+  }
+
   /** Exact key-skew diagnosis — the measurement you run BEFORE choosing
     * a salted join or AQE skew threshold: one row with the corpus/key
     * cardinalities, the hottest key and its count, the mean per-key

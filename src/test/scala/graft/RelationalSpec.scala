@@ -287,3 +287,30 @@ class WritePartitionedSpec extends SparkSpec {
     assert(back.count() == 2)
   }
 }
+
+class HistogramSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.relational.Relational
+
+  test("exact bin counts; nulls and out-of-range excluded; hi clamps") {
+    val df = Seq[java.lang.Double](0.0, 0.5, 1.0, 3.9, 4.0, -0.1, null)
+      .toDF("v")
+    // [0,4) in 4 bins: 0.0,0.5 -> bin 0; 1.0 -> bin 1; 3.9 -> bin 3;
+    // 4.0 and -0.1 and null excluded
+    val got = Relational.histogram(df, "v", 0.0, 4.0, 4)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq((0L, 0.0, 1.0, 2L), (1L, 1.0, 2.0, 1L),
+      (3L, 3.0, 4.0, 1L)))
+  }
+
+  test("single aggregation over one scan — no join, no window") {
+    val df = Seq(1.0).toDF("v")
+    val plan = Relational.histogram(df, "v", 0.0, 4.0, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      plan.take(400))
+    assert(plan.sliding(9).count(_ == "Exchange ") == 1, plan.take(600))
+  }
+}
