@@ -215,6 +215,16 @@ object DataQueries {
           (col("user_id").cast("double"), 0.0, 2048.0),
           (col("value"), 0.0, 512.0)), bits = 8).as("zkey"))),
 
+    // JL random projection 64 -> 8 dims (portable integer planes), unpivoted
+    // so the hash compare sees integer-exact scalars
+    "q_randproj" -> ((s, d) =>
+      graft.sim.Embeddings.randomProjection(t(s, d, "embeddings"),
+          "vec_id", "embedding", dimIn = 64, dimOut = 8, portable = true)
+        .select(col("vec_id"),
+          posexplode(col("proj")).as(Seq("pos", "val")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          col("val").cast("long").as("val"))),
+
     // exact equal-width histogram of event values — one scan-aggregate,
     // bin ids and edges as replayable floor arithmetic
     "q_histogram" -> ((s, d) =>
@@ -1965,6 +1975,11 @@ object DataQueries {
               FROM events)
             SELECT event_id, $interleave AS zkey FROM q"""
       },
+
+      "q_randproj" ->
+        s"""WITH ${planeSigCte(8)}
+            SELECT vec_id, p AS pos, CAST(s AS BIGINT) AS val
+            FROM dots""",
 
       "q_histogram" ->
         """WITH f AS (

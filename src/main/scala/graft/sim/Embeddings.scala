@@ -39,4 +39,42 @@ object Embeddings {
           x => x("__avg")).as("centroid"),
         max(col("__n")).as("n_vectors"))
   }
+
+  /** Johnson–Lindenstrauss random projection to `dimOut` dimensions — the
+    * cost lever in front of every embedding pipeline (ANN candidate
+    * generation, near-dup bucketing, clustering all scale with dim;
+    * JL preserves pairwise distances within 1±ε for dimOut = O(ln n/ε²),
+    * independent of dimIn — public result, Johnson & Lindenstrauss 1984).
+    * The projection matrix is generated from the seed on every executor
+    * (never shipped, never fitted — nothing to persist) and the whole map
+    * is ONE codegen'd Project of fused [[graft.functions.DotProduct]]
+    * kernels: no shuffle, no join, scan speed.
+    *
+    * `portable = true` switches to the md5-derived integer planes over the
+    * 2²⁰-quantized vector (see [[Similarity.lshSignature]]): every output
+    * coordinate is an integer, exactly representable in double under ANY
+    * summation order, so an external SQL engine replays the projection
+    * bit-for-bit. The default is the seeded Gaussian family scaled by
+    * 1/√dimOut (the classic JL normalization — cosine/distance-comparable
+    * to the input space). Output: `idCol` + `proj` (array<double>,
+    * length `dimOut`). */
+  def randomProjection(
+      df: DataFrame, idCol: String, vecCol: String,
+      dimIn: Int, dimOut: Int, seed: Long = 42L,
+      portable: Boolean = false): DataFrame = {
+    require(dimOut >= 1 && dimIn >= 1, "need dimIn, dimOut >= 1")
+    val planes =
+      if (portable) Similarity.portablePlanes(dimOut, dimIn)
+      else {
+        val rnd = new scala.util.Random(seed)
+        val s = 1.0 / math.sqrt(dimOut)
+        Seq.fill(dimOut)(Seq.fill(dimIn)(rnd.nextGaussian() * s))
+      }
+    val v =
+      if (portable) Similarity.quantize(col(vecCol))
+      else col(vecCol)
+    df.select(col(idCol),
+      array(planes.map(p => graft.functions.GraftFunctions
+        .dot_product(v, typedlit(p.toArray))): _*).as("proj"))
+  }
 }

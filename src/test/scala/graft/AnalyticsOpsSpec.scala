@@ -307,3 +307,53 @@ class KnnJoinSpec extends SparkSpec {
     assert(got.columns.toSeq == Seq("id", "nbr_id", "sim", "rank"))
   }
 }
+
+class RandomProjectionSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sim.Embeddings
+
+  private def vecs(n: Int, dim: Int, seed: Long) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i => (i.toLong,
+      Array.fill(dim)(rnd.nextGaussian().toFloat)))
+  }
+
+  test("JL: pairwise distances preserved within 40% at 64 -> 16 dims") {
+    val data = vecs(40, 64, 7L)
+    val df = data.toDF("vec_id", "embedding")
+    val proj = Embeddings.randomProjection(df, "vec_id", "embedding",
+      64, 16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val in = data.map { case (i, v) => i -> v.map(_.toDouble) }.toMap
+    val ratios = for {
+      i <- 0L until 40L; j <- (i + 1) until 40L
+    } yield d2(proj(i), proj(j)) / d2(in(i), in(j))
+    // 1/sqrt(dimOut) scaling makes the expected ratio 1; JL at k=16
+    // keeps MOST pairs within a moderate band — check the median, not
+    // the tails
+    val med = ratios.sorted.apply(ratios.size / 2)
+    assert(med > 0.6 && med < 1.4, s"median distance ratio $med")
+  }
+
+  test("portable projections are integral and deterministic") {
+    val df = vecs(5, 64, 3L).toDF("vec_id", "embedding")
+    val a = Embeddings.randomProjection(df, "vec_id", "embedding",
+      64, 8, portable = true).orderBy("vec_id").collect()
+      .map(_.getSeq[Double](1).toSeq)
+    assert(a.flatten.forall(v => v == math.rint(v))) // integer-exact
+    val b = Embeddings.randomProjection(df, "vec_id", "embedding",
+      64, 8, portable = true).orderBy("vec_id").collect()
+      .map(_.getSeq[Double](1).toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("whole map is one codegen'd Project — no shuffle, no join") {
+    val df = vecs(3, 64, 1L).toDF("vec_id", "embedding")
+    val plan = Embeddings.randomProjection(df, "vec_id", "embedding",
+      64, 8).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      plan.take(400))
+  }
+}
