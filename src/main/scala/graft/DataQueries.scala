@@ -231,6 +231,16 @@ object DataQueries {
       graft.relational.Relational.histogram(readEvents(s, d), "value",
         lo = 0.0, hi = 512.0, nBins = 16)),
 
+    // per-type value histogram: same one-pass shape, grouped
+    "q_histogram_grouped" -> ((s, d) =>
+      graft.relational.Relational.histogram(readEvents(s, d), "value",
+        lo = 0.0, hi = 512.0, nBins = 8, groupCols = Seq("event_type"))),
+
+    // exact per-event-type value quantiles, one aggregate for all three
+    "q_quantiles" -> ((s, d) =>
+      graft.relational.Relational.groupedQuantiles(readEvents(s, d),
+        Seq("event_type"), "value", Seq(0.5, 0.9, 0.99))),
+
     // exact key-skew diagnosis on the stream's user key — the
     // measurement that decides salting / AQE skew thresholds
     "q_skew" -> ((s, d) =>
@@ -1994,6 +2004,31 @@ object DataQueries {
              0.0 + (bin + 1) * 512.0 / 16.0 AS hi_edge,
              CAST(count(*) AS BIGINT) AS cnt
            FROM b GROUP BY bin""",
+
+      "q_histogram_grouped" ->
+        """WITH f AS (
+             SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+             WHERE value IS NOT NULL AND CAST(value AS DOUBLE) >= 0.0
+               AND CAST(value AS DOUBLE) < 512.0),
+           b AS (
+             SELECT event_type,
+               least(CAST(floor((v - 0.0) / 512.0 * 8) AS BIGINT), 7)
+                 AS bin
+             FROM f)
+           SELECT event_type, bin,
+             0.0 + bin * 512.0 / 8.0 AS lo_edge,
+             0.0 + (bin + 1) * 512.0 / 8.0 AS hi_edge,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM b GROUP BY event_type, bin""",
+
+      "q_quantiles" ->
+        """SELECT event_type, q AS quantile,
+             round(CASE q
+               WHEN 0.5 THEN quantile_cont(value, 0.5)
+               WHEN 0.9 THEN quantile_cont(value, 0.9)
+               ELSE quantile_cont(value, 0.99) END, 6) AS value
+           FROM events, (VALUES (0.5), (0.9), (0.99)) t(q)
+           GROUP BY event_type, q""",
 
       "q_skew" ->
         """WITH c AS (

@@ -459,7 +459,7 @@ object Relational {
     * accumulated) so they replay bit-identically anywhere. */
   def histogram(
       df: DataFrame, valueCol: String, lo: Double, hi: Double,
-      nBins: Int): DataFrame = {
+      nBins: Int, groupCols: Seq[String] = Nil): DataFrame = {
     require(nBins >= 1, s"need nBins >= 1, got $nBins")
     require(hi > lo, s"need hi > lo, got [$lo, $hi)")
     val v = col(valueCol).cast("double")
@@ -467,14 +467,43 @@ object Relational {
       floor((v - lit(lo)) / lit(hi - lo) * lit(nBins)).cast("long"),
       lit(nBins - 1L))
     df.filter(v.isNotNull && v >= lo && v < hi)
-      .groupBy(bin.as("bin"))
+      .groupBy(groupCols.map(col) :+ bin.as("bin"): _*)
       .agg(count(lit(1)).as("cnt"))
-      .select(col("bin"),
+      .select(groupCols.map(col) ++ Seq(col("bin"),
         (lit(lo) + col("bin") * lit(hi - lo) / lit(nBins.toDouble))
           .as("lo_edge"),
         (lit(lo) + (col("bin") + 1) * lit(hi - lo) / lit(nBins.toDouble))
           .as("hi_edge"),
-        col("cnt"))
+        col("cnt")): _*)
+  }
+
+  /** Exact per-group quantiles (sort-based interpolating `percentile`,
+    * the same definition as SQL `quantile_cont`): one `groupBy`
+    * aggregate computes EVERY requested quantile from one buffer per
+    * group, then a map-literal explode unpivots to
+    * `(group…, quantile, value)` rows — n quantiles never means n jobs.
+    * Values round to 6 dp (aggregate-derived — the cross-engine
+    * contract used everywhere else).
+    *
+    * Scale note: `percentile` buffers a group's values in one task —
+    * right for bounded groups (per-domain/per-shard stats). For
+    * quantiles of a WHOLE 100 TB column use the ExactStats
+    * key-range-narrowing path instead (no buffers). */
+  def groupedQuantiles(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      qs: Seq[Double]): DataFrame = {
+    require(groupCols.nonEmpty, "need >= 1 group column")
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1),
+      s"quantiles must be in [0, 1], got $qs")
+    val aggs = qs.zipWithIndex.map { case (q, i) =>
+      round(expr(s"percentile($valueCol, $q)"), 6).as(s"__q$i")
+    }
+    df.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(groupCols.map(col) :+
+        explode(map(qs.zipWithIndex.flatMap { case (q, i) =>
+          Seq(lit(q), col(s"__q$i")) }: _*))
+          .as(Seq("quantile", "value")): _*)
   }
 
   /** Exact key-skew diagnosis — the measurement you run BEFORE choosing

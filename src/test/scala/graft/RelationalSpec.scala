@@ -314,3 +314,33 @@ class HistogramSpec extends SparkSpec {
     assert(plan.sliding(9).count(_ == "Exchange ") == 1, plan.take(600))
   }
 }
+
+class GroupedStatsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.relational.Relational
+
+  test("grouped histogram bins within each group independently") {
+    val df = Seq(("a", 0.5), ("a", 1.5), ("a", 1.6), ("b", 3.5))
+      .toDF("g", "v")
+    val got = Relational.histogram(df, "v", 0.0, 4.0, 4, Seq("g"))
+      .orderBy("g", "bin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4))).toSeq
+    assert(got == Seq(("a", 0L, 1L), ("a", 1L, 2L), ("b", 3L, 1L)))
+  }
+
+  test("groupedQuantiles: exact interpolated values, one agg for all qs") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 10.0)).toDF("g", "v")
+    val q = Relational.groupedQuantiles(df, Seq("g"), "v",
+      Seq(0.5, 0.75))
+    val got = q.collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    // percentile interpolation: pos = (n-1)*q over sorted values
+    assert(got(("a", 0.5)) == 2.5 && got(("a", 0.75)) == 3.25)
+    assert(got(("b", 0.5)) == 10.0)
+    val nAgg = q.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.length
+    assert(nAgg == 1, s"expected 1 Aggregate, got $nAgg")
+  }
+}
