@@ -215,6 +215,17 @@ object DataQueries {
           (col("user_id").cast("double"), 0.0, 2048.0),
           (col("value"), 0.0, 512.0)), bits = 8).as("zkey"))),
 
+    // two-stage retrieval: integer-exact projected shortlist (m=50) ->
+    // exact cosine rescore -> top-5; both stages replayed by the oracle
+    "q_sim_twostage" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.projectedTopK(emb, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 5, m = 50, dimIn = 64,
+        dimOut = 8, portable = true)
+    }),
+
     // JL random projection 64 -> 8 dims (portable integer planes), unpivoted
     // so the hash compare sees integer-exact scalars
     "q_randproj" -> ((s, d) =>
@@ -1990,6 +2001,44 @@ object DataQueries {
         s"""WITH ${planeSigCte(8)}
             SELECT vec_id, p AS pos, CAST(s AS BIGINT) AS val
             FROM dots""",
+
+      // both stages replayed: scaled integer projections -> L2 shortlist
+      // (dist asc, id asc, top 50) -> exact cosine rescore (top 5)
+      "q_sim_twostage" ->
+        s"""WITH ${planeSigCte(8)},
+            pr AS (
+              SELECT vec_id, p,
+                CAST(floor(s / 33554432.0) AS BIGINT) AS sp
+              FROM dots),
+            n2 AS (
+              SELECT vec_id, sum(sp * sp) AS n2 FROM pr GROUP BY vec_id),
+            pairdot AS (
+              SELECT a.vec_id AS id, b.vec_id AS qid,
+                sum(a.sp * b.sp) AS d
+              FROM pr a JOIN pr b ON a.p = b.p
+              WHERE b.vec_id % 100 = 0
+              GROUP BY 1, 2),
+            short AS (
+              SELECT qid, id FROM (
+                SELECT qid, id, row_number() OVER (PARTITION BY qid
+                  ORDER BY na.n2 + nq.n2 - 2 * d ASC, id ASC) AS rn
+                FROM pairdot
+                JOIN n2 na ON na.vec_id = pairdot.id
+                JOIN n2 nq ON nq.vec_id = pairdot.qid)
+              WHERE rn <= 50),
+            resc AS (
+              SELECT s.qid, s.id,
+                round(list_cosine_similarity(
+                  CAST(ea.embedding AS DOUBLE[]),
+                  CAST(eq.embedding AS DOUBLE[])), 6) AS sim
+              FROM short s
+              JOIN embeddings ea ON ea.vec_id = s.id
+              JOIN embeddings eq ON eq.vec_id = s.qid)
+            SELECT qid AS query_id, id AS vec_id, sim,
+              CAST(rn AS INTEGER) AS rank
+            FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                    ORDER BY sim DESC, id ASC) AS rn FROM resc)
+            WHERE rn <= 5""",
 
       "q_histogram" ->
         """WITH f AS (

@@ -301,6 +301,68 @@ object Similarity {
     result
   }
 
+  /** Two-stage retrieval: coarse shortlist on Johnson–Lindenstrauss
+    * projections, exact rescore on the originals — the standard recipe
+    * for brute-force-quality ANN at a fraction of the scan cost (score
+    * `dimOut`-wide vectors instead of `dimIn`-wide ones; with
+    * `m ≫ k` the shortlist rarely loses a true neighbor, and the exact
+    * cosine only ever touches `m` candidates per query).
+    *
+    * Shape at 100 TB: the projection is a scan-speed Project (see
+    * [[Embeddings.randomProjection]]); the shortlist is
+    * crossJoin(broadcast(projected queries)) into the bounded-heap
+    * [[graft.functions.CollectTopK]] — shuffle carries partitions × m
+    * per query; the rescore joins only the shortlist ids back to their
+    * full vectors. Distances on the projected side use
+    * `|a|² + |b|² − 2a·b` with per-side norms precomputed BEFORE the
+    * cross join — one fused dot product per pair, not three.
+    *
+    * `portable = true` scales the integer projections down by 2²⁵
+    * (floor — exact: the divisor is a power of two) so the squared
+    * distances stay integer-exact in double under any evaluation order,
+    * and an external SQL engine replays shortlist AND final ranking
+    * bit-for-bit. Output: (qIdCol, idCol, sim, rank), best first;
+    * `sim` is the exact cosine rounded to 6 dp (the ranking score). */
+  def projectedTopK(
+      data: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, m: Int, dimIn: Int, dimOut: Int = 8,
+      seed: Long = 42L, portable: Boolean = false): DataFrame = {
+    require(m >= k, s"shortlist m=$m must be >= k=$k")
+    def proj(df: DataFrame, id: String, vec: String, p: String) = {
+      val raw = Embeddings
+        .randomProjection(df, id, vec, dimIn, dimOut, seed, portable)
+      val scaled =
+        if (portable)
+          raw.withColumn("proj",
+            transform(col("proj"),
+              x => floor(x / lit(33554432.0)).cast("double")))
+        else raw
+      scaled.select(col(id), col("proj").as(p),
+        GraftFunctions.dot_product(col("proj"), col("proj")).as(s"${p}_n"))
+    }
+    val pd = proj(data, idCol, vecCol, "__pd")
+    val pq = proj(queries, qIdCol, qVecCol, "__pq")
+    val shortlist = pd.crossJoin(broadcast(pq))
+      .select(col(qIdCol),
+        struct(
+          (lit(0.0) - (col("__pd_n") + col("__pq_n") -
+            lit(2.0) * GraftFunctions.dot_product(col("__pd"), col("__pq"))))
+            .as("score"),
+          col(idCol).cast("long").as("id")).as("__cand"))
+      .groupBy(col(qIdCol))
+      .agg(graft.functions.TopK.collect_top_k(col("__cand"), m).as("__top"))
+      .select(col(qIdCol), explode(col("__top")).as("__t"))
+      .select(col(qIdCol), col("__t.id").as(idCol))
+    val rescored = shortlist
+      .join(data.select(col(idCol), col(vecCol).as("__v")), idCol)
+      .join(queries.select(col(qIdCol), col(qVecCol).as("__qv")), qIdCol)
+      .select(col(qIdCol),
+        struct(round(cosine(col("__v"), col("__qv")), 6).as("score"),
+          col(idCol).cast("long").as("id")).as("__cand"))
+    topKFinish(rescored, qIdCol, idCol, k)
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
     * drop all but one representative of every group of embedding-space
     * near-duplicates. Pairs come from [[embeddingNearDup]] (LSH-bucketed,

@@ -357,3 +357,50 @@ class RandomProjectionSpec extends SparkSpec {
       plan.take(400))
   }
 }
+
+class ProjectedTopKSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sim.{Embeddings, Similarity}
+
+  private def vecs(n: Int, dim: Int, seed: Long) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i => (i.toLong,
+      Array.fill(dim)(rnd.nextGaussian().toFloat)))
+  }
+
+  test("shortlist-then-rescore recovers most brute-force neighbors") {
+    val corpus = vecs(200, 64, 11L).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 5)
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val two = Similarity.projectedTopK(corpus, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 5, m = 100, dimIn = 64,
+        dimOut = 16)
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & two).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall@5 = $recall")
+  }
+
+  test("m = corpus size degenerates to exact brute force") {
+    val corpus = vecs(60, 64, 5L).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 3)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val two = Similarity.projectedTopK(corpus, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 3, m = 60, dimIn = 64,
+        dimOut = 16)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // same neighbor SETS per query (rank ties at equal rounded cosine
+    // may order differently than the unrounded brute force)
+    assert(two.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap ==
+      exact.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap)
+  }
+}
