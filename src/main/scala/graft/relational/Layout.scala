@@ -78,4 +78,29 @@ object Layout {
       .mode("overwrite")
       .parquet(path)
   }
+
+  /** Compact a parquet directory into ~`targetBytes`-sized files — the
+    * maintenance pass every long-lived table needs after streaming or
+    * per-batch appends accumulate small files (each file costs a task,
+    * a footer read, and an open per scan; 10⁶ × 1 MB files make a table
+    * unreadable long before 1 TB of actual data does). The target file
+    * count comes from the file index's on-disk byte total (no data
+    * scan), and the rewrite is ONE round-robin repartition — balanced
+    * output sizes regardless of input skew. Returns the file count
+    * written. Output goes to a NEW path: compaction must never rewrite
+    * in place (a failed overwrite of the live path loses the table). */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, targetBytes: Long = 128L << 20): Int = {
+    require(targetBytes > 0, s"need targetBytes > 0, got $targetBytes")
+    require(new org.apache.hadoop.fs.Path(inPath).toUri.getPath !=
+      new org.apache.hadoop.fs.Path(outPath).toUri.getPath,
+      "compact writes to a NEW path — in-place rewrite loses the table on failure")
+    val df = spark.read.parquet(inPath)
+    val onDisk = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = ((onDisk + targetBytes - 1) / targetBytes)
+      .max(1).min(1 << 20).toInt
+    df.repartition(n).write.mode("errorifexists").parquet(outPath)
+    n
+  }
 }

@@ -344,3 +344,30 @@ class GroupedStatsSpec extends SparkSpec {
     assert(nAgg == 1, s"expected 1 Aggregate, got $nAgg")
   }
 }
+
+class CompactSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.relational.Layout
+
+  test("many small files compact to ~target-sized few; rows survive") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cmp")
+      .toString
+    val in = s"$base/in"
+    val out = s"$base/out"
+    (1 to 10000).map(i => (i.toLong, s"payload-$i")).toDF("id", "v")
+      .repartition(40).write.parquet(in)
+    def parquets(p: String) = new java.io.File(p).listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(parquets(in) == 40)
+    val n = Layout.compact(spark, in, out, targetBytes = 10L << 20)
+    assert(n < 40, s"wrote $n files")
+    assert(parquets(out) == n)
+    assert(spark.read.parquet(out).count() == 10000L)
+  }
+
+  test("in-place compaction is rejected") {
+    intercept[IllegalArgumentException] {
+      Layout.compact(spark, "/tmp/x", "/tmp/x")
+    }
+  }
+}
