@@ -404,3 +404,60 @@ class ProjectedTopKSpec extends SparkSpec {
       exact.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap)
   }
 }
+
+/** Seeded randomized invariants for the round-4 analytics operators. */
+class Round4PropsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.relational.{Layout, Relational}
+
+  private val rnd = new scala.util.Random(20260813L)
+
+  test("mortonKey stays in [0, 2^(bits*n)) for random in/out-of-range data") {
+    val df = (1 to 500).map(_ =>
+      (rnd.nextDouble() * 600 - 100, rnd.nextDouble() * 600 - 100))
+      .toDF("x", "y")
+    val keys = df.select(Layout.mortonKey(
+      Seq((col("x"), 0.0, 400.0), (col("y"), 0.0, 400.0)), bits = 8))
+      .collect().map(_.getLong(0))
+    assert(keys.forall(k => k >= 0L && k < (1L << 16)))
+  }
+
+  test("histogram partitions exactly the in-range rows; edges tile [lo,hi)") {
+    val df = (1 to 1000).map(_ => rnd.nextDouble() * 30 - 5).toDF("v")
+    val h = Relational.histogram(df, "v", 0.0, 20.0, 7).collect()
+    val inRange = df.filter(col("v") >= 0.0 && col("v") < 20.0).count()
+    assert(h.map(_.getLong(3)).sum == inRange)
+    h.foreach { r =>
+      val (bin, lo, hi) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+      assert(lo == 0.0 + bin * 20.0 / 7.0 && hi > lo)
+    }
+  }
+
+  test("skewStats invariants: n_rows = total, ratio >= 1, top is argmax") {
+    val df = (1 to 800).map(_ => rnd.nextInt(20).toLong).toDF("k")
+    val r = Relational.skewStats(df, Seq("k")).head
+    assert(r.getLong(0) == 800L)
+    assert(r.getDouble(4) >= 1.0)
+    val counts = df.groupBy("k").count().collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(counts(r.getString(5).toLong) == r.getLong(2))
+  }
+
+  test("groupedQuantiles are monotone in q and bracketed by group min/max") {
+    val df = (1 to 600).map(_ =>
+      (s"g${rnd.nextInt(4)}", rnd.nextDouble() * 100)).toDF("g", "v")
+    val q = Relational.groupedQuantiles(df, Seq("g"), "v",
+      Seq(0.1, 0.5, 0.9)).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val byG = q.groupBy(_._1)
+    val ext = df.groupBy("g").agg(min("v").as("mn"), max("v").as("mx"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    byG.foreach { case (g, rows) =>
+      val sorted = rows.sortBy(_._2).map(_._3)
+      assert(sorted.sameElements(sorted.sorted), s"non-monotone in $g")
+      val (mn, mx) = ext(g)
+      assert(sorted.head >= mn - 1e-6 && sorted.last <= mx + 1e-6)
+    }
+  }
+}
