@@ -147,7 +147,12 @@ object Plans {
       ("q_zorder", "Z-order key: pure shift/mask/or terms in a single " +
         "codegen'd Project — clustering keys for a 100 TB table at scan " +
         "speed, no shuffle.",
-        SparkEntry.queries("q_zorder")(spark, d)))
+        SparkEntry.queries("q_zorder")(spark, d)),
+      ("q_sim_twostage", "two-stage retrieval: projected queries " +
+        "BROADCAST into the shortlist crossJoin, collect_top_k bounds " +
+        "the shuffle to partitions × m per query, and the exact cosine " +
+        "joins touch only shortlisted ids.",
+        SparkEntry.queries("q_sim_twostage")(spark, d)))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative queries (sf0.01)\n")
