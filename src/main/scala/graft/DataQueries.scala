@@ -481,6 +481,11 @@ object DataQueries {
       graft.text.Corpus.sampleNPerGroup(t(s, d, "documents"), Seq("lang"),
         "doc_id", 5)),
 
+    // deterministic global 25-row sample (eval subset), rank included
+    "q_sample_global" -> ((s, d) =>
+      graft.text.Corpus.sampleN(t(s, d, "documents"), "doc_id", 25)
+        .select("doc_id", "lang", "source", "sample_rank")),
+
     // decontamination: training docs (id >= 40) sharing 5-gram shingles
     // with the pretend eval set (id < 40)
     "q_contamination" -> ((s, d) => {
@@ -1213,6 +1218,16 @@ object DataQueries {
                                   1, 15)) AS BIGINT), doc_id) AS rank
              FROM documents)
            WHERE rank <= 5""",
+
+      "q_sample_global" ->
+        """SELECT doc_id, lang, source, CAST(rank AS INTEGER)
+             AS sample_rank FROM (
+             SELECT doc_id, lang, source,
+               row_number() OVER (
+                 ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                  1, 15)) AS BIGINT), doc_id) AS rank
+             FROM documents)
+           WHERE rank <= 25""",
 
       // identical md5-top-60-bit uniform: ('0x'||hex)::BIGINT in DuckDB ==
       // conv(hex,16,10) cast long in Spark; both divide by 2^60 as DOUBLE

@@ -66,6 +66,26 @@ object Corpus {
         (col("__pos") + 1).as("sample_rank")): _*)
   }
 
+  /** Global fixed-size deterministic sample: exactly `n` rows chosen by
+    * md5-uniform rank of `idCol` (ties on id) — the eval-subset/smoke-
+    * test primitive. Engine-replayable, stable under task retry and
+    * partitioning changes (unlike `df.limit(n)`, whose rows depend on
+    * partition order, or `sample()`, which re-rolls per execution).
+    * The global top-n plans as `TakeOrderedAndProject`: per-partition
+    * heaps of `n` rows merged once — never a full sort of the corpus.
+    * Keeps ALL columns and appends `sample_rank` (1 = lowest hash). */
+  def sampleN(df: DataFrame, idCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    val u = hashUniform(col(idCol))
+    df.withColumn("__u", u)
+      .orderBy(col("__u").asc, col(idCol).asc)
+      .limit(n)
+      .withColumn("sample_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("__u").asc, col(idCol).asc)))
+      .drop("__u")
+  }
+
   /** Top-`size` token vocabulary by corpus frequency (ties on the token
     * lexicographically), with dense contiguous ids in rank order —
     * the tokenizer-training primer every pipeline needs. One token-count

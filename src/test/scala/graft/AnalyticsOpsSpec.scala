@@ -461,3 +461,26 @@ class Round4PropsSpec extends SparkSpec {
     }
   }
 }
+
+class SampleNSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.text.Corpus
+
+  test("exactly n rows, deterministic across repartitioning") {
+    val df = (1 to 500).map(i => (i.toLong, s"d$i")).toDF("id", "v")
+    val a = Corpus.sampleN(df, "id", 20).orderBy("sample_rank")
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSeq
+    val b = Corpus.sampleN(df.repartition(13), "id", 20)
+      .orderBy("sample_rank")
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSeq
+    assert(a.length == 20 && a == b)
+    assert(a.map(_._2) == (1 to 20))
+  }
+
+  test("global cut plans as TakeOrderedAndProject (no full sort)") {
+    val df = (1 to 100).map(i => (i.toLong, i)).toDF("id", "v")
+    val plan = Corpus.sampleN(df, "id", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+  }
+}
