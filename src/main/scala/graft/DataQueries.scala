@@ -85,7 +85,8 @@ object DataQueries {
       val cand = Dedup.minHashLSH(docs, "text", "doc_id",
         maxBucket = 1000000, withEstimate = false)
       Dedup.verifyJaccard(cand, docs, "text",
-          "doc_id", shingleK = 3, threshold = 0.8)
+          "doc_id", shingleK = 3, threshold = 0.8,
+          restrictToCandidates = true)
         .select("id_a", "id_b", "jaccard")
     }),
 

@@ -556,11 +556,13 @@ object Dedup {
     * `restrictToCandidates = true` first left_semi-joins `docs` to the
     * ids appearing in `pairs`, bounding the shingle work by the candidate
     * count instead of the corpus — the right call at 100 TB, where
-    * near-dup candidates are a vanishing fraction of documents. Default
-    * OFF: when candidates cover much of the corpus (small or heavily
-    * duplicated inputs — measured +40% on the sf0.1 bench, where most
-    * docs have a near-dup), the two extra semi-join stages cost more
-    * than shingling everything. */
+    * near-dup candidates are a vanishing fraction of documents (on the
+    * sf0.1 corpus, ~256 candidate pairs from 50k docs: measured equal
+    * wall time to the unrestricted form, because local-mode stage floors
+    * dominate — the asymmetry only pays off as corpus/candidates grows).
+    * Default OFF for compatibility when candidates cover much of the
+    * corpus (heavily duplicated inputs), where the two extra semi-join
+    * stages buy nothing. */
   def verifyJaccard(
       pairs: DataFrame,
       docs: DataFrame,
