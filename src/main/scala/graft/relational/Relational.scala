@@ -618,6 +618,67 @@ object Relational {
     parts.reduce(_ unionByName _)
   }
 
+  /** CDC log compaction: the LATEST row per key, ordered by
+    * `(orderCol, tieCols…)` — "current state of every user/device/doc"
+    * from an append-only event/change log. ONE hash aggregation:
+    * `max_by(struct(all columns), struct(order, ties…))` combines
+    * map-side (each partition contributes one candidate per key), so a
+    * hot key never funnels its whole history through one task the way
+    * `row_number() OVER (PARTITION BY key ORDER BY ts DESC) = 1` does —
+    * at 100 TB the window form sorts every key's full history on one
+    * reducer, the aggregate form ships one row per key per partition.
+    * Pass `tieCols` that make the ordering total (e.g. a unique event
+    * id), otherwise max_by ties are nondeterministic under retry. */
+  def latestByKey(
+      df: DataFrame, keys: Seq[String], orderCol: String,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    val payload = df.columns.filterNot(keys.contains)
+    val ord = struct((orderCol +: tieCols).map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*), ord).as("__latest"))
+      .select(keys.map(col) ++ payload.map(c => col(s"__latest.$c")): _*)
+  }
+
+  /** Snapshot change capture: diff two keyed snapshots into
+    * `(keys…, change_type ∈ insert|delete|update, old_<c>, new_<c>)`
+    * rows — the input you feed a MERGE/upsert or a downstream
+    * incremental pipeline. One full outer join on the keys (the join IS
+    * the diff — no driver state), then a null-safe column compare:
+    * `insert` = key only in `newDf`, `delete` = only in `oldDf`,
+    * `update` = both sides present and any compare column differs under
+    * `<=>` (null-safe, so null→value and value→null count as changes).
+    * Unchanged rows are dropped BEFORE the result materializes, so at
+    * 100 TB the output is proportional to the churn, not the table.
+    * Keys must be unique per snapshot (it's a snapshot, not a log —
+    * compact with [[latestByKey]] first if not). */
+  def snapshotDiff(
+      oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    require(compareCols.nonEmpty, "need at least one compare column")
+    val o = oldDf.select((keys ++ compareCols).map(col): _*).alias("o")
+    val n = newDf.select((keys ++ compareCols).map(col): _*).alias("n")
+    val keyEq = keys.map(k => col(s"o.$k") <=> col(s"n.$k")).reduce(_ && _)
+    // presence flags must come from key columns (non-null by uniqueness),
+    // not compare columns (legitimately nullable on a present row)
+    val oldHere = col(s"o.${keys.head}").isNotNull
+    val newHere = col(s"n.${keys.head}").isNotNull
+    val changed = compareCols
+      .map(c => !(col(s"o.$c") <=> col(s"n.$c"))).reduce(_ || _)
+    o.join(n, keyEq, "full_outer")
+      .withColumn("change_type",
+        when(!oldHere, lit("insert"))
+          .when(!newHere, lit("delete"))
+          .when(changed, lit("update")))
+      .filter(col("change_type").isNotNull)
+      .select(
+        keys.map(k => coalesce(col(s"o.$k"), col(s"n.$k")).as(k)) ++
+          Seq(col("change_type")) ++
+          compareCols.map(c => col(s"o.$c").as(s"old_$c")) ++
+          compareCols.map(c => col(s"n.$c").as(s"new_$c")): _*)
+  }
+
   def writeBucketed(
       df: DataFrame, table: String, keys: Seq[String],
       numBuckets: Int): Unit =
