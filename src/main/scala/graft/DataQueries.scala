@@ -339,6 +339,30 @@ object DataQueries {
         .select("doc_id", "text", "lang", "source", "n_chars")
     }),
 
+    // CDC log compaction: current state per user from the event log —
+    // ONE max_by aggregation (map-side combine), never a per-key window
+    // sort; ordered by raw nano timestamp with the unique event id as
+    // the deterministic tiebreak
+    "q_latest_by_key" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.relational.Relational.latestByKey(
+        t(s, d, "events"), Seq("user_id"), "ts", Seq("event_id"))
+        .select("user_id", "event_id", "event_type", "value")
+    }),
+
+    // snapshot change capture: two keyed order snapshots diffed into
+    // insert/delete/update rows; output is proportional to the churn
+    "q_snapshot_diff" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val oldSnap = orders.filter(col("o_orderkey") % 10 =!= 3)
+      val newSnap = orders.filter(col("o_orderkey") % 10 =!= 7)
+        .withColumn("o_totalprice",
+          when(col("o_orderstatus") === "P", col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")))
+      graft.relational.Relational.snapshotDiff(oldSnap, newSnap,
+        Seq("o_orderkey"), Seq("o_totalprice", "o_orderstatus"))
+    }),
+
     // EXISTS / NOT EXISTS filters: orders with(out) a BUILDING-segment
     // customer — the right side is a projected broadcast filter list
     "q_semi_join" -> ((s, d) =>
@@ -727,6 +751,20 @@ object DataQueries {
           "doc_id")
         .select(col("doc_id"), col("n_bigrams"),
           round(col("avg_logprob"), 6).as("avg_logprob"))),
+
+    // PMI collocations: top-50 adjacent pairs seen >= 5 times (tokenizer
+    // merge / stop-phrase mining); cut ordered on round(pmi,6) then pair
+    "q_collocations" -> ((s, d) =>
+      graft.text.Ranking.collocations(t(s, d, "documents"), "text",
+        minCount = 5, topK = 50)),
+
+    // corpus drift: tokens contributing most to KL(en-slice || rest)
+    "q_vocab_shift" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.text.Ranking.divergingTerms(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"), "text", topK = 40)
+    }),
 
     // maximal duplicated-span intervals (the ranges q_span_removal deletes)
     "q_span_ranges" -> ((s, d) =>
@@ -1341,6 +1379,38 @@ object DataQueries {
              FROM lineitem""").mkString("\nUNION ALL\n")
       },
 
+      "q_latest_by_key" ->
+        """SELECT user_id, event_id, event_type, value FROM (
+             SELECT user_id, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events)
+           WHERE rn = 1""",
+
+      "q_snapshot_diff" ->
+        """WITH old AS (
+             SELECT o_orderkey, o_totalprice, o_orderstatus
+             FROM orders WHERE o_orderkey % 10 <> 3),
+           new AS (
+             SELECT o_orderkey,
+               CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+             FROM orders WHERE o_orderkey % 10 <> 7)
+           SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                  WHEN n.o_orderkey IS NULL THEN 'delete'
+                  ELSE 'update' END AS change_type,
+             o.o_totalprice AS old_o_totalprice,
+             o.o_orderstatus AS old_o_orderstatus,
+             n.o_totalprice AS new_o_totalprice,
+             n.o_orderstatus AS new_o_orderstatus
+           FROM old o FULL OUTER JOIN new n
+             ON o.o_orderkey = n.o_orderkey
+           WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+             OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+             OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus""",
+
       "q_upsert" ->
         """WITH upd AS (
              SELECT doc_id, text, 'upd' AS lang, source, n_chars
@@ -1860,6 +1930,63 @@ object DataQueries {
                (len(list_filter(ts, x -> x = 'model')) +
                 1.2 * (0.25 + 0.75 * len(ts) / st.avgdl)), 0.0), 6) AS bm25
            FROM tk, st""",
+
+      // PMI replayed from the same position-zipped bigrams; the cut
+      // orders on the ROUNDED pmi then the pair, so ln() ulps never
+      // reorder it
+      "q_collocations" ->
+        """WITH raw AS (
+             SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+             FROM documents),
+           tokpos AS (
+             SELECT doc_id, unnest(arr) AS t,
+               unnest(range(1, len(arr) + 1)) AS p
+             FROM raw),
+           tok0 AS (SELECT * FROM tokpos WHERE t <> ''),
+           uni AS (SELECT t, count(*) AS c FROM tok0 GROUP BY t),
+           n AS (SELECT count(*) AS n FROM tok0),
+           big AS (
+             SELECT a.t AS w1, b.t AS w2, count(*) AS pair_cnt
+             FROM tok0 a JOIN tok0 b
+               ON a.doc_id = b.doc_id AND b.p = a.p + 1
+             GROUP BY 1, 2
+             HAVING count(*) >= 5)
+           SELECT w1, w2, pair_cnt,
+             round(ln(pair_cnt * n.n / (u1.c * u2.c)), 6) AS pmi
+           FROM big
+           JOIN uni u1 ON big.w1 = u1.t
+           JOIN uni u2 ON big.w2 = u2.t
+           CROSS JOIN n
+           ORDER BY pmi DESC, w1, w2 LIMIT 50""",
+
+      // add-one smoothing over the union vocabulary keeps every ratio
+      // finite; round(9) absorbs ln() ulps without collapsing the small
+      // per-token contributions
+      "q_vocab_shift" ->
+        """WITH ta AS (
+             SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+               AS t
+             FROM documents WHERE lang = 'en'),
+           tb AS (
+             SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+               AS t
+             FROM documents WHERE lang <> 'en'),
+           ca AS (SELECT t, count(*) AS c FROM ta WHERE t <> '' GROUP BY t),
+           cb AS (SELECT t, count(*) AS c FROM tb WHERE t <> '' GROUP BY t),
+           j AS (
+             SELECT coalesce(ca.t, cb.t) AS token,
+               coalesce(ca.c, 0) AS cnt_a, coalesce(cb.c, 0) AS cnt_b
+             FROM ca FULL OUTER JOIN cb ON ca.t = cb.t),
+           st AS (
+             SELECT sum(cnt_a) AS na, sum(cnt_b) AS nb, count(*) AS v
+             FROM j)
+           SELECT token, cnt_a, cnt_b,
+             round(((cnt_a + 1.0) / (na + v)) *
+                   ln(((cnt_a + 1.0) / (na + v)) /
+                      ((cnt_b + 1.0) / (nb + v))), 9) AS kl_term
+           FROM j CROSS JOIN st
+           ORDER BY kl_term DESC, token LIMIT 40""",
 
       // same tf/df relations; ranking on round(tfidf,6) absorbs ln() ulp
       "q_tfidf" ->
