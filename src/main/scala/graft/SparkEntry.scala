@@ -180,6 +180,25 @@ object SparkEntry {
         .select("c_custkey", "seg_freq")
     }),
 
+    // hashing-trick encoder: fixed-width md5 buckets, no fitted state
+    "q_hash_encode" -> ((s, d) =>
+      new HashingEncoder(Seq("c_mktsegment", "c_name"),
+        Seq("seg_bucket", "name_bucket"), 64)
+        .transform(t(s, d, "customer"))
+        .select("c_custkey", "seg_bucket", "name_bucket")),
+
+    // out-of-fold smoothed target encoding (md5 folds — the oracle
+    // replays fold membership and the leave-own-fold-out arithmetic)
+    "q_target_encode" -> ((s, d) => {
+      val df = t(s, d, "customer")
+      val model = new TargetEncoder(Seq("c_mktsegment"), Seq("seg_te"),
+        targetCol = "c_acctbal", idCol = "c_custkey",
+        nFolds = 4, smoothing = 10.0).fit(df)
+      model.transformTrain(df)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          round(col("seg_te"), 6).as("seg_te"))
+    }),
+
     "q_agg_global" -> ((s, d) => {
       val df = t(s, d, "lineitem")
       val m = DFPipeline(
@@ -490,6 +509,32 @@ object SparkEntry {
            FROM customer c JOIN (SELECT c_mktsegment, count(*) AS cnt
                                  FROM customer GROUP BY 1) f
            USING (c_mktsegment)""",
+
+      "q_hash_encode" ->
+        """SELECT c_custkey,
+             CAST(CAST(('0x' || substr(md5('c_mktsegment=' || c_mktsegment),
+                          1, 15)) AS BIGINT) % 64 AS INTEGER) AS seg_bucket,
+             CAST(CAST(('0x' || substr(md5('c_name=' || c_name),
+                          1, 15)) AS BIGINT) % 64 AS INTEGER) AS name_bucket
+           FROM customer""",
+
+      "q_target_encode" ->
+        """WITH base AS (
+             SELECT c_custkey, c_mktsegment AS v, c_acctbal AS y,
+               CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 4 AS f
+             FROM customer),
+           pf AS (SELECT v, f, sum(y) AS s, count(*) AS c
+                  FROM base GROUP BY v, f),
+           tot AS (SELECT v, sum(s) AS ts, sum(c) AS tc FROM pf GROUP BY v),
+           pr AS (SELECT avg(c_acctbal) AS p FROM customer)
+           SELECT b.c_custkey, b.v AS c_mktsegment,
+             round((t.ts - coalesce(pf.s, 0) + 10 * pr.p)
+                   / (t.tc - coalesce(pf.c, 0) + 10), 6) AS seg_te
+           FROM base b
+           JOIN tot t ON b.v = t.v
+           LEFT JOIN pf ON pf.v = b.v AND pf.f = b.f
+           CROSS JOIN pr""",
 
       "q_agg_global" ->
         """SELECT l_orderkey, l_linenumber,
