@@ -129,6 +129,101 @@ object Ranking {
     result
   }
 
+  /** Corpus-wide PMI collocation mining: the top-`topK` adjacent token
+    * pairs by pointwise mutual information
+    * `ln(c(w1 w2) · N / (c(w1) · c(w2)))` (single-N convention, N = total
+    * tokens), restricted to pairs seen at least `minCount` times — the
+    * standard multi-word-expression detector (Church & Hanks 1990) used
+    * to decide tokenizer merges and stop-phrase lists. Ranking orders by
+    * `round(pmi, 6)` then the pair, so cross-engine ln() ulps never
+    * reorder the cut.
+    *
+    * Shape at 100 TB: ONE materialized token-array projection feeds both
+    * the unigram aggregate and the bigram (zip_with slices) aggregate —
+    * both shuffle vocabulary-bounded partials after map-side combine; the
+    * PMI join runs on the bigram-TYPE relation (never the token stream,
+    * AQE broadcasts the unigram side), and the final cut is a
+    * TakeOrderedAndProject (per-partition heaps), not a global sort. */
+  def collocations(
+      df: DataFrame, textCol: String, minCount: Long,
+      topK: Int): DataFrame = {
+    require(minCount >= 1, "need minCount >= 1")
+    require(topK >= 1, "need topK >= 1")
+    val ts = col("__ts")
+    val arrs = df
+      .select(filter(TextFunctions.tokensLower(col(textCol)),
+        t => t =!= "").as("__ts"))
+      .persist()
+    val uni = arrs.select(explode(ts).as("__t"))
+      .groupBy("__t").agg(count(lit(1)).as("__c"))
+    val big = arrs
+      .select(explode(when(size(ts) >= 2, zip_with(
+        slice(ts, lit(1), size(ts) - 1),
+        slice(ts, lit(2), size(ts) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))).as("__bg"))
+      .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= minCount)
+    val n = arrs.select(sum(size(ts))).head().getLong(0).toDouble
+    val result = big
+      .join(uni.select(col("__t").as("w1"), col("__c").as("__c1")), "w1")
+      .join(uni.select(col("__t").as("w2"), col("__c").as("__c2")), "w2")
+      .select(col("w1"), col("w2"), col("pair_cnt"),
+        round(log(col("pair_cnt") * lit(n) /
+          (col("__c1") * col("__c2"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+      .persist()
+    result.count() // materialize, then release the token arrays
+    arrs.unpersist(blocking = false)
+    result
+  }
+
+  /** Which tokens most distinguish corpus A from corpus B: per-token
+    * contribution `p_A(t) · ln(p_A(t) / p_B(t))` to KL(A‖B) under
+    * add-one smoothing over the UNION vocabulary
+    * (`p(t) = (c(t)+1) / (N+V)` — every token has mass in both corpora,
+    * so the ratio is always finite). Top-`topK` by contribution: the
+    * drift/contamination diagnostic you run between a new crawl slice
+    * and the corpus it is about to join (and the per-token form of the
+    * DSIR importance ratio, [[graft.text.Corpus.dsirScore]]). Summing
+    * `kl_term` over the FULL table (topK = vocabulary size) gives the
+    * total KL divergence.
+    *
+    * Shape at 100 TB: one vocabulary-bounded count aggregate per corpus,
+    * a full-outer join of the two count relations (vocabulary-sized),
+    * one scalar aggregate for (N_A, N_B, V), and a TakeOrderedAndProject
+    * cut — the corpora are each scanned once and never joined
+    * row-to-row. */
+  def divergingTerms(
+      dfA: DataFrame, dfB: DataFrame, textCol: String,
+      topK: Int): DataFrame = {
+    require(topK >= 1, "need topK >= 1")
+    def counts(df: DataFrame, out: String) = df
+      .select(explode(TextFunctions.tokensLower(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as(out))
+    val joined = counts(dfA, "cnt_a")
+      .join(counts(dfB, "cnt_b"), Seq("token"), "full_outer")
+      .na.fill(0L, Seq("cnt_a", "cnt_b"))
+      .persist()
+    val row = joined
+      .agg(sum("cnt_a"), sum("cnt_b"), count(lit(1))).head()
+    val denA = lit(row.getLong(0).toDouble + row.getLong(2))
+    val denB = lit(row.getLong(1).toDouble + row.getLong(2))
+    val pa = (col("cnt_a") + lit(1.0)) / denA
+    val pb = (col("cnt_b") + lit(1.0)) / denB
+    val result = joined
+      .select(col("token"), col("cnt_a"), col("cnt_b"),
+        round(pa * log(pa / pb), 9).as("kl_term"))
+      .orderBy(col("kl_term").desc, col("token"))
+      .limit(topK)
+      .persist()
+    result.count() // materialize, then release the joined counts
+    joined.unpersist(blocking = false)
+    result
+  }
+
   /** BM25 score of every document against a fixed bag of query `terms`.
     *
     * One aggregate pass collects the corpus statistics (N, average doc
