@@ -339,6 +339,42 @@ object DataQueries {
         .select("doc_id", "text", "lang", "source", "n_chars")
     }),
 
+    // ordered view->click->purchase funnel; step times as epoch MICROS
+    // (DuckDB truncates nanos-parquet timestamps to micro precision, so
+    // micros are the cross-engine contract for event times)
+    "q_funnel" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.relational.Relational.funnel(
+        t(s, d, "events").withColumn("tsu", expr("ts div 1000")),
+        "user_id", "tsu", "event_type", Seq("view", "click", "purchase"))
+    }),
+
+    // day-granularity cohort retention triangle over the event log
+    "q_retention" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.relational.Relational.retention(
+        t(s, d, "events").withColumn("day",
+          expr("ts div 1000 div 86400000000")),
+        "user_id", "day")
+    }),
+
+    // run-length state compression: rows that CHANGE a user's
+    // event_type run, under (micro ts, event_id) order
+    "q_state_compress" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.relational.Relational.dedupeConsecutive(
+        t(s, d, "events").withColumn("tsu", expr("ts div 1000")),
+        Seq("user_id"), "tsu", Seq("event_type"), Seq("event_id"))
+        .select("user_id", "event_id", "event_type")
+    }),
+
+    // ECDF normalization of a feature column (distinct-value relation,
+    // no global sort); the division is pure per-row IEEE — unrounded
+    "q_pctrank" -> ((s, d) =>
+      graft.relational.Relational.percentileRank(t(s, d, "lineitem"),
+        "l_quantity", "qty_pr")
+        .select("l_orderkey", "l_linenumber", "qty_pr")),
+
     // CDC log compaction: current state per user from the event log —
     // ONE max_by aggregation (map-side combine), never a per-key window
     // sort; ordered by raw nano timestamp with the unique event id as
@@ -346,7 +382,8 @@ object DataQueries {
     "q_latest_by_key" -> ((s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       graft.relational.Relational.latestByKey(
-        t(s, d, "events"), Seq("user_id"), "ts", Seq("event_id"))
+        t(s, d, "events").withColumn("tsu", expr("ts div 1000")),
+        Seq("user_id"), "tsu", Seq("event_id"))
         .select("user_id", "event_id", "event_type", "value")
     }),
 
@@ -1379,11 +1416,65 @@ object DataQueries {
              FROM lineitem""").mkString("\nUNION ALL\n")
       },
 
+      "q_funnel" ->
+        """WITH e AS (
+             SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS o,
+               event_type AS t
+             FROM events),
+           s1 AS (
+             SELECT user_id, min(o) AS step_1 FROM e
+             WHERE t = 'view' GROUP BY 1),
+           s2 AS (
+             SELECT s1.user_id, s1.step_1,
+               min(CASE WHEN e.o > s1.step_1 THEN e.o END) AS step_2
+             FROM s1 LEFT JOIN e
+               ON e.user_id = s1.user_id AND e.t = 'click'
+             GROUP BY 1, 2),
+           s3 AS (
+             SELECT s2.user_id, s2.step_1, s2.step_2,
+               min(CASE WHEN e.o > s2.step_2 THEN e.o END) AS step_3
+             FROM s2 LEFT JOIN e
+               ON e.user_id = s2.user_id AND e.t = 'purchase'
+             GROUP BY 1, 2, 3)
+           SELECT user_id, step_1, step_2, step_3 FROM s3""",
+
+      "q_retention" ->
+        """WITH a AS (
+             SELECT DISTINCT user_id,
+               CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+             FROM events),
+           c AS (SELECT user_id, min(day) AS cohort FROM a GROUP BY 1)
+           SELECT c.cohort, a.day - c.cohort AS offset,
+             count(*) AS n_users
+           FROM a JOIN c USING (user_id) GROUP BY 1, 2""",
+
+      "q_state_compress" ->
+        """SELECT user_id, event_id, event_type FROM (
+             SELECT user_id, event_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS pv
+             FROM events)
+           WHERE pv IS NULL OR pv <> event_type""",
+
+      "q_pctrank" ->
+        """WITH c AS (
+             SELECT l_quantity AS v, count(*) AS n FROM lineitem
+             GROUP BY 1),
+           cum AS (
+             SELECT v,
+               coalesce(sum(n) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND 1 PRECEDING), 0) AS below,
+               sum(n) OVER () AS nn
+             FROM c)
+           SELECT l.l_orderkey, l.l_linenumber,
+             cum.below / (cum.nn - 1.0) AS qty_pr
+           FROM lineitem l JOIN cum ON l.l_quantity = cum.v""",
+
       "q_latest_by_key" ->
         """SELECT user_id, event_id, event_type, value FROM (
              SELECT user_id, event_id, event_type, value,
                row_number() OVER (PARTITION BY user_id
-                 ORDER BY ts DESC, event_id DESC) AS rn
+                 ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
              FROM events)
            WHERE rn = 1""",
 

@@ -679,6 +679,107 @@ object Relational {
           compareCols.map(c => col(s"n.$c").as(s"new_$c")): _*)
   }
 
+  /** Ordered conversion funnel: for each user, the earliest `orderCol`
+    * value reaching step i such that every step happens STRICTLY AFTER
+    * the previous step's earliest completion (the standard product-
+    * analytics funnel; greedy-earliest is optimal for "did the ordered
+    * sequence happen"). Output: one row per user who completed step 1,
+    * with `step_<i>` columns (null from the first uncompleted step on).
+    *
+    * Shape at 100 TB: k−1 passes, each filtering the log to ONE step's
+    * events (predicate pushdown prunes the scan) and aggregating
+    * min-after-previous by user — map-side combined, so each pass
+    * shuffles at most one row per (user, partition). The accumulator
+    * stays user-cardinality-sized and AQE broadcasts it onto the next
+    * step's slice. No per-user event-history collection, no window
+    * sort. */
+  def funnel(
+      df: DataFrame, userCol: String, orderCol: String, typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, s"need >= 2 steps, got ${steps.size}")
+    val first = df.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(orderCol).as("step_1"))
+    steps.tail.zipWithIndex.foldLeft(first) { case (acc, (s, i)) =>
+      val prev = s"step_${i + 1}"
+      val out = s"step_${i + 2}"
+      val carried = acc.columns.toSeq
+      df.filter(col(typeCol) === s)
+        .select(col(userCol), col(orderCol).as("__o"))
+        .join(acc, Seq(userCol), "right")
+        .groupBy(carried.map(col): _*)
+        .agg(min(when(col("__o") > col(prev), col("__o"))).as(out))
+    }
+  }
+
+  /** Cohort retention: users grouped by their first active period
+    * (`cohort`), counted once per later period they return
+    * (`offset` = period − cohort). `dayCol` is any integral period
+    * column (epoch-day, epoch-week…) the caller derives from the event
+    * time. Output: (cohort, offset, n_users) — the classic retention
+    * triangle; offset 0 is the cohort size.
+    *
+    * Shape at 100 TB: one distinct over (user, period) — the raw log
+    * never flows further — one min-aggregate by user for cohort
+    * assignment, one broadcast-friendly join of the two user-bounded
+    * relations, and a final (cohort, offset)-bounded count. */
+  def retention(
+      df: DataFrame, userCol: String, dayCol: String): DataFrame = {
+    val active = df.select(col(userCol), col(dayCol).as("__day"))
+      .filter(col("__day").isNotNull).distinct()
+    val cohorts = active.groupBy(col(userCol))
+      .agg(min("__day").as("cohort"))
+    active.join(cohorts, Seq(userCol))
+      .groupBy(col("cohort"), (col("__day") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Run-length state compression (the CDC complement of
+    * [[latestByKey]]): keep only rows that START a run of identical
+    * `valueCols` per key under `(orderCol, tieCols…)` order — an
+    * append-only state log shrinks to its change points, preserving
+    * enough to reconstruct every intermediate state (unlike latestByKey,
+    * which keeps only the last). One lag() window per key; the per-key
+    * sort is inherent to run detection — bounded by a single key's
+    * history, the same trade [[sessionize]] makes. */
+  def dedupeConsecutive(
+      df: DataFrame, keys: Seq[String], orderCol: String,
+      valueCols: Seq[String], tieCols: Seq[String] = Nil): DataFrame = {
+    require(keys.nonEmpty && valueCols.nonEmpty)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((orderCol +: tieCols).map(col): _*)
+    val changed = valueCols
+      .map(c => !(col(c) <=> lag(col(c), 1).over(w)))
+      .reduce(_ || _)
+    df.withColumn("__chg", changed).filter(col("__chg")).drop("__chg")
+  }
+
+  /** ECDF feature normalization: each non-null value of `valueCol` maps
+    * to its percent rank `(#rows strictly below) / (N − 1)` — the
+    * rank-gaussianization front half, robust to outliers where min-max
+    * scaling is not. Computed on the DISTINCT-value relation (count per
+    * value, cumulative sum below, broadcast-join back), so the data is
+    * never globally sorted: the one ordered window runs over the
+    * cardinality-bounded distinct set — same trade as groupedQuantiles;
+    * for truly-continuous 100 TB columns, bin first (histogram) or use
+    * the ExactStats narrowing path. Nulls stay null and don't count
+    * toward N. */
+  def percentileRank(
+      df: DataFrame, valueCol: String, out: String): DataFrame = {
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("__v")).agg(count(lit(1)).as("__n"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = counts.select(col("__v"),
+      coalesce(sum("__n").over(w), lit(0L)).as("__below"),
+      sum("__n").over(Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)).as("__nn"))
+    df.join(broadcast(ranked), col(valueCol) === col("__v"), "left")
+      .withColumn(out,
+        when(col(valueCol).isNotNull,
+          col("__below") / (col("__nn") - lit(1.0))))
+      .drop("__v", "__below", "__nn")
+  }
+
   def writeBucketed(
       df: DataFrame, table: String, keys: Seq[String],
       numBuckets: Int): Unit =
