@@ -375,6 +375,57 @@ object DataQueries {
         "l_quantity", "qty_pr")
         .select("l_orderkey", "l_linenumber", "qty_pr")),
 
+    // day-grid resample of per-user event values with forward fill;
+    // the avg is aggregate-derived -> rounded 6dp INSIDE the agg so the
+    // fill copies already-rounded values
+    "q_resample" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.relational.Relational.resample(
+        t(s, d, "events").withColumn("tsu", expr("ts div 1000")),
+        Seq("user_id"), "tsu", 86400000000L,
+        Seq(round(avg("value"), 6).as("v_avg")))
+    }),
+
+    // robust (median/MAD) outlier flags; z is aggregate-derived ->
+    // rounded 6dp, and the flag derives from the ROUNDED z so both
+    // engines decide the threshold on identical values
+    "q_outliers" -> ((s, d) =>
+      graft.relational.Relational.robustOutliers(
+        t(s, d, "lineitem"), "l_extendedprice", "z")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("z"), 6).as("z"),
+          coalesce(abs(round(col("z"), 6)) > 3.5, lit(false))
+            .as("z_flag"))),
+
+    // empirical Markov transition matrix over the event log; p = n/total
+    // is an exact-integer division — bit-identical in any engine
+    "q_transitions" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.relational.Relational.transitions(
+        t(s, d, "events").withColumn("tsu", expr("ts div 1000")),
+        Seq("user_id"), "tsu", "event_type", Seq("event_id"))
+    }),
+
+    // weighted (Efraimidis–Spirakis) deterministic sample: 100 docs by
+    // n_chars weight; the pow-key intermediate stays out of the output
+    "q_sample_weighted" -> ((s, d) =>
+      graft.text.Corpus.sampleWeighted(
+        t(s, d, "documents"), "doc_id", "n_chars", 100)
+        .select("doc_id", "lang", "source", "n_chars")),
+
+    // sqrt-temperature rebalance by language (alpha = 0.5: div + sqrt,
+    // both IEEE correctly-rounded -> the keep decision replays exactly)
+    "q_temperature_mix" -> ((s, d) =>
+      graft.text.Corpus.temperatureSample(
+        t(s, d, "documents"), "lang", "doc_id", 0.5)
+        .select("doc_id", "lang")),
+
+    // inverted index: df >= 5 terms with the 10 lowest doc ids each
+    "q_postings" -> ((s, d) =>
+      graft.text.Corpus.invertedIndex(
+        t(s, d, "documents"), "doc_id", "text",
+        minDf = 5, maxPostings = 10)),
+
     // CDC log compaction: current state per user from the event log —
     // ONE max_by aggregation (map-side combine), never a per-key window
     // sort; ordered by raw nano timestamp with the unique event id as
@@ -1469,6 +1520,95 @@ object DataQueries {
            SELECT l.l_orderkey, l.l_linenumber,
              cum.below / (cum.nn - 1.0) AS qty_pr
            FROM lineitem l JOIN cum ON l.l_quantity = cum.v""",
+
+      "q_resample" ->
+        """WITH e AS (
+             SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS o, value
+             FROM events),
+           a AS (
+             SELECT user_id, o - o % 86400000000 AS bucket,
+               round(avg(value), 6) AS v_avg
+             FROM e GROUP BY 1, 2),
+           s AS (
+             SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+             FROM a GROUP BY 1),
+           g AS (
+             SELECT user_id,
+               unnest(generate_series(lo, hi, 86400000000)) AS bucket
+             FROM s)
+           SELECT g.user_id, g.bucket,
+             last_value(a.v_avg IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_avg
+           FROM g LEFT JOIN a USING (user_id, bucket)""",
+
+      "q_outliers" ->
+        """WITH m AS (
+             SELECT median(l_extendedprice) AS med FROM lineitem),
+           d AS (
+             SELECT median(abs(l_extendedprice - m.med)) AS mad, m.med
+             FROM lineitem, m GROUP BY m.med),
+           z AS (
+             SELECT l_orderkey, l_linenumber,
+               CASE WHEN d.mad > 0 THEN round(
+                 0.6745 * (l_extendedprice - d.med) / d.mad, 6) END AS z
+             FROM lineitem, d)
+           SELECT l_orderkey, l_linenumber, z,
+             coalesce(abs(z) > 3.5, false) AS z_flag
+           FROM z""",
+
+      "q_transitions" ->
+        """WITH n AS (
+             SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS to_type
+             FROM events),
+           c AS (
+             SELECT from_type, to_type, count(*) AS n FROM n
+             WHERE to_type IS NOT NULL GROUP BY 1, 2)
+           SELECT from_type, to_type, n,
+             CAST(n AS DOUBLE) /
+               CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+           FROM c""",
+
+      "q_sample_weighted" ->
+        """SELECT doc_id, lang, source, n_chars FROM (
+             SELECT doc_id, lang, source, n_chars,
+               pow(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                     1, 15)) AS BIGINT) / 1152921504606846976.0,
+                 1.0 / n_chars) AS k
+             FROM documents WHERE n_chars > 0)
+           ORDER BY k DESC, doc_id LIMIT 100""",
+
+      "q_temperature_mix" ->
+        """WITH c AS (
+             SELECT lang, count(*) AS ng FROM documents GROUP BY 1),
+           m AS (SELECT min(ng) AS nmin FROM c),
+           r AS (SELECT lang, sqrt(nmin / ng) AS q FROM c, m)
+           SELECT d.doc_id, d.lang
+           FROM documents d JOIN r USING (lang)
+           WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                 1, 15)) AS BIGINT) / 1152921504606846976.0 < r.q""",
+
+      "q_postings" ->
+        """WITH t AS (
+             SELECT DISTINCT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                 AS term
+             FROM documents),
+           tt AS (SELECT doc_id, term FROM t WHERE term <> ''),
+           f AS (
+             SELECT term, count(*) AS df FROM tt
+             GROUP BY 1 HAVING count(*) >= 5),
+           p AS (
+             SELECT term, doc_id, row_number() OVER (
+               PARTITION BY term ORDER BY doc_id) AS rn
+             FROM tt)
+           SELECT f.term, f.df,
+             string_agg(CAST(p.doc_id AS VARCHAR), ' '
+               ORDER BY p.doc_id) AS postings
+           FROM f JOIN p USING (term) WHERE p.rn <= 10
+           GROUP BY 1, 2""",
 
       "q_latest_by_key" ->
         """SELECT user_id, event_id, event_type, value FROM (

@@ -152,7 +152,31 @@ object Plans {
         "BROADCAST into the shortlist crossJoin, collect_top_k bounds " +
         "the shuffle to partitions × m per query, and the exact cosine " +
         "joins touch only shortlisted ids.",
-        SparkEntry.queries("q_sim_twostage")(spark, d)))
+        SparkEntry.queries("q_sim_twostage")(spark, d)),
+      ("q_funnel", "k−1 min-after-prev aggregate passes; each step's " +
+        "event slice is a pushed-down filter on the scan, the " +
+        "user-bounded accumulator broadcasts onto the next slice — no " +
+        "window, no per-user history state.",
+        SparkEntry.queries("q_funnel")(spark, d)),
+      ("q_resample", "ONE data aggregate → span aggregate → " +
+        "sequence() explode for the grid → left join back → ffill " +
+        "window over the densified grid only; the raw events never " +
+        "re-shuffle after their one bucket aggregate.",
+        SparkEntry.queries("q_resample")(spark, d)),
+      ("q_outliers", "median and MAD as two percentile aggregates " +
+        "stitched by one-row broadcast nested-loop joins; the lineitem " +
+        "scan streams through codegen'd projections — never sorted, " +
+        "never shuffled.",
+        SparkEntry.queries("q_outliers")(spark, d)),
+      ("q_postings", "inverted index: distinct-term Generate feeds ONE " +
+        "objectHashAggregate where df rides count and the posting cap " +
+        "rides the bounded collect_top_k heap — partial heaps combine " +
+        "map-side, so hot terms never funnel full lists.",
+        SparkEntry.queries("q_postings")(spark, d)),
+      ("q_temperature_mix", "group counts aggregate → broadcast rate " +
+        "join → pure md5 filter: rebalancing decisions at scan speed " +
+        "with no RNG state and no data shuffle.",
+        SparkEntry.queries("q_temperature_mix")(spark, d)))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative queries (sf0.01)\n")

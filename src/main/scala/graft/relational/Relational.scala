@@ -1,6 +1,6 @@
 package graft.relational
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -699,7 +699,11 @@ object Relational {
     require(steps.size >= 2, s"need >= 2 steps, got ${steps.size}")
     val first = df.filter(col(typeCol) === steps.head)
       .groupBy(col(userCol)).agg(min(orderCol).as("step_1"))
-    steps.tail.zipWithIndex.foldLeft(first) { case (acc, (s, i)) =>
+    steps.tail.zipWithIndex.foldLeft(first) { case (acc0, (s, i)) =>
+      // persist each accumulator (user-bounded, tiny): without it the
+      // fold's lineage re-scans every earlier step's event slice at
+      // every later step — k(k−1)/2 scans instead of k−1
+      val acc = acc0.persist()
       val prev = s"step_${i + 1}"
       val out = s"step_${i + 2}"
       val carried = acc.columns.toSeq
@@ -778,6 +782,107 @@ object Relational {
         when(col(valueCol).isNotNull,
           col("__below") / (col("__nn") - lit(1.0))))
       .drop("__v", "__below", "__nn")
+  }
+
+  /** Time-series resampling onto a regular grid: bucket `timeCol` (an
+    * integral epoch column — micros, millis, days…) to `step`-sized
+    * buckets, aggregate `aggExprs` per (keys, bucket), then densify each
+    * key's span with one grid row per step and forward-fill the
+    * aggregated columns across the gaps. Buckets use true floor division
+    * (`t − pmod(t, step)`), so negative times land in the right bucket.
+    *
+    * Shape at 100 TB: the raw data flows through ONE aggregate (map-side
+    * combined, shuffle bounded by keys × occupied buckets). The grid is
+    * generated from the (key, min, max) relation — `sequence()` explode,
+    * never a join against a driver-built calendar — and the forward-fill
+    * window sorts only the DENSIFIED grid (keys × span/step rows), not
+    * the data. Keys with multi-year spans at second granularity: widen
+    * `step` or pre-split; the grid size is the caller's contract. */
+  def resample(
+      df: DataFrame, keys: Seq[String], timeCol: String, step: Long,
+      aggExprs: Seq[Column]): DataFrame = {
+    require(step > 0, "step must be positive")
+    require(keys.nonEmpty && aggExprs.nonEmpty)
+    val bucket = (col(timeCol) - pmod(col(timeCol), lit(step)))
+      .as("bucket")
+    // persisted: the aggregate feeds BOTH the span/grid branch and the
+    // value join — without it each branch re-scans and re-aggregates the
+    // raw data (2 full scans at 100 TB). The cached relation is
+    // keys × occupied buckets, tiny next to the input; first branch
+    // evaluated populates it, the other reads it.
+    val agg = df.filter(col(timeCol).isNotNull)
+      .groupBy((keys.map(col) :+ bucket): _*)
+      .agg(aggExprs.head, aggExprs.tail: _*)
+      .persist()
+    val valueCols = agg.columns.drop(keys.size + 1).toSeq
+    val grid = agg.groupBy(keys.map(col): _*)
+      .agg(min("bucket").as("__lo"), max("bucket").as("__hi"))
+      .select(keys.map(col) :+
+        explode(sequence(col("__lo"), col("__hi"), lit(step)))
+          .as("bucket"): _*)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = grid.join(agg, keys :+ "bucket", "left")
+    joined.select((keys.map(col) :+ col("bucket")) ++
+      valueCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+  }
+
+  /** Robust outlier detection: modified z-score
+    * `0.6745 · (x − median) / MAD` (Iglewicz–Hoaglin), flagging
+    * `|z| > threshold` (3.5 is the standard cut). Median/MAD resist the
+    * very outliers a mean/stddev z-score would absorb. Rows where
+    * MAD = 0 (>50% of values identical) get z = null, flag = false.
+    *
+    * Shape at 100 TB: two aggregate passes (median, then median absolute
+    * deviation — the dependency is inherent), each a single `percentile`
+    * aggregate carried through a broadcast one-row cross join; the data
+    * is never sorted or collected. For extreme scale swap the
+    * `percentile` buffers for the ExactStats narrowing path; the
+    * operator's plan shape (two scans, zero shuffles of the data) is
+    * already the right one. */
+  def robustOutliers(
+      df: DataFrame, valueCol: String, out: String,
+      threshold: Double = 3.5): DataFrame = {
+    val exact = df.agg(
+      expr(s"percentile($valueCol, 0.5d)").as("__med"))
+    val withMed = df.crossJoin(broadcast(exact))
+    val mad = withMed
+      .agg(expr(s"percentile(abs($valueCol - __med), 0.5d)").as("__mad"),
+        first(col("__med")).as("__med2"))
+    withMed.drop("__med")
+      .crossJoin(broadcast(mad))
+      .withColumn(out,
+        when(col("__mad") > 0.0,
+          lit(0.6745) * (col(valueCol) - col("__med2")) / col("__mad")))
+      .withColumn(s"${out}_flag",
+        coalesce(abs(col(out)) > threshold, lit(false)))
+      .drop("__mad", "__med2")
+  }
+
+  /** First-order transition statistics over an ordered event log: for
+    * each key, pair every event's `typeCol` with the NEXT event's under
+    * `(orderCol, tieCols…)` order, then count and normalize — the
+    * empirical Markov transition matrix (from, to, n, p) that feeds
+    * next-event prediction, anomaly scoring, and session-flow analysis.
+    * `p` is n / Σ n over the same `from` — an exact integer division,
+    * replayable in any engine.
+    *
+    * Shape at 100 TB: one key shuffle for the `lead()` pass (per-key
+    * history order is inherent — same trade as sessionize), then the
+    * (from, to)-bounded count aggregate; the matrix is vocabulary², tiny
+    * at any data scale. */
+  def transitions(
+      df: DataFrame, keys: Seq[String], orderCol: String,
+      typeCol: String, tieCols: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((orderCol +: tieCols).map(col): _*)
+    val wFrom = Window.partitionBy(col("from_type"))
+    df.withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        col("n").cast("double") / sum("n").over(wFrom).cast("double"))
   }
 
   def writeBucketed(

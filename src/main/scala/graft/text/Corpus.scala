@@ -86,6 +86,97 @@ object Corpus {
       .drop("__u")
   }
 
+  /** Fixed-size WEIGHTED deterministic sample without replacement
+    * (Efraimidis–Spirakis A-Res): each row draws the md5-uniform
+    * `u = hashUniform(id)` and ranks by `u^(1/w)` descending — the top
+    * `n` keys are a weight-proportional sample, exactly and without
+    * ever materializing cumulative weights. Deterministic under retry /
+    * repartitioning / engine (the rank key is a pure function of the
+    * row); plans as `TakeOrderedAndProject` — per-partition bounded
+    * heaps, never a global sort. Rows with null or non-positive weight
+    * are excluded. The `u^(1/w)` key itself is dropped from the output
+    * (cross-engine `pow` may differ in the last ulp — selection is
+    * replayable, the transcendental intermediate is not guaranteed
+    * bit-stable). */
+  def sampleWeighted(
+      df: DataFrame, idCol: String, weightCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    val u = hashUniform(col(idCol))
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__k", pow(u, lit(1.0) / col(weightCol)))
+      .orderBy(col("__k").desc, col(idCol).asc)
+      .limit(n)
+      .drop("__k")
+  }
+
+  /** Temperature-based corpus rebalancing: keep each group's rows with
+    * probability `(n_min / n_g)^(1−α)`, so the retained count scales as
+    * `n_g^α` (anchored at the smallest group, which keeps everything).
+    * α = 1 keeps the natural distribution, α = 0 equalizes all groups
+    * down to the smallest, α = 0.5 is the multilingual-training
+    * square-root rebalance. Downsampling only — pair with [[mixSources]]
+    * to upsample.
+    *
+    * Deterministic: the keep decision is `hashUniform(id) < q_g` with
+    * `q_g` derived from integer group counts — no RNG, no cross-group
+    * float accumulation (the usual `n^α / Σ n^α` normalization sums
+    * doubles in nondeterministic order; anchoring at `n_min` avoids the
+    * sum entirely). At α = 0.5 the key arithmetic is division + sqrt,
+    * both IEEE correctly-rounded — bit-replayable in any engine.
+    *
+    * Shape at 100 TB: one count aggregate (group-bounded), broadcast
+    * back, then a pure filter at scan speed. */
+  def temperatureSample(
+      df: DataFrame, groupCol: String, idCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha in [0,1], got $alpha")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__ng"))
+    val withMin = counts.crossJoin(
+      broadcast(counts.agg(min("__ng").as("__nmin"))))
+    val rates = withMin.select(col(groupCol),
+      (if (alpha == 0.5) sqrt(col("__nmin") / col("__ng"))
+       else pow(col("__nmin") / col("__ng"), lit(1.0 - alpha)))
+        .as("__q"))
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(hashUniform(col(idCol)) < col("__q"))
+      .drop("__q")
+  }
+
+  /** Inverted index over whitespace tokens: per term, the document
+    * frequency and the posting list of the `maxPostings` LOWEST doc ids
+    * (space-joined string — engine-portable, checker-sortable). Terms
+    * below `minDf` documents are dropped (the long tail is most of the
+    * vocabulary).
+    *
+    * Shape at 100 TB: per-doc DISTINCT terms explode (array_distinct
+    * before the explode — a doc contributes each term once), then ONE
+    * term aggregate where the posting cap rides a bounded
+    * `collect_top_k` heap — map-side combined, so a stopword appearing
+    * in every document shuffles `partitions × maxPostings` ids, never
+    * the full corpus-sized posting list (the `collect_list` + window
+    * formulation's failure mode). */
+  def invertedIndex(
+      df: DataFrame, idCol: String, textCol: String,
+      minDf: Int = 1, maxPostings: Int = 20): DataFrame = {
+    require(minDf >= 1 && maxPostings >= 1)
+    val terms = df.select(col(idCol).cast("long").as("__doc"),
+        explode(array_distinct(
+          graft.text.TextFunctions.tokensLower(col(textCol))))
+          .as("term"))
+      .filter(col("term") =!= "")
+    terms.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        graft.functions.TopK.collect_top_k(
+          struct((-col("__doc")).cast("double").as("score"),
+            col("__doc").as("id")), maxPostings).as("__top"))
+      .filter(col("df") >= minDf)
+      .withColumn("postings",
+        array_join(transform(col("__top"), x => x("id").cast("string")),
+          " "))
+      .drop("__top")
+  }
+
   /** Top-`size` token vocabulary by corpus frequency (ties on the token
     * lexicographically), with dense contiguous ids in rank order —
     * the tokenizer-training primer every pipeline needs. One token-count
