@@ -375,6 +375,27 @@ object DataQueries {
         "l_quantity", "qty_pr")
         .select("l_orderkey", "l_linenumber", "qty_pr")),
 
+    // per-segment ECDF: the window partitions by return flag, so no
+    // task ever holds more than one segment's distinct values
+    "q_pctrank_grouped" -> ((s, d) =>
+      graft.relational.Relational.percentileRank(t(s, d, "lineitem"),
+        "l_quantity", "qty_pr", Seq("l_returnflag"))
+        .select("l_orderkey", "l_linenumber", "qty_pr")),
+
+    // FastSS typo mining over supplier names (single-digit neighbors)
+    "q_typo_pairs" -> ((s, d) =>
+      graft.relational.Relational.editDistancePairs(
+        t(s, d, "supplier"), "s_name")),
+
+    // trailing-7-day exact active users from the event log
+    "q_wau" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.relational.Relational.rollingActiveUsers(
+        t(s, d, "events").withColumn("day",
+          expr("ts div 1000 div 86400000000")),
+        "user_id", "day", 7)
+    }),
+
     // day-grid resample of per-user event values with forward fill;
     // the avg is aggregate-derived -> rounded 6dp INSIDE the agg so the
     // fill copies already-rounded values
@@ -1520,6 +1541,45 @@ object DataQueries {
            SELECT l.l_orderkey, l.l_linenumber,
              cum.below / (cum.nn - 1.0) AS qty_pr
            FROM lineitem l JOIN cum ON l.l_quantity = cum.v""",
+
+      "q_pctrank_grouped" ->
+        """WITH c AS (
+             SELECT l_returnflag AS g, l_quantity AS v, count(*) AS n
+             FROM lineitem GROUP BY 1, 2),
+           cum AS (
+             SELECT g, v,
+               coalesce(sum(n) OVER (PARTITION BY g ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS below,
+               sum(n) OVER (PARTITION BY g) AS nn
+             FROM c)
+           SELECT l.l_orderkey, l.l_linenumber,
+             cum.below / (cum.nn - 1.0) AS qty_pr
+           FROM lineitem l
+           JOIN cum ON l.l_returnflag = cum.g AND l.l_quantity = cum.v""",
+
+      "q_typo_pairs" ->
+        """WITH v AS (
+             SELECT DISTINCT s_name AS s FROM supplier
+             WHERE s_name IS NOT NULL
+               AND length(s_name) BETWEEN 1 AND 64)
+           SELECT a.s AS a, b.s AS b
+           FROM v a JOIN v b
+             ON a.s < b.s AND levenshtein(a.s, b.s) <= 1""",
+
+      "q_wau" ->
+        """WITH a AS (
+             SELECT DISTINCT user_id,
+               CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d
+             FROM events),
+           m AS (SELECT max(d) AS mx FROM a),
+           f AS (
+             SELECT DISTINCT user_id, period FROM (
+               SELECT user_id,
+                 unnest(generate_series(d, d + 6)) AS period
+               FROM a))
+           SELECT period, count(*) AS active_users
+           FROM f, m WHERE period <= m.mx GROUP BY 1""",
 
       "q_resample" ->
         """WITH e AS (

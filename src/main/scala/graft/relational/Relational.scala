@@ -766,22 +766,34 @@ object Relational {
     * cardinality-bounded distinct set — same trade as groupedQuantiles;
     * for truly-continuous 100 TB columns, bin first (histogram) or use
     * the ExactStats narrowing path. Nulls stay null and don't count
-    * toward N. */
+    * toward N. Non-empty `groupCols` computes the ECDF within each
+    * group (per-segment normalization): the window partitions by group,
+    * so no single task sees more than one group's distinct values. */
   def percentileRank(
-      df: DataFrame, valueCol: String, out: String): DataFrame = {
+      df: DataFrame, valueCol: String, out: String,
+      groupCols: Seq[String] = Nil): DataFrame = {
     val counts = df.filter(col(valueCol).isNotNull)
-      .groupBy(col(valueCol).as("__v")).agg(count(lit(1)).as("__n"))
-    val w = Window.orderBy(col("__v"))
+      .groupBy((groupCols.map(col) :+ col(valueCol).as("__v")): _*)
+      .agg(count(lit(1)).as("__n"))
+    val base =
+      if (groupCols.isEmpty) Window.partitionBy()
+      else Window.partitionBy(groupCols.map(col): _*)
+    val w = base.orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = counts.select(col("__v"),
+    val wAll = base.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = counts.select(groupCols.map(col) ++ Seq(col("__v"),
       coalesce(sum("__n").over(w), lit(0L)).as("__below"),
-      sum("__n").over(Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)).as("__nn"))
-    df.join(broadcast(ranked), col(valueCol) === col("__v"), "left")
+      sum("__n").over(wAll).as("__nn")): _*)
+    val cond = (df(valueCol) === ranked("__v")) +:
+      groupCols.map(c => df(c) === ranked(c))
+    val joined = df.join(broadcast(ranked), cond.reduce(_ && _), "left")
       .withColumn(out,
         when(col(valueCol).isNotNull,
           col("__below") / (col("__nn") - lit(1.0))))
-      .drop("__v", "__below", "__nn")
+    (ranked.columns.filter(_.startsWith("__")).map(ranked(_)) ++
+      groupCols.map(ranked(_)))
+      .foldLeft(joined)((d, c) => d.drop(c))
   }
 
   /** Time-series resampling onto a regular grid: bucket `timeCol` (an
@@ -857,6 +869,68 @@ object Relational {
       .withColumn(s"${out}_flag",
         coalesce(abs(col(out)) > threshold, lit(false)))
       .drop("__mad", "__med2")
+  }
+
+  /** All pairs of DISTINCT `strCol` values within Levenshtein distance 1
+    * (typo/near-identifier mining over a vocabulary or entity-name
+    * column), by FastSS deletion neighborhoods: two strings are within
+    * edit distance 1 only if their {self} ∪ {one-char deletions}
+    * neighborhoods intersect, so candidates come from an equi-join on
+    * the variant string and an exact `levenshtein` check removes the
+    * neighborhood false positives (e.g. transpositions). Output:
+    * (a, b) with a < b.
+    *
+    * Shape at 100 TB: the corpus reduces to its DISTINCT strings first;
+    * each contributes len+1 variants (strings over `maxLen` are dropped
+    * — deletion neighborhoods are for short tokens/identifiers), so the
+    * join input is vocabulary-bounded, never corpus-bounded, and the
+    * verify runs only on candidate pairs — never the vocabulary cross
+    * product. */
+  def editDistancePairs(
+      df: DataFrame, strCol: String, maxLen: Int = 64): DataFrame = {
+    val strs = df.select(col(strCol).as("__s")).filter(
+        col("__s").isNotNull && length(col("__s")).between(1, maxLen))
+      .distinct()
+    val variants = strs.select(col("__s"),
+      explode(transform(sequence(lit(0), length(col("__s"))),
+        i => when(i === 0, col("__s")).otherwise(
+          concat(substring(col("__s"), lit(1), i - 1),
+            col("__s").substr(i + 1, length(col("__s"))))))).as("__v"))
+    val a = variants.select(col("__s").as("a"), col("__v"))
+    val b = variants.select(col("__s").as("b"), col("__v"))
+    a.join(b, Seq("__v"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+      .filter(levenshtein(col("a"), col("b")) <= 1)
+  }
+
+  /** Rolling active users (DAU/WAU/MAU family): for every period in the
+    * observed span, the EXACT count of distinct users active in the
+    * trailing `window` periods. `dayCol` is any integral period column.
+    * Output: (period, active_users).
+    *
+    * Shape at 100 TB: the raw log collapses to distinct (user, period)
+    * first — the only corpus-sized shuffle. Each activity row then
+    * fans out to the `window` report periods it supports (bounded
+    * explode, ×window), deduplicates per (user, report period), and
+    * counts — never a `count(distinct)` over a sliding window funnel,
+    * and state is bounded by users × window, not by the log. */
+  def rollingActiveUsers(
+      df: DataFrame, userCol: String, dayCol: String,
+      window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val active = df.select(col(userCol).as("__u"), col(dayCol).as("__d"))
+      .filter(col("__u").isNotNull && col("__d").isNotNull)
+      .distinct()
+    val mx = active.agg(max("__d").as("__mx"))
+    active.select(col("__u"),
+        explode(sequence(col("__d"), col("__d") + lit(window - 1)))
+          .as("period"))
+      .crossJoin(broadcast(mx))
+      .filter(col("period") <= col("__mx"))
+      .select("__u", "period").distinct()
+      .groupBy(col("period"))
+      .agg(count(lit(1)).as("active_users"))
   }
 
   /** First-order transition statistics over an ordered event log: for
