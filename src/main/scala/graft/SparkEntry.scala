@@ -336,6 +336,25 @@ object SparkEntry {
     // ---- persistence: save → load → serve (SURVEY §3.2) ----------------
     // The reloaded pipeline (not the fitted one) produces the output, so
     // CORRECTNESS green means the op-tree JSON round trip is faithful.
+    // fitted-encoder persistence round trip: the RELOADED target +
+    // hashing encoders serve the output (full smoothed means; stateless
+    // md5 buckets), so green means the fitted-state JSON survives
+    "q_persist_target" -> ((s, d) => {
+      val df = t(s, d, "customer")
+      val model = DFPipeline(
+        new TargetEncoder(Seq("c_mktsegment"), Seq("seg_te"),
+          targetCol = "c_acctbal", idCol = "c_custkey",
+          nFolds = 4, smoothing = 10.0),
+        new HashingEncoder(Seq("c_mktsegment"), Seq("seg_hash"), 32))
+        .fit(df)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_persist_te").toString
+      GraftPersistence.save(model, dir)
+      GraftPersistence.load(s, dir).transform(df)
+        .select(col("c_custkey"), round(col("seg_te"), 6).as("seg_te"),
+          col("seg_hash"))
+    }),
+
     "q_persist_function" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       val model = DFPipeline(
@@ -669,6 +688,20 @@ object SparkEntry {
              CASE WHEN split_part(p_type, ' ', 1) = 'STANDARD' THEN 1.0
                   ELSE 0.0 END AS "type_head__STANDARD"
            FROM part""",
+
+      "q_persist_target" ->
+        """WITH tot AS (
+             SELECT c_mktsegment AS v, sum(c_acctbal) AS ts,
+               count(*) AS tc
+             FROM customer GROUP BY 1),
+           pr AS (SELECT avg(c_acctbal) AS p FROM customer)
+           SELECT c.c_custkey,
+             round((t.ts + 10 * pr.p) / (t.tc + 10), 6) AS seg_te,
+             CAST(CAST(('0x' || substr(md5('c_mktsegment=' ||
+                   c.c_mktsegment), 1, 15)) AS BIGINT) % 32 AS INTEGER)
+               AS seg_hash
+           FROM customer c JOIN tot t ON c.c_mktsegment = t.v
+           CROSS JOIN pr""",
 
       "q_persist_function" ->
         """SELECT l_orderkey, l_linenumber,

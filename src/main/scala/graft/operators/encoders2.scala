@@ -20,9 +20,9 @@ import graft.functions.GraftFunctions
   * null (the caller decides between imputing first or keeping a missing
   * indicator). */
 class HashingEncoder(
-    inputs: Seq[String],
-    outputs: Seq[String],
-    numBuckets: Int)
+    val inputs: Seq[String],
+    val outputs: Seq[String],
+    val numBuckets: Int)
     extends GraftTransformer {
   require(inputs.length == outputs.length)
   require(numBuckets >= 1, s"need numBuckets >= 1, got $numBuckets")

@@ -159,6 +159,29 @@ object GraftPersistence {
         "groupby" -> jstrs(m.groupby), "func" -> JString(m.func),
         "globals" -> jarr(m.globals.map(anyToJson)),
         "lookups" -> jarr(lookupPaths))
+    case t: HashingEncoder => JObject(
+      "type" -> JString("HashingEncoder"),
+      "inputs" -> jstrs(t.inputs), "outputs" -> jstrs(t.outputs),
+      "numBuckets" -> JInt(t.numBuckets))
+    case m: TargetEncoderModel => JObject(
+      "type" -> JString("TargetEncoderModel"),
+      "ins" -> jstrs(m.ins), "outs" -> jstrs(m.outs),
+      "idCol" -> JString(m.idCol), "nFolds" -> JInt(m.nFolds),
+      "prior" -> JDouble(m.prior),
+      "states" -> jarr(m.states.zipWithIndex.map {
+        case (SmallTarget(oof, full), _) => JObject(
+          "kind" -> JString("small"),
+          // oof keys embed the  (value, fold) separator — JSON
+          // string escaping round-trips control chars faithfully
+          "oof" -> JObject(oof.toList.map { case (k, v) =>
+            k -> (JDouble(v): JValue) }),
+          "full" -> JObject(full.toList.map { case (k, v) =>
+            k -> (JDouble(v): JValue) }))
+        case (BigTarget(lookup), jx) =>
+          val rel = s"data/${idx}_te_$jx"
+          lookup.write.mode("overwrite").parquet(s"$path/$rel")
+          JObject("kind" -> JString("big"), "path" -> JString(rel))
+      }))
     case t: FunctionTransformer if t.op.nonEmpty => JObject(
       "type" -> JString("FunctionTransformer"),
       "inputs" -> jarr(t.inputs.map(jstrs)),
@@ -307,6 +330,30 @@ object GraftPersistence {
               spark.read.parquet(
                 s"$path/${(lk \ "path").asInstanceOf[JString].s}"),
               (lk \ "broadcastable").asInstanceOf[JBool].value)
+          })
+      case "HashingEncoder" =>
+        new HashingEncoder(strs(j \ "inputs"), strs(j \ "outputs"),
+          (j \ "numBuckets").asInstanceOf[JInt].num.toInt)
+      case "TargetEncoderModel" =>
+        def dmap(v: JValue): Map[String, Double] =
+          v.asInstanceOf[JObject].obj.map { case (k, x) =>
+            k -> (x match {
+              case JDouble(d) => d
+              case JInt(i)    => i.toDouble
+              case other => throw new IllegalArgumentException(other.toString)
+            })
+          }.toMap
+        new TargetEncoderModel(strs(j \ "ins"), strs(j \ "outs"),
+          (j \ "idCol").asInstanceOf[JString].s,
+          (j \ "nFolds").asInstanceOf[JInt].num.toInt,
+          (j \ "prior").asInstanceOf[JDouble].num,
+          (j \ "states").asInstanceOf[JArray].arr.map { st =>
+            st \ "kind" match {
+              case JString("small") =>
+                SmallTarget(dmap(st \ "oof"), dmap(st \ "full"))
+              case _ => BigTarget(spark.read.parquet(
+                s"$path/${(st \ "path").asInstanceOf[JString].s}"))
+            }
           })
       case "FunctionTransformer" =>
         FunctionTransformer.fromOp(

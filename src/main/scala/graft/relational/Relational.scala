@@ -845,30 +845,31 @@ object Relational {
     * very outliers a mean/stddev z-score would absorb. Rows where
     * MAD = 0 (>50% of values identical) get z = null, flag = false.
     *
-    * Shape at 100 TB: two aggregate passes (median, then median absolute
-    * deviation — the dependency is inherent), each a single `percentile`
-    * aggregate carried through a broadcast one-row cross join; the data
-    * is never sorted or collected. For extreme scale swap the
-    * `percentile` buffers for the ExactStats narrowing path; the
-    * operator's plan shape (two scans, zero shuffles of the data) is
-    * already the right one. */
+    * Shape at 100 TB: two exact-median computations (median, then median
+    * absolute deviation — the dependency is inherent), each via the
+    * ExactStats integer-range-narrowing path: O(log) parallel scan
+    * rounds, O(buckets) per-task memory, never a `percentile` buffer
+    * holding a column copy in one task (which also single-threads the
+    * final merge+sort — measured 3× slower than narrowing already at
+    * sf0.1). The scoring itself is a pure codegen'd projection. */
   def robustOutliers(
       df: DataFrame, valueCol: String, out: String,
       threshold: Double = 3.5): DataFrame = {
-    val exact = df.agg(
-      expr(s"percentile($valueCol, 0.5d)").as("__med"))
-    val withMed = df.crossJoin(broadcast(exact))
-    val mad = withMed
-      .agg(expr(s"percentile(abs($valueCol - __med), 0.5d)").as("__mad"),
-        first(col("__med")).as("__med2"))
-    withMed.drop("__med")
-      .crossJoin(broadcast(mad))
-      .withColumn(out,
-        when(col("__mad") > 0.0,
-          lit(0.6745) * (col(valueCol) - col("__med2")) / col("__mad")))
-      .withColumn(s"${out}_flag",
-        coalesce(abs(col(out)) > threshold, lit(false)))
-      .drop("__mad", "__med2")
+    import graft.operators.ExactStats
+    ExactStats.medians(df, Seq(valueCol)).head match {
+      case None => // all-null column: no statistics, nothing flagged
+        df.withColumn(out, lit(null).cast("double"))
+          .withColumn(s"${out}_flag", lit(false))
+      case Some(med) =>
+        val dev = df.select(abs(col(valueCol) - lit(med)).as("__dev"))
+        val mad = ExactStats.medians(dev, Seq("__dev")).head.get
+        val z = if (mad > 0.0)
+          lit(0.6745) * (col(valueCol) - lit(med)) / lit(mad)
+        else lit(null).cast("double")
+        df.withColumn(out, z)
+          .withColumn(s"${out}_flag",
+            coalesce(abs(col(out)) > threshold, lit(false)))
+    }
   }
 
   /** All pairs of DISTINCT `strCol` values within Levenshtein distance 1

@@ -51,6 +51,35 @@ class PersistenceSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("price_mean")))
   }
 
+  test("target + hashing encoders survive save/load (small and big state)") {
+    val df = (1L to 40L).map(i =>
+      (i, if (i % 3 == 0) "a" else "b", i.toDouble)).toDF("id", "c", "y")
+    for (maxCollect <- Seq(1000000L, 0L)) { // literal-map AND BigTarget
+      val model = DFPipeline(
+        new TargetEncoder(Seq("c"), Seq("c_te"), "y", "id",
+          nFolds = 3, smoothing = 5.0, maxCollect = maxCollect),
+        new HashingEncoder(Seq("c"), Seq("c_h"), 16)).fit(df)
+      val dir = s"target/tmp/persist_te_$maxCollect"
+      GraftPersistence.save(model, dir)
+      val loaded = GraftPersistence.load(spark, dir)
+      val a = model.transform(df).orderBy("id")
+        .select("id", "c_te", "c_h").collect().toSeq
+      val b = loaded.transform(df).orderBy("id")
+        .select("id", "c_te", "c_h").collect().toSeq
+      assert(a == b, s"maxCollect=$maxCollect")
+      // the reloaded train path (leave-own-fold-out) also matches
+      val m0 = model.stages.collectFirst {
+        case m: TargetEncoderModel => m }.get
+      val l0 = loaded.stages.collectFirst {
+        case m: TargetEncoderModel => m }.get
+      val at = m0.transformTrain(df).orderBy("id").select("c_te")
+        .collect().toSeq
+      val bt = l0.transformTrain(df).orderBy("id").select("c_te")
+        .collect().toSeq
+      assert(at == bt, s"train path, maxCollect=$maxCollect")
+    }
+  }
+
   test("closure-bearing stages refuse to persist with a clear error") {
     val m = DFPipeline(
       FunctionTransformer(Seq("price"), Seq("p2"), _ * 2)).fit(train)
