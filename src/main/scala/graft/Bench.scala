@@ -35,9 +35,22 @@ object Bench {
       case None => SparkEntry.queries
     }
 
+    // A failed query must surface, never be timed as a fast success (the
+    // round-4 failure mode: 18 broken queries "clocking" 0.06 s). Record
+    // the first error per query; failed queries are excluded from timings,
+    // reported in an `errors` map, and fail the process (rc != 0).
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def jsonSafe(s: String): String =
+      s.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+    def recordError(name: String, e: Throwable): Unit =
+      if (!errors.contains(name))
+        errors(name) = jsonSafe(
+          e.getClass.getSimpleName + ": " + Option(e.getMessage).getOrElse(""))
+
     val warmDir = "/root/testdata/sf0.001"
-    queries.foreach { case (_, fn) =>
-      try run(fn(spark, warmDir)) catch { case _: Throwable => () }
+    queries.foreach { case (name, fn) =>
+      try run(fn(spark, warmDir))
+      catch { case e: Throwable => recordError(name, e) }
     }
 
     // three timed iterations, min per query: steady-state time without
@@ -48,27 +61,37 @@ object Bench {
       spark.catalog.clearCache()
       queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { run(fn(spark, sfDir)); true }
+          catch { case e: Throwable => recordError(name, e); false }
+        name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
       }
     }
-    val results = queries.keys.map { name =>
-      name -> iterations.map(_(name)).min
+    val results = queries.keys.flatMap { name =>
+      val times = iterations.flatMap(_(name))
+      // only queries that succeeded every timed iteration count as timed
+      if (times.size == iterations.size && !errors.contains(name))
+        Some(name -> times.min)
+      else None
     }.toMap
     val total = if (results.nonEmpty) results.values.sum else 0.0
     def fmt(entries: Iterable[(String, Double)]): String = entries
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    def fmtErr(entries: Iterable[(String, String)]): String = entries
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     // Full per-query detail goes to a file; the stdout contract line is
     // kept under ~1500 chars (total + the slowest 50 queries, 3 dp) so it
     // survives log-tail truncation downstream. The omitted queries are
     // all in the flat ~0.1 s floor.
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"errors":${fmtErr(errors)},"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes("UTF-8"))
     catch { case _: Throwable => () }
     val slowest = results.toSeq.sortBy(-_._2).take(50)
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"queries":${fmt(slowest)},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":${errors.size},"queries":${fmt(slowest)},"errors":${fmtErr(errors)},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

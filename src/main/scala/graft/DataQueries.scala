@@ -39,19 +39,40 @@ object DataQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The driver's events.parquet stores TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects outright — read nanos as long (legacy conf) and
-    * rebuild a microsecond timestamp (`div 1000` — exact integer division,
-    * no double round-trip). */
+  /** Schema-adaptive events reader. The driver's events.parquet fixtures
+    * have shipped with two physical encodings for `ts` across rounds:
+    * TIMESTAMP(NANOS) — which Spark's parquet reader rejects outright unless
+    * the nanos-as-long legacy conf is set — and plain timestamp[us]
+    * (tz-naive, which Spark reads as TIMESTAMP_NTZ). Read with the legacy
+    * conf enabled (a no-op for non-nanos files), then normalize on the
+    * OBSERVED type so every event query sees one TimestampType `ts`:
+    *  - LongType (nanos-as-long): exact integer `ts div 1000` → micros;
+    *  - TIMESTAMP_NTZ: cast under the UTC session zone (value-preserving —
+    *    every entrypoint pins spark.sql.session.timeZone=UTC);
+    *  - TIMESTAMP: already the contract.
+    * ALL event reads must route through here — inline copies of this
+    * conversion are what broke 18 queries in round 4. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     // The conf must stay set while the (lazy) plan executes — per-task
     // footer conversion consults it — so it cannot be restored here. Session
     // side effect is strictly enabling: without it, nanos-parquet reads
     // fail outright; with it, they arrive as longs (converted below).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
+
+  /** readEvents plus `tsu` = epoch microseconds as long — the cross-engine
+    * event-time contract (the DuckDB oracle side is `epoch_us(ts)`). */
+  def readEventsMicros(spark: SparkSession, dir: String): DataFrame =
+    readEvents(spark, dir).withColumn("tsu", unix_micros(col("ts")))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     mainQueries ++ sourceQueries
@@ -91,8 +112,10 @@ object DataQueries {
     }),
 
     // portable = md5 token hashes → the DuckDB oracle replays the exact
-    // signatures; banding recall is exact (pigeonhole) so the oracle is a
-    // plain all-pairs Hamming filter
+    // signatures. The Spark side is BANDED (4×16-bit buckets, never
+    // all-pairs — Dedup.scala simHashNearDup); only the small-scale ORACLE
+    // brute-forces all-pairs Hamming, valid because banding recall to
+    // Hamming ≤3 is exact by pigeonhole
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simHashNearDup(t(s, d, "documents"), "text", "doc_id",
         portable = true)),
@@ -342,31 +365,25 @@ object DataQueries {
     // ordered view->click->purchase funnel; step times as epoch MICROS
     // (DuckDB truncates nanos-parquet timestamps to micro precision, so
     // micros are the cross-engine contract for event times)
-    "q_funnel" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    "q_funnel" -> ((s, d) =>
       graft.relational.Relational.funnel(
-        t(s, d, "events").withColumn("tsu", expr("ts div 1000")),
-        "user_id", "tsu", "event_type", Seq("view", "click", "purchase"))
-    }),
+        readEventsMicros(s, d),
+        "user_id", "tsu", "event_type", Seq("view", "click", "purchase"))),
 
     // day-granularity cohort retention triangle over the event log
-    "q_retention" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    "q_retention" -> ((s, d) =>
       graft.relational.Relational.retention(
-        t(s, d, "events").withColumn("day",
-          expr("ts div 1000 div 86400000000")),
-        "user_id", "day")
-    }),
+        readEventsMicros(s, d).withColumn("day",
+          expr("tsu div 86400000000")),
+        "user_id", "day")),
 
     // run-length state compression: rows that CHANGE a user's
     // event_type run, under (micro ts, event_id) order
-    "q_state_compress" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    "q_state_compress" -> ((s, d) =>
       graft.relational.Relational.dedupeConsecutive(
-        t(s, d, "events").withColumn("tsu", expr("ts div 1000")),
+        readEventsMicros(s, d),
         Seq("user_id"), "tsu", Seq("event_type"), Seq("event_id"))
-        .select("user_id", "event_id", "event_type")
-    }),
+        .select("user_id", "event_id", "event_type")),
 
     // ECDF normalization of a feature column (distinct-value relation,
     // no global sort); the division is pure per-row IEEE — unrounded
@@ -388,24 +405,20 @@ object DataQueries {
         t(s, d, "supplier"), "s_name")),
 
     // trailing-7-day exact active users from the event log
-    "q_wau" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    "q_wau" -> ((s, d) =>
       graft.relational.Relational.rollingActiveUsers(
-        t(s, d, "events").withColumn("day",
-          expr("ts div 1000 div 86400000000")),
-        "user_id", "day", 7)
-    }),
+        readEventsMicros(s, d).withColumn("day",
+          expr("tsu div 86400000000")),
+        "user_id", "day", 7)),
 
     // day-grid resample of per-user event values with forward fill;
     // the avg is aggregate-derived -> rounded 6dp INSIDE the agg so the
     // fill copies already-rounded values
-    "q_resample" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    "q_resample" -> ((s, d) =>
       graft.relational.Relational.resample(
-        t(s, d, "events").withColumn("tsu", expr("ts div 1000")),
+        readEventsMicros(s, d),
         Seq("user_id"), "tsu", 86400000000L,
-        Seq(round(avg("value"), 6).as("v_avg")))
-    }),
+        Seq(round(avg("value"), 6).as("v_avg")))),
 
     // robust (median/MAD) outlier flags; z is aggregate-derived ->
     // rounded 6dp, and the flag derives from the ROUNDED z so both
@@ -420,12 +433,10 @@ object DataQueries {
 
     // empirical Markov transition matrix over the event log; p = n/total
     // is an exact-integer division — bit-identical in any engine
-    "q_transitions" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    "q_transitions" -> ((s, d) =>
       graft.relational.Relational.transitions(
-        t(s, d, "events").withColumn("tsu", expr("ts div 1000")),
-        Seq("user_id"), "tsu", "event_type", Seq("event_id"))
-    }),
+        readEventsMicros(s, d),
+        Seq("user_id"), "tsu", "event_type", Seq("event_id"))),
 
     // weighted (Efraimidis–Spirakis) deterministic sample: 100 docs by
     // n_chars weight; the pow-key intermediate stays out of the output
@@ -451,13 +462,11 @@ object DataQueries {
     // ONE max_by aggregation (map-side combine), never a per-key window
     // sort; ordered by raw nano timestamp with the unique event id as
     // the deterministic tiebreak
-    "q_latest_by_key" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    "q_latest_by_key" -> ((s, d) =>
       graft.relational.Relational.latestByKey(
-        t(s, d, "events").withColumn("tsu", expr("ts div 1000")),
+        readEventsMicros(s, d),
         Seq("user_id"), "tsu", Seq("event_id"))
-        .select("user_id", "event_id", "event_type", "value")
-    }),
+        .select("user_id", "event_id", "event_type", "value")),
 
     // snapshot change capture: two keyed order snapshots diffed into
     // insert/delete/update rows; output is proportional to the churn

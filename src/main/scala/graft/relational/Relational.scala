@@ -761,38 +761,108 @@ object Relational {
     * to its percent rank `(#rows strictly below) / (N − 1)` — the
     * rank-gaussianization front half, robust to outliers where min-max
     * scaling is not. Computed on the DISTINCT-value relation (count per
-    * value, cumulative sum below, broadcast-join back), so the data is
-    * never globally sorted: the one ordered window runs over the
-    * cardinality-bounded distinct set — same trade as groupedQuantiles;
-    * for truly-continuous 100 TB columns, bin first (histogram) or use
-    * the ExactStats narrowing path. Nulls stay null and don't count
-    * toward N. Non-empty `groupCols` computes the ECDF within each
-    * group (per-segment normalization): the window partitions by group,
-    * so no single task sees more than one group's distinct values. */
+    * value, cumulative sum below, join back), so the data is never
+    * globally sorted. Nulls stay null and don't count toward N.
+    * Non-empty `groupCols` computes the ECDF within each group
+    * (per-segment normalization).
+    *
+    * Dual path on the fitted distinct count (one count() action over the
+    * persisted distinct relation — the same fit-time decision the
+    * encoders make):
+    *  - distinct ≤ `maxDistinctBroadcast`: one ordered window over the
+    *    small distinct set (single task per group — bounded by
+    *    construction) and a BROADCAST join back;
+    *  - above (continuous columns, distinct ≈ N): an exact BINNED
+    *    cumulative — per-group min/max bounds, 4096 value bins, per-BIN
+    *    ordered windows (partitioned by bin → parallel, each task holds
+    *    ~distinct/4096 rows), a bins-sized cumulative for cross-bin
+    *    offsets, and a SHUFFLE join back. No single-task window and no
+    *    N-sized broadcast anywhere; requires a numeric value column
+    *    (non-numeric high-cardinality keeps the window path — bounded
+    *    dictionary columns are the only realistic non-numeric input). */
   def percentileRank(
       df: DataFrame, valueCol: String, out: String,
-      groupCols: Seq[String] = Nil): DataFrame = {
+      groupCols: Seq[String] = Nil,
+      maxDistinctBroadcast: Long = 100000): DataFrame = {
     val counts = df.filter(col(valueCol).isNotNull)
       .groupBy((groupCols.map(col) :+ col(valueCol).as("__v")): _*)
       .agg(count(lit(1)).as("__n"))
-    val base =
-      if (groupCols.isEmpty) Window.partitionBy()
-      else Window.partitionBy(groupCols.map(col): _*)
-    val w = base.orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = base.rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing)
-    val ranked = counts.select(groupCols.map(col) ++ Seq(col("__v"),
-      coalesce(sum("__n").over(w), lit(0L)).as("__below"),
-      sum("__n").over(wAll).as("__nn")): _*)
-    val cond = (df(valueCol) === ranked("__v")) +:
-      groupCols.map(c => df(c) === ranked(c))
-    val joined = df.join(broadcast(ranked), cond.reduce(_ && _), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDistinct = counts.count()
+    val numeric = df.schema(valueCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val gb = groupCols.map(col)
+    val small = nDistinct <= maxDistinctBroadcast || !numeric
+
+    val ranked =
+      if (small) {
+        val base =
+          if (groupCols.isEmpty) Window.partitionBy()
+          else Window.partitionBy(gb: _*)
+        val w = base.orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wAll = base.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        counts.select(gb ++ Seq(col("__v"),
+          coalesce(sum("__n").over(w), lit(0L)).as("__below"),
+          sum("__n").over(wAll).as("__nn")): _*)
+      } else {
+        val nBins = 4096
+        // group-level bounds + totals: groups-sized, broadcastable
+        val bounds = counts.groupBy(gb: _*).agg(
+          min(col("__v").cast("double")).as("__lo"),
+          max(col("__v").cast("double")).as("__hi"),
+          sum("__n").as("__nn"))
+        val withBounds =
+          if (groupCols.isEmpty) counts.crossJoin(broadcast(bounds))
+          else counts.join(broadcast(bounds), groupCols)
+        // monotone double binning — ties at the cast collapse into the
+        // same bin, and within-bin order uses the ORIGINAL value, so the
+        // cumulative stays exact
+        val vd = col("__v").cast("double")
+        val width = (col("__hi") - col("__lo")) / nBins
+        val binned = withBounds.withColumn("__bin",
+          when(col("__hi") === col("__lo"), lit(0L))
+            .otherwise(least(floor((vd - col("__lo")) / width),
+              lit(nBins - 1L)).cast("long")))
+          .drop("__lo", "__hi")
+        // cross-bin offsets: a groups×bins relation, cumulative over ≤4096
+        // rows per group — bounded by construction
+        val wBins = (if (groupCols.isEmpty) Window.partitionBy()
+          else Window.partitionBy(gb: _*))
+          .orderBy(col("__bin"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val binBelow = binned.groupBy((gb :+ col("__bin")): _*)
+          .agg(sum("__n").as("__bn"))
+          .withColumn("__binbelow",
+            coalesce(sum("__bn").over(wBins), lit(0L)))
+          .drop("__bn")
+        // within-bin strictly-below: windows partition by bin → parallel
+        val wIn = Window.partitionBy((gb :+ col("__bin")): _*)
+          .orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        binned
+          .withColumn("__inbelow", coalesce(sum("__n").over(wIn), lit(0L)))
+          .join(broadcast(binBelow), groupCols :+ "__bin")
+          .withColumn("__below", col("__inbelow") + col("__binbelow"))
+          .select(gb ++ Seq(col("__v"), col("__below"), col("__nn")): _*)
+      }
+
+    // alias the ranked side's group columns to FRESH names: group-key
+    // attributes survive groupBy with their expression ids intact, so an
+    // un-aliased `df(c) === ranked(c)` can resolve trivially true
+    // (self-join ambiguity) and match rows across groups
+    val rankedR = ranked.select(
+      (groupCols.map(c => col(c).as(s"__g_$c")) ++
+        Seq(col("__v"), col("__below"), col("__nn"))): _*)
+    val cond = (df(valueCol) === rankedR("__v")) +:
+      groupCols.map(c => df(c) === rankedR(s"__g_$c"))
+    val rankedSide = if (small) broadcast(rankedR) else rankedR
+    val joined = df.join(rankedSide, cond.reduce(_ && _), "left")
       .withColumn(out,
         when(col(valueCol).isNotNull,
           col("__below") / (col("__nn") - lit(1.0))))
-    (ranked.columns.filter(_.startsWith("__")).map(ranked(_)) ++
-      groupCols.map(ranked(_)))
+    rankedR.columns.filter(_.startsWith("__")).map(rankedR(_))
       .foldLeft(joined)((d, c) => d.drop(c))
   }
 

@@ -100,4 +100,32 @@ class PercentileRankSpec extends SparkSpec {
       .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
     assert(viaOp == viaWindow)
   }
+
+  test("binned path on a unique-valued (continuous) column matches the " +
+      "window path — no single-task window over an N-sized distinct set") {
+    // every value unique + a shuffled, non-monotone layout: distinct = N,
+    // the degenerate case for the broadcast/window path
+    val df = (1 to 500).map(i => ((i * 131) % 1000).toDouble + i / 1000.0)
+      .toDF("v")
+    val small = Relational.percentileRank(df, "v", "pr")
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val binned = Relational.percentileRank(df, "v", "pr",
+        maxDistinctBroadcast = 10)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(binned == small)
+  }
+
+  test("binned path grouped: per-group ECDF matches the window path") {
+    val df = (1 to 400).map(i =>
+      (if (i % 2 == 0) "a" else "b", ((i * 37) % 500).toDouble + i))
+      .toDF("g", "v")
+    val small = Relational.percentileRank(df, "v", "pr", Seq("g"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    val binned = Relational.percentileRank(df, "v", "pr", Seq("g"),
+        maxDistinctBroadcast = 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    assert(binned == small)
+  }
 }

@@ -51,6 +51,30 @@ class PersistenceSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("price_mean")))
   }
 
+  test("IvfIndex fit -> save -> load -> query serves identical top-k " +
+      "(the ANN index lifecycle: fit once, serve anywhere)") {
+    import graft.sim.IvfIndex
+    val corpus = (0L until 200L).map { i =>
+      (i, Array.tabulate(8)(j =>
+        math.sin(i * 0.37 + j * 1.3) + (if (i % 4 == j % 4) 2.0 else 0.0)))
+    }.toDF("vec_id", "embedding")
+    val qs = corpus.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+
+    val fresh = IvfIndex.fit(corpus, "vec_id", "embedding", nCentroids = 4)
+    val dir = "target/tmp/ivf_index_test"
+    fresh.save(dir)
+    val loaded = IvfIndex.load(spark, dir)
+
+    assert(loaded.centroids.map(_.toSeq).toSeq ==
+      fresh.centroids.map(_.toSeq).toSeq)
+    def res(ix: IvfIndex) = ix.query(qs, "query_id", "qvec", k = 3,
+        nProbe = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(res(loaded) == res(fresh))
+    fresh.release(); loaded.release()
+  }
+
   test("target + hashing encoders survive save/load (small and big state)") {
     val df = (1L to 40L).map(i =>
       (i, if (i % 3 == 0) "a" else "b", i.toDouble)).toDF("id", "c", "y")
