@@ -86,9 +86,18 @@ object Bench {
     // survives log-tail truncation downstream. The omitted queries are
     // all in the flat ~0.1 s floor.
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"errors":${fmtErr(errors)},"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      detail.getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+        detail.getBytes("UTF-8"))
+      // append-only archive: BENCH_DETAIL.json is overwritten per run, so
+      // each round's full per-query map would otherwise be lost (the
+      // summary line's query list is truncated downstream)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
+        (detail + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case _: Throwable => () }
     val slowest = results.toSeq.sortBy(-_._2).take(50)
     println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":${errors.size},"queries":${fmt(slowest)},"errors":${fmtErr(errors)},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()

@@ -519,40 +519,52 @@ object Corpus {
       df: DataFrame, textCol: String, idCol: String,
       target: DataFrame, targetTextCol: String,
       buckets: Int = 1024): DataFrame = {
-    require(buckets >= 2, "need at least 2 hash buckets")
-    val reserved = Seq("__b", "__sc", "__tc", "__lr")
-      .filter(df.columns.contains)
+    require(buckets >= 2 && buckets <= (1 << 20),
+      "buckets must be in [2, 2^20] — the log-ratio table is fitted " +
+        "driver state (a per-row map literal at transform time)")
+    val reserved = Seq("__b", "__ts").filter(df.columns.contains)
     require(reserved.isEmpty, s"$reserved reserved by dsirScore")
     def bucketOf(t: Column): Column =
       pmod(graft.functions.GraftFunctions.md5_hash60(t),
         lit(buckets.toLong))
-    def tokenBuckets(frame: DataFrame, text: String, cols: Seq[Column]) =
-      frame.select(cols :+
-        explode(TextFunctions.tokensLower(col(text))).as("__t"): _*)
-        .select(cols :+ bucketOf(col("__t")).as("__b"): _*)
-    // source tokens feed both the source fit and the scoring join —
-    // persist so the tokenize+hash pass runs once
-    val srcTok = tokenBuckets(df, textCol, Seq(col(idCol))).persist()
-    val srcTotal = srcTok.count()
-    val tgtTok = tokenBuckets(target, targetTextCol, Seq.empty)
-    val tgtCnt = tgtTok.groupBy("__b").agg(count(lit(1)).as("__tc"))
-    val tgtTotal = tgtTok.count()
-    val srcCnt = srcTok.groupBy("__b").agg(count(lit(1)).as("__sc"))
-    // full outer: a bucket seen on only one side still needs its smoothed
-    // probability on the other
-    val stats = srcCnt.join(tgtCnt, Seq("__b"), "full_outer")
-      .select(col("__b"),
-        (log((coalesce(col("__tc"), lit(0L)) + lit(1L)).cast("double") /
-            lit((tgtTotal + buckets).toDouble)) -
-          log((coalesce(col("__sc"), lit(0L)) + lit(1L)).cast("double") /
-            lit((srcTotal + buckets).toDouble))).as("__lr"))
-    val result = srcTok.join(broadcast(stats), "__b")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"), avg(col("__lr")).as("dsir_score"))
-      .persist()
-    result.count() // materialize, then release the token cache
-    srcTok.unpersist(blocking = false)
-    result
+    // fit: one bucket-count aggregate per side — map-side combined down to
+    // ≤`buckets` rows, then collected (bounded by construction: the fitted
+    // state is ≤2^20 (bucket, count) pairs, never corpus-sized)
+    def bucketCounts(frame: DataFrame, text: String): Map[Long, Long] =
+      frame.select(explode(TextFunctions.tokensLower(col(text))).as("__t"))
+        .select(bucketOf(col("__t")).as("__b"))
+        .groupBy("__b").agg(count(lit(1)).as("__c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val srcCnt = bucketCounts(df, textCol)
+    val tgtCnt = bucketCounts(target, targetTextCol)
+    val srcTotal = srcCnt.values.sum
+    val tgtTotal = tgtCnt.values.sum
+    // add-one-smoothed log importance ratio per bucket; a bucket seen on
+    // only one side still gets its smoothed probability on the other.
+    // Math.log here == the executor-side log() the previous formulation
+    // used — same JVM libm, bit-identical scores
+    val lr: Map[Long, Double] =
+      (srcCnt.keySet ++ tgtCnt.keySet).iterator.map { b =>
+        b -> (math.log((tgtCnt.getOrElse(b, 0L) + 1L).toDouble /
+            (tgtTotal + buckets)) -
+          math.log((srcCnt.getOrElse(b, 0L) + 1L).toDouble /
+            (srcTotal + buckets)))
+      }.toMap
+    // score: a PURE per-row expression — tokens map through the constant
+    // bucket→lr literal and sum in-place. The previous formulation
+    // persisted the token-exploded corpus and shuffled one row per TOKEN
+    // through a per-doc aggregate; this shape shuffles nothing at all
+    // (the corpus is scanned once for the fit aggregate and once for
+    // scoring — two scans beat caching a tokens-sized relation at 100 TB)
+    val mapLit = typedLit(lr)
+    df.withColumn("__ts", TextFunctions.tokensLower(col(textCol)))
+      .filter(size(col("__ts")) > 0)
+      .withColumn("n_tokens", size(col("__ts")).cast("long"))
+      .withColumn("dsir_score",
+        aggregate(
+          transform(col("__ts"), t => element_at(mapLit, bucketOf(t))),
+          lit(0.0), (acc, x) => acc + x) / col("n_tokens"))
+      .select(col(idCol), col("n_tokens"), col("dsir_score"))
   }
 
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
