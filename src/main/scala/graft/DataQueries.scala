@@ -714,6 +714,29 @@ object DataQueries {
           regexp_replace(col("text"), " the ", "\n")),
         "text", "doc_id")),
 
+    // within-DOC repeated-line removal (C4's doc-local half): a pure
+    // per-row first-occurrence filter the oracle replays exactly
+    "q_dedup_lines_doc" -> ((s, d) =>
+      graft.text.Dedup.dedupLinesInDoc(
+        t(s, d, "documents").withColumn("text",
+          regexp_replace(col("text"), " the ", "\n")),
+        "text", "clean_text")
+        .select("doc_id", "clean_text")),
+
+    // URL canonicalization — crawl re-fetch/near-dup keying: lowercased
+    // scheme+host, www./query/fragment stripped, trailing slash trimmed;
+    // non-URLs (every 10th row) canonicalize to null
+    "q_url_canon" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("url",
+          when(col("doc_id") % 10 === 0, lit("not a url"))
+            .otherwise(concat(lit("HTTPS://WWW.Host"), col("doc_id") % 7,
+              lit(".Example.COM/p/"), col("doc_id"),
+              when(col("doc_id") % 3 === 0, lit("/?ref=x#frag"))
+                .otherwise(lit("/")))))
+        .select(col("doc_id"),
+          graft.text.Corpus.canonicalizeUrl(col("url")).as("canon_url"))),
+
     // cross-document repeated 5-gram spans (word-level substring dedup)
     "q_span_dedup" -> ((s, d) =>
       graft.text.Dedup.duplicateSpans(t(s, d, "documents"), "text",
@@ -1859,6 +1882,45 @@ object DataQueries {
              CAST(len(xs) AS BIGINT) AS n_lines,
              CAST(len(xs) - n_kept AS BIGINT) AS n_removed
            FROM ls JOIN agg USING (doc_id)""",
+
+      // same first-occurrence rule, replayed per row (1-based lambda
+      // index in DuckDB == Spark's 0-based index + 1)
+      "q_dedup_lines_doc" ->
+        """SELECT doc_id,
+             array_to_string(
+               list_filter(ls, (x, i) ->
+                 trim(x) = '' OR list_position(ls, x) = i),
+               chr(10)) AS clean_text
+           FROM (SELECT doc_id,
+                   string_split(regexp_replace(text, ' the ', chr(10), 'g'),
+                     chr(10)) AS ls
+                 FROM documents)""",
+
+      "q_url_canon" ->
+        """WITH u AS (
+             SELECT doc_id,
+               CASE WHEN doc_id % 10 = 0 THEN 'not a url'
+                    ELSE 'HTTPS://WWW.Host' || (doc_id % 7) ||
+                         '.Example.COM/p/' || doc_id ||
+                         CASE WHEN doc_id % 3 = 0 THEN '/?ref=x#frag'
+                              ELSE '/' END
+               END AS url
+             FROM documents)
+           SELECT doc_id,
+             CASE WHEN regexp_extract(url,
+                         '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) <> ''
+                    AND regexp_extract(url,
+                          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) <> ''
+               THEN lower(regexp_extract(url,
+                      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
+                 regexp_replace(lower(regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                   '^www\.', '') ||
+                 regexp_replace(regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+                   '/+$', '')
+             END AS canon_url
+           FROM u""",
 
       // same md5 gram fingerprints, same per-doc-distinct counting
       "q_span_dedup" ->

@@ -100,6 +100,31 @@ object Similarity {
       .reduce(_ + _)
   }
 
+  /** [[lshSignature]] materialized through a SEPARATE projection: the
+    * signature expression references the (interpreted, per-element)
+    * quantize transform from every plane's dot product, and a single
+    * Column inlines that sub-tree nPlanes times — 16–48 quantize passes
+    * per row. Materializing the (possibly quantized) vector as its own
+    * column first makes it an attribute reference in the dot products;
+    * CollapseProject deliberately refuses to re-inline a non-cheap
+    * expression referenced more than once, so the quantize runs once per
+    * row. Hot candidate-generation paths go through here. */
+  private def withSignature(
+      df: DataFrame, vecCol: String, out: String,
+      nPlanes: Int, dim: Int, seed: Long,
+      portable: Boolean): DataFrame = {
+    val ps = if (portable) portablePlanes(nPlanes, dim)
+             else planes(nPlanes, dim, seed)
+    val pre = df.withColumn("__qvec",
+      if (portable) quantize(col(vecCol)) else col(vecCol))
+    val sig = ps.zipWithIndex
+      .map { case (p, i) =>
+        when(dotLit(col("__qvec"), p) >= 0, lit(1L << i)).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
+    pre.withColumn(out, sig).drop("__qvec")
+  }
+
   /** LSH-bucketed ANN top-k: signature bands → bucket join → exact cosine on
     * collisions only, hot buckets capped (a degenerate sign pattern would
     * otherwise explode quadratically), bounded-heap top-k finish.
@@ -131,7 +156,6 @@ object Similarity {
     def bucketed(
         df: DataFrame, id: String, vec: String,
         probe: Boolean): DataFrame = {
-      val sig = lshSignature(col(vec), nPlanes, dim, seed, portable)
       val entries = (0 until bands).flatMap { j =>
         val base = shiftrightunsigned(col("__sig"), j * r)
           .bitwiseAND(lit(mask))
@@ -140,7 +164,7 @@ object Similarity {
           else Seq(base)
         buckets.map(b => struct(lit(j).as("band"), b.as("bucket")))
       }
-      df.withColumn("__sig", sig)
+      withSignature(df, vec, "__sig", nPlanes, dim, seed, portable)
         .select(col(id), col(vec),
           explode(array(entries: _*)).as("__b"))
         .select(col(id), col(vec), col("__b.band"), col("__b.bucket"))
@@ -210,13 +234,13 @@ object Similarity {
     require(nPlanes % bands == 0)
     val r = nPlanes / bands
     val mask = (1L << r) - 1
-    val sig = lshSignature(col(vecCol), nPlanes, dim, seed, portable)
     // persisted: the signature projection feeds the count aggregate and both
     // sides of the pair join. IDs ONLY — carrying the vector payload
     // through the bucket join + distinct would shuffle ~vecBytes × bands ×
     // bucketSize per row; the vectors come back via two narrow joins on
     // the deduped pair set instead (same trade as lshTopK's query side)
-    val buckets = data.withColumn("__sig", sig)
+    val buckets = withSignature(data, vecCol, "__sig",
+        nPlanes, dim, seed, portable)
       .select(col(idCol), explode(array((0 until bands).map(j =>
         struct(lit(j).as("band"),
           shiftrightunsigned(col("__sig"), j * r).bitwiseAND(lit(mask))
@@ -266,11 +290,11 @@ object Similarity {
     require(nPlanes % bands == 0)
     val r = nPlanes / bands
     val mask = (1L << r) - 1
-    val sig = lshSignature(col(vecCol), nPlanes, dim, seed, portable)
     // id-only buckets; vectors rejoin on the deduped pair set (see
     // embeddingNearDup — shuffling vector payloads through the bucket
     // join is the one way this goes quadratic in bytes)
-    val buckets = data.withColumn("__sig", sig)
+    val buckets = withSignature(data, vecCol, "__sig",
+        nPlanes, dim, seed, portable)
       .select(col(idCol), explode(array((0 until bands).map(j =>
         struct(lit(j).as("band"),
           shiftrightunsigned(col("__sig"), j * r).bitwiseAND(lit(mask))

@@ -627,4 +627,24 @@ object Corpus {
       .select(idCol).distinct()
     df.join(hits, Seq(idCol), "left_anti")
   }
+
+  /** Canonicalize a URL for dedup / grouping (crawl pipelines key
+    * re-fetches and near-dup pages on this): lowercase the scheme and
+    * host, strip one leading `www.`, drop the query string and fragment,
+    * trim trailing slashes from the path. Rows with no parseable
+    * `scheme://host` yield null. Pure per-row regex arithmetic, valid in
+    * both Java regex and RE2 (no backreferences), so an external SQL
+    * oracle replays it exactly. */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme =
+      lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = regexp_replace(
+      lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
+      "^www\\.", "")
+    val path = regexp_replace(
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1),
+      "/+$", "")
+    when(scheme =!= "" && host =!= "",
+      concat(scheme, lit("://"), host, path))
+  }
 }

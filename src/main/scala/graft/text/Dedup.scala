@@ -392,6 +392,31 @@ object Dedup {
     result
   }
 
+  /** Within-DOCUMENT repeated-line removal — the doc-local half of C4's
+    * line dedup ([[dedupLines]] is the cross-corpus half): keep each
+    * line's FIRST occurrence in its document, preserving order; blank
+    * lines always survive (they are paragraph separators, not content).
+    * A PURE per-row expression — no explode, no shuffle, no state — so it
+    * composes into any 100 TB scan for free; per-line cost is the
+    * first-occurrence array_position probe, quadratic only in a single
+    * document's line count. Lines compare EXACTLY (untrimmed) — the
+    * trim-keyed variant is the cross-corpus path's trade. */
+  def dedupLinesInDoc(
+      df: DataFrame, textCol: String, out: String,
+      lineSep: String = "\n"): DataFrame = {
+    require(lineSep.nonEmpty, "need a non-empty line separator")
+    require(!df.columns.contains("__ls"), "__ls reserved by dedupLinesInDoc")
+    val sepRe = java.util.regex.Pattern.quote(lineSep)
+    df.withColumn("__ls", split(col(textCol), sepRe))
+      .withColumn(out,
+        array_join(
+          filter(col("__ls"), (x, i) =>
+            trim(x) === "" ||
+              array_position(col("__ls"), x) === (i + lit(1)).cast("long")),
+          lineSep))
+      .drop("__ls")
+  }
+
   /** Maximal duplicated-span RANGES — the span-extraction step of
     * substring dedup (Lee et al. 2021 report repeated spans, not gram
     * counts): for every document, the maximal token intervals covered by

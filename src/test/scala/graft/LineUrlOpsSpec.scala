@@ -1,0 +1,59 @@
+package graft
+
+import graft.text.{Corpus, Dedup}
+import org.apache.spark.sql.functions._
+
+class DedupLinesInDocSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keeps first occurrence per doc, preserves order, keeps blanks") {
+    val df = Seq(
+      (1L, "a\nb\na\n\n\nc\nb"),
+      (2L, "x\nx\nx"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupLinesInDoc(df, "text", "clean")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got(1L) == "a\nb\n\n\nc")
+    assert(got(2L) == "x")
+    assert(got(3L) == "")
+  }
+
+  test("is doc-local: identical lines in different docs both survive") {
+    val df = Seq((1L, "dup\nother"), (2L, "dup\nmore")).toDF("doc_id", "text")
+    val got = Dedup.dedupLinesInDoc(df, "text", "clean")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got(1L) == "dup\nother")
+    assert(got(2L) == "dup\nmore")
+  }
+}
+
+class CanonicalizeUrlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lowercases scheme+host, strips www/query/fragment/trailing slash") {
+    val got = Seq(
+      "HTTPS://WWW.Host3.Example.COM/p/42/?ref=x#frag",
+      "http://example.com/",
+      "https://www.example.com",
+      "ftp://Files.Example.com/a/b///",
+      "not a url",
+      "relative/path")
+      .toDF("url")
+      .select(Corpus.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(got(0).contains("https://host3.example.com/p/42"))
+    assert(got(1).contains("http://example.com"))
+    assert(got(2).contains("https://example.com"))
+    assert(got(3).contains("ftp://files.example.com/a/b"))
+    assert(got(4).isEmpty)
+    assert(got(5).isEmpty)
+  }
+
+  test("null url stays null") {
+    val got = Seq[Option[String]](None).toDF("url")
+      .select(Corpus.canonicalizeUrl(col("url")).as("c"))
+      .head()
+    assert(got.isNullAt(0))
+  }
+}
