@@ -111,6 +111,29 @@ object DataQueries {
         .select("id_a", "id_b", "jaccard")
     }),
 
+    // incremental dedup — the production ingest shape: a MinHash INDEX
+    // fitted on the even-id half of the corpus, the odd-id "daily batch"
+    // signed alone and matched against it (the corpus text is never
+    // re-signed), candidates verified with the exact n-gram Jaccard. The
+    // oracle-exactness argument is q_dedup_minhash's: banded miss prob
+    // (1−J⁴)¹⁶ ≤ 2e-4 at J ≥ 0.8, seeded hashes, maxBucket above any
+    // bucket this corpus produces, no estimate prefilter
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val index = graft.text.MinHashIndex.fit(
+        docs.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id").as("new_id"), col("text"))
+      val cand = index.matchNew(batch, "text", "new_id",
+          maxBucket = 1000000, withEstimate = false)
+        .select(col("new_id").as("id_a"), col("doc_id").as("id_b"))
+      val out = Dedup.verifyJaccard(cand, docs, "text", "doc_id",
+          shingleK = 3, threshold = 0.8, restrictToCandidates = true)
+        .select("id_a", "id_b", "jaccard")
+      index.release()
+      out
+    }),
+
     // portable = md5 token hashes → the DuckDB oracle replays the exact
     // signatures. The Spark side is BANDED (4×16-bit buckets, never
     // all-pairs — Dedup.scala simHashNearDup); only the small-scale ORACLE
@@ -1163,6 +1186,28 @@ object DataQueries {
                          CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))
                               AS DOUBLE) END AS jaccard
              FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+           WHERE jaccard >= 0.8""",
+
+      // same brute-force exact-Jaccard oracle, restricted to
+      // (odd batch id, even corpus id) pairs — the index/batch split
+      "q_dedup_incremental" ->
+        """WITH sh AS (
+             SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+             FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+                   FROM documents))
+           SELECT id_a, id_b, jaccard FROM (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CASE WHEN len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) = 0
+                    THEN 0.0
+                    ELSE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+                         CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))
+                              AS DOUBLE) END AS jaccard
+             FROM sh a, sh b
+             WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0)
            WHERE jaccard >= 0.8""",
 
       // q_sim_ivf probes every cell → exact; the oracle is brute-force top-k

@@ -64,7 +64,7 @@ object Dedup {
       numHashes, shingleK)
 
   /** (id, band, bucket) rows for a signature frame (`idCol`, `__sig`). */
-  private def bucketsOfSig(
+  private[text] def bucketsOfSig(
       withSig: DataFrame, idCol: String, bands: Int, r: Int): DataFrame =
     withSig
       .select(col(idCol), explode(array((0 until bands).map(j =>

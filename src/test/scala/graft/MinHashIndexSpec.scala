@@ -1,0 +1,79 @@
+package graft
+
+import graft.text.{Dedup, MinHashIndex}
+import org.apache.spark.sql.functions._
+
+class MinHashIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog again and again " +
+      "while the cat watches from the warm windowsill every single day"
+
+  // corpus: 20 distinct docs (even ids); batch: near-dup of doc 4 plus
+  // two novel docs (odd ids)
+  private lazy val corpus = (0 until 20).map(i =>
+    (i * 2L, s"$base unique marker token number $i " +
+      s"extra filler ${"pad " * i}")).toDF("doc_id", "text")
+  private lazy val batch = Seq(
+    (9991L, s"$base unique marker token number 4 extra filler " +
+      ("pad " * 4)), // ~exact dup of doc 8 (i = 4)
+    (9993L, "completely different content about ships and harbors and " +
+      "the long grey horizon beyond the breakwater at dawn light"),
+    (9995L, "another novel document mentioning telescopes nebulae and " +
+      "the patient arithmetic of orbital mechanics overnight"))
+    .toDF("new_id", "text")
+
+  test("matchNew finds the planted cross-set near-dup and nothing novel") {
+    val index = MinHashIndex.fit(corpus, "text", "doc_id")
+    val got = index.matchNew(batch, "text", "new_id", maxBucket = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.exists { case (n, c, est) => n == 9991L && c == 8L && est > 0.8 })
+    assert(!got.exists { case (n, _, _) => n == 9993L || n == 9995L })
+    index.release()
+  }
+
+  test("save -> load -> matchNew serves identical candidates; add grows " +
+      "the index one batch scan at a time") {
+    val fresh = MinHashIndex.fit(corpus, "text", "doc_id")
+    val dir = "target/tmp/minhash_index_test"
+    fresh.save(dir)
+    val loaded = MinHashIndex.load(spark, dir)
+    assert(loaded.numHashes == fresh.numHashes &&
+      loaded.bands == fresh.bands && loaded.shingleK == fresh.shingleK)
+
+    def res(ix: MinHashIndex) =
+      ix.matchNew(batch, "text", "new_id", maxBucket = 100000)
+        .orderBy("new_id", "doc_id").collect().toSeq
+    assert(res(loaded) == res(fresh))
+
+    // grow with the batch, then the batch's own dup (of itself) matches
+    val grown = loaded.add(batch, "text", "new_id")
+    val again = grown.matchNew(
+        Seq((7777L, batch.filter($"new_id" === 9993L)
+          .head().getString(1))).toDF("new_id", "text"),
+        "text", "new_id", maxBucket = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.contains((7777L, 9993L)))
+    fresh.release(); loaded.release()
+  }
+
+  test("agrees with the one-shot batch path on a shared corpus") {
+    // fitting on all docs and matching the batch must produce the same
+    // verified pairs as running minHashLSH over corpus+batch and keeping
+    // cross-set pairs
+    val all = corpus.unionByName(
+      batch.select($"new_id".as("doc_id"), $"text"))
+    val oneShot = Dedup.minHashLSH(all, "text", "doc_id",
+        maxBucket = 100000, withEstimate = false)
+      .filter(($"id_a" >= 9990L) =!= ($"id_b" >= 9990L))
+      .collect().map(r => (r.getLong(0) max r.getLong(1),
+        r.getLong(0) min r.getLong(1))).toSet
+    val index = MinHashIndex.fit(corpus, "text", "doc_id")
+    val incr = index.matchNew(batch, "text", "new_id",
+        maxBucket = 100000, withEstimate = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incr == oneShot)
+    index.release()
+  }
+}
