@@ -95,6 +95,28 @@ class MinHashIndex private[text] (
       numHashes, bands, shingleK)
   }
 
+  /** The index's banded buckets in the frozen-corpus shape
+    * [[graft.streaming.Streaming.nearDupCandidates]] consumes
+    * (`(corpus_id, band, bucket)`, hot buckets capped with a logged
+    * warning, persisted + materialized — release with `.unpersist()`).
+    * Ties the lifecycle together: fit or load an index once, serve BOTH
+    * batch `matchNew` and streaming near-dup from the same saved
+    * signatures — the corpus text is never re-signed for either. */
+  def frozenBuckets(maxBucket: Int = 10000): DataFrame = {
+    val buckets = Dedup.bucketsOfSig(signatures, idCol, bands, r)
+      .withColumnRenamed(idCol, "corpus_id")
+      .persist()
+    val counts = buckets.groupBy("band", "bucket").count()
+    val (ok, countsCached, reportDrops) = Dedup.capBuckets(
+      buckets, counts, maxBucket, "MinHashIndex.frozenBuckets")
+    val frozen = ok.select("corpus_id", "band", "bucket").persist()
+    frozen.count()
+    reportDrops()
+    buckets.unpersist()
+    countsCached.unpersist()
+    frozen
+  }
+
   /** Persist: `<path>/signatures/` parquet + `<path>/index.json`. */
   def save(path: String): Unit = {
     Files.createDirectories(Paths.get(path))

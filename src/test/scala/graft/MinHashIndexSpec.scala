@@ -58,6 +58,26 @@ class MinHashIndexSpec extends SparkSpec {
     fresh.release(); loaded.release()
   }
 
+  test("frozenBuckets serves Streaming.nearDupCandidates from a loaded " +
+      "index (one fit, both batch and streaming serving)") {
+    val dir = "target/tmp/minhash_index_stream_test"
+    MinHashIndex.fit(corpus, "text", "doc_id").save(dir)
+    val loaded = MinHashIndex.load(spark, dir)
+    val frozen = loaded.frozenBuckets()
+    // nearDupCandidates is a stateless equi-join — identical plan on a
+    // batch frame stands in for the micro-batch side
+    val got = graft.streaming.Streaming.nearDupCandidates(
+        batch, "text", "new_id", frozen,
+        loaded.numHashes, loaded.bands, loaded.shingleK)
+      .select("new_id", "corpus_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = loaded.matchNew(batch, "text", "new_id",
+        maxBucket = 100000, withEstimate = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == direct)
+    frozen.unpersist(); loaded.release()
+  }
+
   test("agrees with the one-shot batch path on a shared corpus") {
     // fitting on all docs and matching the batch must produce the same
     // verified pairs as running minHashLSH over corpus+batch and keeping
