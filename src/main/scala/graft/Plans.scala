@@ -105,9 +105,10 @@ object Plans {
         "codegen'd Project over a pruned scan (one token-array " +
         "materialization) — filters at scan speed.",
         SparkEntry.queries("q_gopher")(spark, d)),
-      ("q_dsir", "DSIR scoring: the bucket-stats relation (≤ `buckets` " +
-        "rows by construction) broadcasts back onto the token explode; " +
-        "per-doc aggregate is the only real shuffle.",
+      ("q_dsir", "DSIR scoring: the fitted bucket→log-ratio table is a " +
+        "constant map literal, so scoring is ONE shuffle-free projection " +
+        "over the scan; the only aggregates are the two bounded fit-time " +
+        "bucket counts.",
         SparkEntry.queries("q_dsir")(spark, d)),
       ("q_bigram_quality", "bigram LM: pairing is zip_with over the " +
         "materialized token array (O(tokens) — a lambda referencing the " +
