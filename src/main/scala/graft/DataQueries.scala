@@ -468,6 +468,14 @@ object DataQueries {
         t(s, d, "documents"), "doc_id", "n_chars", 100)
         .select("doc_id", "lang", "source", "n_chars")),
 
+    // cost-aware quota: ~20k chars per language, docs admitted in
+    // md5-rank order until the budget fills — exact integer cumsum, so
+    // the keep set replays in any engine
+    "q_sample_budget" -> ((s, d) =>
+      graft.text.Corpus.sampleByBudget(
+        t(s, d, "documents"), "doc_id", Seq("lang"), "n_chars", 20000L)
+        .select("doc_id", "lang", "n_chars", "cum_cost")),
+
     // sqrt-temperature rebalance by language (alpha = 0.5: div + sqrt,
     // both IEEE correctly-rounded -> the keep decision replays exactly)
     "q_temperature_mix" -> ((s, d) =>
@@ -1453,6 +1461,17 @@ object DataQueries {
                                   1, 15)) AS BIGINT), doc_id) AS rank
              FROM documents)
            WHERE rank <= 25""",
+
+      "q_sample_budget" ->
+        """SELECT doc_id, lang, n_chars, cum_cost FROM (
+             SELECT doc_id, lang, n_chars,
+               CAST(sum(CAST(n_chars AS BIGINT)) OVER (PARTITION BY lang
+                 ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                  1, 15)) AS BIGINT), doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_cost
+             FROM documents)
+           WHERE cum_cost <= 20000""",
 
       // identical md5-top-60-bit uniform: ('0x'||hex)::BIGINT in DuckDB ==
       // conv(hex,16,10) cast long in Spark; both divide by 2^60 as DOUBLE

@@ -66,6 +66,41 @@ object Corpus {
         (col("__pos") + 1).as("sample_rank")): _*)
   }
 
+  /** Deterministic per-group BUDGET sample — "keep ~N tokens (or chars,
+    * or bytes) per source/language", the cost-aware quota form of
+    * [[sampleNPerGroup]] (which counts rows, not cost): rows enter in
+    * md5-uniform rank order (ties on id) and survive while the group's
+    * running `costCol` total stays within `budget` (inclusive — the
+    * cumulative sum counts the row itself). Deterministic,
+    * engine-replayable (md5 rank + exact integer cumulative sum), and
+    * stable under retries and repartitioning. The per-group ordered
+    * window sorts each group's rows — the inherent cost of an ordered
+    * quota (sessionize's per-key-history trade); groups are corpus
+    * strata (sources, languages), so `partitionBy(group)` keeps every
+    * task to one stratum. `groupCols` must be non-empty — a global
+    * budget is a single-task window; pass a constant group only for
+    * eval-set-sized inputs, deliberately. Output: input columns +
+    * `cum_cost`. */
+  def sampleByBudget(
+      df: DataFrame, idCol: String, groupCols: Seq[String],
+      costCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"need budget > 0, got $budget")
+    require(groupCols.nonEmpty,
+      "groupCols must be non-empty (a global budget funnels the corpus " +
+        "through one window task; group by stratum, or by a constant for " +
+        "deliberately-small eval sets)")
+    val h = graft.functions.GraftFunctions
+      .md5_hash60(col(idCol).cast("string"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(h.asc, col(idCol).asc)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("cum_cost", sum(col(costCol).cast("long")).over(w))
+      .filter(col("cum_cost") <= budget)
+  }
+
   /** Global fixed-size deterministic sample: exactly `n` rows chosen by
     * md5-uniform rank of `idCol` (ties on id) — the eval-subset/smoke-
     * test primitive. Engine-replayable, stable under task retry and

@@ -28,6 +28,40 @@ class DedupLinesInDocSpec extends SparkSpec {
   }
 }
 
+class SampleByBudgetSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("admits docs in md5-rank order until each group's budget fills") {
+    val df = (1L to 100L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", 10L)).toDF("doc_id", "g", "cost")
+    val got = Corpus.sampleByBudget(df, "doc_id", Seq("g"), "cost", 95L)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(3)))
+    // 10 per group exactly (9×10 < 95 < 10×10 is false: 100 > 95 → 9 fit)
+    val perGroup = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perGroup == Map("a" -> 9, "b" -> 9))
+    // cum_cost strictly increasing within group, capped at the budget
+    got.groupBy(_._1).values.foreach { rows =>
+      val cums = rows.map(_._3).sorted.toSeq
+      assert(cums == (1 to 9).map(_ * 10L))
+    }
+    // determinism: same keep set on a repartitioned input
+    val again = Corpus.sampleByBudget(df.repartition(7), "doc_id",
+        Seq("g"), "cost", 95L)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(again == got.map(t => (t._1, t._2)).toSet)
+  }
+
+  test("rejects empty groupCols and non-positive budgets") {
+    val df = Seq((1L, 5L)).toDF("doc_id", "cost")
+    intercept[IllegalArgumentException] {
+      Corpus.sampleByBudget(df, "doc_id", Nil, "cost", 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.sampleByBudget(df, "doc_id", Seq("doc_id"), "cost", 0L)
+    }
+  }
+}
+
 class CanonicalizeUrlSpec extends SparkSpec {
   import spark.implicits._
 
