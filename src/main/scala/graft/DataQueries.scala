@@ -795,6 +795,21 @@ object DataQueries {
         .select(col("id_a").as("doc_id"), col("component"))
     }),
 
+    // quality-aware dedup — SemDeDup's keep-BEST rule: per duplicate
+    // cluster (the oracle-exact q_dedup_minhash edge set) keep the
+    // longest doc, ties to the lower id, drop the dominated members
+    "q_dedup_best" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val cand = Dedup.minHashLSH(docs, "text", "doc_id",
+        maxBucket = 1000000, withEstimate = false)
+      val pairs = Dedup.verifyJaccard(cand, docs, "text", "doc_id",
+          shingleK = 3, threshold = 0.8, restrictToCandidates = true)
+        .select("id_a", "id_b")
+      Dedup.keepBestPerComponent(docs, "doc_id", pairs,
+          docs.select("doc_id", "n_chars"), "n_chars")
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
+
     // SemDeDup-style semantic dedup: portable near-dup pairs → connected
     // components → keep the min-id representative per cluster
     "q_semantic_dedup" -> ((s, d) =>
@@ -2071,6 +2086,49 @@ object DataQueries {
              least(n.node, min(r.b)) AS component
            FROM nodes n LEFT JOIN reach r ON r.a = n.node
            GROUP BY n.node""",
+
+      // same recursive-CTE components as q_dup_components, then the
+      // keep-best rule: longest doc per cluster (ties to lower id)
+      "q_dedup_best" ->
+        """WITH RECURSIVE sh AS (
+             SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+             FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+                   FROM documents)),
+           pairs AS (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM sh a, sh b WHERE a.doc_id < b.doc_id
+               AND len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) > 0
+               AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+                   (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+                   >= 0.8),
+           e AS (SELECT id_a AS a, id_b AS b FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+           reach(a, b) AS (
+             SELECT a, b FROM e
+             UNION
+             SELECT e.a, reach.b FROM e JOIN reach ON e.b = reach.a),
+           nodes AS (SELECT DISTINCT a AS node FROM e),
+           comp AS (
+             SELECT n.node AS doc_id, least(n.node, min(r.b)) AS component
+             FROM nodes n LEFT JOIN reach r ON r.a = n.node
+             GROUP BY n.node),
+           scored AS (
+             SELECT c.doc_id, c.component, d.n_chars
+             FROM comp c JOIN documents d USING (doc_id)),
+           keepers AS (
+             SELECT doc_id FROM (
+               SELECT doc_id, row_number() OVER (PARTITION BY component
+                 ORDER BY n_chars DESC, doc_id ASC) AS rn
+               FROM scored) WHERE rn = 1),
+           drops AS (
+             SELECT doc_id FROM scored
+             WHERE doc_id NOT IN (SELECT doc_id FROM keepers))
+           SELECT doc_id, lang, source, n_chars FROM documents
+           WHERE doc_id NOT IN (SELECT doc_id FROM drops)""",
 
       // transitive closure over the portable embedding near-dup pairs
       // (q_embed_neardup's edge set); keep = min-id representative per

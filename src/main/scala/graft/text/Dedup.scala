@@ -572,6 +572,38 @@ object Dedup {
     labels.withColumnRenamed("node", idA)
   }
 
+  /** Quality-aware cluster representative selection — SemDeDup's keep
+    * rule: within each duplicate component keep the row with the BEST
+    * `scoreCol` (ties on the lower id), drop the dominated members, and
+    * pass every un-clustered row through untouched. The upgrade over
+    * [[duplicateComponents]]' min-id labeling when a quality signal
+    * exists (Gopher score, length, LM perplexity): dedup should retain
+    * the best exemplar, not the earliest-crawled one. Null scores rank
+    * below every real score.
+    *
+    * Shape at 100 TB: components from the capped pair set (bounded —
+    * see [[duplicateComponents]]), one broadcast-sized score join over
+    * the clustered ids ONLY (near-dup members are a vanishing fraction
+    * of the corpus), one max_by aggregate per component (map-side
+    * combined), one anti join back — the corpus never shuffles. */
+  def keepBestPerComponent(
+      df: DataFrame, idCol: String, pairs: DataFrame,
+      scores: DataFrame, scoreCol: String): DataFrame = {
+    val comp = duplicateComponents(pairs)
+    val labeled = comp.join(
+      scores.select(col(idCol).cast("long").as("id_a"),
+        coalesce(col(scoreCol).cast("double"),
+          lit(Double.NegativeInfinity)).as("__s")),
+      "id_a")
+    val keepers = labeled.groupBy("component")
+      .agg(max_by(col("id_a"), struct(col("__s"), -col("id_a")))
+        .as("__keep"))
+    val drops = labeled.join(keepers, "component")
+      .filter(col("id_a") =!= col("__keep"))
+      .select(col("id_a").as(idCol))
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Verify candidate pairs with exact n-gram Jaccard: join the texts back
     * and keep pairs at or above `threshold`. Each doc is shingled ONCE
     * (token array materialized first — see wordShinglesT's doc), the

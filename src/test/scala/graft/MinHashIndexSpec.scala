@@ -78,6 +78,23 @@ class MinHashIndexSpec extends SparkSpec {
     frozen.unpersist(); loaded.release()
   }
 
+  test("keepBestPerComponent keeps the best-scored exemplar per cluster " +
+      "and passes unclustered rows through") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "x", 10.0), (2L, "x", 30.0), (3L, "x", 30.0), // cluster {1,2,3}
+      (4L, "y", 5.0), (5L, "y", 1.0), // cluster {4,5}
+      (9L, "z", 0.0) // unclustered
+    ).toDF("doc_id", "text", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepBestPerComponent(docs, "doc_id", pairs,
+        docs.select("doc_id", "score"), "score")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // {1,2,3}: max score 30 tie between 2 and 3 -> lower id 2
+    // {4,5}: 4 wins; 9 untouched
+    assert(kept == Set(2L, 4L, 9L))
+  }
+
   test("agrees with the one-shot batch path on a shared corpus") {
     // fitting on all docs and matching the batch must produce the same
     // verified pairs as running minHashLSH over corpus+batch and keeping
