@@ -90,4 +90,60 @@ class CanonicalizeUrlSpec extends SparkSpec {
       .head()
     assert(got.isNullAt(0))
   }
+
+  test("canonicalization is idempotent (canonical forms are fixed points)") {
+    val urls = Seq(
+      "HTTPS://WWW.Host3.Example.COM/p/42/?ref=x#frag",
+      "http://example.com/",
+      "ftp://Files.Example.com/a/b///",
+      "https://www.example.com?q=1")
+      .toDF("url")
+    val once = urls.select(Corpus.canonicalizeUrl(col("url")).as("c"))
+    val twice = once.select(Corpus.canonicalizeUrl(col("c")).as("c2"))
+    assert(once.collect().map(_.getString(0)).toSeq ==
+      twice.collect().map(_.getString(0)).toSeq)
+  }
+}
+
+class NewOpsPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedupLinesInDoc is idempotent and only removes lines") {
+    val texts = Seq(
+      "a\nb\na\nb\nc", "x\nx", "", "one", "p\n\np\n\nq",
+      "z\nz\nz\nz\nz\ny\nz")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val once = graft.text.Dedup.dedupLinesInDoc(df, "text", "clean")
+      .select($"doc_id", $"clean".as("text"))
+    val twice = graft.text.Dedup.dedupLinesInDoc(once, "text", "clean")
+    val o = once.orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    val w = twice.orderBy("doc_id").collect().map(_.getString(2)).toSeq
+    assert(o == w)
+    // every kept non-blank line appeared in the input, multiset-bounded
+    texts.zip(o).foreach { case (in, out) =>
+      val inLines = in.split("\n", -1).toSeq
+      val outLines = out.split("\n", -1).toSeq
+      assert(outLines.filter(_.trim.nonEmpty).toSet subsetOf
+        inLines.filter(_.trim.nonEmpty).toSet)
+      assert(outLines.size <= inLines.size)
+    }
+  }
+
+  test("sampleByBudget is monotone in budget and respects the cap") {
+    val df = (1L to 60L).map(i => (i, s"g${i % 3}", 7L))
+      .toDF("doc_id", "g", "cost")
+    val small = graft.text.Corpus
+      .sampleByBudget(df, "doc_id", Seq("g"), "cost", 50L)
+      .collect().map(_.getLong(0)).toSet
+    val big = graft.text.Corpus
+      .sampleByBudget(df, "doc_id", Seq("g"), "cost", 120L)
+      .collect().map(_.getLong(0)).toSet
+    assert(small subsetOf big)
+    val sums = graft.text.Corpus
+      .sampleByBudget(df, "doc_id", Seq("g"), "cost", 50L)
+      .groupBy("g").agg(sum("cost").as("s"))
+      .collect().map(_.getLong(1))
+    assert(sums.forall(_ <= 50L))
+  }
 }
