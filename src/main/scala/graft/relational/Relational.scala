@@ -841,9 +841,12 @@ object Relational {
         val wIn = Window.partitionBy((gb :+ col("__bin")): _*)
           .orderBy(col("__v"))
           .rowsBetween(Window.unboundedPreceding, -1)
+        // no broadcast hint on the offsets join: binBelow is groups×bins
+        // rows — tiny ungrouped, but unbounded in the group count; AQE
+        // broadcasts it when it is actually small
         binned
           .withColumn("__inbelow", coalesce(sum("__n").over(wIn), lit(0L)))
-          .join(broadcast(binBelow), groupCols :+ "__bin")
+          .join(binBelow, groupCols :+ "__bin")
           .withColumn("__below", col("__inbelow") + col("__binbelow"))
           .select(gb ++ Seq(col("__v"), col("__below"), col("__nn")): _*)
       }
