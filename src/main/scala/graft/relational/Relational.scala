@@ -813,9 +813,12 @@ object Relational {
           min(col("__v").cast("double")).as("__lo"),
           max(col("__v").cast("double")).as("__hi"),
           sum("__n").as("__nn"))
+        // ungrouped: bounds is ONE row — broadcast unconditionally.
+        // grouped: bounds is groups-sized (unbounded in group count) —
+        // no hint, AQE broadcasts when actually small
         val withBounds =
           if (groupCols.isEmpty) counts.crossJoin(broadcast(bounds))
-          else counts.join(broadcast(bounds), groupCols)
+          else counts.join(bounds, groupCols)
         // monotone double binning — ties at the cast collapse into the
         // same bin, and within-bin order uses the ORIGINAL value, so the
         // cumulative stays exact
