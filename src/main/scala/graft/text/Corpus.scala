@@ -554,9 +554,11 @@ object Corpus {
       df: DataFrame, textCol: String, idCol: String,
       target: DataFrame, targetTextCol: String,
       buckets: Int = 1024): DataFrame = {
-    require(buckets >= 2 && buckets <= (1 << 20),
-      "buckets must be in [2, 2^20] — the log-ratio table is fitted " +
-        "driver state (a per-row map literal at transform time)")
+    require(buckets >= 2 && buckets <= (1 << 16),
+      "buckets must be in [2, 2^16] — the log-ratio table ships in the " +
+        "PLAN as a map literal (fitted driver state); past ~65k entries " +
+        "the literal bloats every task's plan, and DSIR's own hashing " +
+        "argument needs far fewer buckets than that")
     val reserved = Seq("__b", "__ts").filter(df.columns.contains)
     require(reserved.isEmpty, s"$reserved reserved by dsirScore")
     def bucketOf(t: Column): Column =
