@@ -178,6 +178,21 @@ object Plans {
         "join → pure md5 filter: rebalancing decisions at scan speed " +
         "with no RNG state and no data shuffle.",
         SparkEntry.queries("q_temperature_mix")(spark, d)),
+      ("q_dedup_incremental", "incremental dedup: only the BATCH side " +
+        "carries a signature projection; the corpus side is the fitted " +
+        "signature relation's capped bucket explode — the corpus text " +
+        "appears in no scan. Candidate pairs flow to one exact-verify " +
+        "join pass.",
+        SparkEntry.queries("q_dedup_incremental")(spark, d)),
+      ("q_sample_budget", "cost-aware quota: ONE per-group window (md5 " +
+        "rank order, exact integer cumsum) then a filter — no global " +
+        "sort, no collect; each stratum sorts independently.",
+        SparkEntry.queries("q_sample_budget")(spark, d)),
+      ("q_dedup_lines_doc", "within-doc line dedup: a single codegen'd " +
+        "Project over the pruned scan — the first-occurrence filter is " +
+        "a pure array expression, so the operator composes into ingest " +
+        "at scan speed.",
+        SparkEntry.queries("q_dedup_lines_doc")(spark, d)),
       ("percentileRank binned path (continuous key)", "above the fitted " +
         "distinct-count threshold the ECDF switches to 4096 value bins: " +
         "the within-bin cumulative windows PARTITION BY bin (parallel, " +
