@@ -159,8 +159,10 @@ object MinHashIndex {
       case JInt(i) => i.toInt
       case x => throw new IllegalArgumentException(s"bad $f: $x")
     }
+    // persisted like IvfIndex.load: matchNew reads the signatures twice
+    // (bucket side + estimate rejoin); release() frees it when retired
     new MinHashIndex(
-      spark.read.parquet(s"$path/signatures"),
+      spark.read.parquet(s"$path/signatures").persist(),
       (j \ "idCol").asInstanceOf[JString].s,
       int("numHashes"), int("bands"), int("shingleK"))
   }
