@@ -47,10 +47,19 @@ object Bench {
         errors(name) = jsonSafe(
           e.getClass.getSimpleName + ": " + Option(e.getMessage).getOrElse(""))
 
+    // Warmup failures are WARNINGS only (ADVICE r5): the warm dir is a
+    // different scale factor, and fixture drift there (a warm-dir-only
+    // schema mismatch) must not exclude a query whose timed iterations at
+    // the bench scale all succeed — only timed-pass errors fail the run.
+    val warmupErrors = scala.collection.mutable.LinkedHashMap[String, String]()
     val warmDir = "/root/testdata/sf0.001"
     queries.foreach { case (name, fn) =>
       try run(fn(spark, warmDir))
-      catch { case e: Throwable => recordError(name, e) }
+      catch { case e: Throwable =>
+        if (!warmupErrors.contains(name))
+          warmupErrors(name) = jsonSafe(e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse(""))
+      }
     }
 
     // three timed iterations, min per query: steady-state time without
@@ -85,7 +94,7 @@ object Bench {
     // kept under ~1500 chars (total + the slowest 50 queries, 3 dp) so it
     // survives log-tail truncation downstream. The omitted queries are
     // all in the flat ~0.1 s floor.
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"errors":${fmtErr(errors)},"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"errors":${fmtErr(errors)},"warmup_errors":${fmtErr(warmupErrors)},"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
         detail.getBytes("UTF-8"))
@@ -99,7 +108,7 @@ object Bench {
         java.nio.file.StandardOpenOption.APPEND)
     } catch { case _: Throwable => () }
     val slowest = results.toSeq.sortBy(-_._2).take(50)
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":${errors.size},"queries":${fmt(slowest)},"errors":${fmtErr(errors)},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":${errors.size},"queries":${fmt(slowest)},"errors":${fmtErr(errors)},"n_warmup_errors":${warmupErrors.size},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -773,13 +773,25 @@ object Relational {
     *    small distinct set (single task per group — bounded by
     *    construction) and a BROADCAST join back;
     *  - above (continuous columns, distinct ≈ N): an exact BINNED
-    *    cumulative — per-group min/max bounds, 4096 value bins, per-BIN
-    *    ordered windows (partitioned by bin → parallel, each task holds
-    *    ~distinct/4096 rows), a bins-sized cumulative for cross-bin
-    *    offsets, and a SHUFFLE join back. No single-task window and no
-    *    N-sized broadcast anywhere; requires a numeric value column
-    *    (non-numeric high-cardinality keeps the window path — bounded
-    *    dictionary columns are the only realistic non-numeric input). */
+    *    cumulative — 64 approx-quantile macro-bins (balanced by DISTINCT
+    *    count, so a heavy-tailed outlier occupies the top bin alone
+    *    instead of collapsing everything into bin 0) × 64 equal-width
+    *    micro-bins = 4096 bins, per-BIN ordered windows (partitioned by
+    *    bin → parallel, each task holds ~distinct/64 rows worst-case
+    *    under total skew, ~distinct/4096 typical), a bins-sized
+    *    cumulative for cross-bin offsets, and a SHUFFLE join back. No
+    *    single-task window and no N-sized broadcast anywhere; requires a
+    *    numeric value column (non-numeric high-cardinality keeps the
+    *    window path — bounded dictionary columns are the only realistic
+    *    non-numeric input). Binning only partitions the value space; the
+    *    cumulative arithmetic is exact either way.
+    *
+    * The ranked relation is localCheckpoint'ed (eager) and the fit-time
+    * distinct cache released before returning, so long-lived sessions
+    * don't accumulate corpus-sized cached relations (the checkpoint
+    * itself is freed by the ContextCleaner once the returned plan is
+    * unreferenced; on a cluster with executor loss, swap in reliable
+    * checkpointing). */
   def percentileRank(
       df: DataFrame, valueCol: String, out: String,
       groupCols: Seq[String] = Nil,
@@ -807,28 +819,50 @@ object Relational {
           coalesce(sum("__n").over(w), lit(0L)).as("__below"),
           sum("__n").over(wAll).as("__nn")): _*)
       } else {
-        val nBins = 4096
-        // group-level bounds + totals: groups-sized, broadcastable
+        val nMacro = 64
+        val nMicro = 64 // nMacro * nMicro = 4096 total bins
+        val vd = col("__v").cast("double")
+        // group-level bounds + totals + approx-quantile macro edges over
+        // the DISTINCT values (unweighted — per-bin task cost is distinct
+        // values per bin, which is exactly what the quantiles balance):
+        // groups-sized, broadcastable
+        val innerPcts = array(
+          (1 until nMacro).map(i => lit(i.toDouble / nMacro)): _*)
         val bounds = counts.groupBy(gb: _*).agg(
-          min(col("__v").cast("double")).as("__lo"),
-          max(col("__v").cast("double")).as("__hi"),
-          sum("__n").as("__nn"))
+          min(vd).as("__lo"),
+          max(vd).as("__hi"),
+          sum("__n").as("__nn"),
+          percentile_approx(vd, innerPcts, lit(10000)).as("__edges"))
         // ungrouped: bounds is ONE row — broadcast unconditionally.
         // grouped: bounds is groups-sized (unbounded in group count) —
         // no hint, AQE broadcasts when actually small
         val withBounds =
           if (groupCols.isEmpty) counts.crossJoin(broadcast(bounds))
           else counts.join(bounds, groupCols)
-        // monotone double binning — ties at the cast collapse into the
-        // same bin, and within-bin order uses the ORIGINAL value, so the
-        // cumulative stays exact
-        val vd = col("__v").cast("double")
-        val width = (col("__hi") - col("__lo")) / nBins
-        val binned = withBounds.withColumn("__bin",
-          when(col("__hi") === col("__lo"), lit(0L))
-            .otherwise(least(floor((vd - col("__lo")) / width),
-              lit(nBins - 1L)).cast("long")))
-          .drop("__lo", "__hi")
+        // macro bin = #edges ≤ v (a 63-element codegen'd scan — monotone
+        // in v even with duplicate edges, which just leave bins empty);
+        // micro bin = equal width within the macro bin's [mlo, mhi) span.
+        // Ties at the double cast collapse into the same bin, and
+        // within-bin order uses the ORIGINAL value, so the cumulative
+        // stays exact
+        val macroBin = aggregate(col("__edges"), lit(0),
+          (acc, e) => acc + when(vd >= e, 1).otherwise(0))
+        val mlo = when(col("__macro") === 0, col("__lo"))
+          .otherwise(element_at(col("__edges"), col("__macro")))
+        val mhi = when(col("__macro") === nMacro - 1, col("__hi"))
+          .otherwise(element_at(col("__edges"), col("__macro") + 1))
+        val microWidth = (col("__mhi") - col("__mlo")) / nMicro
+        val micro = when(col("__mhi") <= col("__mlo"), lit(0L))
+          .otherwise(least(
+            floor((vd - col("__mlo")) / microWidth), lit(nMicro - 1L))
+            .cast("long"))
+        val binned = withBounds
+          .withColumn("__macro", macroBin)
+          .withColumn("__mlo", mlo)
+          .withColumn("__mhi", mhi)
+          .withColumn("__bin",
+            col("__macro").cast("long") * nMicro + greatest(micro, lit(0L)))
+          .drop("__lo", "__hi", "__edges", "__macro", "__mlo", "__mhi")
         // cross-bin offsets: a groups×bins relation, cumulative over ≤4096
         // rows per group — bounded by construction
         val wBins = (if (groupCols.isEmpty) Window.partitionBy()
@@ -857,10 +891,17 @@ object Relational {
     // alias the ranked side's group columns to FRESH names: group-key
     // attributes survive groupBy with their expression ids intact, so an
     // un-aliased `df(c) === ranked(c)` can resolve trivially true
-    // (self-join ambiguity) and match rows across groups
+    // (self-join ambiguity) and match rows across groups.
+    // localCheckpoint (eager) materializes the distinct-sized ranked
+    // relation so the fit-time distinct cache can be released NOW — the
+    // persist otherwise outlives the call (ADVICE r5): for continuous
+    // columns distinct ≈ N, so every percentileRank call would pin a
+    // corpus-sized relation until clearCache
     val rankedR = ranked.select(
       (groupCols.map(c => col(c).as(s"__g_$c")) ++
         Seq(col("__v"), col("__below"), col("__nn"))): _*)
+      .localCheckpoint(eager = true)
+    counts.unpersist(blocking = false)
     val cond = (df(valueCol) === rankedR("__v")) +:
       groupCols.map(c => df(c) === rankedR(s"__g_$c"))
     val rankedSide = if (small) broadcast(rankedR) else rankedR

@@ -590,11 +590,16 @@ object Dedup {
       df: DataFrame, idCol: String, pairs: DataFrame,
       scores: DataFrame, scoreCol: String): DataFrame = {
     val comp = duplicateComponents(pairs)
+    // LEFT join: a clustered id absent from `scores` must still compete
+    // (with -Inf, the same rule as a null score) — an inner join would
+    // silently retain it as an un-droppable, un-keepable ghost (ADVICE r5)
     val labeled = comp.join(
-      scores.select(col(idCol).cast("long").as("id_a"),
-        coalesce(col(scoreCol).cast("double"),
-          lit(Double.NegativeInfinity)).as("__s")),
-      "id_a")
+        scores.select(col(idCol).cast("long").as("id_a"),
+          col(scoreCol).cast("double").as("__s_raw")),
+        Seq("id_a"), "left")
+      .withColumn("__s",
+        coalesce(col("__s_raw"), lit(Double.NegativeInfinity)))
+      .drop("__s_raw")
     val keepers = labeled.groupBy("component")
       .agg(max_by(col("id_a"), struct(col("__s"), -col("id_a")))
         .as("__keep"))

@@ -91,8 +91,15 @@ class MinHashIndex private[text] (
         Dedup.minHashSignature(col(textCol), numHashes, shingleK))
       .filter(size(col("__sig")) > 0)
       .select(col(batchIdCol).as(idCol), col("__sig"))
-    new MinHashIndex(signatures.unionByName(bSig), idCol,
-      numHashes, bands, shingleK)
+    // persist + materialize the union (one batch scan, corpus side read
+    // from the parent's cache), then release the parent's cache through
+    // the handoff — otherwise matchNew on the returned index re-signs the
+    // batch on every evaluation (twice per call: bucket side + estimate
+    // rejoin) and release() on the child never frees the parent (ADVICE r5)
+    val unioned = signatures.unionByName(bSig).persist()
+    unioned.count()
+    signatures.unpersist(blocking = false)
+    new MinHashIndex(unioned, idCol, numHashes, bands, shingleK)
   }
 
   /** The index's banded buckets in the frozen-corpus shape
