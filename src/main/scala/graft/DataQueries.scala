@@ -217,6 +217,50 @@ object DataQueries {
           (lit(1) - col("l_discount"))), 6).as("revenue"))
     }),
 
+    // TPC-H Q1 shape: the pure scan+aggregate plan — one pass, map-side
+    // partial aggregation into 4 groups, every arithmetic expression
+    // inside whole-stage codegen (q_relational_agg's cousin, plus Q1's
+    // three-factor sum_charge product)
+    "q_tpch_q1" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          round(avg("l_extendedprice"), 6).as("avg_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+
+    // TPC-H Q18 shape: join + top-k-heavy — a HAVING-filtered aggregate
+    // as a semi-join filter set, the 3-table join, and a global top-100
+    // that plans as TakeOrderedAndProject (per-partition heaps, never a
+    // full sort). The o_orderkey tiebreak makes the cut deterministic
+    "q_tpch_q18" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val big = li.groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("__q"))
+        .filter(col("__q") > 150)
+        .select("l_orderkey")
+      val ord = t(s, d, "orders")
+        .join(big, col("o_orderkey") === big("l_orderkey"), "left_semi")
+      val cust = t(s, d, "customer").select("c_custkey")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("timestamp").cast("long")
+            .as("o_orderdate_s"),
+          col("o_totalprice"))
+        .agg(sum("l_quantity").as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
     // top-100 corpus vocabulary with dense rank ids (global top-k plans
     // as TakeOrderedAndProject — per-partition heaps, no full sort)
     "q_vocab" -> ((s, d) =>
@@ -2790,6 +2834,38 @@ object DataQueries {
            FROM lineitem
            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
            GROUP BY l_returnflag, l_linestatus""",
+
+      "q_tpch_q1" ->
+        """SELECT l_returnflag, l_linestatus,
+             sum(l_quantity) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 2)
+               AS sum_disc_price,
+             round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+               AS sum_charge,
+             round(avg(l_quantity), 6) AS avg_qty,
+             round(avg(l_extendedprice), 6) AS avg_price,
+             round(avg(l_discount), 6) AS avg_disc,
+             count(*) AS count_order
+           FROM lineitem
+           WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+           GROUP BY l_returnflag, l_linestatus""",
+
+      "q_tpch_q18" ->
+        """WITH big AS (
+             SELECT l_orderkey FROM lineitem
+             GROUP BY 1 HAVING sum(l_quantity) > 150)
+           SELECT c.c_custkey, o.o_orderkey,
+             CAST(epoch(o.o_orderdate) AS BIGINT) AS o_orderdate_s,
+             o.o_totalprice,
+             sum(l.l_quantity) AS sum_qty
+           FROM customer c
+           JOIN orders o ON c.c_custkey = o.o_custkey
+           JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           JOIN big ON o.o_orderkey = big.l_orderkey
+           GROUP BY 1, 2, 3, 4
+           ORDER BY o.o_totalprice DESC, o.o_orderkey
+           LIMIT 100""",
 
       "q_tpch_q3" ->
         """SELECT l.l_orderkey,

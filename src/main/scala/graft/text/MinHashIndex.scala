@@ -61,6 +61,11 @@ class MinHashIndex private[text] (
       .join(batchBuckets.select(col("band"), col("bucket"), col(newIdCol)),
         Seq("band", "bucket"))
       .select(col(newIdCol), col(idCol))
+      // a batch doc already in the index (re-ingest, replay) collides
+      // with its own indexed signature on every band — a self-pair
+      // carries no dedup information, so drop it here rather than making
+      // every caller special-case the shared-id-space case
+      .filter(col(newIdCol) =!= col(idCol))
       .distinct()
     val est = aggregate(
       zip_with(col("__sig_n"), col("__sig_c"),
@@ -91,13 +96,24 @@ class MinHashIndex private[text] (
         Dedup.minHashSignature(col(textCol), numHashes, shingleK))
       .filter(size(col("__sig")) > 0)
       .select(col(batchIdCol).as(idCol), col("__sig"))
+      .persist()
+    // idempotence: re-adding an already-indexed batch must be a no-op —
+    // a duplicated signature row would double every estimate rejoin and
+    // double-bucket its bands. Shape: one scan of the index's id column
+    // with the (small) batch id set broadcast into a semi join, then the
+    // resulting ≤batch-sized overlap broadcast into an anti join on the
+    // batch — the index is never shuffled or rewritten
+    val dupIds = signatures.select(col(idCol))
+      .join(broadcast(bSig.select(col(idCol))), Seq(idCol), "left_semi")
+    val fresh = bSig.join(broadcast(dupIds), Seq(idCol), "left_anti")
     // persist + materialize the union (one batch scan, corpus side read
     // from the parent's cache), then release the parent's cache through
     // the handoff — otherwise matchNew on the returned index re-signs the
     // batch on every evaluation (twice per call: bucket side + estimate
     // rejoin) and release() on the child never frees the parent (ADVICE r5)
-    val unioned = signatures.unionByName(bSig).persist()
+    val unioned = signatures.unionByName(fresh).persist()
     unioned.count()
+    bSig.unpersist(blocking = false)
     signatures.unpersist(blocking = false)
     new MinHashIndex(unioned, idCol, numHashes, bands, shingleK)
   }

@@ -58,6 +58,29 @@ class MinHashIndexSpec extends SparkSpec {
     fresh.release(); loaded.release()
   }
 
+  test("add is idempotent and matchNew never self-pairs: re-ingesting an " +
+      "already-indexed batch neither double-counts nor matches itself") {
+    val index = MinHashIndex.fit(corpus, "text", "doc_id")
+    val once = index.add(batch, "text", "new_id")
+    val twice = once.add(batch, "text", "new_id")
+
+    // idempotence: the second add contributes zero signature rows, so the
+    // index is byte-identical (same ids, same signature count per id)
+    assert(twice.signatures.count() == once.signatures.count())
+    assert(twice.signatures.groupBy("doc_id").count()
+      .filter($"count" > 1).count() == 0)
+
+    // matchNew of the batch AGAINST an index containing the batch: the
+    // planted near-dup (9991 ~ 8) must still surface, but no (x, x)
+    // self-pair — and no duplicate result rows from a doubled signature
+    val got = twice.matchNew(batch, "text", "new_id", maxBucket = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.exists { case (n, c) => n == 9991L && c == 8L })
+    assert(!got.exists { case (n, c) => n == c })
+    assert(got.length == got.distinct.length)
+    twice.release()
+  }
+
   test("frozenBuckets serves Streaming.nearDupCandidates from a loaded " +
       "index (one fit, both batch and streaming serving)") {
     val dir = "target/tmp/minhash_index_stream_test"

@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Online (row-at-a-time) serving parity: the reference benchmarks an
+  * online deploy mode scoring one-row frames (RunBench.py:41, 66-77); the
+  * Spark analog is [[OnlineScorer]] — frozen fitted maps applied as a plain
+  * Scala closure chain. Contract: scoring rows one at a time must equal
+  * batch `model.transform` EXACTLY, value for value. */
+class OnlineScorerSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("100 rows scored one-at-a-time equal the batch transform exactly") {
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+    val model = DFPipeline(
+      new StringConcatenator(Seq(Seq("c_mktsegment", "c_nationkey")),
+        Seq("ckey"), "_"),
+      new MapTransformer(Seq("c_mktsegment"), Seq("seg_short"),
+        Seq(("BUILDING", "B"), ("AUTOMOBILE", "A")),
+        defaultValue = Some("other")),
+      new ComplementLabelEncoder(Seq("ckey"), Seq("ckey_code")),
+      new FrequencyEncoder(Seq("c_mktsegment"), Seq("seg_freq"),
+        normalize = true),
+      new TargetEncoder(Seq("c_mktsegment"), Seq("seg_te"),
+        targetCol = "c_acctbal", idCol = "c_custkey",
+        nFolds = 4, smoothing = 10.0),
+      new HashingEncoder(Seq("c_name"), Seq("name_bucket"), 64),
+      new Aggregator(Seq("c_acctbal"), Seq("bal_mean"), Nil, "mean"),
+      new Scaler(Seq("c_acctbal"), Seq("bal_std"), "standard"),
+      new OneHotEncoder(Seq("seg_short")))
+      .fit(customer)
+
+    val batch = model.transform(customer).orderBy("c_custkey")
+      .limit(100).collect()
+    val cols = model.transform(customer).columns
+
+    val score = OnlineScorer.compile(model)
+    val inputCols = customer.columns
+    val inputs = customer.orderBy("c_custkey").limit(100).collect()
+
+    inputs.zip(batch).foreach { case (in, expected) =>
+      val row: OnlineScorer.OnlineRow =
+        inputCols.map(c => c -> in.getAs[Any](c)).toMap
+      val got = score(row)
+      cols.foreach { c =>
+        val e = expected.getAs[Any](c)
+        val g = got.getOrElse(c, sys.error(s"online row missing column $c"))
+        assert(g == e, s"column $c: online=$g batch=$e (row $row)")
+      }
+    }
+  }
+
+  test("serve-time TargetEncoder path and unseen values hit the prior") {
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+    val model = DFPipeline(
+      new TargetEncoder(Seq("c_mktsegment"), Seq("seg_te"),
+        targetCol = "c_acctbal", idCol = "c_custkey",
+        nFolds = 4, smoothing = 10.0)).fit(customer)
+    val score = OnlineScorer.compile(model)
+    val te = model.stages.head.asInstanceOf[TargetEncoderModel]
+    // unseen category and null both encode to the prior (serve semantics)
+    assert(score(Map("c_mktsegment" -> "NEVER_SEEN"))("seg_te") == te.prior)
+    assert(score(Map("c_mktsegment" -> null))("seg_te") == te.prior)
+  }
+
+  test("a stage on its big (distributed) path refuses to compile") {
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+    val model = DFPipeline(
+      new ComplementLabelEncoder(Seq("c_mktsegment"), Seq("seg_code"),
+        maxCollect = 2)).fit(customer)
+    intercept[UnsupportedOperationException] {
+      OnlineScorer.compile(model)
+    }
+  }
+}

