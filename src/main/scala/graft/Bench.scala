@@ -19,6 +19,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the repo's global windows are all bounded-by-construction (audited
+    // via graft.util.BoundedWindow — see its scaladoc); WindowExec's
+    // per-execution warning for them is noise that camouflaged real
+    // failures in round 4's bench tail
+    graft.util.BoundedWindow.silenceBoundedWindowWarning()
 
     // noop sink: fully evaluates every output column (count() would let
     // Catalyst prune the projected expressions under count(*), silently
@@ -84,6 +89,43 @@ object Bench {
       else None
     }.toMap
     val total = if (results.nonEmpty) results.values.sum else 0.0
+
+    // ---- scale-stress block (VERDICT r5 #2) -----------------------------
+    // Each StressBench query runs once at ×1 and once at ×SPARK_GRAFT_STRESS
+    // (default 16) so every round's bench artifact carries the measured
+    // ratio vs linear scaling for the banded/binned/distributed paths.
+    // Single timed pass per scale (the block is ~an order of magnitude
+    // heavier than the oracle queries; min-of-3 would triple the bench).
+    // SPARK_GRAFT_ONLY filters stress queries by their s_ names like the
+    // main set (iteration aid); SPARK_GRAFT_STRESS=0 disables. Stress
+    // failures fail the run like timed ones.
+    val stressScale = sys.env.getOrElse("SPARK_GRAFT_STRESS", "16").toInt
+    val stressSelected = (only match {
+      case Some(names) => StressBench.queries.filter(kv => names(kv._1))
+      case None => StressBench.queries
+    }).toSeq.sortBy(_._1)
+    def timeStress(reps: Int): Map[String, Double] =
+      stressSelected.flatMap { case (name, fn) =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try { run(fn(spark, sfDir, reps)); Some(name -> (System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable => recordError(s"$name@x$reps", e); None }
+      }.toMap
+    val (stressBase, stressBig) =
+      if (stressScale > 1 && stressSelected.nonEmpty) {
+        // warmup at the small dir so the ×1 pass doesn't absorb JIT /
+        // codegen compilation cost that the ×scale pass then skips —
+        // the ratio between the two passes is the artifact
+        stressSelected.foreach { case (name, fn) =>
+          try run(fn(spark, warmDir, 1))
+          catch { case e: Throwable =>
+            if (!warmupErrors.contains(name))
+              warmupErrors(name) = jsonSafe(e.getClass.getSimpleName + ": " +
+                Option(e.getMessage).getOrElse(""))
+          }
+        }
+        (timeStress(1), timeStress(stressScale))
+      } else (Map.empty[String, Double], Map.empty[String, Double])
     def fmt(entries: Iterable[(String, Double)]): String = entries
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -94,7 +136,9 @@ object Bench {
     // kept under ~1500 chars (total + the slowest 50 queries, 3 dp) so it
     // survives log-tail truncation downstream. The omitted queries are
     // all in the flat ~0.1 s floor.
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"errors":${fmtErr(errors)},"warmup_errors":${fmtErr(warmupErrors)},"sf":"$sfDir"}"""
+    val stressJson =
+      s""""stress":{"scale":$stressScale,"base":${fmt(stressBase)},"scaled":${fmt(stressBig)}}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"errors":${fmtErr(errors)},"warmup_errors":${fmtErr(warmupErrors)},$stressJson,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
         detail.getBytes("UTF-8"))
@@ -108,7 +152,7 @@ object Bench {
         java.nio.file.StandardOpenOption.APPEND)
     } catch { case _: Throwable => () }
     val slowest = results.toSeq.sortBy(-_._2).take(50)
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":${errors.size},"queries":${fmt(slowest)},"errors":${fmtErr(errors)},"n_warmup_errors":${warmupErrors.size},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":${errors.size},"queries":${fmt(slowest)},"errors":${fmtErr(errors)},"n_warmup_errors":${warmupErrors.size},$stressJson,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress block for [[Bench]] (VERDICT r5 #2): the dedup / ANN /
+  * percentile / vocab paths re-run against a ×`reps` self-replicated
+  * corpus, so the banded/binned/distributed branches face data big enough
+  * to show their crossover — /root/testdata caps at sf0.1, where every
+  * one of those paths idles below its thresholds.
+  *
+  * Replication is a NARROW explode (each row emits `reps` copies tagged
+  * `__rep`, no join, no shuffle), with ids re-keyed to stay unique and —
+  * where distinct-value count is the load parameter (percentileRank) —
+  * values perturbed per replica so ×16 data carries ×16 distinct values,
+  * not 16 copies of the same 60k. For text dedup the copies are left
+  * byte-identical on purpose: a corpus where EVERY doc has 16 exact
+  * duplicates is the worst realistic load for bucket caps, pair
+  * generation, and component propagation.
+  *
+  * Every stress query runs the SAME library entry points as its oracle
+  * twin (correctness of those branches is already pinned by the
+  * `*_big` / `*_binned` / `*_distributed` rows in CORRECTNESS); this
+  * block only measures throughput, once at ×1 and once at ×`reps`, so
+  * the ratio vs linear scaling is in the bench artifact every round.
+  */
+object StressBench {
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** ×`reps` in-place replication: narrow explode, ids re-keyed
+    * `id*reps + rep` (collision-free for non-negative long ids). */
+  private def replicate(df: DataFrame, idCol: String, reps: Int): DataFrame =
+    if (reps <= 1) df
+    else df
+      .withColumn("__rep", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn(idCol, col(idCol) * reps + col("__rep"))
+      .drop("__rep")
+
+  /** lineitem ×`reps` with l_extendedprice perturbed per replica: the
+    * distinct-value count — percentileRank's load parameter — scales
+    * with the data instead of staying at the base cardinality. The
+    * 0.001 step keeps perturbed values distinct from every real price
+    * (prices carry 2 decimals) without reordering across replicas. */
+  private def lineitemScaled(
+      s: SparkSession, d: String, reps: Int): DataFrame = {
+    val li = t(s, d, "lineitem")
+    if (reps <= 1) li
+    else li
+      .withColumn("__rep", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("l_extendedprice",
+        col("l_extendedprice") + col("__rep") * 0.001)
+      .drop("__rep")
+  }
+
+  /** Stress queries: (spark, sfDir, reps) => result. Each is the library
+    * call its oracle twin makes, pointed at the replicated corpus. */
+  def queries: Map[String, (SparkSession, String, Int) => DataFrame] = Map(
+    // exact dedup: every text key now holds `reps` rows — the keep-first
+    // window runs over genuinely duplicated groups everywhere
+    "s_dedup_exact" -> ((s, d, r) =>
+      graft.text.Dedup.exact(
+        replicate(t(s, d, "documents"), "doc_id", r),
+        Seq("text"), "doc_id")),
+
+    // MinHash+LSH with the production bucket cap: all-dup corpus means
+    // every bucket is ≥ reps deep — the cap/drop accounting and the
+    // pair-dedup are the paths under load (drops are logged, expected)
+    "s_dedup_minhash" -> ((s, d, r) =>
+      graft.text.Dedup.minHashLSH(
+        replicate(t(s, d, "documents"), "doc_id", r),
+        "text", "doc_id", withEstimate = false)),
+
+    // candidate → exact-verify → DISTRIBUTED min-label components
+    // (maxCollect = 0): the full near-dup clustering chain a 100-TB
+    // corpus runs, with a pair graph reps²-denser than the base corpus
+    "s_components" -> ((s, d, r) => {
+      val docs = replicate(t(s, d, "documents"), "doc_id", r)
+      val cand = graft.text.Dedup.minHashLSH(docs, "text", "doc_id",
+        withEstimate = false)
+      val pairs = graft.text.Dedup.verifyJaccard(cand, docs,
+        "text", "doc_id", shingleK = 3, threshold = 0.8,
+        restrictToCandidates = true)
+      graft.text.Dedup.duplicateComponents(pairs.select("id_a", "id_b"),
+        maxCollect = 0)
+    }),
+
+    // self-kNN over ×reps vectors, perturbed per replica so the LSH
+    // tables index reps× distinct points (not reps copies of each).
+    // Scale-appropriate knobs: r = 8 bits/band → 256 buckets per band
+    // (the default 16/4 leaves 16 buckets — at ×16 every bucket tops the
+    // cap and gets DROPPED, benchmarking an empty candidate set)
+    "s_knn" -> ((s, d, r) => {
+      val base = t(s, d, "embeddings")
+      val emb =
+        if (r <= 1) base
+        else base
+          .withColumn("__rep", explode(sequence(lit(0), lit(r - 1))))
+          .withColumn("vec_id", col("vec_id") * r + col("__rep"))
+          .withColumn("embedding",
+            transform(col("embedding"),
+              x => x + col("__rep").cast("float") * lit(0.001f)))
+          .drop("__rep")
+      graft.sim.Similarity.knnJoin(emb, "vec_id", "embedding",
+        k = 3, dim = 64, nPlanes = 32, bands = 4)
+    }),
+
+    // percentileRank, WINDOW path forced (threshold above any distinct
+    // count): the single-task ordered window over ~60k×reps distinct
+    // values — the plan the binned path exists to replace. Output
+    // projected to keys + rank so the timed difference is the rank
+    // computation, not an 11-column join-back payload + sink
+    "s_pctrank_window" -> ((s, d, r) =>
+      graft.relational.Relational.percentileRank(
+        lineitemScaled(s, d, r), "l_extendedprice", "pr",
+        maxDistinctBroadcast = Long.MaxValue)
+        .select("l_orderkey", "l_linenumber", "pr")),
+
+    // percentileRank, BINNED path forced (threshold 0): 64×64 bins,
+    // per-bin parallel windows — same input, same output, scale plan
+    "s_pctrank_binned" -> ((s, d, r) =>
+      graft.relational.Relational.percentileRank(
+        lineitemScaled(s, d, r), "l_extendedprice", "pr",
+        maxDistinctBroadcast = 0)
+        .select("l_orderkey", "l_linenumber", "pr")),
+
+    // top-30k vocabulary over the replicated corpus: the token explode +
+    // count aggregate sees reps× tokens (counts scale, vocab does not)
+    "s_vocab" -> ((s, d, r) =>
+      graft.text.Corpus.buildVocab(
+        replicate(t(s, d, "documents"), "doc_id", r),
+        "text", size = 30000))
+  )
+}

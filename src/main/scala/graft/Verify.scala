@@ -14,6 +14,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the repo's global windows are all bounded-by-construction (audited
+    // via graft.util.BoundedWindow — see its scaladoc); WindowExec's
+    // per-execution warning for them is noise that camouflaged real
+    // failures in round 4's bench tail
+    graft.util.BoundedWindow.silenceBoundedWindowWarning()
     new java.io.File(outDir).mkdirs()
     // dev-loop filter (same contract as Bench); the driver sets nothing
     // and gets the full dump

@@ -808,8 +808,10 @@ object Relational {
 
     val ranked =
       if (small) {
+        // ungrouped: the windowed relation is the distinct set, already
+        // counted ≤ maxDistinctBroadcast — bounded, single task intended
         val base =
-          if (groupCols.isEmpty) Window.partitionBy()
+          if (groupCols.isEmpty) graft.util.BoundedWindow.globalUnordered()
           else Window.partitionBy(gb: _*)
         val w = base.orderBy(col("__v"))
           .rowsBetween(Window.unboundedPreceding, -1)
@@ -865,7 +867,9 @@ object Relational {
           .drop("__lo", "__hi", "__edges", "__macro", "__mlo", "__mhi")
         // cross-bin offsets: a groups×bins relation, cumulative over ≤4096
         // rows per group — bounded by construction
-        val wBins = (if (groupCols.isEmpty) Window.partitionBy()
+        // ungrouped: the windowed relation is ≤ 4096 bin rows — bounded
+        val wBins = (if (groupCols.isEmpty)
+            graft.util.BoundedWindow.globalUnordered()
           else Window.partitionBy(gb: _*))
           .orderBy(col("__bin"))
           .rowsBetween(Window.unboundedPreceding, -1)

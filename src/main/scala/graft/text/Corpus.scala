@@ -112,12 +112,14 @@ object Corpus {
   def sampleN(df: DataFrame, idCol: String, n: Int): DataFrame = {
     require(n >= 1, s"need n >= 1, got $n")
     val u = hashUniform(col(idCol))
+    // ranked AFTER limit(n): the windowed relation is ≤ n rows — bounded
+    // by construction, so the single-partition window is the intended plan
     df.withColumn("__u", u)
       .orderBy(col("__u").asc, col(idCol).asc)
       .limit(n)
       .withColumn("sample_rank",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("__u").asc, col(idCol).asc)))
+        row_number().over(graft.util.BoundedWindow
+          .global(col("__u").asc, col(idCol).asc)))
       .drop("__u")
   }
 
@@ -232,10 +234,12 @@ object Corpus {
     val top = counts
       .orderBy(col("n_occurrences").desc, col("__t").asc)
       .limit(size)
+    // ranked AFTER limit(size): ≤ `size` surviving tokens — bounded by
+    // construction, the single-partition window is the intended plan
     top
       .withColumn("token_id",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("n_occurrences").desc, col("__t").asc)) - 1)
+        row_number().over(graft.util.BoundedWindow
+          .global(col("n_occurrences").desc, col("__t").asc)) - 1)
       .select(col("__t").as("token"), col("token_id").cast("long")
         .as("token_id"), col("n_occurrences"))
   }

@@ -110,4 +110,51 @@ class IndexSpec extends SparkSpec {
     assert(wrong.isEmpty, s"sims diverge: ${wrong.take(3).toSeq}")
     index.release()
   }
+
+  test("knnJoin measured recall floors vs brute force at sf0.1 " +
+      "(VERDICT r5 #8)") {
+    // The measured quality/cost trade of the LSH-bucketed self-kNN on the
+    // full sf0.1 corpus (2000 vectors, fixed data + fixed seed →
+    // deterministic). Ground truth: brute-force top-(k+1) with the
+    // self-match dropped — knnJoin never pairs a row with itself.
+    //
+    // Recall is set by bits-per-band r = nPlanes/bands (collision
+    // selectivity) and the band count (number of chances). Measured curve
+    // on this corpus: defaults 16/4 (r=4) → 0.49; 24/8 (r=3) → 0.89;
+    // 32/16 (r=2) → 0.9997. Defaults favor throughput — global top-3
+    // includes modest-cosine neighbors LSH legitimately misses, while the
+    // near-dup pipelines knnJoin feeds care about high-cosine pairs. The
+    // r=2 quality setting is for small/medium corpora only: 2^r = 4
+    // buckets per band, so at large N every bucket hits the cap — scale
+    // corpora must raise r AND bands together (e.g. 64/16 keeps r=4 with
+    // 16× the collision chances).
+    val big = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val k = 3
+    val truth = Similarity.bruteForceTopK(
+        big, "vec_id", "embedding",
+        big.select(col("vec_id").as("query_id"),
+          col("embedding").as("qvec")),
+        "query_id", "qvec", k = k + 1)
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("rank"))))
+      .filter(col("rk") <= k)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recallAt(nPlanes: Int, bands: Int): Double = {
+      val approx = Similarity.knnJoin(big, "vec_id", "embedding",
+          k = k, dim = 64, nPlanes = nPlanes, bands = bands)
+        .select(col("vec_id").as("query_id"), col("nbr_id").as("vec_id"))
+        .as[(Long, Long)].collect().toSet
+      (truth & approx).size.toDouble / truth.size
+    }
+    val atDefaults = recallAt(16, 4)
+    val atQuality = recallAt(32, 16)
+    info(f"recall: defaults(16/4)=$atDefaults%.4f  " +
+      f"quality(32/16)=$atQuality%.4f  (${truth.size} truth pairs)")
+    assert(atDefaults >= 0.45,
+      f"default-knob recall $atDefaults%.4f regressed below measured floor")
+    assert(atQuality >= 0.95,
+      f"quality-knob recall $atQuality%.4f below the 0.95 floor")
+  }
 }
