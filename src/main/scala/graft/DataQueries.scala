@@ -261,6 +261,73 @@ object DataQueries {
         .limit(100)
     }),
 
+    // TPC-H Q5 shape: the 6-table snowflake — region→nation→supplier dim
+    // chain broadcast into the fact join, with the customer-nation =
+    // supplier-nation co-location predicate (local-supplier revenue).
+    // Join-order/broadcast regression: only lineitem⋈orders shuffles;
+    // every dimension side is broadcast
+    "q_tpch_q5" -> ((s, d) => {
+      val nat = t(s, d, "nation")
+        .join(t(s, d, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val sup = t(s, d, "supplier")
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val cust = t(s, d, "customer").select("c_custkey", "c_nationkey")
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          6).as("revenue"))
+    }),
+
+    // TPC-H Q10 shape: returned-item revenue per customer, one quarter —
+    // join + group + deterministic top-20 (TakeOrderedAndProject)
+    "q_tpch_q10" -> ((s, d) => {
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val li = t(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val nat = t(s, d, "nation").select("n_nationkey", "n_name")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          6).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q14 shape: promo revenue share over one ship-month — the
+    // conditional-aggregate-over-join scalar (part broadcasts; exactly
+    // one output row)
+    "q_tpch_q14" -> ((s, d) => {
+      val part = t(s, d, "part").select("p_partkey", "p_type")
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .agg(round(
+          lit(100.0) * sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0.0))) / sum(rev), 6).as("promo_revenue"))
+    }),
+
     // top-100 corpus vocabulary with dense rank ids (global top-k plans
     // as TakeOrderedAndProject — per-partition heaps, no full sort)
     "q_vocab" -> ((s, d) =>
@@ -2866,6 +2933,49 @@ object DataQueries {
            GROUP BY 1, 2, 3, 4
            ORDER BY o.o_totalprice DESC, o.o_orderkey
            LIMIT 100""",
+
+      "q_tpch_q5" ->
+        """SELECT n.n_name,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+               AS revenue
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             AND c.c_nationkey = s.s_nationkey
+           JOIN nation n ON s.s_nationkey = n.n_nationkey
+           JOIN region r ON n.n_regionkey = r.r_regionkey
+           WHERE r.r_name = 'ASIA'
+             AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o.o_orderdate < TIMESTAMP '1997-01-01'
+           GROUP BY 1""",
+
+      "q_tpch_q10" ->
+        """SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+               AS revenue
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+           WHERE l.l_returnflag = 'R'
+             AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o.o_orderdate < TIMESTAMP '1996-04-01'
+           GROUP BY 1, 2, 3, 4
+           ORDER BY revenue DESC, c.c_custkey
+           LIMIT 20""",
+
+      "q_tpch_q14" ->
+        """SELECT round(
+             100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                 THEN l.l_extendedprice * (1 - l.l_discount)
+                 ELSE 0.0 END)
+               / sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+             AS promo_revenue
+           FROM lineitem l
+           JOIN part p ON l.l_partkey = p.p_partkey
+           WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+             AND l.l_shipdate < TIMESTAMP '1996-10-01'""",
 
       "q_tpch_q3" ->
         """SELECT l.l_orderkey,
