@@ -136,8 +136,49 @@ object Bench {
     // kept under ~1500 chars (total + the slowest 50 queries, 3 dp) so it
     // survives log-tail truncation downstream. The omitted queries are
     // all in the flat ~0.1 s floor.
+    // ---- online (row-at-a-time) serving micro-bench ---------------------
+    // The reference's online deploy mode scores one-row frames through its
+    // exported graph (RunBench.py:41,66-77); the analog here is
+    // OnlineScorer's compiled closure chain over frozen fitted state. Fit
+    // the OnlineScorerSpec pipeline (9 stages: concat/map/label/freq/
+    // target/hash/agg/scaler/one-hot) once at the bench SF, then measure
+    // single-row scoring throughput driver-side — no Spark job per call.
+    val onlineRps: Double =
+      if (!only.forall(_.contains("online"))) 0.0
+      else try {
+        import graft.operators._
+        val customer = spark.read.parquet(s"$sfDir/customer.parquet")
+        val model = DFPipeline(
+          new StringConcatenator(Seq(Seq("c_mktsegment", "c_nationkey")),
+            Seq("ckey"), "_"),
+          new MapTransformer(Seq("c_mktsegment"), Seq("seg_short"),
+            Seq(("BUILDING", "B"), ("AUTOMOBILE", "A")),
+            defaultValue = Some("other")),
+          new ComplementLabelEncoder(Seq("ckey"), Seq("ckey_code")),
+          new FrequencyEncoder(Seq("c_mktsegment"), Seq("seg_freq"),
+            normalize = true),
+          new TargetEncoder(Seq("c_mktsegment"), Seq("seg_te"),
+            targetCol = "c_acctbal", idCol = "c_custkey",
+            nFolds = 4, smoothing = 10.0),
+          new HashingEncoder(Seq("c_name"), Seq("name_bucket"), 64),
+          new Aggregator(Seq("c_acctbal"), Seq("bal_mean"), Nil, "mean"),
+          new Scaler(Seq("c_acctbal"), Seq("bal_std"), "standard"),
+          new OneHotEncoder(Seq("seg_short"))).fit(customer)
+        val score = OnlineScorer.compile(model)
+        val inputCols = customer.columns
+        val rows = customer.limit(1000).collect()
+          .map(r => inputCols.map(c => c -> r.getAs[Any](c)).toMap)
+        rows.foreach(score) // JIT warmup
+        val t0 = System.nanoTime()
+        var reps = 0
+        while (reps < 20) { rows.foreach(score); reps += 1 }
+        (20.0 * rows.length) / ((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable => recordError("online_serving", e); 0.0
+      }
+
     val stressJson =
-      s""""stress":{"scale":$stressScale,"base":${fmt(stressBase)},"scaled":${fmt(stressBig)}}"""
+      s""""stress":{"scale":$stressScale,"base":${fmt(stressBase)},"scaled":${fmt(stressBig)}},"online_rows_per_sec":${f"$onlineRps%.0f"}"""
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"errors":${fmtErr(errors)},"warmup_errors":${fmtErr(warmupErrors)},$stressJson,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
