@@ -709,6 +709,27 @@ object DataQueries {
         .select(col("id"), col("width"), col("height"), col("channels"),
           round(col("mean_luma"), 6).as("mean_luma"))),
 
+    // perceptual image hash: REAL gradient PNGs decoded with the real
+    // codec, point-sampled 8x8 aHash as pure integer arithmetic — the
+    // oracle replays pixels, samples, and every hash bit from the
+    // generation formulas
+    "q_image_hash" -> ((s, d) =>
+      Multimodal.imageAHash(
+        Multimodal.syntheticGradientImages(
+          t(s, d, "documents").filter(col("doc_id") < 100), "doc_id"),
+        "doc_id", "blob")),
+
+    // image near-dup: aHash signatures through the banded Hamming engine
+    // (shared with text simhash — cross-modal dedup is the same bounded
+    // bucket join with a decode kernel in front). Ids sharing (w, h) are
+    // planted brightness-shifted duplicates; banding is pigeonhole-exact
+    // to Hamming <= 3, so the oracle can brute-force all pairs
+    "q_image_neardup" -> ((s, d) =>
+      Multimodal.imageNearDup(
+        Multimodal.syntheticGradientImages(
+          t(s, d, "documents").filter(col("doc_id") < 100), "doc_id"),
+        "doc_id", "blob", maxBucket = 1000000)),
+
     // REAL audio round trip: deterministic WAVs generated in-flight,
     // decoded with javax.sound (full PCM read); the square-wave RMS is
     // integer-exact, so the oracle replays everything arithmetically
@@ -1516,6 +1537,50 @@ object DataQueries {
              round(0.299 * (doc_id * 5 % 256) + 0.587 * (doc_id * 5 % 256) +
                    0.114 * (doc_id * 5 % 256), 6) AS mean_luma
            FROM documents WHERE doc_id < 50""",
+
+      "q_image_hash" ->
+        """WITH g AS (
+             SELECT doc_id, 8 + doc_id % 57 AS w, 8 + (doc_id * 3) % 57 AS h
+             FROM documents WHERE doc_id < 100),
+           s AS (
+             SELECT g.doc_id, g.w, g.h, i.range AS i, j.range AS j,
+               ((i.range * g.w // 8) * 3 + (j.range * g.h // 8) * 7) % 200
+                 + g.doc_id % 56 AS v
+             FROM g, range(8) i, range(8) j),
+           t AS (SELECT doc_id, sum(v) AS tot FROM s GROUP BY 1)
+           SELECT s.doc_id AS id,
+             CAST(s.w AS INTEGER) AS width,
+             CAST(s.h AS INTEGER) AS height,
+             CAST(sum(CASE WHEN 64 * s.v <= t.tot THEN 0
+               WHEN s.j * 8 + s.i = 63
+                 THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+               ELSE (CAST(1 AS BIGINT) << CAST(s.j * 8 + s.i AS INTEGER))
+               END) AS BIGINT) AS ahash
+           FROM s JOIN t ON s.doc_id = t.doc_id
+           GROUP BY 1, 2, 3""",
+
+      "q_image_neardup" ->
+        """WITH g AS (
+             SELECT doc_id, 8 + doc_id % 57 AS w, 8 + (doc_id * 3) % 57 AS h
+             FROM documents WHERE doc_id < 100),
+           s AS (
+             SELECT g.doc_id, i.range AS i, j.range AS j,
+               ((i.range * g.w // 8) * 3 + (j.range * g.h // 8) * 7) % 200
+                 + g.doc_id % 56 AS v
+             FROM g, range(8) i, range(8) j),
+           t AS (SELECT doc_id, sum(v) AS tot FROM s GROUP BY 1),
+           hashes AS (
+             SELECT s.doc_id AS id,
+               CAST(sum(CASE WHEN 64 * s.v <= t.tot THEN 0
+                 WHEN s.j * 8 + s.i = 63
+                   THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+                 ELSE (CAST(1 AS BIGINT) << CAST(s.j * 8 + s.i AS INTEGER))
+                 END) AS BIGINT) AS ahash
+             FROM s JOIN t ON s.doc_id = t.doc_id GROUP BY 1)
+           SELECT a.id AS id_a, b.id AS id_b,
+             CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+           FROM hashes a JOIN hashes b ON a.id < b.id
+           WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""",
 
       "q_audio" ->
         """SELECT doc_id AS id,

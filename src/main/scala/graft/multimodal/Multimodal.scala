@@ -18,6 +18,10 @@ case class ImageFeatures(
 /** Sampled video frame record (stub). */
 case class SampledFrame(id: Long, frame_index: Int, byte_offset: Long)
 
+/** Perceptual-hash record: point-sampled 64-bit aHash over the decoded
+  * image ([[Multimodal.aHashOf]]). */
+case class ImageHash(id: Long, width: Int, height: Int, ahash: Long)
+
 /** Decoded-audio record: format metadata + duration + signal RMS (raw
   * PCM units). */
 case class AudioFeatures(
@@ -180,6 +184,115 @@ object Multimodal {
     }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .toDF(idCol, "blob")
   }
+
+  /** Deterministic REAL gradient PNG per id, for the perceptual-hash path
+    * ([[imageAHash]] needs intra-image structure; [[syntheticImages]]'
+    * solid fills hash to all-zeros). Grayscale raster, written and read as
+    * raw single-band samples (no ColorModel conversion — `getRGB` on
+    * TYPE_BYTE_GRAY applies a gray→sRGB gamma that would break integer
+    * replay): `w = 8 + id % 57`, `h = 8 + (3·id) % 57`,
+    * `pixel(x,y) = (3x + 7y) % 200 + id % 56` (≤ 254). The id-dependent
+    * term is a pure brightness offset, so ids sharing (w, h) — id ≡ id′
+    * (mod 57) — are planted perceptual duplicates with different
+    * brightness, and every quantity is replayable arithmetically by a SQL
+    * oracle. */
+  def syntheticGradientImages(df: DataFrame, idCol: String): DataFrame = {
+    val in = df.select(col(idCol).cast("long")).as(Encoders.scalaLong)
+    in.mapPartitions { it =>
+      it.map { id =>
+        val w = (8 + id % 57).toInt
+        val h = (8 + (id * 3) % 57).toInt
+        val off = (id % 56).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, (3 * x + 7 * y) % 200 + off)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        ImageIO.write(img, "png", bos)
+        (id, bos.toByteArray)
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF(idCol, "blob")
+  }
+
+  /** Point-sampled average hash of a decoded image: luminance at the 8×8
+    * grid `(⌊i·w/8⌋, ⌊j·h/8⌋)`, bit `j·8+i` set iff the sample exceeds
+    * the 64-sample mean — compared as `64·s > Σs` so the decision is pure
+    * INTEGER arithmetic (bit-replayable by any engine; a double mean
+    * could flip boundary bits per evaluation order). Point sampling is
+    * the nearest-neighbor-resize aHash variant: unlike block averaging it
+    * reads 64 pixels regardless of image size, and the hash is invariant
+    * to uniform brightness shifts (the offset cancels in the
+    * comparison). Single-band rasters read raw samples; multi-band fall
+    * back to the green channel (exact integer; r=g=b for gray content). */
+  private[multimodal] def aHashOf(
+      id: Long, bytes: Array[Byte]): Option[ImageHash] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth < 8 || img.getHeight < 8) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        val gray = raster.getNumBands == 1
+        val s = new Array[Int](64)
+        var j = 0
+        while (j < 8) {
+          var i = 0
+          while (i < 8) {
+            val x = i * w / 8
+            val y = j * h / 8
+            s(j * 8 + i) =
+              if (gray) raster.getSample(x, y, 0)
+              else (img.getRGB(x, y) >> 8) & 0xFF
+            i += 1
+          }
+          j += 1
+        }
+        var tot = 0L
+        var k = 0
+        while (k < 64) { tot += s(k); k += 1 }
+        var hash = 0L
+        k = 0
+        while (k < 64) {
+          if (64L * s(k) > tot) hash |= (1L << k)
+          k += 1
+        }
+        Some(ImageHash(id, w, h, hash))
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Perceptual hash per image (real codec decode); undecodable or
+    * sub-8×8 rows are dropped. Output: (id, width, height, ahash). */
+  def imageAHash(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val in = df.select(col(idCol).cast("long"), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    in.mapPartitions(it => it.flatMap { case (id, bytes) =>
+      aHashOf(id, bytes)
+    })(Encoders.product[ImageHash]).toDF()
+  }
+
+  /** Image near-duplicate pairs: [[imageAHash]] signatures through the
+    * banded Hamming engine ([[graft.text.Dedup.hammingNearDup]] — 4×16-bit
+    * bands, pigeonhole-exact to Hamming ≤ 3, hot-bucket caps with logged
+    * drops). The cross-modal reuse is the point: image dedup at 100 TB is
+    * the same bounded-bucket join as text simhash dedup, with the decode
+    * kernel swapped in front. Output (id_a, id_b, hamming). */
+  def imageNearDup(
+      df: DataFrame, idCol: String, binCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+    graft.text.Dedup.hammingNearDup(
+      imageAHash(df, idCol, binCol).select(col("id"), col("ahash")),
+      "id", "ahash", maxHamming, maxBucket, "imageNearDup")
 
   /** REAL audio decode via javax.sound (JVM-builtin WAV/AIFF/AU parsing):
     * format metadata from the RIFF header, full PCM read for the RMS.

@@ -198,10 +198,23 @@ object Dedup {
       idCol: String,
       maxHamming: Int = 3,
       maxBucket: Int = 1000,
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false): DataFrame =
+    hammingNearDup(
+      df.select(col(idCol), simHash(col(textCol), portable).as("__sim")),
+      idCol, "__sim", maxHamming, maxBucket, "simHashNearDup")
+
+  /** Banded Hamming near-dup over ANY precomputed 64-bit signature column
+    * (simhash, perceptual image hash, …): the [[simHashNearDup]] engine,
+    * signature-generic. Output (id_a, id_b, hamming), id_a < id_b. */
+  def hammingNearDup(
+      sigsIn: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000,
+      tag: String = "hammingNearDup"): DataFrame = {
     require(maxHamming <= 3, "4x16 banding guarantees recall only to 3 bits")
-    val sigs = df.select(col(idCol),
-        simHash(col(textCol), portable).as("__sim"))
+    val sigs = sigsIn.select(col(idCol), col(sigCol).as("__sim"))
       .persist()
     val buckets = sigs.select(col(idCol), col("__sim"),
       explode(array((0 until 4).map(j => struct(lit(j).as("band"),
@@ -214,7 +227,7 @@ object Dedup {
       .select(col(idCol), col("__sim"), col("__b.band"), col("__b.bucket"))
     val counts = buckets.groupBy("band", "bucket").count()
     val (ok, countsCached, reportDrops) = capBuckets(buckets, counts,
-      maxBucket, "simHashNearDup")
+      maxBucket, tag)
     val a = ok.select(col("band"), col("bucket"), col(idCol).as("id_a"),
       col("__sim").as("__sim_a"))
     val b = ok.select(col("band"), col("bucket"), col(idCol).as("id_b"),
