@@ -905,6 +905,15 @@ object DataQueries {
       graft.text.Dedup.duplicateSpans(t(s, d, "documents"), "text",
         "doc_id", k = 5, minDocs = 2)),
 
+    // asymmetric (containment) near-dup: shared/min(|A|,|B|) over distinct
+    // 5-gram sets — catches a short doc quoted inside a long one, which
+    // Jaccard structurally misses. Posting cap lifted above corpus size so
+    // the oracle (exact gram strings, hash identity as q_span_dedup) is
+    // exact
+    "q_containment" -> ((s, d) =>
+      graft.text.Dedup.containmentPairs(t(s, d, "documents"), "text",
+        "doc_id", shingleK = 5, threshold = 0.5, maxPostings = 1000000)),
+
     // substring-dedup rewrite: spans owned by an earlier doc are deleted
     "q_span_removal" -> ((s, d) =>
       graft.text.Dedup.removeDuplicateSpans(t(s, d, "documents"), "text",
@@ -2178,6 +2187,33 @@ object DataQueries {
            FROM u""",
 
       // same md5 gram fingerprints, same per-doc-distinct counting
+      "q_containment" ->
+        """WITH g AS (
+             SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(1, len(ws) - 3),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                      ws[i+3] || ' ' || ws[i+4]))) AS gram
+             FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+                   FROM documents)),
+           n AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
+           s AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*) AS shared_grams
+                 FROM g a JOIN g b
+                   ON a.gram = b.gram AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+           SELECT s.id_a, s.id_b,
+             na.n_grams AS n_grams_a, nb.n_grams AS n_grams_b,
+             s.shared_grams,
+             CAST(s.shared_grams AS DOUBLE)
+               / least(na.n_grams, nb.n_grams) AS containment
+           FROM s
+           JOIN n na ON s.id_a = na.doc_id
+           JOIN n nb ON s.id_b = nb.doc_id
+           WHERE CAST(s.shared_grams AS DOUBLE)
+               / least(na.n_grams, nb.n_grams) >= 0.5""",
+
       "q_span_dedup" ->
         """WITH g AS (
              SELECT doc_id,

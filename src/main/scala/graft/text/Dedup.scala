@@ -665,4 +665,74 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .drop("__sh_a", "__sh_b")
   }
+
+  /** ASYMMETRIC near-duplicate (containment) pairs: `shared / min(|A|,|B|)`
+    * over distinct `shingleK`-token gram sets — the score that catches a
+    * short document quoted wholesale inside a longer one, which
+    * Jaccard-based dedup structurally misses (a 100-gram doc inside a
+    * 10 000-gram doc has Jaccard ≈ 0.01 but containment 1.0; MinHash
+    * banding won't even surface the pair). The quote-detection /
+    * subset-document primitive of corpus curation.
+    *
+    * Shape at 100 TB: each doc explodes ONCE to its distinct gram
+    * fingerprints (fused [[graft.functions.ShingleHashes]] — 8-byte
+    * hashes, no gram string materializes; same hash-identity argument as
+    * [[duplicateSpans]]). The gram postings self-join is bounded by the
+    * `maxPostings` document-frequency cap: grams above it (stopword runs,
+    * boilerplate) are DROPPED from the intersection counts — logged, with
+    * the knob named — so a gram contributes at most `maxPostings²/2`
+    * pairs, never a quadratic blowup. df = 1 grams can't contribute and
+    * are filtered before the join. The pair aggregate pre-combines
+    * map-side; nothing all-pairs anywhere. Dropped hot grams make
+    * containment an UNDERCOUNT (conservative): exact whenever every
+    * shared gram's df ≤ maxPostings.
+    *
+    * Output: (id_a, id_b, n_grams_a, n_grams_b, shared_grams,
+    * containment), id_a < id_b, containment ≥ `threshold`. The division
+    * is a single double op over small integers — bit-replayable by any
+    * engine, no rounding needed. */
+  def containmentPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 5, threshold: Double = 0.5,
+      maxPostings: Int = 1000): DataFrame = {
+    require(shingleK >= 1, s"need shingleK >= 1, got $shingleK")
+    require(maxPostings >= 2, s"need maxPostings >= 2, got $maxPostings")
+    val grams0 = graft.functions.GraftFunctions.shingle_hashes(
+      transform(TextFunctions.tokensLower(col(textCol)), t => xxhash64(t)),
+      shingleK)
+    // one shingle pass feeds sizes, document frequencies, and both join
+    // sides — persist it
+    val g = df.select(col(idCol).as("__id"),
+        explode(array_distinct(grams0)).as("__g"))
+      .persist()
+    val sizes = g.groupBy("__id").agg(count(lit(1)).as("__n"))
+    val dfreq = g.groupBy("__g").agg(count(lit(1)).as("__df")).persist()
+    val ok = g.join(
+      dfreq.filter(col("__df").between(2, maxPostings)).select("__g"),
+      "__g")
+    val shared = ok.select(col("__g"), col("__id").as("id_a"))
+      .join(ok.select(col("__g"), col("__id").as("id_b")), "__g")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_grams"))
+    val result = shared
+      .join(sizes.select(col("__id").as("id_a"), col("__n").as("n_grams_a")),
+        "id_a")
+      .join(sizes.select(col("__id").as("id_b"), col("__n").as("n_grams_b")),
+        "id_b")
+      .withColumn("containment", col("shared_grams").cast("double") /
+        least(col("n_grams_a"), col("n_grams_b")))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "n_grams_a", "n_grams_b", "shared_grams",
+        "containment")
+      .persist()
+    result.count() // materialize, then release + report drops from cache
+    val hot = dfreq.filter(col("__df") > maxPostings).count()
+    if (hot > 0)
+      log.warn(s"containmentPairs: $hot gram(s) over the $maxPostings-doc " +
+        "posting cap were dropped from intersection counts (containment " +
+        "may undercount; raise maxPostings to restore exactness)")
+    g.unpersist(blocking = false)
+    dfreq.unpersist(blocking = false)
+    result
+  }
 }
