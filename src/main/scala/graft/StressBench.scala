@@ -129,6 +129,38 @@ object StressBench {
     "s_vocab" -> ((s, d, r) =>
       graft.text.Corpus.buildVocab(
         replicate(t(s, d, "documents"), "doc_id", r),
-        "text", size = 30000))
+        "text", size = 30000)),
+
+    // the TPC-H Q5 snowflake with the fact side ×reps: the
+    // broadcast-dimension join plan must stay ONE lineitem shuffle
+    // regardless of fact size (dims don't replicate — as in production,
+    // where facts grow and dimensions don't)
+    "s_tpch_q5" -> ((s, d, r) => {
+      val nat = t(s, d, "nation")
+        .join(t(s, d, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val sup = t(s, d, "supplier")
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val cust = t(s, d, "customer").select("c_custkey", "c_nationkey")
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val liR =
+        if (r <= 1) li
+        else li.withColumn("__rep", explode(sequence(lit(0), lit(r - 1))))
+          .drop("__rep")
+      liR.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          6).as("revenue"))
+    })
   )
 }
