@@ -730,6 +730,25 @@ object DataQueries {
           t(s, d, "documents").filter(col("doc_id") < 100), "doc_id"),
         "doc_id", "blob", maxBucket = 1000000)),
 
+    // audio fingerprint: REAL envelope-modulated WAVs decoded with the
+    // real codec, 65-window energy-envelope signature as pure integer
+    // arithmetic — the oracle replays every sample, energy, and bit
+    "q_audio_fp" -> ((s, d) =>
+      Multimodal.audioFingerprint(
+        Multimodal.syntheticToneWavs(
+          t(s, d, "documents").filter(col("doc_id") < 200), "doc_id"),
+        "doc_id", "blob")),
+
+    // audio near-dup: fingerprints through the same banded Hamming engine
+    // as text simhash and image aHash — third modality, one dedup engine.
+    // Ids congruent mod 65 share (length, envelope rate) but carry
+    // DIFFERENT square carriers: same loudness contour, different timbre
+    "q_audio_neardup" -> ((s, d) =>
+      Multimodal.audioNearDup(
+        Multimodal.syntheticToneWavs(
+          t(s, d, "documents").filter(col("doc_id") < 200), "doc_id"),
+        "doc_id", "blob", maxBucket = 1000000)),
+
     // REAL audio round trip: deterministic WAVs generated in-flight,
     // decoded with javax.sound (full PCM read); the square-wave RMS is
     // integer-exact, so the oracle replays everything arithmetically
@@ -1590,6 +1609,62 @@ object DataQueries {
              CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
            FROM hashes a JOIN hashes b ON a.id < b.id
            WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""",
+
+      "q_audio_fp" ->
+        """WITH p AS (
+             SELECT doc_id, 2080 + (doc_id % 13) * 64 AS n,
+               3 + doc_id % 5 AS r
+             FROM documents WHERE doc_id < 200),
+           s AS (
+             SELECT p.doc_id, p.n,
+               CAST(t.range * 65 // p.n AS INTEGER) AS w,
+               100 + (t.range * p.r) % 900 AS a
+             FROM p, range(2848) t WHERE t.range < p.n),
+           e AS (
+             SELECT doc_id, any_value(n) AS n, w,
+               sum(CAST(a AS BIGINT) * a) AS energy,
+               count(*) AS len
+             FROM s GROUP BY doc_id, w)
+           SELECT e0.doc_id AS id,
+             CAST(e0.n AS BIGINT) AS n_samples,
+             CAST(sum(CASE
+               WHEN e1.energy * e0.len <= e0.energy * e1.len THEN 0
+               WHEN e0.w = 63 THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+               ELSE (CAST(1 AS BIGINT) << e0.w)
+               END) AS BIGINT) AS fp
+           FROM e e0 JOIN e e1
+             ON e0.doc_id = e1.doc_id AND e1.w = e0.w + 1
+           GROUP BY 1, 2""",
+
+      "q_audio_neardup" ->
+        """WITH p AS (
+             SELECT doc_id, 2080 + (doc_id % 13) * 64 AS n,
+               3 + doc_id % 5 AS r
+             FROM documents WHERE doc_id < 200),
+           s AS (
+             SELECT p.doc_id, p.n,
+               CAST(t.range * 65 // p.n AS INTEGER) AS w,
+               100 + (t.range * p.r) % 900 AS a
+             FROM p, range(2848) t WHERE t.range < p.n),
+           e AS (
+             SELECT doc_id, w,
+               sum(CAST(a AS BIGINT) * a) AS energy,
+               count(*) AS len
+             FROM s GROUP BY doc_id, w),
+           fps AS (
+             SELECT e0.doc_id AS id,
+               CAST(sum(CASE
+                 WHEN e1.energy * e0.len <= e0.energy * e1.len THEN 0
+                 WHEN e0.w = 63 THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+                 ELSE (CAST(1 AS BIGINT) << e0.w)
+                 END) AS BIGINT) AS fp
+             FROM e e0 JOIN e e1
+               ON e0.doc_id = e1.doc_id AND e1.w = e0.w + 1
+             GROUP BY 1)
+           SELECT a.id AS id_a, b.id AS id_b,
+             CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+           FROM fps a JOIN fps b ON a.id < b.id
+           WHERE bit_count(xor(a.fp, b.fp)) <= 3""",
 
       "q_audio" ->
         """SELECT doc_id AS id,

@@ -22,6 +22,10 @@ case class SampledFrame(id: Long, frame_index: Int, byte_offset: Long)
   * image ([[Multimodal.aHashOf]]). */
 case class ImageHash(id: Long, width: Int, height: Int, ahash: Long)
 
+/** Audio fingerprint record: 64-bit energy-envelope signature over the
+  * decoded PCM ([[Multimodal.fingerprintOf]]). */
+case class AudioFingerprint(id: Long, n_samples: Long, fp: Long)
+
 /** Decoded-audio record: format metadata + duration + signal RMS (raw
   * PCM units). */
 case class AudioFeatures(
@@ -361,6 +365,107 @@ object Multimodal {
     }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .toDF(idCol, "blob")
   }
+
+  /** Deterministic REAL WAV per id with a time-varying loudness envelope,
+    * for the fingerprint path ([[audioFingerprint]] needs intra-signal
+    * structure; [[syntheticWavs]]' constant-amplitude squares fingerprint
+    * to all-zeros). PCM16 mono 8 kHz: `n = 2080 + (id % 13)·64` samples,
+    * `sample(t) = sign(t) · (100 + (t·r) % 900)` with envelope rate
+    * `r = 3 + id % 5` and a square carrier of period `8 + id % 8`. The
+    * carrier sign squares away in window energies, so ids sharing
+    * (n, r) — id ≡ id′ (mod 65) — are planted perceptual duplicates with
+    * DIFFERENT carriers (same loudness contour, different timbre), and
+    * every energy is integer-replayable by a SQL oracle. */
+  def syntheticToneWavs(df: DataFrame, idCol: String): DataFrame = {
+    val in = df.select(col(idCol).cast("long")).as(Encoders.scalaLong)
+    in.mapPartitions { it =>
+      it.map { id =>
+        val n = (2080 + (id % 13) * 64).toInt
+        val r = (3 + id % 5).toInt
+        val p = (8 + id % 8).toInt
+        val samples = Array.tabulate[Short](n) { t =>
+          val a = 100 + (t.toLong * r % 900).toInt
+          (if (t % p < (p + 1) / 2) a else -a).toShort
+        }
+        (id, wavBytes(samples, 8000))
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF(idCol, "blob")
+  }
+
+  /** Energy-envelope fingerprint of a decoded PCM16 signal (the
+    * Chromaprint-shaped primitive, reduced to the loudness contour): the
+    * signal splits into 65 windows (`window(t) = ⌊t·65/n⌋`), per-window
+    * ENERGY `E(w) = Σ sample²` (integer — sign and carrier square away),
+    * and bit `k` of the 64-bit fingerprint is set iff window `k+1` is
+    * louder than window `k` per sample: `E(k+1)·L(k) > E(k)·L(k+1)`
+    * (cross-multiplied — pure integer, no float mean, bit-replayable by
+    * any engine; L is the window length, windows differ by ±1 sample).
+    * Invariant to uniform gain (scales both sides) and to carrier/timbre
+    * changes. Non-16-bit, empty, or undecodable payloads are dropped;
+    * signals shorter than 65 samples are dropped (windows would be
+    * empty). */
+  private[multimodal] def fingerprintOf(
+      id: Long, bytes: Array[Byte]): Option[AudioFingerprint] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+        else {
+          val data = ais.readAllBytes()
+          val n = data.length / 2
+          if (n < 65) None
+          else {
+            val bb = java.nio.ByteBuffer.wrap(data)
+              .order(if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                     else java.nio.ByteOrder.LITTLE_ENDIAN)
+            val e = new Array[Long](65)
+            val l = new Array[Long](65)
+            var t = 0
+            while (t < n) {
+              val w = (t.toLong * 65 / n).toInt
+              val s = bb.getShort(t * 2).toLong
+              e(w) += s * s
+              l(w) += 1
+              t += 1
+            }
+            var fp = 0L
+            var k = 0
+            while (k < 64) {
+              if (e(k + 1) * l(k) > e(k) * l(k + 1)) fp |= (1L << k)
+              k += 1
+            }
+            Some(AudioFingerprint(id, n.toLong, fp))
+          }
+        }
+      } finally ais.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Fingerprint per audio payload (real javax.sound decode). Output:
+    * (id, n_samples, fp). */
+  def audioFingerprint(
+      df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val in = df.select(col(idCol).cast("long"), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    in.mapPartitions(it => it.flatMap { case (id, bytes) =>
+      fingerprintOf(id, bytes)
+    })(Encoders.product[AudioFingerprint]).toDF()
+  }
+
+  /** Audio near-duplicate pairs: [[audioFingerprint]] signatures through
+    * the same banded Hamming engine as text simhash and image aHash
+    * ([[graft.text.Dedup.hammingNearDup]]) — the third modality on one
+    * bounded-bucket dedup engine. Output (id_a, id_b, hamming). */
+  def audioNearDup(
+      df: DataFrame, idCol: String, binCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+    graft.text.Dedup.hammingNearDup(
+      audioFingerprint(df, idCol, binCol).select(col("id"), col("fp")),
+      "id", "fp", maxHamming, maxBucket, "audioNearDup")
 
   /** Canonical 44-byte RIFF/WAVE header + little-endian PCM16 mono data. */
   private[multimodal] def wavBytes(
