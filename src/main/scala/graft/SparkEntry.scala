@@ -28,10 +28,12 @@ object SparkEntry {
     queries("q_pipeline")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    classicQueries ++ DataQueries.queries ++ bigPathQueries
+    classicQueries ++ DataQueries.queries ++ bigPathQueries ++
+      Round6Queries.queries
 
   def oracleSql: Map[String, String] = {
-    val base = classicOracleSql ++ DataQueries.oracleSql
+    val base = classicOracleSql ++ DataQueries.oracleSql ++
+      Round6Queries.oracleSql
     // the 100-TB twins are semantically IDENTICAL to their small-path
     // twins — the oracle SQL is literally the twin's, because the whole
     // point is bit-identical output from the distributed branch
