@@ -1,5 +1,6 @@
 package graft
 
+import graft.relational.Sketches
 import graft.sim.Cluster
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -80,7 +81,26 @@ object Round6Queries {
 
     "q_kmeans_sizes" -> ((s, d) =>
       Cluster.kMeansSizes(t(s, d, "embeddings"), "vec_id", "embedding",
-        KmK, KmIters, KmDims))
+        KmK, KmIters, KmDims)),
+
+    // mergeable HLL: distinct customers per month, sketched then estimated
+    "q_hll" -> ((s, d) => {
+      val o = t(s, d, "orders").withColumn("month",
+        date_format(col("o_orderdate"), "yyyy-MM"))
+      Sketches.approxDistinct(o, Seq("month"), "o_custkey")
+    }),
+
+    // the MERGE path: month registers rolled up to years WITHOUT touching
+    // the raw orders again — the oracle sketches years directly (max is
+    // associative, so the two must be identical)
+    "q_hll_merge" -> ((s, d) => {
+      val o = t(s, d, "orders").withColumn("month",
+        date_format(col("o_orderdate"), "yyyy-MM"))
+      val months = Sketches.hllSketch(o, Seq("month"), "o_custkey")
+        .withColumn("year", substring(col("month"), 1, 4))
+      Sketches.hllEstimate(Sketches.hllMerge(months, Seq("year")),
+        Seq("year"))
+    })
   )
 
   def oracleSql: Map[String, String] = {
@@ -88,7 +108,15 @@ object Round6Queries {
     Map(
       "q_kmeans" -> km,
       "q_kmeans_sizes" ->
-        s"SELECT cluster, count(*) AS n FROM ($km) GROUP BY cluster"
+        s"SELECT cluster, count(*) AS n FROM ($km) GROUP BY cluster",
+
+      "q_hll" -> Sketches.estimateSql(
+        """SELECT strftime(o_orderdate, '%Y-%m') AS grp,
+             CAST(o_custkey AS VARCHAR) AS k FROM orders""", "month"),
+
+      "q_hll_merge" -> Sketches.estimateSql(
+        """SELECT strftime(o_orderdate, '%Y') AS grp,
+             CAST(o_custkey AS VARCHAR) AS k FROM orders""", "year")
     )
   }
 }

@@ -1,0 +1,132 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable HyperLogLog sketches (Flajolet et al. 2007) as PLAIN RELATIONS
+  * — the 100-TB distinct-counting shape Spark's `approx_count_distinct`
+  * can't give you: that aggregate is one-shot, its sketch is opaque plan
+  * state. Here the registers are rows `(group…, bucket, rho)`, so they can
+  * be WRITTEN (a daily distinct-user sketch table), MERGED across groups
+  * (month = max over its days' registers — without rescanning the raw
+  * corpus), and ESTIMATED at read time. Sketching a 100-TB day is one
+  * map-side-combined aggregate; everything downstream touches only
+  * `groups × ≤256` register rows.
+  *
+  * Engine-portable by the repo's md5 discipline ([[graft.sim.Similarity
+  * .portablePlanes]] convention): bucket = first 2 md5 hex chars (m = 256,
+  * p = 8), the rank field = the next 13 hex chars (52 bits), rho = leading
+  * zeros + 1 via an integer `>=`-chain (no float log), clamped at
+  * [[Sketches.RhoCap]]. The estimator's indicator sum is EXACT integer
+  * arithmetic — Σ 2^(RhoCap−rho) ≤ 256·2^39 < 2^53 — so an external SQL
+  * engine replays bucket, rho, and estimate bit-for-bit (the one `ln` in
+  * the linear-counting branch is rounded to 6 dp on both sides).
+  */
+object Sketches {
+  /** Register count m = 2^P. 256 registers ≈ 6.5 % standard error —
+    * right for per-group telemetry; the formulas below derive from P. */
+  val P = 8
+  val M: Int = 1 << P
+  /** rho clamp: keeps the indicator sum exact-integer. At rho = 40 the
+    * register's indicator term is 1 — the truncation error is ≤ 2^-40
+    * of one register, far below the estimator's own variance, and both
+    * engines clamp identically. */
+  val RhoCap = 40
+
+  private val Alpha: Double = 0.7213 / (1.0 + 1.079 / M)
+  /** alpha · m² · 2^RhoCap, the numerator of the scaled estimator. */
+  private val AlphaNum: Double =
+    Alpha * M.toDouble * M.toDouble * (1L << RhoCap).toDouble
+
+  /** md5-derived bucket in [0, m). */
+  private def bucketCol(key: Column): Column =
+    conv(substring(md5(key.cast("binary")), 1, 2), 16, 10).cast("int")
+
+  /** 52-bit rank field (next 13 md5 hex chars). */
+  private def rankCol(key: Column): Column =
+    conv(substring(md5(key.cast("binary")), 3, 13), 16, 10).cast("long")
+
+  /** rho = leading zeros of the 52-bit field + 1, clamped — a pure
+    * integer comparison cascade both engines evaluate identically. */
+  private def rhoCol(v: Column): Column =
+    (1 until RhoCap).foldRight(lit(RhoCap)) { (r, rest) =>
+      when(v >= lit(1L << (52 - r)), lit(r)).otherwise(rest)
+    }
+
+  /** Sparse HLL registers per group: `(groupCols…, bucket, rho)` — max rho
+    * per touched bucket; untouched buckets are implicit rho = 0. ONE
+    * aggregate over the corpus; the shuffle carries ≤ m partial rows per
+    * (partition, group). */
+  def hllSketch(df: DataFrame, groupCols: Seq[String], keyCol: String)
+      : DataFrame = {
+    val key = col(keyCol).cast("string")
+    df.select(groupCols.map(col) :+ bucketCol(key).as("bucket") :+
+        rhoCol(rankCol(key)).as("__rho"): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("__rho")).as("rho"))
+  }
+
+  /** Merge registers to a coarser grouping (the caller derives the coarser
+    * key column first — e.g. `month → year`): max is associative, so
+    * merged registers are IDENTICAL to sketching the coarser groups from
+    * raw — without the raw scan. */
+  def hllMerge(registers: DataFrame, groupCols: Seq[String]): DataFrame =
+    registers
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("rho")).as("rho"))
+
+  /** HLL estimate per group from registers: `(groupCols…, est)` (6 dp).
+    * Scaled-integer indicator sum (exact), linear-counting correction for
+    * the small range (raw ≤ 2.5 m with empty registers). */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val s = (sum(expr(s"shiftleft(CAST(1 AS BIGINT), $RhoCap - rho)")) +
+      (lit(M.toLong) - count(lit(1))) * lit(1L << RhoCap)).as("__s")
+    val zeros = (lit(M.toLong) - count(lit(1))).as("__zeros")
+    registers.groupBy(groupCols.map(col): _*).agg(s, zeros)
+      .withColumn("__raw", lit(AlphaNum) / col("__s").cast("double"))
+      .select(groupCols.map(col) :+
+        round(
+          when(col("__raw") <= lit(2.5 * M) && col("__zeros") > 0,
+            lit(M.toDouble) *
+              log(lit(M.toDouble) / col("__zeros").cast("double")))
+            .otherwise(col("__raw")), 6).as("est"): _*)
+  }
+
+  /** Convenience: sketch + estimate in one call (still one corpus pass). */
+  def approxDistinct(df: DataFrame, groupCols: Seq[String], keyCol: String)
+      : DataFrame =
+    hllEstimate(hllSketch(df, groupCols, keyCol), groupCols)
+
+  /** The rho `>=`-cascade as oracle SQL over a bigint expression `v`. */
+  private[graft] def rhoSql(v: String): String = {
+    val cases = (1 until RhoCap)
+      .map(r => s"WHEN $v >= ${1L << (52 - r)} THEN $r").mkString(" ")
+    s"CASE $cases ELSE $RhoCap END"
+  }
+
+  /** Full estimate oracle SQL: registers → estimate, given a source CTE
+    * `src(grp, k)` where k is the string key. Generated from the SAME
+    * constants the Spark path uses, so the two sides cannot drift. */
+  private[graft] def estimateSql(srcCte: String, grpName: String): String = {
+    // the alpha numerator spelled as the same left-assoc literal chain
+    // Scala evaluates for AlphaNum (bit-identical in both engines)
+    val alphaNum =
+      s"0.7213 / (1.0 + 1.079 / $M.0) * $M.0 * $M.0 * ${1L << RhoCap}.0"
+    s"""WITH src AS ($srcCte),
+       h AS (SELECT grp,
+               ('0x' || substr(md5(k), 1, 2))::BIGINT AS bucket,
+               ('0x' || substr(md5(k), 3, 13))::BIGINT AS v
+             FROM src),
+       r AS (SELECT grp, bucket, max(${rhoSql("v")}) AS rho
+             FROM h GROUP BY grp, bucket),
+       e AS (SELECT grp,
+               sum(1::BIGINT << ($RhoCap - rho))
+                 + ($M - count(*)) * ${1L << RhoCap} AS s,
+               $M - count(*) AS zeros
+             FROM r GROUP BY grp)
+       SELECT grp AS $grpName,
+         round(CASE WHEN raw <= ${2.5 * M} AND zeros > 0
+                 THEN $M.0 * ln($M.0 / zeros) ELSE raw END, 6) AS est
+       FROM (SELECT grp, zeros, $alphaNum / s AS raw FROM e)"""
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.relational.Sketches
+import org.apache.spark.sql.functions._
+
+/** Mergeable HLL: error bounds at both estimator regimes, exact merge
+  * associativity (the property that makes sketch TABLES work), and
+  * determinism. */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("estimate within rigor bounds: linear-counting and raw regimes") {
+    // 100 distinct (linear counting: tight) and 10k distinct (raw HLL:
+    // within ~3 sigma of the 1.04/sqrt(256) = 6.5% standard error)
+    val small = (0 until 100).map(i => ("g", s"u$i")).toDF("grp", "k")
+    val eSmall = Sketches.approxDistinct(small, Seq("grp"), "k")
+      .head().getDouble(1)
+    assert(math.abs(eSmall - 100) / 100.0 < 0.05, s"small: $eSmall")
+
+    val big = (0 until 10000).map(i => ("g", s"user-$i")).toDF("grp", "k")
+    val eBig = Sketches.approxDistinct(big, Seq("grp"), "k")
+      .head().getDouble(1)
+    assert(math.abs(eBig - 10000) / 10000.0 < 0.2, s"big: $eBig")
+  }
+
+  test("duplicates don't move the estimate") {
+    val once = (0 until 500).map(i => ("g", s"k$i")).toDF("grp", "k")
+    val dup = (0 until 500).flatMap(i => Seq.fill(7)(("g", s"k$i")))
+      .toDF("grp", "k")
+    assert(Sketches.approxDistinct(once, Seq("grp"), "k").head().getDouble(1)
+      == Sketches.approxDistinct(dup, Seq("grp"), "k").head().getDouble(1))
+  }
+
+  test("merged partition sketches == whole-corpus sketch, exactly") {
+    val rows = (0 until 3000).map(i => (s"part${i % 3}", s"id-${i % 1100}"))
+      .toDF("grp", "k")
+    // per-partition registers, then merge to one global group
+    val parts = Sketches.hllSketch(rows, Seq("grp"), "k")
+      .withColumn("all", lit("all"))
+    val merged = Sketches.hllMerge(parts, Seq("all"))
+      .select(col("all").as("grp"), col("bucket"), col("rho"))
+    // direct sketch of the union under the same single group
+    val direct = Sketches.hllSketch(rows.withColumn("grp", lit("all")),
+      Seq("grp"), "k")
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
+    // and identical estimates
+    assert(Sketches.hllEstimate(merged, Seq("grp")).head().getDouble(1)
+      == Sketches.hllEstimate(direct, Seq("grp")).head().getDouble(1))
+  }
+
+  test("register shape: bucket in [0, m), rho in [1, cap]") {
+    val rows = (0 until 2000).map(i => ("g", s"v$i")).toDF("grp", "k")
+    val reg = Sketches.hllSketch(rows, Seq("grp"), "k")
+    val bad = reg.filter(col("bucket") < 0 || col("bucket") >= Sketches.M ||
+      col("rho") < 1 || col("rho") > Sketches.RhoCap)
+    assert(bad.isEmpty)
+    assert(reg.count() <= Sketches.M)
+  }
+
+  test("estimates are per-group independent") {
+    val rows = ((0 until 800).map(i => ("a", s"x$i")) ++
+      (0 until 50).map(i => ("b", s"y$i"))).toDF("grp", "k")
+    val est = Sketches.approxDistinct(rows, Seq("grp"), "k")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(est("a") - 800) / 800.0 < 0.2)
+    assert(math.abs(est("b") - 50) / 50.0 < 0.1)
+  }
+}
