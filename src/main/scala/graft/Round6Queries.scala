@@ -100,7 +100,15 @@ object Round6Queries {
         .withColumn("year", substring(col("month"), 1, 4))
       Sketches.hllEstimate(Sketches.hllMerge(months, Seq("year")),
         Seq("year"))
-    })
+    }),
+
+    // boilerplate removal over the corpus's synthesized lines (same
+    // " the " -> newline trick as q_dedup_lines)
+    "q_boilerplate" -> ((s, d) =>
+      graft.text.Dedup.removeBoilerplate(
+        t(s, d, "documents").withColumn("text",
+          regexp_replace(col("text"), " the ", "\n")),
+        "text", "doc_id", minDocs = 2))
   )
 
   def oracleSql: Map[String, String] = {
@@ -116,7 +124,28 @@ object Round6Queries {
 
       "q_hll_merge" -> Sketches.estimateSql(
         """SELECT strftime(o_orderdate, '%Y') AS grp,
-             CAST(o_custkey AS VARCHAR) AS k FROM orders""", "year")
+             CAST(o_custkey AS VARCHAR) AS k FROM orders""", "year"),
+
+      "q_boilerplate" ->
+        """WITH src AS (
+             SELECT doc_id, regexp_replace(text, ' the ', chr(10), 'g') AS t
+             FROM documents),
+           ls AS (SELECT doc_id, string_split(t, chr(10)) AS xs FROM src),
+           l AS (SELECT doc_id, xs[p] AS line, p
+                 FROM ls, LATERAL (SELECT unnest(range(1, len(xs) + 1)) AS p)),
+           bp AS (SELECT trim(line) AS k FROM l WHERE trim(line) <> ''
+                  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+           kept AS (SELECT doc_id, line, p FROM l
+                    WHERE trim(line) = ''
+                       OR trim(line) NOT IN (SELECT k FROM bp)),
+           re AS (SELECT doc_id,
+                    string_agg(line, chr(10) ORDER BY p) AS clean_text,
+                    count(*) AS kept_n
+                  FROM kept GROUP BY doc_id)
+           SELECT ls.doc_id, coalesce(re.clean_text, '') AS clean_text,
+             len(ls.xs)::BIGINT AS n_lines,
+             (len(ls.xs) - coalesce(re.kept_n, 0))::BIGINT AS n_removed
+           FROM ls LEFT JOIN re ON ls.doc_id = re.doc_id"""
     )
   }
 }

@@ -430,6 +430,56 @@ object Dedup {
       .drop("__ls")
   }
 
+  /** Frequency-thresholded BOILERPLATE line removal (RefinedWeb/CCNet's
+    * other line rule — [[dedupLines]] keeps first occurrences; boilerplate
+    * headers/footers/nav text must instead be removed EVERYWHERE): any
+    * non-blank line (identity = exact trimmed text) occurring in at least
+    * `minDocs` DISTINCT documents is deleted from every document; blank
+    * lines always stay. Output: (idCol, clean_text, n_lines, n_removed).
+    *
+    * Shape at 100 TB: the explode shuffles 8-byte xxhash64 line keys (not
+    * text); document frequency is one count_distinct aggregate over those
+    * keys; the boilerplate key set (lines in ≥ minDocs docs — small by
+    * construction for any real threshold) joins back hash-to-hash (AQE
+    * broadcasts it when it fits); reassembly is one per-doc aggregate
+    * bounded by document size. Same hash-identity collision argument as
+    * [[dedupLines]] — and the q_boilerplate oracle recomputes from exact
+    * strings and matches. */
+  def removeBoilerplate(
+      df: DataFrame, textCol: String, idCol: String, minDocs: Int,
+      lineSep: String = "\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    require(lineSep.nonEmpty, "need a non-empty line separator")
+    val reserved = Seq("__pos", "__line", "__key", "__kept", "__bp")
+      .filter(df.columns.contains)
+    require(reserved.isEmpty, s"$reserved reserved by removeBoilerplate")
+    val sepRe = java.util.regex.Pattern.quote(lineSep)
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), sepRe)).as(Seq("__pos", "__line")))
+      .withColumn("__key", xxhash64(trim(col("__line"))))
+    val boiler = lines.filter(trim(col("__line")) =!= "")
+      .groupBy("__key")
+      .agg(count_distinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("__key"), lit(true).as("__bp"))
+    val rebuilt = lines.join(boiler, Seq("__key"), "left")
+      .filter(trim(col("__line")) === "" || col("__bp").isNull)
+      .groupBy(idCol)
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos").as("p"),
+            col("__line").as("l")))), s => s.getField("l")), lineSep)
+          .as("clean_text"),
+        count(lit(1)).as("__kept"))
+    df.select(col(idCol),
+        size(split(col(textCol), sepRe)).cast("long").as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("__kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Maximal duplicated-span RANGES — the span-extraction step of
     * substring dedup (Lee et al. 2021 report repeated spans, not gram
     * counts): for every document, the maximal token intervals covered by
