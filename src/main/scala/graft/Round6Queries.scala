@@ -108,7 +108,19 @@ object Round6Queries {
       graft.text.Dedup.removeBoilerplate(
         t(s, d, "documents").withColumn("text",
           regexp_replace(col("text"), " the ", "\n")),
-        "text", "doc_id", minDocs = 2))
+        "text", "doc_id", minDocs = 2)),
+
+    // subword tokenizer: fitted piece vocabulary + greedy longest-match
+    // encoding (graft.functions.SubwordEncode, codegen'd)
+    "q_subword_vocab" -> ((s, d) =>
+      graft.text.Subword.fitVocab(t(s, d, "documents"), "text",
+        size = 200, maxLen = 4)),
+    "q_subword" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.text.Subword.encode(docs, "text", "doc_id",
+        graft.text.Subword.fitVocab(docs, "text", size = 200, maxLen = 4),
+        maxLen = 4)
+    })
   )
 
   def oracleSql: Map[String, String] = {
@@ -145,7 +157,82 @@ object Round6Queries {
            SELECT ls.doc_id, coalesce(re.clean_text, '') AS clean_text,
              len(ls.xs)::BIGINT AS n_lines,
              (len(ls.xs) - coalesce(re.kept_n, 0))::BIGINT AS n_removed
-           FROM ls LEFT JOIN re ON ls.doc_id = re.doc_id"""
+           FROM ls LEFT JOIN re ON ls.doc_id = re.doc_id""",
+
+      "q_subword_vocab" ->
+        s"""WITH w AS (
+              SELECT xs[p] AS word
+              FROM (SELECT list_filter(
+                      string_split_regex(trim(lower(coalesce(text, ''))),
+                        '\\s+'), x -> x <> '') AS xs FROM documents),
+                LATERAL (SELECT unnest(range(1, len(xs) + 1)) AS p)),
+            grams AS (
+              SELECT substr(word, s, l) AS piece, count(*) AS n_occurrences
+              FROM w,
+                LATERAL (SELECT unnest(range(1, len(word) + 1)) AS s),
+                LATERAL (SELECT unnest(
+                  range(1, least(4, len(word) - s + 1) + 1)) AS l)
+              GROUP BY 1),
+            top AS (SELECT piece, n_occurrences FROM grams
+                    ORDER BY n_occurrences DESC, piece LIMIT 200)
+            SELECT piece,
+              (row_number() OVER (ORDER BY n_occurrences DESC, piece) - 1)
+                ::BIGINT AS piece_id,
+              n_occurrences
+            FROM top""",
+
+      "q_subword" ->
+        s"""WITH RECURSIVE
+            toks AS (
+              SELECT doc_id, list_filter(
+                string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+                x -> x <> '') AS xs
+              FROM documents),
+            w AS (SELECT doc_id, p AS wi, xs[p] AS word FROM toks,
+                  LATERAL (SELECT unnest(range(1, len(xs) + 1)) AS p)),
+            grams AS (
+              SELECT substr(word, s, l) AS piece, count(*) AS n
+              FROM w,
+                LATERAL (SELECT unnest(range(1, len(word) + 1)) AS s),
+                LATERAL (SELECT unnest(
+                  range(1, least(4, len(word) - s + 1) + 1)) AS l)
+              GROUP BY 1),
+            vocab AS (SELECT piece FROM grams
+                      ORDER BY n DESC, piece LIMIT 200),
+            dw AS (SELECT DISTINCT word FROM w),
+            enc AS (
+              SELECT word, 1 AS pos, CAST('' AS VARCHAR) AS pieces,
+                0 AS np, false AS unk
+              FROM dw
+              UNION ALL
+              SELECT word,
+                CASE WHEN bl IS NULL THEN len(word) + 1 ELSE pos + bl END,
+                CASE WHEN bl IS NULL THEN '[UNK]'
+                     WHEN pieces = '' THEN substr(word, pos, bl)
+                     ELSE pieces || ' ' || substr(word, pos, bl) END,
+                CASE WHEN bl IS NULL THEN 1 ELSE np + 1 END,
+                bl IS NULL
+              FROM (SELECT e.*,
+                      (SELECT max(len(v.piece)) FROM vocab v
+                       WHERE v.piece = substr(e.word, e.pos, len(v.piece)))
+                        AS bl
+                    FROM enc e
+                    WHERE e.pos <= len(e.word) AND NOT e.unk) s),
+            done AS (SELECT word, pieces, np, unk FROM enc
+                     WHERE pos > len(word)),
+            agg AS (
+              SELECT w.doc_id, count(*)::BIGINT AS n_words,
+                sum(d.np)::BIGINT AS n_pieces,
+                sum(CASE WHEN d.unk THEN 1 ELSE 0 END)::BIGINT AS n_unk,
+                string_agg(d.pieces, ' ' ORDER BY w.wi) AS encoded
+              FROM w JOIN done d USING (word)
+              GROUP BY 1)
+            SELECT t.doc_id,
+              coalesce(a.n_words, 0)::BIGINT AS n_words,
+              coalesce(a.n_pieces, 0)::BIGINT AS n_pieces,
+              coalesce(a.n_unk, 0)::BIGINT AS n_unk,
+              coalesce(a.encoded, '') AS encoded
+            FROM toks t LEFT JOIN agg a USING (doc_id)"""
     )
   }
 }

@@ -512,6 +512,112 @@ object Md5Hash60 {
   }
 }
 
+/** Greedy longest-match subword tokenization of a word array against a
+  * fitted piece vocabulary — the WordPiece/BPE INFERENCE algorithm (the
+  * step a training-data pipeline runs over every document to count and
+  * materialize token ids; fitting is [[graft.text.Subword.fitVocab]]).
+  * Per word: repeatedly emit the longest vocabulary piece (≤ `maxLen`
+  * codepoints) prefixing the remaining suffix; if no piece matches, the
+  * whole word becomes the single piece `[UNK]` (uppercase K — cannot
+  * collide with lowercased corpus pieces). Returns a struct
+  * (n_words, n_pieces, n_unk, encoded) in ONE pass over the text; the
+  * higher-order-function formulation would allocate an array per word per
+  * trial length, and a join-based encoder would shuffle the corpus — this
+  * runs at scan speed with the bounded vocabulary shipped in the plan.
+  * Codepoint-indexed (not UTF-16 chars) so astral-plane symbols count one
+  * position, matching SQL engines' character semantics. */
+case class SubwordEncode(
+    child: Expression, pieces: Seq[String], maxLen: Int)
+    extends UnaryExpression {
+  require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
+
+  override def dataType: DataType = SubwordEncode.schema
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"subword_encode needs an array<string> of words, got ${t.sql}")
+  }
+
+  @transient private lazy val set: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](pieces.size * 2)
+    pieces.foreach(s.add)
+    s
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    SubwordEncode.encode(v.asInstanceOf[ArrayData], set, maxLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("subwordPieces", set,
+      "java.util.HashSet<String>")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SubwordEncode.encode($c, $setRef, $maxLen)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): SubwordEncode =
+    copy(child = c)
+}
+
+object SubwordEncode {
+  val Unk = "[UNK]"
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_pieces", LongType, nullable = false),
+    StructField("n_unk", LongType, nullable = false),
+    StructField("encoded", StringType, nullable = false)))
+
+  /** Static entry point shared by interpreted eval and generated code.
+    * Empty-string entries in the word array are skipped (split of blank
+    * text yields them); `encoded` is every emitted piece joined by single
+    * spaces across word boundaries. */
+  def encode(words: ArrayData, set: java.util.HashSet[String], maxLen: Int)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    var nWords = 0L
+    var nPieces = 0L
+    var nUnk = 0L
+    val sb = new java.lang.StringBuilder
+    val n = words.numElements()
+    var i = 0
+    while (i < n) {
+      val u = words.getUTF8String(i)
+      if (u != null && u.numBytes() > 0) {
+        nWords += 1
+        val cps = u.toString.codePoints().toArray()
+        val mark = sb.length()
+        val before = nPieces
+        var pos = 0
+        var unk = false
+        while (pos < cps.length && !unk) {
+          var l = math.min(maxLen, cps.length - pos)
+          var hit = 0
+          while (l >= 1 && hit == 0) {
+            if (set.contains(new String(cps, pos, l))) hit = l else l -= 1
+          }
+          if (hit == 0) unk = true
+          else {
+            if (sb.length() > 0) sb.append(' ')
+            sb.append(new String(cps, pos, hit))
+            nPieces += 1
+            pos += hit
+          }
+        }
+        if (unk) {
+          sb.setLength(mark)
+          nPieces = before + 1
+          nUnk += 1
+          if (sb.length() > 0) sb.append(' ')
+          sb.append(Unk)
+        }
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(nWords, nPieces, nUnk,
+      org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString))
+  }
+}
+
 /** Column-level entry points for graft's custom expressions. */
 object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column =
@@ -533,6 +639,9 @@ object GraftFunctions {
 
   def strip_accents(s: Column): Column =
     Bridge.column(StripAccents(Bridge.expression(s)))
+
+  def subword_encode(words: Column, pieces: Seq[String], maxLen: Int): Column =
+    Bridge.column(SubwordEncode(Bridge.expression(words), pieces, maxLen))
 
   def double_sort_key(d: Column): Column =
     Bridge.column(DoubleSortKey(Bridge.expression(d)))
