@@ -120,8 +120,55 @@ object Round6Queries {
       graft.text.Subword.encode(docs, "text", "doc_id",
         graft.text.Subword.fitVocab(docs, "text", size = 200, maxLen = 4),
         maxLen = 4)
+    }),
+
+    // integer-deterministic PageRank on the event transition graph
+    "q_pagerank" -> ((s, d) =>
+      graft.relational.Graph.pageRank(
+        graft.relational.Relational.transitions(
+          DataQueries.readEventsMicros(s, d),
+          Seq("user_id"), "tsu", "event_type", Seq("event_id")),
+        "from_type", "to_type", "n", iters = PrIters)),
+
+    // TextRank (Mihalcea & Tarau 2004): PageRank over the undirected
+    // word co-occurrence (bigram) graph — corpus keyword ranking
+    "q_textrank" -> ((s, d) => {
+      val toks = filter(graft.text.TextFunctions
+        .tokensLower(coalesce(col("text"), lit(""))), w => w =!= "")
+      val bg = t(s, d, "documents").select(toks.as("__t"))
+        .filter(size(col("__t")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("__t")) - 1),
+          i => struct(element_at(col("__t"), i).as("a"),
+            element_at(col("__t"), i + 1).as("b")))).as("bg"))
+        .select(col("bg.a").as("a"), col("bg.b").as("b"))
+      val edges = bg.union(bg.select(col("b").as("a"), col("a").as("b")))
+        .filter(col("a") =!= col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("w"))
+      graft.relational.Graph.pageRank(edges, "a", "b", "w",
+        iters = PrIters)
     })
   )
+
+  private val PrIters = 5
+
+  private val TransitionEdgesSql =
+    """SELECT from_type AS src, to_type AS dst, count(*) AS w FROM (
+         SELECT event_type AS from_type,
+           lead(event_type) OVER (PARTITION BY user_id
+             ORDER BY epoch_us(ts), event_id) AS to_type
+         FROM events)
+       WHERE to_type IS NOT NULL GROUP BY 1, 2"""
+
+  private val WordEdgesSql =
+    """WITH t AS (SELECT list_filter(
+           string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+           x -> x <> '') AS xs FROM documents),
+         bg AS (SELECT xs[p] AS a, xs[p + 1] AS b FROM t,
+                LATERAL (SELECT unnest(range(1, len(xs))) AS p)
+                WHERE len(xs) >= 2),
+         und AS (SELECT a, b FROM bg UNION ALL SELECT b, a FROM bg)
+       SELECT a AS src, b AS dst, count(*) AS w FROM und
+       WHERE a <> b GROUP BY 1, 2"""
 
   def oracleSql: Map[String, String] = {
     val km = kmeansSql(KmK, KmIters, KmDims)
@@ -232,7 +279,13 @@ object Round6Queries {
               coalesce(a.n_pieces, 0)::BIGINT AS n_pieces,
               coalesce(a.n_unk, 0)::BIGINT AS n_unk,
               coalesce(a.encoded, '') AS encoded
-            FROM toks t LEFT JOIN agg a USING (doc_id)"""
+            FROM toks t LEFT JOIN agg a USING (doc_id)""",
+
+      "q_pagerank" ->
+        graft.relational.Graph.pageRankSql(TransitionEdgesSql, PrIters),
+
+      "q_textrank" ->
+        graft.relational.Graph.pageRankSql(WordEdgesSql, PrIters)
     )
   }
 }

@@ -1,0 +1,113 @@
+package graft.relational
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Weighted PageRank (Page et al. 1999) on an edge relation, in EXACT
+  * integer arithmetic so any SQL engine replays every iteration
+  * bit-for-bit — the same determinism discipline as
+  * [[graft.sim.Cluster]]'s k-means (floor-quantized state, no
+  * float-sum order dependence). Rank mass lives in integer units of
+  * `scale`; every per-edge contribution and every teleport/dangling
+  * share is a floor division, so partial-sum ORDER cannot change a
+  * result (long addition is associative-commutative) — the one thing a
+  * floating-point PageRank can never promise on a cluster.
+  *
+  * Per iteration, per edge u→v:  c = (85 · ((r(u) · w) div W(u))) div 100
+  * where W(u) is u's total out-weight (damping 0.85 as the 85/100
+  * rational). Every node also receives
+  * base = (15·scale) div (100·N)  +  (85 · (dang div N)) div 100,
+  * `dang` = Σ rank over nodes with no out-edges (their mass teleports).
+  * Floor rounding leaks a few units of mass per iteration — bounded by
+  * edges + N per round, far below rank magnitudes, and both engines
+  * leak identically.
+  *
+  * Shape at 100 TB: the edge relation (with pre-joined out-weights) is
+  * built ONCE and persisted; each iteration is one join of the
+  * (node, rank) relation — always the small side, broadcast by AQE when
+  * it fits — one dst-aggregate (map-side combined), and one scalar
+  * action for the dangling mass. `localCheckpoint` per round truncates
+  * the iterative lineage exactly like
+  * [[graft.text.Dedup]]'s distributed components loop. Overflow bound:
+  * needs scale · max(w) < 2^63 / 85 — at the default 1e9 scale that
+  * allows per-edge weights up to ~10^8.
+  */
+object Graph {
+
+  /** PageRank over `(srcCol, dstCol, wCol)` edges (long weights > 0;
+    * rows with w ≤ 0 are dropped). Returns `(node, rank)` with rank in
+    * integer `scale` units; Σ rank ≈ scale. */
+  def pageRank(
+      edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
+      iters: Int, scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"need 1 <= iters <= 50, got $iters")
+    require(scale >= 1000L, s"need scale >= 1000, got $scale")
+    val e0 = edges.select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"), col(wCol).cast("long").as("w"))
+      .filter(col("w") > 0L)
+    val outW = e0.groupBy("src").agg(sum("w").as("ow"))
+    val e = e0.join(outW, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val srcs = outW.select(col("src").as("node"))
+    val n = math.max(nodes.count(), 1L)
+    var r = nodes.withColumn("rank", lit(scale / n))
+    for (_ <- 1 to iters) {
+      val dang = r.join(srcs, Seq("node"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0L))).head.getLong(0)
+      val base = 15L * scale / (100L * n) + 85L * (dang / n) / 100L
+      val contrib = e.join(r.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          expr("(85 * ((rank * w) div ow)) div 100").as("__c"))
+        .groupBy("node").agg(sum("__c").as("__inflow"))
+      r = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (coalesce(col("__inflow"), lit(0L)) + lit(base)).as("rank"))
+        .localCheckpoint(true)
+    }
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    r
+  }
+
+  /** Generated oracle: the identical integer replay as unrolled SQL CTEs
+    * (the [[graft.Round6Queries]] k-means convention — oracle SQL built
+    * from the SAME parameters the Spark query runs with, so the sides
+    * cannot drift). `edgesCte` must yield columns (src, dst, w). */
+  def pageRankSql(edgesCte: String, iters: Int,
+      scale: Long = 1000000000L): String = {
+    val rounds = (1 to iters).map { k =>
+      val p = s"r${k - 1}"
+      s"""dang$k AS (
+         |  SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dang
+         |  FROM $p WHERE node NOT IN (SELECT src FROM outw)),
+         |base$k AS (
+         |  SELECT (15 * CAST($scale AS BIGINT)) // (100 * n)
+         |       + (85 * (dang // n)) // 100 AS b
+         |  FROM nn, dang$k),
+         |c$k AS (
+         |  SELECT ew.dst AS node,
+         |    CAST(sum((85 * ((r.rank * ew.w) // outw.W)) // 100)
+         |      AS BIGINT) AS inflow
+         |  FROM ew JOIN outw USING (src) JOIN $p r ON r.node = ew.src
+         |  GROUP BY 1),
+         |r$k AS (
+         |  SELECT nodes.node,
+         |    coalesce(c.inflow, 0) + (SELECT b FROM base$k) AS rank
+         |  FROM nodes LEFT JOIN c$k c USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS ($edgesCte),
+       |ew AS (SELECT CAST(src AS VARCHAR) AS src,
+       |         CAST(dst AS VARCHAR) AS dst, CAST(w AS BIGINT) AS w
+       |       FROM e0 WHERE w > 0),
+       |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS W FROM ew GROUP BY 1),
+       |nodes AS (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM ew UNION ALL SELECT dst FROM ew)),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (SELECT node, (SELECT $scale // n FROM nn) AS rank FROM nodes),
+       |$rounds
+       |SELECT node, CAST(rank AS BIGINT) AS rank FROM r$iters""".stripMargin
+  }
+}

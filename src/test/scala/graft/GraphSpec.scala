@@ -1,0 +1,52 @@
+package graft
+
+import graft.relational.Graph
+
+/** Integer-deterministic PageRank: mass conservation (up to documented
+  * floor leak), dangling redistribution, symmetry, and weight
+  * sensitivity. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(String, String, Long)], iters: Int = 5)
+      : Map[String, Long] =
+    Graph.pageRank(edges.toDF("src", "dst", "w"), "src", "dst", "w", iters)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("symmetric cycle gives equal ranks that conserve mass") {
+    val got = ranks(Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L)))
+    assert(got.values.toSet.size == 1)
+    val total = got.values.sum
+    // floor leak only: within (edges + nodes) units per iteration of 1e9
+    assert(total <= 1000000000L && total > 1000000000L - 5 * 6)
+  }
+
+  test("a sink node's mass teleports back uniformly") {
+    // a -> b, b is a sink: without dangling handling b would absorb all
+    val got = ranks(Seq(("a", "b", 1L)))
+    assert(got("b") > got("a"))
+    assert(got("a") > 100000000L) // teleport + dangling keep a alive
+  }
+
+  test("heavier edges attract proportionally more rank") {
+    val got = ranks(Seq(("s", "x", 9L), ("s", "y", 1L),
+      ("x", "s", 1L), ("y", "s", 1L)))
+    assert(got("x") > got("y"))
+  }
+
+  test("zero- and negative-weight edges are dropped") {
+    val got = ranks(Seq(("a", "b", 1L), ("a", "c", 0L), ("a", "d", -3L)))
+    assert(!got.contains("c") && !got.contains("d"))
+  }
+
+  test("result is partition-count invariant (integer determinism)") {
+    val edges = (1 to 40).map(i =>
+      (s"n${i % 7}", s"n${(i * 3) % 7}", (i % 5 + 1).toLong))
+      .toDF("src", "dst", "w")
+    val a = Graph.pageRank(edges.coalesce(1), "src", "dst", "w", 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = Graph.pageRank(edges.repartition(13), "src", "dst", "w", 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+}
