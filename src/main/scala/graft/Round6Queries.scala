@@ -122,6 +122,19 @@ object Round6Queries {
         maxLen = 4)
     }),
 
+    // CMS frequency sketch: month registers summed to years, then every
+    // (year, customer) point-queried from the merged registers alone
+    "q_cms_merge" -> ((s, d) => {
+      val o = t(s, d, "orders").withColumn("month",
+        date_format(col("o_orderdate"), "yyyy-MM"))
+      val months = Sketches.cmsSketch(o, Seq("month"), "o_custkey")
+        .withColumn("year", substring(col("month"), 1, 4))
+      val probes = o.withColumn("year", substring(col("month"), 1, 4))
+        .select("year", "o_custkey").distinct()
+      Sketches.cmsEstimate(Sketches.cmsMerge(months, Seq("year")),
+        probes, Seq("year"), "o_custkey")
+    }),
+
     // integer-deterministic PageRank on the event transition graph
     "q_pagerank" -> ((s, d) =>
       graft.relational.Graph.pageRank(
@@ -280,6 +293,11 @@ object Round6Queries {
               coalesce(a.n_unk, 0)::BIGINT AS n_unk,
               coalesce(a.encoded, '') AS encoded
             FROM toks t LEFT JOIN agg a USING (doc_id)""",
+
+      "q_cms_merge" -> Sketches.cmsEstimateSql(
+        """SELECT strftime(o_orderdate, '%Y') AS grp,
+             CAST(o_custkey AS VARCHAR) AS k, o_custkey FROM orders""",
+        "year", "o_custkey"),
 
       "q_pagerank" ->
         graft.relational.Graph.pageRankSql(TransitionEdgesSql, PrIters),

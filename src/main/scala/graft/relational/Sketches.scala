@@ -129,4 +129,93 @@ object Sketches {
                  THEN $M.0 * ln($M.0 / zeros) ELSE raw END, 6) AS est
        FROM (SELECT grp, zeros, $alphaNum / s AS raw FROM e)"""
   }
+
+  // ---- Count-Min sketch (Cormode & Muthukrishnan 2005) ----------------
+
+  /** CMS depth (hash rows) and width (counters per row). d=4, w=1024 →
+    * ε ≈ e/w ≈ 0.27 % of the stream mass, δ ≈ e^-4; the register
+    * relation is ≤ groups × 4096 rows regardless of corpus size. */
+  val CmsD = 4
+  val CmsW = 1024
+
+  /** Row-`j` counter index for a key — md5-derived like the HLL fields
+    * (engine-portable: `('0x' || substr(md5(j || ':' || k), 1, 15))
+    * ::BIGINT % w` in DuckDB), 60 bits of hash before the mod so the
+    * `% w` bias is negligible. */
+  private def cmsCol(j: Int, key: Column, w: Int): Column =
+    pmod(conv(substring(md5(
+        concat(lit(j.toString), lit(":"), key).cast("binary")), 1, 15),
+      16, 10).cast("long"), lit(w.toLong))
+
+  /** Count-Min registers per group as rows `(groupCols…, row_j, col,
+    * cnt)` — the frequency-sketch sibling of [[hllSketch]]: WRITABLE
+    * (a daily per-key-frequency sketch table), MERGEABLE (sum is
+    * associative, so month = Σ its days' registers, no raw rescan), and
+    * point-queryable via [[cmsEstimate]]. ONE corpus aggregate; the
+    * explode multiplies rows d× but carries only (j, col) ints, and the
+    * shuffle is capped at d·w partial rows per (partition, group). */
+  def cmsSketch(df: DataFrame, groupCols: Seq[String], keyCol: String,
+      d: Int = CmsD, w: Int = CmsW): DataFrame = {
+    require(d >= 1 && w >= 2, s"need d >= 1, w >= 2, got d=$d w=$w")
+    val key = col(keyCol).cast("string")
+    df.select(groupCols.map(col) :+ explode(array((0 until d).map(j =>
+        struct(lit(j).as("row_j"), cmsCol(j, key, w).as("col"))): _*))
+        .as("__rc"): _*)
+      .select(groupCols.map(col) :+ col("__rc.row_j").as("row_j") :+
+        col("__rc.col").as("col"): _*)
+      .groupBy((groupCols :+ "row_j" :+ "col").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge registers to a coarser grouping (caller derives the coarser
+    * key first, as in [[hllMerge]]): counter-wise sum — merged registers
+    * are IDENTICAL to sketching the coarser groups from raw. */
+  def cmsMerge(registers: DataFrame, groupCols: Seq[String]): DataFrame =
+    registers
+      .groupBy((groupCols :+ "row_j" :+ "col").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-query estimates: for each probe row (groupCols… + keyCol),
+    * est = min over the d rows of that key's counter (0 when the bucket
+    * was never touched) — an upper bound on the true count, within
+    * ε·mass with probability 1−δ. The probe side explodes d×, joins the
+    * bounded register relation (groups × d·w rows — broadcast-eligible),
+    * and min-aggregates back: the corpus is never rescanned. */
+  def cmsEstimate(registers: DataFrame, probes: DataFrame,
+      groupCols: Seq[String], keyCol: String,
+      d: Int = CmsD, w: Int = CmsW): DataFrame = {
+    val key = col(keyCol).cast("string")
+    val pe = probes.select(groupCols.map(col) :+ col(keyCol) :+
+        explode(array((0 until d).map(j =>
+          struct(lit(j).as("row_j"), cmsCol(j, key, w).as("col"))): _*))
+          .as("__rc"): _*)
+      .select(groupCols.map(col) :+ col(keyCol) :+
+        col("__rc.row_j").as("row_j") :+ col("__rc.col").as("col"): _*)
+    pe.join(registers, groupCols :+ "row_j" :+ "col", "left")
+      .groupBy((groupCols :+ keyCol).map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** Estimate oracle SQL, generated from the same constants: source CTE
+    * must yield `(grp, k, $outKey)` with k the string hash key; the
+    * merge path needs no separate oracle because counter-wise sum is
+    * associative — sketching the coarse groups directly is identical. */
+  private[graft] def cmsEstimateSql(srcCte: String, grpName: String,
+      outKey: String, d: Int = CmsD, w: Int = CmsW): String = {
+    val colExpr =
+      s"('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || k), 1, 15))" +
+        s"::BIGINT % $w"
+    s"""WITH src AS ($srcCte),
+       reg AS (SELECT grp, j AS row_j, $colExpr AS col,
+                 CAST(count(*) AS BIGINT) AS cnt
+               FROM src, LATERAL (SELECT unnest(range(0, $d)) AS j)
+               GROUP BY 1, 2, 3),
+       probes AS (SELECT DISTINCT grp, k, $outKey FROM src),
+       pe AS (SELECT grp, k, $outKey, j AS row_j, $colExpr AS col
+              FROM probes, LATERAL (SELECT unnest(range(0, $d)) AS j))
+       SELECT pe.grp AS $grpName, pe.$outKey,
+         CAST(min(coalesce(r.cnt, 0)) AS BIGINT) AS est
+       FROM pe LEFT JOIN reg r USING (grp, row_j, col)
+       GROUP BY 1, 2"""
+  }
 }

@@ -65,4 +65,49 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est("a") - 800) / 800.0 < 0.2)
     assert(math.abs(est("b") - 50) / 50.0 < 0.1)
   }
+
+  // ---- Count-Min ------------------------------------------------------
+
+  private def cmsEsts(df: org.apache.spark.sql.DataFrame)
+      : Map[String, Long] = {
+    val probes = df.select("grp", "k").distinct()
+    Sketches.cmsEstimate(Sketches.cmsSketch(df, Seq("grp"), "k"),
+      probes, Seq("grp"), "k")
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+  }
+
+  test("cms estimate never underestimates and is exact without stress") {
+    // 200 keys with known counts, far under w=1024: collisions possible
+    // but est >= truth always, and total overestimate stays tiny
+    val truth = (0 until 200).map(i => s"k$i" -> (i % 9 + 1).toLong).toMap
+    val rows = truth.toSeq.flatMap { case (k, n) =>
+      Seq.fill(n.toInt)(("g", k)) }.toDF("grp", "k")
+    val est = cmsEsts(rows)
+    truth.foreach { case (k, n) => assert(est(k) >= n, s"$k: ${est(k)} < $n") }
+    assert(est.values.sum <= truth.values.sum + 40)
+  }
+
+  test("cms merged registers == direct coarse sketch, exactly") {
+    val rows = (0 until 2000)
+      .map(i => (s"2024-${i % 4}", s"id${i % 97}")).toDF("mon", "k")
+      .withColumn("yr", lit("2024"))
+    val merged = Sketches.cmsMerge(
+      Sketches.cmsSketch(rows, Seq("mon"), "k").withColumn("yr", lit("2024")),
+      Seq("yr"))
+    val direct = Sketches.cmsSketch(rows, Seq("yr"), "k")
+    assert(merged.select("yr", "row_j", "col", "cnt")
+      .exceptAll(direct.select("yr", "row_j", "col", "cnt")).isEmpty)
+    assert(direct.select("yr", "row_j", "col", "cnt")
+      .exceptAll(merged.select("yr", "row_j", "col", "cnt")).isEmpty)
+  }
+
+  test("cms registers stay within the d x w bound") {
+    val rows = (0 until 5000).map(i => ("g", s"key-$i")).toDF("grp", "k")
+    val reg = Sketches.cmsSketch(rows, Seq("grp"), "k")
+    assert(reg.count() <= Sketches.CmsD.toLong * Sketches.CmsW)
+    assert(reg.filter(col("col") < 0 ||
+      col("col") >= Sketches.CmsW).isEmpty)
+    assert(reg.filter(col("row_j") < 0 ||
+      col("row_j") >= Sketches.CmsD).isEmpty)
+  }
 }
