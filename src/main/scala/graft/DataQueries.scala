@@ -290,6 +290,115 @@ object DataQueries {
           6).as("revenue"))
     }),
 
+    // TPC-H Q4 shape (adapted: the fixture has no commit/receipt dates, so
+    // "late" = shipped >60 days after ordering): EXISTS as a left_semi
+    // join with a mixed equi + non-equi condition — the orders side never
+    // duplicates however many lineitems match
+    "q_tpch_q4" -> ((s, d) =>
+      t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .join(t(s, d, "lineitem").select("l_orderkey", "l_shipdate"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))),
+
+    // TPC-H Q7 shape: bidirectional two-nation trade volume by ship year —
+    // the disjunctive nation-pair filter runs AFTER both broadcast dim
+    // joins; only lineitem⋈orders shuffles
+    "q_tpch_q7" -> ((s, d) => {
+      val sup = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
+        .join(broadcast(t(s, d, "nation")
+          .select(col("n_nationkey").as("__snk"),
+            col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("__snk"))
+        .select("s_suppkey", "supp_nation")
+      val cust = t(s, d, "customer").select("c_custkey", "c_nationkey")
+        .join(broadcast(t(s, d, "nation")
+          .select(col("n_nationkey").as("__cnk"),
+            col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("__cnk"))
+        .select("c_custkey", "cust_nation")
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_suppkey", "l_shipdate",
+          "l_extendedprice", "l_discount")
+        .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .filter((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          6).as("revenue"))
+    }),
+
+    // TPC-H Q8 shape: one nation's share of a region's STANDARD-part
+    // revenue by order year — ratio of two sums over the same 6-table
+    // join, every dimension broadcast
+    "q_tpch_q8" -> ((s, d) => {
+      val eur = t(s, d, "nation")
+        .join(t(s, d, "region").filter(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("__enk"))
+      val cust = t(s, d, "customer")
+        .join(broadcast(eur), col("c_nationkey") === col("__enk"))
+        .select("c_custkey")
+      val sup = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")
+          .select(col("n_nationkey").as("__snk"),
+            col("n_name").as("nation"))),
+          col("s_nationkey") === col("__snk"))
+        .select("s_suppkey", "nation")
+      val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey",
+          "l_extendedprice", "l_discount")
+        .join(broadcast(t(s, d, "part")
+          .filter(col("p_type") === "STANDARD").select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(
+          sum(when(col("nation") === "NATION_3", vol).otherwise(lit(0.0))) /
+            sum(vol), 6).as("mkt_share"))
+    }),
+
+    // TPC-H Q19 shape (adapted to the fixture's columns): disjunction of
+    // brand/size/quantity conjuncts evaluated after one broadcast join —
+    // the OR must not block predicate pushdown of the join key
+    "q_tpch_q19" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        .join(broadcast(t(s, d, "part")
+          .select("p_partkey", "p_brand", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .filter((col("p_brand") === "Brand#1" &&
+            col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#2" &&
+            col("p_size").between(10, 30) &&
+            col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#3" &&
+            col("p_size").between(20, 50) &&
+            col("l_quantity").between(20, 40)))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          6).as("revenue"))),
+
     // TPC-H Q10 shape: returned-item revenue per customer, one quarter —
     // join + group + deterministic top-20 (TakeOrderedAndProject)
     "q_tpch_q10" -> ((s, d) => {
@@ -3125,6 +3234,66 @@ object DataQueries {
              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
              AND o.o_orderdate < TIMESTAMP '1997-01-01'
            GROUP BY 1""",
+
+      "q_tpch_q4" ->
+        """SELECT o.o_orderpriority, count(*) AS order_count
+           FROM orders o
+           WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o.o_orderdate < TIMESTAMP '1996-04-01'
+             AND EXISTS (
+               SELECT 1 FROM lineitem l
+               WHERE l.l_orderkey = o.o_orderkey
+                 AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+           GROUP BY 1""",
+
+      "q_tpch_q7" ->
+        """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+               AS revenue
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+           JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+           WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l.l_shipdate < TIMESTAMP '1998-01-01'
+             AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+           GROUP BY 1, 2, 3""",
+
+      "q_tpch_q8" ->
+        """SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             round(sum(CASE WHEN n2.n_name = 'NATION_3'
+                 THEN l.l_extendedprice * (1 - l.l_discount)
+                 ELSE 0.0 END)
+               / sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+               AS mkt_share
+           FROM lineitem l
+           JOIN part p ON l.l_partkey = p.p_partkey
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+           JOIN region r ON n1.n_regionkey = r.r_regionkey
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+           WHERE r.r_name = 'EUROPE' AND p.p_type = 'STANDARD'
+             AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o.o_orderdate < TIMESTAMP '1998-01-01'
+           GROUP BY 1""",
+
+      "q_tpch_q19" ->
+        """SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+             AS revenue
+           FROM lineitem l
+           JOIN part p ON l.l_partkey = p.p_partkey
+           WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+                  AND l.l_quantity BETWEEN 1 AND 20)
+              OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+                  AND l.l_quantity BETWEEN 10 AND 30)
+              OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+                  AND l.l_quantity BETWEEN 20 AND 40)""",
 
       "q_tpch_q10" ->
         """SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
