@@ -122,6 +122,22 @@ object Round6Queries {
         maxLen = 4)
     }),
 
+    // materialized-aggregate maintenance: per-part quantity stats kept as
+    // mergeable state, a delta batch folded in WITHOUT rescanning the
+    // base — the oracle is the full recompute the merge must equal
+    "q_agg_maintain" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_partkey"),
+        col("l_quantity").cast("long").as("qty"), col("l_shipdate"))
+      val cut = lit("1999-01-01").cast("timestamp")
+      val R = graft.relational.Relational
+      R.aggFinalize(R.aggMerge(
+        R.aggState(li.filter(col("l_shipdate") < cut),
+          Seq("l_partkey"), "qty"),
+        R.aggState(li.filter(col("l_shipdate") >= cut),
+          Seq("l_partkey"), "qty"),
+        Seq("l_partkey")), Seq("l_partkey"))
+    }),
+
     // CMS frequency sketch: month registers summed to years, then every
     // (year, customer) point-queried from the merged registers alone
     "q_cms_merge" -> ((s, d) => {
@@ -293,6 +309,16 @@ object Round6Queries {
               coalesce(a.n_unk, 0)::BIGINT AS n_unk,
               coalesce(a.encoded, '') AS encoded
             FROM toks t LEFT JOIN agg a USING (doc_id)""",
+
+      "q_agg_maintain" ->
+        """SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(qty) AS BIGINT) AS sum_v,
+             CAST(min(qty) AS BIGINT) AS min_v,
+             CAST(max(qty) AS BIGINT) AS max_v,
+             round(CAST(sum(qty) AS DOUBLE) / count(*), 6) AS avg_v
+           FROM (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty
+                 FROM lineitem WHERE l_quantity IS NOT NULL)
+           GROUP BY 1""",
 
       "q_cms_merge" -> Sketches.cmsEstimateSql(
         """SELECT strftime(o_orderdate, '%Y') AS grp,

@@ -443,6 +443,46 @@ object Relational {
       base.join(updates.select(keys.map(col): _*).distinct(),
         keys, "left_anti"))
 
+  /** Mergeable per-key aggregate STATE — the materialized-view
+    * maintenance primitive [[upsert]] can't give you: `(keys…, cnt,
+    * sum_v, min_v, max_v)` rows where every field is an associative
+    * partial, so a maintained table updates from a delta batch via
+    * [[aggMerge]] WITHOUT rescanning the 100-TB base (insert-only CDC;
+    * count/sum would be delete-invertible, min/max are not — deletes
+    * need a rebuild of the touched keys). With an integral value column
+    * (cast it to long first) every field is exact integer arithmetic, so
+    * maintained-from-parts is bit-identical to a full recompute — the
+    * q_agg_maintain oracle IS the full recompute. Nulls in `valueCol`
+    * are skipped entirely (cnt counts non-null values). */
+  def aggState(df: DataFrame, keys: Seq[String], valueCol: String)
+      : DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(count(col(valueCol)).as("cnt"),
+        sum(col(valueCol)).as("sum_v"),
+        min(col(valueCol)).as("min_v"),
+        max(col(valueCol)).as("max_v"))
+
+  /** Fold a delta batch's state into a maintained state: union + one
+    * aggregate over (cnt, sum: sum; min: min; max: max). The shuffle
+    * carries only the two state relations — each bounded by distinct
+    * keys, never by corpus rows. Associative: maintain daily into
+    * monthly into yearly in any order. */
+  def aggMerge(state: DataFrame, delta: DataFrame, keys: Seq[String])
+      : DataFrame =
+    state.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"), sum(col("sum_v")).as("sum_v"),
+        min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+
+  /** Derive the non-mergeable readouts from a state relation: avg (6 dp
+    * — aggregate-derived, the repo's cross-engine float discipline). */
+  def aggFinalize(state: DataFrame, keys: Seq[String]): DataFrame =
+    state.select(keys.map(col) ++ Seq(col("cnt"), col("sum_v"),
+      col("min_v"), col("max_v"),
+      round(col("sum_v").cast("double") / col("cnt").cast("double"), 6)
+        .as("avg_v")): _*)
+
   /** Write a bucketed, sorted parquet table: rows hash-partitioned into
     * `numBuckets` files per partition by `keys`. Two tables bucketed the
     * same way equi-join WITHOUT a shuffle (verified in RelationalSpec — no

@@ -68,3 +68,46 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(ins.isNullAt(2) && ins.getString(4) == "e")
   }
 }
+
+/** Mergeable aggregate state: maintained-from-deltas must equal a full
+  * recompute bit-for-bit, in any merge order, with nulls skipped. */
+class AggMaintainSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rows = Seq(
+    ("a", Some(3L), 1), ("a", Some(7L), 1), ("a", None, 2),
+    ("b", Some(5L), 1), ("b", Some(1L), 2), ("b", Some(9L), 3),
+    ("c", Some(4L), 3)
+  ).toDF("k", "v", "batch")
+
+  private def st(b: Int) =
+    Relational.aggState(rows.filter(col("batch") === b), Seq("k"), "v")
+
+  private def fin(df: org.apache.spark.sql.DataFrame) =
+    Relational.aggFinalize(df, Seq("k")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+
+  test("merge of batch states == full recompute, and nulls are skipped") {
+    val full = fin(Relational.aggState(rows, Seq("k"), "v"))
+    val maintained = fin(Relational.aggMerge(
+      Relational.aggMerge(st(1), st(2), Seq("k")), st(3), Seq("k")))
+    assert(maintained == full)
+    assert(full("a") == ((2L, 10L, 3L, 7L, 5.0))) // the null row is gone
+    assert(full("b") == ((3L, 15L, 1L, 9L, 5.0)))
+  }
+
+  test("merge is associative: (1+2)+3 == 1+(2+3)") {
+    val left = fin(Relational.aggMerge(
+      Relational.aggMerge(st(1), st(2), Seq("k")), st(3), Seq("k")))
+    val right = fin(Relational.aggMerge(st(1),
+      Relational.aggMerge(st(2), st(3), Seq("k")), Seq("k")))
+    assert(left == right)
+  }
+
+  test("a key only present in the delta appears after maintenance") {
+    val m = fin(Relational.aggMerge(st(1), st(3), Seq("k")))
+    assert(m("c") == ((1L, 4L, 4L, 4L, 4.0)))
+    assert(!fin(st(1)).contains("c"))
+  }
+}
