@@ -135,6 +135,45 @@ object StressBench {
     // broadcast-dimension join plan must stay ONE lineitem shuffle
     // regardless of fact size (dims don't replicate — as in production,
     // where facts grow and dimensions don't)
+    // subword tokenizer: fit re-counts ×reps gram occurrences (same
+    // distinct set — the map-side combine is what's being measured) and
+    // the encode pass must stay scan-speed linear
+    "s_subword" -> ((s, d, r) => {
+      val docs = replicate(t(s, d, "documents"), "doc_id", r)
+      graft.text.Subword.encode(docs, "text", "doc_id",
+        graft.text.Subword.fitVocab(docs, "text", size = 200, maxLen = 4),
+        maxLen = 4)
+    }),
+
+    // PageRank with the node space scaled ×reps: composite states
+    // (event_type, user_id % reps) keep edges within a user's bucket, so
+    // nodes AND edges grow ~linearly — the per-iteration rank join and
+    // dst aggregate face a genuinely larger graph, not heavier weights
+    "s_pagerank" -> ((s, d, r) => {
+      val ev = DataQueries.readEventsMicros(s, d)
+        .withColumn("etype", concat(col("event_type"), lit("_"),
+          pmod(col("user_id"), lit(math.max(r, 1).toLong))))
+      graft.relational.Graph.pageRank(
+        graft.relational.Relational.transitions(
+          ev, Seq("user_id"), "tsu", "etype", Seq("event_id")),
+        "from_type", "to_type", "n", iters = 5)
+    }),
+
+    // CMS: ×reps stream mass against the same fixed register budget —
+    // sketch+merge+estimate cost must track the scan, never the counters
+    "s_cms" -> ((s, d, r) => {
+      val o = replicate(t(s, d, "orders"), "o_orderkey", r)
+        .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+      val months = graft.relational.Sketches
+        .cmsSketch(o, Seq("month"), "o_custkey")
+        .withColumn("year", substring(col("month"), 1, 4))
+      val probes = o.withColumn("year", substring(col("month"), 1, 4))
+        .select("year", "o_custkey").distinct()
+      graft.relational.Sketches.cmsEstimate(
+        graft.relational.Sketches.cmsMerge(months, Seq("year")),
+        probes, Seq("year"), "o_custkey")
+    }),
+
     "s_tpch_q5" -> ((s, d, r) => {
       val nat = t(s, d, "nation")
         .join(t(s, d, "region").filter(col("r_name") === "ASIA"),
