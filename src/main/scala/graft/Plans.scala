@@ -201,7 +201,22 @@ object Plans {
         "no single-task window, no N-sized broadcast.",
         graft.relational.Relational.percentileRank(
           spark.read.parquet(s"$d/lineitem.parquet"),
-          "l_extendedprice", "pr", maxDistinctBroadcast = 1000)))
+          "l_extendedprice", "pr", maxDistinctBroadcast = 1000)),
+      ("q_subword", "subword encode: the fitted piece vocabulary rides " +
+        "inside ONE codegen'd SubwordEncode expression, so the whole " +
+        "tokenization is a shuffle-free Project over the pruned scan — " +
+        "no join against a vocab table, no explode.",
+        SparkEntry.queries("q_subword")(spark, d)),
+      ("q_cms_merge", "CMS point query: probes explode d× and join the " +
+        "bounded (groups × d·w) register relation — AQE broadcasts it; " +
+        "the raw corpus appears only in the two sketch aggregates, " +
+        "never in the estimate path.",
+        SparkEntry.queries("q_cms_merge")(spark, d)),
+      ("q_boilerplate", "boilerplate removal: the explode carries 8-byte " +
+        "line hashes; the ≥minDocs boilerplate key set (small by " +
+        "construction) joins back hash-to-hash and reassembly is one " +
+        "per-doc aggregate.",
+        SparkEntry.queries("q_boilerplate")(spark, d)))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative queries (sf0.01)\n")
