@@ -257,3 +257,56 @@ class StreamingSpec extends SparkSpec {
       s"batch 1 was reprocessed: ${run2.toSeq}")
   }
 }
+
+/** Streaming materialized-aggregate maintenance: per-batch fold equals the
+  * full recompute, replays are no-ops, old versions get pruned. */
+class MaintainAggStreamSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  test("streamed maintenance equals a batch recompute over all data") {
+    val dir = s"target/tmp/maintagg_${System.nanoTime()}"
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val q = graft.streaming.Streaming.maintainAggStream(
+      mem.toDF().toDF("k", "v"), Seq("k"), "v",
+      s"$dir/state", s"$dir/ckpt")
+    try {
+      mem.addData(("a", 3L), ("a", 7L), ("b", 5L))
+      q.processAllAvailable()
+      mem.addData(("b", 1L), ("c", 9L), ("a", 2L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = graft.streaming.Streaming.readMaintainedAgg(spark,
+      s"$dir/state")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val full = graft.relational.Relational.aggState(
+      Seq(("a", 3L), ("a", 7L), ("b", 5L), ("b", 1L), ("c", 9L), ("a", 2L))
+        .toDF("k", "v"), Seq("k"), "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == full)
+    assert(got("a") == ((3L, 12L, 2L, 7L)))
+  }
+
+  test("replaying a committed batch id is a no-op; old versions pruned") {
+    val dir = s"target/tmp/maintagg_${System.nanoTime()}/state"
+    val S = graft.streaming.Streaming
+    S.maintainAggBatch(Seq(("a", 1L)).toDF("k", "v"), 0L, Seq("k"), "v", dir)
+    S.maintainAggBatch(Seq(("a", 2L)).toDF("k", "v"), 1L, Seq("k"), "v", dir)
+    S.maintainAggBatch(Seq(("a", 4L)).toDF("k", "v"), 2L, Seq("k"), "v", dir)
+    val before = S.readMaintainedAgg(spark, dir).collect().toSeq.toString
+    // replay batch 1 with DIFFERENT data: committed -> must change nothing
+    S.maintainAggBatch(Seq(("a", 999L)).toDF("k", "v"), 1L, Seq("k"), "v",
+      dir)
+    assert(S.readMaintainedAgg(spark, dir).collect().toSeq.toString
+      == before)
+    assert(S.readMaintainedAgg(spark, dir).head().getLong(2) == 7L) // 1+2+4
+    // keepVersions = 2: v0 must be gone
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v0")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v2")))
+  }
+}
