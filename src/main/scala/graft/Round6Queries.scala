@@ -151,6 +151,21 @@ object Round6Queries {
         probes, Seq("year"), "o_custkey")
     }),
 
+    // Bloom membership: month bit-sets OR-merged to years, then every
+    // (year, customer) probed — order-customers must read true (no false
+    // negatives), no-order customers read the deterministic FP pattern
+    "q_bloom_merge" -> ((s, d) => {
+      val o = t(s, d, "orders").withColumn("month",
+        date_format(col("o_orderdate"), "yyyy-MM"))
+      val months = Sketches.bloomSketch(o, Seq("month"), "o_custkey")
+        .withColumn("year", substring(col("month"), 1, 4))
+      val probes = o.select(substring(col("month"), 1, 4).as("year"))
+        .distinct()
+        .crossJoin(t(s, d, "customer").select(col("c_custkey")))
+      Sketches.bloomContains(Sketches.bloomMerge(months, Seq("year")),
+        probes, Seq("year"), "c_custkey")
+    }),
+
     // integer-deterministic PageRank on the event transition graph
     "q_pagerank" -> ((s, d) =>
       graft.relational.Graph.pageRank(
@@ -161,22 +176,31 @@ object Round6Queries {
 
     // TextRank (Mihalcea & Tarau 2004): PageRank over the undirected
     // word co-occurrence (bigram) graph — corpus keyword ranking
-    "q_textrank" -> ((s, d) => {
-      val toks = filter(graft.text.TextFunctions
-        .tokensLower(coalesce(col("text"), lit(""))), w => w =!= "")
-      val bg = t(s, d, "documents").select(toks.as("__t"))
-        .filter(size(col("__t")) >= 2)
-        .select(explode(transform(sequence(lit(1), size(col("__t")) - 1),
-          i => struct(element_at(col("__t"), i).as("a"),
-            element_at(col("__t"), i + 1).as("b")))).as("bg"))
-        .select(col("bg.a").as("a"), col("bg.b").as("b"))
-      val edges = bg.union(bg.select(col("b").as("a"), col("a").as("b")))
-        .filter(col("a") =!= col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("w"))
-      graft.relational.Graph.pageRank(edges, "a", "b", "w",
-        iters = PrIters)
-    })
+    "q_textrank" -> ((s, d) =>
+      graft.relational.Graph.pageRank(wordEdges(s, d), "a", "b", "w",
+        iters = PrIters)),
+
+    // exact triangle count of the same word graph (degree-oriented
+    // wedge join — hub words cannot blow up the self-join)
+    "q_triangles" -> ((s, d) =>
+      graft.relational.Graph.triangleCount(wordEdges(s, d), "a", "b"))
   )
+
+  /** Undirected word co-occurrence (bigram) edges with counts — the
+    * input relation for q_textrank and q_triangles. */
+  private def wordEdges(s: SparkSession, d: String): DataFrame = {
+    val toks = filter(graft.text.TextFunctions
+      .tokensLower(coalesce(col("text"), lit(""))), w => w =!= "")
+    val bg = t(s, d, "documents").select(toks.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("__t")) - 1),
+        i => struct(element_at(col("__t"), i).as("a"),
+          element_at(col("__t"), i + 1).as("b")))).as("bg"))
+      .select(col("bg.a").as("a"), col("bg.b").as("b"))
+    bg.union(bg.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+  }
 
   private val PrIters = 5
 
@@ -325,11 +349,32 @@ object Round6Queries {
              CAST(o_custkey AS VARCHAR) AS k, o_custkey FROM orders""",
         "year", "o_custkey"),
 
+      "q_bloom_merge" -> Sketches.bloomContainsSql(
+        """SELECT strftime(o_orderdate, '%Y') AS grp,
+             CAST(o_custkey AS VARCHAR) AS k FROM orders""",
+        """SELECT y.grp, CAST(c.c_custkey AS VARCHAR) AS k, c.c_custkey
+           FROM (SELECT DISTINCT strftime(o_orderdate, '%Y') AS grp
+                 FROM orders) y, customer c""",
+        "year", "c_custkey"),
+
       "q_pagerank" ->
         graft.relational.Graph.pageRankSql(TransitionEdgesSql, PrIters),
 
       "q_textrank" ->
-        graft.relational.Graph.pageRankSql(WordEdgesSql, PrIters)
+        graft.relational.Graph.pageRankSql(WordEdgesSql, PrIters),
+
+      // exact triangles via the canonical a<b<c three-way self-join —
+      // orientation is a performance device, not a semantics one, so the
+      // oracle needs no degree ordering
+      "q_triangles" ->
+        s"""WITH e0 AS ($WordEdgesSql),
+            und AS (SELECT DISTINCT least(src, dst) AS a,
+                      greatest(src, dst) AS b
+                    FROM e0 WHERE src <> dst)
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM und e1
+            JOIN und e2 ON e1.b = e2.a
+            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b"""
     )
   }
 }

@@ -72,6 +72,38 @@ object Graph {
     r
   }
 
+  /** EXACT triangle count over an undirected edge relation — the
+    * clustering-structure metric (and the workload that goes quadratic
+    * on hub nodes if joined naively). Degree-oriented node-iterator
+    * (Schank & Wagner 2005): normalize to distinct `a < b` edges, orient
+    * every edge from its (degree, id)-smaller endpoint — out-degrees are
+    * then O(√E) for ANY degree distribution, so the wedge self-join
+    * never explodes on hubs — and close wedges against the normalized
+    * edge set. Three shuffles total (degree agg, wedge join, closing
+    * join); each triangle counts exactly once (its rank-smallest vertex
+    * owns the wedge). Returns one row `(n_triangles)`. */
+  def triangleCount(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val s = col(srcCol).cast("string"); val d = col(dstCol).cast("string")
+    val und = edges.select(least(s, d).as("a"), greatest(s, d).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("n"))
+      .union(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+      .select(when(col("da") <= col("db"), col("a")).otherwise(col("b"))
+          .as("x"),
+        when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("y"))
+    val wedges = oriented.as("o1")
+      .join(oriented.as("o2"), col("o1.x") === col("o2.x") &&
+        col("o1.y") < col("o2.y"))
+      .select(col("o1.y").as("p"), col("o2.y").as("q"))
+    wedges.join(und, col("p") === col("a") && col("q") === col("b"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Generated oracle: the identical integer replay as unrolled SQL CTEs
     * (the [[graft.Round6Queries]] k-means convention — oracle SQL built
     * from the SAME parameters the Spark query runs with, so the sides

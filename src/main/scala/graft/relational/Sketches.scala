@@ -196,6 +196,78 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  // ---- Bloom filter (Bloom 1970) as a position-set relation ------------
+
+  /** Bloom geometry: k=4 md5-derived positions over m=8192 bits. The
+    * register relation holds the SET bit positions as rows `(group…,
+    * pos)` — ≤ m rows per group however large the keyed corpus — so like
+    * [[hllSketch]]/[[cmsSketch]] it can be written, OR-merged (distinct
+    * union), and probed without the original data. ~1% false-positive
+    * rate at n ≈ m/10 keys; never a false negative. */
+  val BloomK = 4
+  val BloomM = 8192
+
+  private def bloomPos(j: Int, key: Column, m: Int): Column =
+    pmod(conv(substring(md5(
+        concat(lit("b" + j), lit(":"), key).cast("binary")), 1, 15),
+      16, 10).cast("long"), lit(m.toLong))
+
+  /** Membership registers per group: the distinct bit positions set by
+    * the group's keys. ONE aggregate (the distinct is map-side
+    * combined); the k× explode carries only (j-th position) longs. */
+  def bloomSketch(df: DataFrame, groupCols: Seq[String], keyCol: String,
+      k: Int = BloomK, m: Int = BloomM): DataFrame = {
+    require(k >= 1 && m >= 2, s"need k >= 1, m >= 2, got k=$k m=$m")
+    val key = col(keyCol).cast("string")
+    df.select(groupCols.map(col) :+ explode(array((0 until k).map(j =>
+        bloomPos(j, key, m)): _*)).as("pos"): _*)
+      .distinct()
+  }
+
+  /** OR-merge to a coarser grouping: distinct union of position rows —
+    * identical to sketching the coarser groups from raw. */
+  def bloomMerge(registers: DataFrame, groupCols: Seq[String]): DataFrame =
+    registers.select((groupCols :+ "pos").map(col): _*).distinct()
+
+  /** Membership probe: `maybe_present` = all k positions of the probe key
+    * are set in its group's register (false → DEFINITELY absent; true →
+    * present up to the documented false-positive rate). Probes explode
+    * k×, left-join the bounded register relation, and count matches —
+    * the keyed corpus is never rescanned. */
+  def bloomContains(registers: DataFrame, probes: DataFrame,
+      groupCols: Seq[String], keyCol: String,
+      k: Int = BloomK, m: Int = BloomM): DataFrame = {
+    val key = col(keyCol).cast("string")
+    val pe = probes.select(groupCols.map(col) :+ col(keyCol) :+
+        explode(array((0 until k).map(j =>
+          bloomPos(j, key, m)): _*)).as("pos"): _*)
+    pe.join(registers.withColumn("__hit", lit(1)),
+        groupCols :+ "pos", "left")
+      .groupBy((groupCols :+ keyCol).map(col): _*)
+      .agg((sum(coalesce(col("__hit"), lit(0))) === lit(k.toLong))
+        .as("maybe_present"))
+  }
+
+  /** Probe oracle SQL from the same constants: source CTE must yield the
+    * keyed rows `(grp, k)`; probe CTE the probe rows `(grp, k, $outKey)`.
+    * OR-merge needs no separate oracle (distinct union is associative). */
+  private[graft] def bloomContainsSql(srcCte: String, probeCte: String,
+      grpName: String, outKey: String,
+      k: Int = BloomK, m: Int = BloomM): String = {
+    val posExpr = (j: String) =>
+      s"('0x' || substr(md5('b' || $j || ':' || k), 1, 15))::BIGINT % $m"
+    s"""WITH src AS ($srcCte),
+       reg AS (SELECT DISTINCT grp, ${posExpr("j")} AS pos
+               FROM src, LATERAL (SELECT unnest(range(0, $k)) AS j)),
+       pr AS ($probeCte),
+       pe AS (SELECT grp, k, $outKey, ${posExpr("j")} AS pos
+              FROM pr, LATERAL (SELECT unnest(range(0, $k)) AS j))
+       SELECT pe.grp AS $grpName, pe.$outKey,
+         count(r.pos) = $k AS maybe_present
+       FROM pe LEFT JOIN reg r ON r.grp = pe.grp AND r.pos = pe.pos
+       GROUP BY 1, 2"""
+  }
+
   /** Estimate oracle SQL, generated from the same constants: source CTE
     * must yield `(grp, k, $outKey)` with k the string hash key; the
     * merge path needs no separate oracle because counter-wise sum is

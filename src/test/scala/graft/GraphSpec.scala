@@ -39,6 +39,26 @@ class GraphSpec extends SparkSpec {
     assert(!got.contains("c") && !got.contains("d"))
   }
 
+  private def tri(edges: Seq[(String, String)]): Long =
+    Graph.triangleCount(edges.toDF("src", "dst"), "src", "dst")
+      .head().getLong(0)
+
+  test("triangle count: K4 has 4, a path has 0, duplicates don't count") {
+    val k4 = for (a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d")
+      if a < b) yield (a, b)
+    assert(tri(k4) == 4L)
+    assert(tri(Seq(("a", "b"), ("b", "c"), ("c", "d"))) == 0L)
+    // reversed + repeated edges and self-loops are normalized away
+    assert(tri(Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"),
+      ("a", "c"), ("a", "a"))) == 1L)
+  }
+
+  test("triangle count survives a hub (star + one closing edge)") {
+    val star = (1 to 50).map(i => ("hub", s"leaf$i"))
+    assert(tri(star) == 0L)
+    assert(tri(star :+ ("leaf1", "leaf2")) == 1L)
+  }
+
   test("result is partition-count invariant (integer determinism)") {
     val edges = (1 to 40).map(i =>
       (s"n${i % 7}", s"n${(i * 3) % 7}", (i % 5 + 1).toLong))

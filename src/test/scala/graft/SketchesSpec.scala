@@ -101,6 +101,33 @@ class SketchesSpec extends SparkSpec {
       .exceptAll(merged.select("yr", "row_j", "col", "cnt")).isEmpty)
   }
 
+  // ---- Bloom ----------------------------------------------------------
+
+  test("bloom never false-negatives and merged == direct coarse sketch") {
+    val rows = (0 until 400).map(i => (s"m${i % 4}", s"key-$i"))
+      .toDF("mon", "k").withColumn("yr", lit("y"))
+    val merged = Sketches.bloomMerge(
+      Sketches.bloomSketch(rows, Seq("mon"), "k").withColumn("yr", lit("y")),
+      Seq("yr"))
+    val direct = Sketches.bloomSketch(rows, Seq("yr"), "k")
+    assert(merged.exceptAll(direct).isEmpty &&
+      direct.exceptAll(merged).isEmpty)
+    // every inserted key probes true
+    val present = Sketches.bloomContains(direct,
+      rows.select("yr", "k").distinct(), Seq("yr"), "k")
+    assert(present.filter(!col("maybe_present")).isEmpty)
+  }
+
+  test("bloom false-positive rate stays near the design point") {
+    val rows = (0 until 800).map(i => ("g", s"in-$i")).toDF("grp", "k")
+    val reg = Sketches.bloomSketch(rows, Seq("grp"), "k")
+    val absent = (0 until 2000).map(i => ("g", s"out-$i")).toDF("grp", "k")
+    val fp = Sketches.bloomContains(reg, absent, Seq("grp"), "k")
+      .filter(col("maybe_present")).count()
+    // n≈m/10 → ~1%; allow generous slack for hash luck
+    assert(fp < 100, s"fp=$fp of 2000")
+  }
+
   test("cms registers stay within the d x w bound") {
     val rows = (0 until 5000).map(i => ("g", s"key-$i")).toDF("grp", "k")
     val reg = Sketches.cmsSketch(rows, Seq("grp"), "k")
