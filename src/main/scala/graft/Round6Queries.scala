@@ -151,6 +151,16 @@ object Round6Queries {
         probes, Seq("year"), "o_custkey")
     }),
 
+    // market-basket mining: brand co-occurrence within orders, with
+    // support/confidence/lift for pairs in >= 20 baskets
+    "q_basket" -> ((s, d) =>
+      graft.relational.Relational.marketBasketPairs(
+        t(s, d, "lineitem")
+          .join(t(s, d, "part").select("p_partkey", "p_brand"),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey"), col("p_brand")),
+        "l_orderkey", "p_brand", minPairCount = 20L)),
+
     // Bloom membership: month bit-sets OR-merged to years, then every
     // (year, customer) probed — order-customers must read true (no false
     // negatives), no-order customers read the deterministic FP pattern
@@ -348,6 +358,27 @@ object Round6Queries {
         """SELECT strftime(o_orderdate, '%Y') AS grp,
              CAST(o_custkey AS VARCHAR) AS k, o_custkey FROM orders""",
         "year", "o_custkey"),
+
+      "q_basket" ->
+        """WITH present AS (
+             SELECT DISTINCT CAST(l.l_orderkey AS VARCHAR) AS b,
+               p.p_brand AS i
+             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+           tot AS (SELECT count(DISTINCT b) AS n FROM present),
+           items AS (SELECT i, count(*) AS ni FROM present GROUP BY 1),
+           pairs AS (
+             SELECT a.i AS item_a, bb.i AS item_b, count(*) AS n_ab
+             FROM present a JOIN present bb ON a.b = bb.b AND a.i < bb.i
+             GROUP BY 1, 2 HAVING count(*) >= 20)
+           SELECT p.item_a, p.item_b, CAST(p.n_ab AS BIGINT) AS n_ab,
+             round(CAST(p.n_ab AS DOUBLE) / t.n, 6) AS support,
+             round(CAST(p.n_ab AS DOUBLE) / ia.ni, 6) AS conf_ab,
+             round(CAST(p.n_ab AS DOUBLE) / ib.ni, 6) AS conf_ba,
+             round(CAST(p.n_ab AS DOUBLE) * t.n /
+               (ia.ni * CAST(ib.ni AS DOUBLE)), 6) AS lift
+           FROM pairs p
+           JOIN items ia ON ia.i = p.item_a
+           JOIN items ib ON ib.i = p.item_b, tot t""",
 
       "q_bloom_merge" -> Sketches.bloomContainsSql(
         """SELECT strftime(o_orderdate, '%Y') AS grp,

@@ -443,6 +443,48 @@ object Relational {
       base.join(updates.select(keys.map(col): _*).distinct(),
         keys, "left_anti"))
 
+  /** Market-basket pair mining (the pairwise core of association-rule
+    * learning, Agrawal & Srikant 1994): for every unordered item pair
+    * co-occurring in ≥ `minPairCount` baskets, the support /
+    * confidence(a→b) / confidence(b→a) / lift statistics. One distinct
+    * pass builds (basket, item) presence; the pair join is WITHIN-basket
+    * only (cost Σ basket²— bounded by basket size, never corpus²; cap
+    * oversized baskets upstream if the 100-TB data has degenerate ones);
+    * item and basket totals join back at pair-relation size. Ratios are
+    * aggregate-derived → rounded 6 dp (the repo's cross-engine float
+    * discipline). Output: (item_a, item_b, n_ab, support, conf_ab,
+    * conf_ba, lift) with item_a < item_b as strings. */
+  def marketBasketPairs(
+      df: DataFrame, basketCol: String, itemCol: String,
+      minPairCount: Long): DataFrame = {
+    require(minPairCount >= 1, s"need minPairCount >= 1, got $minPairCount")
+    val present = df.select(col(basketCol).cast("string").as("__b"),
+      col(itemCol).cast("string").as("__i")).distinct()
+    val totals = present.select(count_distinct(col("__b")).as("__n"))
+    val items = present.groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
+    val pairs = present.select(col("__b"), col("__i").as("item_a"))
+      .join(present.select(col("__b"), col("__i").as("item_b")), "__b")
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairCount)
+    pairs
+      .join(items.select(col("__i").as("item_a"), col("__ni").as("__na")),
+        "item_a")
+      .join(items.select(col("__i").as("item_b"), col("__ni").as("__nb")),
+        "item_b")
+      .crossJoin(broadcast(totals))
+      .select(col("item_a"), col("item_b"), col("n_ab"),
+        round(col("n_ab").cast("double") / col("__n").cast("double"), 6)
+          .as("support"),
+        round(col("n_ab").cast("double") / col("__na").cast("double"), 6)
+          .as("conf_ab"),
+        round(col("n_ab").cast("double") / col("__nb").cast("double"), 6)
+          .as("conf_ba"),
+        round(col("n_ab").cast("double") * col("__n").cast("double") /
+          (col("__na").cast("double") * col("__nb").cast("double")), 6)
+          .as("lift"))
+  }
+
   /** Mergeable per-key aggregate STATE — the materialized-view
     * maintenance primitive [[upsert]] can't give you: `(keys…, cnt,
     * sum_v, min_v, max_v)` rows where every field is an associative

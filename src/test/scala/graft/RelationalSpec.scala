@@ -371,3 +371,34 @@ class CompactSpec extends SparkSpec {
     }
   }
 }
+
+/** Market-basket pair mining: hand-computed support/confidence/lift on a
+  * three-basket fixture; duplicates inside a basket collapse. */
+class MarketBasketSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pair stats match hand computation; threshold filters") {
+    val rows = Seq(
+      (1L, "x"), (1L, "y"), (1L, "z"), (1L, "x"), // dup x collapses
+      (2L, "x"), (2L, "y"),
+      (3L, "x")
+    ).toDF("basket", "item")
+    val got = graft.relational.Relational
+      .marketBasketPairs(rows, "basket", "item", minPairCount = 2L)
+      .collect()
+    assert(got.length == 1) // only (x,y) reaches 2 baskets
+    val r = got.head
+    assert((r.getString(0), r.getString(1), r.getLong(2)) == (("x", "y", 2L)))
+    assert(r.getDouble(3) == 0.666667) // support 2/3
+    assert(r.getDouble(4) == 0.666667) // conf x->y = 2/3
+    assert(r.getDouble(5) == 1.0)      // conf y->x = 2/2
+    assert(r.getDouble(6) == 1.0)      // lift 2*3/(3*2)
+  }
+
+  test("minPairCount below 1 is rejected") {
+    intercept[IllegalArgumentException] {
+      graft.relational.Relational.marketBasketPairs(
+        Seq((1L, "x")).toDF("b", "i"), "b", "i", 0L)
+    }
+  }
+}
