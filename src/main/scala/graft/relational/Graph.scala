@@ -55,16 +55,21 @@ object Graph {
     val n = math.max(nodes.count(), 1L)
     var r = nodes.withColumn("rank", lit(scale / n))
     for (_ <- 1 to iters) {
+      // dangling mass rides the plan as a broadcast one-row relation, so
+      // each iteration is ONE job (the eager localCheckpoint) — no
+      // driver scalar round trip per round
       val dang = r.join(srcs, Seq("node"), "left_anti")
-        .agg(coalesce(sum("rank"), lit(0L))).head.getLong(0)
-      val base = 15L * scale / (100L * n) + 85L * (dang / n) / 100L
+        .agg(coalesce(sum("rank"), lit(0L)).as("__dang"))
       val contrib = e.join(r.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
           expr("(85 * ((rank * w) div ow)) div 100").as("__c"))
         .groupBy("node").agg(sum("__c").as("__inflow"))
       r = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
         .select(col("node"),
-          (coalesce(col("__inflow"), lit(0L)) + lit(base)).as("rank"))
+          (coalesce(col("__inflow"), lit(0L)) +
+            lit(15L * scale / (100L * n)) +
+            expr(s"(85 * (__dang div ${n}L)) div 100")).as("rank"))
         .localCheckpoint(true)
     }
     e.unpersist(blocking = false)
