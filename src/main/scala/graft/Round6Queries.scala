@@ -161,6 +161,17 @@ object Round6Queries {
           .select(col("l_orderkey"), col("p_brand")),
         "l_orderkey", "p_brand", minPairCount = 20L)),
 
+    // AMS/CMS join-size estimation: the F2 self-join moment of the
+    // lineitem part-key distribution from registers alone — pricing a
+    // join (and catching skew) without running it
+    "q_cms_joinsize" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(lit("all").as("g"), col("l_partkey"))
+      val reg = Sketches.cmsSketch(li, Seq("g"), "l_partkey",
+        d = 4, w = 65536)
+      Sketches.cmsJoinSize(reg, reg, Seq("g"))
+    }),
+
     // Bloom membership: month bit-sets OR-merged to years, then every
     // (year, customer) probed — order-customers must read true (no false
     // negatives), no-order customers read the deterministic FP pattern
@@ -379,6 +390,11 @@ object Round6Queries {
            FROM pairs p
            JOIN items ia ON ia.i = p.item_a
            JOIN items ib ON ib.i = p.item_b, tot t""",
+
+      "q_cms_joinsize" -> Sketches.cmsJoinSizeSql(
+        "SELECT 'all' AS grp, CAST(l_partkey AS VARCHAR) AS k FROM lineitem",
+        "SELECT 'all' AS grp, CAST(l_partkey AS VARCHAR) AS k FROM lineitem",
+        "g", d = 4, w = 65536),
 
       "q_bloom_merge" -> Sketches.bloomContainsSql(
         """SELECT strftime(o_orderdate, '%Y') AS grp,

@@ -248,6 +248,47 @@ object Sketches {
         .as("maybe_present"))
   }
 
+  /** Equi-join CARDINALITY estimate from two CMS register relations
+    * (Alon-Matias-Szegedy inner product, the CMS §4.2 application):
+    * |A ⋈ B| on the sketched key = Σ_k fA(k)·fB(k), estimated per hash
+    * row as the counter inner product and finished with min over the d
+    * rows — an upper bound within ε·‖fA‖₁‖fB‖₁ whp. With A = B this is
+    * the F₂ self-join moment, THE skew indicator for join planning. The
+    * whole estimate touches only the two ≤ d·w register relations: at
+    * 100 TB you price a join (and catch a skew blow-up) without running
+    * it. Missing buckets contribute 0 (inner join). */
+  def cmsJoinSize(regA: DataFrame, regB: DataFrame,
+      groupCols: Seq[String]): DataFrame =
+    regA.join(regB.withColumnRenamed("cnt", "__cntB"),
+        groupCols :+ "row_j" :+ "col")
+      .groupBy((groupCols :+ "row_j").map(col): _*)
+      .agg(sum(col("cnt") * col("__cntB")).as("__ip"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(col("__ip")).as("join_size_est"))
+
+  /** Join-size oracle SQL from the same constants: the two source CTEs
+    * must each yield keyed rows `(grp, k)`. */
+  private[graft] def cmsJoinSizeSql(srcACte: String, srcBCte: String,
+      grpName: String, d: Int = CmsD, w: Int = CmsW): String = {
+    val colExpr =
+      s"('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || k), 1, 15))" +
+        s"::BIGINT % $w"
+    def reg(name: String, src: String) =
+      s"""$name AS (SELECT grp, j AS row_j, $colExpr AS col,
+         CAST(count(*) AS BIGINT) AS cnt
+         FROM ($src) s, LATERAL (SELECT unnest(range(0, $d)) AS j)
+         GROUP BY 1, 2, 3)"""
+    s"""WITH ${reg("ra", srcACte)},
+       ${reg("rb", srcBCte)},
+       ip AS (SELECT ra.grp, ra.row_j,
+                CAST(sum(ra.cnt * rb.cnt) AS BIGINT) AS ip
+              FROM ra JOIN rb USING (grp, row_j, col)
+              GROUP BY 1, 2)
+       SELECT grp AS $grpName,
+         CAST(min(ip) AS BIGINT) AS join_size_est
+       FROM ip GROUP BY 1"""
+  }
+
   /** Probe oracle SQL from the same constants: source CTE must yield the
     * keyed rows `(grp, k)`; probe CTE the probe rows `(grp, k, $outKey)`.
     * OR-merge needs no separate oracle (distinct union is associative). */

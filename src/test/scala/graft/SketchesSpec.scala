@@ -101,6 +101,25 @@ class SketchesSpec extends SparkSpec {
       .exceptAll(merged.select("yr", "row_j", "col", "cnt")).isEmpty)
   }
 
+  test("cms join-size estimate bounds the true inner product") {
+    // 100 keys with counts 1..10 across two relations; w=1024 >> keys so
+    // the estimate should be near-exact, and never BELOW the truth
+    val a = (0 until 100).flatMap(i => Seq.fill(i % 10 + 1)(("g", s"k$i")))
+      .toDF("grp", "k")
+    val b = (0 until 100).flatMap(i => Seq.fill((i * 3) % 7 + 1)(("g",
+      s"k$i"))).toDF("grp", "k")
+    val truth = (0 until 100).map(i => (i % 10 + 1).toLong *
+      ((i * 3) % 7 + 1)).sum
+    val est = Sketches.cmsJoinSize(
+      Sketches.cmsSketch(a, Seq("grp"), "k"),
+      Sketches.cmsSketch(b, Seq("grp"), "k"), Seq("grp"))
+      .head().getLong(1)
+    assert(est >= truth, s"$est < $truth")
+    // collision overestimate: E ≈ ‖fA‖₁·‖fB‖₁/w per row; allow 3×
+    val slack = 3L * (a.count() * b.count()) / Sketches.CmsW
+    assert(est <= truth + slack, s"$est way over $truth (+$slack)")
+  }
+
   // ---- Bloom ----------------------------------------------------------
 
   test("bloom never false-negatives and merged == direct coarse sketch") {
