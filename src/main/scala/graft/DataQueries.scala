@@ -306,6 +306,17 @@ object DataQueries {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("order_count"))),
 
+    // TPC-H Q6 shape: pure filter + aggregate — every predicate must
+    // reach the parquet scan as a pushed filter
+    "q_tpch_q6" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 6)
+          .as("revenue"))),
+
     // TPC-H Q7 shape: bidirectional two-nation trade volume by ship year —
     // the disjunctive nation-pair filter runs AFTER both broadcast dim
     // joins; only lineitem⋈orders shuffles
@@ -3245,6 +3256,14 @@ object DataQueries {
                WHERE l.l_orderkey = o.o_orderkey
                  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
            GROUP BY 1""",
+
+      "q_tpch_q6" ->
+        """SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1997-01-01'
+             AND l_discount BETWEEN 0.05 AND 0.07
+             AND l_quantity < 24""",
 
       "q_tpch_q7" ->
         """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

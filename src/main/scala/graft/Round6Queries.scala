@@ -161,6 +161,14 @@ object Round6Queries {
           .select(col("l_orderkey"), col("p_brand")),
         "l_orderkey", "p_brand", minPairCount = 20L)),
 
+    // deterministic PII pseudonymization: names become salted-md5 tokens
+    // that stay joinable; the mapping relation lives separately
+    "q_pseudonymize" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_custkey"),
+        graft.text.Corpus.pseudonymize(col("c_name"), "c_name", "s1")
+          .as("name_token"),
+        col("c_mktsegment"))),
+
     // AMS/CMS join-size estimation: the F2 self-join moment of the
     // lineitem part-key distribution from registers alone — pricing a
     // join (and catching skew) without running it
@@ -390,6 +398,13 @@ object Round6Queries {
            FROM pairs p
            JOIN items ia ON ia.i = p.item_a
            JOIN items ib ON ib.i = p.item_b, tot t""",
+
+      "q_pseudonymize" ->
+        """SELECT c_custkey,
+             't_' || substr(md5('s1:c_name:' || c_name), 1, 16)
+               AS name_token,
+             c_mktsegment
+           FROM customer""",
 
       "q_cms_joinsize" -> Sketches.cmsJoinSizeSql(
         "SELECT 'all' AS grp, CAST(l_partkey AS VARCHAR) AS k FROM lineitem",

@@ -626,6 +626,33 @@ object Corpus {
         PhoneRe, "[PHONE]"),
       Ipv4Re, "[IP]")
 
+  /** Deterministic PII pseudonymization — the [[redact]] complement for
+    * columns that must stay JOINABLE after de-identification (user ids,
+    * names, emails as keys): each value maps to a salted-md5 token
+    * `t_<16 hex>`, so equal values tokenize equally (joins, groupBys, and
+    * dedup still work) while the value itself never leaves the engine.
+    * Same token across tables given the same salt + column label; null →
+    * null. A pure per-row projection — nothing fitted, shipped, or
+    * shuffled, and any SQL engine replays it (crawl-pipeline audits must
+    * be re-derivable). The salt is the re-identification barrier: treat
+    * it like a key, rotate it to break linkage across releases. For
+    * authorized re-identification keep [[pseudonymMap]]'s (token, value)
+    * relation under separate access control. */
+  def pseudonymize(c: Column, columnLabel: String, salt: String): Column =
+    when(c.isNull, lit(null))
+      .otherwise(concat(lit("t_"),
+        substring(md5(concat(lit(salt), lit(":"), lit(columnLabel),
+          lit(":"), c.cast("string")).cast("binary")), 1, 16)))
+
+  /** The (token, value) re-identification relation for one column —
+    * bounded by distinct values; store it apart from the released data. */
+  def pseudonymMap(
+      df: DataFrame, colName: String, salt: String): DataFrame =
+    df.select(col(colName).cast("string").as("value")).distinct()
+      .filter(col("value").isNotNull)
+      .select(pseudonymize(col("value"), colName, salt).as("token"),
+        col("value"))
+
   /** Registrable host of a URL, lowercased: the `scheme://HOST` capture via
     * a regex valid in both Java and RE2 (NOT java.net.URI — its parse
     * failures and case quirks would be impossible for an external engine to

@@ -147,3 +147,35 @@ class NewOpsPropertySpec extends SparkSpec {
     assert(sums.forall(_ <= 50L))
   }
 }
+
+/** Deterministic pseudonymization: equal values tokenize equally (stay
+  * joinable), salts break linkage, the map relation round-trips. */
+class PseudonymizeSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.text.Corpus
+
+  private val df = Seq((1L, "alice"), (2L, "bob"), (3L, "alice"),
+    (4L, null)).toDF("id", "name")
+
+  test("equal values get equal tokens; null stays null; salt matters") {
+    val out = df.select(col("id"),
+      Corpus.pseudonymize(col("name"), "name", "s1").as("t1"),
+      Corpus.pseudonymize(col("name"), "name", "s2").as("t2")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(out(1L)._1 == out(3L)._1) // joinable
+    assert(out(1L)._1 != out(2L)._1)
+    assert(out(1L)._1 != out(1L)._2) // different salt, different token
+    assert(out(4L)._1 == null)
+    assert(out(1L)._1.matches("t_[0-9a-f]{16}"))
+  }
+
+  test("pseudonymMap round-trips tokens to values") {
+    val m = Corpus.pseudonymMap(df, "name", "s1")
+    assert(m.count() == 2) // distinct non-null values
+    val joined = df.select(
+        Corpus.pseudonymize(col("name"), "name", "s1").as("token"),
+        col("name"))
+      .join(m, "token")
+    assert(joined.filter(col("name") =!= col("value")).isEmpty)
+  }
+}
