@@ -281,23 +281,57 @@ object Streaming {
     * idempotent on `batchId` — replaying a committed batch is a no-op. */
   def maintainAggBatch(
       batch: DataFrame, batchId: Long, keys: Seq[String], valueCol: String,
-      stateDir: String, keepVersions: Int = 2): Unit = {
+      stateDir: String, keepVersions: Int = 2): Unit =
+    maintainBatch(batch, batchId, stateDir,
+      b => graft.relational.Relational.aggState(b, keys, valueCol),
+      (s, d) => graft.relational.Relational.aggMerge(s, d, keys),
+      keepVersions)
+
+  /** GENERIC mergeable-relation maintenance — the abstraction the whole
+    * sketch suite plugs into: anything expressible as `sketch(batch)` +
+    * an associative `merge(state, delta)` over relations (aggState/
+    * aggMerge, HLL registers/max-merge, CMS counters/sum-merge, Bloom
+    * positions/distinct-union) becomes a streaming materialized view
+    * with the same versioned-commit replay safety. Per batch: one
+    * sketch pass over the batch + one merge against the bounded state
+    * relation — stream history is never re-read. */
+  def maintainBatch(
+      batch: DataFrame, batchId: Long, stateDir: String,
+      sketch: DataFrame => DataFrame,
+      merge: (DataFrame, DataFrame) => DataFrame,
+      keepVersions: Int = 2): Unit = {
     val spark = batch.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(stateDir)
     val versions = committedVersions(fs, root)
     if (versions.contains(batchId)) return // committed replay: done
-    val delta = graft.relational.Relational.aggState(batch, keys, valueCol)
+    val delta = sketch(batch)
     val merged = versions.filter(_ < batchId).sorted.lastOption match {
-      case Some(v) => graft.relational.Relational.aggMerge(
-        spark.read.parquet(s"$stateDir/v$v"), delta, keys)
+      case Some(v) => merge(spark.read.parquet(s"$stateDir/v$v"), delta)
       case None => delta
     }
     merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
     committedVersions(fs, root).sorted.dropRight(keepVersions).foreach(v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/v$v"), true))
   }
+
+  /** [[maintainBatch]] wired to a stream: a maintained sketch table
+    * (distinct users per window via HLL, per-key frequencies via CMS,
+    * membership via Bloom …) over an unbounded source. */
+  def maintainStream(
+      stream: DataFrame, stateDir: String, checkpointDir: String,
+      sketch: DataFrame => DataFrame,
+      merge: (DataFrame, DataFrame) => DataFrame,
+      keepVersions: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        maintainBatch(batch.toDF(), batchId, stateDir, sketch, merge,
+          keepVersions)
+      }
+      .start()
 
   /** Current maintained state: the highest committed version (empty-state
     * reads are a caller error — check the stream has processed a batch). */

@@ -310,3 +310,41 @@ class MaintainAggStreamSpec extends SparkSpec {
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v2")))
   }
 }
+
+/** Generic mergeable-relation maintenance: an HLL register table kept by
+  * the stream equals the batch sketch of all data — the sketch suite as
+  * streaming materialized views. */
+class MaintainSketchStreamSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.relational.Sketches
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  test("streamed HLL registers == whole-corpus sketch, exactly") {
+    val dir = s"target/tmp/maintsketch_${System.nanoTime()}"
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val q = graft.streaming.Streaming.maintainStream(
+      mem.toDF().toDF("grp", "k"), s"$dir/state", s"$dir/ckpt",
+      b => Sketches.hllSketch(b, Seq("grp"), "k"),
+      (s, d) => Sketches.hllMerge(s.unionByName(d), Seq("grp")))
+    val all = (0 until 900).map(i => (s"g${i % 3}", s"user-${i % 400}"))
+    try {
+      mem.addData(all.take(300): _*)
+      q.processAllAvailable()
+      mem.addData(all.drop(300): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = graft.streaming.Streaming.readMaintainedAgg(spark,
+      s"$dir/state")
+    val direct = Sketches.hllSketch(all.toDF("grp", "k"), Seq("grp"), "k")
+    assert(streamed.exceptAll(direct).isEmpty &&
+      direct.exceptAll(streamed).isEmpty)
+    // and the estimates read straight off the maintained table
+    val truth = all.distinct.groupBy(_._1).map { case (g, v) =>
+      g -> v.map(_._2).distinct.size.toDouble }
+    val est = Sketches.hllEstimate(streamed, Seq("grp")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    truth.foreach { case (g, n) =>
+      assert(math.abs(est(g) - n) / n < 0.2, s"$g: ${est(g)} vs $n") }
+  }
+}
