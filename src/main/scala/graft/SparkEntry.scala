@@ -29,11 +29,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     classicQueries ++ DataQueries.queries ++ bigPathQueries ++
-      Round6Queries.queries
+      Round6Queries.queries ++ TpchQueries.queries
 
   def oracleSql: Map[String, String] = {
     val base = classicOracleSql ++ DataQueries.oracleSql ++
-      Round6Queries.oracleSql
+      Round6Queries.oracleSql ++ TpchQueries.oracleSql
     // the 100-TB twins are semantically IDENTICAL to their small-path
     // twins — the oracle SQL is literally the twin's, because the whole
     // point is bit-identical output from the distributed branch
