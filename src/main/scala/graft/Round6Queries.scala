@@ -212,7 +212,20 @@ object Round6Queries {
     // exact triangle count of the same word graph (degree-oriented
     // wedge join — hub words cannot blow up the self-join)
     "q_triangles" -> ((s, d) =>
-      graft.relational.Graph.triangleCount(wordEdges(s, d), "a", "b"))
+      graft.relational.Graph.triangleCount(wordEdges(s, d), "a", "b")),
+
+    // fitted n-gram language-ID: per-language top-64 character-trigram
+    // profiles (count DESC, gram ASC tie-break)
+    "q_langid_profile" -> ((s, d) =>
+      graft.text.LangId.fitProfiles(t(s, d, "documents"), "text", "lang",
+        n = 3, topK = 64)),
+
+    // classify the corpus against its own fitted profiles and flag
+    // agreement with the upstream lang tag — integer overlap scores,
+    // total tie-break order, so the prediction is exactly replayable
+    "q_langid" -> ((s, d) =>
+      graft.text.LangId.selfCheck(t(s, d, "documents"), "doc_id", "text",
+        "lang", n = 3, topK = 64))
   )
 
   /** Undirected word co-occurrence (bigram) edges with counts — the
@@ -436,7 +449,49 @@ object Round6Queries {
             SELECT CAST(count(*) AS BIGINT) AS n_triangles
             FROM und e1
             JOIN und e2 ON e1.b = e2.a
-            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b"""
+            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b""",
+
+      "q_langid_profile" ->
+        s"""WITH $LangProfileSql
+            SELECT lang, gram, rank FROM prof WHERE rank <= 64""",
+
+      // the classifier replay: distinct doc trigrams joined to the
+      // fitted profiles, integer overlap scores, (score DESC, lang ASC)
+      // argmax, zero-overlap docs -> ('und', 0)
+      "q_langid" ->
+        s"""WITH $LangProfileSql,
+            docg AS (SELECT DISTINCT doc_id, gram FROM tg),
+            score AS (
+              SELECT docg.doc_id, p.lang, count(*) AS score
+              FROM docg
+              JOIN (SELECT lang, gram FROM prof WHERE rank <= 64) p
+                ON docg.gram = p.gram
+              GROUP BY 1, 2),
+            best AS (
+              SELECT doc_id, lang, score, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+              FROM score)
+            SELECT d.doc_id,
+              coalesce(b.lang, 'und') AS pred_lang,
+              CAST(coalesce(b.score, 0) AS BIGINT) AS score,
+              (coalesce(b.lang, 'und') = d.lang) AS agrees
+            FROM documents d
+            LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+              ON d.doc_id = b.doc_id"""
     )
   }
+
+  /** Shared fit CTEs for the language-ID oracles: trigram explosion and
+    * the per-language (count DESC, gram ASC) rank. */
+  private val LangProfileSql =
+    """tg AS (
+         SELECT d.doc_id, d.lang,
+           substr(lower(d.text), CAST(p AS INT), 3) AS gram
+         FROM documents d,
+           LATERAL (SELECT unnest(range(1, length(d.text) - 1)) AS p)),
+       cnt AS (SELECT lang, gram, count(*) AS c FROM tg GROUP BY 1, 2),
+       prof AS (
+         SELECT lang, gram, CAST(row_number() OVER (
+           PARTITION BY lang ORDER BY c DESC, gram) AS BIGINT) AS rank
+         FROM cnt)"""
 }
