@@ -225,8 +225,31 @@ object Round6Queries {
     // total tie-break order, so the prediction is exactly replayable
     "q_langid" -> ((s, d) =>
       graft.text.LangId.selfCheck(t(s, d, "documents"), "doc_id", "text",
-        "lang", n = 3, topK = 64))
+        "lang", n = 3, topK = 64)),
+
+    // mergeable quantile sketch: per-returnflag price quantiles from
+    // binned-ECDF registers (integer rank targets — exact bin pick)
+    "q_qsketch" -> ((s, d) =>
+      Sketches.qQuantile(
+        Sketches.qSketch(t(s, d, "lineitem"), Seq("l_returnflag"),
+          "l_extendedprice", lo = 0.0, hi = 110000.0),
+        Seq("l_returnflag"), QsQuantiles, lo = 0.0, hi = 110000.0)),
+
+    // the MERGE path: month registers of order totals summed to years,
+    // then the median read from merged registers alone — counter sum is
+    // associative, so the oracle sketches years directly
+    "q_qsketch_merge" -> ((s, d) => {
+      val o = t(s, d, "orders").withColumn("month",
+        date_format(col("o_orderdate"), "yyyy-MM"))
+      val months = Sketches.qSketch(o, Seq("month"), "o_totalprice",
+        lo = 0.0, hi = 500000.0)
+        .withColumn("year", substring(col("month"), 1, 4))
+      Sketches.qQuantile(Sketches.qMerge(months, Seq("year")),
+        Seq("year"), Seq((1, 2)), lo = 0.0, hi = 500000.0)
+    })
   )
+
+  private val QsQuantiles = Seq((1, 4), (1, 2), (3, 4), (99, 100))
 
   /** Undirected word co-occurrence (bigram) edges with counts — the
     * input relation for q_textrank and q_triangles. */
@@ -477,7 +500,16 @@ object Round6Queries {
               (coalesce(b.lang, 'und') = d.lang) AS agrees
             FROM documents d
             LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
-              ON d.doc_id = b.doc_id"""
+              ON d.doc_id = b.doc_id""",
+
+      "q_qsketch" -> Sketches.qQuantileSql(
+        "SELECT l_returnflag AS grp, l_extendedprice AS v FROM lineitem",
+        "l_returnflag", QsQuantiles, lo = 0.0, hi = 110000.0),
+
+      "q_qsketch_merge" -> Sketches.qQuantileSql(
+        """SELECT strftime(o_orderdate, '%Y') AS grp, o_totalprice AS v
+           FROM orders""",
+        "year", Seq((1, 2)), lo = 0.0, hi = 500000.0)
     )
   }
 

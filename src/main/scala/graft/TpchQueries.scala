@@ -53,10 +53,13 @@ object TpchQueries {
         .select("s_suppkey", "s_acctbal", "s_name", "n_name")
       val eurSupply = supply
         .join(broadcast(eur), col("l_suppkey") === col("s_suppkey"))
+      // minCost is per-part cardinality — at TPC-H scale part is a big
+      // table, so no broadcast hint: both sides already hash by partkey
+      // from the same upstream aggregate, and AQE picks the strategy
       val minCost = eurSupply.groupBy(col("l_partkey").as("__mpk"))
         .agg(min(col("cost")).as("mincost"))
       eurSupply
-        .join(broadcast(minCost),
+        .join(minCost,
           col("l_partkey") === col("__mpk") &&
             col("cost") === col("mincost"))
         .join(broadcast(t(s, d, "part")
@@ -190,15 +193,19 @@ object TpchQueries {
     // as an aggregate joined back. l_quantity is an integral double so
     // the 0.2*avg threshold is exact in both engines.
     "q_tpch_q17" -> ((s, d) => {
-      val li = t(s, d, "lineitem")
+      // part attrs are functions of the key, so pruning lineitem by the
+      // filtered part set BEFORE the per-part average keeps the average
+      // identical (all lines of a surviving part survive) while the
+      // aggregate only ever sees the selected parts' rows
+      val liF = t(s, d, "lineitem")
         .select("l_partkey", "l_quantity", "l_extendedprice")
-      val avgQty = li.groupBy(col("l_partkey").as("__apk"))
-        .agg(avg(col("l_quantity")).as("__avg_qty"))
-      li.join(broadcast(t(s, d, "part")
+        .join(broadcast(t(s, d, "part")
           .filter(col("p_brand") === "Brand#2" && col("p_type") === "SMALL")
           .select("p_partkey")),
           col("l_partkey") === col("p_partkey"))
-        .join(avgQty, col("l_partkey") === col("__apk"))
+      val avgQty = liF.groupBy(col("l_partkey").as("__apk"))
+        .agg(avg(col("l_quantity")).as("__avg_qty"))
+      liF.join(avgQty, col("l_partkey") === col("__apk"))
         .filter(col("l_quantity") < lit(0.2) * col("__avg_qty"))
         .agg(round(sum(col("l_extendedprice")) / lit(7.0), 6)
           .as("avg_yearly"))

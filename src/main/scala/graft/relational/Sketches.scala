@@ -331,4 +331,106 @@ object Sketches {
        FROM pe LEFT JOIN reg r USING (grp, row_j, col)
        GROUP BY 1, 2"""
   }
+
+  // --------------------------------------------------------------------
+  // Quantile sketch: binned ECDF registers — completes the mergeable
+  // suite (HLL distinct / CMS frequency / Bloom membership / quantiles).
+  // --------------------------------------------------------------------
+
+  /** Default bin count: 4096 bins bound the quantile error at
+    * (hi-lo)/4096 of the range — and the register relation at ≤ 4096
+    * rows per group whatever the corpus size. */
+  val QBins = 4096
+
+  /** Binned quantile registers per group: `(groupCols…, bin, cnt)` with
+    * bin = clamp(floor((v - lo) / (hi - lo) * bins), 0, bins-1) — the
+    * caller fixes the [lo, hi) range as part of the sketch identity
+    * (out-of-range values clamp to the edge bins; nulls drop). ONE
+    * map-side-combined aggregate over the corpus; everything downstream
+    * touches only `groups × ≤ bins` rows. The bin index is per-row IEEE
+    * float-then-floor, identical in any engine. */
+  def qSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      lo: Double, hi: Double, bins: Int = QBins): DataFrame = {
+    require(hi > lo, s"empty sketch range [$lo, $hi)")
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val v = col(valueCol).cast("double")
+    val raw = floor((v - lit(lo)) / lit(hi - lo) * lit(bins)).cast("long")
+    val bin = least(greatest(raw, lit(0L)), lit(bins - 1L))
+    df.filter(v.isNotNull)
+      .select((groupCols.map(col) :+ bin.as("bin")): _*)
+      .groupBy((groupCols :+ "bin").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge registers to a coarser grouping (caller derives the coarser
+    * columns first): counter-wise sum — associative, so merged registers
+    * are identical to sketching the coarse groups directly. */
+  def qMerge(registers: DataFrame, groupCols: Seq[String]): DataFrame =
+    registers.groupBy((groupCols :+ "bin").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Quantile estimates from registers alone: for each (group, q) with
+    * q = q_num/q_den, the upper edge of the smallest bin whose
+    * cumulative count reaches ceil(q · total) — integer rank target
+    * (total·q_num + q_den − 1) div q_den, so bin selection is exact in
+    * any engine; the returned edge `lo + (bin+1)·(hi−lo)/bins` is within
+    * one bin width above the true quantile. */
+  def qQuantile(registers: DataFrame, groupCols: Seq[String],
+      quantiles: Seq[(Int, Int)], lo: Double, hi: Double,
+      bins: Int = QBins): DataFrame = {
+    require(quantiles.nonEmpty, "no quantiles requested")
+    quantiles.foreach { case (n, dd) =>
+      require(dd >= 1 && n >= 0 && n <= dd, s"bad quantile $n/$dd") }
+    val spark = registers.sparkSession
+    import spark.implicits._
+    val qs = broadcast(quantiles.toDF("q_num", "q_den"))
+    val totals = registers.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("cnt")).as("__total"))
+    val targets = totals.crossJoin(qs)
+      // integral `div`, not float `/` + floor: the ceil-division target
+      // must be exact at any total
+      .withColumn("__target", expr(
+        "CAST((__total * q_num + q_den - 1) div q_den AS BIGINT)"))
+    // per-group cumulative counts: a window over ≤ bins register rows —
+    // bounded by the sketch geometry, never by the corpus
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("bin"))
+    registers.withColumn("__cum", sum(col("cnt")).over(w))
+      .join(targets, groupCols)
+      .filter(col("__cum") >= col("__target"))
+      .groupBy((groupCols ++ Seq("q_num", "q_den")).map(col): _*)
+      .agg(min(col("bin")).as("__bin"))
+      .withColumn("est",
+        lit(lo) + (col("__bin") + 1) * lit(hi - lo) / lit(bins))
+      .drop("__bin")
+  }
+
+  /** Quantile oracle SQL from the same constants: source CTE must yield
+    * rows `(grp, v)`; quantiles arrive as literal (q_num, q_den) pairs.
+    * The merge path needs no separate oracle (counter sum is
+    * associative — sketching the coarse groups directly is identical). */
+  private[graft] def qQuantileSql(srcCte: String, grpName: String,
+      quantiles: Seq[(Int, Int)], lo: Double, hi: Double,
+      bins: Int = QBins): String = {
+    val qRows = quantiles
+      .map { case (n, d) => s"($n, $d)" }.mkString(", ")
+    s"""WITH src AS ($srcCte),
+       reg AS (SELECT grp,
+                 least(greatest(CAST(floor((CAST(v AS DOUBLE) - ($lo))
+                   / (${hi - lo}) * $bins) AS BIGINT), 0),
+                   ${bins - 1}) AS bin,
+                 count(*) AS cnt
+               FROM src WHERE v IS NOT NULL GROUP BY 1, 2),
+       cum AS (SELECT grp, bin, sum(cnt) OVER (PARTITION BY grp
+                 ORDER BY bin) AS cum,
+                 sum(cnt) OVER (PARTITION BY grp) AS total
+               FROM reg),
+       qs(q_num, q_den) AS (VALUES $qRows)
+       SELECT cum.grp AS $grpName, qs.q_num, qs.q_den,
+         ($lo) + (min(cum.bin) + 1) * (${hi - lo}) / $bins AS est
+       FROM cum CROSS JOIN qs
+       WHERE cum.cum >= (cum.total * qs.q_num + qs.q_den - 1)
+         // qs.q_den
+       GROUP BY 1, 2, 3"""
+  }
 }

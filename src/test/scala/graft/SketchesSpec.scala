@@ -156,4 +156,59 @@ class SketchesSpec extends SparkSpec {
     assert(reg.filter(col("row_j") < 0 ||
       col("row_j") >= Sketches.CmsD).isEmpty)
   }
+
+  test("quantile sketch: estimate within one bin width above the exact " +
+    "quantile") {
+    val rng = new scala.util.Random(7)
+    val vals = (0 until 4000).map(_ => rng.nextDouble() * 1000.0)
+    val df = vals.map(("g", _)).toDF("grp", "v")
+    val reg = Sketches.qSketch(df, Seq("grp"), "v", lo = 0.0, hi = 1000.0)
+    val got = Sketches.qQuantile(reg, Seq("grp"),
+      Seq((1, 4), (1, 2), (3, 4)), lo = 0.0, hi = 1000.0)
+      .collect().map(r => (r.getInt(1), r.getInt(2)) -> r.getDouble(3))
+      .toMap
+    val sorted = vals.sorted
+    val binW = 1000.0 / Sketches.QBins
+    for ((n, d) <- Seq((1, 4), (1, 2), (3, 4))) {
+      val target = (sorted.length.toLong * n + d - 1) / d
+      val exact = sorted(target.toInt - 1)
+      val est = got((n, d))
+      assert(est >= exact && est <= exact + 2 * binW,
+        s"q=$n/$d est=$est exact=$exact")
+    }
+  }
+
+  test("quantile sketch: merged registers equal sketching the coarse " +
+    "group directly; out-of-range values clamp to edge bins") {
+    val rows = Seq(
+      ("2024-01", -5.0), ("2024-01", 10.0), ("2024-02", 55.0),
+      ("2024-02", 250.0), ("2025-01", 99.9), ("2025-03", 60.0)
+    ).toDF("month", "v")
+    val months = Sketches.qSketch(rows, Seq("month"), "v",
+      lo = 0.0, hi = 100.0, bins = 10)
+      .withColumn("year", substring(col("month"), 1, 4))
+    val merged = Sketches.qMerge(months, Seq("year"))
+    val direct = Sketches.qSketch(
+      rows.withColumn("year", substring(col("month"), 1, 4)),
+      Seq("year"), "v", lo = 0.0, hi = 100.0, bins = 10)
+    assert(merged.select("year", "bin", "cnt")
+      .exceptAll(direct).isEmpty &&
+      direct.exceptAll(merged.select("year", "bin", "cnt")).isEmpty)
+    // -5 clamps to bin 0; 250 clamps to bin 9
+    val reg24 = direct.filter(col("year") === "2024")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(reg24.contains(0L) && reg24.contains(9L))
+  }
+
+  test("quantile sketch: ceil-rank target semantics on a hand case") {
+    // 4 values in distinct bins; median target = ceil(4/2) = 2nd value
+    val rows = Seq(("g", 5.0), ("g", 15.0), ("g", 25.0), ("g", 35.0))
+      .toDF("grp", "v")
+    val reg = Sketches.qSketch(rows, Seq("grp"), "v",
+      lo = 0.0, hi = 40.0, bins = 4)
+    val med = Sketches.qQuantile(reg, Seq("grp"), Seq((1, 2)),
+      lo = 0.0, hi = 40.0, bins = 4).collect()(0).getDouble(3)
+    // 2nd value (15.0) lives in bin 1 → upper edge 20.0
+    assert(med == 20.0)
+  }
 }
