@@ -246,8 +246,29 @@ object Round6Queries {
         .withColumn("year", substring(col("month"), 1, 4))
       Sketches.qQuantile(Sketches.qMerge(months, Seq("year")),
         Seq("year"), Seq((1, 2)), lo = 0.0, hi = 500000.0)
-    })
+    }),
+
+    // interval union: per-user event spans (value x 100 s — long enough
+    // that spans genuinely nest and chain) merged to maximal covered
+    // intervals; exact integral-microsecond endpoints
+    "q_interval_merge" -> ((s, d) =>
+      graft.relational.Relational.mergeIntervals(
+        eventIntervals(s, d), Seq("user_id"), "s", "en")),
+
+    // per-user coverage totals read from the merged spans
+    "q_interval_cover" -> ((s, d) =>
+      graft.relational.Relational.intervalCoverage(
+        eventIntervals(s, d), Seq("user_id"), "s", "en"))
   )
+
+  /** Per-user [start, end] spans from the event stream: start = the
+    * event's microsecond timestamp, duration = value x 100 s (floored to
+    * exact integral micros). */
+  private def eventIntervals(s: SparkSession, d: String): DataFrame =
+    DataQueries.readEventsMicros(s, d).select(col("user_id"),
+      col("tsu").as("s"),
+      (col("tsu") + floor(col("value") * 100000000L).cast("long"))
+        .as("en"))
 
   private val QsQuantiles = Seq((1, 4), (1, 2), (3, 4), (99, 100))
 
@@ -509,9 +530,42 @@ object Round6Queries {
       "q_qsketch_merge" -> Sketches.qQuantileSql(
         """SELECT strftime(o_orderdate, '%Y') AS grp, o_totalprice AS v
            FROM orders""",
-        "year", Seq((1, 2)), lo = 0.0, hi = 500000.0)
+        "year", Seq((1, 2)), lo = 0.0, hi = 500000.0),
+
+      "q_interval_merge" ->
+        s"""WITH $IntervalSpansSql
+            SELECT user_id, min(s) AS span_start, max(en) AS span_end,
+              count(*) AS n_merged
+            FROM sp GROUP BY user_id, span""",
+
+      "q_interval_cover" ->
+        s"""WITH $IntervalSpansSql,
+            m2 AS (SELECT user_id, min(s) AS s, max(en) AS en
+                   FROM sp GROUP BY user_id, span)
+            SELECT user_id, CAST(sum(en - s) AS BIGINT) AS covered,
+              count(*) AS n_spans
+            FROM m2 GROUP BY 1"""
     )
   }
+
+  /** Shared sweep CTEs for the interval oracles: per-user spans opened
+    * when a start clears the running max of all previous ends. */
+  private val IntervalSpansSql =
+    """e AS (
+         SELECT user_id, epoch_us(ts) AS s,
+           epoch_us(ts) + CAST(floor(value * 100000000) AS BIGINT) AS en
+         FROM events),
+       m AS (
+         SELECT user_id, s, en,
+           CASE WHEN max(en) OVER (PARTITION BY user_id ORDER BY s, en
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             OR s > max(en) OVER (PARTITION BY user_id ORDER BY s, en
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS op
+         FROM e WHERE s <= en),
+       sp AS (SELECT user_id, s, en,
+                sum(op) OVER (PARTITION BY user_id ORDER BY s, en) AS span
+              FROM m)"""
 
   /** Shared fit CTEs for the language-ID oracles: trigram explosion and
     * the per-language (count DESC, gram ASC) rank. */

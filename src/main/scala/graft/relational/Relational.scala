@@ -192,6 +192,49 @@ object Relational {
       .drop("__new")
   }
 
+  /** Interval union: merge each key's overlapping-or-touching [start, end]
+    * intervals into maximal covered spans — the coverage primitive
+    * [[sessionize]] doesn't give (sessions group POINT events by gap;
+    * this unions SPANS, where a long interval can swallow many later
+    * starts). The classic sweep: order by (start, end), a new span opens
+    * when start exceeds the running max of all previous ends (`cummax`
+    * via a window ending 1 PRECEDING — plain `lag(end)` is wrong for
+    * nested intervals), flag-cumsum labels the span, then one aggregate
+    * emits (span_start, span_end, n_merged). All comparisons are on the
+    * raw (typically integral-microsecond) values — exact in any engine.
+    *
+    * One shuffle on `keyCols`; both windows share one (key, start, end)
+    * sort. A key's intervals sort within one task — per-key history is
+    * the inherent partition, same caveat as [[sessionize]]. */
+  def mergeIntervals(
+      df: DataFrame, keyCols: Seq[String], startCol: String,
+      endCol: String): DataFrame = {
+    val order = Seq(col(startCol).asc, col(endCol).asc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val prevMaxEnd = max(col(endCol)).over(wPrev)
+    val opens = when(
+      prevMaxEnd.isNull || col(startCol) > prevMaxEnd, 1L).otherwise(0L)
+    df.filter(col(startCol) <= col(endCol))
+      .withColumn("__open", opens)
+      .withColumn("__span", sum(col("__open")).over(w))
+      .groupBy((keyCols :+ "__span").map(col): _*)
+      .agg(min(col(startCol)).as("span_start"),
+        max(col(endCol)).as("span_end"),
+        count(lit(1)).as("n_merged"))
+      .drop("__span")
+  }
+
+  /** Per-key coverage from merged spans: total covered length and span
+    * count — reads [[mergeIntervals]] output, touches nothing raw. */
+  def intervalCoverage(
+      df: DataFrame, keyCols: Seq[String], startCol: String,
+      endCol: String): DataFrame =
+    mergeIntervals(df, keyCols, startCol, endCol)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("span_end") - col("span_start")).as("covered"),
+        count(lit(1)).as("n_spans"))
+
   /** Rolling window aggregate: `func` over the last `n` rows per key,
     * ordered by (`orderCol`, `idCol`) — the unique id tie-break makes the
     * frame deterministic, so any engine reproduces it. One shuffle on
