@@ -258,8 +258,29 @@ object Round6Queries {
     // per-user coverage totals read from the merged spans
     "q_interval_cover" -> ((s, d) =>
       graft.relational.Relational.intervalCoverage(
-        eventIntervals(s, d), Seq("user_id"), "s", "en"))
+        eventIntervals(s, d), Seq("user_id"), "s", "en")),
+
+    // multi-source BFS over the customer-part co-purchase bipartite
+    // graph: hop distances from one nation's customers (hop 1 = their
+    // parts, hop 2 = co-purchasing customers, ... — the collaborative-
+    // filtering reach computation); integer hop counts, frontier rounds
+    "q_bfs" -> ((s, d) => {
+      val cp = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+        .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("c"),
+          concat(lit("p"), col("l_partkey")).as("p")).distinct()
+      val edges = cp.select(col("c").as("src"), col("p").as("dst"))
+        .union(cp.select(col("p").as("src"), col("c").as("dst")))
+      val sources = t(s, d, "customer")
+        .filter(col("c_nationkey") === 0)
+        .select(concat(lit("c"), col("c_custkey")).as("node"))
+      graft.relational.Graph.shortestPaths(edges, "src", "dst",
+        sources, maxHops = BfsHops)
+    })
   )
+
+  private val BfsHops = 3
 
   /** Per-user [start, end] spans from the event stream: start = the
     * event's microsecond timestamp, duration = value x 100 s (floored to
@@ -544,7 +565,19 @@ object Round6Queries {
                    FROM sp GROUP BY user_id, span)
             SELECT user_id, CAST(sum(en - s) AS BIGINT) AS covered,
               count(*) AS n_spans
-            FROM m2 GROUP BY 1"""
+            FROM m2 GROUP BY 1""",
+
+      "q_bfs" -> graft.relational.Graph.shortestPathsSql(
+        """SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+             'p' || CAST(l.l_partkey AS VARCHAR) AS dst
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           UNION ALL
+           SELECT 'p' || CAST(l.l_partkey AS VARCHAR),
+             'c' || CAST(o.o_custkey AS VARCHAR)
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""",
+        """SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node
+           FROM customer WHERE c_nationkey = 0""",
+        maxHops = BfsHops)
     )
   }
 

@@ -109,6 +109,78 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Multi-source BFS hop distances: for every node reachable from
+    * `sources` within `maxHops` directed hops, the minimum hop count —
+    * pure integer iteration, deterministic in any engine (min hop
+    * distance is unique; no weights, no floats). Returns (node, dist).
+    *
+    * Frontier-style: each round expands only the LAST round's frontier
+    * and anti-joins the visited set, so per-round work is proportional
+    * to the frontier, not to everything seen so far — the difference
+    * between BFS and quadratic blowup on small-diameter graphs. Per
+    * round: one join with the (persisted, deduped) edge relation, one
+    * distinct, one anti-join; `localCheckpoint` truncates the iterative
+    * lineage like [[pageRank]]'s loop. An empty frontier short-circuits
+    * the remaining rounds (one cheap `isEmpty` action per round on the
+    * already-checkpointed frontier). */
+  def shortestPaths(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      sources: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 20,
+      s"need 1 <= maxHops <= 20, got $maxHops")
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var visited = sources.select(col(sources.columns.head)
+        .cast("string").as("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    var frontier = visited.select("node")
+    var hop = 1
+    var done = false
+    while (hop <= maxHops && !done) {
+      frontier = e.join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      if (frontier.isEmpty) done = true
+      else {
+        visited = visited
+          .union(frontier.withColumn("dist", lit(hop.toLong)))
+          .localCheckpoint(true)
+        hop += 1
+      }
+    }
+    e.unpersist(blocking = false)
+    visited
+  }
+
+  /** Generated BFS oracle: the identical frontier replay as unrolled SQL
+    * CTEs from the same `maxHops`. `edgesCte` must yield (src, dst);
+    * `sourcesCte` one column `node`. (The SQL always unrolls all
+    * `maxHops` rounds — an exhausted frontier just contributes empty
+    * CTEs, matching the Spark short-circuit.) */
+  def shortestPathsSql(edgesCte: String, sourcesCte: String,
+      maxHops: Int): String = {
+    val rounds = (1 to maxHops).map { k =>
+      s"""f$k AS (
+         |  SELECT DISTINCT e.dst AS node
+         |  FROM e JOIN f${k - 1} f ON e.src = f.node
+         |  WHERE e.dst NOT IN (SELECT node FROM v${k - 1})),
+         |v$k AS (SELECT * FROM v${k - 1}
+         |        UNION ALL SELECT node, $k FROM f$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS ($edgesCte),
+       |e AS (SELECT DISTINCT CAST(src AS VARCHAR) AS src,
+       |        CAST(dst AS VARCHAR) AS dst
+       |      FROM e0 WHERE CAST(src AS VARCHAR) <> CAST(dst AS VARCHAR)),
+       |f0 AS (SELECT DISTINCT CAST(node AS VARCHAR) AS node
+       |       FROM ($sourcesCte)),
+       |v0 AS (SELECT node, 0 AS dist FROM f0),
+       |$rounds
+       |SELECT node, CAST(dist AS BIGINT) AS dist FROM v$maxHops""".stripMargin
+  }
+
   /** Generated oracle: the identical integer replay as unrolled SQL CTEs
     * (the [[graft.Round6Queries]] k-means convention — oracle SQL built
     * from the SAME parameters the Spark query runs with, so the sides

@@ -69,4 +69,35 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(a == b)
   }
+
+  private def bfs(edges: Seq[(String, String)], sources: Seq[String],
+      maxHops: Int): Map[String, Long] =
+    Graph.shortestPaths(edges.toDF("src", "dst"), "src", "dst",
+      sources.toDF("node"), maxHops)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("bfs: chain distances, hop cap, unreachable nodes absent") {
+    val chain = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+      ("x", "y"))
+    assert(bfs(chain, Seq("a"), 10) ==
+      Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L, "e" -> 4L))
+    // cap truncates; x/y stay unreachable from a
+    assert(bfs(chain, Seq("a"), 2) ==
+      Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+  }
+
+  test("bfs: multi-source takes the minimum; direction respected") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("e", "d"))
+    val got = bfs(edges, Seq("a", "e"), 10)
+    // d: 3 hops from a but 1 from e
+    assert(got == Map("a" -> 0L, "e" -> 0L, "b" -> 1L, "d" -> 1L,
+      "c" -> 2L))
+    // edges are directed: nothing reaches a or e back
+    assert(!bfs(Seq(("a", "b")), Seq("b"), 5).contains("a"))
+  }
+
+  test("bfs: cycles terminate, a revisit never shortens a known dist") {
+    val got = bfs(Seq(("a", "b"), ("b", "c"), ("c", "a")), Seq("a"), 10)
+    assert(got == Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+  }
 }
