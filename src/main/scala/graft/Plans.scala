@@ -216,7 +216,37 @@ object Plans {
         "line hashes; the ≥minDocs boilerplate key set (small by " +
         "construction) joins back hash-to-hash and reassembly is one " +
         "per-doc aggregate.",
-        SparkEntry.queries("q_boilerplate")(spark, d)))
+        SparkEntry.queries("q_boilerplate")(spark, d)),
+      ("q_tpch_q2", "min-cost supplier: supply and minCost hash-partition " +
+        "by partkey from the SAME upstream aggregate, so the join-back on " +
+        "(key, min) adds no broadcast of a part-sized relation; every " +
+        "dimension side broadcasts.",
+        SparkEntry.queries("q_tpch_q2")(spark, d)),
+      ("q_tpch_q21", "waiting suppliers: EXISTS/NOT-EXISTS re-expressed as " +
+        "per-order distinct counts — ONE aggregation over the F-order " +
+        "lines instead of two correlated joins; the late set semi-joins " +
+        "the qualifying orders.",
+        SparkEntry.queries("q_tpch_q21")(spark, d)),
+      ("q_langid", "fitted n-gram language ID: trigram counts shrink to " +
+        "the gram space (≤|Σ|³ per language) before the top-K window; " +
+        "the fitted profile broadcasts into the classify join; the " +
+        "per-doc argmax window spans ≤ #langs rows.",
+        SparkEntry.queries("q_langid")(spark, d)),
+      ("q_qsketch", "quantile sketch: ONE map-side-combined bin aggregate " +
+        "over the corpus; quantile reads touch only groups × ≤4096 " +
+        "register rows (cumulative window bounded by the sketch " +
+        "geometry), targets ride a broadcast one-row cross join.",
+        SparkEntry.queries("q_qsketch")(spark, d)),
+      ("q_interval_merge", "interval union: one Exchange on the key; the " +
+        "running-max window, the open flag, and the span counter " +
+        "evaluate in the same (key, start, end) sort; the span rollup " +
+        "reuses the partitioning.",
+        SparkEntry.queries("q_interval_merge")(spark, d)),
+      ("q_bfs", "frontier BFS: per round ONE join of the persisted edge " +
+        "relation with the checkpointed frontier + distinct + anti-join " +
+        "— work proportional to the frontier, lineage truncated per " +
+        "round, empty frontier short-circuits.",
+        SparkEntry.queries("q_bfs")(spark, d)))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative queries (sf0.01)\n")
