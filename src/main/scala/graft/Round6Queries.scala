@@ -260,6 +260,18 @@ object Round6Queries {
       graft.relational.Relational.intervalCoverage(
         eventIntervals(s, d), Seq("user_id"), "s", "en")),
 
+    // HLL set algebra: distinct customers active in BOTH 1996 and 1997
+    // per priority, from two register relations alone (union = max-merge,
+    // intersection = inclusion-exclusion, clamped at 0)
+    "q_hll_intersect" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      def reg(yr: Int) = Sketches.hllSketch(
+        o.filter(year(col("o_orderdate")) === yr)
+          .select("o_orderpriority", "o_custkey"),
+        Seq("o_orderpriority"), "o_custkey")
+      Sketches.hllIntersect(reg(1996), reg(1997), Seq("o_orderpriority"))
+    }),
+
     // multi-source BFS over the customer-part co-purchase bipartite
     // graph: hop distances from one nation's customers (hop 1 = their
     // parts, hop 2 = co-purchasing customers, ... — the collaborative-
@@ -566,6 +578,13 @@ object Round6Queries {
             SELECT user_id, CAST(sum(en - s) AS BIGINT) AS covered,
               count(*) AS n_spans
             FROM m2 GROUP BY 1""",
+
+      "q_hll_intersect" -> Sketches.hllIntersectSql(
+        """SELECT o_orderpriority AS grp, CAST(o_custkey AS VARCHAR) AS k
+           FROM orders WHERE year(o_orderdate) = 1996""",
+        """SELECT o_orderpriority AS grp, CAST(o_custkey AS VARCHAR) AS k
+           FROM orders WHERE year(o_orderdate) = 1997""",
+        "o_orderpriority"),
 
       "q_bfs" -> graft.relational.Graph.shortestPathsSql(
         """SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,

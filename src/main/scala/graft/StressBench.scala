@@ -200,6 +200,66 @@ object StressBench {
         .groupBy("n_name")
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
           6).as("revenue"))
+    }),
+
+    // interval union with per-user histories ×reps deep: replicas shift
+    // by one microsecond so they are distinct spans, not removed dups —
+    // the per-key running-max window is what's under load
+    "s_interval" -> ((s, d, r) => {
+      val base = DataQueries.readEventsMicros(s, d)
+        .select(col("user_id"), col("event_id"), col("tsu"),
+          floor(col("value") * 100000000L).cast("long").as("__dur"))
+      val ev =
+        if (r <= 1) base
+        else base
+          .withColumn("__rep", explode(sequence(lit(0), lit(r - 1))))
+          .withColumn("tsu", col("tsu") + col("__rep"))
+          .drop("__rep")
+      graft.relational.Relational.mergeIntervals(
+        ev.select(col("user_id"), col("tsu").as("st"),
+          (col("tsu") + col("__dur")).as("en")),
+        Seq("user_id"), "st", "en")
+    }),
+
+    // quantile sketch over ×reps values perturbed per replica (distinct
+    // values scale with the data): the bin aggregate must track the
+    // scan while the register relation stays ≤ 4096 rows per group
+    "s_qsketch" -> ((s, d, r) => {
+      val Sk = graft.relational.Sketches
+      Sk.qQuantile(
+        Sk.qSketch(lineitemScaled(s, d, r), Seq("l_returnflag"),
+          "l_extendedprice", lo = 0.0, hi = 110000.0),
+        Seq("l_returnflag"), Seq((1, 4), (1, 2), (3, 4), (99, 100)),
+        lo = 0.0, hi = 110000.0)
+    }),
+
+    // BFS over the co-purchase graph with customers re-keyed ×reps
+    // (parts shared, so the graph stays connected): edges and the hop-2
+    // customer frontier grow ~linearly — per-round join + anti-join
+    // under a genuinely wider graph
+    "s_bfs" -> ((s, d, r) => {
+      val cp0 = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+        .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("ck"), col("l_partkey").as("pk"))
+        .distinct()
+      val cp = (if (r <= 1) cp0
+        else cp0.withColumn("__rep", explode(sequence(lit(0), lit(r - 1))))
+          .withColumn("ck", col("ck") * r + col("__rep"))
+          .drop("__rep"))
+        .select(concat(lit("c"), col("ck")).as("c"),
+          concat(lit("p"), col("pk")).as("p"))
+      val edges = cp.select(col("c").as("src"), col("p").as("dst"))
+        .union(cp.select(col("p").as("src"), col("c").as("dst")))
+      val src0 = t(s, d, "customer").filter(col("c_nationkey") === 0)
+        .select(col("c_custkey").as("ck"))
+      val sources = (if (r <= 1) src0
+        else src0.withColumn("__rep", explode(sequence(lit(0), lit(r - 1))))
+          .withColumn("ck", col("ck") * r + col("__rep"))
+          .drop("__rep"))
+        .select(concat(lit("c"), col("ck")).as("node"))
+      graft.relational.Graph.shortestPaths(edges, "src", "dst",
+        sources, maxHops = 3)
     })
   )
 }

@@ -97,6 +97,28 @@ object Sketches {
       : DataFrame =
     hllEstimate(hllSketch(df, groupCols, keyCol), groupCols)
 
+  /** HLL set algebra from registers alone: per group, the distinct-count
+    * estimates of A, B, A ∪ B (max-merged registers — exact union
+    * semantics at the register level), and the inclusion-exclusion
+    * intersection estimate `max(0, est_a + est_b − est_union)` (clamped:
+    * estimator noise can push a near-empty intersection negative). Groups
+    * are matched INNER — callers align group domains first. Nothing here
+    * rescans raw data; the audience-overlap question at 100 TB ("how many
+    * users did both X and Y") reads two bounded register relations. */
+  def hllIntersect(regA: DataFrame, regB: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
+    val estA = hllEstimate(regA, groupCols)
+      .withColumnRenamed("est", "est_a")
+    val estB = hllEstimate(regB, groupCols)
+      .withColumnRenamed("est", "est_b")
+    val estU = hllEstimate(hllMerge(regA.unionByName(regB), groupCols),
+      groupCols).withColumnRenamed("est", "est_union")
+    estA.join(estB, groupCols).join(estU, groupCols)
+      .withColumn("est_intersect",
+        round(greatest(col("est_a") + col("est_b") - col("est_union"),
+          lit(0.0)), 6))
+  }
+
   /** The rho `>=`-cascade as oracle SQL over a bigint expression `v`. */
   private[graft] def rhoSql(v: String): String = {
     val cases = (1 until RhoCap)
@@ -128,6 +150,50 @@ object Sketches {
          round(CASE WHEN raw <= ${2.5 * M} AND zeros > 0
                  THEN $M.0 * ln($M.0 / zeros) ELSE raw END, 6) AS est
        FROM (SELECT grp, zeros, $alphaNum / s AS raw FROM e)"""
+  }
+
+  /** Set-algebra oracle SQL from the same constants: the two source CTEs
+    * must each yield keyed rows `(grp, k)`; the whole estimator chain
+    * (buckets, rho, indicator sum, linear-counting branch) replays for
+    * A, B, and the max-merged union. */
+  private[graft] def hllIntersectSql(srcACte: String, srcBCte: String,
+      grpName: String): String = {
+    val alphaNum =
+      s"0.7213 / (1.0 + 1.079 / $M.0) * $M.0 * $M.0 * ${1L << RhoCap}.0"
+    def regs(p: String, srcName: String) =
+      s"""h$p AS (SELECT grp,
+           ('0x' || substr(md5(k), 1, 2))::BIGINT AS bucket,
+           ('0x' || substr(md5(k), 3, 13))::BIGINT AS v
+         FROM $srcName),
+         r$p AS (SELECT grp, bucket, max(${rhoSql("v")}) AS rho
+                 FROM h$p GROUP BY grp, bucket)"""
+    def est(p: String, regName: String) =
+      s"""e$p AS (SELECT grp,
+             sum(1::BIGINT << ($RhoCap - rho))
+               + ($M - count(*)) * ${1L << RhoCap} AS s,
+             $M - count(*) AS zeros
+           FROM $regName GROUP BY grp),
+         est$p AS (SELECT grp,
+             round(CASE WHEN raw <= ${2.5 * M} AND zeros > 0
+               THEN $M.0 * ln($M.0 / zeros) ELSE raw END, 6) AS est
+           FROM (SELECT grp, zeros, $alphaNum / s AS raw FROM e$p))"""
+    s"""WITH sa AS ($srcACte),
+       sb AS ($srcBCte),
+       ${regs("a", "sa")},
+       ${regs("b", "sb")},
+       ru AS (SELECT grp, bucket, max(rho) AS rho
+              FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+              GROUP BY 1, 2),
+       ${est("a", "ra")},
+       ${est("b", "rb")},
+       ${est("u", "ru")}
+       SELECT esta.grp AS $grpName,
+         esta.est AS est_a, estb.est AS est_b, estu.est AS est_union,
+         round(greatest(esta.est + estb.est - estu.est, 0.0), 6)
+           AS est_intersect
+       FROM esta
+       JOIN estb ON esta.grp = estb.grp
+       JOIN estu ON esta.grp = estu.grp"""
   }
 
   // ---- Count-Min sketch (Cormode & Muthukrishnan 2005) ----------------

@@ -60,13 +60,12 @@ object LangId {
       .select(col(langCol), col("gram"), col("rank").cast("long"))
   }
 
-  /** Classify each document as the language whose profile shares the most
-    * DISTINCT n-grams with it (score DESC, lang ASC tie-break); documents
-    * overlapping no profile get ("und", 0). Returns
-    * (`idCol`, pred_lang, score). */
-  def classify(
+  /** Winner rows only — (idCol, pred_lang, score) for docs with ≥1
+    * profile overlap; zero-overlap docs are absent (the public entry
+    * points join a doc spine back and default them to ("und", 0)). */
+  private def classifyBest(
       docs: DataFrame, idCol: String, textCol: String,
-      profiles: DataFrame, n: Int = 3): DataFrame = {
+      profiles: DataFrame, n: Int): DataFrame = {
     val langCol = profiles.columns.head
     val docGrams = docs
       .select(col(idCol), explode(array_distinct(
@@ -79,28 +78,42 @@ object LangId {
     // per-doc argmax over <= #langs rows — bounded window by construction
     val w = Window.partitionBy(idCol)
       .orderBy(col("__score").desc, col("__lang"))
-    val best = scores
+    scores
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col(idCol), col("__lang").as("pred_lang"),
         col("__score").as("score"))
+  }
+
+  /** Classify each document as the language whose profile shares the most
+    * DISTINCT n-grams with it (score DESC, lang ASC tie-break); documents
+    * overlapping no profile get ("und", 0). Returns
+    * (`idCol`, pred_lang, score). */
+  def classify(
+      docs: DataFrame, idCol: String, textCol: String,
+      profiles: DataFrame, n: Int = 3): DataFrame =
     docs.select(col(idCol))
-      .join(best, Seq(idCol), "left_outer")
+      .join(classifyBest(docs, idCol, textCol, profiles, n), Seq(idCol),
+        "left_outer")
       .select(col(idCol),
         coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
         coalesce(col("score"), lit(0L)).as("score"))
-  }
 
   /** Fit on the labeled corpus and classify the same corpus, flagging
     * agreement with the given label — the self-consistency report a
-    * curation pipeline runs before trusting upstream language tags. */
+    * curation pipeline runs before trusting upstream language tags.
+    * (The label rides the one spine join — the corpus is not joined a
+    * second time for it.) */
   def selfCheck(
       docs: DataFrame, idCol: String, textCol: String, langCol: String,
       n: Int = 3, topK: Int = 64): DataFrame = {
     val profiles = fitProfiles(docs, textCol, langCol, n, topK)
-    classify(docs, idCol, textCol, profiles, n)
-      .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
-      .select(col(idCol), col("pred_lang"), col("score"),
-        (col("pred_lang") === col(langCol)).as("agrees"))
+    val pred = coalesce(col("pred_lang"), lit("und"))
+    docs.select(col(idCol), col(langCol))
+      .join(classifyBest(docs, idCol, textCol, profiles, n), Seq(idCol),
+        "left_outer")
+      .select(col(idCol), pred.as("pred_lang"),
+        coalesce(col("score"), lit(0L)).as("score"),
+        (pred === col(langCol)).as("agrees"))
   }
 }

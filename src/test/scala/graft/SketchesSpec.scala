@@ -200,6 +200,30 @@ class SketchesSpec extends SparkSpec {
     assert(reg24.contains(0L) && reg24.contains(9L))
   }
 
+  test("hll intersect: inclusion-exclusion tracks the true overlap and " +
+    "clamps disjoint sets at zero") {
+    // A = 0..999, B = 500..1499 → |A∩B| = 500
+    val a = (0 until 1000).map(i => ("g", s"u$i")).toDF("grp", "k")
+    val b = (500 until 1500).map(i => ("g", s"u$i")).toDF("grp", "k")
+    val ra = Sketches.hllSketch(a, Seq("grp"), "k")
+    val rb = Sketches.hllSketch(b, Seq("grp"), "k")
+    val row = Sketches.hllIntersect(ra, rb, Seq("grp")).collect()(0)
+    val (estA, estB, estU, estI) =
+      (row.getDouble(1), row.getDouble(2), row.getDouble(3),
+        row.getDouble(4))
+    assert(math.abs(estA - 1000) / 1000 < 0.2, s"est_a=$estA")
+    assert(math.abs(estU - 1500) / 1500 < 0.2, s"est_union=$estU")
+    // intersection inherits ~3 estimates' noise — generous band
+    assert(estI > 150 && estI < 850, s"est_intersect=$estI")
+    assert(math.abs(estI - (estA + estB - estU)) < 1e-6 || estI == 0.0)
+    // disjoint sets: clamp keeps the estimate at >= 0
+    val c = (5000 until 6000).map(i => ("g", s"u$i")).toDF("grp", "k")
+    val disjoint = Sketches.hllIntersect(ra,
+      Sketches.hllSketch(c, Seq("grp"), "k"), Seq("grp"))
+      .collect()(0).getDouble(4)
+    assert(disjoint >= 0.0 && disjoint < 300, s"disjoint=$disjoint")
+  }
+
   test("quantile sketch: ceil-rank target semantics on a hand case") {
     // 4 values in distinct bins; median target = ceil(4/2) = 2nd value
     val rows = Seq(("g", 5.0), ("g", 15.0), ("g", 25.0), ("g", 35.0))

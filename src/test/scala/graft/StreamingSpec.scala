@@ -347,4 +347,39 @@ class MaintainSketchStreamSpec extends SparkSpec {
     truth.foreach { case (g, n) =>
       assert(math.abs(est(g) - n) / n < 0.2, s"$g: ${est(g)} vs $n") }
   }
+
+  test("streamed quantile registers == whole-corpus sketch; quantiles " +
+    "read off the maintained table match the batch computation exactly") {
+    val dir = s"target/tmp/maintqsketch_${System.nanoTime()}"
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    val q = graft.streaming.Streaming.maintainStream(
+      mem.toDF().toDF("grp", "v"), s"$dir/state", s"$dir/ckpt",
+      b => Sketches.qSketch(b, Seq("grp"), "v", lo = 0.0, hi = 100.0,
+        bins = 64),
+      (s, d) => Sketches.qMerge(s.unionByName(d), Seq("grp")))
+    val all = (0 until 600).map(i => (s"g${i % 2}", (i * 37 % 100) + 0.5))
+    try {
+      mem.addData(all.take(200): _*)
+      q.processAllAvailable()
+      mem.addData(all.drop(200): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = graft.streaming.Streaming.readMaintainedAgg(spark,
+      s"$dir/state")
+    val direct = Sketches.qSketch(all.toDF("grp", "v"), Seq("grp"), "v",
+      lo = 0.0, hi = 100.0, bins = 64)
+    assert(streamed.exceptAll(direct).isEmpty &&
+      direct.exceptAll(streamed).isEmpty)
+    val qs = Seq((1, 4), (1, 2), (3, 4))
+    val fromStream = Sketches.qQuantile(streamed, Seq("grp"), qs,
+      lo = 0.0, hi = 100.0, bins = 64).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
+      .toMap
+    val fromBatch = Sketches.qQuantile(direct, Seq("grp"), qs,
+      lo = 0.0, hi = 100.0, bins = 64).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
+      .toMap
+    assert(fromStream == fromBatch && fromStream.size == 6)
+  }
 }
