@@ -260,6 +260,15 @@ object Round6Queries {
       graft.relational.Relational.intervalCoverage(
         eventIntervals(s, d), Seq("user_id"), "s", "en")),
 
+    // SCD2 dimension build: per-user event-type state versions with
+    // [valid_from, valid_to) in exact integral micros; no-op entries
+    // never open a version
+    "q_scd2" -> ((s, d) =>
+      graft.relational.Relational.scd2(
+        DataQueries.readEventsMicros(s, d)
+          .select("user_id", "tsu", "event_id", "event_type"),
+        Seq("user_id"), "tsu", Seq("event_type"), Seq("event_id"))),
+
     // HLL set algebra: distinct customers active in BOTH 1996 and 1997
     // per priority, from two register relations alone (union = max-merge,
     // intersection = inclusion-exclusion, clamped at 0)
@@ -578,6 +587,19 @@ object Round6Queries {
             SELECT user_id, CAST(sum(en - s) AS BIGINT) AS covered,
               count(*) AS n_spans
             FROM m2 GROUP BY 1""",
+
+      "q_scd2" ->
+        """WITH e AS (
+             SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type
+             FROM events),
+           c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY tsu, event_id) AS prev FROM e),
+           ch AS (SELECT user_id, tsu, event_id, event_type FROM c
+                  WHERE prev IS DISTINCT FROM event_type)
+           SELECT user_id, event_type, tsu AS valid_from,
+             lead(tsu) OVER (PARTITION BY user_id
+               ORDER BY tsu, event_id) AS valid_to
+           FROM ch""",
 
       "q_hll_intersect" -> Sketches.hllIntersectSql(
         """SELECT o_orderpriority AS grp, CAST(o_custkey AS VARCHAR) AS k

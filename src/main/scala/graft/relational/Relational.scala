@@ -882,6 +882,30 @@ object Relational {
     df.withColumn("__chg", changed).filter(col("__chg")).drop("__chg")
   }
 
+  /** Type-2 slowly-changing dimension from a keyed change log: one row
+    * per state RUN with its validity interval — `valid_from` = the run's
+    * first `orderCol`, `valid_to` = the next run's start (null for the
+    * key's current state), the half-open [from, to) convention a
+    * point-in-time lookup joins with `from <= t AND (to IS NULL OR
+    * t < to)`. No-op log entries (same `valueCols` as the key's previous
+    * row) never open a version — [[dedupeConsecutive]] runs first, and
+    * `lead` evaluates on the SAME (keys, order) sort, so the whole build
+    * is one shuffle + one window pass. The dimension-build twin of
+    * [[latestByKey]] (which keeps only the last state) and
+    * [[snapshotDiff]] (which compares two snapshots). */
+  def scd2(
+      df: DataFrame, keys: Seq[String], orderCol: String,
+      valueCols: Seq[String], tieCols: Seq[String] = Nil): DataFrame = {
+    val changes = dedupeConsecutive(df, keys, orderCol, valueCols, tieCols)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((orderCol +: tieCols).map(col): _*)
+    changes
+      .withColumn("valid_from", col(orderCol))
+      .withColumn("valid_to", lead(col(orderCol), 1).over(w))
+      .select((keys.map(col) ++ valueCols.map(col) ++
+        Seq(col("valid_from"), col("valid_to"))): _*)
+  }
+
   /** ECDF feature normalization: each non-null value of `valueCol` maps
     * to its percent rank `(#rows strictly below) / (N − 1)` — the
     * rank-gaussianization front half, robust to outliers where min-max

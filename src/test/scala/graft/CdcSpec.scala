@@ -111,3 +111,59 @@ class AggMaintainSpec extends SparkSpec {
     assert(!fin(st(1)).contains("c"))
   }
 }
+
+/** SCD2 dimension build: validity intervals per key from a change log. */
+class Scd2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val log = Seq(
+    (1L, 10L, 1L, "a"), (1L, 20L, 2L, "a"),  // no-op: same state
+    (1L, 30L, 3L, "b"), (1L, 40L, 4L, "a"),  // back to a = NEW version
+    (2L, 5L, 5L, "x")
+  ).toDF("k", "ts", "id", "state")
+
+  private def versions = Relational.scd2(log, Seq("k"), "ts",
+    Seq("state"), Seq("id"))
+
+  test("runs become versions; no-ops never open one; current is open") {
+    val got = versions.orderBy("k", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+    assert(got.toList == List(
+      (1L, "a", 10L, Some(30L)),
+      (1L, "b", 30L, Some(40L)),
+      (1L, "a", 40L, None),
+      (2L, "x", 5L, None)))
+  }
+
+  test("point-in-time lookup over [from, to) reconstructs the log") {
+    val v = versions
+    def stateAt(k: Long, t: Long): Option[String] = v
+      .filter(col("k") === k && col("valid_from") <= t &&
+        (col("valid_to").isNull || col("valid_to") > t))
+      .collect().map(_.getString(1)).headOption
+    assert(stateAt(1L, 10L).contains("a"))
+    assert(stateAt(1L, 29L).contains("a"))
+    assert(stateAt(1L, 30L).contains("b"))
+    assert(stateAt(1L, 99L).contains("a"))
+    assert(stateAt(1L, 9L).isEmpty) // before first version
+    // intervals tile: exactly one version covers any t >= first ts
+    val overlaps = v.as("a").join(v.as("b"),
+      col("a.k") === col("b.k") &&
+        col("a.valid_from") < col("b.valid_from") &&
+        (col("a.valid_to").isNull ||
+          col("a.valid_to") > col("b.valid_from")))
+    assert(overlaps.isEmpty)
+  }
+
+  test("latest open version per key agrees with latestByKey") {
+    val open = versions.filter(col("valid_to").isNull)
+      .select(col("k"), col("state")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val latest = Relational.latestByKey(
+      log.select("k", "ts", "id", "state"), Seq("k"), "ts", Seq("id"))
+      .select(col("k"), col("state")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(open == latest)
+  }
+}
