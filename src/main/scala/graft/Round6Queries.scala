@@ -269,6 +269,21 @@ object Round6Queries {
           .select("user_id", "tsu", "event_id", "event_type"),
         Seq("user_id"), "tsu", Seq("event_type"), Seq("event_id"))),
 
+    // point-in-time join against the SCD2 dimension: each event's user
+    // state 30 minutes later (facts shifted +1800 s, renamed t)
+    "q_pit_join" -> ((s, d) => {
+      val ev = DataQueries.readEventsMicros(s, d)
+      val dim = graft.relational.Relational.scd2(
+        ev.select("user_id", "tsu", "event_id", "event_type"),
+        Seq("user_id"), "tsu", Seq("event_type"), Seq("event_id"))
+        .withColumnRenamed("event_type", "state")
+      val facts = ev.select(col("event_id"), col("user_id"),
+        (col("tsu") + lit(1800000000L)).as("t"))
+      graft.relational.Relational.pitJoin(facts, dim, Seq("user_id"),
+        "t", Seq("state"), validFrom = "valid_from",
+        validTo = "valid_to")
+    }),
+
     // HLL set algebra: distinct customers active in BOTH 1996 and 1997
     // per priority, from two register relations alone (union = max-merge,
     // intersection = inclusion-exclusion, clamped at 0)
@@ -600,6 +615,21 @@ object Round6Queries {
              lead(tsu) OVER (PARTITION BY user_id
                ORDER BY tsu, event_id) AS valid_to
            FROM ch""",
+
+      "q_pit_join" ->
+        """WITH e AS (
+             SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type
+             FROM events),
+           c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY tsu, event_id) AS prev FROM e),
+           dim AS (SELECT user_id, event_type AS state,
+                     tsu AS valid_from
+                   FROM c WHERE prev IS DISTINCT FROM event_type),
+           f AS (SELECT event_id, user_id,
+                   epoch_us(ts) + 1800000000 AS t FROM events)
+           SELECT f.event_id, f.user_id, f.t, d.state
+           FROM f ASOF LEFT JOIN dim d
+             ON f.user_id = d.user_id AND f.t >= d.valid_from""",
 
       "q_hll_intersect" -> Sketches.hllIntersectSql(
         """SELECT o_orderpriority AS grp, CAST(o_custkey AS VARCHAR) AS k

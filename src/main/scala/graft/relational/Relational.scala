@@ -165,6 +165,30 @@ object Relational {
         rightCols.map(c => col(s"__rrow.$c").as(c)): _*)
   }
 
+  /** Point-in-time join: each fact row picks up the dimension version
+    * valid at its timestamp — the SCD2 consumer ([[scd2]] builds the
+    * dimension; this reads it). Reuses [[asofJoin]]'s tagged-union
+    * single-window plan on `valid_from`, then null-masks matches whose
+    * version had already EXPIRED at the fact's time (`valid_to` ≤ t —
+    * only possible when the dimension has gaps; scd2-built dimensions
+    * tile, so the mask is a safety net, not a second join). Facts before
+    * a key's first version get nulls (left semantics). One shuffle on
+    * the keys, one window pass — never an inequality nested loop. */
+  def pitJoin(
+      facts: DataFrame, dim: DataFrame, keys: Seq[String], tsCol: String,
+      dimCols: Seq[String], validFrom: String = "valid_from",
+      validTo: String = "valid_to"): DataFrame = {
+    require(dimCols.nonEmpty, "no dimension columns requested")
+    val right = dim.select(keys.map(col) ++
+      Seq(col(validFrom).as(tsCol), col(validTo).as("__vto")) ++
+      dimCols.map(col): _*)
+    val expired = col("__vto").isNotNull && col(tsCol) >= col("__vto")
+    asofJoin(facts, right, tsCol, keys, dimCols :+ "__vto")
+      .select(facts.columns.map(col) ++
+        dimCols.map(c =>
+          when(expired, lit(null)).otherwise(col(c)).as(c)): _*)
+  }
+
   /** Sessionization: assign each row a per-key session index, where a new
     * session starts whenever the gap to the key's previous event exceeds
     * `gapSeconds`. The classic lag-flag-cumsum composition: one shuffle on

@@ -167,3 +167,48 @@ class Scd2Spec extends SparkSpec {
     assert(open == latest)
   }
 }
+
+/** Point-in-time join against an SCD2 dimension. */
+class PitJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // dim with a GAP for key 1: [10,20) then [40,null) — nothing valid in
+  // [20,40)
+  private val dim = Seq(
+    (1L, "a", 10L, Some(20L)), (1L, "c", 40L, None),
+    (2L, "x", 5L, None)
+  ).toDF("k", "state", "valid_from", "valid_to")
+
+  private def lookup(rows: (Long, Long, Long)*): Map[Long, Option[String]] = {
+    val facts = rows.toSeq.toDF("fid", "k", "t")
+    Relational.pitJoin(facts, dim, Seq("k"), "t", Seq("state"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+  }
+
+  test("boundary semantics: from-inclusive, to-exclusive; gaps null") {
+    val got = lookup(
+      (1L, 1L, 10L),  // == valid_from -> matches "a"
+      (2L, 1L, 19L),  // inside -> "a"
+      (3L, 1L, 20L),  // == valid_to -> EXPIRED, gap -> null
+      (4L, 1L, 39L),  // still in the gap -> null
+      (5L, 1L, 40L),  // next version opens -> "c"
+      (6L, 1L, 999L), // open-ended current -> "c"
+      (7L, 1L, 9L),   // before first version -> null
+      (8L, 2L, 100L), // other key
+      (9L, 3L, 50L))  // unknown key -> null
+    assert(got == Map(1L -> Some("a"), 2L -> Some("a"), 3L -> None,
+      4L -> None, 5L -> Some("c"), 6L -> Some("c"), 7L -> None,
+      8L -> Some("x"), 9L -> None))
+  }
+
+  test("composes with scd2: every fact gets its log state at t") {
+    val log = Seq((1L, 10L, 1L, "a"), (1L, 30L, 2L, "b"),
+      (1L, 50L, 3L, "a")).toDF("k", "ts", "id", "state")
+    val d2 = Relational.scd2(log, Seq("k"), "ts", Seq("state"), Seq("id"))
+    val facts = Seq((1L, 1L, 15L), (2L, 1L, 30L), (3L, 1L, 49L),
+      (4L, 1L, 60L)).toDF("fid", "k", "t")
+    val got = Relational.pitJoin(facts, d2, Seq("k"), "t", Seq("state"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got == Map(1L -> "a", 2L -> "b", 3L -> "b", 4L -> "a"))
+  }
+}
