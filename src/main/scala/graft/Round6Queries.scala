@@ -24,6 +24,43 @@ object Round6Queries {
     * integer vectors. Exactness argument lives in [[graft.sim.Cluster]]
     * (exact long sums, IEEE divisions, left-assoc distance folds, `<=`
     * tie cascade) — both engines execute the identical arithmetic. */
+  /** Exemplar variant: same unrolled fit, final select ranks members by
+    * distance to their assigned centroid — (dist ASC, id ASC), the
+    * identical total order the Spark TopK heap keeps. */
+  private def kmeansExemplarsSql(k: Int, iters: Int, dims: Int,
+      topN: Int): String = {
+    val base = kmeansSql(k, iters, dims)
+    // swap the final SELECT: reuse everything up to the last SELECT
+    val cut = base.lastIndexOf("SELECT id AS vec_id")
+    val prefix = base.substring(0, cut)
+    val distCase = (0 until k - 1).foldRight(s"d${k - 1}") { (j, rest) =>
+      s"CASE WHEN cl = $j THEN d$j ELSE $rest END"
+    }
+    val assignCase = {
+      val cases = (0 until k - 1).map { j =>
+        val conds = ((j + 1) until k).map(l => s"d$j <= d$l")
+          .mkString(" AND ")
+        s"WHEN $conds THEN $j"
+      }.mkString(" ")
+      s"CASE $cases ELSE ${k - 1} END"
+    }
+    def dist(j: Int) = (0 until dims).map(i =>
+      s"(x$i - c${j}_$i) * (x$i - c${j}_$i)").mkString(" + ")
+    s"""$prefix, fin AS (
+       SELECT id, cl, $distCase AS dist FROM (
+         SELECT id, $assignCase AS cl,
+           ${(0 until k).map(j => s"d$j").mkString(", ")}
+         FROM (SELECT q.*, ${(0 until k).map(j => s"${dist(j)} AS d$j")
+      .mkString(", ")}
+         FROM q CROSS JOIN cent$iters)))
+       SELECT cluster, vec_id, dist2, rank FROM (
+         SELECT cl AS cluster, id AS vec_id, dist AS dist2,
+           CAST(row_number() OVER (PARTITION BY cl ORDER BY dist, id)
+             AS BIGINT) AS rank
+         FROM fin)
+       WHERE rank <= $topN"""
+  }
+
   private def kmeansSql(k: Int, iters: Int, dims: Int): String = {
     val xs = (0 until dims).map(i => s"x$i")
     def dist(j: Int) = xs.zipWithIndex
@@ -82,6 +119,12 @@ object Round6Queries {
     "q_kmeans_sizes" -> ((s, d) =>
       Cluster.kMeansSizes(t(s, d, "embeddings"), "vec_id", "embedding",
         KmK, KmIters, KmDims)),
+
+    // per-cluster exemplars: the 5 most central members of each cluster
+    // — bounded-heap selection, (dist ASC, id ASC) total order
+    "q_kmeans_exemplars" -> ((s, d) =>
+      Cluster.kMeansExemplars(t(s, d, "embeddings"), "vec_id", "embedding",
+        KmK, KmIters, KmDims, topN = 5)),
 
     // mergeable HLL: distinct customers per month, sketched then estimated
     "q_hll" -> ((s, d) => {
@@ -372,6 +415,8 @@ object Round6Queries {
       "q_kmeans" -> km,
       "q_kmeans_sizes" ->
         s"SELECT cluster, count(*) AS n FROM ($km) GROUP BY cluster",
+      "q_kmeans_exemplars" ->
+        kmeansExemplarsSql(KmK, KmIters, KmDims, topN = 5),
 
       "q_hll" -> Sketches.estimateSql(
         """SELECT strftime(o_orderdate, '%Y-%m') AS grp,

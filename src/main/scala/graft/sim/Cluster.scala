@@ -68,6 +68,18 @@ object Cluster {
     */
   def kMeans(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, dims: Int): DataFrame = {
+    val (q, cents) = fitCentroids(df, idCol, vecCol, k, iters, dims)
+    val out = q.select(col(idCol), argminCol(cents, dims).as("cluster"))
+    // the final pass recomputes from source if the cache is gone — correct
+    // either way; don't pin executor memory past the fit
+    q.unpersist(blocking = false)
+    out
+  }
+
+  /** The Lloyd's fit: returns the persisted quantized projection and the
+    * final centroids (caller unpersists). */
+  private def fitCentroids(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, dims: Int): (DataFrame, Array[Array[Double]]) = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(dims >= 1, s"dims must be >= 1, got $dims")
@@ -97,9 +109,35 @@ object Cluster {
           row.getLong(row.fieldIndex(s"s_${j}_$i")).toDouble / n)
       }
     }
-    val out = q.select(col(idCol), argminCol(cents, dims).as("cluster"))
-    // the final pass recomputes from source if the cache is gone — correct
-    // either way; don't pin executor memory past the fit
+    (q, cents)
+  }
+
+  /** Cluster exemplars: the `topN` members CLOSEST to their final
+    * centroid per cluster — the inspection/labeling tool (name a cluster
+    * by its most central members, seed per-cluster dedup, pick
+    * representatives for human review). Returns
+    * (cluster, idCol, dist2, rank) with rank 1 = most central.
+    *
+    * Selection rides [[graft.relational.Relational.topKPerGroup]]'s
+    * bounded-heap aggregate on score = −distance — (dist ASC, id ASC)
+    * total order, so no cluster ever funnels its full membership through
+    * one window task and the pick replays exactly in any engine (the
+    * distance folds in the same fixed dimension order as assignment). */
+  def kMeansExemplars(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, dims: Int, topN: Int): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val (q, cents) = fitCentroids(df, idCol, vecCol, k, iters, dims)
+    val distAssigned = (0 until cents.length - 1)
+      .foldRight(dist2(cents(cents.length - 1), dims)) { (j, rest) =>
+        when(col("cluster") === j, dist2(cents(j), dims)).otherwise(rest)
+      }
+    val scored = q
+      .withColumn("cluster", argminCol(cents, dims))
+      .withColumn("__negdist", -distAssigned)
+    val out = graft.relational.Relational
+      .topKPerGroup(scored, Seq("cluster"), "__negdist", idCol, topN)
+      .select(col("cluster"), col(idCol), (-col("score")).as("dist2"),
+        col("rank").cast("long").as("rank"))
     q.unpersist(blocking = false)
     out
   }

@@ -90,4 +90,39 @@ class ClusterSpec extends SparkSpec {
       Cluster.kMeans(df, "vec_id", "embedding", k = 5, iters = 1, dims = 1)
     }
   }
+
+  test("exemplars: members of their own cluster, distance-ordered, " +
+    "rank-1 is the most central") {
+    val df = blobs.toDF("vec_id", "embedding")
+    val assign = Cluster.kMeans(df, "vec_id", "embedding", k = 3,
+      iters = 4, dims = 4).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ex = Cluster.kMeansExemplars(df, "vec_id", "embedding", k = 3,
+      iters = 4, dims = 4, topN = 4).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(ex.length == 12)
+    // every exemplar is assigned to the cluster it represents
+    ex.foreach { case (c, id, _, _) => assert(assign(id) == c) }
+    // within a cluster, dist2 is non-decreasing with rank
+    ex.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._3).sliding(2).forall(w =>
+        w.length < 2 || w(0) <= w(1)))
+      assert(sorted.map(_._4).toSeq == (1L to sorted.length))
+    }
+  }
+
+  test("exemplars: duplicate vectors tie-break to the lower id") {
+    // 6 identical vectors + 2 far ones, k=2: the identical cluster's
+    // exemplars must be the lowest ids in order
+    val rows = (0L until 6L).map(i => (i, Array(1f, 1f))) ++
+      Seq((10L, Array(100f, 100f)), (11L, Array(100f, 100f)))
+    val ex = Cluster.kMeansExemplars(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 2, iters = 3, dims = 2, topN = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(3)))
+    val byCluster = ex.groupBy(_._1).view
+      .mapValues(_.sortBy(_._3).map(_._2).toList).toMap
+    // one cluster holds the six dups: its top-3 must be ids 0,1,2
+    assert(byCluster.values.exists(_ == List(0L, 1L, 2L)))
+  }
 }
