@@ -194,6 +194,19 @@ object Round6Queries {
         probes, Seq("year"), "o_custkey")
     }),
 
+    // mergeable heavy-hitter registers: daily top-user sketches per event
+    // type, n-way-merged to the whole period, read with lo/hi bounds —
+    // the oracle replays sketch, floors, merge, and re-truncation exactly
+    "q_hh_merge" -> ((s, d) => {
+      val e = t(s, d, "events")
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      val daily = Sketches.hhSketch(e, Seq("event_type", "day"),
+        "user_id", k = 8)
+      Sketches.hhTopK(
+        Sketches.hhMerge(daily.drop("day"), Seq("event_type"), k = 8),
+        Seq("event_type"))
+    }),
+
     // market-basket mining: brand co-occurrence within orders, with
     // support/confidence/lift for pairs in >= 20 baskets
     "q_basket" -> ((s, d) =>
@@ -425,6 +438,11 @@ object Round6Queries {
       "q_hll_merge" -> Sketches.estimateSql(
         """SELECT strftime(o_orderdate, '%Y') AS grp,
              CAST(o_custkey AS VARCHAR) AS k FROM orders""", "year"),
+
+      "q_hh_merge" -> Sketches.hhTopKSql(
+        """SELECT event_type AS grp, strftime(ts, '%Y-%m-%d') AS sub,
+             CAST(user_id AS VARCHAR) AS k FROM events""",
+        "event_type", k = 8),
 
       "q_boilerplate" ->
         """WITH src AS (

@@ -471,6 +471,136 @@ object Sketches {
       .drop("__bin")
   }
 
+  // --------------------------------------------------------------------
+  // Heavy-hitter registers: mergeable Misra-Gries / SpaceSaving summaries
+  // (Misra & Gries 1982; Agarwal et al., "Mergeable Summaries", PODS'12)
+  // as plain relations — the top-item sibling of the HLL / CMS / Bloom /
+  // quantile registers above.
+  // --------------------------------------------------------------------
+
+  /** Heavy-hitter registers per group: `(groupCols…, item, cnt)` — the
+    * top-`k` items by exact count, plus ONE floor row per group
+    * (`item = NULL`, cnt = the (k+1)-th largest count, 0 when fewer than
+    * k+1 distinct items). Invariant carried by the relation (and
+    * preserved by [[hhMerge]]): for EVERY item,
+    * `stored cnt ≤ true count ≤ stored cnt + floor` (absent → cnt 0) —
+    * so `cnt` is a certain lower bound and `floor` prices the truncation.
+    *
+    * Shape at 100 TB: ONE map-side-combined count aggregate (the
+    * distinct-item shuffle — unavoidable for exact base counts), then
+    * the bounded [[graft.functions.CollectTopCounts]] heap truncates to
+    * k+1 rows per group map-side — never a per-group window over every
+    * distinct item. The register relation is ≤ (k+1) rows per group
+    * whatever the corpus size: write daily, merge monthly. */
+  def hhSketch(df: DataFrame, groupCols: Seq[String], keyCol: String,
+      k: Int = 16): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(groupCols.map(col) :+
+        col(keyCol).cast("string").as("item"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    truncate(counts, groupCols, k, floors = None)
+  }
+
+  /** One-shot n-way merge to a coarser grouping (caller derives the
+    * coarser key first, as in [[hllMerge]]): item-wise count sum over the
+    * sub-sketches, floors sum, then ONE re-truncation to k (the (k+1)-th
+    * summed count joins the floor). Order-independent BY CONSTRUCTION —
+    * all sub-sketches merge in one call, like a single groupBy. (Iterated
+    * pairwise merges are also sound but accumulate a floor per round —
+    * prefer one n-way merge.) The invariant survives: a kept item's sum
+    * misses at most floorᵢ in each sub-sketch that dropped it, and a
+    * dropped item's total is ≤ the new floor. */
+  def hhMerge(registers: DataFrame, groupCols: Seq[String],
+      k: Int = 16): DataFrame = {
+    val summed = registers
+      .groupBy((groupCols :+ "item").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+    val floors = summed.filter(col("item").isNull)
+      .select(groupCols.map(col) :+ col("cnt").as("__floor"): _*)
+    truncate(summed.filter(col("item").isNotNull), groupCols, k,
+      Some(floors))
+  }
+
+  /** Shared truncation: keep the top-k items per group via the bounded
+    * heap, emit the (k+1)-th count (+ carried floor) as the group's
+    * `item = NULL` floor row. `floors` is None (base sketch — floor
+    * starts at 0) or a per-group `(groupCols…, __floor)` relation
+    * (merge — the summed sub-sketch floors). */
+  private def truncate(counts: DataFrame, groupCols: Seq[String], k: Int,
+      floors: Option[DataFrame]): DataFrame = {
+    val heads = counts.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.TopK.collect_top_counts(
+        struct(col("cnt"), col("item")), k + 1).as("__top"))
+    val withFloor = floors match {
+      case None => heads.withColumn("__floor", lit(0L))
+      case Some(f) =>
+        heads.join(f, groupCols, "left")
+          .withColumn("__floor", coalesce(col("__floor"), lit(0L)))
+    }
+    val kept = withFloor.select(groupCols.map(col) :+
+        posexplode(col("__top")).as(Seq("__pos", "__t")): _*)
+      .filter(col("__pos") < k)
+      .select(groupCols.map(col) :+ col("__t.item").as("item") :+
+        col("__t.cnt").as("cnt"): _*)
+    val floorRows = withFloor.select(groupCols.map(col) :+
+        lit(null).cast("string").as("item") :+
+        // get() is 0-indexed and null on out-of-bounds (ANSI-safe)
+        (coalesce(get(col("__top"), lit(k)).getField("cnt"),
+          lit(0L)) + col("__floor")).as("cnt"): _*)
+    kept.unionByName(floorRows)
+  }
+
+  /** Heavy hitters with bounds, from registers alone: per group the kept
+    * items as `(groupCols…, item, cnt_lo, cnt_hi)` with
+    * `cnt_lo ≤ true ≤ cnt_hi = cnt_lo + floor`. Filter `cnt_lo ≥ t` for
+    * certified hitters; items whose true count exceeds `floor` are
+    * guaranteed present. Touches only the ≤ (k+1)-rows-per-group
+    * register relation. */
+  def hhTopK(registers: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val floors = registers.filter(col("item").isNull)
+      .select(groupCols.map(col) :+ col("cnt").as("__floor"): _*)
+    registers.filter(col("item").isNotNull)
+      .join(floors, groupCols, "left")
+      .select(groupCols.map(col) :+ col("item") :+
+        col("cnt").as("cnt_lo") :+
+        (col("cnt") + coalesce(col("__floor"), lit(0L))).as("cnt_hi"): _*)
+  }
+
+  /** Full sketch→merge→top-k oracle SQL: `srcCte` must yield rows
+    * `(grp, sub, k)` — fine-grained sketches are built per (grp, sub),
+    * merged to grp, and read with bounds. The rank replay uses
+    * `row_number() ORDER BY cnt DESC, item` — the same (cnt desc,
+    * byte-wise item asc) total order the heap maintains. */
+  private[graft] def hhTopKSql(srcCte: String, grpName: String,
+      k: Int): String =
+    s"""WITH src AS ($srcCte),
+       c AS (SELECT grp, sub, k AS item, count(*) AS cnt
+             FROM src WHERE k IS NOT NULL GROUP BY 1, 2, 3),
+       r AS (SELECT grp, sub, item, cnt,
+               row_number() OVER (PARTITION BY grp, sub
+                 ORDER BY cnt DESC, item) AS rn
+             FROM c),
+       flo AS (SELECT grp, coalesce(sum(CASE WHEN rn = ${k + 1}
+                 THEN cnt END), 0) AS floor_sum
+               FROM r GROUP BY 1),
+       m AS (SELECT grp, item, sum(cnt) AS cnt
+             FROM r WHERE rn <= $k GROUP BY 1, 2),
+       r2 AS (SELECT grp, item, cnt,
+                row_number() OVER (PARTITION BY grp
+                  ORDER BY cnt DESC, item) AS rn
+              FROM m),
+       flo2 AS (SELECT r2.grp,
+                  flo.floor_sum + coalesce(sum(CASE WHEN rn = ${k + 1}
+                    THEN cnt END), 0) AS flr
+                FROM r2 JOIN flo ON r2.grp = flo.grp
+                GROUP BY 1, flo.floor_sum)
+       SELECT r2.grp AS $grpName, r2.item,
+         CAST(r2.cnt AS BIGINT) AS cnt_lo,
+         CAST(r2.cnt + flo2.flr AS BIGINT) AS cnt_hi
+       FROM r2 JOIN flo2 ON r2.grp = flo2.grp
+       WHERE r2.rn <= $k"""
+
   /** Quantile oracle SQL from the same constants: source CTE must yield
     * rows `(grp, v)`; quantiles arrive as literal (q_num, q_den) pairs.
     * The merge path needs no separate oracle (counter sum is

@@ -235,4 +235,74 @@ class SketchesSpec extends SparkSpec {
     // 2nd value (15.0) lives in bin 1 → upper edge 20.0
     assert(med == 20.0)
   }
+
+  test("hh: base sketch keeps exact top-k counts and the (k+1)-th floor") {
+    // zipf-ish: item i appears (40 - i) times
+    val rows = (0 until 40).flatMap(i =>
+      Seq.fill(40 - i)(("g", f"item$i%02d"))).toDF("grp", "k")
+    val reg = Sketches.hhSketch(rows, Seq("grp"), "k", k = 5)
+    val kept = reg.filter(col("item").isNotNull)
+      .orderBy(desc("cnt"), col("item")).collect()
+    assert(kept.map(r => (r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("item00", 40L), ("item01", 39L), ("item02", 38L),
+        ("item03", 37L), ("item04", 36L)))
+    val floor = reg.filter(col("item").isNull).collect()
+    assert(floor.length == 1 && floor(0).getLong(2) == 35L)
+    // fewer than k+1 distinct items → floor 0, all kept
+    val tiny = Seq(("g", "a"), ("g", "a"), ("g", "b")).toDF("grp", "k")
+    val regT = Sketches.hhSketch(tiny, Seq("grp"), "k", k = 5)
+    assert(regT.filter(col("item").isNull).head().getLong(2) == 0L)
+    assert(regT.filter(col("item").isNotNull).count() == 2)
+  }
+
+  test("hh: tie-break is (cnt desc, item asc) like SQL ORDER BY") {
+    val rows = Seq("b", "a", "d", "c").flatMap(i => Seq.fill(3)(("g", i)))
+      .toDF("grp", "k")
+    val kept = Sketches.hhSketch(rows, Seq("grp"), "k", k = 2)
+      .filter(col("item").isNotNull)
+      .orderBy(col("item")).collect().map(_.getString(1)).toSeq
+    assert(kept == Seq("a", "b"))
+  }
+
+  test("hh: merged bounds bracket the true counts, kept counts are " +
+      "certain lower bounds, dropped mass stays under the floor") {
+    // three "days"; two hot items everywhere; a medium item concentrated
+    // in day 0 (dropped by the k=2 daily truncation → its mass lands in
+    // the floors); cold tail items
+    val day = (d: Int) =>
+      (0 until 2).flatMap(i => Seq.fill(50)((s"d$d", s"hot$i"))) ++
+        Seq.fill(if (d == 0) 30 else 2)((s"d$d", "medium")) ++
+        (0 until 20).map(i => (s"d$d", s"cold-$d-$i"))
+    val rows = (0 until 3).flatMap(day).toDF("sub", "k")
+      .withColumn("grp", lit("g"))
+    val daily = Sketches.hhSketch(rows, Seq("grp", "sub"), "k", k = 2)
+    val merged = Sketches.hhMerge(daily.drop("sub"), Seq("grp"), k = 2)
+    val top = Sketches.hhTopK(merged, Seq("grp")).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+    val truth = rows.groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    top.foreach { case (item, (lo, hi)) =>
+      assert(lo <= truth(item), s"$item: lo $lo > true ${truth(item)}")
+      assert(truth(item) <= hi, s"$item: true ${truth(item)} > hi $hi")
+    }
+    // the always-hot items carry exact lower bounds == truth
+    assert(top("hot0")._1 == 150L && top("hot1")._1 == 150L)
+    // 'medium' was truncated away daily (floors 30, 2, 2); the invariant
+    // still prices it: true count ≤ merged floor
+    assert(!top.contains("medium"))
+    val floor = merged.filter(col("item").isNull).head().getLong(2)
+    assert(truth("medium") <= floor, s"floor $floor < ${truth("medium")}")
+  }
+
+  test("hh: n-way merge of sub-sketches == one coarse truncation of the " +
+      "summed kept rows (replay determinism)") {
+    val rows = (0 until 500).map(i => ("g", s"s${i % 7}", s"u${i % 23}"))
+      .toDF("grp", "sub", "k")
+    val daily = Sketches.hhSketch(rows, Seq("grp", "sub"), "k", k = 4)
+    val m1 = Sketches.hhMerge(daily.drop("sub"), Seq("grp"), k = 4)
+      .orderBy(col("item").asc_nulls_first).collect().toSeq
+    val m2 = Sketches.hhMerge(daily.drop("sub"), Seq("grp"), k = 4)
+      .orderBy(col("item").asc_nulls_first).collect().toSeq
+    assert(m1 == m2 && m1.nonEmpty)
+  }
 }
