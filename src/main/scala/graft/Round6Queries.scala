@@ -369,7 +369,53 @@ object Round6Queries {
         .select(concat(lit("c"), col("c_custkey")).as("node"))
       graft.relational.Graph.shortestPaths(edges, "src", "dst",
         sources, maxHops = BfsHops)
-    })
+    }),
+
+    // grouped OLS: price ~ quantity per (returnflag, linestatus), fitted
+    // in ONE moment-aggregate pass (SQL-standard regr_* on both engines)
+    "q_regression" -> ((s, d) =>
+      graft.relational.Analytics.groupedOls(t(s, d, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"),
+        "l_quantity", "l_extendedprice")),
+
+    // categorical association: is a document's language independent of
+    // its source? Full-table chi-squared + mutual information from the
+    // observed cells only
+    "q_assoc" -> ((s, d) =>
+      graft.relational.Analytics.association(t(s, d, "documents"),
+        "lang", "source")),
+
+    // first-/last-touch conversion attribution over the event log:
+    // which channel preceded each purchase
+    "q_attribution" -> ((s, d) =>
+      graft.relational.Analytics.attribution(
+        DataQueries.readEventsMicros(s, d),
+        "user_id", "tsu", "event_id", "event_type", "value", "purchase")),
+
+    // incremental join maintenance: a maintained orders x customer join
+    // absorbs insert batches on BOTH sides via delta joins; the oracle
+    // is the full recompute the maintained view must equal
+    "q_join_maintain" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer").select("c_custkey", "c_name")
+      val oOld = o.filter(col("o_orderkey") % 7 =!= 0)
+      val oNew = o.filter(col("o_orderkey") % 7 === 0)
+      val cOld = c.filter(col("c_custkey") % 11 =!= 0)
+      val cNew = c.filter(col("c_custkey") % 11 === 0)
+      val base = oOld.join(cOld, oOld("o_custkey") === cOld("c_custkey"))
+      val delta = graft.relational.Analytics.joinDelta(
+        oOld, oNew, cOld, cNew, Seq("o_custkey"), Seq("c_custkey"))
+      base.unionByName(delta)
+        .select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
+    }),
+
+    // Pareto frontier per brand: parts not dominated on
+    // (size max, retail price min)
+    "q_skyline" -> ((s, d) =>
+      graft.relational.Analytics.skyline2(
+        t(s, d, "part").withColumn("neg_price", -col("p_retailprice")),
+        Seq("p_brand"), "p_size", "neg_price")
+        .select("p_brand", "p_partkey", "p_size", "p_retailprice"))
   )
 
   private val BfsHops = 3
@@ -443,6 +489,79 @@ object Round6Queries {
         """SELECT event_type AS grp, strftime(ts, '%Y-%m-%d') AS sub,
              CAST(user_id AS VARCHAR) AS k FROM events""",
         "event_type", k = 8),
+
+      "q_regression" ->
+        """SELECT l_returnflag, l_linestatus,
+             CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+             round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+             round(regr_intercept(l_extendedprice, l_quantity), 6)
+               AS intercept,
+             round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+           FROM lineitem GROUP BY 1, 2""",
+
+      "q_assoc" ->
+        """WITH cells AS (
+             SELECT lang AS a, source AS b, count(*) AS o FROM documents
+             WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+           rt AS (SELECT a, sum(o) AS ra FROM cells GROUP BY 1),
+           ct AS (SELECT b, sum(o) AS cb FROM cells GROUP BY 1),
+           tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+           parts AS (
+             SELECT n,
+               (o - ra * cb / CAST(n AS DOUBLE))
+                 * (o - ra * cb / CAST(n AS DOUBLE))
+                 / (ra * cb / CAST(n AS DOUBLE))
+                 - ra * cb / CAST(n AS DOUBLE) AS chi_part,
+               o / CAST(n AS DOUBLE)
+                 * ln(o * CAST(n AS DOUBLE) / (ra * cb)) AS mi_part
+             FROM cells JOIN rt USING (a) JOIN ct USING (b)
+               CROSS JOIN tot),
+           dof AS (SELECT (count(DISTINCT a) - 1)
+                     * (count(DISTINCT b) - 1) AS dof FROM cells)
+           SELECT max(n) AS n, count(*) AS cells, max(dof.dof) AS dof,
+             round(max(n) + sum(chi_part), 6) AS chi2,
+             round(sum(mi_part), 6) AS mi
+           FROM parts CROSS JOIN dof""",
+
+      "q_attribution" ->
+        """WITH e AS (
+             SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS o, event_id,
+               event_type AS t, value AS v
+             FROM events),
+           w AS (
+             SELECT t, v,
+               last_value(CASE WHEN t <> 'purchase' THEN t END
+                 IGNORE NULLS) OVER (PARTITION BY user_id
+                 ORDER BY o, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt,
+               first_value(CASE WHEN t <> 'purchase' THEN t END
+                 IGNORE NULLS) OVER (PARTITION BY user_id
+                 ORDER BY o, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft
+             FROM e),
+           conv AS (SELECT * FROM w WHERE t = 'purchase'
+             AND lt IS NOT NULL),
+           x AS (SELECT lt AS channel, 'last' AS model, v FROM conv
+             UNION ALL
+             SELECT ft, 'first', v FROM conv)
+           SELECT channel, model, count(*) AS conversions,
+             round(sum(v), 6) AS value
+           FROM x GROUP BY 1, 2""",
+
+      "q_join_maintain" ->
+        """SELECT o_orderkey, o_custkey, c_name, o_totalprice
+           FROM orders JOIN customer ON o_custkey = c_custkey""",
+
+      "q_skyline" ->
+        """SELECT p_brand, p_partkey, p_size, p_retailprice FROM part p
+           WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
+             AND NOT EXISTS (
+               SELECT 1 FROM part q
+               WHERE q.p_brand = p.p_brand
+                 AND q.p_size >= p.p_size
+                 AND q.p_retailprice <= p.p_retailprice
+                 AND (q.p_size > p.p_size
+                   OR q.p_retailprice < p.p_retailprice))""",
 
       "q_boilerplate" ->
         """WITH src AS (

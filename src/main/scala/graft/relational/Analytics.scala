@@ -1,0 +1,172 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical / analytical relational operators: grouped OLS regression,
+  * categorical-association scoring (chi-squared + mutual information),
+  * conversion attribution, incremental JOIN maintenance, and Pareto
+  * frontiers. Every operator is a single declarative plan — one or two
+  * keyed aggregates plus broadcast-scale joins — so Catalyst keeps the
+  * map-side combines and AQE sizes the exchanges; nothing here windows
+  * over an unbounded partition or collects to the driver. */
+object Analytics {
+
+  /** Grouped simple linear regression `y ~ x` via the exact moment
+    * aggregates: per group `(n, slope, intercept, r2)`, 6-dp rounded
+    * (aggregate-derived doubles — the repo's cross-engine float
+    * discipline). Uses the SQL-standard `regr_*` aggregates, which both
+    * Spark and external SQL engines implement from the same closed-form
+    * moments, so the oracle is the literal same query. One map-side
+    * combined shuffle keyed by `groupCols`; state per group is five
+    * doubles — fitting a regression per key over 100 TB costs exactly
+    * one aggregate pass. Rows where either side is null are skipped
+    * (the `regr_*` contract); a zero-variance x yields null slope in
+    * both engines. */
+  def groupedOls(df: DataFrame, groupCols: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    val y = col(yCol).cast("double")
+    val x = col(xCol).cast("double")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        regr_count(y, x).cast("long").as("n"),
+        round(regr_slope(y, x), 6).as("slope"),
+        round(regr_intercept(y, x), 6).as("intercept"),
+        round(regr_r2(y, x), 6).as("r2"))
+  }
+
+  /** Association between two categorical columns: one row
+    * `(n, cells, dof, chi2, mi)` — Pearson chi-squared over the FULL
+    * `distinct(a) × distinct(b)` contingency table and mutual
+    * information in nats over the observed cells, both 6-dp.
+    *
+    * Zero-observed cells contribute `(0-e)²/e = e` to chi-squared and
+    * the expected counts sum to N over the full table, so
+    * `chi2 = N + Σ_observed ((o-e)²/e − e)` — the full-table statistic
+    * WITHOUT materializing the cross product. Null categories are
+    * dropped (a null is "unknown", not a level).
+    *
+    * Shape at 100 TB: ONE corpus shuffle (the (a,b) cell counts);
+    * marginals re-aggregate the cells relation (cells-sized, not
+    * corpus-sized) and join back broadcast-scale; the finish is a
+    * single global sum over cells. */
+  def association(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val rowTot = cells.groupBy("__a").agg(sum("__o").as("__ra"))
+    val colTot = cells.groupBy("__b").agg(sum("__o").as("__cb"))
+    val total = cells.agg(sum("__o").as("__n"))
+    val e = col("__ra").cast("double") * col("__cb").cast("double") /
+      col("__n").cast("double")
+    val o = col("__o").cast("double")
+    cells.join(rowTot, "__a").join(colTot, "__b")
+      .crossJoin(broadcast(total))
+      .select(col("__n"),
+        ((o - e) * (o - e) / e - e).as("__chi_part"),
+        (o / col("__n") * log(o * col("__n") /
+          (col("__ra") * col("__cb")))).as("__mi_part"))
+      .agg(
+        max("__n").as("n"),
+        count(lit(1)).as("cells"),
+        round(max("__n") + sum("__chi_part"), 6).as("chi2"),
+        round(sum("__mi_part"), 6).as("mi"))
+      .crossJoin(broadcast(cells.agg(
+        ((countDistinct("__a") - 1) * (countDistinct("__b") - 1))
+          .as("dof"))))
+      .select("n", "cells", "dof", "chi2", "mi")
+  }
+
+  /** First- and last-touch conversion attribution over an event log.
+    * For every `convType` event, the LAST non-conversion event strictly
+    * before it (by `(orderCol, tieCol)`) is its last-touch channel and
+    * the FIRST non-conversion event ever before it its first-touch;
+    * conversions with no preceding touch are unattributed and dropped.
+    * Output: `(channel, model ∈ {first, last}, conversions, value)` with
+    * the summed conversion value 6-dp rounded.
+    *
+    * Shape at 100 TB: windows partition by the entity — parallelism is
+    * the user count, per-task state one user's history (the same bound
+    * as [[Relational.sessionize]]); then one cells-sized groupBy. */
+  def attribution(events: DataFrame, userCol: String, orderCol: String,
+      tieCol: String, typeCol: String, valueCol: String,
+      convType: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(orderCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col(typeCol) =!= convType, col(typeCol))
+    val attributed = events
+      .withColumn("__last", last(touch, ignoreNulls = true).over(w))
+      .withColumn("__first", first(touch, ignoreNulls = true).over(w))
+      .filter(col(typeCol) === convType && col("__last").isNotNull)
+    attributed
+      .select(explode(array(
+        struct(col("__last").as("channel"), lit("last").as("model")),
+        struct(col("__first").as("channel"), lit("first").as("model"))))
+        .as("__t"), col(valueCol))
+      .select(col("__t.channel"), col("__t.model"), col(valueCol))
+      .groupBy("channel", "model")
+      .agg(count(lit(1)).as("conversions"),
+        round(sum(col(valueCol)), 6).as("value"))
+  }
+
+  /** Incremental JOIN maintenance — the join sibling of
+    * [[Relational.aggState]]/[[Relational.aggMerge]]: the rows a delta
+    * batch APPENDS to a maintained inner equi-join, under insert-only
+    * CDC on both sides:
+    * `ΔJ = ΔL ⋈ (R ∪ ΔR)  ∪  L ⋈ ΔR`
+    * (new-left against the whole new right, old-left against new-right —
+    * each (l, r) pair lands in exactly one term). `maintained ∪ ΔJ` is
+    * row-identical to re-joining the unioned sides, so the oracle IS the
+    * full recompute.
+    *
+    * Shape at 100 TB: both terms are delta-against-full — the full sides
+    * are scanned but the shuffle/broadcast work is delta-driven (AQE
+    * broadcasts the delta side when it is actually small; with bucketed
+    * base tables ([[Relational.writeBucketed]]) even the scan-side
+    * exchange disappears). The 100-TB maintained join itself is never
+    * re-shuffled. */
+  def joinDelta(leftOld: DataFrame, leftDelta: DataFrame,
+      rightOld: DataFrame, rightDelta: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String]): DataFrame = {
+    def on(l: DataFrame, r: DataFrame): Column =
+      leftKeys.zip(rightKeys).map { case (lk, rk) => l(lk) === r(rk) }
+        .reduce(_ && _)
+    val newRight = rightOld.unionByName(rightDelta)
+    leftDelta.join(newRight, on(leftDelta, newRight))
+      .unionByName(leftOld.join(rightDelta, on(leftOld, rightDelta)))
+  }
+
+  /** Per-group 2-D Pareto frontier (skyline), both dimensions MAXIMIZED
+    * (negate a column to minimize): keeps rows not strictly dominated —
+    * dominated means another row in the group is ≥ on both dims and >
+    * on at least one. Exact-tie rows (equal on both dims) all survive.
+    *
+    * Never all-pairs: the frontier is computed on the DISTINCT
+    * (d1, d2) pairs — (1) per d1 keep only max d2 (keyed aggregate),
+    * (2) one ordered window over the ≤ distinct(d1) survivors per group
+    * keeps pairs whose d2 strictly exceeds the running max over larger
+    * d1 — then the corpus joins back on (group, d1, d2). The window
+    * partition is bounded by distinct d1 values per group; quantize d1
+    * first if it is continuous corpus-cardinality. */
+  def skyline2(df: DataFrame, groupCols: Seq[String], d1: String,
+      d2: String): DataFrame = {
+    val gb = groupCols.map(col)
+    val bestPerX = df
+      .filter(col(d1).isNotNull && col(d2).isNotNull)
+      .groupBy(gb :+ col(d1): _*)
+      .agg(max(col(d2)).as("__y"))
+    val w = (if (groupCols.isEmpty)
+        graft.util.BoundedWindow.globalUnordered()
+      else Window.partitionBy(gb: _*))
+      .orderBy(col(d1).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = bestPerX
+      .withColumn("__prevmax", max(col("__y")).over(w))
+      .filter(col("__prevmax").isNull || col("__y") > col("__prevmax"))
+      .select(gb :+ col(d1) :+ col("__y").as(d2): _*)
+    df.join(frontier, groupCols :+ d1 :+ d2, "leftsemi")
+  }
+}

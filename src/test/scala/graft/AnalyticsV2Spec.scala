@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.relational.Analytics
+
+class AnalyticsV2Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- groupedOls --------------------------------------------------------
+
+  test("ols: exact line recovered per group, r2 = 1; noisy group sane") {
+    val exact = (1 to 5).map(i => ("a", i.toDouble, 3.0 * i + 2.0))
+    val noisy = Seq(("b", 1.0, 1.0), ("b", 2.0, 3.0), ("b", 3.0, 2.0),
+      ("b", 4.0, 5.0))
+    val df = (exact ++ noisy).toDF("g", "x", "y")
+    val got = Analytics.groupedOls(df, Seq("g"), "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got("a") == ((5L, 3.0, 2.0, 1.0)))
+    val (n, slope, intercept, r2) = got("b")
+    assert(n == 4L)
+    // hand OLS on the noisy points: slope 1.1, intercept 0.0
+    assert(slope == 1.1 && intercept == 0.0)
+    assert(r2 > 0 && r2 < 1)
+  }
+
+  test("ols: zero-variance x gives null slope; nulls skipped") {
+    val df = Seq(("g", Some(2.0), Some(1.0)), ("g", Some(2.0), Some(5.0)),
+      ("g", None, Some(9.0)), ("g", Some(3.0), None))
+      .toDF("g", "x", "y")
+    val r = Analytics.groupedOls(df, Seq("g"), "x", "y").head()
+    assert(r.getLong(1) == 2L) // only the two non-null pairs
+    assert(r.isNullAt(2) && r.isNullAt(3))
+  }
+
+  // ---- association -------------------------------------------------------
+
+  test("association: independent columns give chi2 ~ 0, mi ~ 0") {
+    // perfectly independent 2x2: every (a,b) cell has count 25
+    val df = (for { a <- Seq("x", "y"); b <- Seq("u", "v");
+      _ <- 1 to 25 } yield (a, b)).toDF("a", "b")
+    val r = Analytics.association(df, "a", "b").head()
+    assert(r.getLong(0) == 100L && r.getLong(1) == 4L && r.getLong(2) == 1L)
+    assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0)
+  }
+
+  test("association: perfect dependence matches the closed form") {
+    // a == b bijectively, k=3 levels, 10 rows each: chi2 = N*(k-1),
+    // mi = ln k
+    val df = (for { l <- Seq("p", "q", "r"); _ <- 1 to 10 }
+      yield (l, l.toUpperCase)).toDF("a", "b")
+    val r = Analytics.association(df, "a", "b").head()
+    assert(r.getLong(0) == 30L && r.getLong(1) == 3L && r.getLong(2) == 4L)
+    assert(r.getDouble(3) == 60.0)
+    assert(math.abs(r.getDouble(4) - math.log(3.0)) < 1e-6)
+  }
+
+  test("association: zero-observed cells are counted in chi2 " +
+      "(full-table statistic, not observed-cells-only)") {
+    // 2x2 with one empty cell: a=x pairs only with u, a=y with both
+    val df = (Seq.fill(10)(("x", "u")) ++ Seq.fill(5)(("y", "u")) ++
+      Seq.fill(5)(("y", "v"))).toDF("a", "b")
+    val r = Analytics.association(df, "a", "b").head()
+    // hand: N=20, row x=10,y=10; col u=15,v=5. E: xu 7.5, xv 2.5,
+    // yu 7.5, yv 2.5. chi2 = (2.5^2/7.5)*2 + (2.5^2/2.5)*2 = 20/3 + 5...
+    // = 0.8333*2 + 2.5*2 = 6.666667
+    assert(r.getLong(1) == 3L) // only 3 observed cells
+    assert(math.abs(r.getDouble(3) - 20.0 / 3.0) < 1e-5)
+  }
+
+  // ---- attribution -------------------------------------------------------
+
+  test("attribution: last- and first-touch per conversion, " +
+      "unattributed conversions dropped") {
+    val df = Seq(
+      // user 1: ad -> email -> buy(10) : last=email, first=ad
+      (1L, 1L, 1L, "ad", 0.0), (1L, 2L, 2L, "email", 0.0),
+      (1L, 3L, 3L, "buy", 10.0),
+      // user 1 again: buy(5) right after -> last=email, first=ad
+      (1L, 4L, 4L, "buy", 5.0),
+      // user 2: buy with no preceding touch -> dropped
+      (2L, 1L, 5L, "buy", 99.0),
+      // user 3: email -> ad -> buy(2) : last=ad, first=email
+      (3L, 1L, 6L, "email", 0.0), (3L, 2L, 7L, "ad", 0.0),
+      (3L, 3L, 8L, "buy", 2.0)
+    ).toDF("u", "o", "id", "t", "v")
+    val got = Analytics.attribution(df, "u", "o", "id", "t", "v", "buy")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got(("email", "last")) == ((2L, 15.0)))
+    assert(got(("ad", "last")) == ((1L, 2.0)))
+    assert(got(("ad", "first")) == ((2L, 15.0)))
+    assert(got(("email", "first")) == ((1L, 2.0)))
+    assert(got.size == 4)
+  }
+
+  // ---- joinDelta ---------------------------------------------------------
+
+  test("joinDelta: maintained join == full recompute, every pair " +
+      "produced exactly once") {
+    val lOld = Seq((1, "l1"), (2, "l2"), (3, "l3")).toDF("k", "lv")
+    val lNew = Seq((2, "l2b"), (4, "l4")).toDF("k", "lv")
+    val rOld = Seq((1, "r1"), (2, "r2"), (4, "r4x")).toDF("j", "rv")
+    val rNew = Seq((2, "r2b"), (3, "r3")).toDF("j", "rv")
+    val base = lOld.join(rOld, lOld("k") === rOld("j"))
+    val delta = Analytics.joinDelta(lOld, lNew, rOld, rNew,
+      Seq("k"), Seq("j"))
+    val maintained = base.unionByName(delta)
+      .select("k", "lv", "rv").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).sorted
+    val full = lOld.unionByName(lNew)
+      .join(rOld.unionByName(rNew).withColumnRenamed("j", "k"), "k")
+      .select("k", "lv", "rv").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).sorted
+    assert(maintained.toSeq == full.toSeq && maintained.nonEmpty)
+    // duplicate check: multiset sizes equal (no pair double-produced)
+    assert(maintained.length == full.length)
+  }
+
+  // ---- skyline2 ----------------------------------------------------------
+
+  test("skyline2: keeps exactly the non-dominated rows; " +
+      "both-dim ties all survive") {
+    val df = Seq(
+      ("g", 1, 1, 9), // dominated by (3,2) and (2,3) and (1,5)... x=1,y=9?
+      ("g", 3, 2, 0), ("g", 2, 3, 0), ("g", 1, 5, 0),
+      ("g", 3, 2, 1), // exact tie of (3,2) -> both survive
+      ("g", 2, 2, 0), // dominated by (3,2) and (2,3)
+      ("g", 0, 5, 0), // dominated by (1,5)
+      ("h", 7, 7, 0)  // separate group: alone -> survives
+    ).toDF("g", "d1", "d2", "tag")
+    val got = Analytics.skyline2(df, Seq("g"), "d1", "d2")
+      .select("g", "d1", "d2").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).sorted.toSeq
+    // brute-force oracle
+    val rows = df.select("g", "d1", "d2").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    val expect = rows.filter { case (g, x, y) =>
+      !rows.exists { case (g2, x2, y2) =>
+        g2 == g && x2 >= x && y2 >= y && (x2 > x || y2 > y) }
+    }.sorted.toSeq
+    assert(got == expect)
+    assert(got.count(_ == (("g", 3, 2))) == 2) // tie pair kept twice
+    assert(got.contains(("h", 7, 7)))
+  }
+
+  test("skyline2: dominance is strict-in-at-least-one; " +
+      "(1,9) vs (1,5) on same x keeps only max y") {
+    val df = Seq(("g", 1, 9), ("g", 1, 5), ("g", 2, 1))
+      .toDF("g", "d1", "d2")
+    val got = Analytics.skyline2(df, Seq("g"), "d1", "d2")
+      .select("d1", "d2").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+    assert(got == Seq((1, 9), (2, 1)))
+  }
+}
