@@ -114,4 +114,136 @@ class Round6PropsSpec extends SparkSpec {
       assert(r.getDouble(3) > 0.0 && r.getDouble(6) > 0.0)
     }
   }
+
+  test("hh: the cnt <= true <= cnt+floor invariant holds for EVERY item " +
+      "on random zipf-ish streams, kept or dropped, any k") {
+    for (trial <- 1 to 3) {
+      val k = rnd.nextInt(6) + 2
+      val rows = (1 to 2000).map { _ =>
+        // zipf-ish: low item ids much more frequent
+        val item = math.min(rnd.nextInt(40), rnd.nextInt(40))
+        (s"s${rnd.nextInt(5)}", f"i$item%02d")
+      }
+      val df = rows.toDF("sub", "k").withColumn("grp", lit("g"))
+      val daily = Sketches.hhSketch(df, Seq("grp", "sub"), "k", k = k)
+      val merged = Sketches.hhMerge(daily.drop("sub"), Seq("grp"), k = k)
+      val floorV = merged.filter(col("item").isNull)
+        .select("cnt").head().getLong(0)
+      val kept = merged.filter(col("item").isNotNull)
+        .select("item", "cnt").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val truth = rows.groupBy(_._2).map { case (i, v) =>
+        i -> v.size.toLong }
+      truth.foreach { case (item, n) =>
+        kept.get(item) match {
+          case Some(lo) =>
+            assert(lo <= n && n <= lo + floorV,
+              s"trial $trial k=$k $item: lo $lo true $n floor $floorV")
+          case None =>
+            assert(n <= floorV,
+              s"trial $trial k=$k dropped $item true $n > floor $floorV")
+        }
+      }
+    }
+  }
+
+  test("skyline2 equals brute-force dominance on random point clouds") {
+    import graft.relational.Analytics
+    for (trial <- 1 to 3) {
+      val pts = (1 to 200).map(_ => (s"g${rnd.nextInt(3)}",
+        rnd.nextInt(20), rnd.nextInt(20)))
+      val got = Analytics.skyline2(pts.toDF("g", "x", "y"),
+          Seq("g"), "x", "y")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+        .sorted.toSeq
+      val expect = pts.filter { case (g, x, y) =>
+        !pts.exists { case (g2, x2, y2) =>
+          g2 == g && x2 >= x && y2 >= y && (x2 > x || y2 > y) }
+      }.sorted
+      assert(got == expect, s"trial $trial")
+    }
+  }
+
+  test("joinDelta-maintained join equals the full recompute on random " +
+      "tables and random delta splits") {
+    import graft.relational.Analytics
+    for (trial <- 1 to 3) {
+      val lAll = (1 to 120).map(i => (rnd.nextInt(30), s"l$i"))
+      val rAll = (1 to 80).map(i => (rnd.nextInt(30), s"r$i"))
+      val (lOldS, lNewS) = lAll.partition(_ => rnd.nextBoolean())
+      val (rOldS, rNewS) = rAll.partition(_ => rnd.nextBoolean())
+      val Seq(lo, ln) = Seq(lOldS, lNewS).map(_.toDF("k", "lv"))
+      val Seq(ro, rn) = Seq(rOldS, rNewS).map(_.toDF("j", "rv"))
+      val maintained = lo.join(ro, lo("k") === ro("j"))
+        .unionByName(Analytics.joinDelta(lo, ln, ro, rn,
+          Seq("k"), Seq("j")))
+        .select("k", "lv", "rv").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+        .sorted.toSeq
+      val full = lAll.flatMap { case (k, lv) =>
+        rAll.collect { case (j, rv) if j == k => (k, lv, rv) } }.sorted
+      assert(maintained == full, s"trial $trial")
+    }
+  }
+
+  test("association: chi2 and mi match a direct Scala computation over " +
+      "the full contingency table on random categorical data") {
+    import graft.relational.Analytics
+    for (trial <- 1 to 3) {
+      val rows = (1 to 500).map(_ =>
+        (s"a${rnd.nextInt(4)}", s"b${rnd.nextInt(3)}"))
+      val r = Analytics.association(rows.toDF("a", "b"), "a", "b").head()
+      val n = rows.size.toDouble
+      val cells = rows.groupBy(identity).map { case (k, v) =>
+        k -> v.size.toDouble }
+      val ra = rows.groupBy(_._1).map { case (k, v) => k -> v.size.toDouble }
+      val cb = rows.groupBy(_._2).map { case (k, v) => k -> v.size.toDouble }
+      val chi2 = (for { a <- ra.keys; b <- cb.keys } yield {
+        val e = ra(a) * cb(b) / n
+        val o = cells.getOrElse((a, b), 0.0)
+        (o - e) * (o - e) / e
+      }).sum
+      val mi = cells.map { case ((a, b), o) =>
+        o / n * math.log(o * n / (ra(a) * cb(b))) }.sum
+      assert(math.abs(r.getDouble(3) - chi2) < 1e-4, s"trial $trial chi2")
+      assert(math.abs(r.getDouble(4) - mi) < 1e-4, s"trial $trial mi")
+      assert(r.getLong(2) == (ra.size - 1L) * (cb.size - 1L))
+    }
+  }
+
+  test("ols: slope and intercept match the closed-form least squares on " +
+      "random point sets") {
+    import graft.relational.Analytics
+    for (trial <- 1 to 3) {
+      val pts = (1 to 50).map(_ =>
+        (rnd.nextDouble() * 10, rnd.nextDouble() * 10))
+      val r = Analytics.groupedOls(
+        pts.toDF("x", "y").withColumn("g", lit("g")),
+        Seq("g"), "x", "y").head()
+      val n = pts.size.toDouble
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val intercept = sy / n - slope * sx / n
+      assert(math.abs(r.getDouble(2) - slope) < 1e-5, s"trial $trial")
+      assert(math.abs(r.getDouble(3) - intercept) < 1e-5, s"trial $trial")
+    }
+  }
+
+  test("attribution: first and last models attribute the SAME conversion " +
+      "set — per-model conversion and value totals are equal") {
+    import graft.relational.Analytics
+    val rows = (1 to 400).map { i =>
+      val t = Seq("ad", "email", "social", "buy")(rnd.nextInt(4))
+      (rnd.nextInt(25).toLong, rnd.nextInt(1000).toLong, i.toLong, t,
+        rnd.nextInt(50).toDouble)
+    }.toDF("u", "o", "id", "t", "v")
+    val out = Analytics.attribution(rows, "u", "o", "id", "t", "v", "buy")
+      .collect().map(r => r.getString(1) -> (r.getLong(2), r.getDouble(3)))
+    val byModel = out.groupBy(_._1).map { case (m, v) =>
+      m -> ((v.map(_._2._1).sum, v.map(_._2._2).sum)) }
+    assert(byModel("last")._1 == byModel("first")._1)
+    assert(math.abs(byModel("last")._2 - byModel("first")._2) < 1e-6)
+  }
 }
