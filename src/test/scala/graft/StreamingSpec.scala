@@ -383,3 +383,78 @@ class MaintainSketchStreamSpec extends SparkSpec {
     assert(fromStream == fromBatch && fromStream.size == 6)
   }
 }
+
+/** Streaming materialized-JOIN maintenance: append-only committed deltas
+  * on both sides; the maintained join equals a full recompute and
+  * survives committed replays and torn writes. */
+class MaintainJoinStreamSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  private val S = graft.streaming.Streaming
+
+  test("streamed two-sided CDC join == full recompute over all batches") {
+    val dir = s"target/tmp/maintjoin_${System.nanoTime()}"
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // one CDC feed: (side, key, payload)
+    val mem = MemoryStream[(String, Int, String)]
+    val q = S.maintainJoinStream(
+      mem.toDF().toDF("side", "k", "p"), s"$dir/state", s"$dir/ckpt",
+      b => (b.filter(col("side") === "L").select(col("k"),
+          col("p").as("lv")),
+        b.filter(col("side") === "R").select(col("k").as("j"),
+          col("p").as("rv"))),
+      Seq("k"), Seq("j"))
+    val b1 = Seq(("L", 1, "l1"), ("L", 2, "l2"), ("R", 1, "r1"))
+    val b2 = Seq(("L", 1, "l1b"), ("R", 2, "r2"), ("R", 1, "r1b"))
+    val b3 = Seq(("R", 3, "r3"), ("L", 3, "l3"))
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = S.readMaintainedJoin(spark, s"$dir/state")
+      .select("k", "lv", "rv").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .sorted.toSeq
+    val all = b1 ++ b2 ++ b3
+    val ls = all.filter(_._1 == "L").map(t => (t._2, t._3))
+    val rs = all.filter(_._1 == "R").map(t => (t._2, t._3))
+    val full = ls.flatMap { case (k, lv) =>
+      rs.collect { case (j, rv) if j == k => (k, lv, rv) } }.sorted
+    assert(got == full && got.nonEmpty)
+  }
+
+  test("committed replay is a no-op; a torn batch (join missing) is " +
+      "rewritten whole on replay") {
+    val dir = s"target/tmp/maintjoin_${System.nanoTime()}/state"
+    def L(rows: (Int, String)*) = rows.toDF("k", "lv")
+    def R(rows: (Int, String)*) = rows.toDF("j", "rv")
+    S.maintainJoinBatch(L(1 -> "l1"), R(1 -> "r1"), 0L, dir,
+      Seq("k"), Seq("j"))
+    S.maintainJoinBatch(L(2 -> "l2"), R(2 -> "r2", 1 -> "r1b"), 1L, dir,
+      Seq("k"), Seq("j"))
+    val before = S.readMaintainedJoin(spark, dir)
+      .select("k", "lv", "rv").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(before == Seq((1, "l1", "r1"), (1, "l1", "r1b"),
+      (2, "l2", "r2")))
+    // committed replay with DIFFERENT data: must change nothing
+    S.maintainJoinBatch(L(9 -> "x"), R(9 -> "y"), 1L, dir,
+      Seq("k"), Seq("j"))
+    val after = S.readMaintainedJoin(spark, dir)
+      .select("k", "lv", "rv").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(after == before)
+    // torn batch 2: sides landed, join didn't (crash between writes)
+    L(3 -> "l3").write.mode("overwrite").parquet(s"$dir/left/b2")
+    R(3 -> "r3").write.mode("overwrite").parquet(s"$dir/right/b2")
+    // replay of batch 2 rewrites the whole batch and commits the join
+    S.maintainJoinBatch(L(3 -> "l3"), R(3 -> "r3"), 2L, dir,
+      Seq("k"), Seq("j"))
+    val healed = S.readMaintainedJoin(spark, dir)
+      .select("k", "lv", "rv").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(healed == before :+ ((3, "l3", "r3")))
+  }
+}
