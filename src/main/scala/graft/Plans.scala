@@ -246,7 +246,42 @@ object Plans {
         "relation with the checkpointed frontier + distinct + anti-join " +
         "— work proportional to the frontier, lineage truncated per " +
         "round, empty frontier short-circuits.",
-        SparkEntry.queries("q_bfs")(spark, d)))
+        SparkEntry.queries("q_bfs")(spark, d)),
+      ("q_hh_merge", "heavy hitters: the daily sketch is one exact count " +
+        "aggregate truncated by the bounded objectHashAggregate heap " +
+        "(partial_collect_top_counts map-side) — shuffle carries " +
+        "partitions x (k+1) candidates per group; merge and read touch " +
+        "only the register relation.",
+        SparkEntry.queries("q_hh_merge")(spark, d)),
+      ("q_regression", "grouped OLS: ONE map-side-combined moment " +
+        "aggregate over the scan — five doubles of state per group, no " +
+        "second pass for intercept/r2.",
+        SparkEntry.queries("q_regression")(spark, d)),
+      ("q_assoc", "chi-squared + MI: one (a,b) cell-count shuffle; " +
+        "marginals re-aggregate the CELLS relation (cells-sized " +
+        "exchanges) and the finish is a single global sum — the level " +
+        "cross-product is never materialized.",
+        SparkEntry.queries("q_assoc")(spark, d)),
+      ("q_join_maintain", "join maintenance: both delta terms join " +
+        "delta-against-full (AQE broadcasts the delta side); the " +
+        "maintained base pairs are computed once and unioned, never " +
+        "re-shuffled.",
+        SparkEntry.queries("q_join_maintain")(spark, d)),
+      ("q_skyline", "Pareto frontier: per-(group,d1) max aggregate, one " +
+        "ordered window over the distinct-d1 survivors, then a " +
+        "broadcast-eligible LeftSemi back to the corpus — no all-pairs " +
+        "dominance join anywhere.",
+        SparkEntry.queries("q_skyline")(spark, d)),
+      ("q_attribution", "attribution: ONE per-user window sort evaluates " +
+        "both ignore-nulls running touches; the conversion filter and " +
+        "the 2-row explode feed a cells-sized final aggregate — no " +
+        "self-join against the conversion set.",
+        SparkEntry.queries("q_attribution")(spark, d)),
+      ("q_source_overlap", "source overlap: distinct (source, gram) " +
+        "aggregate over fused 8-byte shingle hashes; the gram self-join " +
+        "carries ≤ sources rows per gram so the pair aggregate is " +
+        "corpus-shuffle-free after the distinct.",
+        SparkEntry.queries("q_source_overlap")(spark, d)))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative queries (sf0.01)\n")

@@ -415,7 +415,21 @@ object Round6Queries {
       graft.relational.Analytics.skyline2(
         t(s, d, "part").withColumn("neg_price", -col("p_retailprice")),
         Seq("p_brand"), "p_size", "neg_price")
-        .select("p_brand", "p_partkey", "p_size", "p_retailprice"))
+        .select("p_brand", "p_partkey", "p_size", "p_retailprice")),
+
+    // pairwise source-overlap matrix: which corpus slices duplicate each
+    // other, as distinct-5-gram Jaccard/containment (all pairs, zero
+    // overlap included)
+    "q_source_overlap" -> ((s, d) =>
+      graft.text.Dedup.sourceOverlap(t(s, d, "documents"), "text",
+        "source", shingleK = 5)),
+
+    // functional-dependency audit: languages whose docs span multiple
+    // sources (lang -/-> source) — empty would mean lang determines
+    // source
+    "q_fd" -> ((s, d) =>
+      graft.relational.Analytics.fdViolations(t(s, d, "documents"),
+        Seq("lang"), "source"))
   )
 
   private val BfsHops = 3
@@ -562,6 +576,40 @@ object Round6Queries {
                  AND q.p_retailprice <= p.p_retailprice
                  AND (q.p_size > p.p_size
                    OR q.p_retailprice < p.p_retailprice))""",
+
+      "q_source_overlap" ->
+        """WITH gr AS (
+             SELECT source,
+               unnest(list_distinct(list_transform(
+                 range(1, len(ws) - 3),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                      ws[i+3] || ' ' || ws[i+4]))) AS gram
+             FROM (SELECT source,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+                   FROM documents WHERE source IS NOT NULL)),
+           g AS (SELECT DISTINCT source, gram FROM gr),
+           n AS (SELECT source, count(*) AS n FROM g GROUP BY 1),
+           s AS (SELECT a.source AS src_a, b.source AS src_b,
+                   count(*) AS shared
+                 FROM g a JOIN g b
+                   ON a.gram = b.gram AND a.source < b.source
+                 GROUP BY 1, 2)
+           SELECT na.source AS src_a, nb.source AS src_b,
+             na.n AS n_grams_a, nb.n AS n_grams_b,
+             CAST(coalesce(s.shared, 0) AS BIGINT) AS shared_grams,
+             CAST(coalesce(s.shared, 0) AS DOUBLE)
+               / (na.n + nb.n - coalesce(s.shared, 0)) AS jaccard,
+             CAST(coalesce(s.shared, 0) AS DOUBLE)
+               / least(na.n, nb.n) AS containment
+           FROM n na
+           JOIN n nb ON na.source < nb.source
+           LEFT JOIN s ON s.src_a = na.source AND s.src_b = nb.source""",
+
+      "q_fd" ->
+        """SELECT lang, count(DISTINCT source) AS n_dep_values,
+             count(*) AS n_rows
+           FROM documents GROUP BY lang
+           HAVING count(DISTINCT source) > 1""",
 
       "q_boilerplate" ->
         """WITH src AS (

@@ -260,6 +260,81 @@ object StressBench {
         .select(concat(lit("c"), col("ck")).as("node"))
       graft.relational.Graph.shortestPaths(edges, "src", "dst",
         sources, maxHops = 3)
+    }),
+
+    // heavy hitters over ×reps event mass with the ITEM space scaled
+    // too (user_id re-keyed per replica): the exact count shuffle grows
+    // with the data while the register relation stays (k+1) rows per
+    // group — truncation must happen map-side in the heap, not in a
+    // window over the reps×-wider distinct-item relation
+    "s_hh" -> ((s, d, r) => {
+      val Sk = graft.relational.Sketches
+      val e = DataQueries.readEventsMicros(s, d)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .withColumn("uid",
+          col("user_id") * math.max(r, 1) +
+            pmod(col("event_id"), lit(math.max(r, 1).toLong)))
+      val eR =
+        if (r <= 1) e
+        else e.withColumn("__rep", explode(sequence(lit(0), lit(r - 1))))
+          .drop("__rep")
+      Sk.hhTopK(
+        Sk.hhMerge(
+          Sk.hhSketch(eR, Seq("event_type", "day"), "uid", k = 8)
+            .drop("day"),
+          Seq("event_type"), k = 8),
+        Seq("event_type"))
+    }),
+
+    // skyline with the distinct-pair space ×reps (price perturbed per
+    // replica): the per-(brand, size) max aggregate and the frontier
+    // window face reps× distinct pairs, the semi-join back reps× rows
+    "s_skyline" -> ((s, d, r) => {
+      val p0 = t(s, d, "part")
+      val p =
+        if (r <= 1) p0
+        else p0.withColumn("__rep", explode(sequence(lit(0), lit(r - 1))))
+          .withColumn("p_partkey", col("p_partkey") * r + col("__rep"))
+          .withColumn("p_retailprice",
+            col("p_retailprice") + col("__rep") * 0.0001)
+          .drop("__rep")
+      graft.relational.Analytics.skyline2(
+        p.withColumn("neg_price", -col("p_retailprice")),
+        Seq("p_brand"), "p_size", "neg_price")
+        .select("p_brand", "p_partkey", "p_size", "p_retailprice")
+    }),
+
+    // attribution with per-user histories ×reps deep (replicas shifted
+    // by one microsecond): the per-entity ignore-nulls window is what's
+    // under load — state stays one user's history per task
+    "s_attribution" -> ((s, d, r) => {
+      val base = DataQueries.readEventsMicros(s, d)
+      val ev =
+        if (r <= 1) base
+        else base
+          .withColumn("__rep", explode(sequence(lit(0), lit(r - 1))))
+          .withColumn("tsu", col("tsu") + col("__rep"))
+          .withColumn("event_id",
+            col("event_id") * r + col("__rep"))
+          .drop("__rep")
+      graft.relational.Analytics.attribution(ev, "user_id", "tsu",
+        "event_id", "event_type", "value", "purchase")
+    }),
+
+    // delta-join maintenance with the fact side ×reps: the delta terms
+    // must stay delta-against-full (broadcast-eligible) however large
+    // the maintained fact side grows
+    "s_join_maintain" -> ((s, d, r) => {
+      val o = replicate(t(s, d, "orders"), "o_orderkey", r)
+      val c = t(s, d, "customer").select("c_custkey", "c_name")
+      val oOld = o.filter(col("o_orderkey") % 7 =!= 0)
+      val oNew = o.filter(col("o_orderkey") % 7 === 0)
+      val cOld = c.filter(col("c_custkey") % 11 =!= 0)
+      val cNew = c.filter(col("c_custkey") % 11 === 0)
+      oOld.join(cOld, oOld("o_custkey") === cOld("c_custkey"))
+        .unionByName(graft.relational.Analytics.joinDelta(
+          oOld, oNew, cOld, cNew, Seq("o_custkey"), Seq("c_custkey")))
+        .select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
     })
   )
 }

@@ -139,6 +139,25 @@ object Analytics {
       .unionByName(leftOld.join(rightDelta, on(leftOld, rightDelta)))
   }
 
+  /** Functional-dependency audit `detCols → depCol`: the determinant
+    * values that VIOLATE the dependency (more than one distinct
+    * dependent value), with their distinct-dependent and row counts —
+    * empty output means the FD holds and `detCols` is a candidate key
+    * for `depCol`. Null dependents are ignored (unknown, not a value);
+    * null determinants group as their own value, SQL-style.
+    *
+    * Shape at 100 TB: ONE keyed aggregate with a partial distinct
+    * (Expand + two-phase agg — map-side combined), no join, no window;
+    * the violation filter prunes before anything leaves the aggregate.
+    * This is the profiling primitive behind key discovery and
+    * dimension-integrity checks on raw landed data. */
+  def fdViolations(df: DataFrame, detCols: Seq[String], depCol: String)
+      : DataFrame =
+    df.groupBy(detCols.map(col): _*)
+      .agg(countDistinct(col(depCol)).as("n_dep_values"),
+        count(lit(1)).as("n_rows"))
+      .filter(col("n_dep_values") > 1)
+
   /** Per-group 2-D Pareto frontier (skyline), both dimensions MAXIMIZED
     * (negate a column to minimize): keeps rows not strictly dominated —
     * dominated means another row in the group is ≥ on both dims and >

@@ -785,4 +785,55 @@ object Dedup {
     dfreq.unpersist(blocking = false)
     result
   }
+
+  /** Pairwise SOURCE overlap matrix: for every pair of values of
+    * `srcCol`, the distinct-`shingleK`-gram set overlap — shared count,
+    * Jaccard, and containment (`shared / min(|A|,|B|)`) — the
+    * "which corpus slices duplicate each other" curation measure that
+    * decides what to drop before training. All pairs are emitted, zero
+    * overlap included.
+    *
+    * Shape at 100 TB: one distinct (source, gram) aggregate over the
+    * fused 8-byte shingle fingerprints (no gram string materializes,
+    * same hash-identity argument as [[containmentPairs]]); the gram
+    * self-join needs NO posting cap because a gram's posting list is
+    * bounded by the source count — it contributes ≤ sources²/2 pairs
+    * regardless of document frequency. The result is sources² rows of
+    * driver-scale output from exactly two corpus-shuffle passes. The
+    * divisions are single double ops over integer counts —
+    * bit-replayable, no rounding. */
+  def sourceOverlap(
+      df: DataFrame, textCol: String, srcCol: String,
+      shingleK: Int = 5): DataFrame = {
+    require(shingleK >= 1, s"need shingleK >= 1, got $shingleK")
+    val grams0 = graft.functions.GraftFunctions.shingle_hashes(
+      transform(TextFunctions.tokensLower(col(textCol)), t => xxhash64(t)),
+      shingleK)
+    val g = df.filter(col(srcCol).isNotNull)
+      .select(col(srcCol).as("__s"),
+        explode(array_distinct(grams0)).as("__g"))
+      .distinct()
+      .persist()
+    val sizes = g.groupBy("__s").agg(count(lit(1)).as("__n"))
+    val shared = g.select(col("__g"), col("__s").as("src_a"))
+      .join(g.select(col("__g"), col("__s").as("src_b")), "__g")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("shared_grams"))
+    // all pairs from the tiny sizes relation; zero-overlap pairs coalesce
+    val a = sizes.select(col("__s").as("src_a"), col("__n").as("n_grams_a"))
+    val b = sizes.select(col("__s").as("src_b"), col("__n").as("n_grams_b"))
+    val result = a.crossJoin(b).filter(col("src_a") < col("src_b"))
+      .join(shared, Seq("src_a", "src_b"), "left")
+      .withColumn("shared_grams", coalesce(col("shared_grams"), lit(0L)))
+      .withColumn("jaccard", col("shared_grams").cast("double") /
+        (col("n_grams_a") + col("n_grams_b") - col("shared_grams")))
+      .withColumn("containment", col("shared_grams").cast("double") /
+        least(col("n_grams_a"), col("n_grams_b")))
+      .select("src_a", "src_b", "n_grams_a", "n_grams_b", "shared_grams",
+        "jaccard", "containment")
+      .persist()
+    result.count() // materialize, then release the gram cache
+    g.unpersist(blocking = false)
+    result
+  }
 }

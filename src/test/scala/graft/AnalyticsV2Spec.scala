@@ -119,6 +119,23 @@ class AnalyticsV2Spec extends SparkSpec {
     assert(maintained.length == full.length)
   }
 
+  // ---- fdViolations ------------------------------------------------------
+
+  test("fdViolations: only violating determinants surface; null " +
+      "dependents ignored, a held FD yields empty output") {
+    val df = Seq(
+      ("a", Some("x")), ("a", Some("x")),          // consistent
+      ("b", Some("x")), ("b", Some("y")),          // violation: 2 values
+      ("c", Some("z")), ("c", None), ("c", Some("z")) // null ignored -> ok
+    ).toDF("det", "dep")
+    val got = Analytics.fdViolations(df, Seq("det"), "dep").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("b" -> ((2L, 2L))))
+    // a dependency that holds -> empty
+    assert(Analytics.fdViolations(
+      df.filter(col("det") =!= "b"), Seq("det"), "dep").count() == 0)
+  }
+
   // ---- skyline2 ----------------------------------------------------------
 
   test("skyline2: keeps exactly the non-dominated rows; " +

@@ -57,4 +57,33 @@ class ContainmentSpec extends SparkSpec {
     assert(Dedup.containmentPairs(docs, "text", "doc_id",
       shingleK = 5, threshold = 0.0).count() == 0)
   }
+
+  test("sourceOverlap: exact hand-computed matrix, zero pairs included, " +
+      "cross-doc gram dedup within a source") {
+    val seg = (n: Int, p: String) => (1 to n).map(i => s"$p$i").mkString(" ")
+    val common = seg(12, "c") // 12 tokens -> 8 distinct 5-grams
+    val docs = Seq(
+      // source A: the common run + own tail; the SAME common run twice
+      // across two docs (must dedupe to one gram set per source)
+      (1L, "A", common + " " + seg(8, "a")),
+      (2L, "A", common),
+      // source B shares the common run
+      (3L, "B", common + " " + seg(8, "b")),
+      // source C disjoint
+      (4L, "C", seg(20, "z"))
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.sourceOverlap(docs, "text", "source", shingleK = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+    // A: doc1 has 16 grams (20 tokens), doc2's 8 grams are a subset ->
+    // 16 distinct. B: 16. C: 16.
+    // A∩B: the 8 common-run grams plus... doc1's grams crossing
+    // common->a* differ from doc3's common->b* -> shared = 8.
+    assert(got.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+    assert(got(("A", "B")) ==
+      ((16L, 16L, 8L, 8.0 / 24.0, 8.0 / 16.0)))
+    assert(got(("A", "C")) == ((16L, 16L, 0L, 0.0, 0.0)))
+    assert(got(("B", "C")) == ((16L, 16L, 0L, 0.0, 0.0)))
+  }
 }
