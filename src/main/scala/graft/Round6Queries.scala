@@ -429,8 +429,66 @@ object Round6Queries {
     // source
     "q_fd" -> ((s, d) =>
       graft.relational.Analytics.fdViolations(t(s, d, "documents"),
-        Seq("lang"), "source"))
+        Seq("lang"), "source")),
+
+    // top user journeys: 30-minute gap sessions rendered as ->-paths,
+    // capped at 5 steps, top-20 by session count
+    "q_paths" -> ((s, d) =>
+      graft.relational.Analytics.topSessionPaths(
+        DataQueries.readEventsMicros(s, d),
+        "user_id", "tsu", "event_id", "event_type",
+        gapUs = PathGapUs, maxSteps = PathSteps, topN = PathTopN)),
+
+    // drift gate: PSI of order totals, 1996 reference vs 1997 current,
+    // over fixed price-band edges
+    "q_psi" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      def yr(y: Int) = o.filter(year(col("o_orderdate")) === y)
+      graft.relational.Analytics.psi(yr(1996), yr(1997), "o_totalprice",
+        PsiEdges)
+    }),
+
+    // weighted quantiles from registers: quantity-weighted price
+    // quantiles per returnflag — same bin geometry as q_qsketch, the
+    // counters carry weight mass
+    "q_qsketch_weighted" -> ((s, d) =>
+      Sketches.qQuantile(
+        Sketches.qSketchWeighted(t(s, d, "lineitem"), Seq("l_returnflag"),
+          "l_extendedprice", "l_quantity", lo = 0.0, hi = 110000.0),
+        Seq("l_returnflag"), QsQuantiles, lo = 0.0, hi = 110000.0))
   )
+
+  private val PathGapUs = 1800000000L // 30 min
+  private val PathSteps = 5
+  private val PathTopN = 20
+  private val PsiEdges = Seq(50000.0, 100000.0, 150000.0, 200000.0,
+    250000.0)
+
+  /** PSI oracle generated from the same edges/smoothing constants the
+    * Spark side runs with (repo pattern: iterative/parameterized ops get
+    * generated oracles so the two sides cannot drift). */
+  private def psiSql(refCte: String, curCte: String,
+      edges: Seq[Double]): String = {
+    val nb = edges.size + 1
+    val binExpr = edges
+      .map(e => s"(CASE WHEN v >= $e THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH refv AS ($refCte), curv AS ($curCte),
+       rb AS (SELECT $binExpr AS bin, count(*) AS cr
+              FROM refv WHERE v IS NOT NULL GROUP BY 1),
+       cb AS (SELECT $binExpr AS bin, count(*) AS cc
+              FROM curv WHERE v IS NOT NULL GROUP BY 1),
+       j AS (SELECT coalesce(rb.cr, 0) AS cr, coalesce(cb.cc, 0) AS cc
+             FROM rb FULL JOIN cb ON rb.bin = cb.bin),
+       t AS (SELECT sum(cr) AS nr, sum(cc) AS nc FROM j)
+       SELECT CAST(t.nr AS BIGINT) AS n_ref, CAST(t.nc AS BIGINT) AS n_cur,
+         round(sum(
+           ((cr + 0.5) / (t.nr + 0.5 * $nb) -
+            (cc + 0.5) / (t.nc + 0.5 * $nb)) *
+           ln(((cr + 0.5) / (t.nr + 0.5 * $nb)) /
+              ((cc + 0.5) / (t.nc + 0.5 * $nb)))), 6) AS psi
+       FROM j CROSS JOIN t GROUP BY 1, 2"""
+  }
 
   private val BfsHops = 3
 
@@ -610,6 +668,43 @@ object Round6Queries {
              count(*) AS n_rows
            FROM documents GROUP BY lang
            HAVING count(DISTINCT source) > 1""",
+
+      "q_paths" ->
+        s"""WITH e AS (
+             SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS o, event_id,
+               event_type AS t
+             FROM events),
+           s AS (
+             SELECT user_id, o, event_id, t,
+               CASE WHEN lag(o) OVER w IS NULL
+                 OR o - lag(o) OVER w > $PathGapUs THEN 1 ELSE 0 END AS ns
+             FROM e WINDOW w AS (PARTITION BY user_id
+               ORDER BY o, event_id)),
+           s2 AS (
+             SELECT *, sum(ns) OVER (PARTITION BY user_id
+               ORDER BY o, event_id ROWS UNBOUNDED PRECEDING) AS sid
+             FROM s),
+           p AS (
+             SELECT user_id, sid,
+               array_to_string(list_slice(
+                 list(t ORDER BY o, event_id), 1, $PathSteps),
+                 '->') AS path
+             FROM s2 GROUP BY 1, 2),
+           c AS (SELECT path, count(*) AS n_sessions FROM p GROUP BY 1)
+           SELECT path, n_sessions FROM c
+           ORDER BY n_sessions DESC, path LIMIT $PathTopN""",
+
+      "q_psi" -> psiSql(
+        """SELECT o_totalprice AS v FROM orders
+           WHERE strftime(o_orderdate, '%Y') = '1996'""",
+        """SELECT o_totalprice AS v FROM orders
+           WHERE strftime(o_orderdate, '%Y') = '1997'""",
+        PsiEdges),
+
+      "q_qsketch_weighted" -> Sketches.qQuantileWeightedSql(
+        """SELECT l_returnflag AS grp, l_extendedprice AS v,
+             l_quantity AS w FROM lineitem""",
+        "l_returnflag", QsQuantiles, lo = 0.0, hi = 110000.0),
 
       "q_boilerplate" ->
         """WITH src AS (

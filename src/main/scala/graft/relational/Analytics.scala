@@ -139,6 +139,88 @@ object Analytics {
       .unionByName(leftOld.join(rightDelta, on(leftOld, rightDelta)))
   }
 
+  /** Top user journeys: gap-sessionize the event log (new session when
+    * the gap between consecutive events exceeds `gapUs`, order
+    * `(orderCol, tieCol)`), render each session's first `maxSteps` event
+    * types as a `"a->b->c"` path, and return the `topN` most frequent
+    * paths with their session counts (ties broken path-ascending — a
+    * total order both engines replay).
+    *
+    * Shape at 100 TB: one per-entity window sort (lag + running sum — the
+    * sessionize bound: a task holds one user's history), one
+    * per-session aggregate whose state is the session's events capped in
+    * RENDERING at `maxSteps` (session length itself is gap-bounded by
+    * construction of real event streams; a runaway key degrades to one
+    * big list row, not a job failure), then a path count and a bounded
+    * TakeOrdered top-N — the full path relation never sorts globally. */
+  def topSessionPaths(events: DataFrame, userCol: String, orderCol: String,
+      tieCol: String, typeCol: String, gapUs: Long, maxSteps: Int,
+      topN: Int): DataFrame = {
+    require(gapUs > 0 && maxSteps >= 1 && topN >= 1,
+      s"bad args: gapUs=$gapUs maxSteps=$maxSteps topN=$topN")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(orderCol), col(tieCol))
+    val prev = lag(col(orderCol), 1).over(w)
+    val sessioned = events
+      .withColumn("__new",
+        when(prev.isNull || col(orderCol) - prev > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(w))
+    val paths = sessioned
+      .groupBy(col(userCol), col("__sid"))
+      .agg(sort_array(collect_list(struct(col(orderCol), col(tieCol),
+        col(typeCol).as("__t")))).as("__evs"))
+      .select(concat_ws("->",
+        slice(col("__evs.__t"), 1, maxSteps)).as("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topN)
+  }
+
+  /** Population stability index between a reference and a current
+    * snapshot of a numeric column — THE production drift gate for fitted
+    * pipelines (PSI < 0.1 stable, > 0.25 shifted). Bins are the caller's
+    * explicit `edges` (bin = #edges ≤ v, so both tails are open);
+    * fractions are Laplace-smoothed `(c + 0.5) / (n + 0.5·nbins)` —
+    * deterministic arithmetic, no epsilon tuning, zero-count bins
+    * contribute finitely. Returns one row
+    * `(n_ref, n_cur, psi)`, 6-dp.
+    *
+    * Shape at 100 TB: each side is ONE map-side-combined bin-count
+    * aggregate (≤ edges+1 rows out); the finish joins two
+    * bins-sized relations. Edges should come from reference quantiles —
+    * [[Sketches.qQuantile]] gives them from registers without a second
+    * corpus pass. */
+  def psi(ref: DataFrame, cur: DataFrame, valueCol: String,
+      edges: Seq[Double]): DataFrame = {
+    require(edges.nonEmpty && edges == edges.sorted,
+      "edges must be non-empty and ascending")
+    val nb = edges.size + 1
+    def binCounts(df: DataFrame, out: String): DataFrame = {
+      val v = col(valueCol).cast("double")
+      val bin = edges.map(e => when(v >= e, 1).otherwise(0))
+        .reduce(_ + _)
+      df.filter(v.isNotNull).groupBy(bin.as("__bin"))
+        .agg(count(lit(1)).as(out))
+    }
+    val r = binCounts(ref, "__cr")
+    val c = binCounts(cur, "__cc")
+    // the joined bin relation is ≤ nbins rows; materialize it once
+    // (localCheckpoint, eager) so the totals pass and the PSI sum don't
+    // each re-run the two corpus scans
+    val binsRel = r.join(c, Seq("__bin"), "full")
+      .select(coalesce(col("__cr"), lit(0L)).as("__cr"),
+        coalesce(col("__cc"), lit(0L)).as("__cc"))
+      .localCheckpoint(eager = true)
+    val totals = binsRel.agg(sum("__cr").as("__nr"),
+      sum("__cc").as("__nc"))
+    val p = (col("__cr") + 0.5) / (col("__nr") + lit(0.5) * nb)
+    val q = (col("__cc") + 0.5) / (col("__nc") + lit(0.5) * nb)
+    binsRel.crossJoin(broadcast(totals))
+      .agg(max("__nr").as("n_ref"), max("__nc").as("n_cur"),
+        round(sum((p - q) * log(p / q)), 6).as("psi"))
+  }
+
   /** Functional-dependency audit `detCols → depCol`: the determinant
     * values that VIOLATE the dependency (more than one distinct
     * dependent value), with their distinct-dependent and row counts —

@@ -428,6 +428,31 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** WEIGHTED quantile registers: identical bin geometry to [[qSketch]],
+    * counters = the summed integral weight instead of the row count — so
+    * [[qMerge]] and [[qQuantile]] work unchanged (a register is a
+    * register; the rank target just ranges over total weight). The
+    * weighted-median / weighted-percentile primitive: token-weighted
+    * document stats, revenue-weighted price quantiles. Weights are cast
+    * to long (quantize first if fractional — integer counters are what
+    * make merge bit-exact); null values and null/non-positive weights
+    * are dropped. Same 100-TB shape: ONE map-side-combined aggregate,
+    * registers ≤ bins rows per group. */
+  def qSketchWeighted(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, weightCol: String, lo: Double, hi: Double,
+      bins: Int = QBins): DataFrame = {
+    require(hi > lo, s"empty sketch range [$lo, $hi)")
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val v = col(valueCol).cast("double")
+    val w = col(weightCol).cast("long")
+    val raw = floor((v - lit(lo)) / lit(hi - lo) * lit(bins)).cast("long")
+    val bin = least(greatest(raw, lit(0L)), lit(bins - 1L))
+    df.filter(v.isNotNull && w.isNotNull && w > 0)
+      .select((groupCols.map(col) :+ bin.as("bin") :+ w.as("__w")): _*)
+      .groupBy((groupCols :+ "bin").map(col): _*)
+      .agg(sum(col("__w")).as("cnt"))
+  }
+
   /** Merge registers to a coarser grouping (caller derives the coarser
     * columns first): counter-wise sum — associative, so merged registers
     * are identical to sketching the coarse groups directly. */
@@ -617,6 +642,37 @@ object Sketches {
                    ${bins - 1}) AS bin,
                  count(*) AS cnt
                FROM src WHERE v IS NOT NULL GROUP BY 1, 2),
+       cum AS (SELECT grp, bin, sum(cnt) OVER (PARTITION BY grp
+                 ORDER BY bin) AS cum,
+                 sum(cnt) OVER (PARTITION BY grp) AS total
+               FROM reg),
+       qs(q_num, q_den) AS (VALUES $qRows)
+       SELECT cum.grp AS $grpName, qs.q_num, qs.q_den,
+         ($lo) + (min(cum.bin) + 1) * (${hi - lo}) / $bins AS est
+       FROM cum CROSS JOIN qs
+       WHERE cum.cum >= (cum.total * qs.q_num + qs.q_den - 1)
+         // qs.q_den
+       GROUP BY 1, 2, 3"""
+  }
+
+  /** [[qQuantileSql]] for the weighted sketch: `srcCte` must yield rows
+    * `(grp, v, w)`; counters are `sum(CAST(w AS BIGINT))` over the same
+    * bin geometry, with the same null/non-positive-weight drops as
+    * [[qSketchWeighted]]. */
+  private[graft] def qQuantileWeightedSql(srcCte: String, grpName: String,
+      quantiles: Seq[(Int, Int)], lo: Double, hi: Double,
+      bins: Int = QBins): String = {
+    val qRows = quantiles
+      .map { case (n, d) => s"($n, $d)" }.mkString(", ")
+    s"""WITH src AS ($srcCte),
+       reg AS (SELECT grp,
+                 least(greatest(CAST(floor((CAST(v AS DOUBLE) - ($lo))
+                   / (${hi - lo}) * $bins) AS BIGINT), 0),
+                   ${bins - 1}) AS bin,
+                 sum(CAST(w AS BIGINT)) AS cnt
+               FROM src WHERE v IS NOT NULL AND w IS NOT NULL
+                 AND CAST(w AS BIGINT) > 0
+               GROUP BY 1, 2),
        cum AS (SELECT grp, bin, sum(cnt) OVER (PARTITION BY grp
                  ORDER BY bin) AS cum,
                  sum(cnt) OVER (PARTITION BY grp) AS total

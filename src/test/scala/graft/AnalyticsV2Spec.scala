@@ -119,6 +119,63 @@ class AnalyticsV2Spec extends SparkSpec {
     assert(maintained.length == full.length)
   }
 
+  // ---- topSessionPaths ---------------------------------------------------
+
+  test("topSessionPaths: gap splits sessions, maxSteps caps rendering, " +
+      "ties rank path-ascending") {
+    val gap = 100L
+    val df = Seq(
+      // user 1, session 1: a->b ; session 2 (gap 500): a->b
+      (1L, 0L, 1L, "a"), (1L, 50L, 2L, "b"),
+      (1L, 600L, 3L, "a"), (1L, 650L, 4L, "b"),
+      // user 2: one long session a->b->c->d (maxSteps=3 -> a->b->c)
+      (2L, 0L, 5L, "a"), (2L, 10L, 6L, "b"), (2L, 20L, 7L, "c"),
+      (2L, 30L, 8L, "d"),
+      // user 3: single event
+      (3L, 0L, 9L, "z")
+    ).toDF("u", "o", "id", "t")
+    val got = graft.relational.Analytics.topSessionPaths(df, "u", "o",
+        "id", "t", gapUs = gap, maxSteps = 3, topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a->b", 2L), ("a->b->c", 1L), ("z", 1L)))
+  }
+
+  test("topSessionPaths: order within session is (orderCol, tieCol), " +
+      "not arrival order") {
+    val df = Seq((1L, 10L, 2L, "b"), (1L, 10L, 1L, "a"), (1L, 5L, 9L, "z"))
+      .toDF("u", "o", "id", "t")
+    val got = graft.relational.Analytics.topSessionPaths(df, "u", "o",
+        "id", "t", gapUs = 1000L, maxSteps = 5, topN = 1)
+      .head().getString(0)
+    assert(got == "z->a->b")
+  }
+
+  // ---- psi ---------------------------------------------------------------
+
+  test("psi: identical snapshots score 0; a shifted snapshot scores the " +
+      "hand-computed smoothed value") {
+    val ref = (1 to 50).map(_.toDouble).toDF("v")
+    val same = graft.relational.Analytics.psi(ref, ref, "v",
+      Seq(10.0, 20.0, 30.0, 40.0)).head()
+    assert(same.getLong(0) == 50L && same.getLong(1) == 50L)
+    assert(same.getDouble(2) == 0.0)
+    // shift everything into the top bin
+    val cur = (1 to 50).map(_ => 45.0).toDF("v")
+    val r = graft.relational.Analytics.psi(ref, cur, "v",
+      Seq(10.0, 20.0, 30.0, 40.0)).head()
+    val nb = 5
+    def frac(c: Long, n: Long) = (c + 0.5) / (n + 0.5 * nb)
+    // ref: bins (9, 10, 10, 10, 11); cur: (0, 0, 0, 0, 50)
+    val refC = Seq(9L, 10L, 10L, 10L, 11L)
+    val curC = Seq(0L, 0L, 0L, 0L, 50L)
+    val expect = refC.zip(curC).map { case (a, b) =>
+      val (p, q) = (frac(a, 50), frac(b, 50))
+      (p - q) * math.log(p / q)
+    }.sum
+    assert(math.abs(r.getDouble(2) - expect) < 1e-6)
+    assert(r.getDouble(2) > 1.0) // grossly shifted
+  }
+
   // ---- fdViolations ------------------------------------------------------
 
   test("fdViolations: only violating determinants surface; null " +

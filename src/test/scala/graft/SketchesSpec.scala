@@ -236,6 +236,28 @@ class SketchesSpec extends SparkSpec {
     assert(med == 20.0)
   }
 
+  test("weighted quantile sketch: weight-1 equals the unweighted sketch; " +
+      "weighted median lands in the weight-mass bin") {
+    val vals = Seq(1.0, 5.0, 9.0).flatMap(v => Seq.fill(4)(("g", v)))
+      .toDF("grp", "v").withColumn("w", lit(1L))
+    val a = Sketches.qSketch(vals, Seq("grp"), "v", lo = 0.0, hi = 10.0,
+      bins = 10).orderBy("bin").collect().toSeq
+    val b = Sketches.qSketchWeighted(vals, Seq("grp"), "v", "w",
+      lo = 0.0, hi = 10.0, bins = 10).orderBy("bin").collect().toSeq
+    assert(a == b)
+    // value 9 carries 90% of the weight -> weighted median in its bin
+    val wdf = Seq(("g", 1.0, 1L), ("g", 9.0, 9L)).toDF("grp", "v", "w")
+    val med = Sketches.qQuantile(
+      Sketches.qSketchWeighted(wdf, Seq("grp"), "v", "w", 0.0, 10.0, 10),
+      Seq("grp"), Seq((1, 2)), 0.0, 10.0, 10)
+      .head().getDouble(3)
+    assert(med == 10.0) // bin 9's upper edge
+    // zero/negative/null weights dropped
+    val drop = Seq(("g", 1.0, 0L), ("g", 2.0, -3L)).toDF("grp", "v", "w")
+    assert(Sketches.qSketchWeighted(drop, Seq("grp"), "v", "w",
+      0.0, 10.0, 10).count() == 0)
+  }
+
   test("hh: base sketch keeps exact top-k counts and the (k+1)-th floor") {
     // zipf-ish: item i appears (40 - i) times
     val rows = (0 until 40).flatMap(i =>
