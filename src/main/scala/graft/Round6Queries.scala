@@ -455,7 +455,24 @@ object Round6Queries {
       Sketches.qQuantile(
         Sketches.qSketchWeighted(t(s, d, "lineitem"), Seq("l_returnflag"),
           "l_extendedprice", "l_quantity", lo = 0.0, hi = 110000.0),
-        Seq("l_returnflag"), QsQuantiles, lo = 0.0, hi = 110000.0))
+        Seq("l_returnflag"), QsQuantiles, lo = 0.0, hi = 110000.0)),
+
+    // recency-decayed activity score after every event (α=1/2, last 4):
+    // power-of-two weights make the fold bit-exact in any engine
+    "q_decay" -> ((s, d) =>
+      graft.relational.Analytics.decayedValue(
+        DataQueries.readEventsMicros(s, d),
+        Seq("user_id"), "tsu", "event_id", "value", "decayed",
+        alpha = DecayAlpha, lastN = DecayN)
+        .select("event_id", "user_id", "decayed")),
+
+    // funnel with a 2-hour per-step conversion window: stale journeys
+    // the unbounded q_funnel counts are nulled here
+    "q_funnel_within" -> ((s, d) =>
+      graft.relational.Analytics.funnelWithin(
+        DataQueries.readEventsMicros(s, d).withColumn("o", col("tsu")),
+        "user_id", "o", "event_type", Seq("view", "click", "purchase"),
+        windowUs = FunnelWindowUs))
   )
 
   private val PathGapUs = 1800000000L // 30 min
@@ -463,6 +480,23 @@ object Round6Queries {
   private val PathTopN = 20
   private val PsiEdges = Seq(50000.0, 100000.0, 150000.0, 200000.0,
     250000.0)
+  private val DecayAlpha = 0.5
+  private val DecayN = 4
+  private val FunnelWindowUs = 7200000000L // 2 h
+
+  /** Decay oracle generated from the same (alpha, lastN) constants:
+    * power-of-two weights ⇒ exact products, fixed fold order ⇒ the sum
+    * replays bit-for-bit — no rounding anywhere. */
+  private def decaySql(alpha: Double, lastN: Int): String = {
+    val terms = (0 until lastN).map { j =>
+      val src = if (j == 0) "value" else s"lag(value, $j) OVER w"
+      s"coalesce($src, 0.0) * ${alpha * math.pow(1 - alpha, j)}"
+    }.mkString(" + ")
+    s"""SELECT event_id, user_id, $terms AS decayed
+       FROM events
+       WINDOW w AS (PARTITION BY user_id
+         ORDER BY epoch_us(ts), event_id)"""
+  }
 
   /** PSI oracle generated from the same edges/smoothing constants the
     * Spark side runs with (repo pattern: iterative/parameterized ops get
@@ -705,6 +739,34 @@ object Round6Queries {
         """SELECT l_returnflag AS grp, l_extendedprice AS v,
              l_quantity AS w FROM lineitem""",
         "l_returnflag", QsQuantiles, lo = 0.0, hi = 110000.0),
+
+      "q_decay" -> decaySql(DecayAlpha, DecayN),
+
+      "q_funnel_within" ->
+        s"""WITH e AS (
+             SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS o,
+               event_type AS t
+             FROM events),
+           s1 AS (
+             SELECT user_id, min(o) AS step_1 FROM e
+             WHERE t = 'view' GROUP BY 1),
+           s2 AS (
+             SELECT s1.user_id, s1.step_1,
+               min(CASE WHEN e.o > s1.step_1
+                 AND e.o <= s1.step_1 + $FunnelWindowUs
+                 THEN e.o END) AS step_2
+             FROM s1 LEFT JOIN e
+               ON e.user_id = s1.user_id AND e.t = 'click'
+             GROUP BY 1, 2),
+           s3 AS (
+             SELECT s2.user_id, s2.step_1, s2.step_2,
+               min(CASE WHEN e.o > s2.step_2
+                 AND e.o <= s2.step_2 + $FunnelWindowUs
+                 THEN e.o END) AS step_3
+             FROM s2 LEFT JOIN e
+               ON e.user_id = s2.user_id AND e.t = 'purchase'
+             GROUP BY 1, 2, 3)
+           SELECT user_id, step_1, step_2, step_3 FROM s3""",
 
       "q_boilerplate" ->
         """WITH src AS (

@@ -139,6 +139,59 @@ object Analytics {
       .unionByName(leftOld.join(rightDelta, on(leftOld, rightDelta)))
   }
 
+  /** Per-key exponentially-decayed value: after every event, the decayed
+    * sum `Σ_{j=0..lastN-1} v_{i−j} · α·(1−α)^j` over the key's last
+    * `lastN` events in `(orderCol, tieCol)` order (older events beyond
+    * the horizon truncated — the (1−α)^lastN tail is the documented
+    * error, and the bound is what keeps the computation windowed). The
+    * recency-weighted activity score behind feature freshness and decay
+    * ranking. Null values contribute zero.
+    *
+    * Exactness: with α an inverse power of two (default 0.5) every
+    * weight is a power of two, so each product is exact IEEE scaling
+    * and the fixed left-to-right sum is bit-identical in any engine —
+    * the oracle needs no rounding. One per-key window sort evaluates
+    * all `lastN` lags; no self-join, no collect. */
+  def decayedValue(df: DataFrame, keys: Seq[String], orderCol: String,
+      tieCol: String, valueCol: String, out: String,
+      alpha: Double = 0.5, lastN: Int = 8): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
+    require(lastN >= 1, s"lastN >= 1, got $lastN")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol), col(tieCol))
+    val terms = (0 until lastN).map { j =>
+      coalesce(lag(col(valueCol), j).over(w), lit(0.0)) *
+        lit(alpha * math.pow(1 - alpha, j))
+    }
+    df.withColumn(out, terms.reduceLeft(_ + _))
+  }
+
+  /** Time-bounded conversion funnel: like [[Relational.funnel]] but each
+    * step must land within `windowUs` of the PREVIOUS step (the
+    * "clicked within an hour of viewing" product question — the
+    * unbounded funnel overcounts stale journeys). Same shape: per-step
+    * min-aggregates folded left, persisted accumulators, user-bounded
+    * state — one aggregate per step, never a per-user sort. */
+  def funnelWithin(df: DataFrame, userCol: String, orderCol: String,
+      typeCol: String, steps: Seq[String], windowUs: Long): DataFrame = {
+    require(steps.size >= 2, s"need >= 2 steps, got ${steps.size}")
+    require(windowUs > 0, s"windowUs > 0, got $windowUs")
+    val first = df.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(orderCol).as("step_1"))
+    steps.tail.zipWithIndex.foldLeft(first) { case (acc0, (s, i)) =>
+      val acc = acc0.persist()
+      val prev = s"step_${i + 1}"
+      val outC = s"step_${i + 2}"
+      val carried = acc.columns.toSeq
+      df.filter(col(typeCol) === s)
+        .select(col(userCol), col(orderCol).as("__o"))
+        .join(acc, Seq(userCol), "right")
+        .groupBy(carried.map(col): _*)
+        .agg(min(when(col("__o") > col(prev) &&
+          col("__o") <= col(prev) + windowUs, col("__o"))).as(outC))
+    }
+  }
+
   /** Top user journeys: gap-sessionize the event log (new session when
     * the gap between consecutive events exceeds `gapUs`, order
     * `(orderCol, tieCol)`), render each session's first `maxSteps` event

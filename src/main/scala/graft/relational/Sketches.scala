@@ -557,12 +557,17 @@ object Sketches {
     val heads = counts.groupBy(groupCols.map(col): _*)
       .agg(graft.functions.TopK.collect_top_counts(
         struct(col("cnt"), col("item")), k + 1).as("__top"))
-    val withFloor = floors match {
+    val withFloor0 = floors match {
       case None => heads.withColumn("__floor", lit(0L))
       case Some(f) =>
         heads.join(f, groupCols, "left")
           .withColumn("__floor", coalesce(col("__floor"), lit(0L)))
     }
+    // kept + floorRows both read this relation: materialize it once
+    // (groups × one array row — bounded by construction) so the union's
+    // two branches don't each re-run the upstream count aggregate —
+    // without this the BASE sketch scans the corpus twice
+    val withFloor = withFloor0.localCheckpoint(eager = true)
     val kept = withFloor.select(groupCols.map(col) :+
         posexplode(col("__top")).as(Seq("__pos", "__t")): _*)
       .filter(col("__pos") < k)

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.relational.{Analytics, Sketches}
+
+/** Physical-plan shape guards for the analytics operators: the claims in
+  * SCALE.md ("one shuffle", "no window over the distinct-item relation",
+  * "bounded top-N") asserted against the actual plans, so a refactor
+  * that silently degrades a plan fails here, not in a bench artifact two
+  * rounds later. */
+class AnalyticsPlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def exchanges(p: String): Int = p.sliding(9).count(_ == "Exchange ")
+
+  test("groupedOls is ONE map-side-combined aggregate: a single exchange, " +
+      "no join, no window") {
+    val df = Seq(("g", 1.0, 2.0), ("g", 2.0, 4.0)).toDF("g", "x", "y")
+    val p = plan(Analytics.groupedOls(df, Seq("g"), "x", "y"))
+    assert(exchanges(p) == 1, p.take(500))
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(500))
+  }
+
+  test("fdViolations has no join and no window; the distinct rides the " +
+      "aggregate") {
+    val df = Seq(("a", "x"), ("b", "y")).toDF("det", "dep")
+    val p = plan(Analytics.fdViolations(df, Seq("det"), "dep"))
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(500))
+    assert(exchanges(p) <= 2, p.take(500))
+  }
+
+  test("hh truncation stage is the bounded heap aggregate over the count " +
+      "relation — no Window anywhere; the sketch output reads a " +
+      "checkpoint (corpus scanned once, not once per union branch)") {
+    val df = Seq(("g", "s1", "a"), ("g", "s2", "b")).toDF("grp", "sub", "k")
+    // the truncation stage as hhSketch builds it (pre-checkpoint)
+    val counts = df.groupBy(col("grp"),
+        col("k").cast("string").as("item"))
+      .agg(count(lit(1)).as("cnt"))
+    val heads = counts.groupBy(col("grp"))
+      .agg(graft.functions.TopK.collect_top_counts(
+        struct(col("cnt"), col("item")), 3))
+    val hp = plan(heads)
+    assert(hp.contains("collecttopcounts") && !hp.contains("Window"), hp)
+    // the materialized register relation: both union branches read the
+    // checkpointed rows — no aggregate re-run in the final plan
+    val reg = Sketches.hhSketch(df, Seq("grp", "sub"), "k", k = 2)
+    val p = plan(Sketches.hhMerge(reg.drop("sub"), Seq("grp"), k = 2))
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"), p)
+    assert(!p.contains("partial_count"), p)
+  }
+
+  test("skyline2 plans no cartesian/broadcast-nested-loop and finishes " +
+      "with a semi-join") {
+    val df = Seq(("g", 1, 2), ("g", 2, 1)).toDF("g", "d1", "d2")
+    val p = plan(Analytics.skyline2(df, Seq("g"), "d1", "d2"))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    assert(p.contains("LeftSemi"), p.take(600))
+  }
+
+  test("topSessionPaths finishes with a bounded TakeOrdered, not a " +
+      "global sort") {
+    // enough rows that the optimizer cannot prove maxRows <= topN and
+    // fold the limit away (which would leave a plain global sort)
+    val df = (1 to 40).map(i => (i.toLong, 1L, i.toLong, "a"))
+      .toDF("u", "o", "id", "t")
+    val p = plan(Analytics.topSessionPaths(df, "u", "o", "id", "t",
+      gapUs = 10L, maxSteps = 3, topN = 5))
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+  }
+
+  test("decayedValue evaluates every lag in ONE window over one sort") {
+    val df = Seq((1L, 1L, 1L, 1.0)).toDF("u", "o", "id", "v")
+    val p = plan(Analytics.decayedValue(df, Seq("u"), "o", "id", "v",
+      "dec", lastN = 4))
+    assert(p.sliding(7).count(_ == "Window ") == 1, p.take(600))
+    assert(!p.contains("Join"), p.take(600))
+  }
+
+  test("attribution sorts each user's history ONCE and never self-joins " +
+      "the event log") {
+    val df = Seq((1L, 1L, 1L, "ad", 0.0), (1L, 2L, 2L, "buy", 1.0))
+      .toDF("u", "o", "id", "t", "v")
+    val p = plan(Analytics.attribution(df, "u", "o", "id", "t", "v", "buy"))
+    // the two running touches ride one per-user sort (two pipelined
+    // Window nodes, no second Sort/Exchange between them) and the only
+    // exchanges are the user partition + the final cells aggregate
+    assert(p.sliding(5).count(_ == "Sort ") == 1, p.take(700))
+    assert(exchanges(p) == 2, p.take(700))
+    assert(!p.contains("Join"), p.take(700))
+  }
+}

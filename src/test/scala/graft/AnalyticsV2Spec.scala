@@ -119,6 +119,41 @@ class AnalyticsV2Spec extends SparkSpec {
     assert(maintained.length == full.length)
   }
 
+  // ---- decayedValue ------------------------------------------------------
+
+  test("decayedValue: hand-traced horizon, truncation, null-as-zero") {
+    val df = Seq((1L, 1L, 1L, Some(1.0)), (1L, 2L, 2L, Some(2.0)),
+      (1L, 3L, 3L, Some(4.0)), (1L, 4L, 4L, None),
+      (2L, 1L, 5L, Some(8.0)))
+      .toDF("u", "o", "id", "v")
+    def run(n: Int) = graft.relational.Analytics.decayedValue(
+      df, Seq("u"), "o", "id", "v", "dec", alpha = 0.5, lastN = n)
+      .collect().map(r => r.getLong(2) -> r.getDouble(4)).toMap
+    val n2 = run(2)
+    assert(n2(1L) == 0.5 && n2(2L) == 1.25 && n2(3L) == 2.5)
+    assert(n2(4L) == 1.0) // null now, 4.0 one back: 0 + 4*0.25
+    assert(n2(5L) == 4.0) // other key unaffected
+    val n3 = run(3)
+    assert(n3(3L) == 2.625) // horizon reaches the first event
+  }
+
+  // ---- funnelWithin ------------------------------------------------------
+
+  test("funnelWithin: step outside the window nulls; within converts") {
+    val df = Seq(
+      (1L, 0L, "view"), (1L, 100L, "click"), (1L, 300L, "purchase"),
+      (2L, 0L, "view"), (2L, 100L, "click"), (2L, 200L, "purchase"),
+      (3L, 0L, "view"), (3L, 500L, "click")
+    ).toDF("u", "o", "t")
+    val got = graft.relational.Analytics.funnelWithin(df, "u", "o", "t",
+        Seq("view", "click", "purchase"), windowUs = 150L)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(got(1L) == ((Some(0L), Some(100L), None))) // purchase too late
+    assert(got(2L) == ((Some(0L), Some(100L), Some(200L))))
+    assert(got(3L) == ((Some(0L), None, None))) // click too late
+  }
+
   // ---- topSessionPaths ---------------------------------------------------
 
   test("topSessionPaths: gap splits sessions, maxSteps caps rendering, " +
