@@ -472,7 +472,20 @@ object Round6Queries {
       graft.relational.Analytics.funnelWithin(
         DataQueries.readEventsMicros(s, d).withColumn("o", col("tsu")),
         "user_id", "o", "event_type", Seq("view", "click", "purchase"),
-        windowUs = FunnelWindowUs))
+        windowUs = FunnelWindowUs)),
+
+    // rolling 7-day distinct users per day, from the daily HLL register
+    // relation alone — the corpus is scanned once for the daily
+    // sketches and never again
+    "q_hll_rolling" -> ((s, d) => {
+      val e = DataQueries.readEventsMicros(s, d)
+        .withColumn("day", expr("tsu div 86400000000"))
+      Sketches.hllEstimate(
+        Sketches.hllRolling(
+          Sketches.hllSketch(e, Seq("day"), "user_id"),
+          "day", window = RollWindow),
+        Seq("day"))
+    })
   )
 
   private val PathGapUs = 1800000000L // 30 min
@@ -483,6 +496,7 @@ object Round6Queries {
   private val DecayAlpha = 0.5
   private val DecayN = 4
   private val FunnelWindowUs = 7200000000L // 2 h
+  private val RollWindow = 7
 
   /** Decay oracle generated from the same (alpha, lastN) constants:
     * power-of-two weights ⇒ exact products, fixed fold order ⇒ the sum
@@ -741,6 +755,16 @@ object Round6Queries {
         "l_returnflag", QsQuantiles, lo = 0.0, hi = 110000.0),
 
       "q_decay" -> decaySql(DecayAlpha, DecayN),
+
+      // each event feeds the RollWindow windows its day contributes to;
+      // the whole estimator chain then replays per window
+      "q_hll_rolling" -> Sketches.estimateSql(
+        s"""SELECT (CAST(epoch_us(ts) AS BIGINT) // 86400000000) + off.o
+               AS grp,
+             CAST(user_id AS VARCHAR) AS k
+           FROM events CROSS JOIN
+             (SELECT unnest(range(0, $RollWindow)) AS o) off""",
+        "day"),
 
       "q_funnel_within" ->
         s"""WITH e AS (

@@ -75,6 +75,28 @@ object Sketches {
       .groupBy((groupCols :+ "bucket").map(col): _*)
       .agg(max(col("rho")).as("rho"))
 
+  /** ROLLING-window merge: each period's registers contribute to the
+    * `window` trailing windows ending at `period … period + window − 1`,
+    * then one max-merge per window — rolling distinct counts (the
+    * "7-day uniques per day" question) computed ENTIRELY from the daily
+    * register relation: the corpus is never rescanned and no
+    * count-distinct-over-window funnel exists anywhere. Register rows
+    * explode ×window (registers are ≤ m per period — bounded state, not
+    * data), so the shuffle carries ≤ m·window rows per period.
+    * `periodCol` must be integral (epoch-day, epoch-week…); windows at
+    * the range edges estimate over the periods that exist. */
+  def hllRolling(registers: DataFrame, periodCol: String, window: Int)
+      : DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    hllMerge(
+      registers
+        .withColumn("__win", explode(sequence(col(periodCol),
+          col(periodCol) + (window - 1))))
+        .drop(periodCol)
+        .withColumnRenamed("__win", periodCol),
+      Seq(periodCol))
+  }
+
   /** HLL estimate per group from registers: `(groupCols…, est)` (6 dp).
     * Scaled-integer indicator sum (exact), linear-counting correction for
     * the small range (raw ≤ 2.5 m with empty registers). */

@@ -258,6 +258,20 @@ class SketchesSpec extends SparkSpec {
       0.0, 10.0, 10).count() == 0)
   }
 
+  test("hll rolling: window merge of daily registers == sketching each " +
+      "trailing window from raw, register-for-register") {
+    val rows = (0 until 400).map(i => (i % 10L, s"u${i % 57}"))
+      .toDF("day", "k")
+    val daily = Sketches.hllSketch(rows, Seq("day"), "k")
+    val rolled = Sketches.hllRolling(daily, "day", window = 3)
+      .collect().map(r => (r.get(0), r.get(1)) -> r.get(2)).toMap
+    val direct = Sketches.hllSketch(
+      rows.withColumn("day", explode(sequence(col("day"),
+        col("day") + 2))), Seq("day"), "k")
+      .collect().map(r => (r.get(0), r.get(1)) -> r.get(2)).toMap
+    assert(rolled == direct && rolled.nonEmpty)
+  }
+
   test("hh: base sketch keeps exact top-k counts and the (k+1)-th floor") {
     // zipf-ish: item i appears (40 - i) times
     val rows = (0 until 40).flatMap(i =>
