@@ -474,6 +474,19 @@ object Round6Queries {
         "user_id", "o", "event_type", Seq("view", "click", "purchase"),
         windowUs = FunnelWindowUs)),
 
+    // k-core of the customer-part co-purchase graph: synchronous
+    // peeling to the subgraph where every node keeps >= k co-purchase
+    // partners — the dense-collaboration extraction
+    "q_kcore" -> ((s, d) => {
+      val cp = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+        .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("c"),
+          concat(lit("p"), col("l_partkey")).as("p"))
+      graft.relational.Graph.kCore(cp, "c", "p", k = KcK,
+        maxRounds = KcRounds)
+    }),
+
     // rolling 7-day distinct users per day, from the daily HLL register
     // relation alone — the corpus is scanned once for the daily
     // sketches and never again
@@ -497,6 +510,8 @@ object Round6Queries {
   private val DecayN = 4
   private val FunnelWindowUs = 7200000000L // 2 h
   private val RollWindow = 7
+  private val KcK = 8
+  private val KcRounds = 6
 
   /** Decay oracle generated from the same (alpha, lastN) constants:
     * power-of-two weights ⇒ exact products, fixed fold order ⇒ the sum
@@ -1048,6 +1063,12 @@ object Round6Queries {
         """SELECT o_orderpriority AS grp, CAST(o_custkey AS VARCHAR) AS k
            FROM orders WHERE year(o_orderdate) = 1997""",
         "o_orderpriority"),
+
+      "q_kcore" -> graft.relational.Graph.kCoreSql(
+        """SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+             'p' || CAST(l.l_partkey AS VARCHAR) AS dst
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""",
+        k = KcK, maxRounds = KcRounds),
 
       "q_bfs" -> graft.relational.Graph.shortestPathsSql(
         """SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,

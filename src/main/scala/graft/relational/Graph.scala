@@ -181,6 +181,77 @@ object Graph {
        |SELECT node, CAST(dist AS BIGINT) AS dist FROM v$maxHops""".stripMargin
   }
 
+  /** k-core decomposition by synchronous peeling: after `maxRounds`
+    * rounds of "drop every node whose degree within the surviving set
+    * is < k", the surviving nodes with their within-core degrees —
+    * the standard dense-subgraph / spam-cluster / collaboration-core
+    * extraction. Edges are symmetrized and deduped (undirected simple
+    * graph); self-loops dropped.
+    *
+    * Peeling is monotone (the active set only shrinks), so a converged
+    * round is a FIXPOINT: Spark short-circuits when a round removes
+    * nothing, while the generated oracle ([[kCoreSql]]) always unrolls
+    * all `maxRounds` — identical output either way, which is what makes
+    * the early exit safe under the oracle. Per round: one join of the
+    * persisted edge relation against the (checkpointed, node-sized)
+    * active set + one count aggregate — work is edges-bound and shrinks
+    * with the active set; nothing is ever quadratic. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxRounds: Int): DataFrame = {
+    require(k >= 1 && maxRounds >= 1 && maxRounds <= 30,
+      s"need k >= 1, 1 <= maxRounds <= 30; got k=$k rounds=$maxRounds")
+    val dir = edges.select(col(srcCol).cast("string").as("s"),
+      col(dstCol).cast("string").as("d"))
+    val e = dir.union(dir.select(col("d").as("s"), col("s").as("d")))
+      .filter(col("s") =!= col("d")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def coreDegrees(active: DataFrame): DataFrame =
+      e.join(active.withColumnRenamed("node", "s"), "s")
+        .join(active.withColumnRenamed("node", "d"), "d")
+        .groupBy(col("s").as("node")).agg(count(lit(1)).as("deg"))
+    var active = e.select(col("s").as("node")).distinct()
+      .localCheckpoint(true)
+    var nActive = active.count()
+    var round = 1
+    var done = nActive == 0L
+    while (round <= maxRounds && !done) {
+      val next = coreDegrees(active).filter(col("deg") >= k)
+        .select("node").localCheckpoint(true)
+      val m = next.count()
+      if (m == nActive) done = true // fixpoint: further rounds identical
+      else { active = next; nActive = m; round += 1 }
+    }
+    val out = coreDegrees(active)
+    e.unpersist(blocking = false)
+    out
+  }
+
+  /** Generated k-core oracle: the identical peeling replay as unrolled
+    * SQL CTEs from the same (k, maxRounds). `edgesCte` must yield
+    * (src, dst). */
+  def kCoreSql(edgesCte: String, k: Int, maxRounds: Int): String = {
+    val rounds = (1 to maxRounds).map { r =>
+      s"""d$r AS (
+         |  SELECT und.s AS node, count(*) AS deg
+         |  FROM und JOIN a${r - 1} x ON und.s = x.node
+         |           JOIN a${r - 1} y ON und.d = y.node
+         |  GROUP BY 1),
+         |a$r AS (SELECT node FROM d$r WHERE deg >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS ($edgesCte),
+       |dirn AS (SELECT CAST(src AS VARCHAR) AS s,
+       |           CAST(dst AS VARCHAR) AS d FROM e0),
+       |und AS (SELECT DISTINCT s, d FROM
+       |  (SELECT s, d FROM dirn UNION ALL SELECT d, s FROM dirn)
+       |  WHERE s <> d),
+       |a0 AS (SELECT DISTINCT s AS node FROM und),
+       |$rounds
+       |SELECT und.s AS node, count(*) AS deg
+       |FROM und JOIN a$maxRounds x ON und.s = x.node
+       |         JOIN a$maxRounds y ON und.d = y.node
+       |GROUP BY 1""".stripMargin
+  }
+
   /** Generated oracle: the identical integer replay as unrolled SQL CTEs
     * (the [[graft.Round6Queries]] k-means convention — oracle SQL built
     * from the SAME parameters the Spark query runs with, so the sides

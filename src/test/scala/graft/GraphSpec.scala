@@ -100,4 +100,48 @@ class GraphSpec extends SparkSpec {
     val got = bfs(Seq(("a", "b"), ("b", "c"), ("c", "a")), Seq("a"), 10)
     assert(got == Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
   }
+
+  private def kcore(edges: Seq[(String, String)], k: Int, rounds: Int = 20)
+      : Map[String, Long] = {
+    import spark.implicits._
+    Graph.kCore(edges.toDF("s", "d"), "s", "d", k, rounds)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("kcore: pendant peels off a triangle; cascade empties a near-K4; " +
+      "K4 survives its own 3-core") {
+    val tri = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "t"))
+    assert(kcore(tri, 2) == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    val k4 = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d"))
+    assert(kcore(k4, 3) == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    // K4 minus one edge: two deg-3 nodes depend on the two deg-2 nodes —
+    // the 3-core cascades to empty, not to a partial survivor set
+    assert(kcore(k4.filterNot(_ == ("a", "b")), 3).isEmpty)
+  }
+
+  test("kcore equals a driver-side peeling fixpoint on random graphs; " +
+      "duplicate and reversed edges collapse") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val edges = (1 to 80).map(_ => (s"n${rnd.nextInt(16)}",
+        s"n${rnd.nextInt(16)}"))
+      val k = rnd.nextInt(3) + 2
+      // driver fixpoint over the undirected simple graph
+      val und = edges.flatMap(e => Seq(e, e.swap)).filter(e => e._1 != e._2)
+        .distinct
+      var act = und.map(_._1).toSet
+      var stable = false
+      while (!stable) {
+        val deg = und.filter(e => act(e._1) && act(e._2))
+          .groupBy(_._1).map { case (n, v) => n -> v.size }
+        val next = deg.filter(_._2 >= k).keySet
+        stable = next == act
+        act = next
+      }
+      val expect = und.filter(e => act(e._1) && act(e._2))
+        .groupBy(_._1).map { case (n, v) => n -> v.size.toLong }
+      assert(kcore(edges, k) == expect, s"trial $trial k=$k")
+    }
+  }
 }
