@@ -474,6 +474,26 @@ object Round6Queries {
         "user_id", "o", "event_type", Seq("view", "click", "purchase"),
         windowUs = FunnelWindowUs)),
 
+    // categorical drift: priority-mix PSI between 1996 and 1997 orders
+    "q_psi_cat" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      def yr(y: Int) = o.filter(year(col("o_orderdate")) === y)
+      graft.relational.Analytics.psiCategorical(yr(1996), yr(1997),
+        "o_orderpriority")
+    }),
+
+    // KS drift from archived quantile registers alone: per priority,
+    // max ECDF gap between 1996 and 1997 order totals at bin edges —
+    // zero corpus rescans once the registers exist
+    "q_ks" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      def reg(y: Int) = Sketches.qSketch(
+        o.filter(year(col("o_orderdate")) === y),
+        Seq("o_orderpriority"), "o_totalprice", lo = KsLo, hi = KsHi)
+      graft.relational.Analytics.ksFromRegisters(reg(1996), reg(1997),
+        Seq("o_orderpriority"))
+    }),
+
     // k-core of the customer-part co-purchase graph: synchronous
     // peeling to the subgraph where every node keeps >= k co-purchase
     // partners — the dense-collaboration extraction
@@ -512,6 +532,38 @@ object Round6Queries {
   private val RollWindow = 7
   private val KcK = 8
   private val KcRounds = 6
+  private val KsLo = 0.0
+  private val KsHi = 500000.0
+  private val KsBins = 4096
+
+  /** KS oracle from the same register geometry: two reg CTEs, cumulative
+    * fractions at bin edges, max absolute gap — integer counters and
+    * single divisions, no rounding. */
+  private def ksSql(refCte: String, curCte: String, grpName: String,
+      lo: Double, hi: Double, bins: Int): String = {
+    def reg(src: String, name: String, cnt: String) =
+      s"""$name AS (SELECT grp,
+           least(greatest(CAST(floor((CAST(v AS DOUBLE) - ($lo))
+             / (${hi - lo}) * $bins) AS BIGINT), 0),
+             ${bins - 1}) AS bin,
+           count(*) AS $cnt
+         FROM ($src) WHERE v IS NOT NULL GROUP BY 1, 2)"""
+    s"""WITH ${reg(refCte, "ra", "ca")},
+       ${reg(curCte, "rb", "cb")},
+       j AS (SELECT coalesce(ra.grp, rb.grp) AS grp,
+               coalesce(ra.bin, rb.bin) AS bin,
+               coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+             FROM ra FULL JOIN rb
+               ON ra.grp = rb.grp AND ra.bin = rb.bin),
+       c AS (SELECT grp, bin,
+               CAST(sum(ca) OVER (PARTITION BY grp ORDER BY bin)
+                 AS DOUBLE) / sum(ca) OVER (PARTITION BY grp) AS da,
+               CAST(sum(cb) OVER (PARTITION BY grp ORDER BY bin)
+                 AS DOUBLE) / sum(cb) OVER (PARTITION BY grp) AS db
+             FROM j)
+       SELECT grp AS $grpName, max(abs(da - db)) AS ks
+       FROM c GROUP BY 1"""
+  }
 
   /** Decay oracle generated from the same (alpha, lastN) constants:
     * power-of-two weights ⇒ exact products, fixed fold order ⇒ the sum
@@ -1063,6 +1115,40 @@ object Round6Queries {
         """SELECT o_orderpriority AS grp, CAST(o_custkey AS VARCHAR) AS k
            FROM orders WHERE year(o_orderdate) = 1997""",
         "o_orderpriority"),
+
+      "q_psi_cat" ->
+        """WITH refc AS (
+             SELECT CAST(o_orderpriority AS VARCHAR) AS c,
+               count(*) AS cr
+             FROM orders
+             WHERE strftime(o_orderdate, '%Y') = '1996'
+               AND o_orderpriority IS NOT NULL GROUP BY 1),
+           curc AS (
+             SELECT CAST(o_orderpriority AS VARCHAR) AS c,
+               count(*) AS cc
+             FROM orders
+             WHERE strftime(o_orderdate, '%Y') = '1997'
+               AND o_orderpriority IS NOT NULL GROUP BY 1),
+           j AS (SELECT coalesce(cr, 0) AS cr, coalesce(cc, 0) AS cc
+                 FROM refc FULL JOIN curc ON refc.c = curc.c),
+           t AS (SELECT sum(cr) AS nr, sum(cc) AS nc, count(*) AS nb
+                 FROM j)
+           SELECT CAST(t.nr AS BIGINT) AS n_ref,
+             CAST(t.nc AS BIGINT) AS n_cur,
+             CAST(t.nb AS BIGINT) AS n_categories,
+             round(sum(
+               ((cr + 0.5) / (t.nr + 0.5 * t.nb) -
+                (cc + 0.5) / (t.nc + 0.5 * t.nb)) *
+               ln(((cr + 0.5) / (t.nr + 0.5 * t.nb)) /
+                  ((cc + 0.5) / (t.nc + 0.5 * t.nb)))), 6) AS psi
+           FROM j CROSS JOIN t GROUP BY 1, 2, 3""",
+
+      "q_ks" -> ksSql(
+        """SELECT o_orderpriority AS grp, o_totalprice AS v FROM orders
+           WHERE strftime(o_orderdate, '%Y') = '1996'""",
+        """SELECT o_orderpriority AS grp, o_totalprice AS v FROM orders
+           WHERE strftime(o_orderdate, '%Y') = '1997'""",
+        "o_orderpriority", lo = KsLo, hi = KsHi, bins = KsBins),
 
       "q_kcore" -> graft.relational.Graph.kCoreSql(
         """SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,

@@ -274,6 +274,74 @@ object Analytics {
         round(sum((p - q) * log(p / q)), 6).as("psi"))
   }
 
+  /** Categorical PSI: [[psi]] with the observed category values as the
+    * bins (union of both snapshots' categories; nulls dropped). Same
+    * Laplace smoothing with nbins = distinct categories across both
+    * sides, so newly-appearing and disappearing categories contribute
+    * finitely instead of blowing up the log. Returns one row
+    * `(n_ref, n_cur, n_categories, psi)`, 6-dp. Two map-side-combined
+    * value counts; the finish is categories-sized. */
+  def psiCategorical(ref: DataFrame, cur: DataFrame, catCol: String)
+      : DataFrame = {
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.filter(col(catCol).isNotNull)
+        .groupBy(col(catCol).cast("string").as("__c"))
+        .agg(count(lit(1)).as(out))
+    val binsRel = counts(ref, "__cr")
+      .join(counts(cur, "__cc"), Seq("__c"), "full")
+      .select(coalesce(col("__cr"), lit(0L)).as("__cr"),
+        coalesce(col("__cc"), lit(0L)).as("__cc"))
+      .localCheckpoint(eager = true)
+    val totals = binsRel.agg(sum("__cr").as("__nr"),
+      sum("__cc").as("__nc"), count(lit(1)).as("__nb"))
+    val p = (col("__cr") + 0.5) / (col("__nr") + lit(0.5) * col("__nb"))
+    val q = (col("__cc") + 0.5) / (col("__nc") + lit(0.5) * col("__nb"))
+    binsRel.crossJoin(broadcast(totals))
+      .agg(max("__nr").as("n_ref"), max("__nc").as("n_cur"),
+        max("__nb").as("n_categories"),
+        round(sum((p - q) * log(p / q)), 6).as("psi"))
+  }
+
+  /** Two-sample Kolmogorov-Smirnov statistic FROM QUANTILE REGISTERS
+    * ([[Sketches.qSketch]] relations over the same (lo, hi, bins)
+    * geometry): per group, `max |ECDF_A − ECDF_B|` evaluated at the bin
+    * edges. Register-resolution exact — the true KS over raw values
+    * differs by at most the within-bin mass; both sides compute
+    * identical integer cumulative counts and single IEEE divisions, so
+    * the oracle replays with no rounding. Registers are write-once,
+    * mergeable, and ≤ bins rows per group: drift between any two
+    * archived snapshots costs ZERO corpus rescans. The cumulative
+    * window runs over ≤ bins rows per group — bounded by geometry. */
+  def ksFromRegisters(regA: DataFrame, regB: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
+    val gb = groupCols.map(col)
+    val a = regA.groupBy((groupCols :+ "bin").map(col): _*)
+      .agg(sum("cnt").as("__ca"))
+    val b = regB.groupBy((groupCols :+ "bin").map(col): _*)
+      .agg(sum("cnt").as("__cb"))
+    val joined = a.join(b, groupCols :+ "bin", "full")
+      .select(gb :+ col("bin") :+
+        coalesce(col("__ca"), lit(0L)).as("__ca") :+
+        coalesce(col("__cb"), lit(0L)).as("__cb"): _*)
+    val w = (if (groupCols.isEmpty)
+        graft.util.BoundedWindow.globalUnordered()
+      // bounded: joined is <= bins rows per group by register geometry
+      else Window.partitionBy(gb: _*))
+      .orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = (if (groupCols.isEmpty)
+        graft.util.BoundedWindow.globalUnordered()
+      else Window.partitionBy(gb: _*))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    joined
+      .withColumn("__da",
+        sum("__ca").over(w).cast("double") / sum("__ca").over(wAll))
+      .withColumn("__db",
+        sum("__cb").over(w).cast("double") / sum("__cb").over(wAll))
+      .groupBy(gb: _*)
+      .agg(max(abs(col("__da") - col("__db"))).as("ks"))
+  }
+
   /** Functional-dependency audit `detCols → depCol`: the determinant
     * values that VIOLATE the dependency (more than one distinct
     * dependent value), with their distinct-dependent and row counts —

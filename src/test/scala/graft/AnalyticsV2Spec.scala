@@ -211,6 +211,44 @@ class AnalyticsV2Spec extends SparkSpec {
     assert(r.getDouble(2) > 1.0) // grossly shifted
   }
 
+  // ---- psiCategorical / ksFromRegisters ----------------------------------
+
+  test("psiCategorical: identical mixes score 0; appearing/disappearing " +
+      "categories stay finite via smoothing") {
+    val ref = (Seq.fill(30)("a") ++ Seq.fill(20)("b")).toDF("c")
+    val same = graft.relational.Analytics.psiCategorical(ref, ref, "c")
+      .head()
+    assert(same.getLong(0) == 50L && same.getLong(2) == 2L &&
+      same.getDouble(3) == 0.0)
+    // category "b" vanishes, "z" appears
+    val cur = (Seq.fill(30)("a") ++ Seq.fill(20)("z")).toDF("c")
+    val r = graft.relational.Analytics.psiCategorical(ref, cur, "c").head()
+    assert(r.getLong(2) == 3L)
+    assert(!r.getDouble(3).isNaN && !r.getDouble(3).isInfinite)
+    assert(r.getDouble(3) > 0.5) // grossly shifted mix
+  }
+
+  test("ksFromRegisters: identical registers score 0; disjoint value " +
+      "masses score ~1; matches a hand ECDF") {
+    import graft.relational.Sketches
+    val lows = (1 to 50).map(_ => ("g", 10.0)).toDF("grp", "v")
+    val highs = (1 to 50).map(_ => ("g", 90.0)).toDF("grp", "v")
+    def reg(df: org.apache.spark.sql.DataFrame) =
+      Sketches.qSketch(df, Seq("grp"), "v", lo = 0.0, hi = 100.0,
+        bins = 10)
+    val same = graft.relational.Analytics.ksFromRegisters(reg(lows),
+      reg(lows), Seq("grp")).head()
+    assert(same.getDouble(1) == 0.0)
+    val far = graft.relational.Analytics.ksFromRegisters(reg(lows),
+      reg(highs), Seq("grp")).head()
+    assert(far.getDouble(1) == 1.0) // full gap at bin 1's edge
+    // mixed: A = 50 low; B = 25 low + 25 high -> gap 0.5 at the low edge
+    val mixed = lows.limit(25).unionByName(highs.limit(25))
+    val half = graft.relational.Analytics.ksFromRegisters(reg(lows),
+      reg(mixed), Seq("grp")).head()
+    assert(half.getDouble(1) == 0.5)
+  }
+
   // ---- fdViolations ------------------------------------------------------
 
   test("fdViolations: only violating determinants surface; null " +
