@@ -281,7 +281,17 @@ object Plans {
         "aggregate over fused 8-byte shingle hashes; the gram self-join " +
         "carries ≤ sources rows per gram so the pair aggregate is " +
         "corpus-shuffle-free after the distinct.",
-        SparkEntry.queries("q_source_overlap")(spark, d)))
+        SparkEntry.queries("q_source_overlap")(spark, d)),
+      ("q_kcore", "k-core: the loop ran at build time (checkpointed " +
+        "rounds); the residual plan is one edge-vs-active join pair + " +
+        "degree aggregate over the FINAL active set — per-round work " +
+        "shrank with the peel.",
+        SparkEntry.queries("q_kcore")(spark, d)),
+      ("q_ks", "register KS: two bin aggregates + a full join + " +
+        "cumulative windows over ≤ 4096 rows per group — the corpus " +
+        "feeds the registers once; the drift statistic itself touches " +
+        "no base data.",
+        SparkEntry.queries("q_ks")(spark, d)))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative queries (sf0.01)\n")
