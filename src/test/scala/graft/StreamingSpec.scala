@@ -458,3 +458,43 @@ class MaintainJoinStreamSpec extends SparkSpec {
     assert(healed == before :+ ((3, "l3", "r3")))
   }
 }
+
+/** End-to-end streaming drift monitor: a stream maintains quantile
+  * registers; KS reads drift between the maintained table and any other
+  * register snapshot with zero raw-data access. */
+class StreamingDriftSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.relational.{Analytics, Sketches}
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  test("KS between a stream-maintained register table and batch register " +
+      "snapshots: 0 against itself, positive against a shifted stream") {
+    val dir = s"target/tmp/drift_${System.nanoTime()}"
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    val q = graft.streaming.Streaming.maintainStream(
+      mem.toDF().toDF("grp", "v"), s"$dir/state", s"$dir/ckpt",
+      b => Sketches.qSketch(b, Seq("grp"), "v", lo = 0.0, hi = 100.0,
+        bins = 20),
+      (s, d) => Sketches.qMerge(s.unionByName(d), Seq("grp")))
+    val vals = (1 to 400).map(i => ("g", (i % 50) + 10.0))
+    try {
+      mem.addData(vals.take(200): _*); q.processAllAvailable()
+      mem.addData(vals.drop(200): _*); q.processAllAvailable()
+    } finally q.stop()
+    val maintained = graft.streaming.Streaming.readMaintainedAgg(spark,
+      s"$dir/state")
+    // identical-distribution batch snapshot -> KS 0
+    val same = Sketches.qSketch(vals.toDF("grp", "v"), Seq("grp"), "v",
+      lo = 0.0, hi = 100.0, bins = 20)
+    assert(Analytics.ksFromRegisters(maintained, same, Seq("grp"))
+      .head().getDouble(1) == 0.0)
+    // shifted snapshot -> clear drift signal
+    val shifted = Sketches.qSketch(
+      vals.map { case (g, v) => (g, v + 35.0) }.toDF("grp", "v"),
+      Seq("grp"), "v", lo = 0.0, hi = 100.0, bins = 20)
+    val ks = Analytics.ksFromRegisters(maintained, shifted, Seq("grp"))
+      .head().getDouble(1)
+    assert(ks > 0.4, s"ks=$ks")
+  }
+}
