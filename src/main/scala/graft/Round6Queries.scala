@@ -474,6 +474,19 @@ object Round6Queries {
         "user_id", "o", "event_type", Seq("view", "click", "purchase"),
         windowUs = FunnelWindowUs)),
 
+    // entity resolution: fuzzy-join customer names against a corrupted
+    // clone (10th character dropped) — FastSS candidates + exact verify,
+    // equal to the brute-force cross-product filter the oracle runs
+    "q_fuzzy_join" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val corrupted = c.select(concat(substring(col("c_name"), 1, 9),
+        col("c_name").substr(lit(11), length(col("c_name"))))
+        .as("corrupted"))
+      graft.relational.Relational.fuzzyJoin(
+        c.select("c_name"), corrupted, "c_name", "corrupted",
+        maxDist = 1)
+    }),
+
     // categorical drift: priority-mix PSI between 1996 and 1997 orders
     "q_psi_cat" -> ((s, d) => {
       val o = t(s, d, "orders")
@@ -1115,6 +1128,15 @@ object Round6Queries {
         """SELECT o_orderpriority AS grp, CAST(o_custkey AS VARCHAR) AS k
            FROM orders WHERE year(o_orderdate) = 1997""",
         "o_orderpriority"),
+
+      "q_fuzzy_join" ->
+        """WITH l AS (SELECT DISTINCT c_name AS a FROM customer),
+           r AS (SELECT DISTINCT
+                   substring(c_name, 1, 9) || substring(c_name, 11) AS b
+                 FROM customer)
+           SELECT a, b, CAST(levenshtein(a, b) AS INTEGER) AS dist
+           FROM l CROSS JOIN r
+           WHERE levenshtein(a, b) <= 1""",
 
       "q_psi_cat" ->
         """WITH refc AS (

@@ -1199,6 +1199,51 @@ object Relational {
       .filter(levenshtein(col("a"), col("b")) <= 1)
   }
 
+  /** Cross-relation FUZZY equi-join: all (left value, right value) pairs
+    * within Levenshtein distance `maxDist` (1 or 2) — the entity-
+    * resolution primitive (typo'd identifiers, OCR'd part numbers,
+    * name-matching across systems). FastSS deletion neighborhoods:
+    * `lev(s,t) ≤ d` implies the ≤d-deletion neighborhoods intersect, so
+    * the variant equi-join yields every true pair (NO false negatives);
+    * the exact `levenshtein` verify then removes the false positives —
+    * the result is exactly the brute-force cross-product filter, which
+    * is the oracle.
+    *
+    * Shape at 100 TB: both sides reduce to DISTINCT strings first
+    * (vocabulary-bounded, never corpus-bounded — same contract as
+    * [[editDistancePairs]]); each string fans out to ≤ (len+1)^d
+    * variants (strings over `maxLen` dropped — neighborhoods are for
+    * short identifiers); the join is a plain variant equi-join and the
+    * verify runs on candidates only, never the cross product. */
+  def fuzzyJoin(
+      left: DataFrame, right: DataFrame, leftCol: String, rightCol: String,
+      maxDist: Int = 1, maxLen: Int = 32): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"maxDist must be 1 or 2, got $maxDist")
+    def delOne(c: Column) =
+      transform(sequence(lit(0), length(c)),
+        i => when(i === 0, c).otherwise(
+          concat(substring(c, lit(1), i - 1), c.substr(i + 1, length(c)))))
+    def neighborhood(df: DataFrame, cname: String, out: String) = {
+      val strs = df.select(col(cname).cast("string").as("__s"))
+        .filter(col("__s").isNotNull &&
+          length(col("__s")).between(1, maxLen))
+        .distinct()
+      val lvl1 = strs.select(col("__s"),
+        explode(array_distinct(delOne(col("__s")))).as("__v1"))
+      val lvlD =
+        if (maxDist == 1) lvl1.select(col("__s"), col("__v1").as("__v"))
+        else lvl1.select(col("__s"),
+          explode(array_distinct(delOne(col("__v1")))).as("__v"))
+      lvlD.select(col("__s").as(out), col("__v")).distinct()
+    }
+    neighborhood(left, leftCol, "a")
+      .join(neighborhood(right, rightCol, "b"), Seq("__v"))
+      .select("a", "b").distinct()
+      .withColumn("dist", levenshtein(col("a"), col("b")))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Rolling active users (DAU/WAU/MAU family): for every period in the
     * observed span, the EXACT count of distinct users active in the
     * trailing `window` periods. `dayCol` is any integral period column.

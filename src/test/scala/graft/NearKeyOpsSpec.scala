@@ -49,6 +49,39 @@ class EditDistancePairsSpec extends SparkSpec {
         d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
     d(a.length)(b.length)
   }
+  test("fuzzyJoin equals the brute-force cross-product filter at d=1 " +
+      "and d=2 on random short strings") {
+    val rnd = new scala.util.Random(7)
+    def randStr() = (1 to (rnd.nextInt(6) + 2))
+      .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    val ls = (1 to 40).map(_ => randStr()).distinct
+    val rs = (1 to 40).map(_ => randStr()).distinct
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (dd <- Seq(1, 2)) {
+      val got = Relational.fuzzyJoin(ls.toDF("x"), rs.toDF("y"),
+          "x", "y", maxDist = dd)
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getInt(2))).sorted.toSeq
+      val expect = (for { a <- ls; b <- rs; d = lev(a, b) if d <= dd }
+        yield (a, b, d)).sorted
+      assert(got == expect, s"d=$dd")
+    }
+  }
+
+  test("fuzzyJoin drops over-length strings and nulls from BOTH sides") {
+    val l = Seq(Some("abc"), Some("a" * 40), None).toDF("x")
+    val r = Seq("abd").toDF("y")
+    val got = Relational.fuzzyJoin(l, r, "x", "y", maxDist = 1,
+      maxLen = 32).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq == Seq(("abc", "abd")))
+  }
 }
 
 class RollingActiveUsersSpec extends SparkSpec {
