@@ -474,6 +474,14 @@ object Round6Queries {
         "user_id", "o", "event_type", Seq("view", "click", "purchase"),
         windowUs = FunnelWindowUs)),
 
+    // feature selection: MI of every listed categorical feature against
+    // the order year, ranked in ONE corpus pass
+    "q_mi_ranking" -> ((s, d) =>
+      graft.relational.Analytics.miRanking(
+        t(s, d, "orders").filter(col("o_orderdate").isNotNull)
+          .withColumn("yr", year(col("o_orderdate"))),
+        MiFeatures, "yr")),
+
     // entity resolution: fuzzy-join customer names against a corrupted
     // clone (10th character dropped) — FastSS candidates + exact verify,
     // equal to the brute-force cross-product filter the oracle runs
@@ -548,6 +556,27 @@ object Round6Queries {
   private val KsLo = 0.0
   private val KsHi = 500000.0
   private val KsBins = 4096
+  private val MiFeatures = Seq("o_orderpriority", "o_orderstatus")
+
+  /** MI-ranking oracle generated from the same feature list: one block
+    * per feature, UNION ALL — each block replays the cells/marginals/
+    * total formula the Spark side computes in one melted pass. */
+  private def miRankingSql(features: Seq[String]): String =
+    features.map { f =>
+      s"""SELECT '$f' AS feature, CAST(max(n) AS BIGINT) AS n,
+           round(sum(o / CAST(n AS DOUBLE)
+             * ln(o * CAST(n AS DOUBLE) / (ra * cb))), 6) AS mi
+         FROM (
+           WITH src AS (SELECT CAST($f AS VARCHAR) AS v,
+               strftime(o_orderdate, '%Y') AS lbl FROM orders
+               WHERE $f IS NOT NULL AND o_orderdate IS NOT NULL),
+           c AS (SELECT v, lbl, count(*) AS o FROM src GROUP BY 1, 2),
+           r AS (SELECT v, sum(o) AS ra FROM c GROUP BY 1),
+           l AS (SELECT lbl, sum(o) AS cb FROM c GROUP BY 1),
+           t AS (SELECT sum(o) AS n FROM c)
+           SELECT c.o, r.ra, l.cb, t.n FROM c JOIN r USING (v)
+             JOIN l USING (lbl) CROSS JOIN t)"""
+    }.mkString("\nUNION ALL\n")
 
   /** KS oracle from the same register geometry: two reg CTEs, cumulative
     * fractions at bin edges, max absolute gap — integer counters and
@@ -1128,6 +1157,8 @@ object Round6Queries {
         """SELECT o_orderpriority AS grp, CAST(o_custkey AS VARCHAR) AS k
            FROM orders WHERE year(o_orderdate) = 1997""",
         "o_orderpriority"),
+
+      "q_mi_ranking" -> miRankingSql(MiFeatures),
 
       "q_fuzzy_join" ->
         """WITH l AS (SELECT DISTINCT c_name AS a FROM customer),

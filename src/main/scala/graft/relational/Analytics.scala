@@ -274,6 +274,48 @@ object Analytics {
         round(sum((p - q) * log(p / q)), 6).as("psi"))
   }
 
+  /** Mutual-information feature ranking: MI (nats, 6-dp) between EVERY
+    * listed categorical feature and the label, in ONE corpus pass — the
+    * feature-selection sibling of [[Relational.corrMatrix]] (one scan
+    * for the whole ranking, not a job per feature). Output one row per
+    * feature `(feature, n, mi)`; rows with a null feature value or null
+    * label are skipped per feature (n is that feature's non-null pair
+    * count).
+    *
+    * Shape at 100 TB: the melt is a narrow explode (rows × features,
+    * carrying only (feature, value, label)); the (feature, value,
+    * label) cell count is the ONE shuffle; marginals re-aggregate the
+    * cells relation and join back at cells scale, exactly as
+    * [[association]]. */
+  def miRanking(df: DataFrame, featureCols: Seq[String],
+      labelCol: String): DataFrame = {
+    require(featureCols.nonEmpty, "no feature columns given")
+    val melted = df
+      .filter(col(labelCol).isNotNull)
+      .select(explode(array(featureCols.map(f =>
+        struct(lit(f).as("__f"),
+          col(f).cast("string").as("__v"))): _*)).as("__fv"),
+        col(labelCol).cast("string").as("__l"))
+      .select(col("__fv.__f").as("__f"), col("__fv.__v").as("__v"),
+        col("__l"))
+      .filter(col("__v").isNotNull)
+    val cells = melted.groupBy("__f", "__v", "__l")
+      .agg(count(lit(1)).as("__o"))
+    val rowTot = cells.groupBy("__f", "__v").agg(sum("__o").as("__ra"))
+    val colTot = cells.groupBy("__f", "__l").agg(sum("__o").as("__cb"))
+    val total = cells.groupBy("__f").agg(sum("__o").as("__n"))
+    val o = col("__o").cast("double")
+    cells.join(rowTot, Seq("__f", "__v"))
+      .join(colTot, Seq("__f", "__l"))
+      .join(total, Seq("__f"))
+      .select(col("__f"), col("__n"),
+        (o / col("__n") * log(o * col("__n") /
+          (col("__ra") * col("__cb")))).as("__mi_part"))
+      .groupBy(col("__f").as("feature"))
+      .agg(max("__n").cast("long").as("n"),
+        round(sum("__mi_part"), 6).as("mi"))
+  }
+
   /** Categorical PSI: [[psi]] with the observed category values as the
     * bins (union of both snapshots' categories; nulls dropped). Same
     * Laplace smoothing with nbins = distinct categories across both

@@ -211,6 +211,29 @@ class AnalyticsV2Spec extends SparkSpec {
     assert(r.getDouble(2) > 1.0) // grossly shifted
   }
 
+  // ---- miRanking -----------------------------------------------------------
+
+  test("miRanking: a label-determining feature ranks at ln(k), an " +
+      "independent one at 0; per-feature null handling") {
+    // f1 == label bijectively (3 levels, MI = ln 3); f2 constant (MI 0);
+    // f3 has nulls skipped only for itself
+    val rows = (0 until 30).map { i =>
+      val l = s"L${i % 3}"
+      (l, "const", if (i % 5 == 0) null else "x", l)
+    }
+    val df = rows.toDF("f1", "f2", "f3", "label")
+    val got = graft.relational.Analytics.miRanking(df,
+        Seq("f1", "f2", "f3"), "label")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got("f1")._1 == 30L)
+    assert(math.abs(got("f1")._2 - math.log(3.0)) < 1e-6)
+    assert(got("f2") == ((30L, 0.0)))
+    assert(got("f3")._1 == 24L) // 6 nulls skipped for f3 only
+    // f3 is constant "x" where present -> MI 0
+    assert(got("f3")._2 == 0.0)
+  }
+
   // ---- psiCategorical / ksFromRegisters ----------------------------------
 
   test("psiCategorical: identical mixes score 0; appearing/disappearing " +
