@@ -291,7 +291,16 @@ object Plans {
         "cumulative windows over ≤ 4096 rows per group — the corpus " +
         "feeds the registers once; the drift statistic itself touches " +
         "no base data.",
-        SparkEntry.queries("q_ks")(spark, d)))
+        SparkEntry.queries("q_ks")(spark, d)),
+      ("q_fuzzy_join", "fuzzy join: distinct strings fan to deletion " +
+        "variants, ONE variant equi-join, exact levenshtein verify on " +
+        "the candidate set — no CartesianProduct node anywhere.",
+        SparkEntry.queries("q_fuzzy_join")(spark, d)),
+      ("q_mi_ranking", "MI ranking: one melted explode feeds ONE " +
+        "(feature, value, label) cell-count shuffle; marginals and the " +
+        "finish are cells-scale joins/aggregates — never a job per " +
+        "feature.",
+        SparkEntry.queries("q_mi_ranking")(spark, d)))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative queries (sf0.01)\n")
