@@ -321,6 +321,25 @@ object StressBench {
         "event_id", "event_type", "value", "purchase")
     }),
 
+    // fuzzy join with the name vocabulary ×reps (distinct names, not
+    // copies): variant fan-out and the candidate equi-join are the load
+    // — cost must stay vocabulary-bounded
+    "s_fuzzy" -> ((s, d, r) => {
+      val base = t(s, d, "customer").select("c_name")
+      val names =
+        if (r <= 1) base
+        else base
+          .withColumn("__rep", explode(sequence(lit(0), lit(r - 1))))
+          .withColumn("c_name", concat(col("c_name"),
+            lpad(col("__rep").cast("string"), 2, "0")))
+          .drop("__rep")
+      val corrupted = names.select(concat(substring(col("c_name"), 1, 9),
+        col("c_name").substr(lit(11), length(col("c_name"))))
+        .as("corrupted"))
+      graft.relational.Relational.fuzzyJoin(names, corrupted,
+        "c_name", "corrupted", maxDist = 1)
+    }),
+
     // delta-join maintenance with the fact side ×reps: the delta terms
     // must stay delta-against-full (broadcast-eligible) however large
     // the maintained fact side grows
