@@ -237,6 +237,47 @@ object Streaming {
       }
   }
 
+  case class AttributionEvent(user_id: Long, tsu: Long, event_id: Long,
+    event_type: String, value: Double)
+  case class TouchState(first: Option[String], last: Option[String])
+  case class Attribution(user_id: Long, event_id: Long, value: Double,
+    first_touch: String, last_touch: String)
+
+  /** Streaming first-/last-touch attribution — the stateful twin of
+    * [[graft.relational.Analytics.attribution]]: per user, two strings
+    * of state (the first and latest non-conversion channel); every
+    * `convType` event emits its attribution row the moment it arrives.
+    * Events are processed in `(tsu, event_id)` order WITHIN a
+    * micro-batch (the iterator is sorted); cross-batch order is arrival
+    * order, the streaming contract — feed an ordered source or accept
+    * late-touch skew, exactly like sessionizeStream. Unattributed
+    * conversions (no touch yet) are dropped, matching the batch op.
+    * State per user never grows with history — two channel strings. */
+  def attributionStream(events: Dataset[AttributionEvent],
+      convType: String): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[AttributionEvent],
+            state: GroupState[TouchState]) =>
+          var st = state.getOption.getOrElse(TouchState(None, None))
+          val out = scala.collection.mutable.ArrayBuffer[Attribution]()
+          it.toSeq.sortBy(e => (e.tsu, e.event_id)).foreach { e =>
+            if (e.event_type != convType)
+              st = TouchState(st.first.orElse(Some(e.event_type)),
+                Some(e.event_type))
+            else st.last.foreach { lt =>
+              out += Attribution(uid, e.event_id, e.value,
+                st.first.get, lt)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   // ---- streaming materialized-aggregate maintenance --------------------
 
   /** Streaming twin of [[graft.relational.Relational.aggMerge]]: every

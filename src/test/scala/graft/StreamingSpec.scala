@@ -498,3 +498,57 @@ class StreamingDriftSpec extends SparkSpec {
     assert(ks > 0.4, s"ks=$ks")
   }
 }
+
+/** Streaming attribution: per-conversion rows match the batch operator's
+  * window semantics on an in-order feed; state is two strings per user. */
+class AttributionStreamSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.streaming.Streaming
+  import graft.streaming.Streaming.AttributionEvent
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  test("streamed attributions equal the batch windows; conversions " +
+      "without a touch drop; state carries across batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[AttributionEvent]
+    val q = Streaming.attributionStream(mem.toDS(), "buy")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    val b1 = Seq(
+      AttributionEvent(1L, 1L, 1L, "ad", 0.0),
+      AttributionEvent(1L, 2L, 2L, "email", 0.0),
+      AttributionEvent(2L, 1L, 3L, "buy", 99.0)) // no touch -> dropped
+    val b2 = Seq(
+      AttributionEvent(1L, 3L, 4L, "buy", 10.0), // first=ad last=email
+      AttributionEvent(1L, 4L, 5L, "social", 0.0),
+      AttributionEvent(1L, 5L, 6L, "buy", 5.0))  // first=ad last=social
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("attr_out")
+      .collect().map(r => r.getLong(1) ->
+        ((r.getDouble(2), r.getString(3), r.getString(4)))).toMap
+    assert(got == Map(
+      4L -> ((10.0, "ad", "email")),
+      6L -> ((5.0, "ad", "social"))))
+    // agreement with the batch operator over the same (in-order) data
+    val all = (b1 ++ b2).toDF()
+    val batch = graft.relational.Analytics.attribution(all, "user_id",
+        "tsu", "event_id", "event_type", "value", "buy")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // streamed rows re-aggregated to the batch output shape
+    val streamedAgg = spark.table("attr_out")
+      .select(explode(array(
+        struct(col("last_touch").as("channel"), lit("last").as("model")),
+        struct(col("first_touch").as("channel"),
+          lit("first").as("model")))).as("t"), col("value"))
+      .select(col("t.channel"), col("t.model"), col("value"))
+      .groupBy("channel", "model")
+      .agg(count(lit(1)), round(sum("value"), 6))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(streamedAgg == batch)
+  }
+}
