@@ -474,6 +474,24 @@ object Round6Queries {
         "user_id", "o", "event_type", Seq("view", "click", "purchase"),
         windowUs = FunnelWindowUs)),
 
+    // cohort revenue (LTV) curve: value per (cohort day, offset) with
+    // the running cumulative per cohort
+    "q_ltv" -> ((s, d) =>
+      graft.relational.Analytics.cohortValue(
+        DataQueries.readEventsMicros(s, d)
+          .withColumn("day", expr("tsu div 86400000000")),
+        "user_id", "day", "value")),
+
+    // per-source corpus health report: volume, language spread, length,
+    // and the exact-duplicate rate — the curation dashboard row
+    "q_source_report" -> ((s, d) =>
+      t(s, d, "documents").groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          round(avg(col("n_chars")), 6).as("avg_chars"),
+          round(lit(1.0) - countDistinct(col("text")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("dup_rate"))),
+
     // feature selection: MI of every listed categorical feature against
     // the order year, ranked in ONE corpus pass
     "q_mi_ranking" -> ((s, d) =>
@@ -1159,6 +1177,31 @@ object Round6Queries {
         "o_orderpriority"),
 
       "q_mi_ranking" -> miRankingSql(MiFeatures),
+
+      "q_ltv" ->
+        """WITH e AS (
+             SELECT user_id,
+               CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+               value
+             FROM events),
+           c AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY 1),
+           per AS (
+             SELECT c.cohort, e.day - c.cohort AS "offset",
+               round(sum(e.value), 6) AS value
+             FROM e JOIN c USING (user_id) GROUP BY 1, 2)
+           SELECT cohort, "offset", value,
+             round(sum(value) OVER (PARTITION BY cohort
+               ORDER BY "offset" ROWS UNBOUNDED PRECEDING), 6)
+               AS cum_value
+           FROM per""",
+
+      "q_source_report" ->
+        """SELECT source, count(*) AS n_docs,
+             count(DISTINCT lang) AS n_langs,
+             round(avg(n_chars), 6) AS avg_chars,
+             round(1.0 - count(DISTINCT text) / CAST(count(*) AS DOUBLE),
+               6) AS dup_rate
+           FROM documents GROUP BY source""",
 
       "q_fuzzy_join" ->
         """WITH l AS (SELECT DISTINCT c_name AS a FROM customer),

@@ -274,6 +274,32 @@ object Analytics {
         round(sum((p - q) * log(p / q)), 6).as("psi"))
   }
 
+  /** Cohort value (LTV) curve: users grouped by first-active period,
+    * value summed per (cohort, offset = period − cohort), plus the
+    * running cumulative per cohort — the revenue sibling of
+    * [[Relational.retention]] (which counts users; this sums value).
+    * Output `(cohort, offset, value, cum_value)`, both sums 6-dp
+    * (aggregate-derived; the cumulative sums the ALREADY-rounded
+    * per-offset values so the running total replays cross-engine).
+    *
+    * Shape at 100 TB: one min-aggregate for cohorts (user-bounded), a
+    * broadcast-scale join back, one (cohort, offset) aggregate; the
+    * cumulative window partitions by cohort over ≤ #periods rows —
+    * calendar-bounded, never data-bounded. */
+  def cohortValue(events: DataFrame, userCol: String, periodCol: String,
+      valueCol: String): DataFrame = {
+    val cohorts = events
+      .groupBy(col(userCol)).agg(min(col(periodCol)).as("cohort"))
+    val per = events.join(cohorts, Seq(userCol))
+      .groupBy(col("cohort"),
+        (col(periodCol) - col("cohort")).as("offset"))
+      .agg(round(sum(col(valueCol)), 6).as("value"))
+    // bounded: <= #periods rows per cohort (calendar-bounded)
+    val w = Window.partitionBy(col("cohort")).orderBy(col("offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per.withColumn("cum_value", round(sum(col("value")).over(w), 6))
+  }
+
   /** Mutual-information feature ranking: MI (nats, 6-dp) between EVERY
     * listed categorical feature and the label, in ONE corpus pass — the
     * feature-selection sibling of [[Relational.corrMatrix]] (one scan

@@ -211,6 +211,25 @@ class AnalyticsV2Spec extends SparkSpec {
     assert(r.getDouble(2) > 1.0) // grossly shifted
   }
 
+  // ---- cohortValue ---------------------------------------------------------
+
+  test("cohortValue: offsets anchor at each user's first period and the " +
+      "cumulative runs per cohort") {
+    val df = Seq(
+      (1L, 10L, 5.0), (1L, 10L, 1.0), (1L, 12L, 2.0), // cohort 10
+      (2L, 10L, 3.0),                                 // cohort 10
+      (3L, 11L, 7.0), (3L, 13L, 1.0)                  // cohort 11
+    ).toDF("u", "day", "v")
+    val got = graft.relational.Analytics.cohortValue(df, "u", "day", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      (10L, 0L) -> ((9.0, 9.0)),   // 5+1+3 at offset 0
+      (10L, 2L) -> ((2.0, 11.0)),
+      (11L, 0L) -> ((7.0, 7.0)),
+      (11L, 2L) -> ((1.0, 8.0))))
+  }
+
   // ---- miRanking -----------------------------------------------------------
 
   test("miRanking: a label-determining feature ranks at ln(k), an " +
