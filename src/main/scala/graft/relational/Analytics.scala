@@ -52,10 +52,16 @@ object Analytics {
     * corpus-sized) and join back broadcast-scale; the finish is a
     * single global sum over cells. */
   def association(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // checkpoint the cells relation (levels² rows — bounded): marginals,
+    // total, dof, and the chi/mi pass all consume it, and without the
+    // materialization each consumer re-runs the corpus aggregate (the
+    // plan showed 10 scans of the base table — ReuseExchange does not
+    // collapse them across the differing aliases)
     val cells = df
       .filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
       .agg(count(lit(1)).as("__o"))
+      .localCheckpoint(eager = true)
     val rowTot = cells.groupBy("__a").agg(sum("__o").as("__ra"))
     val colTot = cells.groupBy("__b").agg(sum("__o").as("__cb"))
     val total = cells.agg(sum("__o").as("__n"))
@@ -325,8 +331,11 @@ object Analytics {
       .select(col("__fv.__f").as("__f"), col("__fv.__v").as("__v"),
         col("__l"))
       .filter(col("__v").isNotNull)
+    // same cells checkpoint as [[association]]: one melted corpus pass
+    // feeds marginals, totals, and the MI sum
     val cells = melted.groupBy("__f", "__v", "__l")
       .agg(count(lit(1)).as("__o"))
+      .localCheckpoint(eager = true)
     val rowTot = cells.groupBy("__f", "__v").agg(sum("__o").as("__ra"))
     val colTot = cells.groupBy("__f", "__l").agg(sum("__o").as("__cb"))
     val total = cells.groupBy("__f").agg(sum("__o").as("__n"))

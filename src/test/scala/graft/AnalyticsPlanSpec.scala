@@ -55,6 +55,18 @@ class AnalyticsPlanSpec extends SparkSpec {
     assert(!p.contains("partial_count"), p)
   }
 
+  test("association and miRanking read the corpus ONCE: every consumer " +
+      "of the cells relation reads the checkpoint, not the base table") {
+    val df = Seq(("x", "u"), ("y", "v")).toDF("a", "b")
+    val pa = plan(Analytics.association(df, "a", "b"))
+    // the base rows were consumed at checkpoint time; the residual plan
+    // must not rescan them (pre-fix: 10 base scans per call)
+    assert(!pa.contains("LocalTableScan"), pa.take(600))
+    val dfm = Seq(("x", "u", "l1")).toDF("f1", "f2", "label")
+    val pm = plan(Analytics.miRanking(dfm, Seq("f1", "f2"), "label"))
+    assert(!pm.contains("LocalTableScan"), pm.take(600))
+  }
+
   test("skyline2 plans no cartesian/broadcast-nested-loop and finishes " +
       "with a semi-join") {
     val df = Seq(("g", 1, 2), ("g", 2, 1)).toDF("g", "d1", "d2")
