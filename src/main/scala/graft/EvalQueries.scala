@@ -1,0 +1,251 @@
+package graft
+
+import graft.relational.Eval
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation and monitoring queries over [[graft.relational.Eval]]:
+  * exact AUC (small + binned scale path twins against ONE oracle), score
+  * calibration, cumulative lift/gains, a threshold confusion sweep,
+  * Kaplan-Meier survival over the event log, and per-series CUSUM
+  * changepoints. The classifier score for the orders-table queries is a
+  * deterministic pseudo-score `(o_orderkey % 1000) / 1000.0` — both
+  * engines derive it from the same integers with the same IEEE ops, so
+  * the oracle replays it bit-exactly (the same discipline as the decay
+  * weights). All oracle SQL is generated from the SAME Scala constants
+  * the Spark queries run with. */
+object EvalQueries {
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private val CalBins = 10
+  private val LiftBuckets = 10
+  private val ConfThresholds = Seq(0.1, 0.3, 0.5, 0.7, 0.9)
+  private val CusumTarget = 100.0
+  private val CusumSlack = 0.0
+  private val CusumH = 50.0
+
+  /** Pseudo-score + binary label over orders, shared by the calibration /
+    * lift / confusion queries (Spark side). */
+  private def scoredOrders(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .withColumn("score",
+        (col("o_orderkey") % 1000).cast("double") / lit(1000.0))
+      .withColumn("label",
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact AUC with midrank ties on a HEAVILY tied score (11 distinct
+    // discount values): the small ordered-cumulative path
+    "q_auc" -> ((s, d) =>
+      Eval.auc(t(s, d, "lineitem")
+        .withColumn("label",
+          when(col("l_returnflag") === "R", 1L).otherwise(0L)),
+        "l_discount", "label")),
+
+    // continuous-score AUC, small path (distinct ≤ default threshold at
+    // the gate SF)…
+    "q_auc_cont" -> ((s, d) =>
+      Eval.auc(t(s, d, "orders")
+        .withColumn("label",
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)),
+        "o_totalprice", "label")),
+
+    // …and its 100-TB twin: the SAME query forced down the binned path
+    // (256 approx-quantile bins, per-bin windows) against the SAME
+    // oracle SQL — the scale path faces the oracle, not just unit tests
+    "q_auc_binned" -> ((s, d) =>
+      Eval.auc(t(s, d, "orders")
+        .withColumn("label",
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)),
+        "o_totalprice", "label", maxDistinctBroadcast = 100)),
+
+    // reliability table: 10 score bins, mean score vs positive rate
+    "q_calibration" -> ((s, d) =>
+      Eval.calibration(scoredOrders(s, d), "score", "label", CalBins)),
+
+    // cumulative gains + lift by descending-score decile
+    "q_lift" -> ((s, d) =>
+      Eval.liftGains(scoredOrders(s, d), "score", "label", LiftBuckets)),
+
+    // confusion matrix + precision/recall/F1 at 5 thresholds, one pass
+    "q_confusion" -> ((s, d) =>
+      Eval.confusionSweep(scoredOrders(s, d), "score", "label",
+        ConfThresholds)),
+
+    // Kaplan-Meier: per-user observation span in hours, event = the user
+    // ever purchased (others censored at last sighting)
+    "q_survival" -> ((s, d) => {
+      val e = DataQueries.readEventsMicros(s, d)
+        .withColumn("hour", expr("tsu div 3600000000"))
+      val subjects = e.groupBy("user_id")
+        .agg((max("hour") - min("hour")).as("duration"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("ev"))
+      Eval.kaplanMeier(subjects, "duration", "ev")
+    }),
+
+    // CUSUM drift alarm over each event type's daily volume
+    "q_cusum" -> ((s, d) => {
+      val daily = DataQueries.readEventsMicros(s, d)
+        .withColumn("day", expr("tsu div 86400000000"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("cnt"))
+      Eval.cusum(daily, Seq("event_type"), "day", "cnt",
+        target = CusumTarget, slack = CusumSlack, h = CusumH)
+    }))
+
+  /** Mann-Whitney AUC oracle over distinct score values — one SQL shape
+    * shared by every AUC query (and by BOTH Spark paths of the binned
+    * twin: binning is a physical choice, the oracle is the math). */
+  private def aucSql(table: String, scoreExpr: String,
+      labelCond: String): String =
+    s"""WITH c AS (
+         SELECT $scoreExpr AS s,
+           CAST(sum(CASE WHEN $labelCond THEN 1 ELSE 0 END) AS BIGINT)
+             AS p,
+           CAST(sum(CASE WHEN $labelCond THEN 0 ELSE 1 END) AS BIGINT)
+             AS q
+         FROM $table WHERE $scoreExpr IS NOT NULL GROUP BY 1),
+       r AS (
+         SELECT p, q,
+           CAST(coalesce(sum(q) OVER (ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS nb
+         FROM c),
+       u AS (
+         SELECT sum(p * (nb + q / 2.0)) AS u,
+           CAST(sum(p) AS BIGINT) AS n_pos,
+           CAST(sum(q) AS BIGINT) AS n_neg
+         FROM r)
+       SELECT round(u / (n_pos * CAST(n_neg AS DOUBLE)), 6) AS auc,
+         n_pos, n_neg
+       FROM u"""
+
+  private val ScoreSql = "(o_orderkey % 1000) / 1000.0"
+  private val LabelSql = "o_orderpriority = '1-URGENT'"
+
+  def oracleSql: Map[String, String] = {
+    val contAuc =
+      aucSql("orders", "o_totalprice", "o_orderpriority = '1-URGENT'")
+    Map(
+      "q_auc" -> aucSql("lineitem", "l_discount", "l_returnflag = 'R'"),
+      "q_auc_cont" -> contAuc,
+      "q_auc_binned" -> contAuc,
+
+      "q_calibration" ->
+        s"""SELECT least(CAST(floor(($ScoreSql) * $CalBins) AS BIGINT),
+             ${CalBins - 1}) AS bin,
+           count(*) AS n,
+           round(avg($ScoreSql), 6) AS mean_score,
+           round(avg(CASE WHEN $LabelSql THEN 1.0 ELSE 0.0 END), 6)
+             AS pos_rate
+           FROM orders GROUP BY 1""",
+
+      "q_lift" ->
+        s"""WITH b AS (
+             SELECT least(CAST(floor((1.0 - ($ScoreSql)) * $LiftBuckets)
+                 AS BIGINT), ${LiftBuckets - 1}) AS bucket,
+               count(*) AS n,
+               CAST(sum(CASE WHEN $LabelSql THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_pos
+             FROM orders GROUP BY 1)
+           SELECT bucket, n, n_pos,
+             round(CAST(sum(n_pos) OVER wc AS DOUBLE) /
+               CAST(sum(n_pos) OVER wa AS DOUBLE), 6) AS gain,
+             round((CAST(sum(n_pos) OVER wc AS DOUBLE) /
+                 CAST(sum(n) OVER wc AS DOUBLE)) /
+               (CAST(sum(n_pos) OVER wa AS DOUBLE) /
+                 CAST(sum(n) OVER wa AS DOUBLE)), 6) AS lift
+           FROM b
+           WINDOW wc AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING),
+             wa AS (ROWS BETWEEN UNBOUNDED PRECEDING
+               AND UNBOUNDED FOLLOWING)""",
+
+      "q_confusion" ->
+        s"""WITH s AS (
+             SELECT $ScoreSql AS s,
+               CASE WHEN $LabelSql THEN 1 ELSE 0 END AS l
+             FROM orders),
+           x AS (
+             SELECT t.threshold, s.s, s.l
+             FROM s CROSS JOIN (SELECT unnest(
+               [${ConfThresholds.mkString(", ")}]) AS threshold) t),
+           c AS (
+             SELECT threshold,
+               CAST(sum(CASE WHEN s >= threshold AND l = 1
+                 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN s >= threshold AND l = 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN s < threshold AND l = 1
+                 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CAST(sum(CASE WHEN s < threshold AND l = 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+             FROM x GROUP BY 1)
+           SELECT threshold, tp, fp, fn, tn,
+             CASE WHEN tp + fp > 0
+               THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END
+               AS "precision",
+             CASE WHEN tp + fn > 0
+               THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) END
+               AS recall,
+             CASE WHEN 2 * tp + fp + fn > 0
+               THEN round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
+           FROM c""",
+
+      "q_survival" ->
+        """WITH e AS (
+             SELECT user_id,
+               CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pu
+             FROM events),
+           subj AS (
+             SELECT user_id, max(hour) - min(hour) AS duration,
+               max(pu) AS ev
+             FROM e GROUP BY 1),
+           byt AS (
+             SELECT duration,
+               CAST(sum(ev) AS BIGINT) AS n_event,
+               CAST(sum(1 - ev) AS BIGINT) AS n_censored
+             FROM subj GROUP BY 1),
+           r AS (
+             SELECT duration, n_event, n_censored,
+               CAST(sum(n_event + n_censored) OVER wa AS BIGINT) -
+                 CAST(coalesce(sum(n_event + n_censored) OVER wb, 0)
+                   AS BIGINT) AS n_risk
+             FROM byt
+             WINDOW wa AS (ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND UNBOUNDED FOLLOWING),
+               wb AS (ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING))
+           SELECT duration, n_risk, n_event, n_censored,
+             CASE WHEN max(CASE WHEN n_event = n_risk THEN 1 ELSE 0 END)
+                 OVER wt > 0 THEN 0.0
+               ELSE round(exp(sum(CASE WHEN n_event < n_risk
+                 THEN ln(1.0 - CAST(n_event AS DOUBLE) / n_risk) END)
+                 OVER wt), 6)
+             END AS survival
+           FROM r
+           WINDOW wt AS (ORDER BY duration ROWS BETWEEN UNBOUNDED
+             PRECEDING AND CURRENT ROW)""",
+
+      "q_cusum" ->
+        s"""WITH daily AS (
+             SELECT event_type,
+               CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+               count(*) AS cnt
+             FROM events GROUP BY 1, 2),
+           p AS (
+             SELECT event_type, day, cnt,
+               sum(cnt - $CusumTarget - $CusumSlack) OVER w AS pf
+             FROM daily
+             WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING))
+           SELECT event_type, day, cnt,
+             pf - least(0.0, min(pf) OVER w2) AS cusum,
+             (pf - least(0.0, min(pf) OVER w2)) > $CusumH AS alarm
+           FROM p
+           WINDOW w2 AS (PARTITION BY event_type ORDER BY day
+             ROWS UNBOUNDED PRECEDING)""")
+  }
+}

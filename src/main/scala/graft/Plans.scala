@@ -296,6 +296,19 @@ object Plans {
         "variants, ONE variant equi-join, exact levenshtein verify on " +
         "the candidate set — no CartesianProduct node anywhere.",
         SparkEntry.queries("q_fuzzy_join")(spark, d)),
+      ("q_auc_binned", "binned AUC: one corpus aggregate to distinct " +
+        "scores, 256-bin partitioned cumulative (no global sort over " +
+        "the distinct relation), broadcast offsets join, one-row " +
+        "finish — the plan shown is pre-checkpoint via aucPlan",
+        graft.relational.Eval.aucPlan(
+          spark.read.parquet(s"$d/orders.parquet")
+            .withColumn("label", when(
+              col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)),
+          "o_totalprice", "label", maxDistinctBroadcast = 0)._1),
+      ("q_cusum", "CUSUM: the max(0, s+dev) recursion as prefix-sum " +
+        "minus running-min — TWO frames over ONE per-key sort, one " +
+        "exchange, no join",
+        SparkEntry.queries("q_cusum")(spark, d)),
       ("q_mi_ranking", "MI ranking: one melted explode feeds ONE " +
         "(feature, value, label) cell-count shuffle; marginals and the " +
         "finish are cells-scale joins/aggregates — never a job per " +

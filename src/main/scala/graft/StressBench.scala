@@ -340,6 +340,34 @@ object StressBench {
         "c_name", "corrupted", maxDist = 1)
     }),
 
+    // AUC, BINNED path forced: distinct scores ×reps via the perturbed
+    // price — the 256-bin cumulative is the load; the finish stays a
+    // one-row aggregate however many distinct scores exist
+    "s_auc_binned" -> ((s, d, r) =>
+      graft.relational.Eval.auc(
+        lineitemScaled(s, d, r)
+          .withColumn("label",
+            when(col("l_returnflag") === "R", 1L).otherwise(0L)),
+        "l_extendedprice", "label", maxDistinctBroadcast = 0)),
+
+    // CUSUM with every series ×reps LONGER (days re-keyed per replica):
+    // the per-key window sort is the load — one sort carries both the
+    // cumulative sum and the running min however long the series grows
+    "s_cusum" -> ((s, d, r) => {
+      val daily = DataQueries.readEventsMicros(s, d)
+        .withColumn("day", expr("tsu div 86400000000"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("cnt"))
+      val series =
+        if (r <= 1) daily
+        else daily
+          .withColumn("__rep", explode(sequence(lit(0), lit(r - 1))))
+          .withColumn("day", col("day") * r + col("__rep"))
+          .drop("__rep")
+      graft.relational.Eval.cusum(series, Seq("event_type"), "day",
+        "cnt", target = 100.0, slack = 0.0, h = 50.0)
+    }),
+
     // delta-join maintenance with the fact side ×reps: the delta terms
     // must stay delta-against-full (broadcast-eligible) however large
     // the maintained fact side grows

@@ -1,0 +1,289 @@
+package graft.relational
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation and monitoring operators: exact AUC via the
+  * Mann-Whitney rank statistic, calibration (reliability) bins,
+  * cumulative lift/gains, threshold confusion sweeps, Kaplan-Meier
+  * survival curves, and CUSUM changepoint detection. The reference ships
+  * its pipelines into model training and an online scorer
+  * (RunBench.py:41,66-77); this module is the read-back half — the
+  * queries a team runs to decide whether the model and the data feeding
+  * it are still healthy.
+  *
+  * Scale discipline matches the rest of the engine: every operator is
+  * one or two map-side-combined aggregates, windows only ever partition
+  * by a key or run over relations bounded by construction, and the only
+  * joins are broadcast-scale. AUC gets the same dual small/binned path
+  * as [[Relational.percentileRank]] because its rank pass is the same
+  * ordered-cumulative problem. */
+object Eval {
+
+  /** Exact ROC AUC of `scoreCol` against binary `labelCol` (0/1), with
+    * midrank tie handling — the Mann-Whitney identity
+    * `AUC = Σ_s p_s·(negBelow_s + n_s/2) / (P·N)` over the DISTINCT
+    * score values s (p_s positives, n_s negatives at s). Returns one row
+    * `(auc, n_pos, n_neg)`. Null scores/labels are excluded.
+    *
+    * The per-score terms are integer counts times multiples of ½, so
+    * partial sums are exact in doubles (no summation-order sensitivity)
+    * and the single final division is bit-reproducible; `auc` is rounded
+    * 6 dp under the repo's aggregate-derived-double discipline anyway.
+    *
+    * Shape at 100 TB: ONE corpus aggregate to the distinct-score
+    * relation, then a dual path on its counted size (the same fit-time
+    * decision [[Relational.percentileRank]] makes):
+    *  - distinct ≤ `maxDistinctBroadcast` (quantized model scores —
+    *    the common case): ordered cumulative over the PROVEN-bounded
+    *    distinct relation;
+    *  - above (raw continuous scores): 256 approx-quantile macro bins
+    *    balanced by distinct count, per-bin ordered windows
+    *    (partitioned → parallel, ~distinct/256 rows per task), a
+    *    ≤256-row bins relation for cross-bin offsets joined back
+    *    broadcast. Binning only partitions the value space; the
+    *    cumulative arithmetic is exact either way.
+    * The finish is a global sum over the distinct relation — the corpus
+    * is never windowed, sorted, or collected. Counts above 2^52 pairs
+    * would lose exactness in ANY double-summing engine; at that scale
+    * the distinct relation is what you shard, not this operator. */
+  def auc(df: DataFrame, scoreCol: String, labelCol: String,
+      maxDistinctBroadcast: Long = 100000): DataFrame = {
+    val (out, counts) = aucPlan(df, scoreCol, labelCol,
+      maxDistinctBroadcast)
+    // materialize before releasing the fit cache (mirrors
+    // percentileRank): the result is one row
+    val materialized = out.localCheckpoint(eager = true)
+    counts.unpersist(blocking = false)
+    materialized
+  }
+
+  /** The unmaterialized AUC plan plus the persisted fit-time counts
+    * relation — split out so plan-shape tests can assert on the real
+    * plan (the public method checkpoints, which hides it). Callers must
+    * unpersist the returned counts once the plan is consumed. */
+  private[graft] def aucPlan(df: DataFrame, scoreCol: String,
+      labelCol: String,
+      maxDistinctBroadcast: Long): (DataFrame, DataFrame) = {
+    val lab = col(labelCol).cast("long")
+    val counts = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).as("__s"))
+      .agg(sum(lab).as("__p"),
+        sum(lit(1L) - lab).as("__q"))
+      .persist()
+    val nDistinct = counts.count()
+
+    val withBelow =
+      if (nDistinct <= maxDistinctBroadcast) {
+        // bounded by the count just taken — single-task window intended
+        val w = graft.util.BoundedWindow.global(col("__s"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        counts.withColumn("__negbelow",
+          coalesce(sum("__q").over(w), lit(0L)))
+      } else {
+        val nBins = 256
+        val sd = col("__s").cast("double")
+        val innerPcts = array(
+          (1 until nBins).map(i => lit(i.toDouble / nBins)): _*)
+        // one row: always broadcast
+        val edges = counts
+          .agg(percentile_approx(sd, innerPcts, lit(10000)).as("__edges"))
+        val bin = aggregate(col("__edges"), lit(0),
+          (acc, e) => acc + when(sd >= e, 1).otherwise(0))
+        val binned = counts.crossJoin(broadcast(edges))
+          .withColumn("__bin", bin).drop("__edges")
+        // cross-bin offsets: ≤256 rows — bounded by construction
+        val wBins = graft.util.BoundedWindow.global(col("__bin"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = binned.groupBy("__bin")
+          .agg(sum("__q").as("__bq"))
+          .withColumn("__binbelow",
+            coalesce(sum("__bq").over(wBins), lit(0L)))
+          .drop("__bq")
+        // within-bin windows partition by bin → parallel
+        val wIn = Window.partitionBy(col("__bin")).orderBy(col("__s"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        binned
+          .withColumn("__inbelow", coalesce(sum("__q").over(wIn), lit(0L)))
+          .join(broadcast(offsets), Seq("__bin"))
+          .withColumn("__negbelow", col("__inbelow") + col("__binbelow"))
+      }
+
+    val out = withBelow.agg(
+      sum(col("__p").cast("double") *
+        (col("__negbelow").cast("double") +
+          col("__q").cast("double") / 2.0)).as("__u"),
+      sum("__p").as("n_pos"),
+      sum("__q").as("n_neg"))
+      .select(
+        round(col("__u") /
+          (col("n_pos").cast("double") * col("n_neg").cast("double")), 6)
+          .as("auc"),
+        col("n_pos"), col("n_neg"))
+    (out, counts)
+  }
+
+  /** Calibration (reliability) table: `nBins` equal-width bins over the
+    * [0,1] score, per bin `(n, mean_score, pos_rate)` — a calibrated
+    * model has mean_score ≈ pos_rate in every bin. Scores exactly 1.0
+    * land in the top bin. ONE map-side-combined aggregate keyed by the
+    * bin — state is `nBins` triples regardless of corpus size. */
+  def calibration(df: DataFrame, scoreCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins >= 2, got $nBins")
+    val s = col(scoreCol).cast("double")
+    df.filter(s.isNotNull && col(labelCol).isNotNull)
+      .groupBy(least(floor(s * nBins), lit(nBins - 1L)).cast("long")
+        .as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(s), 6).as("mean_score"),
+        round(avg(col(labelCol).cast("double")), 6).as("pos_rate"))
+  }
+
+  /** Cumulative gains / lift by descending score bucket: bucket 0 is the
+    * top `1/nBuckets` score slice; per bucket `(n, n_pos)` plus the
+    * cumulative `gain` (share of all positives captured through this
+    * bucket) and `lift` (capture precision ÷ base rate). Buckets are
+    * FIXED-WIDTH on the [0,1] score — never `ntile`, whose global
+    * row-number sort is a single-task scan at 100 TB and whose tie
+    * placement is engine-dependent. One corpus aggregate to `nBuckets`
+    * rows, cumulative over that bounded relation. */
+  def liftGains(df: DataFrame, scoreCol: String, labelCol: String,
+      nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets >= 2, got $nBuckets")
+    val s = col(scoreCol).cast("double")
+    val lab = col(labelCol).cast("long")
+    val byBucket = df.filter(s.isNotNull && col(labelCol).isNotNull)
+      .groupBy(least(floor((lit(1.0) - s) * nBuckets), lit(nBuckets - 1L))
+        .cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(lab).as("n_pos"))
+    // ≤ nBuckets rows — bounded by construction
+    val wCum = graft.util.BoundedWindow.global(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = graft.util.BoundedWindow.globalUnordered()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    byBucket
+      .withColumn("__cn", sum("n").over(wCum))
+      .withColumn("__cp", sum("n_pos").over(wCum))
+      .withColumn("__tn", sum("n").over(wAll))
+      .withColumn("__tp", sum("n_pos").over(wAll))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        round(col("__cp").cast("double") / col("__tp"), 6).as("gain"),
+        round((col("__cp").cast("double") / col("__cn")) /
+          (col("__tp").cast("double") / col("__tn")), 6).as("lift"))
+  }
+
+  /** Confusion-matrix sweep: for each threshold t, counts with
+    * `predicted = score ≥ t` — `(tp, fp, fn, tn)` plus 6-dp
+    * `precision`, `recall`, `f1`, each null when its denominator is 0
+    * (guarded explicitly, never relying on engine division-by-zero
+    * semantics; f1 uses the `2·tp/(2·tp+fp+fn)` form, defined whenever
+    * any prediction or positive exists). ONE pass: the row stream is
+    * widened ×|thresholds| by an `explode` of the literal threshold
+    * array (broadcast-free, codegen'd) and aggregated keyed by
+    * threshold — map-side combine leaves |thresholds| rows per
+    * partition. */
+  def confusionSweep(df: DataFrame, scoreCol: String, labelCol: String,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val s = col(scoreCol).cast("double")
+    val lab = col(labelCol).cast("long")
+    val pos = col("__l") === 1L
+    val pred = col("__s") >= col("threshold")
+    val cnt = (c: org.apache.spark.sql.Column) =>
+      sum(when(c, 1L).otherwise(0L))
+    val tp = col("tp").cast("double")
+    df.filter(s.isNotNull && col(labelCol).isNotNull)
+      .select(s.as("__s"), lab.as("__l"),
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+      .groupBy("threshold")
+      .agg(cnt(pred && pos).as("tp"), cnt(pred && !pos).as("fp"),
+        cnt(!pred && pos).as("fn"), cnt(!pred && !pos).as("tn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") > 0,
+          round(tp / (col("tp") + col("fp")), 6)).as("precision"),
+        when(col("tp") + col("fn") > 0,
+          round(tp / (col("tp") + col("fn")), 6)).as("recall"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+          round(lit(2.0) * tp /
+            (lit(2L) * col("tp") + col("fp") + col("fn")), 6)).as("f1"))
+  }
+
+  /** Kaplan-Meier survival curve: one input row per subject with an
+    * integral `durationCol` (time observed) and `eventCol` ∈ {0,1}
+    * (1 = event occurred at duration, 0 = censored). Output: one row per
+    * distinct duration with `(n_risk, n_event, n_censored, survival)`
+    * where `survival = Π_{u ≤ t} (1 − d_u / n_u)` under the standard
+    * convention that same-time censorings are still at risk for the
+    * event. The product is computed as `exp(Σ ln(…))` — cumulative sums
+    * are window-expressible, products are not — and rounded 6 dp (libm
+    * `ln`/`exp` are the one place the repo's float discipline allows
+    * engine drift).
+    *
+    * Shape at 100 TB: one subject-level aggregate to the distinct-
+    * duration relation, then the ordered cumulative over it. Durations
+    * are calendar-quantized by construction (days/weeks since entry), so
+    * that relation is bounded by the observation span, not the corpus —
+    * the same boundedness argument as resample's grid. */
+  def kaplanMeier(df: DataFrame, durationCol: String,
+      eventCol: String): DataFrame = {
+    val ev = col(eventCol).cast("long")
+    val byT = df.filter(col(durationCol).isNotNull && ev.isNotNull)
+      .groupBy(col(durationCol).cast("long").as("duration"))
+      .agg(sum(ev).as("n_event"), sum(lit(1L) - ev).as("n_censored"))
+    // distinct durations: calendar-bounded (see scaladoc)
+    val wBefore = graft.util.BoundedWindow.global(col("duration"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wThrough = graft.util.BoundedWindow.global(col("duration"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = graft.util.BoundedWindow.globalUnordered()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    byT
+      .withColumn("n_risk",
+        sum(col("n_event") + col("n_censored")).over(wAll) -
+          coalesce(sum(col("n_event") + col("n_censored")).over(wBefore),
+            lit(0L)))
+      // a level where the event takes EVERY remaining at-risk subject
+      // drives survival to exactly 0 from there on; keep that term out
+      // of the log sum (Spark's log(0) is null and sum would silently
+      // skip it) and zero via the cumulative flag instead
+      .withColumn("survival",
+        when(max((col("n_event") === col("n_risk")).cast("int"))
+          .over(wThrough) > 0, lit(0.0))
+          .otherwise(round(exp(
+            sum(when(col("n_event") < col("n_risk"),
+              log(lit(1.0) -
+                col("n_event").cast("double") / col("n_risk"))))
+              .over(wThrough)), 6)))
+      .select("duration", "n_risk", "n_event", "n_censored", "survival")
+  }
+
+  /** One-sided CUSUM changepoint statistic per key:
+    * `s_i = max(0, s_{i−1} + (x_i − target − slack))`, alarm when
+    * `s_i > h`. The recursion LOOKS sequential, but has the closed form
+    * `s_i = P_i − min(0, min_{j ≤ i} P_j)` over the deviation prefix
+    * sums `P` — so it is TWO frames over ONE per-key window sort
+    * (cumulative sum + running min), never an iterative loop or UDF
+    * fold. With integral values and targets the arithmetic is exact.
+    * Ordering must be total per key (`orderCol` unique within key — for
+    * event data pass a bucketed/resampled series).
+    *
+    * Shape at 100 TB: one window sort partitioned by key — a task holds
+    * one key's series, the standard per-entity bound shared with
+    * sessionize/decayedValue. */
+  def cusum(df: DataFrame, keys: Seq[String], orderCol: String,
+      valueCol: String, target: Double, slack: Double,
+      h: Double, out: String = "cusum"): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    require(h > 0, s"alarm threshold h > 0, got $h")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val dev = col(valueCol).cast("double") - lit(target) - lit(slack)
+    df.withColumn("__p", sum(dev).over(w))
+      .withColumn(out, col("__p") - least(lit(0.0), min(col("__p")).over(w)))
+      .withColumn("alarm", col(out) > h)
+      .drop("__p")
+  }
+}

@@ -67,6 +67,34 @@ class AnalyticsPlanSpec extends SparkSpec {
     assert(!pm.contains("LocalTableScan"), pm.take(600))
   }
 
+  test("cusum is TWO frames over ONE per-key window sort — the recursion's " +
+      "closed form never adds a second sort or a join") {
+    val df = Seq(("k", 1L, 2.0), ("k", 2L, 9.0)).toDF("k", "t", "x")
+    val p = plan(graft.relational.Eval.cusum(df, Seq("k"), "t", "x",
+      target = 5.0, slack = 0.0, h = 3.0))
+    // two Window nodes (the running min CONSUMES the cumulative sum, so
+    // they cannot fuse) but the second reuses the first's sort order:
+    // exactly one Sort, one Exchange, no Join
+    assert(p.sliding(7).count(_ == "Window ") == 2, p.take(600))
+    assert(p.sliding(6).count(_ == "Sort [") == 1, p.take(800))
+    assert(exchanges(p) == 1, p.take(800))
+    assert(!p.contains("Join"), p.take(600))
+  }
+
+  test("auc binned path: windows partition by bin, the only joins are " +
+      "broadcast (edges + ≤256-row offsets), no shuffle join") {
+    val df = Seq((0.1, 1L), (0.9, 0L), (0.5, 1L)).toDF("score", "label")
+    val (out, counts) = graft.relational.Eval.aucPlan(df, "score", "label",
+      maxDistinctBroadcast = 1)
+    val p = plan(out)
+    // the within-bin cumulative partitions by __bin (parallel, never a
+    // global sort over the distinct-score relation)
+    assert(p.contains("[__bin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"), p.take(1200))
+    counts.unpersist(blocking = false)
+  }
+
   test("skyline2 plans no cartesian/broadcast-nested-loop and finishes " +
       "with a semi-join") {
     val df = Seq(("g", 1, 2), ("g", 2, 1)).toDF("g", "d1", "d2")

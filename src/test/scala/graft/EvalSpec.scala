@@ -1,0 +1,171 @@
+package graft
+
+import graft.relational.Eval
+import org.apache.spark.sql.functions._
+
+/** Golden + randomized tests for the evaluation/monitoring operators:
+  * AUC (both paths vs brute-force pair counting), calibration, lift,
+  * confusion sweep, Kaplan-Meier, and CUSUM vs the literal sequential
+  * recursion. */
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(20260815L)
+
+  // ---- AUC ---------------------------------------------------------------
+
+  private def bruteAuc(rows: Seq[(Double, Long)]): Double = {
+    val pos = rows.filter(_._2 == 1L).map(_._1)
+    val neg = rows.filter(_._2 == 0L).map(_._1)
+    val wins = (for (p <- pos; n <- neg) yield
+      if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    wins / (pos.size.toDouble * neg.size)
+  }
+
+  test("auc: small and binned paths both equal brute-force pair counting " +
+      "on tied random data") {
+    val rows = (1 to 400).map(_ =>
+      (rnd.nextInt(12).toDouble / 12.0, rnd.nextInt(2).toLong))
+    val df = rows.toDF("score", "label")
+    val expected = BigDecimal(bruteAuc(rows))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (thr <- Seq(100000L, 1L)) {
+      val out = Eval.auc(df, "score", "label", maxDistinctBroadcast = thr)
+        .collect().head
+      assert(math.abs(out.getDouble(0) - expected) < 1e-9,
+        s"thr=$thr: ${out.getDouble(0)} vs $expected")
+      assert(out.getLong(1) == rows.count(_._2 == 1L))
+      assert(out.getLong(2) == rows.count(_._2 == 0L))
+    }
+  }
+
+  test("auc: perfect separation is 1.0, inverted is 0.0, null scores " +
+      "excluded") {
+    val df = Seq((0.9, 1L), (0.8, 1L), (0.2, 0L), (0.1, 0L))
+      .toDF("score", "label")
+    assert(Eval.auc(df, "score", "label").collect().head.getDouble(0)
+      == 1.0)
+    val inv = df.withColumn("label", lit(1L) - col("label"))
+    assert(Eval.auc(inv, "score", "label").collect().head.getDouble(0)
+      == 0.0)
+    val withNull = df.union(Seq((Double.NaN, 1L)).toDF("s", "l"))
+      .withColumn("score", when(isnan(col("score")), lit(null))
+        .otherwise(col("score")))
+    val r = Eval.auc(withNull, "score", "label").collect().head
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L)
+  }
+
+  // ---- calibration / lift / confusion ------------------------------------
+
+  test("calibration: bin edges, top-bin inclusion of 1.0, counts and " +
+      "pos_rate") {
+    val df = Seq((0.05, 0L), (0.09, 1L), (0.95, 1L), (1.0, 1L))
+      .toDF("score", "label")
+    val out = Eval.calibration(df, "score", "label", nBins = 10)
+      .orderBy("bin").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 9L))
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 2L))
+    assert(out.map(_.getDouble(3)).toSeq == Seq(0.5, 1.0))
+  }
+
+  test("liftGains: totals add up, gain ends at 1.0, final lift is 1.0, " +
+      "gain monotone") {
+    val rows = (1 to 500).map(_ =>
+      (rnd.nextInt(1000).toDouble / 1000.0,
+        if (rnd.nextDouble() < 0.3) 1L else 0L))
+    val df = rows.toDF("score", "label")
+    val out = Eval.liftGains(df, "score", "label", nBuckets = 10)
+      .orderBy("bucket").collect()
+    assert(out.map(_.getLong(1)).sum == rows.size)
+    assert(out.map(_.getLong(2)).sum == rows.count(_._2 == 1L))
+    val gains = out.map(_.getDouble(3)).toSeq
+    assert(gains == gains.sorted, s"gain not monotone: $gains")
+    assert(gains.last == 1.0)
+    assert(out.last.getDouble(4) == 1.0) // whole-population lift
+  }
+
+  test("confusionSweep: cells partition n at every threshold; metrics " +
+      "match direct counts; empty-prediction threshold nulls precision") {
+    val rows = (1 to 300).map(_ =>
+      (rnd.nextInt(100).toDouble / 200.0, rnd.nextInt(2).toLong)) // s<0.5
+    val df = rows.toDF("score", "label")
+    val out = Eval.confusionSweep(df, "score", "label", Seq(0.2, 0.7))
+      .orderBy("threshold").collect()
+    out.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) + r.getLong(3) + r.getLong(4)
+        == rows.size)
+    }
+    val t0 = out.head
+    val tp = rows.count(r => r._1 >= 0.2 && r._2 == 1L)
+    val fp = rows.count(r => r._1 >= 0.2 && r._2 == 0L)
+    assert(t0.getLong(1) == tp && t0.getLong(2) == fp)
+    assert(math.abs(t0.getDouble(5) - tp.toDouble / (tp + fp)) < 1e-6)
+    // no score reaches 0.7: tp=fp=0 -> precision null, recall 0
+    val t1 = out.last
+    assert(t1.getLong(1) == 0L && t1.getLong(2) == 0L)
+    assert(t1.isNullAt(5))
+    assert(t1.getDouble(6) == 0.0)
+  }
+
+  // ---- Kaplan-Meier ------------------------------------------------------
+
+  test("kaplanMeier: textbook curve with same-time censoring at risk") {
+    val df = Seq((1L, 1L), (2L, 1L), (2L, 0L), (3L, 1L), (4L, 0L))
+      .toDF("duration", "ev")
+    val out = Eval.kaplanMeier(df, "duration", "ev")
+      .orderBy("duration").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(5L, 4L, 2L, 1L)) // n_risk
+    assertColApprox(
+      Eval.kaplanMeier(df, "duration", "ev").orderBy("duration"),
+      "survival", Seq(Some(0.8), Some(0.6), Some(0.3), Some(0.3)),
+      eps = 1e-6)
+  }
+
+  test("kaplanMeier: a level that takes every remaining subject drives " +
+      "survival to exactly 0 (the ln(0) edge)") {
+    val df = Seq((1L, 1L), (2L, 1L), (2L, 1L)).toDF("duration", "ev")
+    val out = Eval.kaplanMeier(df, "duration", "ev")
+      .orderBy("duration").collect()
+    assert(math.abs(out.head.getDouble(4) - 1.0 / 3 * 2) < 1e-6)
+    assert(out.last.getDouble(4) == 0.0)
+  }
+
+  // ---- CUSUM -------------------------------------------------------------
+
+  test("cusum: prefix-sum closed form equals the literal sequential " +
+      "recursion on random per-key series") {
+    val target = 5.0
+    val slack = 0.5
+    val series = for {
+      k <- Seq("a", "b", "c")
+      i <- 1 to 50
+    } yield (k, i.toLong, rnd.nextInt(12).toDouble)
+    val df = series.toDF("k", "t", "x")
+    val got = Eval.cusum(df, Seq("k"), "t", "x", target, slack, h = 8.0)
+      .orderBy("k", "t").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3),
+        r.getBoolean(4)))
+    val expected = series.groupBy(_._1).toSeq.flatMap { case (k, rows) =>
+      var s = 0.0
+      rows.sortBy(_._2).map { case (_, t, x) =>
+        s = math.max(0.0, s + x - target - slack)
+        (k, t, s, s > 8.0)
+      }
+    }.sortBy(r => (r._1, r._2))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2, s"$g vs $e")
+      assert(math.abs(g._3 - e._3) < 1e-9, s"$g vs $e")
+      assert(g._4 == e._4, s"$g vs $e")
+    }
+  }
+
+  test("cusum: keeps input columns, exact integral arithmetic, no alarm " +
+      "on an in-control series") {
+    val df = Seq(("k", 1L, 10.0), ("k", 2L, 10.0), ("k", 3L, 10.0))
+      .toDF("k", "t", "x")
+    val out = Eval.cusum(df, Seq("k"), "t", "x", target = 10.0,
+      slack = 0.0, h = 1.0).orderBy("t").collect()
+    assert(out.map(_.getDouble(3)).toSeq == Seq(0.0, 0.0, 0.0))
+    assert(out.forall(!_.getBoolean(4)))
+  }
+}
