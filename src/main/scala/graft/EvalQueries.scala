@@ -93,7 +93,30 @@ object EvalQueries {
         .agg(count(lit(1)).as("cnt"))
       Eval.cusum(daily, Seq("event_type"), "day", "cnt",
         target = CusumTarget, slack = CusumSlack, h = CusumH)
-    }))
+    }),
+
+    // inter-annotator agreement: priority vs a deterministically
+    // degraded second annotation (refuses ~2/7 of rows as 3-MEDIUM)
+    "q_kappa" -> ((s, d) =>
+      Eval.cohenKappa(t(s, d, "orders")
+        .withColumn("anno_b",
+          when(col("o_orderkey") % 7 < 5, col("o_orderpriority"))
+            .otherwise(lit("3-MEDIUM"))),
+        "o_orderpriority", "anno_b")),
+
+    // fairness readback: confusion + tpr/fpr/precision/base_rate per
+    // order status AND the rollup total row, one pass
+    "q_fairness" -> ((s, d) =>
+      Eval.groupConfusion(scoredOrders(s, d), "score", "label",
+        Seq("o_orderstatus"), threshold = FairnessThreshold)),
+
+    // proper scoring rules over the pseudo-probability
+    "q_brier" -> ((s, d) =>
+      Eval.scoringRules(scoredOrders(s, d), "score", "label",
+        eps = ScoreEps)))
+
+  private val FairnessThreshold = 0.5
+  private val ScoreEps = 1e-6
 
   /** Mann-Whitney AUC oracle over distinct score values — one SQL shape
     * shared by every AUC query (and by BOTH Spark paths of the binned
@@ -228,6 +251,75 @@ object EvalQueries {
            FROM r
            WINDOW wt AS (ORDER BY duration ROWS BETWEEN UNBOUNDED
              PRECEDING AND CURRENT ROW)""",
+
+      "q_kappa" ->
+        """WITH t AS (
+             SELECT o_orderpriority AS a,
+               CASE WHEN o_orderkey % 7 < 5 THEN o_orderpriority
+                 ELSE '3-MEDIUM' END AS b
+             FROM orders WHERE o_orderpriority IS NOT NULL),
+           nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+           ag AS (SELECT CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END)
+             AS BIGINT) AS agree FROM t),
+           ma AS (SELECT a AS c, count(*) AS ca FROM t GROUP BY 1),
+           mb AS (SELECT b AS c, count(*) AS cb FROM t GROUP BY 1),
+           pe AS (SELECT sum(CAST(ca AS DOUBLE) * cb) AS pesum
+             FROM ma JOIN mb USING (c))
+           SELECT
+             CASE WHEN pesum / (CAST(n AS DOUBLE) * n) < 1.0 THEN
+               round((agree / CAST(n AS DOUBLE)
+                   - pesum / (CAST(n AS DOUBLE) * n))
+                 / (1.0 - pesum / (CAST(n AS DOUBLE) * n)), 6) END
+               AS kappa,
+             round(agree / CAST(n AS DOUBLE), 6) AS po,
+             round(pesum / (CAST(n AS DOUBLE) * n), 6) AS pe,
+             n
+           FROM nn, ag, pe""",
+
+      "q_fairness" ->
+        s"""WITH base AS (
+             SELECT o_orderstatus, $ScoreSql AS s,
+               CASE WHEN $LabelSql THEN 1 ELSE 0 END AS l
+             FROM orders),
+           c AS (
+             SELECT o_orderstatus, count(*) AS n,
+               CAST(sum(CASE WHEN s >= $FairnessThreshold AND l = 1
+                 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN s >= $FairnessThreshold AND l = 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN s < $FairnessThreshold AND l = 1
+                 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CAST(sum(CASE WHEN s < $FairnessThreshold AND l = 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+             FROM base GROUP BY ROLLUP (o_orderstatus))
+           SELECT o_orderstatus, n, tp, fp, fn, tn,
+             CASE WHEN tp + fn > 0
+               THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS tpr,
+             CASE WHEN fp + tn > 0
+               THEN round(CAST(fp AS DOUBLE) / (fp + tn), 6) END AS fpr,
+             CASE WHEN tp + fp > 0
+               THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END
+               AS "precision",
+             CASE WHEN n > 0
+               THEN round(CAST(tp + fn AS DOUBLE) / n, 6) END
+               AS base_rate
+           FROM c""",
+
+      "q_brier" ->
+        s"""WITH base AS (
+             SELECT $ScoreSql AS s,
+               CAST(CASE WHEN $LabelSql THEN 1 ELSE 0 END AS DOUBLE) AS l
+             FROM orders),
+           g AS (
+             SELECT s, l,
+               greatest($ScoreEps, least(1.0 - $ScoreEps, s)) AS sc
+             FROM base)
+           SELECT
+             round(avg((s - l) * (s - l)), 6) AS brier,
+             round(avg(-(l * ln(sc) + (1.0 - l) * ln(1.0 - sc))), 6)
+               AS logloss,
+             count(*) AS n
+           FROM g""",
 
       "q_cusum" ->
         s"""WITH daily AS (

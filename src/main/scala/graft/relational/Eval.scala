@@ -260,6 +260,101 @@ object Eval {
       .select("duration", "n_risk", "n_event", "n_censored", "survival")
   }
 
+  /** Cohen's kappa — chance-corrected agreement between two categorical
+    * annotation columns: `κ = (p_o − p_e)/(1 − p_e)` with observed
+    * agreement `p_o` and chance agreement `p_e = Σ_c P_a(c)·P_b(c)`.
+    * Returns one row `(kappa, po, pe, n)`, 6-dp rounded; null kappa on
+    * perfect chance agreement (p_e = 1). Rows with a null on either
+    * side are excluded (they are non-annotations, not disagreements).
+    *
+    * Shape at 100 TB: ONE aggregate to the (a, b) cell relation
+    * (labels² rows — the [[Analytics.association]] bound), marginals
+    * and the agreement sum all aggregate that bounded relation; the
+    * corpus is scanned once. The cell relation is checkpointed for the
+    * same reason association's is: three consumers, one pass. */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+      .agg(count(lit(1)).as("__o"))
+      .localCheckpoint(eager = true)
+    val n = cells.agg(sum("__o").as("__n"))
+    val agree = cells.filter(col("__a") === col("__b"))
+      .agg(coalesce(sum("__o"), lit(0L)).as("__agree"))
+    // chance agreement from the two marginal distributions — joined on
+    // the label, both label-count-sized
+    val ma = cells.groupBy(col("__a").as("__c")).agg(sum("__o").as("__ca"))
+    val mb = cells.groupBy(col("__b").as("__c")).agg(sum("__o").as("__cb"))
+    val pe = ma.join(mb, "__c")
+      .agg(sum(col("__ca").cast("double") * col("__cb")).as("__pesum"))
+    val po = col("__agree").cast("double") / col("__n")
+    val peN = col("__pesum") / (col("__n").cast("double") * col("__n"))
+    n.crossJoin(broadcast(agree)).crossJoin(broadcast(pe))
+      .select(
+        when(peN < 1.0,
+          round((po - peN) / (lit(1.0) - peN), 6)).as("kappa"),
+        round(po, 6).as("po"),
+        round(peN, 6).as("pe"),
+        col("__n").as("n"))
+  }
+
+  /** Per-group confusion + fairness metrics at ONE threshold, with a
+    * rollup total row (null group = overall): `(group…, n, tp, fp, fn,
+    * tn, tpr, fpr, precision, base_rate)`, rates 6-dp and null-guarded.
+    * Equalized-odds / demographic-parity gaps read directly off the
+    * per-group tpr/fpr/base_rate columns against the total row.
+    *
+    * Shape at 100 TB: ONE `rollup` aggregate — Spark expands each row
+    * to its group + total grouping sets (×2 narrow fan-out, map-side
+    * combined), so per-group AND overall metrics cost a single corpus
+    * pass; post-aggregate state is groups+1 rows. */
+  def groupConfusion(df: DataFrame, scoreCol: String, labelCol: String,
+      groupCols: Seq[String], threshold: Double): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val s = col(scoreCol).cast("double")
+    val pos = col(labelCol).cast("long") === 1L
+    val pred = s >= threshold
+    val cnt = (c: org.apache.spark.sql.Column) =>
+      sum(when(c, 1L).otherwise(0L))
+    val rate = (num: org.apache.spark.sql.Column,
+        den: org.apache.spark.sql.Column) =>
+      when(den > 0, round(num.cast("double") / den, 6))
+    df.filter(s.isNotNull && col(labelCol).isNotNull)
+      .rollup(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        cnt(pred && pos).as("tp"), cnt(pred && !pos).as("fp"),
+        cnt(!pred && pos).as("fn"), cnt(!pred && !pos).as("tn"))
+      .select(groupCols.map(col) ++ Seq(
+        col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+        rate(col("tp"), col("tp") + col("fn")).as("tpr"),
+        rate(col("fp"), col("fp") + col("tn")).as("fpr"),
+        rate(col("tp"), col("tp") + col("fp")).as("precision"),
+        rate(col("tp") + col("fn"), col("n")).as("base_rate")): _*)
+  }
+
+  /** Proper scoring rules over probabilistic predictions: one row
+    * `(brier, logloss, n)` — `brier = mean((s − l)²)`,
+    * `logloss = mean(−[l·ln s′ + (1−l)·ln(1−s′)])` with the score
+    * clamped to `[eps, 1−eps]` (the standard guard: a confident-wrong
+    * 0/1 prediction otherwise yields ±∞). Both 6-dp rounded (aggregate
+    * means + libm ln — the two engine-drift sources the repo's float
+    * discipline rounds). ONE map-side-combined aggregate; state is two
+    * running sums. */
+  def scoringRules(df: DataFrame, scoreCol: String, labelCol: String,
+      eps: Double = 1e-6): DataFrame = {
+    require(eps > 0 && eps < 0.5, s"eps in (0, 0.5), got $eps")
+    val s = col(scoreCol).cast("double")
+    val l = col(labelCol).cast("double")
+    val sc = greatest(lit(eps), least(lit(1.0 - eps), s))
+    df.filter(s.isNotNull && l.isNotNull)
+      .agg(
+        round(avg((s - l) * (s - l)), 6).as("brier"),
+        round(avg(-(l * log(sc) + (lit(1.0) - l) * log(lit(1.0) - sc))), 6)
+          .as("logloss"),
+        count(lit(1)).as("n"))
+  }
+
   /** One-sided CUSUM changepoint statistic per key:
     * `s_i = max(0, s_{i−1} + (x_i − target − slack))`, alarm when
     * `s_i > h`. The recursion LOOKS sequential, but has the closed form

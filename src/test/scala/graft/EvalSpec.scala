@@ -130,6 +130,64 @@ class EvalSpec extends SparkSpec {
     assert(out.last.getDouble(4) == 0.0)
   }
 
+  // ---- kappa / fairness / scoring rules ----------------------------------
+
+  test("cohenKappa: hand-computed 2x2 table, perfect agreement is 1, " +
+      "degenerate chance agreement is null") {
+    // classic: a=yes/no vs b with po=0.7, marginals A(yes)=0.5,
+    // B(yes)=0.6 -> pe = 0.5*0.6 + 0.5*0.4 = 0.5, kappa = 0.4
+    val rows = Seq.fill(3)(("y", "y")) ++ Seq.fill(2)(("y", "n")) ++
+      Seq.fill(1)(("n", "y")) ++ Seq.fill(4)(("n", "n"))
+    val out = Eval.cohenKappa(rows.toDF("a", "b"), "a", "b")
+      .collect().head
+    assert(math.abs(out.getDouble(0) - 0.4) < 1e-9)
+    assert(out.getDouble(1) == 0.7 && out.getDouble(2) == 0.5)
+    assert(out.getLong(3) == 10L)
+    val perfect = Seq(("x", "x"), ("y", "y")).toDF("a", "b")
+    assert(Eval.cohenKappa(perfect, "a", "b").collect().head
+      .getDouble(0) == 1.0)
+    val constant = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    assert(Eval.cohenKappa(constant, "a", "b").collect().head.isNullAt(0))
+  }
+
+  test("groupConfusion: rollup total row aggregates the groups; rates " +
+      "match direct counts; all-negative group nulls tpr") {
+    val rows = (1 to 200).map { i =>
+      val g = if (i % 3 == 0) "a" else "b"
+      val lab = if (g == "a") 0L else rnd.nextInt(2).toLong // a: never pos
+      (g, rnd.nextInt(100).toDouble / 100.0, lab)
+    }
+    val df = rows.toDF("g", "score", "label")
+    val out = Eval.groupConfusion(df, "score", "label", Seq("g"), 0.5)
+      .collect().map(r => Option(r.getString(0)) -> r).toMap
+    val total = out(None)
+    assert(total.getLong(1) == rows.size)
+    assert(out(Some("a")).getLong(1) + out(Some("b")).getLong(1)
+      == rows.size)
+    Seq(2, 3, 4, 5).foreach(i => // tp/fp/fn/tn add across groups
+      assert(out(Some("a")).getLong(i) + out(Some("b")).getLong(i)
+        == total.getLong(i)))
+    val bTp = rows.count(r => r._1 == "b" && r._2 >= 0.5 && r._3 == 1L)
+    val bFn = rows.count(r => r._1 == "b" && r._2 < 0.5 && r._3 == 1L)
+    assert(math.abs(out(Some("b")).getDouble(6)
+      - bTp.toDouble / (bTp + bFn)) < 1e-6)
+    assert(out(Some("a")).isNullAt(6)) // no positives -> tpr null
+    assert(out(Some("a")).getDouble(9) == 0.0) // base_rate 0
+  }
+
+  test("scoringRules: hand-computed brier/logloss; confident-wrong " +
+      "prediction stays finite via the eps clamp") {
+    val df = Seq((0.8, 1L), (0.2, 0L)).toDF("score", "label")
+    val out = Eval.scoringRules(df, "score", "label").collect().head
+    assert(math.abs(out.getDouble(0) - 0.04) < 1e-9) // mean(0.04, 0.04)
+    assert(math.abs(out.getDouble(1) - (-math.log(0.8))) < 1e-6)
+    val wrong = Seq((0.0, 1L), (1.0, 0L)).toDF("score", "label")
+    val w = Eval.scoringRules(wrong, "score", "label", eps = 1e-6)
+      .collect().head
+    assert(math.abs(w.getDouble(1) - (-math.log(1e-6))) < 1e-3)
+    assert(!w.getDouble(1).isInfinite)
+  }
+
   // ---- CUSUM -------------------------------------------------------------
 
   test("cusum: prefix-sum closed form equals the literal sequential " +
