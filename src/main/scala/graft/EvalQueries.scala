@@ -60,9 +60,34 @@ object EvalQueries {
           when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)),
         "o_totalprice", "label", maxDistinctBroadcast = 100)),
 
+    // PR-AUC with threshold-grouped ties on the heavily tied discount
+    "q_prauc" -> ((s, d) =>
+      Eval.prAuc(t(s, d, "lineitem")
+        .withColumn("label",
+          when(col("l_returnflag") === "R", 1L).otherwise(0L)),
+        "l_discount", "label")),
+
+    // continuous-score PR-AUC, small path…
+    "q_prauc_cont" -> ((s, d) =>
+      Eval.prAuc(t(s, d, "orders")
+        .withColumn("label",
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)),
+        "o_totalprice", "label")),
+
+    // …and the forced binned twin against the SAME oracle
+    "q_prauc_binned" -> ((s, d) =>
+      Eval.prAuc(t(s, d, "orders")
+        .withColumn("label",
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)),
+        "o_totalprice", "label", maxDistinctBroadcast = 100)),
+
     // reliability table: 10 score bins, mean score vs positive rate
     "q_calibration" -> ((s, d) =>
       Eval.calibration(scoredOrders(s, d), "score", "label", CalBins)),
+
+    // the scalar calibration summary over the same bins
+    "q_ece" -> ((s, d) =>
+      Eval.ece(scoredOrders(s, d), "score", "label", CalBins)),
 
     // cumulative gains + lift by descending-score decile
     "q_lift" -> ((s, d) =>
@@ -145,16 +170,67 @@ object EvalQueries {
          n_pos, n_neg
        FROM u"""
 
+  /** Average-precision oracle: same distinct-score cumulative CTEs as
+    * [[aucSql]], finished with the threshold-sweep step integral. */
+  private def prAucSql(table: String, scoreExpr: String,
+      labelCond: String): String =
+    s"""WITH c AS (
+         SELECT $scoreExpr AS s,
+           CAST(sum(CASE WHEN $labelCond THEN 1 ELSE 0 END) AS BIGINT)
+             AS p,
+           CAST(sum(CASE WHEN $labelCond THEN 0 ELSE 1 END) AS BIGINT)
+             AS q
+         FROM $table WHERE $scoreExpr IS NOT NULL GROUP BY 1),
+       r AS (
+         SELECT p, q,
+           CAST(coalesce(sum(p) OVER wb, 0) AS BIGINT) AS pb,
+           CAST(coalesce(sum(q) OVER wb, 0) AS BIGINT) AS qb
+         FROM c
+         WINDOW wb AS (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       t AS (
+         SELECT CAST(sum(p) AS BIGINT) AS tp_all,
+           CAST(sum(q) AS BIGINT) AS tq_all
+         FROM c)
+       SELECT
+         round(sum(p * (CAST(tp_all - pb AS DOUBLE)
+             / (tp_all + tq_all - pb - qb)))
+           / CAST(tp_all AS DOUBLE), 6) AS pr_auc,
+         tp_all AS n_pos, tq_all AS n_neg
+       FROM r, t GROUP BY tp_all, tq_all"""
+
   private val ScoreSql = "(o_orderkey % 1000) / 1000.0"
   private val LabelSql = "o_orderpriority = '1-URGENT'"
 
   def oracleSql: Map[String, String] = {
     val contAuc =
       aucSql("orders", "o_totalprice", "o_orderpriority = '1-URGENT'")
+    val contPrAuc =
+      prAucSql("orders", "o_totalprice", "o_orderpriority = '1-URGENT'")
     Map(
       "q_auc" -> aucSql("lineitem", "l_discount", "l_returnflag = 'R'"),
       "q_auc_cont" -> contAuc,
       "q_auc_binned" -> contAuc,
+      "q_prauc" ->
+        prAucSql("lineitem", "l_discount", "l_returnflag = 'R'"),
+      "q_prauc_cont" -> contPrAuc,
+      "q_prauc_binned" -> contPrAuc,
+
+      "q_ece" ->
+        s"""WITH base AS (
+             SELECT $ScoreSql AS s,
+               CAST(CASE WHEN $LabelSql THEN 1 ELSE 0 END AS DOUBLE) AS l
+             FROM orders),
+           b AS (
+             SELECT least(CAST(floor(s * $CalBins) AS BIGINT),
+                 ${CalBins - 1}) AS bin,
+               count(*) AS n, avg(s) AS conf, avg(l) AS acc
+             FROM base GROUP BY 1)
+           SELECT
+             round(sum(n * abs(conf - acc)) / CAST(sum(n) AS DOUBLE), 6)
+               AS ece,
+             CAST(sum(n) AS BIGINT) AS n
+           FROM b""",
 
       "q_calibration" ->
         s"""SELECT least(CAST(floor(($ScoreSql) * $CalBins) AS BIGINT),

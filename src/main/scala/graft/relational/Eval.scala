@@ -59,11 +59,12 @@ object Eval {
     materialized
   }
 
-  /** The unmaterialized AUC plan plus the persisted fit-time counts
-    * relation — split out so plan-shape tests can assert on the real
-    * plan (the public method checkpoints, which hides it). Callers must
-    * unpersist the returned counts once the plan is consumed. */
-  private[graft] def aucPlan(df: DataFrame, scoreCol: String,
+  /** Shared ranking machinery for [[auc]] and [[prAuc]]: the distinct-
+    * score relation `(__s, __p, __q)` extended with `__posbelow` /
+    * `__negbelow` (strictly-below cumulative positive/negative counts),
+    * via the dual small/binned path. Returns the extended relation plus
+    * the persisted counts relation the caller must unpersist. */
+  private def scoreBelowCounts(df: DataFrame, scoreCol: String,
       labelCol: String,
       maxDistinctBroadcast: Long): (DataFrame, DataFrame) = {
     val lab = col(labelCol).cast("long")
@@ -80,8 +81,9 @@ object Eval {
         // bounded by the count just taken — single-task window intended
         val w = graft.util.BoundedWindow.global(col("__s"))
           .rowsBetween(Window.unboundedPreceding, -1)
-        counts.withColumn("__negbelow",
-          coalesce(sum("__q").over(w), lit(0L)))
+        counts
+          .withColumn("__posbelow", coalesce(sum("__p").over(w), lit(0L)))
+          .withColumn("__negbelow", coalesce(sum("__q").over(w), lit(0L)))
       } else {
         val nBins = 256
         val sd = col("__s").cast("double")
@@ -98,19 +100,34 @@ object Eval {
         val wBins = graft.util.BoundedWindow.global(col("__bin"))
           .rowsBetween(Window.unboundedPreceding, -1)
         val offsets = binned.groupBy("__bin")
-          .agg(sum("__q").as("__bq"))
-          .withColumn("__binbelow",
+          .agg(sum("__p").as("__bp"), sum("__q").as("__bq"))
+          .withColumn("__pbinbelow",
+            coalesce(sum("__bp").over(wBins), lit(0L)))
+          .withColumn("__nbinbelow",
             coalesce(sum("__bq").over(wBins), lit(0L)))
-          .drop("__bq")
+          .drop("__bp", "__bq")
         // within-bin windows partition by bin → parallel
         val wIn = Window.partitionBy(col("__bin")).orderBy(col("__s"))
           .rowsBetween(Window.unboundedPreceding, -1)
         binned
-          .withColumn("__inbelow", coalesce(sum("__q").over(wIn), lit(0L)))
+          .withColumn("__pinbelow", coalesce(sum("__p").over(wIn), lit(0L)))
+          .withColumn("__ninbelow", coalesce(sum("__q").over(wIn), lit(0L)))
           .join(broadcast(offsets), Seq("__bin"))
-          .withColumn("__negbelow", col("__inbelow") + col("__binbelow"))
+          .withColumn("__posbelow", col("__pinbelow") + col("__pbinbelow"))
+          .withColumn("__negbelow", col("__ninbelow") + col("__nbinbelow"))
       }
+    (withBelow, counts)
+  }
 
+  /** The unmaterialized AUC plan plus the persisted fit-time counts
+    * relation — split out so plan-shape tests can assert on the real
+    * plan (the public method checkpoints, which hides it). Callers must
+    * unpersist the returned counts once the plan is consumed. */
+  private[graft] def aucPlan(df: DataFrame, scoreCol: String,
+      labelCol: String,
+      maxDistinctBroadcast: Long): (DataFrame, DataFrame) = {
+    val (withBelow, counts) = scoreBelowCounts(df, scoreCol, labelCol,
+      maxDistinctBroadcast)
     val out = withBelow.agg(
       sum(col("__p").cast("double") *
         (col("__negbelow").cast("double") +
@@ -123,6 +140,66 @@ object Eval {
           .as("auc"),
         col("n_pos"), col("n_neg"))
     (out, counts)
+  }
+
+  /** PR-AUC (average precision) with threshold-grouped ties: sweeping
+    * the decision threshold down the DISTINCT score values,
+    * `AP = Σ_s (p_s / P) · precision(s)` where `precision(s) =
+    * TP(s) / predicted(s)` counts everything ≥ s as positive — the
+    * step-integral of the precision-recall curve, the metric that stays
+    * informative when positives are rare and AUC saturates. Returns one
+    * row `(pr_auc, n_pos, n_neg)`, 6-dp (the per-threshold precision
+    * ratios are arbitrary doubles, so the sum is order-sensitive at the
+    * ulp level — rounding is the repo's aggregate-double discipline).
+    *
+    * Every term reads off the SAME strictly-below cumulatives as [[auc]]
+    * (`TP(s) = P − posbelow_s`, `predicted(s) = (P+N) − posbelow_s −
+    * negbelow_s`), so the shape is identical: one corpus aggregate, the
+    * dual small/binned cumulative, a one-row finish — no descending
+    * re-sort, no second pass. */
+  def prAuc(df: DataFrame, scoreCol: String, labelCol: String,
+      maxDistinctBroadcast: Long = 100000): DataFrame = {
+    val (withBelow, counts) = scoreBelowCounts(df, scoreCol, labelCol,
+      maxDistinctBroadcast)
+    // totals as a broadcast one-row aggregate of the persisted counts —
+    // NOT a global window over the distinct relation, which on the
+    // binned path (distinct ≈ N) would be a single-task pass
+    val totals = counts.agg(sum("__p").as("__tp_all"),
+      sum("__q").as("__tq_all"))
+    val tp = (col("__tp_all") - col("__posbelow")).cast("double")
+    val predicted = (col("__tp_all") + col("__tq_all") -
+      col("__posbelow") - col("__negbelow")).cast("double")
+    val out = withBelow.crossJoin(broadcast(totals))
+      .withColumn("__term",
+        col("__p").cast("double") * (tp / predicted))
+      .agg(sum("__term").as("__ap"),
+        sum("__p").as("n_pos"), sum("__q").as("n_neg"))
+      .select(
+        round(col("__ap") / col("n_pos").cast("double"), 6).as("pr_auc"),
+        col("n_pos"), col("n_neg"))
+      .localCheckpoint(eager = true)
+    counts.unpersist(blocking = false)
+    out
+  }
+
+  /** Expected calibration error: the bin-count-weighted mean absolute
+    * gap between confidence and accuracy, `Σ_b (n_b/N)·|mean_score_b −
+    * pos_rate_b|`, over the same `nBins` equal-width bins as
+    * [[calibration]]. One row `(ece, n)`. Same single-aggregate shape —
+    * the finish folds the ≤nBins relation. */
+  def ece(df: DataFrame, scoreCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins >= 2, got $nBins")
+    val s = col(scoreCol).cast("double")
+    df.filter(s.isNotNull && col(labelCol).isNotNull)
+      .groupBy(least(floor(s * nBins), lit(nBins - 1L)).cast("long")
+        .as("__bin"))
+      .agg(count(lit(1)).as("__n"), avg(s).as("__conf"),
+        avg(col(labelCol).cast("double")).as("__acc"))
+      .agg(
+        round(sum(col("__n").cast("double") *
+          abs(col("__conf") - col("__acc"))) / sum("__n"), 6).as("ece"),
+        sum("__n").as("n"))
   }
 
   /** Calibration (reliability) table: `nBins` equal-width bins over the

@@ -55,6 +55,55 @@ class EvalSpec extends SparkSpec {
     assert(r.getLong(1) == 2L && r.getLong(2) == 2L)
   }
 
+  // ---- PR-AUC / ECE ------------------------------------------------------
+
+  /** Step-integral AP with threshold-grouped ties — the literal sweep
+    * prAuc's cumulative formulation must equal. */
+  private def bruteAp(rows: Seq[(Double, Long)]): Double = {
+    val p = rows.count(_._2 == 1L).toDouble
+    val byScore = rows.groupBy(_._1).toSeq.sortBy(-_._1)
+    var tp = 0.0; var n = 0.0; var ap = 0.0
+    byScore.foreach { case (_, g) =>
+      val dp = g.count(_._2 == 1L)
+      tp += dp; n += g.size
+      ap += dp / p * (tp / n)
+    }
+    ap
+  }
+
+  test("prAuc: small and binned paths both equal the literal descending " +
+      "threshold sweep; perfect ranking is 1.0") {
+    val rows = (1 to 400).map(_ =>
+      (rnd.nextInt(12).toDouble / 12.0, rnd.nextInt(2).toLong))
+    val df = rows.toDF("score", "label")
+    val expected = BigDecimal(bruteAp(rows))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (thr <- Seq(100000L, 1L)) {
+      val out = Eval.prAuc(df, "score", "label", maxDistinctBroadcast = thr)
+        .collect().head
+      assert(math.abs(out.getDouble(0) - expected) < 1e-6,
+        s"thr=$thr: ${out.getDouble(0)} vs $expected")
+    }
+    val perfect = Seq((0.9, 1L), (0.8, 1L), (0.2, 0L), (0.1, 0L))
+      .toDF("score", "label")
+    assert(Eval.prAuc(perfect, "score", "label").collect().head
+      .getDouble(0) == 1.0)
+  }
+
+  test("ece: hand-computed weighted gap; perfectly calibrated bins give 0") {
+    // bin 0: conf 0.07, acc 0.5 -> gap 0.43 (n=2); bin 9: conf 0.975,
+    // acc 1.0 -> gap 0.025 (n=2); ece = 0.2275
+    val df = Seq((0.05, 0L), (0.09, 1L), (0.95, 1L), (1.0, 1L))
+      .toDF("score", "label")
+    val out = Eval.ece(df, "score", "label", nBins = 10).collect().head
+    assert(math.abs(out.getDouble(0) - 0.2275) < 1e-9)
+    assert(out.getLong(1) == 4L)
+    val calibrated = Seq((0.25, 0L), (0.25, 0L), (0.25, 1L), (0.25, 0L))
+      .toDF("score", "label")
+    assert(Eval.ece(calibrated, "score", "label", nBins = 10)
+      .collect().head.getDouble(0) == 0.0)
+  }
+
   // ---- calibration / lift / confusion ------------------------------------
 
   test("calibration: bin edges, top-bin inclusion of 1.0, counts and " +
