@@ -278,6 +278,43 @@ object Streaming {
       }
   }
 
+  case class MetricPoint(series: String, t: Long, value: Double)
+  case class CusumState(prefix: Double, minPrefix: Double)
+  case class CusumPoint(series: String, t: Long, value: Double,
+    cusum: Double, alarm: Boolean)
+
+  /** Streaming CUSUM drift monitor — the stateful twin of
+    * [[graft.relational.Eval.cusum]]: per series, TWO doubles of state
+    * (the deviation prefix sum and its running minimum), emitting
+    * `s = P − min(0, min P)` and the alarm flag for every point as it
+    * arrives. Identical closed form to the batch operator, so an
+    * in-order feed reproduces the batch output exactly (asserted in
+    * StreamingSpec). Points are processed in `t` order WITHIN a
+    * micro-batch (iterator sorted); cross-batch order is arrival order
+    * — the sessionizeStream contract. State never grows with stream
+    * history: the 100-TB-of-metrics monitor holds 16 bytes per series. */
+  def cusumStream(points: Dataset[MetricPoint], target: Double,
+      slack: Double, h: Double): Dataset[CusumPoint] = {
+    import points.sparkSession.implicits._
+    points
+      .groupByKey(_.series)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (series: String, it: Iterator[MetricPoint],
+            state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(CusumState(0.0, 0.0))
+          val out = it.toSeq.sortBy(_.t).map { p =>
+            val prefix = st.prefix + (p.value - target - slack)
+            val minP = math.min(st.minPrefix, prefix)
+            st = CusumState(prefix, minP)
+            val s = prefix - math.min(0.0, minP)
+            CusumPoint(series, p.t, p.value, s, s > h)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   // ---- streaming materialized-aggregate maintenance --------------------
 
   /** Streaming twin of [[graft.relational.Relational.aggMerge]]: every

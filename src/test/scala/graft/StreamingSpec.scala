@@ -207,6 +207,37 @@ class StreamingSpec extends SparkSpec {
     assert(last.exceptAll(batch).isEmpty)
   }
 
+  test("streaming CUSUM equals the batch operator on an in-order feed, " +
+      "with state carried ACROSS micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(42)
+    val series = for (k <- Seq("a", "b"); t <- 1 to 40)
+      yield Streaming.MetricPoint(k, t.toLong, rnd.nextInt(12).toDouble)
+    val mem = MemoryStream[Streaming.MetricPoint]
+    val q = Streaming.cusumStream(mem.toDS(), target = 5.0, slack = 0.5,
+      h = 8.0).writeStream
+      .outputMode("append").format("memory").queryName("cusum_out").start()
+    try {
+      // split the in-order feed across three micro-batches: the prefix
+      // sum and running min must survive the batch boundary in state
+      val (b1, rest) = series.partition(_.t <= 15)
+      val (b2, b3) = rest.partition(_.t <= 30)
+      Seq(b1, b2, b3).foreach { b =>
+        mem.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("cusum_out")
+      .select("series", "t", "cusum", "alarm")
+    val batch = graft.relational.Eval.cusum(
+      series.toDF("series", "t", "value"), Seq("series"), "t", "value",
+      target = 5.0, slack = 0.5, h = 8.0)
+      .select("series", "t", "cusum", "alarm")
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+    assert(batch.count() == 80)
+  }
+
   test("checkpoint recovery: restart resumes state AND offsets " +
       "(no reprocessing, no state loss)") {
     // The 100-TB streaming contract: a stateful query killed mid-stream
