@@ -120,6 +120,18 @@ object EvalQueries {
         target = CusumTarget, slack = CusumSlack, h = CusumH)
     }),
 
+    // split-conformal interval for a crude price model (1000/unit):
+    // finite-sample residual quantile on even order keys, realized
+    // coverage on odd — the distribution-free guarantee, read back
+    "q_conformal" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .withColumn("pred", col("l_quantity") * 1000.0)
+      Eval.conformal(
+        li.filter(col("l_orderkey") % 2 === 0),
+        li.filter(col("l_orderkey") % 2 =!= 0),
+        "pred", "l_extendedprice", ConformalAlpha)
+    }),
+
     // inter-annotator agreement: priority vs a deterministically
     // degraded second annotation (refuses ~2/7 of rows as 3-MEDIUM)
     "q_kappa" -> ((s, d) =>
@@ -142,6 +154,7 @@ object EvalQueries {
 
   private val FairnessThreshold = 0.5
   private val ScoreEps = 1e-6
+  private val ConformalAlpha = 0.1
 
   /** Mann-Whitney AUC oracle over distinct score values — one SQL shape
     * shared by every AUC query (and by BOTH Spark paths of the binned
@@ -327,6 +340,31 @@ object EvalQueries {
            FROM r
            WINDOW wt AS (ORDER BY duration ROWS BETWEEN UNBOUNDED
              PRECEDING AND CURRENT ROW)""",
+
+      "q_conformal" ->
+        s"""WITH li AS (
+             SELECT l_orderkey,
+               abs(l_quantity * 1000.0 - l_extendedprice) AS r
+             FROM lineitem),
+           calib AS (SELECT r FROM li WHERE l_orderkey % 2 = 0),
+           nn AS (SELECT CAST(count(*) AS BIGINT) AS n_calib FROM calib),
+           kk AS (SELECT
+               CAST(ceil((n_calib + 1) * ${1 - ConformalAlpha}) AS BIGINT)
+                 AS k,
+               n_calib
+             FROM nn),
+           q AS (
+             SELECT r AS qhat
+             FROM (SELECT r, row_number() OVER (ORDER BY r) AS rk
+                   FROM calib), kk
+             WHERE rk = least(k, n_calib)),
+           t AS (
+             SELECT
+               round(avg(CASE WHEN r <= qhat THEN 1.0 ELSE 0.0 END), 6)
+                 AS coverage,
+               count(*) AS n_test
+             FROM li, q WHERE l_orderkey % 2 <> 0)
+           SELECT qhat, coverage, n_calib, n_test FROM q, t, nn""",
 
       "q_kappa" ->
         """WITH t AS (

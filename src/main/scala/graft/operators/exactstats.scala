@@ -92,6 +92,25 @@ object ExactStats {
     }
   }
 
+  /** Exact DISCRETE order statistics: the caller maps each column's
+    * non-null count to the 0-indexed rank it wants (clamped to
+    * [0, n−1]), and gets that exact value back — no interpolation (the
+    * split-conformal rank `⌈(n+1)(1−α)⌉` is a discrete quantile).
+    * Same shared-scan narrowing machinery as [[medians]]/[[quantiles]]. */
+  def orderStats(
+      df: DataFrame,
+      cols: Seq[String],
+      rankOf: Long => Long,
+      buckets: Int = 65536,
+      collectThreshold: Long = 100000L): Seq[Option[Double]] = {
+    def clamped(n: Long) = math.max(0L, math.min(n - 1, rankOf(n)))
+    val (ns, resolved) = selectRanks(df, cols, buckets, collectThreshold,
+      n => Seq(clamped(n)))
+    cols.indices.map { i =>
+      if (ns(i) == 0) None else Some(resolved((i, clamped(ns(i)))))
+    }
+  }
+
   private case class Target(
       idx: Int, rank: Long, // column index, 0-indexed rank wanted
       shift: Int,           // next round histograms (key >> shift)

@@ -337,6 +337,45 @@ object Eval {
       .select("duration", "n_risk", "n_event", "n_censored", "survival")
   }
 
+  /** Split-conformal prediction interval: from a CALIBRATION set of
+    * (prediction, actual) pairs, the absolute-residual quantile
+    * `q̂ = the ⌈(n+1)(1−α)⌉-th smallest |pred − actual|` (the
+    * finite-sample-corrected rank that guarantees ≥ 1−α marginal
+    * coverage for exchangeable data), then the realized coverage of
+    * `pred ± q̂` on the TEST set. One row
+    * `(qhat, coverage, n_calib, n_test)`; coverage 6-dp.
+    *
+    * Shape at 100 TB: q̂ is ONE exact order statistic via the
+    * [[graft.operators.ExactStats]] range-narrowing machinery — O(log)
+    * scan rounds over the calibration set, O(buckets) task memory, no
+    * sort, no value buffer; the fitted q̂ is one scalar of driver state
+    * (the Scaler-stats contract) and the coverage pass is one
+    * aggregate over the test set. */
+  def conformal(calib: DataFrame, test: DataFrame, predCol: String,
+      actualCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
+    val resid = abs(col(predCol).cast("double") -
+      col(actualCol).cast("double"))
+    val calibR = calib
+      .filter(col(predCol).isNotNull && col(actualCol).isNotNull)
+      .select(resid.as("__r"))
+    val nCalib = calibR.count()
+    require(nCalib > 0, "empty calibration set")
+    // ⌈(n+1)(1−α)⌉ as a 1-based rank, 0-indexed for orderStats; the
+    // clamp (rank ≤ n−1) kicks in when n < 1/α − 1 — too few
+    // calibration points for the level, q̂ degrades to the max residual
+    val qhat = graft.operators.ExactStats.orderStats(
+      calibR, Seq("__r"),
+      n => math.ceil((n + 1) * (1 - alpha)).toLong - 1).head.get
+    test
+      .filter(col(predCol).isNotNull && col(actualCol).isNotNull)
+      .agg(
+        round(avg((resid <= qhat).cast("double")), 6).as("coverage"),
+        count(lit(1)).as("n_test"))
+      .select(lit(qhat).as("qhat"), col("coverage"),
+        lit(nCalib).as("n_calib"), col("n_test"))
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two categorical
     * annotation columns: `κ = (p_o − p_e)/(1 − p_e)` with observed
     * agreement `p_o` and chance agreement `p_e = Σ_c P_a(c)·P_b(c)`.

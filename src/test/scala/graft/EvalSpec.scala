@@ -179,6 +179,36 @@ class EvalSpec extends SparkSpec {
     assert(out.last.getDouble(4) == 0.0)
   }
 
+  // ---- conformal ---------------------------------------------------------
+
+  test("conformal: qhat is exactly the ceil((n+1)(1-alpha))-th smallest " +
+      "calibration residual, and exchangeable data covers >= 1-alpha") {
+    val calib = (1 to 500).map(_ => (rnd.nextDouble() * 10, 0.0))
+    val test_ = (1 to 500).map(_ => (rnd.nextDouble() * 10, 0.0))
+    val alpha = 0.2
+    val out = Eval.conformal(calib.toDF("pred", "actual"),
+      test_.toDF("pred", "actual"), "pred", "actual", alpha)
+      .collect().head
+    val k = math.ceil((calib.size + 1) * (1 - alpha)).toInt
+    val expectedQ = calib.map(r => math.abs(r._1 - r._2)).sorted.apply(k - 1)
+    assert(out.getDouble(0) == expectedQ)
+    val cov = out.getDouble(1)
+    // finite-sample guarantee: E[coverage] in [1-alpha, 1-alpha+1/(n+1)];
+    // one draw at n=500 stays within ±5pp with overwhelming probability
+    assert(cov >= 1 - alpha - 0.05 && cov <= 1 - alpha + 0.05, cov)
+    assert(out.getLong(2) == 500L && out.getLong(3) == 500L)
+  }
+
+  test("conformal: too-small calibration set clamps to the max residual") {
+    val calib = Seq((1.0, 0.0), (3.0, 0.0)).toDF("pred", "actual")
+    val test_ = Seq((2.0, 0.0)).toDF("pred", "actual")
+    // alpha=0.1 wants rank ceil(3*0.9)=3 > n=2 -> clamped to max = 3.0
+    val out = Eval.conformal(calib, test_, "pred", "actual", 0.1)
+      .collect().head
+    assert(out.getDouble(0) == 3.0)
+    assert(out.getDouble(1) == 1.0)
+  }
+
   // ---- kappa / fairness / scoring rules ----------------------------------
 
   test("cohenKappa: hand-computed 2x2 table, perfect agreement is 1, " +
