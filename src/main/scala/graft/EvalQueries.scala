@@ -120,6 +120,21 @@ object EvalQueries {
         target = CusumTarget, slack = CusumSlack, h = CusumH)
     }),
 
+    // feature triage: cardinality/entropy/top-share for every listed
+    // column in ONE melted pass
+    "q_feature_audit" -> ((s, d) =>
+      graft.relational.Analytics.featureAudit(t(s, d, "orders"),
+        AuditFeatures)),
+
+    // drift sweep: categorical PSI for every listed feature, 1996 ref
+    // vs 1997 current, one melted pass per snapshot
+    "q_psi_sweep" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      def yr(y: Int) = o.filter(year(col("o_orderdate")) === y)
+      graft.relational.Analytics.psiSweep(yr(1996), yr(1997),
+        AuditFeatures)
+    }),
+
     // split-conformal interval for a crude price model (1000/unit):
     // finite-sample residual quantile on even order keys, realized
     // coverage on odd — the distribution-free guarantee, read back
@@ -155,6 +170,54 @@ object EvalQueries {
   private val FairnessThreshold = 0.5
   private val ScoreEps = 1e-6
   private val ConformalAlpha = 0.1
+  private val AuditFeatures =
+    Seq("o_orderpriority", "o_orderstatus", "o_custkey")
+
+  /** Per-feature audit oracle generated from the SAME feature list the
+    * Spark query melts — the miRankingSql pattern. */
+  private def featureAuditSql(table: String,
+      features: Seq[String]): String =
+    features.map { f =>
+      s"""SELECT '$f' AS feature, CAST(max(n) AS BIGINT) AS n,
+           CAST(max(d) AS BIGINT) AS n_distinct,
+           round(sum(-(c / CAST(n AS DOUBLE))
+             * ln(c / CAST(n AS DOUBLE))), 6) AS entropy,
+           round(CAST(max(topc) AS DOUBLE) / CAST(max(n) AS DOUBLE), 6)
+             AS top_share
+         FROM (
+           WITH c AS (SELECT CAST($f AS VARCHAR) AS v, count(*) AS c
+               FROM $table WHERE $f IS NOT NULL GROUP BY 1),
+           t AS (SELECT sum(c) AS n, count(*) AS d, max(c) AS topc
+               FROM c)
+           SELECT c.c, t.n, t.d, t.topc FROM c CROSS JOIN t)"""
+    }.mkString("\nUNION ALL\n")
+
+  /** PSI-sweep oracle: q_psi_cat's smoothing arithmetic per feature,
+    * UNION ALL over the same list. */
+  private def psiSweepSql(table: String, features: Seq[String],
+      refYear: Int, curYear: Int): String =
+    features.map { f =>
+      s"""SELECT '$f' AS feature, CAST(max(nr) AS BIGINT) AS n_ref,
+           CAST(max(nc) AS BIGINT) AS n_cur,
+           CAST(max(nb) AS BIGINT) AS n_categories,
+           round(sum(
+             ((cr + 0.5) / (nr + 0.5 * nb) -
+              (cc + 0.5) / (nc + 0.5 * nb)) *
+             ln(((cr + 0.5) / (nr + 0.5 * nb)) /
+                ((cc + 0.5) / (nc + 0.5 * nb)))), 6) AS psi
+         FROM (
+           WITH refc AS (SELECT CAST($f AS VARCHAR) AS v, count(*) AS cr
+               FROM $table WHERE strftime(o_orderdate, '%Y') = '$refYear'
+                 AND $f IS NOT NULL GROUP BY 1),
+           curc AS (SELECT CAST($f AS VARCHAR) AS v, count(*) AS cc
+               FROM $table WHERE strftime(o_orderdate, '%Y') = '$curYear'
+                 AND $f IS NOT NULL GROUP BY 1),
+           j AS (SELECT coalesce(cr, 0) AS cr, coalesce(cc, 0) AS cc
+                 FROM refc FULL JOIN curc ON refc.v = curc.v),
+           t AS (SELECT sum(cr) AS nr, sum(cc) AS nc, count(*) AS nb
+                 FROM j)
+           SELECT j.cr, j.cc, t.nr, t.nc, t.nb FROM j CROSS JOIN t)"""
+    }.mkString("\nUNION ALL\n")
 
   /** Mann-Whitney AUC oracle over distinct score values — one SQL shape
     * shared by every AUC query (and by BOTH Spark paths of the binned
@@ -340,6 +403,9 @@ object EvalQueries {
            FROM r
            WINDOW wt AS (ORDER BY duration ROWS BETWEEN UNBOUNDED
              PRECEDING AND CURRENT ROW)""",
+
+      "q_feature_audit" -> featureAuditSql("orders", AuditFeatures),
+      "q_psi_sweep" -> psiSweepSql("orders", AuditFeatures, 1996, 1997),
 
       "q_conformal" ->
         s"""WITH li AS (

@@ -351,6 +351,82 @@ object Analytics {
         round(sum("__mi_part"), 6).as("mi"))
   }
 
+  /** Per-feature profile in ONE melted corpus pass: for every listed
+    * feature, `(n, n_distinct, entropy, top_share)` — non-null count,
+    * cardinality, Shannon entropy (nats) of the value distribution, and
+    * the most-frequent value's share. The feature-quality triage table:
+    * near-zero entropy or top_share ≈ 1 flags a constant column,
+    * n_distinct ≈ n flags an id masquerading as a feature.
+    *
+    * Shape at 100 TB: the [[miRanking]] melt — a narrow ×|features|
+    * explode into ONE (feature, value) count aggregate (map-side
+    * combined, shuffle bounded by the combined vocabularies); the
+    * entropy/top-share finish re-aggregates the checkpointed cells
+    * relation. Entropy terms are libm `ln` over order-sensitive sums →
+    * 6-dp rounded (the MI discipline). */
+  def featureAudit(df: DataFrame, featureCols: Seq[String]): DataFrame = {
+    require(featureCols.nonEmpty, "no feature columns given")
+    val cells = df
+      .select(explode(array(featureCols.map(f =>
+        struct(lit(f).as("__f"),
+          col(f).cast("string").as("__v"))): _*)).as("__fv"))
+      .select(col("__fv.__f").as("__f"), col("__fv.__v").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy("__f", "__v")
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(eager = true)
+    val totals = cells.groupBy("__f")
+      .agg(sum("__c").as("__n"), count(lit(1)).as("__d"),
+        max("__c").as("__top"))
+    val p = col("__c").cast("double") / col("__n")
+    cells.join(totals, Seq("__f"))
+      .groupBy(col("__f").as("feature"))
+      .agg(max("__n").as("n"),
+        max("__d").as("n_distinct"),
+        round(sum(-p * log(p)), 6).as("entropy"),
+        round(max(col("__top")).cast("double") / max(col("__n")), 6)
+          .as("top_share"))
+  }
+
+  /** Categorical PSI for EVERY listed feature in one melted pass per
+    * snapshot — [[psiCategorical]] swept across a feature list the way
+    * [[miRanking]] sweeps MI: per feature `(n_ref, n_cur, n_categories,
+    * psi)` with the same (c+0.5)/(n+0.5·nbins) Laplace smoothing, nbins
+    * = that feature's category union. The drift dashboard row: one
+    * corpus pass per side audits a 100-feature table, not 100 passes.
+    *
+    * Shape at 100 TB: two melted (feature, value) count aggregates
+    * (each map-side combined, vocabulary-bounded), a full join at
+    * vocabulary scale, a features-sized totals join — the finish never
+    * touches the corpus. */
+  def psiSweep(ref: DataFrame, cur: DataFrame,
+      featureCols: Seq[String]): DataFrame = {
+    require(featureCols.nonEmpty, "no feature columns given")
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.select(explode(array(featureCols.map(f =>
+        struct(lit(f).as("__f"),
+          col(f).cast("string").as("__v"))): _*)).as("__fv"))
+        .select(col("__fv.__f").as("__f"), col("__fv.__v").as("__v"))
+        .filter(col("__v").isNotNull)
+        .groupBy("__f", "__v")
+        .agg(count(lit(1)).as(out))
+    val binsRel = counts(ref, "__cr")
+      .join(counts(cur, "__cc"), Seq("__f", "__v"), "full")
+      .select(col("__f"),
+        coalesce(col("__cr"), lit(0L)).as("__cr"),
+        coalesce(col("__cc"), lit(0L)).as("__cc"))
+      .localCheckpoint(eager = true)
+    val totals = binsRel.groupBy("__f").agg(sum("__cr").as("__nr"),
+      sum("__cc").as("__nc"), count(lit(1)).as("__nb"))
+    val p = (col("__cr") + 0.5) / (col("__nr") + lit(0.5) * col("__nb"))
+    val q = (col("__cc") + 0.5) / (col("__nc") + lit(0.5) * col("__nb"))
+    binsRel.join(totals, Seq("__f"))
+      .groupBy(col("__f").as("feature"))
+      .agg(max("__nr").as("n_ref"), max("__nc").as("n_cur"),
+        max("__nb").as("n_categories"),
+        round(sum((p - q) * log(p / q)), 6).as("psi"))
+  }
+
   /** Categorical PSI: [[psi]] with the observed category values as the
     * bins (union of both snapshots' categories; nulls dropped). Same
     * Laplace smoothing with nbins = distinct categories across both

@@ -270,6 +270,42 @@ class AnalyticsV2Spec extends SparkSpec {
     assert(r.getDouble(3) > 0.5) // grossly shifted mix
   }
 
+  test("featureAudit: entropy/top-share/cardinality per feature in one " +
+      "pass — uniform is ln k, constant is 0, id column has distinct=n") {
+    val df = (1 to 40).map(i =>
+      (s"v${i % 4}", "const", s"id$i")).toDF("uni", "konst", "id")
+    val out = graft.relational.Analytics
+      .featureAudit(df, Seq("uni", "konst", "id"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("uni").getLong(2) == 4L)
+    assert(math.abs(out("uni").getDouble(3) - math.log(4)) < 1e-6)
+    assert(out("uni").getDouble(4) == 0.25)
+    assert(out("konst").getDouble(3) == 0.0 &&
+      out("konst").getDouble(4) == 1.0)
+    assert(out("id").getLong(2) == 40L) // id masquerading as a feature
+    assert(out.values.forall(_.getLong(1) == 40L))
+  }
+
+  test("psiSweep: per-feature PSI equals psiCategorical feature by " +
+      "feature") {
+    val ref = (1 to 60).map(i => (s"a${i % 3}", s"b${i % 5}"))
+      .toDF("f1", "f2")
+    val cur = (1 to 60).map(i => (s"a${i % 2}", s"b${i % 5}"))
+      .toDF("f1", "f2")
+    val sweep = graft.relational.Analytics
+      .psiSweep(ref, cur, Seq("f1", "f2"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    Seq("f1", "f2").foreach { f =>
+      val single = graft.relational.Analytics
+        .psiCategorical(ref.select(col(f).as("c")),
+          cur.select(col(f).as("c")), "c").head()
+      assert(sweep(f).getLong(1) == single.getLong(0), f)
+      assert(sweep(f).getLong(3) == single.getLong(2), f)
+      assert(sweep(f).getDouble(4) == single.getDouble(3), f)
+    }
+    assert(sweep("f2").getDouble(4) == 0.0) // unchanged mix
+  }
+
   test("ksFromRegisters: identical registers score 0; disjoint value " +
       "masses score ~1; matches a hand ECDF") {
     import graft.relational.Sketches
