@@ -156,6 +156,15 @@ object EvalQueries {
             .otherwise(lit("3-MEDIUM"))),
         "o_orderpriority", "anno_b")),
 
+    // multi-class per-class precision/recall/F1 for the same degraded
+    // annotation (3-MEDIUM inflated by the refusals)
+    "q_multiclass" -> ((s, d) =>
+      Eval.multiclassMetrics(t(s, d, "orders")
+        .withColumn("anno_b",
+          when(col("o_orderkey") % 7 < 5, col("o_orderpriority"))
+            .otherwise(lit("3-MEDIUM"))),
+        "o_orderpriority", "anno_b")),
+
     // fairness readback: confusion + tpr/fpr/precision/base_rate per
     // order status AND the rollup total row, one pass
     "q_fairness" -> ((s, d) =>
@@ -455,6 +464,37 @@ object EvalQueries {
              round(pesum / (CAST(n AS DOUBLE) * n), 6) AS pe,
              n
            FROM nn, ag, pe""",
+
+      "q_multiclass" ->
+        """WITH t AS (
+             SELECT o_orderpriority AS a,
+               CASE WHEN o_orderkey % 7 < 5 THEN o_orderpriority
+                 ELSE '3-MEDIUM' END AS p
+             FROM orders WHERE o_orderpriority IS NOT NULL),
+           c AS (SELECT a, p, count(*) AS o FROM t GROUP BY 1, 2),
+           aa AS (SELECT a AS class, CAST(sum(o) AS BIGINT) AS n_actual
+             FROM c GROUP BY 1),
+           pp AS (SELECT p AS class, CAST(sum(o) AS BIGINT) AS n_pred
+             FROM c GROUP BY 1),
+           dd AS (SELECT a AS class, CAST(sum(o) AS BIGINT) AS tp
+             FROM c WHERE a = p GROUP BY 1),
+           j AS (SELECT coalesce(aa.class, pp.class) AS class,
+               coalesce(n_actual, 0) AS n_actual,
+               coalesce(n_pred, 0) AS n_pred
+             FROM aa FULL JOIN pp ON aa.class = pp.class),
+           j2 AS (SELECT j.class, n_actual, n_pred,
+               coalesce(tp, 0) AS tp
+             FROM j LEFT JOIN dd ON j.class = dd.class)
+           SELECT class, n_actual, n_pred, tp,
+             CASE WHEN n_pred > 0
+               THEN round(CAST(tp AS DOUBLE) / n_pred, 6) END
+               AS "precision",
+             CASE WHEN n_actual > 0
+               THEN round(CAST(tp AS DOUBLE) / n_actual, 6) END
+               AS recall,
+             CASE WHEN n_pred + n_actual > 0
+               THEN round(2.0 * tp / (n_pred + n_actual), 6) END AS f1
+           FROM j2""",
 
       "q_fairness" ->
         s"""WITH base AS (

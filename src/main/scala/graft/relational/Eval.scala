@@ -415,6 +415,48 @@ object Eval {
         col("__n").as("n"))
   }
 
+  /** Multi-class per-class metrics from ONE (actual, predicted) cell
+    * aggregate: for every class in the union of both sides,
+    * `(n_actual, n_pred, tp, precision, recall, f1)` — guarded nulls
+    * where a class was never predicted / never occurred; macro-averages
+    * fold trivially off the output. Rows with a null on either side are
+    * excluded.
+    *
+    * Shape at 100 TB: the corpus collapses to the labels² cell relation
+    * in one map-side-combined pass (the [[cohenKappa]] /
+    * [[Analytics.association]] bound); marginals and the diagonal are
+    * label-sized re-aggregates of the checkpointed cells. */
+  def multiclassMetrics(df: DataFrame, actualCol: String,
+      predCol: String): DataFrame = {
+    val cells = df
+      .filter(col(actualCol).isNotNull && col(predCol).isNotNull)
+      .groupBy(col(actualCol).cast("string").as("__a"),
+        col(predCol).cast("string").as("__p"))
+      .agg(count(lit(1)).as("__o"))
+      .localCheckpoint(eager = true)
+    val actual = cells.groupBy(col("__a").as("class"))
+      .agg(sum("__o").as("n_actual"))
+    val pred = cells.groupBy(col("__p").as("class"))
+      .agg(sum("__o").as("n_pred"))
+    val diag = cells.filter(col("__a") === col("__p"))
+      .groupBy(col("__a").as("class")).agg(sum("__o").as("tp"))
+    val rate = (num: org.apache.spark.sql.Column,
+        den: org.apache.spark.sql.Column) =>
+      when(den > 0, round(num.cast("double") / den, 6))
+    actual.join(pred, Seq("class"), "full")
+      .join(diag, Seq("class"), "left")
+      .select(col("class"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .select(col("class"), col("n_actual"), col("n_pred"), col("tp"),
+        rate(col("tp"), col("n_pred")).as("precision"),
+        rate(col("tp"), col("n_actual")).as("recall"),
+        when(col("n_pred") + col("n_actual") > 0,
+          round(lit(2.0) * col("tp") /
+            (col("n_pred") + col("n_actual")), 6)).as("f1"))
+  }
+
   /** Per-group confusion + fairness metrics at ONE threshold, with a
     * rollup total row (null group = overall): `(group…, n, tp, fp, fn,
     * tn, tpr, fpr, precision, base_rate)`, rates 6-dp and null-guarded.

@@ -156,6 +156,27 @@ class EvalSpec extends SparkSpec {
     assert(t1.getDouble(6) == 0.0)
   }
 
+  test("multiclassMetrics: hand-computed per-class table; never-predicted " +
+      "and never-actual classes keep guarded nulls") {
+    // actual: a,a,b,b,c  pred: a,b,b,b,d
+    val df = Seq(("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"),
+      ("c", "d")).toDF("actual", "pred")
+    val out = Eval.multiclassMetrics(df, "actual", "pred")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("a", "b", "c", "d"))
+    val a = out("a") // tp=1, n_actual=2, n_pred=1
+    assert(a.getLong(3) == 1L && a.getDouble(4) == 1.0 &&
+      a.getDouble(5) == 0.5)
+    assert(math.abs(a.getDouble(6) - 2.0 / 3) < 1e-6)
+    val b = out("b") // tp=2, n_actual=2, n_pred=3
+    assert(math.abs(b.getDouble(4) - 2.0 / 3) < 1e-6 &&
+      b.getDouble(5) == 1.0)
+    assert(out("c").getLong(2) == 0L && out("c").isNullAt(4)) // never pred
+    assert(out("c").getDouble(5) == 0.0)
+    assert(out("d").getLong(1) == 0L && out("d").isNullAt(5)) // never actual
+    assert(out("d").getDouble(4) == 0.0)
+  }
+
   // ---- Kaplan-Meier ------------------------------------------------------
 
   test("kaplanMeier: textbook curve with same-time censoring at risk") {
