@@ -25,6 +25,12 @@ object EvalQueries {
   private val CusumSlack = 0.0
   private val CusumH = 50.0
 
+  /** Per-customer revenue in integer cents (exact, order-independent
+    * sums — see q_gini). */
+  private def custRevenueCents(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders").groupBy("o_custkey")
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("vc"))
+
   /** Pseudo-score + binary label over orders, shared by the calibration /
     * lift / confusion queries (Spark side). */
   private def scoredOrders(s: SparkSession, d: String): DataFrame =
@@ -120,6 +126,19 @@ object EvalQueries {
         target = CusumTarget, slack = CusumSlack, h = CusumH)
     }),
 
+    // revenue concentration across customers: exact Lorenz/Gini over
+    // per-customer revenue in integer CENTS (floor quantization — the
+    // TPC-H money discipline: double sums would group differently per
+    // engine, cent sums are order-independent exact integers)
+    "q_gini" -> ((s, d) =>
+      Eval.lorenzGini(custRevenueCents(s, d), "vc")),
+
+    // …and the forced binned twin (distinct revenues ≈ customers)
+    // against the SAME oracle
+    "q_gini_binned" -> ((s, d) =>
+      Eval.lorenzGini(custRevenueCents(s, d), "vc",
+        maxDistinctBroadcast = 100)),
+
     // feature triage: cardinality/entropy/top-share for every listed
     // column in ONE melted pass
     "q_feature_audit" -> ((s, d) =>
@@ -181,6 +200,35 @@ object EvalQueries {
   private val ConformalAlpha = 0.1
   private val AuditFeatures =
     Seq("o_orderpriority", "o_orderstatus", "o_custkey")
+
+  /** Lorenz/Gini oracle: the trapezoid integral over distinct cent
+    * values — the same strictly-below cumulative CTE shape as aucSql. */
+  private val GiniSql =
+    """WITH rev AS (
+         SELECT o_custkey,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS vc
+         FROM orders GROUP BY 1),
+       c AS (
+         SELECT CAST(vc AS DOUBLE) AS s, count(*) AS c,
+           sum(CAST(vc AS DOUBLE)) AS m
+         FROM rev WHERE vc >= 0 GROUP BY 1),
+       r AS (
+         SELECT s, c, m,
+           CAST(coalesce(sum(c) OVER wb, 0) AS BIGINT) AS cb,
+           coalesce(sum(m) OVER wb, 0.0) AS mb
+         FROM c
+         WINDOW wb AS (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       t AS (SELECT CAST(sum(c) AS BIGINT) AS n_all, sum(m) AS m_all
+         FROM c)
+       SELECT
+         round(1.0 - sum(
+           (CAST(cb + c AS DOUBLE) / n_all - CAST(cb AS DOUBLE) / n_all)
+           * ((mb + m) / m_all + mb / m_all)), 6) AS gini,
+         CAST(sum(c) AS BIGINT) AS n,
+         round(sum(m), 6) AS total
+       FROM r, t GROUP BY n_all, m_all"""
 
   /** Per-feature audit oracle generated from the SAME feature list the
     * Spark query melts — the miRankingSql pattern. */
@@ -412,6 +460,9 @@ object EvalQueries {
            FROM r
            WINDOW wt AS (ORDER BY duration ROWS BETWEEN UNBOUNDED
              PRECEDING AND CURRENT ROW)""",
+
+      "q_gini" -> GiniSql,
+      "q_gini_binned" -> GiniSql,
 
       "q_feature_audit" -> featureAuditSql("orders", AuditFeatures),
       "q_psi_sweep" -> psiSweepSql("orders", AuditFeatures, 1996, 1997),

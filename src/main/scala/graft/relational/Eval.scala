@@ -59,11 +59,64 @@ object Eval {
     materialized
   }
 
-  /** Shared ranking machinery for [[auc]] and [[prAuc]]: the distinct-
-    * score relation `(__s, __p, __q)` extended with `__posbelow` /
-    * `__negbelow` (strictly-below cumulative positive/negative counts),
-    * via the dual small/binned path. Returns the extended relation plus
-    * the persisted counts relation the caller must unpersist. */
+  /** Generic strictly-below cumulative over a persisted distinct-value
+    * relation: appends `__below_<m>` for every measure column `m`, via
+    * the dual path — ordered window when the relation is pre-counted ≤
+    * `maxDistinctBroadcast`, else 256 approx-quantile bins with per-bin
+    * parallel windows and a ≤256-row broadcast offset relation. The
+    * shared ranking engine behind [[auc]] / [[prAuc]] / [[lorenzGini]]
+    * (the percentileRank discipline, factored once). `counts` must
+    * carry a `__s` value column and be persisted by the caller. */
+  private def belowCumulative(counts: DataFrame, measures: Seq[String],
+      nDistinct: Long, maxDistinctBroadcast: Long): DataFrame = {
+    if (nDistinct <= maxDistinctBroadcast) {
+      // bounded by the count just taken — single-task window intended
+      val w = graft.util.BoundedWindow.global(col("__s"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // coalesce with lit(0) coerces to each measure's type (long or
+      // double) — the first row's empty frame sums to null otherwise
+      measures.foldLeft(counts)((d, m) => d.withColumn(s"__below_$m",
+        coalesce(sum(m).over(w), lit(0))))
+    } else {
+      val nBins = 256
+      val sd = col("__s").cast("double")
+      val innerPcts = array(
+        (1 until nBins).map(i => lit(i.toDouble / nBins)): _*)
+      // one row: always broadcast
+      val edges = counts
+        .agg(percentile_approx(sd, innerPcts, lit(10000)).as("__edges"))
+      val bin = aggregate(col("__edges"), lit(0),
+        (acc, e) => acc + when(sd >= e, 1).otherwise(0))
+      val binned = counts.crossJoin(broadcast(edges))
+        .withColumn("__bin", bin).drop("__edges")
+      // cross-bin offsets: ≤256 rows — bounded by construction
+      val wBins = graft.util.BoundedWindow.global(col("__bin"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = measures.foldLeft(
+        binned.groupBy("__bin")
+          .agg(sum(measures.head).as(s"__b_${measures.head}"),
+            measures.tail.map(m => sum(m).as(s"__b_$m")): _*)) {
+        (d, m) => d.withColumn(s"__binbelow_$m",
+          coalesce(sum(s"__b_$m").over(wBins), lit(0)))
+      }.drop(measures.map(m => s"__b_$m"): _*)
+      // within-bin windows partition by bin → parallel
+      val wIn = Window.partitionBy(col("__bin")).orderBy(col("__s"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      measures.foldLeft(
+        measures.foldLeft(binned)((d, m) => d.withColumn(s"__in_$m",
+          coalesce(sum(m).over(wIn), lit(0L))))
+          .join(broadcast(offsets), Seq("__bin"))) {
+        (d, m) => d.withColumn(s"__below_$m",
+          col(s"__in_$m") + col(s"__binbelow_$m"))
+      }
+    }
+  }
+
+  /** Ranking machinery for [[auc]] and [[prAuc]]: the distinct-score
+    * relation `(__s, __p, __q)` extended with `__posbelow` /
+    * `__negbelow` (strictly-below cumulative positive/negative counts).
+    * Returns the extended relation plus the persisted counts relation
+    * the caller must unpersist. */
   private def scoreBelowCounts(df: DataFrame, scoreCol: String,
       labelCol: String,
       maxDistinctBroadcast: Long): (DataFrame, DataFrame) = {
@@ -75,47 +128,10 @@ object Eval {
         sum(lit(1L) - lab).as("__q"))
       .persist()
     val nDistinct = counts.count()
-
-    val withBelow =
-      if (nDistinct <= maxDistinctBroadcast) {
-        // bounded by the count just taken — single-task window intended
-        val w = graft.util.BoundedWindow.global(col("__s"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        counts
-          .withColumn("__posbelow", coalesce(sum("__p").over(w), lit(0L)))
-          .withColumn("__negbelow", coalesce(sum("__q").over(w), lit(0L)))
-      } else {
-        val nBins = 256
-        val sd = col("__s").cast("double")
-        val innerPcts = array(
-          (1 until nBins).map(i => lit(i.toDouble / nBins)): _*)
-        // one row: always broadcast
-        val edges = counts
-          .agg(percentile_approx(sd, innerPcts, lit(10000)).as("__edges"))
-        val bin = aggregate(col("__edges"), lit(0),
-          (acc, e) => acc + when(sd >= e, 1).otherwise(0))
-        val binned = counts.crossJoin(broadcast(edges))
-          .withColumn("__bin", bin).drop("__edges")
-        // cross-bin offsets: ≤256 rows — bounded by construction
-        val wBins = graft.util.BoundedWindow.global(col("__bin"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val offsets = binned.groupBy("__bin")
-          .agg(sum("__p").as("__bp"), sum("__q").as("__bq"))
-          .withColumn("__pbinbelow",
-            coalesce(sum("__bp").over(wBins), lit(0L)))
-          .withColumn("__nbinbelow",
-            coalesce(sum("__bq").over(wBins), lit(0L)))
-          .drop("__bp", "__bq")
-        // within-bin windows partition by bin → parallel
-        val wIn = Window.partitionBy(col("__bin")).orderBy(col("__s"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        binned
-          .withColumn("__pinbelow", coalesce(sum("__p").over(wIn), lit(0L)))
-          .withColumn("__ninbelow", coalesce(sum("__q").over(wIn), lit(0L)))
-          .join(broadcast(offsets), Seq("__bin"))
-          .withColumn("__posbelow", col("__pinbelow") + col("__pbinbelow"))
-          .withColumn("__negbelow", col("__ninbelow") + col("__nbinbelow"))
-      }
+    val withBelow = belowCumulative(counts, Seq("__p", "__q"),
+      nDistinct, maxDistinctBroadcast)
+      .withColumnRenamed("__below___p", "__posbelow")
+      .withColumnRenamed("__below___q", "__negbelow")
     (withBelow, counts)
   }
 
@@ -177,6 +193,49 @@ object Eval {
       .select(
         round(col("__ap") / col("n_pos").cast("double"), 6).as("pr_auc"),
         col("n_pos"), col("n_neg"))
+      .localCheckpoint(eager = true)
+    counts.unpersist(blocking = false)
+    out
+  }
+
+  /** Gini coefficient of a non-negative value column via the exact
+    * Lorenz-curve trapezoid integral over DISTINCT values:
+    * `G = 1 − Σ_v (F_v − F_v⁻)·(L_v + L_v⁻)` with `F` the cumulative
+    * population share and `L` the cumulative value-mass share through v
+    * (⁻ = strictly below). One row `(gini, n, total)`, 6-dp (mass sums
+    * are arbitrary doubles). The inequality dashboard number: revenue
+    * concentration across customers, token concentration across
+    * documents.
+    *
+    * Shape at 100 TB: one corpus aggregate to the distinct-value
+    * relation carrying TWO measures (count, value·count mass), the
+    * shared dual small/binned strictly-below cumulative, broadcast
+    * totals, a one-row finish — the same no-global-sort guarantee as
+    * [[auc]]. */
+  def lorenzGini(df: DataFrame, valueCol: String,
+      maxDistinctBroadcast: Long = 100000): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val counts = df.filter(v.isNotNull && v >= 0)
+      .groupBy(v.as("__s"))
+      .agg(count(lit(1)).as("__c"),
+        sum(v).as("__m"))
+      .persist()
+    val nDistinct = counts.count()
+    val withBelow = belowCumulative(counts, Seq("__c", "__m"),
+      nDistinct, maxDistinctBroadcast)
+    val totals = counts.agg(sum("__c").as("__n_all"),
+      sum("__m").as("__m_all"))
+    val fPrev = col("__below___c").cast("double") / col("__n_all")
+    val fCur = (col("__below___c") + col("__c")).cast("double") /
+      col("__n_all")
+    val lPrev = col("__below___m") / col("__m_all")
+    val lCur = (col("__below___m") + col("__m")) / col("__m_all")
+    val out = withBelow.crossJoin(broadcast(totals))
+      .withColumn("__trap", (fCur - fPrev) * (lCur + lPrev))
+      .agg(sum("__trap").as("__b"), sum("__c").as("n"),
+        round(sum("__m"), 6).as("total"))
+      .select(round(lit(1.0) - col("__b"), 6).as("gini"),
+        col("n"), col("total"))
       .localCheckpoint(eager = true)
     counts.unpersist(blocking = false)
     out

@@ -200,6 +200,39 @@ class EvalSpec extends SparkSpec {
     assert(out.last.getDouble(4) == 0.0)
   }
 
+  // ---- Lorenz / Gini -----------------------------------------------------
+
+  /** Trapezoid Gini over the sorted values — the literal Lorenz curve. */
+  private def bruteGini(xs: Seq[Double]): Double = {
+    val sorted = xs.sorted
+    val n = sorted.size.toDouble
+    val total = sorted.sum
+    var cum = 0.0; var b = 0.0
+    sorted.foreach { x =>
+      val prev = cum; cum += x
+      b += (1.0 / n) * ((cum + prev) / total)
+    }
+    1.0 - b
+  }
+
+  test("lorenzGini: both paths equal the literal Lorenz integral; " +
+      "perfect equality is 0; full concentration tends to 1-1/n") {
+    val xs = (1 to 300).map(_ => rnd.nextInt(50).toDouble)
+    val df = xs.toDF("v")
+    val expected = bruteGini(xs)
+    for (thr <- Seq(100000L, 1L)) {
+      val g = Eval.lorenzGini(df, "v", maxDistinctBroadcast = thr)
+        .collect().head
+      assert(math.abs(g.getDouble(0) - expected) < 1e-6, s"thr=$thr")
+      assert(g.getLong(1) == 300L)
+    }
+    assert(Eval.lorenzGini(Seq(5.0, 5.0, 5.0, 5.0).toDF("v"), "v")
+      .collect().head.getDouble(0) == 0.0)
+    val conc = Eval.lorenzGini(
+      (Seq.fill(99)(0.0) :+ 1000.0).toDF("v"), "v").collect().head
+    assert(math.abs(conc.getDouble(0) - 0.99) < 1e-6)
+  }
+
   // ---- conformal ---------------------------------------------------------
 
   test("conformal: qhat is exactly the ceil((n+1)(1-alpha))-th smallest " +
