@@ -126,6 +126,20 @@ object EvalQueries {
         target = CusumTarget, slack = CusumSlack, h = CusumH)
     }),
 
+    // A/B readback, parametric: did urgent orders move total price vs
+    // low-priority — Welch's t with Satterthwaite df, one moment pass
+    "q_ab_ttest" -> ((s, d) =>
+      Eval.welchTTest(t(s, d, "orders"), "o_totalprice",
+        "o_orderpriority", "1-URGENT", "5-LOW")),
+
+    // A/B readback, distribution-free: Mann-Whitney rank-sum z with the
+    // standard tie correction on the heavily tied discount column
+    "q_ab_ranksum" -> ((s, d) =>
+      Eval.rankSumTest(t(s, d, "lineitem")
+        .withColumn("label",
+          when(col("l_returnflag") === "R", 1L).otherwise(0L)),
+        "l_discount", "label")),
+
     // revenue concentration across customers: exact Lorenz/Gini over
     // per-customer revenue in integer CENTS (floor quantization — the
     // TPC-H money discipline: double sums would group differently per
@@ -460,6 +474,65 @@ object EvalQueries {
            FROM r
            WINDOW wt AS (ORDER BY duration ROWS BETWEEN UNBOUNDED
              PRECEDING AND CURRENT ROW)""",
+
+      "q_ab_ttest" ->
+        """WITH src AS (
+             SELECT o_totalprice AS v, o_orderpriority AS g
+             FROM orders
+             WHERE o_totalprice IS NOT NULL
+               AND o_orderpriority IN ('1-URGENT', '5-LOW')),
+           m AS (
+             SELECT
+               avg(CASE WHEN g = '1-URGENT' THEN v END) AS ma,
+               var_samp(CASE WHEN g = '1-URGENT' THEN v END) AS va,
+               CAST(count(CASE WHEN g = '1-URGENT' THEN v END) AS BIGINT)
+                 AS na,
+               avg(CASE WHEN g = '5-LOW' THEN v END) AS mb,
+               var_samp(CASE WHEN g = '5-LOW' THEN v END) AS vb,
+               CAST(count(CASE WHEN g = '5-LOW' THEN v END) AS BIGINT)
+                 AS nb
+             FROM src)
+           SELECT
+             round((ma - mb) / sqrt(va / na + vb / nb), 6) AS t,
+             round((va / na + vb / nb) * (va / na + vb / nb) /
+               ((va / na) * (va / na) / (na - 1) +
+                (vb / nb) * (vb / nb) / (nb - 1)), 6) AS df,
+             round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+             na AS n_a, nb AS n_b
+           FROM m""",
+
+      "q_ab_ranksum" ->
+        """WITH c AS (
+             SELECT l_discount AS s,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS p,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)
+                 AS BIGINT) AS q
+             FROM lineitem WHERE l_discount IS NOT NULL GROUP BY 1),
+           r AS (
+             SELECT p, q,
+               CAST(coalesce(sum(q) OVER (ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS nb
+             FROM c),
+           u AS (
+             SELECT sum(p * (nb + q / 2.0)) AS u,
+               sum(CAST(p + q AS DOUBLE) * (p + q) * (p + q) - (p + q))
+                 AS ties,
+               CAST(sum(p) AS BIGINT) AS n_pos,
+               CAST(sum(q) AS BIGINT) AS n_neg
+             FROM r),
+           f AS (
+             SELECT u, ties, n_pos, n_neg,
+               CAST(n_pos AS DOUBLE) AS p, CAST(n_neg AS DOUBLE) AS q,
+               CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE) AS n
+             FROM u)
+           SELECT u,
+             round((u - p * q / 2.0) / sqrt(p * q / 12.0 *
+               ((n + 1.0) - ties / (n * (n - 1.0)))), 6) AS z,
+             round(u / (p * q), 6) AS auc,
+             n_pos, n_neg
+           FROM f""",
 
       "q_gini" -> GiniSql,
       "q_gini_binned" -> GiniSql,

@@ -435,6 +435,82 @@ object Eval {
         lit(nCalib).as("n_calib"), col("n_test"))
   }
 
+  /** Welch's unequal-variance t-test between two groups of `valueCol`:
+    * one row `(t, df, mean_a, mean_b, n_a, n_b)` with the
+    * Welch–Satterthwaite degrees of freedom; 6-dp on the derived
+    * doubles (moment aggregates differ across engines in summation
+    * order). The A/B experimentation readback: did the treatment move
+    * the metric. No p-value column — engines disagree on t-CDF tails;
+    * compare |t| against the caller's critical value.
+    *
+    * Shape at 100 TB: ONE conditional-moment aggregate (six doubles of
+    * state), a projection finish. */
+  def welchTTest(df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val inA = col(groupCol) === groupA
+    val inB = col(groupCol) === groupB
+    df.filter(v.isNotNull && (inA || inB))
+      .agg(
+        avg(when(inA, v)).as("__ma"), variance(when(inA, v)).as("__va"),
+        count(when(inA, v)).as("n_a"),
+        avg(when(inB, v)).as("__mb"), variance(when(inB, v)).as("__vb"),
+        count(when(inB, v)).as("n_b"))
+      .select({
+        val sa = col("__va") / col("n_a")
+        val sb = col("__vb") / col("n_b")
+        val se2 = sa + sb
+        Seq(
+          round((col("__ma") - col("__mb")) / sqrt(se2), 6).as("t"),
+          round(se2 * se2 /
+            (sa * sa / (col("n_a") - 1) + sb * sb / (col("n_b") - 1)), 6)
+            .as("df"),
+          round(col("__ma"), 6).as("mean_a"),
+          round(col("__mb"), 6).as("mean_b"),
+          col("n_a"), col("n_b"))
+      }: _*)
+  }
+
+  /** Mann-Whitney rank-sum test between the `label = 1` and `label = 0`
+    * groups of `scoreCol` (two-sided, normal approximation with the
+    * standard tie correction): one row `(u, z, auc, n_pos, n_neg)` —
+    * `U = AUC·P·N` (midrank ties), `z = (U − PN/2) / σ_U` with
+    * `σ²_U = PN/12 · (n+1 − Σ(t³−t)/(n(n−1)))` over the tie-group
+    * sizes t. The distribution-free A/B readback (AUC doubles as the
+    * common-language effect size).
+    *
+    * Shape at 100 TB: the [[auc]] machinery verbatim — the tie term is
+    * one extra sum over the SAME distinct-score relation; no additional
+    * corpus pass. */
+  def rankSumTest(df: DataFrame, scoreCol: String, labelCol: String,
+      maxDistinctBroadcast: Long = 100000): DataFrame = {
+    val (withBelow, counts) = scoreBelowCounts(df, scoreCol, labelCol,
+      maxDistinctBroadcast)
+    val t = (col("__p") + col("__q")).cast("double")
+    val out = withBelow.agg(
+      sum(col("__p").cast("double") *
+        (col("__negbelow").cast("double") +
+          col("__q").cast("double") / 2.0)).as("__u"),
+      sum(t * t * t - t).as("__ties"),
+      sum("__p").as("n_pos"),
+      sum("__q").as("n_neg"))
+      .select({
+        val p = col("n_pos").cast("double")
+        val q = col("n_neg").cast("double")
+        val n = p + q
+        val sigma2 = p * q / 12.0 *
+          ((n + 1.0) - col("__ties") / (n * (n - 1.0)))
+        Seq(
+          col("__u").as("u"),
+          round((col("__u") - p * q / 2.0) / sqrt(sigma2), 6).as("z"),
+          round(col("__u") / (p * q), 6).as("auc"),
+          col("n_pos"), col("n_neg"))
+      }: _*)
+      .localCheckpoint(eager = true)
+    counts.unpersist(blocking = false)
+    out
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two categorical
     * annotation columns: `κ = (p_o − p_e)/(1 − p_e)` with observed
     * agreement `p_o` and chance agreement `p_e = Σ_c P_a(c)·P_b(c)`.

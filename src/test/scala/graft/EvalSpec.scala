@@ -200,6 +200,45 @@ class EvalSpec extends SparkSpec {
     assert(out.last.getDouble(4) == 0.0)
   }
 
+  // ---- A/B tests ---------------------------------------------------------
+
+  test("welchTTest: hand-computed t and Satterthwaite df on a known " +
+      "fixture; equal samples give t=0") {
+    // a = [1,2,3,4] (mean 2.5, var 5/3), b = [2,4,6,8,10] (mean 6, var 10)
+    val df = (Seq(1, 2, 3, 4).map(x => (x.toDouble, "a")) ++
+      Seq(2, 4, 6, 8, 10).map(x => (x.toDouble, "b"))).toDF("v", "g")
+    val out = Eval.welchTTest(df, "v", "g", "a", "b").collect().head
+    val sa = (5.0 / 3) / 4; val sb = 10.0 / 5
+    val tExp = (2.5 - 6.0) / math.sqrt(sa + sb)
+    val dfExp = math.pow(sa + sb, 2) / (sa * sa / 3 + sb * sb / 4)
+    assert(math.abs(out.getDouble(0) - tExp) < 1e-6)
+    assert(math.abs(out.getDouble(1) - dfExp) < 1e-6)
+    assert(out.getLong(4) == 4L && out.getLong(5) == 5L)
+    val same = (Seq(1.0, 2.0, 3.0).map((_, "a")) ++
+      Seq(1.0, 2.0, 3.0).map((_, "b"))).toDF("v", "g")
+    assert(Eval.welchTTest(same, "v", "g", "a", "b")
+      .collect().head.getDouble(0) == 0.0)
+  }
+
+  test("rankSumTest: U/z match the literal rank-sum computation with " +
+      "tie correction; identical distributions give z near 0") {
+    val rows = (1 to 300).map(_ =>
+      (rnd.nextInt(8).toDouble, rnd.nextInt(2).toLong))
+    val df = rows.toDF("score", "label")
+    val out = Eval.rankSumTest(df, "score", "label").collect().head
+    val p = rows.count(_._2 == 1L).toDouble
+    val q = rows.size - p
+    val uExp = bruteAuc(rows) * p * q
+    assert(math.abs(out.getDouble(0) - uExp) < 1e-6)
+    val n = p + q
+    val ties = rows.groupBy(_._1).values
+      .map(g => math.pow(g.size, 3) - g.size).sum
+    val sigma = math.sqrt(p * q / 12.0 * ((n + 1) - ties / (n * (n - 1))))
+    val zExp = (uExp - p * q / 2.0) / sigma
+    assert(math.abs(out.getDouble(1) - zExp) < 1e-5)
+    assert(math.abs(out.getDouble(1)) < 4.0) // same distribution
+  }
+
   // ---- Lorenz / Gini -----------------------------------------------------
 
   /** Trapezoid Gini over the sorted values — the literal Lorenz curve. */
