@@ -126,6 +126,12 @@ object EvalQueries {
         target = CusumTarget, slack = CusumSlack, h = CusumH)
     }),
 
+    // monotone association: Spearman rho with exact midrank ties —
+    // quantity vs line price (near-1 by construction)
+    "q_spearman" -> ((s, d) =>
+      Eval.spearman(t(s, d, "lineitem"), "l_quantity",
+        "l_extendedprice")),
+
     // A/B readback, parametric: did urgent orders move total price vs
     // low-priority — Welch's t with Satterthwaite df, one moment pass
     "q_ab_ttest" -> ((s, d) =>
@@ -474,6 +480,33 @@ object EvalQueries {
            FROM r
            WINDOW wt AS (ORDER BY duration ROWS BETWEEN UNBOUNDED
              PRECEDING AND CURRENT ROW)""",
+
+      "q_spearman" ->
+        """WITH src AS (
+             SELECT l_quantity AS a, l_extendedprice AS b
+             FROM lineitem
+             WHERE l_quantity IS NOT NULL
+               AND l_extendedprice IS NOT NULL),
+           ca AS (SELECT a AS v, count(*) AS c FROM src GROUP BY 1),
+           ra AS (
+             SELECT v,
+               coalesce(sum(c) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + (c + 1) / 2.0 AS rk
+             FROM ca),
+           cb AS (SELECT b AS v, count(*) AS c FROM src GROUP BY 1),
+           rb AS (
+             SELECT v,
+               coalesce(sum(c) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + (c + 1) / 2.0 AS rk
+             FROM cb),
+           j AS (
+             SELECT ra.rk AS rka, rb.rk AS rkb
+             FROM src JOIN ra ON src.a = ra.v JOIN rb ON src.b = rb.v)
+           SELECT round(corr(rka, rkb), 6) AS rho,
+             CAST(count(*) AS BIGINT) AS n
+           FROM j""",
 
       "q_ab_ttest" ->
         """WITH src AS (

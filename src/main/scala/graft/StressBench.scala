@@ -340,6 +340,13 @@ object StressBench {
         "c_name", "corrupted", maxDist = 1)
     }),
 
+    // Gini, BINNED path forced: distinct values ×reps via the perturbed
+    // price — the two-measure cumulative under load
+    "s_gini_binned" -> ((s, d, r) =>
+      graft.relational.Eval.lorenzGini(
+        lineitemScaled(s, d, r), "l_extendedprice",
+        maxDistinctBroadcast = 0)),
+
     // AUC, BINNED path forced: distinct scores ×reps via the perturbed
     // price — the 256-bin cumulative is the load; the finish stays a
     // one-row aggregate however many distinct scores exist

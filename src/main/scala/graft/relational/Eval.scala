@@ -241,6 +241,44 @@ object Eval {
     out
   }
 
+  /** Spearman rank correlation with exact average-rank ties: Pearson
+    * correlation of the two columns' midranks, one row `(rho, n)`
+    * (6-dp — `corr` moment order differs across engines). Rows with a
+    * null on either side are excluded BEFORE ranking (ranks are over
+    * the paired sample, the standard definition).
+    *
+    * Shape at 100 TB: per column, one distinct-value aggregate + the
+    * shared dual small/binned strictly-below cumulative → a
+    * checkpointed rank relation (`midrank = below + (c+1)/2`), joined
+    * back (AQE broadcasts when the value dictionary is small, shuffles
+    * when distinct ≈ N — the percentileRank join-back discipline); the
+    * finish is one `corr` aggregate. No global sort of the corpus at
+    * any point. */
+  def spearman(df: DataFrame, aCol: String, bCol: String,
+      maxDistinctBroadcast: Long = 100000): DataFrame = {
+    val paired = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).as("__a"), col(bCol).as("__b"))
+    def rankRel(c: String, out: String): DataFrame = {
+      val counts = paired.groupBy(col(c).as("__s"))
+        .agg(count(lit(1)).as("__c")).persist()
+      val n = counts.count()
+      val ranked = belowCumulative(counts, Seq("__c"), n,
+        maxDistinctBroadcast)
+        .select(col("__s").as(s"${c}_v"),
+          (col("__below___c") + (col("__c") + 1) / 2.0).as(out))
+        .localCheckpoint(eager = true)
+      counts.unpersist(blocking = false)
+      ranked
+    }
+    val ra = rankRel("__a", "__rka")
+    val rb = rankRel("__b", "__rkb")
+    paired
+      .join(ra, col("__a") === col("__a_v"))
+      .join(rb, col("__b") === col("__b_v"))
+      .agg(round(corr(col("__rka"), col("__rkb")), 6).as("rho"),
+        count(lit(1)).as("n"))
+  }
+
   /** Expected calibration error: the bin-count-weighted mean absolute
     * gap between confidence and accuracy, `Σ_b (n_b/N)·|mean_score_b −
     * pos_rate_b|`, over the same `nBins` equal-width bins as

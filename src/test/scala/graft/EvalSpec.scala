@@ -200,6 +200,42 @@ class EvalSpec extends SparkSpec {
     assert(out.last.getDouble(4) == 0.0)
   }
 
+  // ---- Spearman ----------------------------------------------------------
+
+  test("spearman: monotone transform gives rho=1, reversal -1, and tied " +
+      "random data matches the literal midrank Pearson") {
+    val mono = (1 to 100).map(i => (i.toDouble, math.exp(i / 10.0)))
+      .toDF("a", "b")
+    assert(Eval.spearman(mono, "a", "b").collect().head.getDouble(0)
+      == 1.0)
+    val rev = (1 to 100).map(i => (i.toDouble, -i * 3.0)).toDF("a", "b")
+    assert(Eval.spearman(rev, "a", "b").collect().head.getDouble(0)
+      == -1.0)
+    val rows = (1 to 300).map(_ =>
+      (rnd.nextInt(10).toDouble, rnd.nextInt(10).toDouble))
+    def midranks(xs: Seq[Double]): Map[Double, Double] = {
+      val below = scala.collection.mutable.Map[Double, Long]()
+      val counts = xs.groupBy(identity).view.mapValues(_.size.toLong)
+      var cum = 0L
+      counts.toSeq.sortBy(_._1).foreach { case (v, c) =>
+        below(v) = cum; cum += c
+      }
+      counts.map { case (v, c) => v -> (below(v) + (c + 1) / 2.0) }.toMap
+    }
+    val ma = midranks(rows.map(_._1)); val mb = midranks(rows.map(_._2))
+    val ranked = rows.map { case (a, b) => (ma(a), mb(b)) }
+    val n = ranked.size.toDouble
+    val (xa, xb) = (ranked.map(_._1), ranked.map(_._2))
+    val (mA, mB) = (xa.sum / n, xb.sum / n)
+    val cov = ranked.map { case (x, y) => (x - mA) * (y - mB) }.sum
+    val expected = cov / math.sqrt(
+      xa.map(x => (x - mA) * (x - mA)).sum *
+      xb.map(y => (y - mB) * (y - mB)).sum)
+    val got = Eval.spearman(rows.toDF("a", "b"), "a", "b")
+      .collect().head.getDouble(0)
+    assert(math.abs(got - expected) < 1e-6, s"$got vs $expected")
+  }
+
   // ---- A/B tests ---------------------------------------------------------
 
   test("welchTTest: hand-computed t and Satterthwaite df on a known " +
