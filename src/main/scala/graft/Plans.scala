@@ -305,6 +305,11 @@ object Plans {
             .withColumn("label", when(
               col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)),
           "o_totalprice", "label", maxDistinctBroadcast = 0)._1),
+      ("q_spearman", "Spearman: checkpointed distinct-value midrank " +
+        "relations join back onto the paired corpus (AQE picks " +
+        "broadcast vs shuffle per side), ONE corr aggregate finish — " +
+        "no global sort anywhere",
+        SparkEntry.queries("q_spearman")(spark, d)),
       ("q_cusum", "CUSUM: the max(0, s+dev) recursion as prefix-sum " +
         "minus running-min — TWO frames over ONE per-key sort, one " +
         "exchange, no join",
