@@ -116,6 +116,38 @@ object EvalQueries {
       Eval.kaplanMeier(subjects, "duration", "ev")
     }),
 
+    // segmented survival: heavy (≥10 events) vs light users, per-segment
+    // curves from ONE pass — windows partition by segment
+    "q_survival_grouped" -> ((s, d) => {
+      val e = DataQueries.readEventsMicros(s, d)
+        .withColumn("hour", expr("tsu div 3600000000"))
+      val subjects = e.groupBy("user_id")
+        .agg((max("hour") - min("hour")).as("duration"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("ev"),
+          when(count(lit(1)) >= 10, lit("heavy")).otherwise(lit("light"))
+            .as("seg"))
+      Eval.kaplanMeier(subjects, "duration", "ev", Seq("seg"))
+    }),
+
+    // Benford first-digit screen on order totals
+    "q_benford" -> ((s, d) =>
+      Eval.benford(t(s, d, "orders"), "o_totalprice")),
+
+    // Zipf fit: log-log slope of the top-500 token frequency curve —
+    // natural corpora sit near -1, synthetic/templated text drifts
+    "q_zipf" -> ((s, d) =>
+      graft.text.Corpus.buildVocab(t(s, d, "documents"), "text", 500)
+        .agg(
+          round(expr("regr_slope(ln(n_occurrences), ln(token_id + 1))"),
+            6).as("slope"),
+          round(expr(
+            "regr_intercept(ln(n_occurrences), ln(token_id + 1))"), 6)
+            .as("intercept"),
+          round(expr("regr_r2(ln(n_occurrences), ln(token_id + 1))"), 6)
+            .as("r2"),
+          count(lit(1)).as("n"))),
+
     // CUSUM drift alarm over each event type's daily volume
     "q_cusum" -> ((s, d) => {
       val daily = DataQueries.readEventsMicros(s, d)
@@ -697,6 +729,83 @@ object EvalQueries {
                AS logloss,
              count(*) AS n
            FROM g""",
+
+      "q_survival_grouped" ->
+        """WITH e AS (
+             SELECT user_id,
+               CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pu
+             FROM events),
+           subj AS (
+             SELECT user_id, max(hour) - min(hour) AS duration,
+               max(pu) AS ev,
+               CASE WHEN count(*) >= 10 THEN 'heavy' ELSE 'light' END
+                 AS seg
+             FROM e GROUP BY 1),
+           byt AS (
+             SELECT seg, duration,
+               CAST(sum(ev) AS BIGINT) AS n_event,
+               CAST(sum(1 - ev) AS BIGINT) AS n_censored
+             FROM subj GROUP BY 1, 2),
+           r AS (
+             SELECT seg, duration, n_event, n_censored,
+               CAST(sum(n_event + n_censored) OVER wa AS BIGINT) -
+                 CAST(coalesce(sum(n_event + n_censored) OVER wb, 0)
+                   AS BIGINT) AS n_risk
+             FROM byt
+             WINDOW wa AS (PARTITION BY seg ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND UNBOUNDED FOLLOWING),
+               wb AS (PARTITION BY seg ORDER BY duration
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+           SELECT seg, duration, n_risk, n_event, n_censored,
+             CASE WHEN max(CASE WHEN n_event = n_risk THEN 1 ELSE 0 END)
+                 OVER wt > 0 THEN 0.0
+               ELSE round(exp(sum(CASE WHEN n_event < n_risk
+                 THEN ln(1.0 - CAST(n_event AS DOUBLE) / n_risk) END)
+                 OVER wt), 6)
+             END AS survival
+           FROM r
+           WINDOW wt AS (PARTITION BY seg ORDER BY duration
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+
+      "q_benford" ->
+        """WITH c AS (
+             SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100)
+                 AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+               count(*) AS n
+             FROM orders
+             WHERE o_totalprice IS NOT NULL
+               AND CAST(floor(o_totalprice * 100) AS BIGINT) > 0
+             GROUP BY 1)
+           SELECT digit, n,
+             round(CAST(n AS DOUBLE) /
+               CAST(sum(n) OVER (ROWS BETWEEN UNBOUNDED PRECEDING AND
+                 UNBOUNDED FOLLOWING) AS DOUBLE), 6) AS observed,
+             round(log(10.0, 1.0 + 1.0 / digit), 6) AS expected
+           FROM c""",
+
+      "q_zipf" ->
+        """WITH tok AS (
+             SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+               AS t
+             FROM documents),
+           cnt AS (
+             SELECT t, count(*) AS n_occurrences FROM tok
+             WHERE t <> '' GROUP BY t),
+           v AS (
+             SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC,
+                 t) - 1 AS BIGINT) AS token_id, n_occurrences
+             FROM cnt
+             ORDER BY token_id LIMIT 500)
+           SELECT
+             round(regr_slope(ln(n_occurrences), ln(token_id + 1)), 6)
+               AS slope,
+             round(regr_intercept(ln(n_occurrences), ln(token_id + 1)),
+               6) AS intercept,
+             round(regr_r2(ln(n_occurrences), ln(token_id + 1)), 6)
+               AS r2,
+             CAST(count(*) AS BIGINT) AS n
+           FROM v""",
 
       "q_cusum" ->
         s"""WITH daily AS (

@@ -401,18 +401,26 @@ object Eval {
     * are calendar-quantized by construction (days/weeks since entry), so
     * that relation is bounded by the observation span, not the corpus —
     * the same boundedness argument as resample's grid. */
-  def kaplanMeier(df: DataFrame, durationCol: String,
-      eventCol: String): DataFrame = {
+  def kaplanMeier(df: DataFrame, durationCol: String, eventCol: String,
+      groupCols: Seq[String] = Nil): DataFrame = {
     val ev = col(eventCol).cast("long")
+    val gb = groupCols.map(col)
     val byT = df.filter(col(durationCol).isNotNull && ev.isNotNull)
-      .groupBy(col(durationCol).cast("long").as("duration"))
+      .groupBy(gb :+ col(durationCol).cast("long").as("duration"): _*)
       .agg(sum(ev).as("n_event"), sum(lit(1L) - ev).as("n_censored"))
-    // distinct durations: calendar-bounded (see scaladoc)
-    val wBefore = graft.util.BoundedWindow.global(col("duration"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wThrough = graft.util.BoundedWindow.global(col("duration"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val wAll = graft.util.BoundedWindow.globalUnordered()
+    // ungrouped: distinct durations are calendar-bounded (see scaladoc);
+    // grouped: the same bound per segment, windows partition by group
+    def wb(order: Boolean) =
+      if (groupCols.isEmpty) {
+        if (order) graft.util.BoundedWindow.global(col("duration"))
+        else graft.util.BoundedWindow.globalUnordered()
+      } else {
+        val base = Window.partitionBy(gb: _*)
+        if (order) base.orderBy(col("duration")) else base
+      }
+    val wBefore = wb(true).rowsBetween(Window.unboundedPreceding, -1)
+    val wThrough = wb(true).rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = wb(false)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     byT
       .withColumn("n_risk",
@@ -431,7 +439,34 @@ object Eval {
               log(lit(1.0) -
                 col("n_event").cast("double") / col("n_risk"))))
               .over(wThrough)), 6)))
-      .select("duration", "n_risk", "n_event", "n_censored", "survival")
+      .select(gb ++ Seq(col("duration"), col("n_risk"), col("n_event"),
+        col("n_censored"), col("survival")): _*)
+  }
+
+  /** Benford first-digit audit: the observed share of each leading
+    * significant digit of a positive money column vs the Benford
+    * expectation `log10(1 + 1/d)` — the classic fabricated-numbers
+    * screen. One row per digit 1-9: `(digit, n, observed, expected)`,
+    * 6-dp. The digit is extracted from the INTEGER cent value's decimal
+    * string (never via `log10`-of-value, whose libm rounding at exact
+    * powers of ten is engine-dependent); values with no positive cent
+    * digit are excluded.
+    *
+    * Shape at 100 TB: ONE digit-keyed aggregate (9 counters), a ≤9-row
+    * share window. */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val cents = floor(col(valueCol).cast("double") * 100).cast("long")
+    val digit = substring(cents.cast("string"), 1, 1).cast("long")
+    val wAll = graft.util.BoundedWindow.globalUnordered()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.filter(col(valueCol).isNotNull && cents > 0)
+      .groupBy(digit.as("digit"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("observed",
+        round(col("n").cast("double") / sum("n").over(wAll), 6))
+      .withColumn("expected",
+        round(log(10.0, lit(1.0) + lit(1.0) / col("digit")), 6))
+      .select("digit", "n", "observed", "expected")
   }
 
   /** Split-conformal prediction interval: from a CALIBRATION set of

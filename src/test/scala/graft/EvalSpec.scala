@@ -396,6 +396,43 @@ class EvalSpec extends SparkSpec {
     assert(!w.getDouble(1).isInfinite)
   }
 
+  test("kaplanMeier grouped: each segment's curve is independent and " +
+      "equals the ungrouped curve over that segment alone") {
+    val rows = Seq(("x", 1L, 1L), ("x", 2L, 0L), ("x", 3L, 1L),
+      ("y", 1L, 0L), ("y", 2L, 1L), ("y", 2L, 1L))
+    val df = rows.toDF("seg", "duration", "ev")
+    val grouped = Eval.kaplanMeier(df, "duration", "ev", Seq("seg"))
+      .orderBy("seg", "duration").collect()
+    Seq("x", "y").foreach { s =>
+      val solo = Eval.kaplanMeier(df.filter(col("seg") === s),
+        "duration", "ev").orderBy("duration").collect()
+      val sub = grouped.filter(_.getString(0) == s)
+      assert(sub.map(r => (r.getLong(1), r.getLong(2), r.getDouble(5)))
+        .toSeq ==
+        solo.map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+          .toSeq, s)
+    }
+  }
+
+  test("benford: observed shares sum to 1, expected follows log10(1+1/d), " +
+      "and a Benford-distributed sample matches closely") {
+    // construct values whose leading digits follow Benford counts
+    val counts = (1 to 9).map(d =>
+      d -> math.round(1000 * math.log10(1.0 + 1.0 / d)).toInt)
+    val vals = counts.flatMap { case (d, c) =>
+      (1 to c).map(i => d * 100.0 + (i % 90)) } // digit d in the cents
+    val out = Eval.benford(vals.toDF("v"), "v")
+      .orderBy("digit").collect()
+    assert(out.map(_.getLong(0)).toSeq == (1L to 9L))
+    assert(math.abs(out.map(_.getDouble(2)).sum - 1.0) < 1e-6)
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(3) -
+        math.log10(1.0 + 1.0 / r.getLong(0))) < 1e-6)
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 0.01,
+        s"digit ${r.getLong(0)}")
+    }
+  }
+
   // ---- CUSUM -------------------------------------------------------------
 
   test("cusum: prefix-sum closed form equals the literal sequential " +
