@@ -158,6 +158,36 @@ object EvalQueries {
         target = CusumTarget, slack = CusumSlack, h = CusumH)
     }),
 
+    // conversion-rate A/B: do heavy users purchase more often — pooled
+    // two-proportion z over the per-user success indicator
+    "q_ab_proportions" -> ((s, d) => {
+      val subjects = DataQueries.readEventsMicros(s, d)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"),
+          when(count(lit(1)) >= 10, lit("heavy")).otherwise(lit("light"))
+            .as("seg"))
+      Eval.twoProportionZ(subjects, "converted", "seg", "heavy", "light")
+    }),
+
+    // per-channel high-value rate with Wilson 95% intervals — the
+    // dashboard rate tile that stays sane for tiny channels
+    "q_rate_ci" -> ((s, d) =>
+      Eval.wilsonRates(DataQueries.readEventsMicros(s, d)
+        .withColumn("big", when(col("value") >= 50.0, 1L).otherwise(0L)),
+        Seq("event_type"), "big")),
+
+    // weekly shape of each event type's daily volume: dow index vs the
+    // channel's own mean (integral counts — the index replays exactly)
+    "q_seasonality" -> ((s, d) => {
+      val daily = DataQueries.readEventsMicros(s, d)
+        .withColumn("day", expr("tsu div 86400000000"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("cnt"))
+      graft.relational.Analytics.seasonality(daily, Seq("event_type"),
+        "day", "cnt")
+    }),
+
     // monotone association: Spearman rho with exact midrank ties —
     // quantity vs line price (near-1 by construction)
     "q_spearman" -> ((s, d) =>
@@ -512,6 +542,79 @@ object EvalQueries {
            FROM r
            WINDOW wt AS (ORDER BY duration ROWS BETWEEN UNBOUNDED
              PRECEDING AND CURRENT ROW)""",
+
+      "q_ab_proportions" ->
+        """WITH subj AS (
+             SELECT user_id,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS converted,
+               CASE WHEN count(*) >= 10 THEN 'heavy' ELSE 'light' END
+                 AS seg
+             FROM events GROUP BY 1),
+           m AS (
+             SELECT
+               CAST(sum(CASE WHEN seg = 'heavy' THEN converted END)
+                 AS BIGINT) AS sa,
+               CAST(count(CASE WHEN seg = 'heavy' THEN converted END)
+                 AS BIGINT) AS na,
+               CAST(sum(CASE WHEN seg = 'light' THEN converted END)
+                 AS BIGINT) AS sb,
+               CAST(count(CASE WHEN seg = 'light' THEN converted END)
+                 AS BIGINT) AS nb
+             FROM subj),
+           f AS (
+             SELECT sa, na, sb, nb,
+               CAST(sa AS DOUBLE) / na AS pa,
+               CAST(sb AS DOUBLE) / nb AS pb,
+               CAST(sa + sb AS DOUBLE) / (na + nb) AS pool
+             FROM m)
+           SELECT round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+             round(pa - pb, 6) AS diff,
+             round((pa - pb) / sqrt(pool * (1.0 - pool) *
+               (1.0 / na + 1.0 / nb)), 6) AS z,
+             na AS n_a, nb AS n_b
+           FROM f""",
+
+      "q_rate_ci" ->
+        """WITH g AS (
+             SELECT event_type, count(*) AS n,
+               CAST(sum(CASE WHEN value >= 50.0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS successes
+             FROM events GROUP BY 1),
+           f AS (
+             SELECT event_type, n, successes,
+               CAST(successes AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+               CAST(n AS DOUBLE) AS nd
+             FROM g)
+           SELECT event_type, n, successes,
+             round(p, 6) AS rate,
+             round((p + (1.96 * 1.96) / (2.0 * nd)) /
+                 (1.0 + (1.96 * 1.96) / nd) -
+               (1.96 * sqrt(p * (1.0 - p) / nd +
+                 (1.96 * 1.96) / (4.0 * nd * nd))) /
+                 (1.0 + (1.96 * 1.96) / nd), 6) AS lo,
+             round((p + (1.96 * 1.96) / (2.0 * nd)) /
+                 (1.0 + (1.96 * 1.96) / nd) +
+               (1.96 * sqrt(p * (1.0 - p) / nd +
+                 (1.96 * 1.96) / (4.0 * nd * nd))) /
+                 (1.0 + (1.96 * 1.96) / nd), 6) AS hi
+           FROM f""",
+
+      "q_seasonality" ->
+        """WITH daily AS (
+             SELECT event_type,
+               CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+               count(*) AS cnt
+             FROM events GROUP BY 1, 2),
+           d AS (
+             SELECT event_type, CAST(day % 7 AS BIGINT) AS dow,
+               avg(cnt) AS m, count(*) AS n_days
+             FROM daily GROUP BY 1, 2),
+           o AS (SELECT event_type, avg(cnt) AS om FROM daily GROUP BY 1)
+           SELECT d.event_type, dow, n_days,
+             round(m, 6) AS mean_value,
+             round(m / om, 6) AS "index"
+           FROM d JOIN o USING (event_type)""",
 
       "q_spearman" ->
         """WITH src AS (

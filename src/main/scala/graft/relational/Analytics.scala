@@ -351,6 +351,33 @@ object Analytics {
         round(sum("__mi_part"), 6).as("mi"))
   }
 
+  /** Day-of-week seasonality profile over a (keys, day, value) relation
+    * (e.g. the daily volumes a resample/aggregate produced): per
+    * `(keys…, dow)` the mean value, days observed, and the seasonal
+    * `index = dow mean / key's overall mean` (1.0 = flat). `dayCol` is
+    * an integral epoch-day; dow = `day mod 7` (epoch-relative — the
+    * labels don't matter for drift, the SHAPE does). Integral values
+    * make both averages exact single divisions, so the index replays
+    * deterministically.
+    *
+    * Shape at 100 TB: two aggregates of the ALREADY-AGGREGATED daily
+    * relation (keys × days rows) + a keys-sized join — the raw corpus
+    * is not touched here at all. */
+  def seasonality(df: DataFrame, keys: Seq[String], dayCol: String,
+      valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    val byDow = df
+      .groupBy(keys.map(col) :+ pmod(col(dayCol), lit(7)).as("dow"): _*)
+      .agg(avg(col(valueCol)).as("__m"), count(lit(1)).as("n_days"))
+    val overall = df.groupBy(keys.map(col): _*)
+      .agg(avg(col(valueCol)).as("__o"))
+    byDow.join(overall, keys)
+      .select(keys.map(col) ++ Seq(col("dow").cast("long").as("dow"),
+        col("n_days"),
+        round(col("__m"), 6).as("mean_value"),
+        round(col("__m") / col("__o"), 6).as("index")): _*)
+  }
+
   /** Per-feature profile in ONE melted corpus pass: for every listed
     * feature, `(n, n_distinct, entropy, top_share)` — non-null count,
     * cardinality, Shannon entropy (nats) of the value distribution, and

@@ -584,6 +584,59 @@ object Eval {
     out
   }
 
+  /** Two-proportion z-test between groups `a` and `b` of a 0/1
+    * `successCol` (pooled standard error): one row
+    * `(p_a, p_b, diff, z, n_a, n_b)`, 6-dp. The conversion-rate A/B
+    * readback. ONE conditional-count aggregate (four longs of state). */
+  def twoProportionZ(df: DataFrame, successCol: String,
+      groupCol: String, a: String, b: String): DataFrame = {
+    val s = col(successCol).cast("long")
+    val inA = col(groupCol) === a
+    val inB = col(groupCol) === b
+    df.filter(s.isNotNull && (inA || inB))
+      .agg(sum(when(inA, s)).as("__sa"), count(when(inA, s)).as("n_a"),
+        sum(when(inB, s)).as("__sb"), count(when(inB, s)).as("n_b"))
+      .select({
+        val pa = col("__sa").cast("double") / col("n_a")
+        val pb = col("__sb").cast("double") / col("n_b")
+        val pool = (col("__sa") + col("__sb")).cast("double") /
+          (col("n_a") + col("n_b"))
+        val se = sqrt(pool * (lit(1.0) - pool) *
+          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+        Seq(round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+          round(pa - pb, 6).as("diff"),
+          round((pa - pb) / se, 6).as("z"),
+          col("n_a"), col("n_b"))
+      }: _*)
+  }
+
+  /** Wilson score confidence interval for a 0/1 rate per group:
+    * `(group…, n, successes, rate, lo, hi)`, 6-dp — the interval that
+    * behaves at extreme rates and small groups where the normal
+    * approximation fails (never exits [0,1]). `z` defaults to 1.96
+    * (95%). ONE group-keyed aggregate; the interval arithmetic is a
+    * projection. */
+  def wilsonRates(df: DataFrame, groupCols: Seq[String],
+      successCol: String, z: Double = 1.96): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val s = col(successCol).cast("long")
+    df.filter(s.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(s).as("successes"))
+      .select({
+        val n = col("n").cast("double")
+        val p = col("successes").cast("double") / n
+        val z2 = lit(z * z)
+        val center = (p + z2 / (lit(2.0) * n)) / (lit(1.0) + z2 / n)
+        val half = (lit(z) * sqrt(p * (lit(1.0) - p) / n +
+          z2 / (lit(4.0) * n * n))) / (lit(1.0) + z2 / n)
+        groupCols.map(col) ++ Seq(col("n"), col("successes"),
+          round(p, 6).as("rate"),
+          round(center - half, 6).as("lo"),
+          round(center + half, 6).as("hi"))
+      }: _*)
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two categorical
     * annotation columns: `κ = (p_o − p_e)/(1 − p_e)` with observed
     * agreement `p_o` and chance agreement `p_e = Σ_c P_a(c)·P_b(c)`.

@@ -200,6 +200,58 @@ class EvalSpec extends SparkSpec {
     assert(out.last.getDouble(4) == 0.0)
   }
 
+  test("twoProportionZ: hand-computed pooled z; equal rates give z=0") {
+    // a: 30/100, b: 20/100 -> pool 0.25
+    val rows = (1 to 100).map(i => (if (i <= 30) 1L else 0L, "a")) ++
+      (1 to 100).map(i => (if (i <= 20) 1L else 0L, "b"))
+    val out = Eval.twoProportionZ(rows.toDF("s", "g"), "s", "g", "a", "b")
+      .collect().head
+    assert(out.getDouble(0) == 0.3 && out.getDouble(1) == 0.2)
+    val zExp = 0.1 / math.sqrt(0.25 * 0.75 * (1.0 / 100 + 1.0 / 100))
+    assert(math.abs(out.getDouble(3) - zExp) < 1e-6)
+    // identical construction in both groups:
+    val eq = (1 to 50).map(i => (i % 2L, "a")) ++
+      (1 to 50).map(i => (i % 2L, "b"))
+    assert(Eval.twoProportionZ(eq.toDF("s", "g"), "s", "g", "a", "b")
+      .collect().head.getDouble(3) == 0.0)
+  }
+
+  test("wilsonRates: matches the closed form, stays inside [0,1] at the " +
+      "extremes, and brackets the rate") {
+    val rows = Seq.fill(7)(("g1", 1L)) ++ Seq.fill(3)(("g1", 0L)) ++
+      Seq.fill(5)(("g2", 1L)) ++ // all successes
+      Seq.fill(4)(("g3", 0L)) // none
+    val out = Eval.wilsonRates(rows.toDF("g", "s"), Seq("g"), "s")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g1 = out("g1")
+    val (n, p, z2) = (10.0, 0.7, 1.96 * 1.96)
+    val center = (p + z2 / (2 * n)) / (1 + z2 / n)
+    val half = 1.96 * math.sqrt(p * 0.3 / n + z2 / (4 * n * n)) /
+      (1 + z2 / n)
+    assert(math.abs(g1.getDouble(4) - (center - half)) < 1e-6)
+    assert(math.abs(g1.getDouble(5) - (center + half)) < 1e-6)
+    assert(g1.getDouble(4) < 0.7 && g1.getDouble(5) > 0.7)
+    assert(out("g2").getDouble(3) == 1.0 && out("g2").getDouble(5) <= 1.0)
+    assert(out("g3").getDouble(3) == 0.0 && out("g3").getDouble(4) >= 0.0)
+  }
+
+  test("seasonality: a flat series indexes 1.0 everywhere; a spiked dow " +
+      "indexes above 1 exactly") {
+    import graft.relational.Analytics
+    val flat = (0L until 28L).map(d => ("k", d, 10L)).toDF("k", "day", "v")
+    val f = Analytics.seasonality(flat, Seq("k"), "day", "v").collect()
+    assert(f.length == 7 && f.forall(_.getDouble(4) == 1.0))
+    // dow 0 doubled: overall mean = (2*4 + 6*1*4)/28 * 10 ... compute:
+    val spiked = (0L until 28L).map(d =>
+      ("k", d, if (d % 7 == 0) 20L else 10L)).toDF("k", "day", "v")
+    val sp = Analytics.seasonality(spiked, Seq("k"), "day", "v")
+      .collect().map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    val overall = (20.0 * 4 + 10.0 * 24) / 28
+    assert(math.abs(sp(0L) - BigDecimal(20.0 / overall).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(sp(1L) < 1.0)
+  }
+
   // ---- Spearman ----------------------------------------------------------
 
   test("spearman: monotone transform gives rho=1, reversal -1, and tied " +
