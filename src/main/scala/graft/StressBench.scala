@@ -340,6 +340,14 @@ object StressBench {
         "c_name", "corrupted", maxDist = 1)
     }),
 
+    // Spearman with the continuous side's distinct values ×reps: the
+    // rank-relation join-back is the load (AQE must pick a shuffle join
+    // for the continuous column, broadcast for quantity)
+    "s_spearman" -> ((s, d, r) =>
+      graft.relational.Eval.spearman(
+        lineitemScaled(s, d, r), "l_quantity", "l_extendedprice",
+        maxDistinctBroadcast = 0)),
+
     // Gini, BINNED path forced: distinct values ×reps via the perturbed
     // price — the two-measure cumulative under load
     "s_gini_binned" -> ((s, d, r) =>

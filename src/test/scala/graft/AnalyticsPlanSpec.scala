@@ -95,6 +95,16 @@ class AnalyticsPlanSpec extends SparkSpec {
     counts.unpersist(blocking = false)
   }
 
+  test("spearman join-back: equi-joins only (no cartesian, no " +
+      "broadcast-nested-loop), one corr aggregate finish") {
+    val df = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 5.0)).toDF("a", "b")
+    val p = plan(graft.relational.Eval.spearman(df, "a", "b"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      p.take(400))
+  }
+
   test("skyline2 plans no cartesian/broadcast-nested-loop and finishes " +
       "with a semi-join") {
     val df = Seq(("g", 1, 2), ("g", 2, 1)).toDF("g", "d1", "d2")
