@@ -194,6 +194,21 @@ object EvalQueries {
       Eval.spearman(t(s, d, "lineitem"), "l_quantity",
         "l_extendedprice")),
 
+    // search/recommendation readback: NDCG@10 / MRR@10 / MAP@10 over
+    // per-customer order lists ranked by the deterministic pseudo-score
+    // against graded priority relevance (2=urgent, 1=high). Per-item
+    // contributions are 2^-20 integers off Scala-tabulated discount
+    // constants, so both engines sum exactly in any order
+    "q_ranking" -> ((s, d) =>
+      Eval.rankingMetrics(rankedOrders(s, d), "o_custkey", "o_orderkey",
+        "score", "rel", RankK)),
+
+    // …and the per-query relation the summary averages (null metrics
+    // for customers with no relevant orders)
+    "q_ranking_per_query" -> ((s, d) =>
+      Eval.rankingPerQuery(rankedOrders(s, d), "o_custkey", "o_orderkey",
+        "score", "rel", RankK)),
+
     // A/B readback, parametric: did urgent orders move total price vs
     // low-priority — Welch's t with Satterthwaite df, one moment pass
     "q_ab_ttest" -> ((s, d) =>
@@ -416,6 +431,70 @@ object EvalQueries {
 
   private val ScoreSql = "(o_orderkey % 1000) / 1000.0"
   private val LabelSql = "o_orderpriority = '1-URGENT'"
+
+  // ---- ranking metrics ----------------------------------------------------
+
+  private val RankK = 10
+
+  /** Graded-relevance candidate lists: one "query" per customer, items
+    * ranked by the deterministic pseudo-score. */
+  private def rankedOrders(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders").select(
+      col("o_custkey"), col("o_orderkey"),
+      ((col("o_orderkey") % 1000).cast("double") / lit(1000.0)).as("score"),
+      when(col("o_orderpriority") === "1-URGENT", 2L)
+        .when(col("o_orderpriority") === "2-HIGH", 1L)
+        .otherwise(0L).as("rel"))
+
+  /** `CASE <rankExpr> WHEN 1 THEN tab(0) … ELSE 0 END` — the integer
+    * discount/reciprocal tables embedded as the SAME constants the Spark
+    * expression uses ([[Eval.dcgDiscounts]]/[[Eval.rrTable]]). */
+  private def sqlTab(rankExpr: String, tab: Seq[Long]): String =
+    s"CASE $rankExpr" + tab.zipWithIndex.map { case (v, i) =>
+      s" WHEN ${i + 1} THEN $v" }.mkString + " ELSE 0 END"
+
+  /** Shared per-query CTE chain for the ranking oracles: base candidate
+    * lists → total-ordered ranks (score and ideal) → integer per-query
+    * statistics, mirroring [[Eval.rankingInts]] column for column. */
+  private def rankingPqSql: String = {
+    val q = Eval.RankQ
+    s"""WITH base AS (
+         SELECT o_custkey AS q, o_orderkey AS i,
+           $ScoreSql AS s,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 2
+                WHEN o_orderpriority = '2-HIGH' THEN 1
+                ELSE 0 END AS r
+         FROM orders),
+       ranked AS (
+         SELECT q, r,
+           row_number() OVER ws AS rs,
+           row_number() OVER
+             (PARTITION BY q ORDER BY r DESC, i ASC) AS ri,
+           sum(CASE WHEN r > 0 THEN 1 ELSE 0 END) OVER
+             (ws ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cumrel
+         FROM base
+         WINDOW ws AS (PARTITION BY q ORDER BY s DESC, i ASC)),
+       pq AS (
+         SELECT q,
+           CAST(sum(CASE WHEN rs <= $RankK
+               THEN r * (${sqlTab("rs", Eval.dcgDiscounts(RankK))})
+               ELSE 0 END) AS BIGINT) AS dcg,
+           CAST(sum(CASE WHEN ri <= $RankK
+               THEN r * (${sqlTab("ri", Eval.dcgDiscounts(RankK))})
+               ELSE 0 END) AS BIGINT) AS idcg,
+           CAST(max(CASE WHEN rs <= $RankK AND r > 0
+               THEN ${sqlTab("rs", Eval.rrTable(RankK))}
+               ELSE 0 END) AS BIGINT) AS rr,
+           CAST(sum(CASE WHEN rs <= $RankK AND r > 0
+               THEN CAST(floor(CAST(cumrel AS DOUBLE) * $q
+                 / CAST(rs AS DOUBLE)) AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS apnum,
+           CAST(sum(CASE WHEN r > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rel,
+           count(*) AS n_items
+         FROM ranked GROUP BY q)"""
+  }
 
   def oracleSql: Map[String, String] = {
     val contAuc =
@@ -642,6 +721,52 @@ object EvalQueries {
            SELECT round(corr(rka, rkb), 6) AS rho,
              CAST(count(*) AS BIGINT) AS n
            FROM j""",
+
+      "q_ranking" ->
+        s"""$rankingPqSql
+           SELECT
+             CASE WHEN sum(CASE WHEN n_rel > 0 THEN 1 ELSE 0 END) > 0
+               THEN round(
+                 sum(CASE WHEN n_rel > 0
+                   THEN floor(CAST(dcg AS DOUBLE) * ${Eval.RankQ}
+                     / CAST(idcg AS DOUBLE)) ELSE 0 END)
+                 / (${Eval.RankQ}.0 *
+                   sum(CASE WHEN n_rel > 0 THEN 1 ELSE 0 END)), 6)
+             END AS ndcg,
+             CASE WHEN sum(CASE WHEN n_rel > 0 THEN 1 ELSE 0 END) > 0
+               THEN round(
+                 sum(CASE WHEN n_rel > 0 THEN rr ELSE 0 END)
+                 / (${Eval.RankQ}.0 *
+                   sum(CASE WHEN n_rel > 0 THEN 1 ELSE 0 END)), 6)
+             END AS mrr,
+             CASE WHEN sum(CASE WHEN n_rel > 0 THEN 1 ELSE 0 END) > 0
+               THEN round(
+                 sum(CASE WHEN n_rel > 0
+                   THEN floor(CAST(apnum AS DOUBLE)
+                     / least(n_rel, $RankK)) ELSE 0 END)
+                 / (${Eval.RankQ}.0 *
+                   sum(CASE WHEN n_rel > 0 THEN 1 ELSE 0 END)), 6)
+             END AS "map",
+             count(*) AS n_queries,
+             CAST(sum(CASE WHEN n_rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_scored
+           FROM pq""",
+
+      "q_ranking_per_query" ->
+        s"""$rankingPqSql
+           SELECT q AS o_custkey,
+             CASE WHEN n_rel > 0 THEN
+               round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6)
+             END AS ndcg,
+             CASE WHEN n_rel > 0 THEN
+               round(CAST(rr AS DOUBLE) / ${Eval.RankQ}.0, 6)
+             END AS rr,
+             CASE WHEN n_rel > 0 THEN
+               round(CAST(apnum AS DOUBLE) / least(n_rel, $RankK)
+                 / ${Eval.RankQ}.0, 6)
+             END AS ap,
+             n_rel, n_items
+           FROM pq""",
 
       "q_ab_ttest" ->
         """WITH src AS (

@@ -310,6 +310,12 @@ object Plans {
         "broadcast vs shuffle per side), ONE corr aggregate finish — " +
         "no global sort anywhere",
         SparkEntry.queries("q_spearman")(spark, d)),
+      ("q_ranking", "Ranking metrics (NDCG/MRR/MAP@k): ONE exchange " +
+        "hash-partitioned by query feeds both window sorts (score " +
+        "order + ideal order) and the per-query aggregate — no join, " +
+        "no global sort; the finish is a one-row aggregate over " +
+        "integer per-query stats",
+        SparkEntry.queries("q_ranking")(spark, d)),
       ("q_cusum", "CUSUM: the max(0, s+dev) recursion as prefix-sum " +
         "minus running-min — TWO frames over ONE per-key sort, one " +
         "exchange, no join",

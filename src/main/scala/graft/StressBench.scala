@@ -348,6 +348,22 @@ object StressBench {
         lineitemScaled(s, d, r), "l_quantity", "l_extendedprice",
         maxDistinctBroadcast = 0)),
 
+    // Ranking metrics with every candidate list ×reps DEEP (order ids
+    // re-keyed per replica → fresh pseudo-scores): the per-query window
+    // sorts and the quantized top-k aggregate are the load — the
+    // exchange count stays at two however deep the lists grow
+    "s_ranking" -> ((s, d, r) => {
+      val scored = replicate(t(s, d, "orders"), "o_orderkey", r)
+        .select(col("o_custkey"), col("o_orderkey"),
+          ((col("o_orderkey") % 1000).cast("double") / lit(1000.0))
+            .as("score"),
+          when(col("o_orderpriority") === "1-URGENT", 2L)
+            .when(col("o_orderpriority") === "2-HIGH", 1L)
+            .otherwise(0L).as("rel"))
+      graft.relational.Eval.rankingMetrics(scored, "o_custkey",
+        "o_orderkey", "score", "rel", 10)
+    }),
+
     // Gini, BINNED path forced: distinct values ×reps via the perturbed
     // price — the two-measure cumulative under load
     "s_gini_binned" -> ((s, d, r) =>

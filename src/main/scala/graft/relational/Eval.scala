@@ -774,6 +774,146 @@ object Eval {
         count(lit(1)).as("n"))
   }
 
+  // ---- search / recommendation ranking metrics ---------------------------
+
+  /** Quantization scale for the ranking metrics: per-item contributions
+    * are integers in units of 2^-20, so every per-query and corpus-wide
+    * sum is exact and order-independent (the AUC ½-multiple discipline,
+    * extended to irrational DCG discounts by tabulating them once). */
+  private[graft] val RankQ: Long = 1L << 20
+
+  /** Integer DCG discount table for ranks 1..k:
+    * `round(2^20 / log2(r+1))`. Tabulated in Scala ONCE so the Spark
+    * expression and the generated oracle SQL share identical constants —
+    * libm `log` never runs inside either engine. */
+  private[graft] def dcgDiscounts(k: Int): Seq[Long] =
+    (1 to k).map(r => Math.round(
+      RankQ.toDouble / (Math.log(r + 1.0) / Math.log(2.0))))
+
+  /** Integer reciprocal-rank table for ranks 1..k: `round(2^20 / r)`. */
+  private[graft] def rrTable(k: Int): Seq[Long] =
+    (1 to k).map(r => Math.round(RankQ.toDouble / r))
+
+  /** Per-query integer ranking statistics at cutoff `k` — the shared
+    * machinery behind [[rankingPerQuery]] / [[rankingMetrics]]. Output
+    * per query: `__dcg`/`__idcg` (integer DCG at the tabulated 2^-20
+    * discounts, score-order and ideal relevance-order), `__rr` (integer
+    * reciprocal rank of the first relevant hit in the top k, 0 when
+    * none), `__apnum` (Σ over relevant hits of
+    * `floor(cumrel·2^20 / rank)` — quantized precision-at-hit), `n_rel`,
+    * `n_items`. Ties on score break by ascending item id, so ranking is
+    * total and the oracle replays it; ties on ideal relevance need no
+    * break (equal gains ⇒ equal contribution).
+    *
+    * Shape at 100 TB: ONE exchange hash-partitioned by query, two
+    * in-partition sorts (score order — shared by the cumulative-hit
+    * frame — and ideal order), then one map-side-combined aggregate to
+    * per-query rows. A task holds one query's candidate list — the
+    * standard per-entity bound shared with sessionize/cusum. The corpus
+    * is never globally sorted and nothing is collected; all integer
+    * magnitudes are capped by `k·maxRel·2^20`. */
+  private def rankingInts(df: DataFrame, queryCol: String, itemCol: String,
+      scoreCol: String, relCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"cutoff k in [1, 1000], got $k")
+    val s = col(scoreCol).cast("double")
+    val base = df
+      .filter(col(queryCol).isNotNull && col(itemCol).isNotNull &&
+        s.isNotNull && col(relCol).isNotNull)
+      .select(col(queryCol).as("__q"), col(itemCol).as("__i"),
+        s.as("__s"), col(relCol).cast("long").as("__r"))
+    val wScore = Window.partitionBy(col("__q"))
+      .orderBy(col("__s").desc, col("__i").asc)
+    val wIdeal = Window.partitionBy(col("__q"))
+      .orderBy(col("__r").desc, col("__i").asc)
+    val wCum = wScore.rowsBetween(Window.unboundedPreceding, 0)
+    val dTab = array(dcgDiscounts(k).map(lit): _*)
+    val rTab = array(rrTable(k).map(lit): _*)
+    base // the two score-ordered windows stay adjacent → ONE shared sort
+      .withColumn("__rs", row_number().over(wScore))
+      .withColumn("__cumrel",
+        sum(when(col("__r") > 0, 1L).otherwise(0L)).over(wCum))
+      .withColumn("__ri", row_number().over(wIdeal))
+      .groupBy(col("__q"))
+      .agg(
+        sum(when(col("__rs") <= k,
+          col("__r") * element_at(dTab, col("__rs").cast("int")))
+          .otherwise(0L)).as("__dcg"),
+        sum(when(col("__ri") <= k,
+          col("__r") * element_at(dTab, col("__ri").cast("int")))
+          .otherwise(0L)).as("__idcg"),
+        max(when(col("__rs") <= k && col("__r") > 0,
+          element_at(rTab, col("__rs").cast("int")))
+          .otherwise(0L)).as("__rr"),
+        sum(when(col("__rs") <= k && col("__r") > 0,
+          floor(col("__cumrel").cast("double") * RankQ /
+            col("__rs").cast("double")).cast("long"))
+          .otherwise(0L)).as("__apnum"),
+        sum(when(col("__r") > 0, 1L).otherwise(0L)).as("n_rel"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Per-query ranking quality at cutoff `k` over a candidate relation
+    * `(query, item, score, relevance)`: one row per query with
+    * `ndcg` (graded, linear gains at the tabulated discounts), `rr`
+    * (reciprocal rank of the first relevant hit in the top k; 0 when a
+    * query has relevant items but none ranked in the top k) and `ap`
+    * (average precision at k, denominator `min(n_rel, k)`), plus
+    * `n_rel`/`n_items`. Queries with NO relevant items get null metrics
+    * (undefined, not zero). All three doubles derive from exact integer
+    * statistics by a single deterministic division, 6-dp rounded. */
+  def rankingPerQuery(df: DataFrame, queryCol: String, itemCol: String,
+      scoreCol: String, relCol: String, k: Int = 10): DataFrame =
+    rankingInts(df, queryCol, itemCol, scoreCol, relCol, k)
+      .select(col("__q").as(queryCol),
+        when(col("n_rel") > 0,
+          round(col("__dcg").cast("double") / col("__idcg"), 6)).as("ndcg"),
+        when(col("n_rel") > 0,
+          round(col("__rr").cast("double") / RankQ, 6)).as("rr"),
+        when(col("n_rel") > 0,
+          round(col("__apnum").cast("double") /
+            least(col("n_rel"), lit(k.toLong)) / RankQ, 6)).as("ap"),
+        col("n_rel"), col("n_items"))
+
+  /** Corpus-level ranking metrics at cutoff `k`: ONE row
+    * `(ndcg, mrr, map, n_queries, n_scored)` — the mean NDCG@k / MRR@k /
+    * MAP@k over the `n_scored` queries that have at least one relevant
+    * item (queries with none are excluded from all three means, the
+    * standard convention). Per-query values are quantized to 2^-20
+    * integers BEFORE averaging (`floor(dcg·2^20/idcg)` etc. — every
+    * input is exactly representable and the division is a single IEEE
+    * op), so the corpus-wide sums are order-independent and the oracle
+    * replays them bit-for-bit; quantization error is ≤ 2^-20 per query,
+    * far under the 6-dp rounding.
+    *
+    * Shape at 100 TB: [[rankingInts]] (one exchange by query, per-query
+    * windows) plus a one-row finish aggregate. Exactness holds to
+    * ~2^32 scored queries (sums reach 2^52); beyond that, shard by
+    * query segment. */
+  def rankingMetrics(df: DataFrame, queryCol: String, itemCol: String,
+      scoreCol: String, relCol: String, k: Int = 10): DataFrame = {
+    val pq = rankingInts(df, queryCol, itemCol, scoreCol, relCol, k)
+    val scored = col("n_rel") > 0
+    val qd = lit(RankQ.toDouble)
+    pq.agg(
+      sum(when(scored, floor(col("__dcg").cast("double") * RankQ /
+          col("__idcg").cast("double")).cast("long")).otherwise(0L))
+        .as("__sndcg"),
+      sum(when(scored, col("__rr")).otherwise(0L)).as("__srr"),
+      sum(when(scored, floor(col("__apnum").cast("double") /
+          least(col("n_rel"), lit(k.toLong)).cast("double")).cast("long"))
+        .otherwise(0L)).as("__sap"),
+      count(lit(1)).as("n_queries"),
+      sum(when(scored, 1L).otherwise(0L)).as("n_scored"))
+      .select(
+        when(col("n_scored") > 0, round(
+          col("__sndcg") / (qd * col("n_scored")), 6)).as("ndcg"),
+        when(col("n_scored") > 0, round(
+          col("__srr") / (qd * col("n_scored")), 6)).as("mrr"),
+        when(col("n_scored") > 0, round(
+          col("__sap") / (qd * col("n_scored")), 6)).as("map"),
+        col("n_queries"), col("n_scored"))
+  }
+
   /** One-sided CUSUM changepoint statistic per key:
     * `s_i = max(0, s_{i−1} + (x_i − target − slack))`, alarm when
     * `s_i > h`. The recursion LOOKS sequential, but has the closed form

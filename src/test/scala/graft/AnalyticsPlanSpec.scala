@@ -105,6 +105,19 @@ class AnalyticsPlanSpec extends SparkSpec {
       p.take(400))
   }
 
+  test("rankingMetrics: no join anywhere, and both window sorts plus " +
+      "the per-query aggregate share ONE query-key exchange") {
+    val df = Seq((1, 1L, 0.5, 1L), (1, 2L, 0.4, 0L), (2, 3L, 0.9, 2L))
+      .toDF("q", "i", "s", "r")
+    val p = plan(graft.relational.Eval.rankingMetrics(df, "q", "i", "s",
+      "r", 5))
+    assert(!p.contains("Join"), p.take(800))
+    // one hashpartitioning(q) exchange + the one-row finish exchange
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected <= 2 exchanges, got $exchanges:\n" +
+      p.take(800))
+  }
+
   test("skyline2 plans no cartesian/broadcast-nested-loop and finishes " +
       "with a semi-join") {
     val df = Seq(("g", 1, 2), ("g", 2, 1)).toDF("g", "d1", "d2")

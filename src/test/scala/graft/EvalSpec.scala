@@ -523,4 +523,108 @@ class EvalSpec extends SparkSpec {
     assert(out.map(_.getDouble(3)).toSeq == Seq(0.0, 0.0, 0.0))
     assert(out.forall(!_.getBoolean(4)))
   }
+
+  // ---- ranking metrics (NDCG / MRR / MAP at k) ---------------------------
+
+  /** Literal single-threaded replay of the quantized ranking metrics:
+    * same integer tables, same floor divisions, no Spark. */
+  private def bruteRankingInts(rows: Seq[(Int, Long, Double, Long)],
+      k: Int): Seq[(Int, Long, Long, Long, Long, Long)] = {
+    val d = Eval.dcgDiscounts(k)
+    val rr = Eval.rrTable(k)
+    rows.groupBy(_._1).toSeq.map { case (q, items) =>
+      val byScore = items.sortBy(r => (-r._3, r._2))
+      val byIdeal = items.sortBy(r => (-r._4, r._2))
+      val dcg = byScore.take(k).zipWithIndex
+        .map { case (r, i) => r._4 * d(i) }.sum
+      val idcg = byIdeal.take(k).zipWithIndex
+        .map { case (r, i) => r._4 * d(i) }.sum
+      val rrInt = byScore.take(k).zipWithIndex
+        .collectFirst { case (r, i) if r._4 > 0 => rr(i) }.getOrElse(0L)
+      var cum = 0L
+      val apNum = byScore.take(k).zipWithIndex.map { case (r, i) =>
+        if (r._4 > 0) { cum += 1
+          math.floor(cum.toDouble * Eval.RankQ / (i + 1).toDouble).toLong
+        } else 0L
+      }.sum
+      val nRel = items.count(_._4 > 0).toLong
+      (q, dcg, idcg, rrInt, apNum, nRel)
+    }
+  }
+
+  test("rankingMetrics: equals the literal quantized replay on random " +
+      "graded data, and tracks the un-quantized textbook values") {
+    val k = 5
+    val rows = for {
+      q <- 1 to 40
+      i <- 1 to (3 + rnd.nextInt(10))
+    } yield (q, i.toLong, rnd.nextInt(1000) / 1000.0, rnd.nextInt(4).toLong)
+    val df = rows.toDF("q", "i", "s", "r")
+    val got = Eval.rankingMetrics(df, "q", "i", "s", "r", k).collect()(0)
+
+    val pq = bruteRankingInts(rows, k).filter(_._6 > 0)
+    val nScored = pq.size
+    val qd = Eval.RankQ.toDouble
+    val ndcg = pq.map(r =>
+      math.floor(r._2.toDouble * Eval.RankQ / r._3.toDouble)).sum /
+      (qd * nScored)
+    val mrr = pq.map(_._4).sum / (qd * nScored)
+    val ap = pq.map(r =>
+      math.floor(r._5.toDouble / math.min(r._6, k.toLong))).sum /
+      (qd * nScored)
+    assert(got.getDouble(0) == BigDecimal(ndcg)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got.getDouble(1) == BigDecimal(mrr)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got.getDouble(2) == BigDecimal(ap)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got.getLong(3) == 40L && got.getLong(4) == nScored.toLong)
+
+    // un-quantized textbook NDCG for the same data stays within 2^-19
+    val exact = {
+      def disc(i: Int) = 1.0 / (math.log(i + 2.0) / math.log(2.0))
+      rows.groupBy(_._1).toSeq.flatMap { case (_, items) =>
+        val byScore = items.sortBy(r => (-r._3, r._2)).take(k)
+        val byIdeal = items.sortBy(r => (-r._4, r._2)).take(k)
+        val idcg = byIdeal.zipWithIndex.map { case (r, i) =>
+          r._4 * disc(i) }.sum
+        if (idcg == 0) None
+        else Some(byScore.zipWithIndex.map { case (r, i) =>
+          r._4 * disc(i) }.sum / idcg)
+      }
+    }
+    assert(math.abs(got.getDouble(0) - exact.sum / exact.size) < 1e-4)
+  }
+
+  test("rankingMetrics: perfect ranking scores 1.0 on all three; " +
+      "reversed ranking scores strictly less") {
+    val rows = for { q <- 1 to 10; i <- 1 to 8 } yield
+      (q, i.toLong, 1.0 - i / 10.0, math.max(0L, 4L - i)) // rel 3,2,1,0,0…
+    val df = rows.toDF("q", "i", "s", "r")
+    val perfect = Eval.rankingMetrics(df, "q", "i", "s", "r", 8).collect()(0)
+    assert(perfect.getDouble(0) == 1.0 && perfect.getDouble(1) == 1.0 &&
+      perfect.getDouble(2) == 1.0)
+    val reversed = Eval.rankingMetrics(
+      rows.map(r => (r._1, r._2, -r._3, r._4)).toDF("q", "i", "s", "r"),
+      "q", "i", "s", "r", 8).collect()(0)
+    assert(reversed.getDouble(0) < 1.0 && reversed.getDouble(1) < 1.0 &&
+      reversed.getDouble(2) < 1.0)
+  }
+
+  test("rankingPerQuery: no-relevant queries get null metrics but stay " +
+      "counted; relevant-outside-top-k query scores rr = 0") {
+    val rows = Seq(
+      // q1: relevant at rank 3 of 3 with k=2 → scored, rr 0
+      (1, 1L, 0.9, 0L), (1, 2L, 0.8, 0L), (1, 3L, 0.1, 1L),
+      // q2: nothing relevant → null metrics
+      (2, 1L, 0.9, 0L), (2, 2L, 0.8, 0L))
+    val out = Eval.rankingPerQuery(rows.toDF("q", "i", "s", "r"),
+      "q", "i", "s", "r", k = 2).orderBy("q").collect()
+    assert(out(0).getDouble(2) == 0.0) // rr
+    assert(out(0).getDouble(1) == 0.0 && out(0).getDouble(3) == 0.0)
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2) && out(1).isNullAt(3))
+    val summary = Eval.rankingMetrics(rows.toDF("q", "i", "s", "r"),
+      "q", "i", "s", "r", k = 2).collect()(0)
+    assert(summary.getLong(3) == 2L && summary.getLong(4) == 1L)
+  }
 }
