@@ -158,6 +158,17 @@ object EvalQueries {
         target = CusumTarget, slack = CusumSlack, h = CusumH)
     }),
 
+    // weekly memory in the event stream: per-type autocorrelation of
+    // daily volumes at lags 1..7 — ONE window pass + ONE aggregate,
+    // integral counts so both engines sum exactly
+    "q_acf" -> ((s, d) => {
+      val daily = DataQueries.readEventsMicros(s, d)
+        .withColumn("day", expr("tsu div 86400000000"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("cnt"))
+      Eval.acf(daily, Seq("event_type"), "day", "cnt", AcfMaxLag)
+    }),
+
     // conversion-rate A/B: do heavy users purchase more often — pooled
     // two-proportion z over the per-user success indicator
     "q_ab_proportions" -> ((s, d) => {
@@ -431,6 +442,53 @@ object EvalQueries {
 
   private val ScoreSql = "(o_orderkey % 1000) / 1000.0"
   private val LabelSql = "o_orderpriority = '1-URGENT'"
+
+  // ---- autocorrelation ----------------------------------------------------
+
+  private val AcfMaxLag = 7
+
+  /** ACF oracle: the same algebraic expansion [[Eval.acf]] runs —
+    * per-lag co-product/paired-sum aggregates off one lag window, the
+    * mean folded in symbolically, identical operator associativity on
+    * both sides so the doubles replay bit-for-bit. */
+  private def acfSql: String = {
+    val lags = 1 to AcfMaxLag
+    val lagCols = lags.map(k => s"lag(cnt, $k) OVER w AS l$k")
+      .mkString(",\n             ")
+    val aggCols = lags.map(k =>
+      s"CAST(sum(cnt * l$k) AS DOUBLE) AS c$k,\n             " +
+      s"CAST(sum(CASE WHEN l$k IS NOT NULL THEN cnt END) AS DOUBLE)" +
+      s" AS a$k,\n             " +
+      s"CAST(sum(l$k) AS DOUBLE) AS b$k, count(l$k) AS np$k")
+      .mkString(",\n             ")
+    val pieces = lags.map(k =>
+      s"""SELECT event_type, n, $k AS lag,
+             CASE WHEN den > 0 THEN
+               round((c$k - m * (a$k + b$k) + np$k * m * m) / den, 6)
+             END AS acf,
+             np$k AS n_pairs
+           FROM g""").mkString("\n           UNION ALL\n           ")
+    s"""WITH daily AS (
+         SELECT event_type,
+           CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+           count(*) AS cnt
+         FROM events GROUP BY 1, 2),
+       l AS (
+         SELECT event_type, cnt,
+             $lagCols
+         FROM daily
+         WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+       g0 AS (
+         SELECT event_type, count(*) AS n,
+             CAST(sum(cnt) AS DOUBLE) AS s,
+             CAST(sum(cnt * cnt) AS DOUBLE) AS ss,
+             $aggCols
+         FROM l GROUP BY event_type),
+       g AS (
+         SELECT *, s / n AS m, ss - n * (s / n) * (s / n) AS den
+         FROM g0)
+       $pieces"""
+  }
 
   // ---- ranking metrics ----------------------------------------------------
 
@@ -721,6 +779,8 @@ object EvalQueries {
            SELECT round(corr(rka, rkb), 6) AS rho,
              CAST(count(*) AS BIGINT) AS n
            FROM j""",
+
+      "q_acf" -> acfSql,
 
       "q_ranking" ->
         s"""$rankingPqSql

@@ -316,6 +316,11 @@ object Plans {
         "no global sort; the finish is a one-row aggregate over " +
         "integer per-query stats",
         SparkEntry.queries("q_ranking")(spark, d)),
+      ("q_acf", "ACF: all 7 lag columns off ONE per-key window sort " +
+        "into ONE map-side-combined aggregate (state 3+4*maxLag doubles " +
+        "per key); the lag axis explodes AFTER aggregation over " +
+        "keys*maxLag rows — no join, no per-lag rescan",
+        SparkEntry.queries("q_acf")(spark, d)),
       ("q_cusum", "CUSUM: the max(0, s+dev) recursion as prefix-sum " +
         "minus running-min — TWO frames over ONE per-key sort, one " +
         "exchange, no join",

@@ -399,6 +399,24 @@ object StressBench {
         "cnt", target = 100.0, slack = 0.0, h = 50.0)
     }),
 
+    // ACF with every series ×reps LONGER: one window sort carries all
+    // 7 lag columns and the aggregate state stays 3+4·maxLag doubles
+    // per key however long the series grows
+    "s_acf" -> ((s, d, r) => {
+      val daily = DataQueries.readEventsMicros(s, d)
+        .withColumn("day", expr("tsu div 86400000000"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("cnt"))
+      val series =
+        if (r <= 1) daily
+        else daily
+          .withColumn("__rep", explode(sequence(lit(0), lit(r - 1))))
+          .withColumn("day", col("day") * r + col("__rep"))
+          .drop("__rep")
+      graft.relational.Eval.acf(series, Seq("event_type"), "day", "cnt",
+        maxLag = 7)
+    }),
+
     // delta-join maintenance with the fact side ×reps: the delta terms
     // must stay delta-against-full (broadcast-eligible) however large
     // the maintained fact side grows

@@ -774,6 +774,58 @@ object Eval {
         count(lit(1)).as("n"))
   }
 
+  /** Per-series autocorrelation function at lags `1..maxLag`: one row
+    * per (key, lag) with the standard full-series-denominator estimator
+    * `r_k = Σ_{t>k}(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)²`, expanded
+    * algebraically so the mean never needs a second corpus pass:
+    * `num_k = c_k − x̄(a_k+b_k) + n_k·x̄²` over the lagged co-products
+    * `c_k = Σ x_t·x_{t−k}`, paired sums `a_k`/`b_k`, and pair count
+    * `n_k`. Constant series (zero variance) get null `acf`; series
+    * shorter than a lag get null at that lag (no pairs). Ordering must
+    * be total per key (pass a resampled/bucketed series, the cusum
+    * contract). With integral values every sum is exact, so the 6-dp
+    * rounded ratio replays bit-for-bit in any engine.
+    *
+    * Shape at 100 TB: ONE per-key window sort (all `maxLag` lag columns
+    * share it) into ONE map-side-combined aggregate whose state is
+    * `3+4·maxLag` doubles per key; the lag axis explodes AFTER
+    * aggregation, over keys×maxLag rows. The corpus is never globally
+    * sorted, joined, or re-scanned per lag. */
+  def acf(df: DataFrame, keys: Seq[String], orderCol: String,
+      valueCol: String, maxLag: Int = 7): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    require(maxLag >= 1 && maxLag <= 100, s"maxLag in [1, 100], got $maxLag")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    val lagged = (1 to maxLag).foldLeft(
+      df.filter(col(valueCol).isNotNull)
+        .withColumn("__x", col(valueCol).cast("double")))((d, k) =>
+      d.withColumn(s"__l$k", lag(col("__x"), k).over(w)))
+    val aggs = Seq(count(lit(1)).as("__n"), sum(col("__x")).as("__s"),
+      sum(col("__x") * col("__x")).as("__ss")) ++
+      (1 to maxLag).flatMap { k => Seq(
+        sum(col("__x") * col(s"__l$k")).as(s"__c$k"),
+        sum(when(col(s"__l$k").isNotNull, col("__x"))).as(s"__a$k"),
+        sum(col(s"__l$k")).as(s"__b$k"),
+        count(col(s"__l$k")).as(s"__np$k"))
+      }
+    val g = lagged.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val m = col("__s") / col("__n")
+    val den = col("__ss") - col("__n") * m * m
+    val lagRows = explode(array((1 to maxLag).map { k =>
+      struct(lit(k).as("lag"),
+        (col(s"__c$k") - m * (col(s"__a$k") + col(s"__b$k")) +
+          col(s"__np$k") * m * m).as("num"),
+        col(s"__np$k").as("np"))
+    }: _*))
+    g.select(keys.map(col) ++ Seq(col("__n"), col("__s"), col("__ss"),
+        lagRows.as("__lr")): _*)
+      .select(keys.map(col) ++ Seq(
+        col("__n").as("n"),
+        col("__lr.lag").as("lag"),
+        when(den > 0, round(col("__lr.num") / den, 6)).as("acf"),
+        col("__lr.np").as("n_pairs")): _*)
+  }
+
   // ---- search / recommendation ranking metrics ---------------------------
 
   /** Quantization scale for the ranking metrics: per-item contributions

@@ -524,6 +524,60 @@ class EvalSpec extends SparkSpec {
     assert(out.forall(!_.getBoolean(4)))
   }
 
+  // ---- autocorrelation ----------------------------------------------------
+
+  private def bruteAcf(xs: Seq[Double], k: Int): Option[Double] = {
+    val n = xs.size
+    val m = xs.sum / n
+    val den = xs.map(v => (v - m) * (v - m)).sum
+    if (den <= 0 || k >= n) None
+    else Some((k until n).map(t => (xs(t) - m) * (xs(t - k) - m)).sum / den)
+  }
+
+  test("acf: matches the literal full-series-denominator estimator on " +
+      "random integer series, lag by lag") {
+    val maxLag = 5
+    val series = for {
+      key <- Seq("a", "b", "c")
+      t <- 1 to (20 + rnd.nextInt(30))
+    } yield (key, t.toLong, rnd.nextInt(40).toDouble)
+    val got = Eval.acf(series.toDF("k", "t", "x"), Seq("k"), "t", "x",
+      maxLag).collect()
+      .map(r => ((r.getString(0), r.getInt(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    for (key <- Seq("a", "b", "c"); k <- 1 to maxLag) {
+      val xs = series.filter(_._1 == key).sortBy(_._2).map(_._3)
+      (got((key, k)), bruteAcf(xs, k)) match {
+        case (Some(g), Some(e)) => assert(math.abs(g - e) < 2e-6,
+          s"$key lag $k: $g vs $e")
+        case (g, e) => assert(g.isEmpty == e.isEmpty, s"$key lag $k")
+      }
+    }
+  }
+
+  test("acf: constant series yields null acf; series shorter than the " +
+      "lag yields zero pairs and null acf") {
+    val series = Seq(("c", 1L, 5.0), ("c", 2L, 5.0), ("c", 3L, 5.0),
+      ("s", 1L, 1.0), ("s", 2L, 2.0))
+    val out = Eval.acf(series.toDF("k", "t", "x"), Seq("k"), "t", "x",
+      maxLag = 3).collect()
+      .map(r => ((r.getString(0), r.getInt(2)),
+        (r.isNullAt(3), r.getLong(4)))).toMap
+    (1 to 3).foreach(k => assert(out(("c", k))._1)) // zero variance
+    assert(out(("s", 2))._2 == 0L && out(("s", 2))._1) // no pairs
+    assert(out(("s", 3))._2 == 0L && out(("s", 3))._1)
+    assert(!out(("s", 1))._1) // one pair, defined
+  }
+
+  test("acf: a strict two-period alternation is negatively correlated " +
+      "at lag 1 and maximally correlated at lag 2") {
+    val xs = (1 to 40).map(t => ("k", t.toLong,
+      if (t % 2 == 0) 10.0 else 0.0))
+    val out = Eval.acf(xs.toDF("k", "t", "x"), Seq("k"), "t", "x", 2)
+      .collect().map(r => (r.getInt(2), r.getDouble(3))).toMap
+    assert(out(1) < -0.9 && out(2) > 0.9)
+  }
+
   // ---- ranking metrics (NDCG / MRR / MAP at k) ---------------------------
 
   /** Literal single-threaded replay of the quantized ranking metrics:
