@@ -169,6 +169,17 @@ object EvalQueries {
       Eval.acf(daily, Seq("event_type"), "day", "cnt", AcfMaxLag)
     }),
 
+    // WHERE did the regime change: best single mean-shift split per
+    // event type over daily volumes — every candidate cut scored from
+    // ONE cumulative pass, argmin by a second in-partition sort
+    "q_changepoint" -> ((s, d) => {
+      val daily = DataQueries.readEventsMicros(s, d)
+        .withColumn("day", expr("tsu div 86400000000"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("cnt"))
+      Eval.changepoint(daily, Seq("event_type"), "day", "cnt")
+    }),
+
     // conversion-rate A/B: do heavy users purchase more often — pooled
     // two-proportion z over the per-user success indicator
     "q_ab_proportions" -> ((s, d) => {
@@ -781,6 +792,42 @@ object EvalQueries {
            FROM j""",
 
       "q_acf" -> acfSql,
+
+      "q_changepoint" ->
+        """WITH daily AS (
+             SELECT event_type,
+               CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+               count(*) AS cnt
+             FROM events GROUP BY 1, 2),
+           c AS (
+             SELECT event_type, day,
+               CAST(count(*) OVER wc AS DOUBLE) AS cn,
+               CAST(sum(cnt) OVER wc AS DOUBLE) AS cs,
+               CAST(sum(cnt * cnt) OVER wc AS DOUBLE) AS css,
+               CAST(count(*) OVER wa AS DOUBLE) AS tn,
+               CAST(sum(cnt) OVER wa AS DOUBLE) AS ts,
+               CAST(sum(cnt * cnt) OVER wa AS DOUBLE) AS tss
+             FROM daily
+             WINDOW wc AS (PARTITION BY event_type ORDER BY day
+                 ROWS UNBOUNDED PRECEDING),
+               wa AS (PARTITION BY event_type)),
+           s1 AS (
+             SELECT *,
+               (css - cs * cs / cn)
+                 + ((tss - css)
+                   - (ts - cs) * (ts - cs) / (tn - cn)) AS sse
+             FROM c WHERE cn < tn),
+           s2 AS (
+             SELECT *, row_number() OVER
+               (PARTITION BY event_type ORDER BY sse ASC, day ASC) AS rk
+             FROM s1)
+           SELECT event_type, CAST(tn AS BIGINT) AS n, day AS split_at,
+             round(tss - ts * ts / tn, 6) AS sse_total,
+             round(sse, 6) AS sse_split,
+             round(tss - ts * ts / tn - sse, 6) AS gain,
+             round(cs / cn, 6) AS mean_left,
+             round((ts - cs) / (tn - cn), 6) AS mean_right
+           FROM s2 WHERE rk = 1""",
 
       "q_ranking" ->
         s"""$rankingPqSql

@@ -321,6 +321,11 @@ object Plans {
         "per key); the lag axis explodes AFTER aggregation over " +
         "keys*maxLag rows — no join, no per-lag rescan",
         SparkEntry.queries("q_acf")(spark, d)),
+      ("q_changepoint", "Changepoint: every candidate cut scored from " +
+        "ONE per-key cumulative window pass (prefix + whole-partition " +
+        "frames share the sort); argmin is a second in-partition sort " +
+        "+ row_number filter — no join, no per-cut rescan",
+        SparkEntry.queries("q_changepoint")(spark, d)),
       ("q_cusum", "CUSUM: the max(0, s+dev) recursion as prefix-sum " +
         "minus running-min — TWO frames over ONE per-key sort, one " +
         "exchange, no join",

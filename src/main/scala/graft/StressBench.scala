@@ -417,6 +417,24 @@ object StressBench {
         maxLag = 7)
     }),
 
+    // changepoint with every series ×reps LONGER: the cut sweep stays
+    // one cumulative pass + one argmin sort however many candidate
+    // cuts the longer series exposes
+    "s_changepoint" -> ((s, d, r) => {
+      val daily = DataQueries.readEventsMicros(s, d)
+        .withColumn("day", expr("tsu div 86400000000"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("cnt"))
+      val series =
+        if (r <= 1) daily
+        else daily
+          .withColumn("__rep", explode(sequence(lit(0), lit(r - 1))))
+          .withColumn("day", col("day") * r + col("__rep"))
+          .drop("__rep")
+      graft.relational.Eval.changepoint(series, Seq("event_type"),
+        "day", "cnt")
+    }),
+
     // delta-join maintenance with the fact side ×reps: the delta terms
     // must stay delta-against-full (broadcast-eligible) however large
     // the maintained fact side grows

@@ -826,6 +826,65 @@ object Eval {
         col("__lr.np").as("n_pairs")): _*)
   }
 
+  /** Best single changepoint per series (binary-segmentation step): the
+    * split AFTER which a new mean regime explains the data best —
+    * argmin over cut positions `t` of `SSE_left(1..t) + SSE_right(t+1..n)`,
+    * all candidate cuts evaluated from ONE cumulative pass via
+    * `SSE = Σx² − (Σx)²/n` on prefix/suffix sums. One row per key:
+    * `(keys…, n, split_at, sse_total, sse_split, gain, mean_left,
+    * mean_right)` — `split_at` is the `orderCol` value of the LAST row
+    * of the left segment, `gain` the SSE reduction (the CUSUM alarm
+    * says "something drifted", this says WHERE). Ties on SSE break to
+    * the earliest cut. Single-row series have no valid cut and are
+    * omitted. Ordering must be total per key (the cusum contract).
+    * With integral values the prefix sums are exact and every per-row
+    * SSE is one deterministic IEEE expression, so the argmin row — and
+    * the 6-dp rounded stats — replay identically in any engine.
+    *
+    * Shape at 100 TB: one per-key window sort carries the cumulative
+    * AND whole-partition frames; the argmin is a second in-partition
+    * sort (same exchange) + row_number filter. No join, no collect, no
+    * per-candidate rescan — the classic O(n²) segment sweep is O(n)
+    * per key. */
+  def changepoint(df: DataFrame, keys: Seq[String], orderCol: String,
+      valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    val pKeys = keys.map(col)
+    val wCum = Window.partitionBy(pKeys: _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(pKeys: _*)
+    val x = col(valueCol).cast("double")
+    val cum = df.filter(x.isNotNull)
+      .withColumn("__x", x)
+      .withColumn("__cn", count(lit(1)).over(wCum).cast("double"))
+      .withColumn("__cs", sum(col("__x")).over(wCum))
+      .withColumn("__css", sum(col("__x") * col("__x")).over(wCum))
+      .withColumn("__tn", count(lit(1)).over(wAll).cast("double"))
+      .withColumn("__ts", sum(col("__x")).over(wAll))
+      .withColumn("__tss", sum(col("__x") * col("__x")).over(wAll))
+    val rn = col("__tn") - col("__cn")
+    val rs = col("__ts") - col("__cs")
+    val rss = col("__tss") - col("__css")
+    val scored = cum.filter(col("__cn") < col("__tn"))
+      .withColumn("__sse",
+        (col("__css") - col("__cs") * col("__cs") / col("__cn")) +
+          (rss - rs * rs / rn))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(pKeys: _*)
+          .orderBy(col("__sse").asc, col(orderCol).asc)))
+    scored.filter(col("__rk") === 1)
+      .select(pKeys ++ Seq(
+        col("__tn").cast("long").as("n"),
+        col(orderCol).as("split_at"),
+        round(col("__tss") - col("__ts") * col("__ts") / col("__tn"), 6)
+          .as("sse_total"),
+        round(col("__sse"), 6).as("sse_split"),
+        round((col("__tss") - col("__ts") * col("__ts") / col("__tn")) -
+          col("__sse"), 6).as("gain"),
+        round(col("__cs") / col("__cn"), 6).as("mean_left"),
+        round(rs / rn, 6).as("mean_right")): _*)
+  }
+
   // ---- search / recommendation ranking metrics ---------------------------
 
   /** Quantization scale for the ranking metrics: per-item contributions

@@ -118,6 +118,18 @@ class AnalyticsPlanSpec extends SparkSpec {
     assert(sorts == 1, s"expected 1 sort, got $sorts:\n" + p.take(800))
   }
 
+  test("changepoint: one key exchange, two in-partition sorts (order + " +
+      "argmin), no join — the O(n^2) cut sweep is one cumulative pass") {
+    val df = Seq(("k", 1L, 2.0), ("k", 2L, 3.0), ("k", 3L, 9.0))
+      .toDF("k", "t", "x")
+    val p = plan(graft.relational.Eval.changepoint(df, Seq("k"), "t", "x"))
+    assert(!p.contains("Join"), p.take(800))
+    val exchanges = "Exchange".r.findAllIn(p).size
+    val sorts = "\\+- Sort".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected <= 1 exchange, got $exchanges")
+    assert(sorts <= 2, s"expected <= 2 sorts, got $sorts:\n" + p.take(800))
+  }
+
   test("rankingMetrics: no join anywhere, and both window sorts plus " +
       "the per-query aggregate share ONE query-key exchange") {
     val df = Seq((1, 1L, 0.5, 1L), (1, 2L, 0.4, 0L), (2, 3L, 0.9, 2L))

@@ -578,6 +578,54 @@ class EvalSpec extends SparkSpec {
     assert(out(1) < -0.9 && out(2) > 0.9)
   }
 
+  // ---- changepoint localization -------------------------------------------
+
+  private def bruteSplit(xs: Seq[Double]): (Int, Double, Double) = {
+    def sse(s: Seq[Double]): Double = {
+      val m = s.sum / s.size
+      s.map(v => (v - m) * (v - m)).sum
+    }
+    val total = sse(xs)
+    val (best, t) = (1 until xs.size)
+      .map(t => (sse(xs.take(t)) + sse(xs.drop(t)), t))
+      .minBy { case (v, i) => (v, i) }
+    (t, total, total - best)
+  }
+
+  test("changepoint: finds the literal O(n^2) best split on random " +
+      "integer series, with the earliest-cut tie rule") {
+    val series = for {
+      key <- Seq("a", "b")
+      t <- 1 to (15 + rnd.nextInt(20))
+    } yield (key, t.toLong, rnd.nextInt(20).toDouble)
+    val got = Eval.changepoint(series.toDF("k", "t", "x"),
+      Seq("k"), "t", "x").collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getDouble(5))).toMap
+    for (key <- Seq("a", "b")) {
+      val xs = series.filter(_._1 == key).sortBy(_._2).map(_._3)
+      val (t, _, gain) = bruteSplit(xs)
+      assert(got(key)._1 == t.toLong, s"$key: ${got(key)._1} vs $t")
+      assert(math.abs(got(key)._2 - gain) < 1e-6, s"$key gain")
+    }
+  }
+
+  test("changepoint: localizes a planted mean shift exactly and " +
+      "explains (almost) all variance; constant series gains ~0; " +
+      "single-row series are omitted") {
+    val planted = (1 to 60).map(t =>
+      ("p", t.toLong, if (t <= 42) 10.0 else 30.0)) ++
+      (1 to 10).map(t => ("c", t.toLong, 7.0)) ++
+      Seq(("one", 1L, 5.0))
+    val out = Eval.changepoint(planted.toDF("k", "t", "x"),
+      Seq("k"), "t", "x").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(2), r.getDouble(4), r.getDouble(5))).toMap
+    assert(out("p")._1 == 42L)
+    assert(out("p")._2 == 0.0) // sse_split: both halves constant
+    assert(out("c")._3 == 0.0) // no variance to explain
+    assert(!out.contains("one"))
+  }
+
   // ---- ranking metrics (NDCG / MRR / MAP at k) ---------------------------
 
   /** Literal single-threaded replay of the quantized ranking metrics:
