@@ -169,6 +169,13 @@ object EvalQueries {
       Eval.acf(daily, Seq("event_type"), "day", "cnt", AcfMaxLag)
     }),
 
+    // how sure are we about average customer revenue: percentile
+    // bootstrap CI via the deterministic one-pass Poisson(1) resample —
+    // md5-replayed weights, 32 replicate means from ONE scan, no RNG
+    "q_bootstrap" -> ((s, d) =>
+      Eval.bootstrapMeanCI(custRevenueCents(s, d), "vc", "o_custkey",
+        replicates = BootReps, alpha = BootAlpha)),
+
     // WHERE did the regime change: best single mean-shift split per
     // event type over daily volumes — every candidate cut scored from
     // ONE cumulative pass, argmin by a second in-partition sort
@@ -453,6 +460,66 @@ object EvalQueries {
 
   private val ScoreSql = "(o_orderkey % 1000) / 1000.0"
   private val LabelSql = "o_orderpriority = '1-URGENT'"
+
+  // ---- Poisson bootstrap ----------------------------------------------------
+
+  private val BootReps = 32
+  private val BootAlpha = 0.05
+
+  /** Bootstrap oracle: the identical md5-derived Poisson weights (same
+    * [[Eval.PoissonT]] thresholds on the 60-bit scale), replicate means
+    * ranked with the replicate index as tie-break, and the std-dev from
+    * rank-ordered cumulative sums — every double on both sides is the
+    * same IEEE expression over the same exact integers. */
+  private def bootstrapSql: String = {
+    val loIdx = math.max(1, math.ceil(BootAlpha / 2 * BootReps).toInt)
+    val hiIdx = BootReps + 1 - loIdx
+    val wtCase = Eval.PoissonT
+      .map(t => s"(CASE WHEN v >= $t THEN 1 ELSE 0 END)")
+      .mkString("\n             + ")
+    s"""WITH base AS (
+         SELECT CAST(o_custkey AS VARCHAR) AS id,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+             AS BIGINT) AS x
+         FROM orders GROUP BY o_custkey),
+       t AS (
+         SELECT CAST(sum(x) AS DOUBLE) / count(*) AS mean,
+           count(*) AS n
+         FROM base),
+       rep AS (SELECT r FROM range($BootReps) tt(r)),
+       h AS (
+         SELECT x, r,
+           CAST(('0x' || substr(md5(id || ':' || CAST(r AS VARCHAR)),
+             1, 15)) AS BIGINT) AS v
+         FROM base CROSS JOIN rep),
+       w AS (
+         SELECT x, r,
+           $wtCase AS wt
+         FROM h),
+       m AS (
+         SELECT r,
+           CAST(sum(wt * x) AS DOUBLE) / CAST(sum(wt) AS DOUBLE) AS mm
+         FROM w GROUP BY r HAVING sum(wt) > 0),
+       rk AS (
+         SELECT mm, r,
+           row_number() OVER (ORDER BY mm, r) AS rk,
+           sum(mm) OVER (ORDER BY mm, r ROWS UNBOUNDED PRECEDING) AS c1,
+           sum(mm * mm) OVER (ORDER BY mm, r ROWS UNBOUNDED PRECEDING)
+             AS c2
+         FROM m)
+       SELECT t.mean AS mean,
+         min(CASE WHEN rk.rk = $loIdx THEN mm END) AS ci_lo,
+         min(CASE WHEN rk.rk = $hiIdx THEN mm END) AS ci_hi,
+         CASE WHEN t.mean <> 0.0 THEN
+           round(sqrt(greatest(0.0,
+             (max_by(c2, rk.rk)
+               - max_by(c1, rk.rk) * max_by(c1, rk.rk)
+                 / CAST(count(*) AS DOUBLE))
+             / (CAST(count(*) AS DOUBLE) - 1))) / abs(t.mean), 6)
+         END AS se_rel,
+         t.n AS n, count(*) AS replicates
+       FROM rk, t GROUP BY t.mean, t.n"""
+  }
 
   // ---- autocorrelation ----------------------------------------------------
 
@@ -792,6 +859,8 @@ object EvalQueries {
            FROM j""",
 
       "q_acf" -> acfSql,
+
+      "q_bootstrap" -> bootstrapSql,
 
       "q_changepoint" ->
         """WITH daily AS (

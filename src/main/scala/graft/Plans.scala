@@ -321,6 +321,11 @@ object Plans {
         "per key); the lag axis explodes AFTER aggregation over " +
         "keys*maxLag rows — no join, no per-lag rescan",
         SparkEntry.queries("q_acf")(spark, d)),
+      ("q_bootstrap", "Poisson bootstrap: all 2R replicate sums are " +
+        "expressions in ONE map-side-combined aggregate over ONE corpus " +
+        "scan (no xR explode, no shuffle of the corpus); the CI finish " +
+        "ranks the R-row replicate relation — bounded by construction",
+        SparkEntry.queries("q_bootstrap")(spark, d)),
       ("q_changepoint", "Changepoint: every candidate cut scored from " +
         "ONE per-key cumulative window pass (prefix + whole-partition " +
         "frames share the sort); argmin is a second in-partition sort " +

@@ -435,6 +435,16 @@ object StressBench {
         "day", "cnt")
     }),
 
+    // bootstrap with the subject population ×reps: the 2R weighted sums
+    // stay ONE scan's aggregate expressions however many subjects there
+    // are — post-aggregate state is one row of 2R numbers
+    "s_bootstrap" -> ((s, d, r) => {
+      val subjects = replicate(t(s, d, "orders"), "o_orderkey", r)
+        .groupBy("o_custkey")
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("vc"))
+      graft.relational.Eval.bootstrapMeanCI(subjects, "vc", "o_custkey")
+    }),
+
     // delta-join maintenance with the fact side ×reps: the delta terms
     // must stay delta-against-full (broadcast-eligible) however large
     // the maintained fact side grows

@@ -885,6 +885,99 @@ object Eval {
         round(rs / rn, 6).as("mean_right")): _*)
   }
 
+  /** Cumulative Poisson(1) thresholds on the 60-bit md5 scale:
+    * `T_k = floor(P(W ≤ k) · 2^60)` for k = 0..7 — the weight of a row
+    * in replicate r is `#{k : hash60(id:r) ≥ T_k}` (≤ 8). Tabulated in
+    * Scala once so the Spark expression and the oracle SQL compare
+    * against identical integer literals. */
+  private[graft] val PoissonT: Seq[Long] = {
+    val scale = math.pow(2.0, 60)
+    val probs = (0 to 7).scanLeft(0.0) { (acc, k) =>
+      acc + math.exp(-1.0) / (1 to k).map(_.toDouble).product
+    }.tail // cumulative P(W<=k), k=0..7 (0! product over empty = 1)
+    probs.map(c => math.floor(c * scale).toLong)
+  }
+
+  /** Percentile-bootstrap confidence interval for the mean of
+    * `valueCol`, via the DETERMINISTIC one-pass Poisson(1) bootstrap:
+    * row i's multiplicity in replicate r is Poisson-distributed with
+    * the randomness drawn from `md5(id:r)` — fully engine-replayable
+    * (the repo's md5-rank sampling discipline), no RNG state, no
+    * resampled copies of the data. Returns ONE row
+    * `(mean, ci_lo, ci_hi, se_rel, n, replicates)`: the exact overall
+    * mean, the `alpha/2`/`1−alpha/2` order statistics of the replicate
+    * means, and the RELATIVE standard error (replicate-mean std-dev /
+    * |mean|, 6-dp rounded — the ratio is the engine-portable form;
+    * see the seRel comment). With integral values (the fixture
+    * passes cents) every weighted sum is exact, so the replicate means
+    * — and therefore the CI endpoints — are bit-identical in any
+    * engine.
+    *
+    * Shape at 100 TB: ONE corpus scan computing all `2·R` weighted
+    * sums as map-side-combined aggregate expressions — the corpus is
+    * never exploded ×R, never shuffled, and the post-aggregate state
+    * is one row of 2R numbers; the CI finish sorts the R-row replicate
+    * relation (bounded by construction). The R md5 evaluations per row
+    * are embarrassingly parallel scan CPU. */
+  def bootstrapMeanCI(df: DataFrame, valueCol: String, idCol: String,
+      replicates: Int = 32, alpha: Double = 0.05): DataFrame = {
+    require(replicates >= 8 && replicates <= 512,
+      s"replicates in [8, 512], got $replicates")
+    require(alpha > 0 && alpha < 0.5, s"alpha in (0, 0.5), got $alpha")
+    val x = col(valueCol).cast("double")
+    val base = df.filter(x.isNotNull && col(idCol).isNotNull)
+      .select(col(idCol).cast("string").as("__id"), x.as("__x"))
+    def weight(r: Int) = {
+      val v = graft.functions.GraftFunctions.md5_hash60(
+        concat(col("__id"), lit(":"), lit(r.toString)))
+      PoissonT.map(t => when(v >= t, 1L).otherwise(0L)).reduce(_ + _)
+    }
+    val aggs = Seq(sum(col("__x")).as("__sx"),
+      count(lit(1)).as("__n")) ++
+      (0 until replicates).flatMap { r => Seq(
+        sum(weight(r) * col("__x")).as(s"__s$r"),
+        sum(weight(r)).as(s"__w$r"))
+      }
+    val one = base.agg(aggs.head, aggs.tail: _*)
+    val reps = one.select(col("__sx"), col("__n"),
+        explode(array((0 until replicates).map(r =>
+          struct(lit(r).as("r"),
+            when(col(s"__w$r") > 0, col(s"__s$r") / col(s"__w$r"))
+              .as("m"))): _*)).as("__rep"))
+      .select(col("__sx"), col("__n"), col("__rep.r").as("__r"),
+        col("__rep.m").as("__m"))
+      .filter(col("__m").isNotNull)
+    // R-row relation: bounded by construction (≤ `replicates` rows) —
+    // the single-task sort is the intended plan. The replicate index
+    // breaks mean ties so the rank — and the rank-ordered cumulative
+    // sums the std-dev derives from — is total and engine-replayable.
+    val wRank = graft.util.BoundedWindow.global(col("__m"), col("__r"))
+    val wCum = wRank.rowsBetween(Window.unboundedPreceding, 0)
+    val loIdx = math.max(1, math.ceil(alpha / 2 * replicates).toInt)
+    val hiIdx = replicates + 1 - loIdx
+    val ranked = reps
+      .withColumn("__rk", row_number().over(wRank))
+      .withColumn("__c1", sum(col("__m")).over(wCum))
+      .withColumn("__c2", sum(col("__m") * col("__m")).over(wCum))
+    val s1 = max_by(col("__c1"), col("__rk"))
+    val s2 = max_by(col("__c2"), col("__rk"))
+    val rr = count(lit(1)).cast("double")
+    val meanCol = min(col("__sx") / col("__n"))
+    // relative standard error: the std-dev of replicate means crosses
+    // engines only to the last ulp (windowed sums associate differently
+    // per engine), so the portable output is the RATIO to the mean,
+    // where 6-dp rounding absorbs ulp drift at any data magnitude
+    val seRel = when(meanCol =!= 0.0, round(sqrt(greatest(lit(0.0),
+      (s2 - s1 * s1 / rr) / (rr - 1))) / abs(meanCol), 6))
+    ranked.agg(
+      meanCol.as("mean"),
+      min(when(col("__rk") === loIdx, col("__m"))).as("ci_lo"),
+      min(when(col("__rk") === hiIdx, col("__m"))).as("ci_hi"),
+      seRel.as("se_rel"),
+      min(col("__n")).as("n"),
+      count(lit(1)).as("replicates"))
+  }
+
   // ---- search / recommendation ranking metrics ---------------------------
 
   /** Quantization scale for the ranking metrics: per-item contributions

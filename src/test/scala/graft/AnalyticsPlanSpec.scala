@@ -130,6 +130,16 @@ class AnalyticsPlanSpec extends SparkSpec {
     assert(sorts <= 2, s"expected <= 2 sorts, got $sorts:\n" + p.take(800))
   }
 
+  test("bootstrapMeanCI: ONE scan of the corpus (all 2R replicate sums " +
+      "are aggregate expressions — never an xR explode), no join") {
+    val df = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "x")
+    val p = plan(graft.relational.Eval.bootstrapMeanCI(df, "x", "id",
+      replicates = 8))
+    assert(!p.contains("Join"), p.take(800))
+    val scans = "LocalTableScan".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 corpus scan, got $scans:\n" + p.take(800))
+  }
+
   test("rankingMetrics: no join anywhere, and both window sorts plus " +
       "the per-query aggregate share ONE query-key exchange") {
     val df = Seq((1, 1L, 0.5, 1L), (1, 2L, 0.4, 0L), (2, 3L, 0.9, 2L))

@@ -626,6 +626,51 @@ class EvalSpec extends SparkSpec {
     assert(!out.contains("one"))
   }
 
+  // ---- Poisson bootstrap ---------------------------------------------------
+
+  test("bootstrapMeanCI: deterministic across runs, exact overall mean, " +
+      "ordered CI that brackets the mean on symmetric data") {
+    val df = (1 to 2000).map(i => (i.toLong, (i % 100).toLong))
+      .toDF("id", "cents")
+    val a = Eval.bootstrapMeanCI(df, "cents", "id").collect()(0)
+    val b = Eval.bootstrapMeanCI(df, "cents", "id").collect()(0)
+    assert(a == b) // no RNG state anywhere
+    assert(a.getDouble(0) == 49.5) // exact integral mean
+    assert(a.getDouble(1) <= a.getDouble(0) &&
+      a.getDouble(0) <= a.getDouble(2))
+    assert(a.getDouble(1) < a.getDouble(2))
+    assert(a.getLong(4) == 2000L && a.getLong(5) == 32L)
+  }
+
+  test("bootstrapMeanCI: Poisson weights are location-equivariant — " +
+      "shifting every value by c shifts mean and CI by c") {
+    val df = (1 to 500).map(i => (i.toLong, (i % 50).toLong))
+      .toDF("id", "v")
+    val base = Eval.bootstrapMeanCI(df, "v", "id").collect()(0)
+    val shifted = Eval.bootstrapMeanCI(
+      df.withColumn("v", col("v") + 1000L), "v", "id").collect()(0)
+    assert(math.abs(shifted.getDouble(0) - base.getDouble(0) - 1000) < 1e-9)
+    assert(math.abs(shifted.getDouble(1) - base.getDouble(1) - 1000) < 1e-9)
+    assert(math.abs(shifted.getDouble(2) - base.getDouble(2) - 1000) < 1e-9)
+  }
+
+  test("bootstrapMeanCI: thresholds are the Poisson(1) CDF on the 60-bit " +
+      "scale and imply mean weight ~= 1") {
+    val probs = (0 to 7).scanLeft(0.0) { (acc, k) =>
+      acc + math.exp(-1.0) / (1 to k).map(_.toDouble).product
+    }.tail
+    Eval.PoissonT.zip(probs).foreach { case (t, c) =>
+      assert(t == math.floor(c * math.pow(2.0, 60)).toLong)
+    }
+    assert(probs.last > 0.99998) // k>8 tail truncation: ~1e-5 of mass
+    // empirical: Σw across replicates ~ n per replicate (weights are the
+    // only source of variation on constant data, so mean_r == x exactly)
+    val const = (1 to 400).map(i => (i.toLong, 7L)).toDF("id", "v")
+    val r = Eval.bootstrapMeanCI(const, "v", "id").collect()(0)
+    assert(r.getDouble(1) == 7.0 && r.getDouble(2) == 7.0 &&
+      r.getDouble(3) == 0.0)
+  }
+
   // ---- ranking metrics (NDCG / MRR / MAP at k) ---------------------------
 
   /** Literal single-threaded replay of the quantized ranking metrics:
