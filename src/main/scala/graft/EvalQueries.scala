@@ -169,6 +169,23 @@ object EvalQueries {
       Eval.acf(daily, Seq("event_type"), "day", "cnt", AcfMaxLag)
     }),
 
+    // is the weekly pattern real: seasonal-naive vs naive-1 backtest
+    // over daily volumes — positive skill means lag-7 structure exists
+    "q_forecast_backtest" -> ((s, d) => {
+      val daily = DataQueries.readEventsMicros(s, d)
+        .withColumn("day", expr("tsu div 86400000000"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("cnt"))
+      Eval.forecastBacktest(daily, Seq("event_type"), "day", "cnt",
+        season = 7)
+    }),
+
+    // robust center next to the plain one: 10%-trimmed mean quantity
+    // per return flag — exact rank trimming, one window pass
+    "q_trimmed_mean" -> ((s, d) =>
+      graft.relational.Analytics.trimmedMean(t(s, d, "lineitem"),
+        Seq("l_returnflag"), "l_quantity", trim = 0.1)),
+
     // how sure are we about average customer revenue: percentile
     // bootstrap CI via the deterministic one-pass Poisson(1) resample —
     // md5-replayed weights, 32 replicate means from ONE scan, no RNG
@@ -861,6 +878,58 @@ object EvalQueries {
       "q_acf" -> acfSql,
 
       "q_bootstrap" -> bootstrapSql,
+
+      "q_forecast_backtest" ->
+        """WITH daily AS (
+             SELECT event_type,
+               CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+               CAST(count(*) AS DOUBLE) AS x
+             FROM events GROUP BY event_type,
+               CAST(epoch_us(ts) AS BIGINT) // 86400000000),
+           l AS (
+             SELECT event_type, x,
+               lag(x, 7) OVER w AS fs, lag(x, 1) OVER w AS f1
+             FROM daily
+             WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+           g AS (
+             SELECT event_type,
+               CAST(sum(CASE WHEN fs IS NOT NULL AND f1 IS NOT NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_eval,
+               sum(CASE WHEN fs IS NOT NULL AND f1 IS NOT NULL
+                 THEN abs(x - fs) ELSE 0.0 END) AS es,
+               sum(CASE WHEN fs IS NOT NULL AND f1 IS NOT NULL
+                 THEN (x - fs) * (x - fs) ELSE 0.0 END) AS ss,
+               sum(CASE WHEN fs IS NOT NULL AND f1 IS NOT NULL
+                 THEN abs(x - f1) ELSE 0.0 END) AS e1,
+               sum(CASE WHEN fs IS NOT NULL AND f1 IS NOT NULL
+                 THEN (x - f1) * (x - f1) ELSE 0.0 END) AS s1
+             FROM l GROUP BY event_type)
+           SELECT event_type, n_eval,
+             round(es / n_eval, 6) AS mae_season,
+             round(sqrt(ss / n_eval), 6) AS rmse_season,
+             round(e1 / n_eval, 6) AS mae_naive,
+             round(sqrt(s1 / n_eval), 6) AS rmse_naive,
+             CASE WHEN e1 > 0 THEN round(1.0 - es / e1, 6) END AS skill
+           FROM g WHERE n_eval > 0""",
+
+      "q_trimmed_mean" ->
+        """WITH r AS (
+             SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS x,
+               row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY CAST(l_quantity AS DOUBLE) ASC) AS rn,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+             FROM lineitem WHERE l_quantity IS NOT NULL),
+           k AS (SELECT *, CAST(floor(0.1 * n) AS BIGINT) AS kk FROM r)
+           SELECT g AS l_returnflag,
+             max(n) AS n,
+             CAST(sum(CASE WHEN rn > kk AND rn <= n - kk
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_used,
+             round(sum(CASE WHEN rn > kk AND rn <= n - kk
+                 THEN x ELSE 0.0 END)
+               / sum(CASE WHEN rn > kk AND rn <= n - kk
+                 THEN 1 ELSE 0 END), 6) AS trimmed_mean,
+             round(sum(x) / count(*), 6) AS mean
+           FROM k GROUP BY g""",
 
       "q_changepoint" ->
         """WITH daily AS (

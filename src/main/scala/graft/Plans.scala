@@ -321,6 +321,15 @@ object Plans {
         "per key); the lag axis explodes AFTER aggregation over " +
         "keys*maxLag rows — no join, no per-lag rescan",
         SparkEntry.queries("q_acf")(spark, d)),
+      ("q_forecast_backtest", "Forecast backtest: both naive lags off " +
+        "ONE per-key window sort into ONE aggregate (five doubles of " +
+        "state per key) — no join, no second pass; skill from raw " +
+        "error sums, never the rounded means",
+        SparkEntry.queries("q_forecast_backtest")(spark, d)),
+      ("q_trimmed_mean", "Trimmed mean: rank + whole-partition count " +
+        "share one per-group sort; filter + ONE map-side-combined " +
+        "aggregate — the robust center at one shuffle",
+        SparkEntry.queries("q_trimmed_mean")(spark, d)),
       ("q_bootstrap", "Poisson bootstrap: all 2R replicate sums are " +
         "expressions in ONE map-side-combined aggregate over ONE corpus " +
         "scan (no xR explode, no shuffle of the corpus); the CI finish " +

@@ -445,6 +445,13 @@ object StressBench {
       graft.relational.Eval.bootstrapMeanCI(subjects, "vc", "o_custkey")
     }),
 
+    // trimmed mean with the corpus ×reps: the per-group rank sort is
+    // the load; the trim stays one window pass + one aggregate
+    "s_trimmed_mean" -> ((s, d, r) =>
+      graft.relational.Analytics.trimmedMean(
+        replicate(t(s, d, "lineitem"), "l_orderkey", r),
+        Seq("l_returnflag"), "l_quantity", trim = 0.1)),
+
     // delta-join maintenance with the fact side ×reps: the delta terms
     // must stay delta-against-full (broadcast-eligible) however large
     // the maintained fact side grows

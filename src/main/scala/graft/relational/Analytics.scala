@@ -571,4 +571,44 @@ object Analytics {
       .select(gb :+ col(d1) :+ col("__y").as(d2): _*)
     df.join(frontier, groupCols :+ d1 :+ d2, "leftsemi")
   }
+
+  /** Exact trimmed mean per group: drop the `floor(trim·n)` smallest
+    * and largest values by rank, average the rest. One row per group:
+    * `(groups…, n, n_used, trimmed_mean, mean)` — the robust center
+    * next to the plain one, both 6-dp rounded. Equal values are
+    * interchangeable under rank trimming (any rank order of ties keeps
+    * the same multiset), so no tie-break column is needed and the
+    * result is engine-deterministic; with integral values the kept-sum
+    * is exact. `trim = 0` degrades to the plain mean; `trim` must stay
+    * below 0.5.
+    *
+    * Shape at 100 TB: one per-group window sort (rank + whole-partition
+    * count share it) → filter → ONE map-side-combined aggregate. The
+    * per-group bound is the sessionize/cusum discipline; no join, no
+    * collect, no second scan. Heavily skewed group sizes inherit the
+    * usual remedy (salt the groups upstream if one group IS the
+    * corpus). */
+  def trimmedMean(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, trim: Double = 0.1): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(trim >= 0 && trim < 0.5, s"trim in [0, 0.5), got $trim")
+    val gb = groupCols.map(col)
+    val x = col(valueCol).cast("double")
+    val w = Window.partitionBy(gb: _*).orderBy(x.asc)
+    val wAll = Window.partitionBy(gb: _*)
+    val k = floor(lit(trim) * col("__n")).cast("long")
+    df.filter(x.isNotNull)
+      .withColumn("__x", x)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__keep", col("__rn") > k && col("__rn") <= col("__n") - k)
+      .groupBy(gb: _*)
+      .agg(
+        max(col("__n")).as("n"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_used"),
+        round(sum(when(col("__keep"), col("__x")).otherwise(lit(0.0))) /
+          sum(when(col("__keep"), 1L).otherwise(0L)), 6)
+          .as("trimmed_mean"),
+        round(sum(col("__x")) / count(lit(1)), 6).as("mean"))
+  }
 }

@@ -978,6 +978,54 @@ object Eval {
       count(lit(1)).as("replicates"))
   }
 
+  /** Forecast-quality backtest per series: score the SEASONAL-NAIVE
+    * forecast (`x̂_t = x_{t−season}`) against the naive-1 baseline
+    * (`x̂_t = x_{t−1}`) over the rows where both are defined, one row
+    * per key: `(keys…, n_eval, mae_season, rmse_season, mae_naive,
+    * rmse_naive, skill)` with `skill = 1 − Σ|e_season|/Σ|e_naive|`
+    * (positive ⇒ the seasonal structure helps; null when the naive
+    * error is zero). The classic pre-model sanity check: if seasonal-
+    * naive doesn't beat naive-1, the "seasonality" isn't there.
+    * Integral values make every error sum exact, and the skill ratio is
+    * computed from the RAW sums (never the rounded means), so the 6-dp
+    * outputs replay in any engine. Ordering must be total per key (the
+    * cusum contract — pass a resampled series).
+    *
+    * Shape at 100 TB: ONE per-key window sort (both lags share it) into
+    * ONE map-side-combined aggregate — five doubles of state per key,
+    * no join, no second pass. */
+  def forecastBacktest(df: DataFrame, keys: Seq[String], orderCol: String,
+      valueCol: String, season: Int = 7): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    require(season >= 2, s"season >= 2, got $season (use cusum/acf lag 1)")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    val x = col(valueCol).cast("double")
+    val lagged = df.filter(x.isNotNull)
+      .withColumn("__x", x)
+      .withColumn("__fs", lag(col("__x"), season).over(w))
+      .withColumn("__f1", lag(col("__x"), 1).over(w))
+    val both = col("__fs").isNotNull && col("__f1").isNotNull
+    def s(e: org.apache.spark.sql.Column) =
+      sum(when(both, e).otherwise(lit(0.0)))
+    val g = lagged.groupBy(keys.map(col): _*).agg(
+      sum(when(both, 1L).otherwise(0L)).as("n_eval"),
+      s(abs(col("__x") - col("__fs"))).as("__es"),
+      s((col("__x") - col("__fs")) * (col("__x") - col("__fs")))
+        .as("__ss"),
+      s(abs(col("__x") - col("__f1"))).as("__e1"),
+      s((col("__x") - col("__f1")) * (col("__x") - col("__f1")))
+        .as("__s1"))
+    g.filter(col("n_eval") > 0)
+      .select(keys.map(col) ++ Seq(
+        col("n_eval"),
+        round(col("__es") / col("n_eval"), 6).as("mae_season"),
+        round(sqrt(col("__ss") / col("n_eval")), 6).as("rmse_season"),
+        round(col("__e1") / col("n_eval"), 6).as("mae_naive"),
+        round(sqrt(col("__s1") / col("n_eval")), 6).as("rmse_naive"),
+        when(col("__e1") > 0,
+          round(lit(1.0) - col("__es") / col("__e1"), 6)).as("skill")): _*)
+  }
+
   // ---- search / recommendation ranking metrics ---------------------------
 
   /** Quantization scale for the ranking metrics: per-item contributions

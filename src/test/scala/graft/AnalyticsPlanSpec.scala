@@ -130,6 +130,21 @@ class AnalyticsPlanSpec extends SparkSpec {
     assert(sorts <= 2, s"expected <= 2 sorts, got $sorts:\n" + p.take(800))
   }
 
+  test("forecastBacktest and trimmedMean: one key exchange, one " +
+      "in-partition sort, no join each") {
+    val ts = Seq(("k", 1L, 2.0), ("k", 2L, 3.0), ("k", 3L, 4.0))
+      .toDF("k", "t", "x")
+    val p1 = plan(graft.relational.Eval.forecastBacktest(ts, Seq("k"),
+      "t", "x", season = 2))
+    val p2 = plan(graft.relational.Analytics.trimmedMean(
+      ts.select(col("k"), col("x")), Seq("k"), "x", 0.1))
+    for (p <- Seq(p1, p2)) {
+      assert(!p.contains("Join"), p.take(600))
+      assert("Exchange".r.findAllIn(p).size <= 1, p.take(600))
+      assert("\\+- Sort".r.findAllIn(p).size == 1, p.take(600))
+    }
+  }
+
   test("bootstrapMeanCI: ONE scan of the corpus (all 2R replicate sums " +
       "are aggregate expressions — never an xR explode), no join") {
     val df = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "x")

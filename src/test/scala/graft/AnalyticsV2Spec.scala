@@ -380,4 +380,35 @@ class AnalyticsV2Spec extends SparkSpec {
       .map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
     assert(got == Seq((1, 9), (2, 1)))
   }
+
+  // ---- trimmedMean ---------------------------------------------------------
+
+  test("trimmedMean: matches the literal rank-trim on random data and " +
+      "shrugs off a planted outlier the plain mean can't") {
+    val rnd = new scala.util.Random(42)
+    val clean = (1 to 50).map(i => ("g", rnd.nextInt(100).toDouble))
+    val outlier = Seq(("g", 1e9))
+    val rows = clean ++ outlier
+    val got = graft.relational.Analytics.trimmedMean(
+      rows.toDF("g", "x"), Seq("g"), "x", trim = 0.1).collect()(0)
+    val xs = rows.map(_._2).sorted
+    val k = math.floor(0.1 * xs.size).toInt
+    val kept = xs.slice(k, xs.size - k)
+    assert(got.getLong(1) == xs.size.toLong)
+    assert(got.getLong(2) == kept.size.toLong)
+    assert(math.abs(got.getDouble(3) - kept.sum / kept.size) < 1e-6)
+    assert(got.getDouble(3) < 1000) // robust
+    assert(got.getDouble(4) > 1e7) // plain mean dragged by the outlier
+  }
+
+  test("trimmedMean: trim 0 equals the plain mean; ties trim cleanly") {
+    val rows = Seq(("g", 5.0), ("g", 5.0), ("g", 5.0), ("g", 1.0),
+      ("g", 9.0))
+    val zero = graft.relational.Analytics.trimmedMean(
+      rows.toDF("g", "x"), Seq("g"), "x", trim = 0.0).collect()(0)
+    assert(zero.getDouble(3) == zero.getDouble(4))
+    val t = graft.relational.Analytics.trimmedMean(
+      rows.toDF("g", "x"), Seq("g"), "x", trim = 0.2).collect()(0)
+    assert(t.getLong(2) == 3L && t.getDouble(3) == 5.0)
+  }
 }

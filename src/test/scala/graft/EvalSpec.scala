@@ -626,6 +626,40 @@ class EvalSpec extends SparkSpec {
     assert(!out.contains("one"))
   }
 
+  // ---- forecast backtest ----------------------------------------------------
+
+  test("forecastBacktest: matches the literal seasonal-naive vs naive-1 " +
+      "scoring on random integer series") {
+    val season = 4
+    val series = for {
+      key <- Seq("a", "b"); t <- 1 to (12 + rnd.nextInt(20))
+    } yield (key, t.toLong, rnd.nextInt(30).toDouble)
+    val got = Eval.forecastBacktest(series.toDF("k", "t", "x"),
+      Seq("k"), "t", "x", season).collect()
+      .map(r => r.getString(0) -> r).toMap
+    for (key <- Seq("a", "b")) {
+      val xs = series.filter(_._1 == key).sortBy(_._2).map(_._3)
+      val idx = (season until xs.size) // rows where both lags defined
+      val es = idx.map(t => math.abs(xs(t) - xs(t - season))).sum
+      val e1 = idx.map(t => math.abs(xs(t) - xs(t - 1))).sum
+      val r = got(key)
+      assert(r.getLong(1) == idx.size.toLong)
+      assert(math.abs(r.getDouble(2) - es / idx.size) < 1e-6)
+      assert(math.abs(r.getDouble(6) - (1.0 - es / e1)) < 1e-6)
+    }
+  }
+
+  test("forecastBacktest: a strict weekly pattern scores skill 1.0 " +
+      "(zero seasonal error); too-short series are omitted") {
+    val weekly = (1 to 35).map(t => ("w", t.toLong, (t % 7 * 10).toDouble))
+    val short = (1 to 5).map(t => ("s", t.toLong, t.toDouble))
+    val out = Eval.forecastBacktest((weekly ++ short).toDF("k", "t", "x"),
+      Seq("k"), "t", "x", season = 7).collect()
+    assert(out.length == 1 && out(0).getString(0) == "w")
+    assert(out(0).getDouble(2) == 0.0) // mae_season exact zero
+    assert(out(0).getDouble(6) == 1.0) // skill
+  }
+
   // ---- Poisson bootstrap ---------------------------------------------------
 
   test("bootstrapMeanCI: deterministic across runs, exact overall mean, " +
