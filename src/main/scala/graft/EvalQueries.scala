@@ -169,6 +169,18 @@ object EvalQueries {
       Eval.acf(daily, Seq("event_type"), "day", "cnt", AcfMaxLag)
     }),
 
+    // exact raw-value two-sample KS (the register KS's exact sibling):
+    // does returned merchandise price differently — small path…
+    "q_ks_exact" -> ((s, d) =>
+      Eval.ksExact(t(s, d, "lineitem"), "l_extendedprice",
+        "l_returnflag", "R", "N")),
+
+    // …and the binned 100-TB twin (distinct prices ≈ rows) against the
+    // SAME oracle
+    "q_ks_exact_binned" -> ((s, d) =>
+      Eval.ksExact(t(s, d, "lineitem"), "l_extendedprice",
+        "l_returnflag", "R", "N", maxDistinctBroadcast = 100)),
+
     // is the weekly pattern real: seasonal-naive vs naive-1 backtest
     // over daily volumes — positive skill means lag-7 structure exists
     "q_forecast_backtest" -> ((s, d) => {
@@ -538,6 +550,44 @@ object EvalQueries {
        FROM rk, t GROUP BY t.mean, t.n"""
   }
 
+  /** Exact-KS oracle (shared by both physical paths): distinct-value
+    * per-group counts → inclusive ECDF cumulatives → argmax by
+    * (d DESC, value ASC) — the same exact-integer divisions ksExact
+    * performs. */
+  private val ksExactSql =
+    """WITH src AS (
+         SELECT l_extendedprice AS s,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS la
+         FROM lineitem
+         WHERE l_extendedprice IS NOT NULL
+           AND l_returnflag IN ('R', 'N')),
+       c AS (
+         SELECT s, CAST(sum(la) AS BIGINT) AS p,
+           CAST(sum(1 - la) AS BIGINT) AS q
+         FROM src GROUP BY s),
+       r AS (
+         SELECT s, p, q,
+           CAST(coalesce(sum(p) OVER wb, 0) AS BIGINT) AS pb,
+           CAST(coalesce(sum(q) OVER wb, 0) AS BIGINT) AS qb
+         FROM c
+         WINDOW wb AS (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       t AS (
+         SELECT CAST(sum(p) AS BIGINT) AS na,
+           CAST(sum(q) AS BIGINT) AS nb
+         FROM c),
+       dd AS (
+         SELECT s,
+           abs(CAST(pb + p AS DOUBLE) / na
+             - CAST(qb + q AS DOUBLE) / nb) AS d,
+           na, nb
+         FROM r, t)
+       SELECT round(d, 6) AS d, CAST(s AS DOUBLE) AS at_value,
+         round(d * sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+           / CAST(na + nb AS DOUBLE)), 6) AS z,
+         na AS n_a, nb AS n_b
+       FROM dd ORDER BY d DESC, s ASC LIMIT 1"""
+
   // ---- autocorrelation ----------------------------------------------------
 
   private val AcfMaxLag = 7
@@ -878,6 +928,9 @@ object EvalQueries {
       "q_acf" -> acfSql,
 
       "q_bootstrap" -> bootstrapSql,
+
+      "q_ks_exact" -> ksExactSql,
+      "q_ks_exact_binned" -> ksExactSql,
 
       "q_forecast_backtest" ->
         """WITH daily AS (

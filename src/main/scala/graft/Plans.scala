@@ -321,6 +321,13 @@ object Plans {
         "per key); the lag axis explodes AFTER aggregation over " +
         "keys*maxLag rows — no join, no per-lag rescan",
         SparkEntry.queries("q_acf")(spark, d)),
+      ("q_ks_exact_binned", "Exact KS, binned path: the shared " +
+        "dual-path cumulative engine (per-bin partitioned windows + " +
+        "broadcast offsets), one-row broadcast totals, TakeOrdered(1) " +
+        "argmax — never a global sort of the distinct relation",
+        graft.relational.Eval.ksExactPlan(
+          spark.read.parquet(s"$d/lineitem.parquet"), "l_extendedprice",
+          "l_returnflag", "R", "N", maxDistinctBroadcast = 0)._1),
       ("q_forecast_backtest", "Forecast backtest: both naive lags off " +
         "ONE per-key window sort into ONE aggregate (five doubles of " +
         "state per key) — no join, no second pass; skill from raw " +

@@ -364,6 +364,13 @@ object StressBench {
         "o_orderkey", "score", "rel", 10)
     }),
 
+    // exact KS, BINNED path forced: distinct values ×reps via the
+    // perturbed price — the two-group cumulative + argmax under load
+    "s_ks_exact_binned" -> ((s, d, r) =>
+      graft.relational.Eval.ksExact(
+        lineitemScaled(s, d, r), "l_extendedprice", "l_returnflag",
+        "R", "N", maxDistinctBroadcast = 0)),
+
     // Gini, BINNED path forced: distinct values ×reps via the perturbed
     // price — the two-measure cumulative under load
     "s_gini_binned" -> ((s, d, r) =>

@@ -978,6 +978,61 @@ object Eval {
       count(lit(1)).as("replicates"))
   }
 
+  /** Exact two-sample Kolmogorov-Smirnov test over RAW values (the
+    * register-resolution sibling is [[Analytics.ksFromRegisters]]):
+    * `D = max_s |ECDF_A(s) − ECDF_B(s)|` evaluated at every distinct
+    * value, plus the value achieving it (ties → smallest) and the
+    * normalized `z = D·√(n_A·n_B/(n_A+n_B))`. One row
+    * `(d, at_value, z, n_a, n_b)`.
+    *
+    * Shape at 100 TB: ONE corpus aggregate to the distinct-value
+    * relation with per-group counts, the SAME dual small/binned
+    * cumulative engine as [[auc]]/[[lorenzGini]] (ordered window under
+    * `maxDistinctBroadcast`, else 256 approx-quantile bins with
+    * parallel per-bin windows + broadcast offsets), a one-row broadcast
+    * totals join, and a TakeOrdered(1) argmax finish — the corpus is
+    * never globally sorted and the ECDF divisions are single IEEE ops
+    * over exact integer cumulatives, so the result replays bit-for-bit
+    * in any engine. */
+  def ksExact(df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String,
+      maxDistinctBroadcast: Long = 100000): DataFrame = {
+    val (out, counts) = ksExactPlan(df, valueCol, groupCol, groupA,
+      groupB, maxDistinctBroadcast)
+    val m = out.localCheckpoint(eager = true)
+    counts.unpersist(blocking = false)
+    m
+  }
+
+  /** The unmaterialized [[ksExact]] plan plus the persisted counts
+    * relation (the aucPlan pattern, for plan-shape tests). */
+  private[graft] def ksExactPlan(df: DataFrame, valueCol: String,
+      groupCol: String, groupA: String, groupB: String,
+      maxDistinctBroadcast: Long): (DataFrame, DataFrame) = {
+    val g = col(groupCol).cast("string")
+    val labeled = df.filter(col(valueCol).isNotNull &&
+        (g === groupA || g === groupB))
+      .withColumn("__lab", when(g === groupA, 1L).otherwise(0L))
+    val (withBelow, counts) = scoreBelowCounts(labeled, valueCol,
+      "__lab", maxDistinctBroadcast)
+    val totals = withBelow.agg(sum("__p").as("__na"),
+      sum("__q").as("__nb"))
+    val naD = col("__na").cast("double")
+    val nbD = col("__nb").cast("double")
+    val scored = withBelow.crossJoin(broadcast(totals))
+      .withColumn("__d", abs(
+        (col("__posbelow") + col("__p")).cast("double") / col("__na") -
+          (col("__negbelow") + col("__q")).cast("double") / col("__nb")))
+    val out = scored.orderBy(col("__d").desc, col("__s").asc).limit(1)
+      .select(
+        round(col("__d"), 6).as("d"),
+        col("__s").cast("double").as("at_value"),
+        round(col("__d") * sqrt(naD * nbD /
+          (col("__na") + col("__nb")).cast("double")), 6).as("z"),
+        col("__na").as("n_a"), col("__nb").as("n_b"))
+    (out, counts)
+  }
+
   /** Forecast-quality backtest per series: score the SEASONAL-NAIVE
     * forecast (`x̂_t = x_{t−season}`) against the naive-1 baseline
     * (`x̂_t = x_{t−1}`) over the rows where both are defined, one row

@@ -95,6 +95,21 @@ class AnalyticsPlanSpec extends SparkSpec {
     counts.unpersist(blocking = false)
   }
 
+  test("ksExact binned path: per-bin partitioned windows, only " +
+      "broadcast joins, TakeOrdered(1) argmax — no global sort, no " +
+      "shuffle join") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0))
+      .toDF("g", "x")
+    val (out, counts) = graft.relational.Eval.ksExactPlan(df, "x", "g",
+      "a", "b", maxDistinctBroadcast = 1)
+    val p = plan(out)
+    assert(p.contains("[__bin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+    counts.unpersist(blocking = false)
+  }
+
   test("spearman join-back: equi-joins only (no cartesian, no " +
       "broadcast-nested-loop), one corr aggregate finish") {
     val df = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 5.0)).toDF("a", "b")

@@ -626,6 +626,45 @@ class EvalSpec extends SparkSpec {
     assert(!out.contains("one"))
   }
 
+  // ---- exact two-sample KS ---------------------------------------------------
+
+  private def bruteKs(a: Seq[Double], b: Seq[Double]): (Double, Double) = {
+    val values = (a ++ b).distinct.sorted
+    val ds = values.map(v => (
+      math.abs(a.count(_ <= v).toDouble / a.size -
+        b.count(_ <= v).toDouble / b.size), v))
+    ds.maxBy(d => (d._1, -d._2)) // max d, smallest value on ties
+  }
+
+  test("ksExact: small and binned paths both equal the literal ECDF " +
+      "sweep on tied random data, including the argmax location") {
+    val a = (1 to 300).map(_ => rnd.nextInt(25).toDouble)
+    val b = (1 to 200).map(_ => rnd.nextInt(25).toDouble + 3)
+    val df = (a.map(("a", _)) ++ b.map(("b", _))).toDF("g", "x")
+    val (d, at) = bruteKs(a, b)
+    for (thr <- Seq(100000L, 3L)) {
+      val r = Eval.ksExact(df, "x", "g", "a", "b",
+        maxDistinctBroadcast = thr).collect()(0)
+      assert(math.abs(r.getDouble(0) - d) < 1e-6, s"thr=$thr")
+      assert(r.getDouble(1) == at, s"thr=$thr location")
+      assert(r.getLong(3) == 300L && r.getLong(4) == 200L)
+      val z = d * math.sqrt(300.0 * 200.0 / 500.0)
+      assert(math.abs(r.getDouble(2) - z) < 1e-6)
+    }
+  }
+
+  test("ksExact: identical samples score d = 0; disjoint supports " +
+      "score d = 1") {
+    val same = ((1 to 50).map(i => ("a", i.toDouble)) ++
+      (1 to 50).map(i => ("b", i.toDouble))).toDF("g", "x")
+    assert(Eval.ksExact(same, "x", "g", "a", "b")
+      .collect()(0).getDouble(0) == 0.0)
+    val disjoint = ((1 to 50).map(i => ("a", i.toDouble)) ++
+      (1 to 50).map(i => ("b", i + 1000.0))).toDF("g", "x")
+    assert(Eval.ksExact(disjoint, "x", "g", "a", "b")
+      .collect()(0).getDouble(0) == 1.0)
+  }
+
   // ---- forecast backtest ----------------------------------------------------
 
   test("forecastBacktest: matches the literal seasonal-naive vs naive-1 " +
