@@ -214,6 +214,13 @@ object EvalQueries {
       graft.relational.Analytics.trimmedMean(t(s, d, "lineitem"),
         Seq("l_returnflag"), "l_quantity", trim = 0.1)),
 
+    // the latency-dashboard shape: EXACT p25/p50/p75/p90/p99 price per
+    // return flag from ONE per-group sort — nearest-rank order
+    // statistics, never percentile_approx
+    "q_percentile_bands" -> ((s, d) =>
+      graft.relational.Analytics.percentileBands(t(s, d, "lineitem"),
+        Seq("l_returnflag"), "l_extendedprice")),
+
     // how sure are we about average customer revenue: percentile
     // bootstrap CI via the deterministic one-pass Poisson(1) resample —
     // md5-replayed weights, 32 replicate means from ONE scan, no RNG
@@ -1045,6 +1052,27 @@ object EvalQueries {
              round(sqrt(s1 / n_eval), 6) AS rmse_naive,
              CASE WHEN e1 > 0 THEN round(1.0 - es / e1, 6) END AS skill
            FROM g WHERE n_eval > 0""",
+
+      "q_percentile_bands" ->
+        """WITH r AS (
+             SELECT l_returnflag AS g,
+               CAST(l_extendedprice AS DOUBLE) AS x,
+               row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY CAST(l_extendedprice AS DOUBLE) ASC) AS rn,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+             FROM lineitem WHERE l_extendedprice IS NOT NULL)
+           SELECT g AS l_returnflag, max(n) AS n,
+             max(CASE WHEN rn = greatest(1,
+               CAST(ceil(0.25 * n) AS BIGINT)) THEN x END) AS p25,
+             max(CASE WHEN rn = greatest(1,
+               CAST(ceil(0.5 * n) AS BIGINT)) THEN x END) AS p50,
+             max(CASE WHEN rn = greatest(1,
+               CAST(ceil(0.75 * n) AS BIGINT)) THEN x END) AS p75,
+             max(CASE WHEN rn = greatest(1,
+               CAST(ceil(0.9 * n) AS BIGINT)) THEN x END) AS p90,
+             max(CASE WHEN rn = greatest(1,
+               CAST(ceil(0.99 * n) AS BIGINT)) THEN x END) AS p99
+           FROM r GROUP BY g""",
 
       "q_trimmed_mean" ->
         """WITH r AS (

@@ -338,6 +338,11 @@ object Plans {
         "state per key) — no join, no second pass; skill from raw " +
         "error sums, never the rounded means",
         SparkEntry.queries("q_forecast_backtest")(spark, d)),
+      ("q_percentile_bands", "Percentile bands: one per-group sort " +
+        "(rank + count frames) -> ONE aggregate with a conditional max " +
+        "per percentile — exact p25..p99 with no job per percentile " +
+        "and no percentile_approx error",
+        SparkEntry.queries("q_percentile_bands")(spark, d)),
       ("q_trimmed_mean", "Trimmed mean: rank + whole-partition count " +
         "share one per-group sort; filter + ONE map-side-combined " +
         "aggregate — the robust center at one shuffle",

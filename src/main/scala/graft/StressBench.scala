@@ -452,6 +452,13 @@ object StressBench {
       graft.relational.Eval.bootstrapMeanCI(subjects, "vc", "o_custkey")
     }),
 
+    // percentile bands with distinct values ×reps (perturbed price):
+    // the per-group rank sort carries 5 exact order statistics at once
+    "s_percentile_bands" -> ((s, d, r) =>
+      graft.relational.Analytics.percentileBands(
+        lineitemScaled(s, d, r), Seq("l_returnflag"),
+        "l_extendedprice")),
+
     // trimmed mean with the corpus ×reps: the per-group rank sort is
     // the load; the trim stays one window pass + one aggregate
     "s_trimmed_mean" -> ((s, d, r) =>

@@ -572,6 +572,47 @@ object Analytics {
     df.join(frontier, groupCols :+ d1 :+ d2, "leftsemi")
   }
 
+  /** Exact percentile bands per group — the latency-dashboard query:
+    * one row per group with the nearest-rank order statistics
+    * `value at rank max(1, ceil(p·n))` for every requested percentile,
+    * all from ONE per-group sort. Output `(groups…, n, p25, p50, …)`
+    * with raw (unrounded) values — order statistics are exact data
+    * values, so there is nothing to round. Percentiles must be in
+    * (0, 1] and land on whole percents (the column is named `p<pct>`).
+    * Ties need no break: equal values at the boundary rank yield the
+    * same statistic whatever their order.
+    *
+    * Shape at 100 TB: one per-group window sort (rank + count frames
+    * share it) → ONE map-side-combined aggregate with a conditional
+    * max per percentile — never a job, scan, or sort per percentile,
+    * and exact where `percentile_approx` is not. Per-group bound is
+    * the sessionize discipline. */
+  def percentileBands(df: DataFrame, groupCols: Seq[String],
+      valueCol: String,
+      ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99)): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(ps.nonEmpty && ps == ps.sorted && ps.distinct == ps,
+      "percentiles must be sorted and distinct")
+    require(ps.forall(p => p > 0 && p <= 1), s"percentiles in (0,1]: $ps")
+    require(ps.forall(p => (p * 100) == math.rint(p * 100)),
+      s"whole percents only (column naming), got $ps")
+    val gb = groupCols.map(col)
+    val x = col(valueCol).cast("double")
+    val w = Window.partitionBy(gb: _*).orderBy(x.asc)
+    val wAll = Window.partitionBy(gb: _*)
+    val bands = ps.map { p =>
+      val k = greatest(lit(1L), ceil(lit(p) * col("__n")).cast("long"))
+      max(when(col("__rn") === k, col("__x")))
+        .as(s"p${math.rint(p * 100).toInt}")
+    }
+    df.filter(x.isNotNull)
+      .withColumn("__x", x)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .groupBy(gb: _*)
+      .agg(max(col("__n")).as("n"), bands: _*)
+  }
+
   /** Exact trimmed mean per group: drop the `floor(trim·n)` smallest
     * and largest values by rank, average the rest. One row per group:
     * `(groups…, n, n_used, trimmed_mean, mean)` — the robust center

@@ -401,6 +401,38 @@ class AnalyticsV2Spec extends SparkSpec {
     assert(got.getDouble(4) > 1e7) // plain mean dragged by the outlier
   }
 
+  test("percentileBands: nearest-rank order statistics match the " +
+      "literal sorted lookup for every group and percentile") {
+    val rnd = new scala.util.Random(7)
+    val rows = for (g <- Seq("a", "b"); _ <- 1 to (30 + rnd.nextInt(40)))
+      yield (g, rnd.nextInt(1000).toDouble)
+    val ps = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+    val got = graft.relational.Analytics.percentileBands(
+      rows.toDF("g", "x"), Seq("g"), "x", ps).collect()
+      .map(r => r.getString(0) -> r).toMap
+    for (g <- Seq("a", "b")) {
+      val xs = rows.filter(_._1 == g).map(_._2).sorted
+      val r = got(g)
+      assert(r.getLong(1) == xs.size.toLong)
+      ps.zipWithIndex.foreach { case (p, i) =>
+        val k = math.max(1, math.ceil(p * xs.size).toInt)
+        assert(r.getDouble(2 + i) == xs(k - 1), s"$g p$p")
+      }
+    }
+  }
+
+  test("percentileBands: p100 is the max; a single-row group returns " +
+      "its value at every percentile") {
+    val rows = Seq(("g", 3.0), ("g", 1.0), ("g", 2.0), ("solo", 9.0))
+    val got = graft.relational.Analytics.percentileBands(
+      rows.toDF("g", "x"), Seq("g"), "x", Seq(0.5, 1.0)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("g").getDouble(3) == 3.0) // p100 = max
+    assert(got("g").getDouble(2) == 2.0) // p50 of {1,2,3}
+    assert(got("solo").getDouble(2) == 9.0 &&
+      got("solo").getDouble(3) == 9.0)
+  }
+
   test("trimmedMean: trim 0 equals the plain mean; ties trim cleanly") {
     val rows = Seq(("g", 5.0), ("g", 5.0), ("g", 5.0), ("g", 1.0),
       ("g", 9.0))
