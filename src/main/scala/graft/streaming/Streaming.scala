@@ -315,6 +315,58 @@ object Streaming {
       }
   }
 
+  case class ForecastState(ring: Seq[Double], absErrSum: Double,
+    nScored: Long)
+  case class ForecastPoint(series: String, t: Long, value: Double,
+    forecast: Option[Double], absErr: Option[Double], mae: Option[Double])
+
+  /** Streaming seasonal-naive forecast monitor — the stateful twin of
+    * [[graft.relational.Eval.forecastBacktest]]'s seasonal side: per
+    * series, state is a RING BUFFER of the last `season` values plus
+    * the running absolute-error sum, emitting for every point the
+    * lag-`season` forecast, its absolute error, and the running MAE.
+    * The first `season` points of a series have no forecast (None
+    * fields), exactly like the batch lag. An in-order feed reproduces
+    * the batch seasonal errors point for point (asserted in
+    * StreamingSpec). Points are processed in `t` order WITHIN a
+    * micro-batch; cross-batch order is arrival order — the
+    * sessionizeStream contract. State never grows with stream history:
+    * `season` doubles + two scalars per series, the 100-TB-of-metrics
+    * discipline shared with [[cusumStream]]. */
+  def forecastMonitorStream(points: Dataset[MetricPoint], season: Int)
+      : Dataset[ForecastPoint] = {
+    require(season >= 1 && season <= 1024,
+      s"season in [1, 1024], got $season")
+    import points.sparkSession.implicits._
+    points
+      .groupByKey(_.series)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (series: String, it: Iterator[MetricPoint],
+            state: GroupState[ForecastState]) =>
+          var st = state.getOption
+            .getOrElse(ForecastState(Vector.empty, 0.0, 0L))
+          val out = it.toSeq.sortBy(_.t).map { p =>
+            val (fc, err) =
+              if (st.ring.size >= season) {
+                val f = st.ring.head
+                (Some(f), Some(math.abs(p.value - f)))
+              } else (None, None)
+            val nextRing =
+              (if (st.ring.size >= season) st.ring.tail else st.ring) :+
+                p.value
+            st = ForecastState(nextRing,
+              st.absErrSum + err.getOrElse(0.0),
+              st.nScored + (if (err.isDefined) 1L else 0L))
+            ForecastPoint(series, p.t, p.value, fc, err,
+              if (st.nScored > 0) Some(st.absErrSum / st.nScored)
+              else None)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   // ---- streaming materialized-aggregate maintenance --------------------
 
   /** Streaming twin of [[graft.relational.Relational.aggMerge]]: every

@@ -238,6 +238,46 @@ class StreamingSpec extends SparkSpec {
     assert(batch.count() == 80)
   }
 
+  test("forecastMonitorStream == batch lag-season errors across three " +
+      "micro-batch boundaries (ring buffer survives in state)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    val season = 5
+    val series = for (k <- Seq("a", "b"); t <- 1 to 30)
+      yield Streaming.MetricPoint(k, t.toLong, rnd.nextInt(40).toDouble)
+    val mem = MemoryStream[Streaming.MetricPoint]
+    val q = Streaming.forecastMonitorStream(mem.toDS(), season)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("fc_out").start()
+    try {
+      val (b1, rest) = series.partition(_.t <= 7) // boundary INSIDE warmup
+      val (b2, b3) = rest.partition(_.t <= 20)
+      Seq(b1, b2, b3).foreach { b => mem.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.table("fc_out")
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    for (k <- Seq("a", "b")) {
+      val xs = series.filter(_.series == k).sortBy(_.t).map(_.value)
+      xs.indices.foreach { i =>
+        val expected =
+          if (i >= season) (Some(xs(i - season)),
+            Some(math.abs(xs(i) - xs(i - season))))
+          else (None, None)
+        assert(streamed((k, (i + 1).toLong)) == expected, s"$k t=${i + 1}")
+      }
+      // running MAE at the last point equals the batch mean abs error
+      val errs = (season until xs.size).map(t =>
+        math.abs(xs(t) - xs(t - season)))
+      val lastMae = spark.table("fc_out")
+        .filter(col("series") === k && col("t") === xs.size.toLong)
+        .collect()(0).getDouble(5)
+      assert(math.abs(lastMae - errs.sum / errs.size) < 1e-9, k)
+    }
+  }
+
   test("checkpoint recovery: restart resumes state AND offsets " +
       "(no reprocessing, no state loss)") {
     // The 100-TB streaming contract: a stateful query killed mid-stream
