@@ -169,6 +169,20 @@ object EvalQueries {
       Eval.acf(daily, Seq("event_type"), "day", "cnt", AcfMaxLag)
     }),
 
+    // which nations' urgent-order rates REALLY deviate: per-nation
+    // proportion z vs the rest → portable normal p (A&S erf) →
+    // Benjamini-Hochberg step-up across the 25 tests
+    "q_fdr" -> ((s, d) => {
+      val subj = t(s, d, "orders")
+        .join(t(s, d, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .withColumn("succ",
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
+      Eval.fdrAdjust(
+        Eval.proportionsByGroup(subj, Seq("c_nationkey"), "succ"),
+        Seq("c_nationkey"), "p", alpha = 0.05)
+    }),
+
     // which activity LEADS purchases and by how many days: per-type
     // cross-correlation of daily volumes against the purchase series at
     // lags -3..3 — one window sort, one aggregate, explode after
@@ -571,6 +585,62 @@ object EvalQueries {
          END AS se_rel,
          t.n AS n, count(*) AS replicates
        FROM rk, t GROUP BY t.mean, t.n"""
+  }
+
+  /** FDR-screen oracle: identical pooled-z, A&S erf p-value (constants
+    * interpolated from [[Eval.ErfP]]/[[Eval.ErfA]]/[[Eval.Sqrt2]] — the
+    * SAME doubles the Spark expression uses), and BH step-up over the
+    * rounded p relation. */
+  private def fdrSql: String = {
+    val a = Eval.ErfA
+    s"""WITH b AS (
+         SELECT c_nationkey,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS s
+         FROM orders JOIN customer ON o_custkey = c_custkey),
+       g AS (
+         SELECT c_nationkey, CAST(sum(s) AS BIGINT) AS x, count(*) AS n
+         FROM b GROUP BY 1),
+       t AS (
+         SELECT CAST(sum(x) AS BIGINT) AS tx,
+           CAST(sum(n) AS BIGINT) AS tn
+         FROM g),
+       z AS (
+         SELECT c_nationkey, x, n,
+           CAST(x AS DOUBLE) / n AS p1,
+           (CAST(x AS DOUBLE) / n
+             - CAST(tx - x AS DOUBLE) / CAST(tn - n AS DOUBLE)) AS dv,
+           sqrt((CAST(tx AS DOUBLE) / tn)
+             * (1.0 - CAST(tx AS DOUBLE) / tn)
+             * (1.0 / n + 1.0 / CAST(tn - n AS DOUBLE))) AS se
+         FROM g, t WHERE tn > n),
+       zz AS (SELECT *, dv / se AS zv FROM z),
+       ph AS (SELECT *, abs(zv) / ${Eval.Sqrt2} AS xv FROM zz),
+       ph2 AS (SELECT *, 1.0 / (1.0 + ${Eval.ErfP} * xv) AS tv FROM ph),
+       pv AS (
+         SELECT c_nationkey, x, n, p1, zv, se,
+           2.0 * (1.0 - 0.5 * (1.0
+             + (1.0 - tv * (${a(0)} + tv * (${a(1)} + tv * (${a(2)}
+               + tv * (${a(3)} + tv * ${a(4)}))))
+               * exp(-(xv * xv))))) AS praw
+         FROM ph2),
+       f AS (
+         SELECT c_nationkey, x, n, round(p1, 6) AS rate,
+           CASE WHEN se > 0 THEN round(zv, 6) END AS z,
+           CASE WHEN se > 0 THEN round(praw, 6) END AS p
+         FROM pv),
+       r AS (
+         SELECT *, row_number() OVER
+             (ORDER BY p ASC, c_nationkey ASC) AS "rank",
+           count(*) OVER () AS m
+         FROM f WHERE p IS NOT NULL),
+       qq AS (
+         SELECT *, round(least(1.0, min(p * m / "rank") OVER
+           (ORDER BY p ASC, c_nationkey ASC
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)), 6) AS q
+         FROM r)
+       SELECT c_nationkey, x, n, rate, z, p, "rank", q,
+         q <= 0.05 AS reject
+       FROM qq"""
   }
 
   private val CcfMaxLag = 3
@@ -1016,6 +1086,8 @@ object EvalQueries {
       "q_bootstrap" -> bootstrapSql,
 
       "q_ccf" -> ccfSql,
+
+      "q_fdr" -> fdrSql,
 
       "q_ks_exact" -> ksExactSql,
       "q_ks_exact_binned" -> ksExactSql,

@@ -326,6 +326,11 @@ object Plans {
         "on the same pair mask); lag axis explodes post-aggregation — " +
         "the acf discipline with a second column",
         SparkEntry.queries("q_ccf")(spark, d)),
+      ("q_fdr", "FDR screen: ONE group aggregate + one-row broadcast " +
+        "totals -> z/p projection (A&S erf, closed-form Columns); BH " +
+        "runs over the TEST-level p relation (bounded by construction) " +
+        "with set-insensitive window mins",
+        SparkEntry.queries("q_fdr")(spark, d)),
       ("q_ks_exact_binned", "Exact KS, binned path: the shared " +
         "dual-path cumulative engine (per-bin partitioned windows + " +
         "broadcast offsets), one-row broadcast totals, TakeOrdered(1) " +

@@ -610,6 +610,96 @@ object Eval {
       }: _*)
   }
 
+  // ---- multiple testing (per-group z → portable Φ → BH/FDR) --------------
+
+  /** Abramowitz-Stegun 7.1.26 erf constants, tabulated once so the
+    * Spark expression and the generated oracle SQL share identical
+    * literals (|approximation error| ≤ 1.5e-7 — consistent on both
+    * sides, so it never causes a compare mismatch). */
+  private[graft] val ErfP = 0.3275911
+  private[graft] val ErfA =
+    Seq(0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+  private[graft] val Sqrt2 = math.sqrt(2.0)
+
+  /** Two-sided normal p-value `2·(1 − Φ(|z|))` via the A&S 7.1.26 erf
+    * polynomial — closed-form Column algebra (exp is the only libm
+    * call; its 1-ulp engine drift is absorbed by the caller's 6-dp
+    * round). */
+  private[graft] def twoSidedP(z: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val x = abs(z) / lit(Sqrt2)
+    val t = lit(1.0) / (lit(1.0) + lit(ErfP) * x)
+    val poly = t * (lit(ErfA(0)) + t * (lit(ErfA(1)) + t * (lit(ErfA(2)) +
+      t * (lit(ErfA(3)) + t * lit(ErfA(4))))))
+    val erf = lit(1.0) - poly * exp(-(x * x))
+    lit(2.0) * (lit(1.0) - lit(0.5) * (lit(1.0) + erf))
+  }
+
+  /** Per-group proportion test against the REST of the population: for
+    * each group, the pooled two-proportion z of its success rate vs all
+    * other rows, with the two-sided normal p-value (A&S erf — portable
+    * to the oracle). One row per group `(groups…, x, n, rate, z, p)`,
+    * z/p null when the pooled rate is degenerate (0 or 1) or the rest
+    * is empty. Feed the output to [[fdrAdjust]] — the "which segments
+    * really deviate" screen, multiplicity-corrected.
+    *
+    * Shape at 100 TB: ONE group-keyed aggregate (two longs of state per
+    * group) + a one-row broadcast totals join; the test arithmetic is a
+    * projection over the group relation. */
+  def proportionsByGroup(df: DataFrame, groupCols: Seq[String],
+      successCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val s = col(successCol).cast("long")
+    val g = df.filter(s.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(s).as("x"), count(lit(1)).as("n"))
+    val tot = g.agg(sum("x").as("__X"), sum("n").as("__N"))
+    val p1 = col("x").cast("double") / col("n")
+    val n2 = (col("__N") - col("n")).cast("double")
+    val p2 = (col("__X") - col("x")).cast("double") / n2
+    val pool = col("__X").cast("double") / col("__N")
+    val se = sqrt(pool * (lit(1.0) - pool) *
+      (lit(1.0) / col("n") + lit(1.0) / n2))
+    val z = (p1 - p2) / se
+    g.crossJoin(broadcast(tot))
+      .filter(col("__N") > col("n"))
+      .select(groupCols.map(col) ++ Seq(
+        col("x"), col("n"),
+        round(p1, 6).as("rate"),
+        when(se > 0, round(z, 6)).as("z"),
+        when(se > 0, round(twoSidedP(z), 6)).as("p")): _*)
+  }
+
+  /** Benjamini-Hochberg step-up FDR adjustment over a p-value relation:
+    * appends `rank` (ascending p, ties broken by `idCols`),
+    * `q = min_{j ≥ rank}(p_j · m / j)` clamped to 1 (6-dp), and
+    * `reject = q ≤ alpha`. Null p rows are dropped. The q-values are
+    * computed from the (already 6-dp) p inputs by set-insensitive
+    * window mins, so the whole adjustment replays bit-for-bit.
+    *
+    * The input is a TEST-LEVEL relation (one row per hypothesis —
+    * segments, features, experiment arms), bounded by construction;
+    * the global rank window is the intended single-task plan
+    * ([[graft.util.BoundedWindow]] audit). */
+  def fdrAdjust(df: DataFrame, idCols: Seq[String], pCol: String,
+      alpha: Double = 0.05): DataFrame = {
+    require(idCols.nonEmpty, "need at least one id column")
+    require(alpha > 0 && alpha < 1, s"alpha in (0, 1), got $alpha")
+    // bounded by construction: one row per TEST, never per data row
+    val wRank = graft.util.BoundedWindow.global(
+      col(pCol).asc +: idCols.map(col(_).asc): _*)
+    val wSuffix = wRank.rowsBetween(Window.currentRow,
+      Window.unboundedFollowing)
+    val wAll = graft.util.BoundedWindow.globalUnordered()
+    df.filter(col(pCol).isNotNull)
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("__m", count(lit(1)).over(wAll))
+      .withColumn("q", round(least(lit(1.0),
+        min(col(pCol) * col("__m") / col("rank")).over(wSuffix)), 6))
+      .withColumn("reject", col("q") <= alpha)
+      .drop("__m")
+  }
+
   /** Wilson score confidence interval for a 0/1 rate per group:
     * `(group…, n, successes, rate, lo, hi)`, 6-dp — the interval that
     * behaves at extreme rates and small groups where the normal

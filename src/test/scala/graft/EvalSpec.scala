@@ -626,6 +626,71 @@ class EvalSpec extends SparkSpec {
     assert(!out.contains("one"))
   }
 
+  // ---- multiple testing (group z → Φ → BH) ------------------------------------
+
+  test("proportionsByGroup: z and p match the literal pooled two-sample " +
+      "computation of each group against the rest") {
+    val rows = (1 to 600).map { i =>
+      val g = s"g${i % 3}"
+      // group g0 converts at ~0.5, others at ~0.2
+      val succ = if (i % 3 == 0) i % 2 else (if (i % 5 == 0) 1 else 0)
+      (g, succ.toLong)
+    }
+    val got = Eval.proportionsByGroup(rows.toDF("g", "s"), Seq("g"), "s")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val bySucc = rows.groupBy(_._1).view.mapValues(v =>
+      (v.map(_._2).sum, v.size.toLong)).toMap
+    val (bigX, bigN) = (bySucc.values.map(_._1).sum,
+      bySucc.values.map(_._2).sum)
+    def phi(z: Double): Double = {
+      val x = math.abs(z) / math.sqrt(2.0)
+      val t = 1.0 / (1.0 + 0.3275911 * x)
+      val poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741 +
+        t * (-1.453152027 + t * 1.061405429))))
+      0.5 * (1.0 + (1.0 - poly * math.exp(-(x * x))))
+    }
+    for ((g, (x, n)) <- bySucc) {
+      val p1 = x.toDouble / n
+      val p2 = (bigX - x).toDouble / (bigN - n)
+      val pool = bigX.toDouble / bigN
+      val se = math.sqrt(pool * (1 - pool) *
+        (1.0 / n + 1.0 / (bigN - n).toDouble))
+      val z = (p1 - p2) / se
+      val r = got(g)
+      assert(math.abs(r.getDouble(4) - z) < 1e-5, s"$g z")
+      assert(math.abs(r.getDouble(5) - 2.0 * (1.0 - phi(z))) < 1e-5,
+        s"$g p")
+    }
+    // the planted high-converting group is strongly significant
+    assert(got("g0").getDouble(5) < 1e-4)
+  }
+
+  test("fdrAdjust: q-values are the textbook BH step-up (monotone suffix " +
+      "min, clamped), rejections at the BH cutoff") {
+    // classic example: m=5 p-values
+    val ps = Seq(("t1", 0.01), ("t2", 0.04), ("t3", 0.03), ("t4", 0.005),
+      ("t5", 0.9))
+    val got = Eval.fdrAdjust(ps.toDF("id", "p"), Seq("id"), "p",
+      alpha = 0.05).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3),
+        r.getBoolean(4))).toMap
+    // sorted: .005(t4,1) .01(t1,2) .03(t3,3) .04(t2,4) .9(t5,5)
+    // raw: .025 .025 .05 .05 .9 ; suffix-min: .025 .025 .05 .05 .9
+    assert(got("t4") == ((1L, 0.025, true)))
+    assert(got("t1") == ((2L, 0.025, true)))
+    assert(got("t3") == ((3L, 0.05, true)))
+    assert(got("t2") == ((4L, 0.05, true)))
+    assert(got("t5") == ((5L, 0.9, false)))
+  }
+
+  test("fdrAdjust: uniform nulls are mostly retained at alpha 0.05 and " +
+      "q never exceeds 1") {
+    val ps = (1 to 100).map(i => (s"t$i", (i * 97 % 100 + 1) / 100.0))
+    val out = Eval.fdrAdjust(ps.toDF("id", "p"), Seq("id"), "p").collect()
+    assert(out.forall(_.getDouble(3) <= 1.0))
+    assert(out.count(_.getBoolean(4)) == 0) // uniform grid: nothing passes
+  }
+
   // ---- cross-correlation -----------------------------------------------------
 
   private def bruteCcf(xs: Seq[Double], ys: Seq[Double], k: Int)
