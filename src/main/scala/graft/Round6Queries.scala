@@ -492,6 +492,12 @@ object Round6Queries {
           round(lit(1.0) - countDistinct(col("text")).cast("double") /
             count(lit(1)).cast("double"), 6).as("dup_rate"))),
 
+    // corpus repetitiveness per source: distinct-1/2/3-gram ratios over
+    // portable 60-bit gram hashes — one scan explodes every n together
+    "q_ngram_diversity" -> ((s, d) =>
+      graft.text.Corpus.ngramDiversity(t(s, d, "documents"), "text",
+        "source")),
+
     // feature selection: MI of every listed categorical feature against
     // the order year, ranked in ONE corpus pass
     "q_mi_ranking" -> ((s, d) =>
@@ -1202,6 +1208,26 @@ object Round6Queries {
              round(1.0 - count(DISTINCT text) / CAST(count(*) AS DOUBLE),
                6) AS dup_rate
            FROM documents GROUP BY source""",
+
+      "q_ngram_diversity" ->
+        """WITH ws AS (
+             SELECT source,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS w
+             FROM documents WHERE text IS NOT NULL),
+           g AS (
+             SELECT source, n,
+               CAST(('0x' || substr(md5(
+                 array_to_string(w[i:i+n-1], ' ')), 1, 15)) AS BIGINT)
+                 AS h
+             FROM ws,
+               (SELECT unnest([1, 2, 3]) AS n) nn,
+               LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) pos
+             WHERE i + n - 1 <= len(w))
+           SELECT source, n, count(*) AS total,
+             count(DISTINCT h) AS n_distinct,
+             round(CAST(count(DISTINCT h) AS DOUBLE) / count(*), 6)
+               AS ratio
+           FROM g GROUP BY source, n""",
 
       "q_fuzzy_join" ->
         """WITH l AS (SELECT DISTINCT c_name AS a FROM customer),

@@ -715,4 +715,44 @@ object Corpus {
     when(scheme =!= "" && host =!= "",
       concat(scheme, lit("://"), host, path))
   }
+
+  /** N-gram diversity per slice — the distinct-n generation-quality /
+    * corpus-repetitiveness metric: for each group and each `n`, the
+    * total n-gram count, the distinct n-gram count, and their ratio
+    * (1.0 = never repeats a phrase, → 0 = heavily templated). One row
+    * per (group, n). Tokenization is the repo's portable form
+    * (`lower`+`trim`+whitespace split) and grams are hashed to 60-bit
+    * md5 integers, so the oracle replays the distinct sets exactly and
+    * the shuffle carries 8-byte keys, never gram strings.
+    *
+    * Shape at 100 TB: ONE corpus scan explodes all requested `n` sizes
+    * together (per-row flatten of the per-n gram arrays); the finish is
+    * one (group, n, hash)-keyed distinct + one (group, n) count — both
+    * map-side-combined hash aggregates. Nothing driver-side, no joins;
+    * cost scales with token count × |ns|. */
+  def ngramDiversity(df: DataFrame, textCol: String, groupCol: String,
+      ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(n => n >= 1 && n <= 16),
+      s"ns in [1,16], got $ns")
+    require(ns.distinct == ns, "ns must be distinct")
+    val toks = graft.text.TextFunctions.tokensLower(col(textCol))
+    val gramArrays = ns.map { n =>
+      // sequence(1, max(size-n+1, 1)) then a bound filter: avoids
+      // sequence(1, 0), which Spark would generate DESCENDING
+      val starts = filter(
+        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+        i => (i + (n - 1)) <= size(toks))
+      transform(starts, i => struct(lit(n).as("n"),
+        graft.functions.GraftFunctions.md5_hash60(
+          concat_ws(" ", slice(toks, i, lit(n)))).as("h")))
+    }
+    df.filter(col(textCol).isNotNull)
+      .select(col(groupCol), explode(flatten(array(gramArrays: _*)))
+        .as("__g"))
+      .groupBy(col(groupCol), col("__g.n").as("n"))
+      .agg(count(lit(1)).as("total"),
+        countDistinct(col("__g.h")).as("n_distinct"))
+      .withColumn("ratio",
+        round(col("n_distinct").cast("double") / col("total"), 6))
+  }
 }

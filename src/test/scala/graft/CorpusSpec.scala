@@ -142,4 +142,34 @@ class CorpusSpec extends SparkSpec {
     // match the IPv4 pattern (documented greedy behavior)
     assert(out(4) == "no pii here, just 1.5 and v2.0 and [IP].5")
   }
+
+  test("ngramDiversity: counts match the literal sliding-window sets; " +
+      "a templated slice scores lower than a diverse one") {
+    import spark.implicits._
+    val docs = Seq(
+      ("div", "the quick brown fox jumps over the lazy dog"),
+      ("div", "pack my box with five dozen liquor jugs"),
+      ("tpl", "click here click here click here click here"),
+      ("tpl", "click here click here click here"))
+    val got = graft.text.Corpus.ngramDiversity(
+      docs.toDF("source", "text"), "text", "source")
+      .collect()
+      .map(r => ((r.getString(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    def grams(s: Seq[String], texts: Seq[String], n: Int) = {
+      val all = texts.flatMap(t =>
+        t.toLowerCase.trim.split("\\s+").toSeq.sliding(n).toSeq
+          .filter(_.size == n).map(_.mkString(" ")))
+      (all.size.toLong, all.distinct.size.toLong)
+    }
+    for (src <- Seq("div", "tpl"); n <- 1 to 3) {
+      val texts = docs.filter(_._1 == src).map(_._2)
+      val (tot, dist) = grams(Nil, texts, n)
+      val (gt, gd, ratio) = got((src, n))
+      assert(gt == tot && gd == dist, s"$src n=$n: ($gt,$gd) vs ($tot,$dist)")
+      assert(ratio == BigDecimal(dist.toDouble / tot)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got(("tpl", 2))._3 < 0.3 && got(("div", 2))._3 == 1.0)
+  }
 }
