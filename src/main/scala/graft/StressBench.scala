@@ -442,14 +442,15 @@ object StressBench {
         "day", "cnt")
     }),
 
-    // bootstrap with the subject population ×reps: the 2R weighted sums
-    // stay ONE scan's aggregate expressions however many subjects there
-    // are — post-aggregate state is one row of 2R numbers
+    // bootstrap with the SUBJECT population ×reps (per-order subjects,
+    // re-keyed ids → fresh weights): the 2R weighted sums stay ONE
+    // scan's aggregate expressions — the load is R md5+weight
+    // evaluations per subject, embarrassingly parallel
     "s_bootstrap" -> ((s, d, r) => {
       val subjects = replicate(t(s, d, "orders"), "o_orderkey", r)
-        .groupBy("o_custkey")
-        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("vc"))
-      graft.relational.Eval.bootstrapMeanCI(subjects, "vc", "o_custkey")
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("vc"))
+      graft.relational.Eval.bootstrapMeanCI(subjects, "vc", "o_orderkey")
     }),
 
     // percentile bands with distinct values ×reps (perturbed price):
