@@ -169,6 +169,17 @@ object EvalQueries {
       Eval.acf(daily, Seq("event_type"), "day", "cnt", AcfMaxLag)
     }),
 
+    // do line statuses move different quantities AT ALL: one-way
+    // ANOVA F across line statuses — one moment aggregate, k-row finish
+    "q_anova" -> ((s, d) =>
+      Eval.anovaF(t(s, d, "lineitem"), "l_linestatus", "l_quantity")),
+
+    // do the SPREADS differ: Brown-Forsythe (median-centered Levene)
+    // on quantity across return flags — exact nearest-rank medians
+    "q_brown_forsythe" -> ((s, d) =>
+      Eval.brownForsythe(t(s, d, "lineitem"), "l_returnflag",
+        "l_quantity")),
+
     // which nations' urgent-order rates REALLY deviate: per-nation
     // proportion z vs the rest → portable normal p (A&S erf) →
     // Benjamini-Hochberg step-up across the 25 tests
@@ -643,6 +654,27 @@ object EvalQueries {
        FROM qq"""
   }
 
+  /** Shared ANOVA finish over a `b(g, x)` CTE — mirrors
+    * [[Eval.anovaCore]] term for term. */
+  private val AnovaCoreSql =
+    """gg AS (
+         SELECT g, count(*) AS n, sum(x) AS s, sum(x * x) AS ss
+         FROM b GROUP BY g),
+       t AS (
+         SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS n,
+           sum(s * s / n) AS sb, sum(s) AS st,
+           sum(ss - s * s / n) AS ssw
+         FROM gg)
+       SELECT
+         CASE WHEN k > 1 AND n > k AND ssw > 0 THEN
+           round(((sb - st * st / n) / CAST(k - 1 AS DOUBLE))
+             / (ssw / CAST(n - k AS DOUBLE)), 6)
+         END AS f,
+         k - 1 AS df1, n - k AS df2, k, n,
+         round(sb - st * st / n, 6) AS ss_between,
+         round(ssw, 6) AS ss_within
+       FROM t"""
+
   private val CcfMaxLag = 3
 
   /** CCF oracle: identical shifted columns off one named window, the
@@ -1088,6 +1120,31 @@ object EvalQueries {
       "q_ccf" -> ccfSql,
 
       "q_fdr" -> fdrSql,
+
+      "q_anova" ->
+        s"""WITH b AS (
+             SELECT l_linestatus AS g, CAST(l_quantity AS DOUBLE) AS x
+             FROM lineitem
+             WHERE l_quantity IS NOT NULL AND l_linestatus IS NOT NULL),
+           $AnovaCoreSql""",
+
+      "q_brown_forsythe" ->
+        s"""WITH b0 AS (
+             SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS x
+             FROM lineitem
+             WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL),
+           r AS (
+             SELECT g, x,
+               row_number() OVER (PARTITION BY g ORDER BY x ASC) AS rn,
+               count(*) OVER (PARTITION BY g) AS n
+             FROM b0),
+           m AS (
+             SELECT g AS mg, x AS med FROM r
+             WHERE rn = greatest(1, CAST(ceil(n / 2.0) AS BIGINT))),
+           b AS (
+             SELECT b0.g, abs(b0.x - m.med) AS x
+             FROM b0 JOIN m ON b0.g = m.mg),
+           $AnovaCoreSql""",
 
       "q_ks_exact" -> ksExactSql,
       "q_ks_exact_binned" -> ksExactSql,

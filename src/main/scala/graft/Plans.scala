@@ -326,6 +326,10 @@ object Plans {
         "on the same pair mask); lag axis explodes post-aggregation — " +
         "the acf discipline with a second column",
         SparkEntry.queries("q_ccf")(spark, d)),
+      ("q_brown_forsythe", "Brown-Forsythe: exact per-group medians " +
+        "from one window sort, groups-bounded join-back (AQE " +
+        "broadcasts), then the shared one-aggregate ANOVA finish",
+        SparkEntry.queries("q_brown_forsythe")(spark, d)),
       ("q_fdr", "FDR screen: ONE group aggregate + one-row broadcast " +
         "totals -> z/p projection (A&S erf, closed-form Columns); BH " +
         "runs over the TEST-level p relation (bounded by construction) " +

@@ -610,6 +610,80 @@ object Eval {
       }: _*)
   }
 
+  // ---- k-group variance analysis (ANOVA / Brown-Forsythe) ----------------
+
+  /** Shared one-way-ANOVA finish over a `(__g, __x)` relation: per-group
+    * moment sums → `SSB = Σ s_g²/n_g − S²/N`, `SSW = Σ(ss_g − s_g²/n_g)`,
+    * `F = (SSB/(k−1)) / (SSW/(N−k))`. One group aggregate + a k-row
+    * finish fold. */
+  private def anovaCore(gx: DataFrame): DataFrame = {
+    val g = gx.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__s"),
+        sum(col("__x") * col("__x")).as("__ss"))
+    g.agg(
+      count(lit(1)).as("k"),
+      sum("__n").as("n"),
+      sum(col("__s") * col("__s") / col("__n")).as("__sb"),
+      sum(col("__s")).as("__st"),
+      sum(col("__ss") - col("__s") * col("__s") / col("__n")).as("__ssw"))
+      .select({
+        val ssb = col("__sb") - col("__st") * col("__st") / col("n")
+        val df1 = (col("k") - 1).cast("double")
+        val df2 = (col("n") - col("k")).cast("double")
+        val f = (ssb / df1) / (col("__ssw") / df2)
+        Seq(
+          when(col("k") > 1 && col("n") > col("k") && col("__ssw") > 0,
+            round(f, 6)).as("f"),
+          (col("k") - 1).as("df1"), (col("n") - col("k")).as("df2"),
+          col("k"), col("n"),
+          round(ssb, 6).as("ss_between"),
+          round(col("__ssw"), 6).as("ss_within"))
+      }: _*)
+  }
+
+  /** One-way ANOVA F across the groups of `groupCol`: ONE row
+    * `(f, df1, df2, k, n, ss_between, ss_within)` from ONE group-keyed
+    * moment aggregate (three numbers of state per group) plus a k-row
+    * finish — "do the group means differ at all", the k-group
+    * generalization of [[welchTTest]]. Null f when degenerate (k < 2,
+    * no residual df, or zero within-variance). With integral values
+    * every moment sum is exact; the finish folds k deterministic terms
+    * and rounds 6 dp. */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val x = col(valueCol).cast("double")
+    anovaCore(df.filter(x.isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"), x.as("__x")))
+  }
+
+  /** Brown-Forsythe test (the robust Levene variant): one-way ANOVA on
+    * the absolute deviations from each group's MEDIAN —
+    * "do the group SPREADS differ", robust to non-normality. The median
+    * is the exact nearest-rank order statistic (value at
+    * `max(1, ceil(n/2))` in group rank order), so with integral values
+    * the deviations stay integral and every sum replays exactly.
+    *
+    * Shape at 100 TB: one per-group window sort for the medians, a
+    * group-keyed join-back (groups-bounded — AQE broadcasts the median
+    * relation), then the [[anovaF]] aggregate. No global sort, nothing
+    * collected. */
+  def brownForsythe(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val x = col(valueCol).cast("double")
+    val base = df.filter(x.isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"), x.as("__x"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__x").asc)
+    val wAll = Window.partitionBy(col("__g"))
+    val med = base
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(col("__rn") ===
+        greatest(lit(1L), ceil(col("__n") / 2.0).cast("long")))
+      .select(col("__g").as("__mg"), col("__x").as("__med"))
+    anovaCore(base.join(med, col("__g") === col("__mg"))
+      .select(col("__g"), abs(col("__x") - col("__med")).as("__x")))
+  }
+
   // ---- multiple testing (per-group z → portable Φ → BH/FDR) --------------
 
   /** Abramowitz-Stegun 7.1.26 erf constants, tabulated once so the

@@ -626,6 +626,49 @@ class EvalSpec extends SparkSpec {
     assert(!out.contains("one"))
   }
 
+  // ---- ANOVA / Brown-Forsythe --------------------------------------------------
+
+  test("anovaF: matches the literal one-way F on random integer groups; " +
+      "identical groups score ~0, shifted groups score large") {
+    val rows = (1 to 300).map { i =>
+      val g = s"g${i % 3}"
+      (g, (rnd.nextInt(20) + (i % 3) * 15).toDouble) // separated means
+    }
+    val got = Eval.anovaF(rows.toDF("g", "x"), "g", "x").collect()(0)
+    val groups = rows.groupBy(_._1).values.map(_.map(_._2)).toSeq
+    val n = rows.size
+    val k = groups.size
+    val grand = rows.map(_._2).sum / n
+    val ssb = groups.map(g => g.size * math.pow(
+      g.sum / g.size - grand, 2)).sum
+    val ssw = groups.map(g => {
+      val m = g.sum / g.size; g.map(v => (v - m) * (v - m)).sum
+    }).sum
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert(math.abs(got.getDouble(0) - f) < 1e-4)
+    assert(got.getLong(1) == 2L && got.getLong(2) == 297L)
+    assert(got.getDouble(0) > 50) // planted separation
+    val flat = Eval.anovaF(rows.map(r => (r._1, 5.0)).toDF("g", "x"),
+      "g", "x").collect()(0)
+    assert(flat.isNullAt(0)) // zero within-variance -> null
+  }
+
+  test("brownForsythe: equal-spread groups score low, a planted " +
+      "wide-spread group scores high; medians are the exact order stat") {
+    val same = (1 to 300).map(i => (s"g${i % 3}", (i % 21).toDouble))
+    val lo = Eval.brownForsythe(same.toDF("g", "x"), "g", "x")
+      .collect()(0)
+    assert(lo.getDouble(0) < 2, s"equal spreads: ${lo.getDouble(0)}")
+    val spread = (1 to 300).map { i =>
+      val g = s"g${i % 3}"
+      val v = if (i % 3 == 0) (i % 81) * 3 else i % 21 // g0 much wider
+      (g, v.toDouble)
+    }
+    val hi = Eval.brownForsythe(spread.toDF("g", "x"), "g", "x")
+      .collect()(0)
+    assert(hi.getDouble(0) > 20, s"planted spread: ${hi.getDouble(0)}")
+  }
+
   // ---- multiple testing (group z → Φ → BH) ------------------------------------
 
   test("proportionsByGroup: z and p match the literal pooled two-sample " +
