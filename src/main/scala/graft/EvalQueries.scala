@@ -210,6 +210,19 @@ object EvalQueries {
         CcfMaxLag)
     }),
 
+    // cross-slice distribution alignment: the exact quantile map that
+    // makes the N slice's prices rank-comparable to the R slice's —
+    // rank-space bin join, never a nested loop; small path…
+    "q_quantile_norm" -> ((s, d) =>
+      Eval.quantileNormalize(t(s, d, "lineitem"), "l_extendedprice",
+        "l_returnflag", target = "N", ref = "R")),
+
+    // …and the forced-binned cumulative twin against the SAME oracle
+    "q_quantile_norm_binned" -> ((s, d) =>
+      Eval.quantileNormalize(t(s, d, "lineitem"), "l_extendedprice",
+        "l_returnflag", target = "N", ref = "R",
+        maxDistinctBroadcast = 100)),
+
     // exact raw-value two-sample KS (the register KS's exact sibling):
     // does returned merchandise price differently — small path…
     "q_ks_exact" -> ((s, d) =>
@@ -738,6 +751,40 @@ object EvalQueries {
        $pieces"""
   }
 
+  /** Quantile-normalization oracle (shared by both physical paths):
+    * distinct-value cumulatives on each side, the same pure-integer
+    * nearest-rank formula, and a plain interval-containment join (the
+    * Spark side's rank-space bin join computes the identical pairs). */
+  private val quantileNormSql =
+    """WITH src AS (
+         SELECT CAST(l_extendedprice AS DOUBLE) AS s, l_returnflag AS g
+         FROM lineitem
+         WHERE l_extendedprice IS NOT NULL
+           AND l_returnflag IN ('R', 'N')),
+       a AS (SELECT s, count(*) AS c FROM src WHERE g = 'R' GROUP BY s),
+       ar AS (
+         SELECT s, c,
+           CAST(coalesce(sum(c) OVER (ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS below
+         FROM a),
+       an AS (SELECT CAST(sum(c) AS BIGINT) AS na FROM a),
+       b AS (SELECT s, count(*) AS c FROM src WHERE g = 'N' GROUP BY s),
+       br AS (
+         SELECT s,
+           CAST(coalesce(sum(c) OVER (ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c
+             AS BIGINT) AS cum
+         FROM b),
+       bn AS (SELECT CAST(max(cum) AS BIGINT) AS nb FROM br),
+       k AS (
+         SELECT br.s AS value,
+           CAST((cum * na + nb - 1) // nb AS BIGINT) AS ref_rank
+         FROM br, an, bn)
+       SELECT k.value, ar.s AS normalized, k.ref_rank
+       FROM k JOIN ar
+         ON k.ref_rank > ar.below AND k.ref_rank <= ar.below + ar.c"""
+
   /** Exact-KS oracle (shared by both physical paths): distinct-value
     * per-group counts → inclusive ECDF cumulatives → argmax by
     * (d DESC, value ASC) — the same exact-integer divisions ksExact
@@ -1148,6 +1195,9 @@ object EvalQueries {
 
       "q_ks_exact" -> ksExactSql,
       "q_ks_exact_binned" -> ksExactSql,
+
+      "q_quantile_norm" -> quantileNormSql,
+      "q_quantile_norm_binned" -> quantileNormSql,
 
       "q_forecast_backtest" ->
         """WITH daily AS (

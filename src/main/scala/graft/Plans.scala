@@ -335,6 +335,14 @@ object Plans {
         "runs over the TEST-level p relation (bounded by construction) " +
         "with set-insensitive window mins",
         SparkEntry.queries("q_fdr")(spark, d)),
+      ("q_quantile_norm_binned", "Quantile normalization, binned " +
+        "cumulatives: dual-path engine on both sides, pure-integer " +
+        "nearest-rank formula, RANK-SPACE bin equi-join for the value " +
+        "lookup (interval containment as residual) — no nested loop, " +
+        "no value sort-merge",
+        graft.relational.Eval.quantileNormalizePlan(
+          spark.read.parquet(s"$d/lineitem.parquet"), "l_extendedprice",
+          "l_returnflag", "N", "R", maxDistinctBroadcast = 0)._1),
       ("q_ks_exact_binned", "Exact KS, binned path: the shared " +
         "dual-path cumulative engine (per-bin partitioned windows + " +
         "broadcast offsets), one-row broadcast totals, TakeOrdered(1) " +

@@ -364,6 +364,14 @@ object StressBench {
         "o_orderkey", "score", "rel", 10)
     }),
 
+    // quantile normalization with distinct values ×reps on BOTH sides
+    // (perturbed price), binned cumulatives forced: the rank-space bin
+    // join is the load — never a nested loop however many values
+    "s_quantile_norm" -> ((s, d, r) =>
+      graft.relational.Eval.quantileNormalize(
+        lineitemScaled(s, d, r), "l_extendedprice", "l_returnflag",
+        target = "N", ref = "R", maxDistinctBroadcast = 0)),
+
     // exact KS, BINNED path forced: distinct values ×reps via the
     // perturbed price — the two-group cumulative + argmax under load
     "s_ks_exact_binned" -> ((s, d, r) =>

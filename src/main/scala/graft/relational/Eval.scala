@@ -1261,6 +1261,85 @@ object Eval {
     (out, counts)
   }
 
+  /** Quantile normalization (distribution matching): the exact value
+    * map that aligns the `target` slice's distribution onto the `ref`
+    * slice's — each distinct target value `v` maps to the ref value at
+    * nearest rank `ceil(ecdf_target(v) · n_ref)` (computed as the pure
+    * integer `(cum·n_ref + n_target − 1) div n_target` — exact while
+    * `n_ref · n_target < 2^63`). Returns the MAPPING relation
+    * `(value, normalized, ref_rank)` — one row per distinct target
+    * value; apply it with a value equi-join. The cross-source feature/
+    * score alignment tool ("make source B's quality scores comparable
+    * to source A's").
+    *
+    * Shape at 100 TB: both sides reduce to distinct-value relations via
+    * the SHARED dual small/binned cumulative engine ([[auc]]'s); the
+    * rank lookup is a RANK-SPACE bin equi-join (width `ceil(n_ref/4096)`
+    * — exact integer bins, no approx quantiles): ref intervals explode
+    * across the ≤(distinct + 4096) bins they cover, target ranks join
+    * their bin, and the interval containment filter finishes. No
+    * corpus-sized sort, broadcast, or nested-loop join anywhere. */
+  def quantileNormalize(df: DataFrame, valueCol: String, groupCol: String,
+      target: String, ref: String,
+      maxDistinctBroadcast: Long = 100000): DataFrame = {
+    val (plan, a, b) = quantileNormalizePlan(df, valueCol, groupCol,
+      target, ref, maxDistinctBroadcast)
+    val out = plan.localCheckpoint(eager = true)
+    a.unpersist(blocking = false)
+    b.unpersist(blocking = false)
+    out
+  }
+
+  /** The unmaterialized [[quantileNormalize]] plan plus the two
+    * persisted fit-time counts relations (the aucPlan pattern, for
+    * plan-shape tests). */
+  private[graft] def quantileNormalizePlan(df: DataFrame, valueCol: String,
+      groupCol: String, target: String, ref: String,
+      maxDistinctBroadcast: Long): (DataFrame, DataFrame, DataFrame) = {
+    val g = col(groupCol).cast("string")
+    val vals = df.filter(col(valueCol).isNotNull &&
+        (g === ref || g === target))
+      .select(g.as("__g"), col(valueCol).cast("double").as("__s"))
+    def counted(side: String): DataFrame = vals
+      .filter(col("__g") === side)
+      .groupBy(col("__s")).agg(count(lit(1)).as("__c"))
+    val aCounts = counted(ref).persist()
+    val bCounts = counted(target).persist()
+    val aN = aCounts.count()
+    val bN = bCounts.count()
+    val aBelow = belowCumulative(aCounts, Seq("__c"), aN,
+      maxDistinctBroadcast)
+      .select(col("__s").as("__va"), col("__c").as("__ca"),
+        col("__below___c").as("__ba"))
+    val bCum = belowCumulative(bCounts, Seq("__c"), bN,
+      maxDistinctBroadcast)
+      .select(col("__s").as("__vb"),
+        (col("__below___c") + col("__c")).as("__cumb"))
+    val aTot = aBelow.agg(sum("__ca").as("__na"))
+    // max inclusive cumulative == the target side's total row count
+    val bTot = bCum.agg(max(col("__cumb")).as("__nb"))
+    val w = greatest(lit(1L),
+      ceil(col("__na").cast("double") / 4096.0).cast("long"))
+    val aExploded = aBelow.crossJoin(broadcast(aTot))
+      .withColumn("__w", w)
+      .withColumn("__bin", explode(sequence(
+        expr("__ba div __w"),
+        expr("(__ba + __ca - 1) div __w"))))
+    val bKeyed = bCum.crossJoin(broadcast(aTot))
+      .crossJoin(broadcast(bTot))
+      .withColumn("__ka",
+        expr("(__cumb * __na + __nb - 1) div __nb"))
+      .withColumn("__w", w)
+      .withColumn("__bin", expr("(__ka - 1) div __w"))
+    val out = bKeyed.join(aExploded.select("__bin", "__va", "__ca", "__ba"),
+        Seq("__bin"))
+      .filter(col("__ka") > col("__ba") &&
+        col("__ka") <= col("__ba") + col("__ca"))
+      .select(col("__vb").as("value"), col("__va").as("normalized"),
+        col("__ka").as("ref_rank"))
+    (out, aCounts, bCounts)
+  }
+
   /** Forecast-quality backtest per series: score the SEASONAL-NAIVE
     * forecast (`x̂_t = x_{t−season}`) against the naive-1 baseline
     * (`x̂_t = x_{t−1}`) over the rows where both are defined, one row

@@ -110,6 +110,23 @@ class AnalyticsPlanSpec extends SparkSpec {
     counts.unpersist(blocking = false)
   }
 
+  test("quantileNormalize: the rank lookup is a BIN EQUI-join — no " +
+      "cartesian, no broadcast-nested-loop, no sort-merge on values") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 1.5), ("b", 2.5))
+      .toDF("g", "x")
+    val (out, a, b) = graft.relational.Eval.quantileNormalizePlan(df,
+      "x", "g", target = "b", ref = "a", maxDistinctBroadcast = 100000)
+    val p = plan(out)
+    // the rank lookup joins hash-equi on the rank-space bin (the
+    // interval containment is its residual filter); the only
+    // nested-loop joins are the deliberate ONE-ROW totals broadcasts
+    assert(p.contains("BroadcastHashJoin [__bin") ||
+      p.contains("ShuffledHashJoin [__bin") ||
+      p.contains("SortMergeJoin [__bin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    a.unpersist(blocking = false); b.unpersist(blocking = false)
+  }
+
   test("spearman join-back: equi-joins only (no cartesian, no " +
       "broadcast-nested-loop), one corr aggregate finish") {
     val df = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 5.0)).toDF("a", "b")

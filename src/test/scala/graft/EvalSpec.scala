@@ -788,6 +788,39 @@ class EvalSpec extends SparkSpec {
     assert(got(2) == got.values.max)
   }
 
+  // ---- quantile normalization --------------------------------------------------
+
+  test("quantileNormalize: the map equals the literal nearest-rank " +
+      "lookup on tied random data, both cumulative paths") {
+    val ref = (1 to 400).map(_ => ("a", rnd.nextInt(50) * 2.0)) // evens
+    val tgt = (1 to 250).map(_ => ("b", rnd.nextInt(40) * 2.0 + 1)) // odds
+    val df = (ref ++ tgt).toDF("g", "x")
+    val refSorted = ref.map(_._2).sorted
+    val tgtVals = tgt.map(_._2)
+    val expected = tgtVals.distinct.sorted.map { v =>
+      val cum = tgtVals.count(_ <= v).toLong
+      val k = ((cum * refSorted.size + tgtVals.size - 1) /
+        tgtVals.size).toInt
+      v -> (refSorted(k - 1), k.toLong)
+    }.toMap
+    for (thr <- Seq(100000L, 5L)) {
+      val got = Eval.quantileNormalize(df, "x", "g", target = "b",
+        ref = "a", maxDistinctBroadcast = thr).collect()
+        .map(r => r.getDouble(0) -> (r.getDouble(1), r.getLong(2))).toMap
+      assert(got == expected, s"thr=$thr")
+    }
+  }
+
+  test("quantileNormalize: mapping a distribution onto itself is the " +
+      "identity on every distinct value") {
+    val rows = (0 to 36).flatMap(v =>
+      Seq(("a", v.toDouble), ("b", v.toDouble), ("a", v.toDouble)))
+    val out = Eval.quantileNormalize(rows.toDF("g", "x"), "x", "g",
+      target = "b", ref = "a").collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getDouble(0) == r.getDouble(1), r.toString))
+  }
+
   // ---- exact two-sample KS ---------------------------------------------------
 
   private def bruteKs(a: Seq[Double], b: Seq[Double]): (Double, Double) = {
