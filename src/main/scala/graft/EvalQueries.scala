@@ -210,6 +210,20 @@ object EvalQueries {
         CcfMaxLag)
     }),
 
+    // engagement/churn readback: per-user inter-event gap profile with
+    // exact nearest-rank percentiles and the most recent gap
+    "q_inter_arrival" -> ((s, d) =>
+      graft.relational.Analytics.interArrival(
+        DataQueries.readEventsMicros(s, d), Seq("user_id"), "tsu")),
+
+    // how many equal-weight rows is the revenue-weighted order sample
+    // worth: Kish effective sample size over budget-unit weights
+    "q_ess" -> ((s, d) =>
+      graft.relational.Analytics.effectiveSampleSize(
+        t(s, d, "orders").select(
+          floor(col("o_totalprice") / 100).cast("long").as("wt")),
+        "wt")),
+
     // cross-slice distribution alignment: the exact quantile map that
     // makes the N slice's prices rank-comparable to the R slice's —
     // rank-space bin join, never a nested loop; small path…
@@ -1198,6 +1212,46 @@ object EvalQueries {
 
       "q_quantile_norm" -> quantileNormSql,
       "q_quantile_norm_binned" -> quantileNormSql,
+
+      "q_inter_arrival" ->
+        """WITH e AS (
+             SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t
+             FROM events),
+           g AS (
+             SELECT user_id, t, t - lag(t) OVER w AS gap,
+               count(*) OVER (PARTITION BY user_id) AS nev
+             FROM e
+             WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+           q AS (
+             SELECT user_id, gap, t, nev,
+               row_number() OVER
+                 (PARTITION BY user_id ORDER BY gap ASC) AS rn,
+               row_number() OVER
+                 (PARTITION BY user_id ORDER BY t DESC, gap DESC)
+                 AS rnl,
+               count(*) OVER (PARTITION BY user_id) AS ng
+             FROM g WHERE gap IS NOT NULL)
+           SELECT user_id, max(nev) AS n_events,
+             max(CASE WHEN rn = greatest(1,
+               CAST(ceil(0.5 * ng) AS BIGINT)) THEN gap END)
+               AS median_gap,
+             max(CASE WHEN rn = greatest(1,
+               CAST(ceil(0.9 * ng) AS BIGINT)) THEN gap END) AS p90_gap,
+             max(gap) AS max_gap,
+             max(CASE WHEN rnl = 1 THEN gap END) AS last_gap
+           FROM q GROUP BY user_id""",
+
+      "q_ess" ->
+        """WITH w AS (
+             SELECT CAST(floor(o_totalprice / 100) AS BIGINT) AS wt
+             FROM orders)
+           SELECT count(*) AS n,
+             round(CAST(sum(wt) AS DOUBLE) * CAST(sum(wt) AS DOUBLE)
+               / CAST(sum(wt * wt) AS DOUBLE), 6) AS ess,
+             round(CAST(sum(wt) AS DOUBLE) * CAST(sum(wt) AS DOUBLE)
+               / CAST(sum(wt * wt) AS DOUBLE) / count(*), 6)
+               AS ess_ratio
+           FROM w WHERE wt IS NOT NULL AND wt > 0""",
 
       "q_forecast_backtest" ->
         """WITH daily AS (

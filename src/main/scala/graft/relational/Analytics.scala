@@ -572,6 +572,67 @@ object Analytics {
     df.join(frontier, groupCols :+ d1 :+ d2, "leftsemi")
   }
 
+  /** Inter-arrival profile per key — the engagement/churn readback:
+    * event gaps `t_i − t_{i−1}` per key, summarized as one row
+    * `(keys…, n_events, median_gap, p90_gap, max_gap, last_gap)` with
+    * exact nearest-rank gap percentiles and the most recent gap (the
+    * churn signal: `last_gap >> median_gap` means gone quiet). Gaps are
+    * in `orderCol`'s own units (pass epoch micros); single-event keys
+    * have no gaps and are omitted. All outputs are exact integers —
+    * nothing to round.
+    *
+    * Shape at 100 TB: one exchange by key, two in-partition sorts
+    * (event order for the lag, gap order for the percentiles), ONE
+    * aggregate. The per-entity discipline shared with sessionize. */
+  def interArrival(df: DataFrame, keys: Seq[String], orderCol: String)
+      : DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    val pKeys = keys.map(col)
+    val wEvt = Window.partitionBy(pKeys: _*).orderBy(col(orderCol))
+    val gapped = df.filter(col(orderCol).isNotNull)
+      .withColumn("__t", col(orderCol).cast("long"))
+      .withColumn("__gap", col("__t") - lag(col("__t"), 1).over(wEvt))
+      .withColumn("__nev",
+        count(lit(1)).over(Window.partitionBy(pKeys: _*)))
+      .filter(col("__gap").isNotNull)
+    val wGap = Window.partitionBy(pKeys: _*).orderBy(col("__gap").asc)
+    val wAll = Window.partitionBy(pKeys: _*)
+    val ranked = gapped
+      .withColumn("__rn", row_number().over(wGap))
+      .withColumn("__ng", count(lit(1)).over(wAll))
+    def at(p: Double) = max(when(col("__rn") ===
+      greatest(lit(1L), ceil(lit(p) * col("__ng")).cast("long")),
+      col("__gap")))
+    ranked.groupBy(pKeys: _*).agg(
+      max(col("__nev")).as("n_events"),
+      at(0.5).as("median_gap"),
+      at(0.9).as("p90_gap"),
+      max(col("__gap")).as("max_gap"),
+      // (t, gap) tie-break: equal max timestamps pick the larger gap —
+      // total, so the choice replays in any engine
+      max_by(col("__gap"), struct(col("__t"), col("__gap")))
+        .as("last_gap"))
+  }
+
+  /** Effective sample size of a weighted relation (Kish):
+    * `ESS = (Σw)² / Σw²`, one row `(n, ess, ess_ratio)` — how many
+    * equal-weight rows the weighted set is worth; the health gauge for
+    * temperature-mixed / importance-weighted corpora (ratio → 0 means
+    * a few rows dominate the mixture). Null/non-positive weights are
+    * excluded. ONE map-side-combined aggregate (three numbers of
+    * state); with integral weights both sums are exact and the single
+    * division is 6-dp rounded. */
+  def effectiveSampleSize(df: DataFrame, weightCol: String): DataFrame = {
+    val w = col(weightCol).cast("double")
+    df.filter(w.isNotNull && w > 0)
+      .agg(count(lit(1)).as("n"), sum(w).as("__s"),
+        sum(w * w).as("__ss"))
+      .select(col("n"),
+        round(col("__s") * col("__s") / col("__ss"), 6).as("ess"),
+        round(col("__s") * col("__s") / col("__ss") / col("n"), 6)
+          .as("ess_ratio"))
+  }
+
   /** Exact percentile bands per group — the latency-dashboard query:
     * one row per group with the nearest-rank order statistics
     * `value at rank max(1, ceil(p·n))` for every requested percentile,

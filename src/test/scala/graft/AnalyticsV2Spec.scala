@@ -433,6 +433,43 @@ class AnalyticsV2Spec extends SparkSpec {
       got("solo").getDouble(3) == 9.0)
   }
 
+  test("interArrival: gap percentiles, max and last gap match the " +
+      "literal computation; single-event keys are omitted") {
+    val rnd = new scala.util.Random(5)
+    var t = 0L
+    val events = Seq("u1", "u2").flatMap { u =>
+      t = 0L
+      (1 to 25).map { _ => t += 1 + rnd.nextInt(100); (u, t) }
+    } ++ Seq(("solo", 42L))
+    val got = graft.relational.Analytics.interArrival(
+      events.toDF("u", "ts"), Seq("u"), "ts").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(!got.contains("solo"))
+    for (u <- Seq("u1", "u2")) {
+      val ts = events.filter(_._1 == u).map(_._2).sorted
+      val gaps = ts.zip(ts.tail).map { case (a, b) => b - a }
+      val sortedGaps = gaps.sorted
+      def at(p: Double) =
+        sortedGaps(math.max(1, math.ceil(p * gaps.size).toInt) - 1)
+      val r = got(u)
+      assert(r.getLong(1) == ts.size.toLong)
+      assert(r.getLong(2) == at(0.5) && r.getLong(3) == at(0.9))
+      assert(r.getLong(4) == gaps.max && r.getLong(5) == gaps.last)
+    }
+  }
+
+  test("effectiveSampleSize: equal weights give ess = n; one dominant " +
+      "weight collapses the ratio") {
+    val eq = graft.relational.Analytics.effectiveSampleSize(
+      (1 to 100).map(i => (i, 5.0)).toDF("id", "w"), "w").collect()(0)
+    assert(eq.getLong(0) == 100L && eq.getDouble(1) == 100.0 &&
+      eq.getDouble(2) == 1.0)
+    val dom = graft.relational.Analytics.effectiveSampleSize(
+      ((1 to 99).map(i => (i, 1.0)) :+ (100, 10000.0)).toDF("id", "w"),
+      "w").collect()(0)
+    assert(dom.getDouble(2) < 0.02) // (Σw)²/Σw² ≈ 1 row's worth
+  }
+
   test("trimmedMean: trim 0 equals the plain mean; ties trim cleanly") {
     val rows = Seq(("g", 5.0), ("g", 5.0), ("g", 5.0), ("g", 1.0),
       ("g", 9.0))
