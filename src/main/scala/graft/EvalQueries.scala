@@ -210,6 +210,14 @@ object EvalQueries {
         CcfMaxLag)
     }),
 
+    // privacy gate: k-anonymity of customers on (nation, segment,
+    // rounded balance) quasi-identifiers — one QI count + a fold
+    "q_k_anonymity" -> ((s, d) =>
+      graft.relational.Analytics.kAnonymity(
+        t(s, d, "customer").withColumn("bal_band",
+          floor(col("c_acctbal") / 1000).cast("long")),
+        Seq("c_nationkey", "c_mktsegment", "bal_band"), k = 5)),
+
     // engagement/churn readback: per-user inter-event gap profile with
     // exact nearest-rank percentiles and the most recent gap
     "q_inter_arrival" -> ((s, d) =>
@@ -1212,6 +1220,27 @@ object EvalQueries {
 
       "q_quantile_norm" -> quantileNormSql,
       "q_quantile_norm_binned" -> quantileNormSql,
+
+      "q_k_anonymity" ->
+        """WITH g AS (
+             SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+               count(*) AS c
+             FROM customer GROUP BY 1, 2, 3)
+           SELECT CAST(5 AS BIGINT) AS k,
+             CAST(sum(c) AS BIGINT) AS n_rows,
+             count(*) AS n_groups,
+             CAST(min(c) AS BIGINT) AS min_group_size,
+             CAST(sum(CASE WHEN c < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS violating_groups,
+             CAST(sum(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT)
+               AS violating_rows,
+             round(CAST(sum(CASE WHEN c < 5 THEN c ELSE 0 END)
+               AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+               AS violating_share,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS unique_rows
+           FROM g""",
 
       "q_inter_arrival" ->
         """WITH e AS (

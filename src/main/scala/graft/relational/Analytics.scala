@@ -572,6 +572,37 @@ object Analytics {
     df.join(frontier, groupCols :+ d1 :+ d2, "leftsemi")
   }
 
+  /** k-anonymity audit over quasi-identifier columns — the privacy
+    * gate a dataset must pass before release: ONE row
+    * `(k, n_rows, n_groups, min_group_size, violating_groups,
+    * violating_rows, violating_share, unique_rows)` where a violating
+    * group has fewer than `k` rows sharing the same QI combination and
+    * `unique_rows` counts perfectly re-identifiable rows (group size
+    * 1). Null QI values count as their own level (the conservative
+    * reading — null patterns identify too).
+    *
+    * Shape at 100 TB: ONE map-side-combined QI-keyed count + a
+    * groups-relation fold — no join, no sort, nothing driver-side;
+    * integral counts make every output exact (the share is one 6-dp
+    * division). */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], k: Long = 5)
+      : DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k >= 2, got $k")
+    val g = df.groupBy(qiCols.map(col): _*).agg(count(lit(1)).as("__c"))
+    g.agg(
+      lit(k).as("k"),
+      sum("__c").as("n_rows"),
+      count(lit(1)).as("n_groups"),
+      min("__c").as("min_group_size"),
+      sum(when(col("__c") < k, 1L).otherwise(0L)).as("violating_groups"),
+      sum(when(col("__c") < k, col("__c")).otherwise(0L))
+        .as("violating_rows"),
+      round(sum(when(col("__c") < k, col("__c")).otherwise(0L))
+        .cast("double") / sum("__c"), 6).as("violating_share"),
+      sum(when(col("__c") === 1, 1L).otherwise(0L)).as("unique_rows"))
+  }
+
   /** Inter-arrival profile per key — the engagement/churn readback:
     * event gaps `t_i − t_{i−1}` per key, summarized as one row
     * `(keys…, n_events, median_gap, p90_gap, max_gap, last_gap)` with

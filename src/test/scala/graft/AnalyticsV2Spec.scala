@@ -470,6 +470,23 @@ class AnalyticsV2Spec extends SparkSpec {
     assert(dom.getDouble(2) < 0.02) // (Σw)²/Σw² ≈ 1 row's worth
   }
 
+  test("kAnonymity: literal group-size audit, nulls are their own " +
+      "level, unique rows counted") {
+    val rows: Seq[(String, java.lang.Long)] = Seq(
+      ("a", 1L), ("a", 1L), ("a", 1L), // group of 3: ok at k=3
+      ("b", 2L), ("b", 2L), // group of 2: violates k=3
+      ("c", null), // null level, unique
+      ("d", 7L)) // unique
+    val r = graft.relational.Analytics.kAnonymity(
+      rows.toDF("seg", "zip"), Seq("seg", "zip"), k = 3).collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 7L && r.getLong(2) == 4L)
+    assert(r.getLong(3) == 1L) // min group
+    assert(r.getLong(4) == 3L && r.getLong(5) == 4L) // 3 groups, 4 rows
+    assert(r.getDouble(6) == BigDecimal(4.0 / 7)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getLong(7) == 2L) // unique rows
+  }
+
   test("trimmedMean: trim 0 equals the plain mean; ties trim cleanly") {
     val rows = Seq(("g", 5.0), ("g", 5.0), ("g", 5.0), ("g", 1.0),
       ("g", 9.0))
