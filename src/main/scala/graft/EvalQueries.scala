@@ -218,6 +218,28 @@ object EvalQueries {
           floor(col("c_acctbal") / 1000).cast("long")),
         Seq("c_nationkey", "c_mktsegment", "bal_band"), k = 5)),
 
+    // …and its companion: big groups can still leak if the sensitive
+    // value is homogeneous — l-diversity over balance bands
+    "q_l_diversity" -> ((s, d) =>
+      graft.relational.Analytics.lDiversity(
+        t(s, d, "customer").withColumn("bal_band",
+          floor(col("c_acctbal") / 1000).cast("long")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_band", l = 2)),
+
+    // is each daily series trustworthy: span vs observed periods and
+    // the longest missing run, per event type
+    "q_series_completeness" -> ((s, d) =>
+      graft.relational.Analytics.seriesCompleteness(
+        DataQueries.readEventsMicros(s, d)
+          .withColumn("day", expr("tsu div 86400000000")),
+        Seq("event_type"), "day")),
+
+    // how much of the corpus is copies: the duplicate-cluster size
+    // histogram with row shares
+    "q_dup_size_profile" -> ((s, d) =>
+      graft.text.Dedup.duplicateSizeProfile(t(s, d, "documents"),
+        Seq("text"))),
+
     // engagement/churn readback: per-user inter-event gap profile with
     // exact nearest-rank percentiles and the most recent gap
     "q_inter_arrival" -> ((s, d) =>
@@ -1241,6 +1263,55 @@ object EvalQueries {
              CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
                AS unique_rows
            FROM g""",
+
+      "q_l_diversity" ->
+        """WITH g AS (
+             SELECT c_nationkey, c_mktsegment, count(*) AS c,
+               count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+                 AS d
+             FROM customer GROUP BY 1, 2)
+           SELECT CAST(2 AS BIGINT) AS l, count(*) AS n_groups,
+             CAST(min(d) AS BIGINT) AS min_distinct,
+             CAST(sum(CASE WHEN d < 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS violating_groups,
+             CAST(sum(CASE WHEN d < 2 THEN c ELSE 0 END) AS BIGINT)
+               AS violating_rows,
+             round(CAST(sum(CASE WHEN d < 2 THEN c ELSE 0 END)
+               AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+               AS violating_share
+           FROM g""",
+
+      "q_series_completeness" ->
+        """WITH daily AS (
+             SELECT DISTINCT event_type,
+               CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS p
+             FROM events),
+           g AS (
+             SELECT event_type, p,
+               p - lag(p) OVER
+                 (PARTITION BY event_type ORDER BY p) AS gap
+             FROM daily)
+           SELECT event_type,
+             min(p) AS first_p, max(p) AS last_p,
+             max(p) - min(p) + 1 AS span,
+             count(*) AS observed,
+             round(CAST(count(*) AS DOUBLE) / (max(p) - min(p) + 1), 6)
+               AS completeness,
+             coalesce(greatest(max(gap) - 1, 0), 0) AS max_missing_run
+           FROM g GROUP BY event_type""",
+
+      "q_dup_size_profile" ->
+        """WITH g AS (
+             SELECT text, count(*) AS c FROM documents GROUP BY text),
+           s AS (
+             SELECT c AS group_size, count(*) AS n_groups,
+               CAST(sum(c) AS BIGINT) AS n_rows
+             FROM g GROUP BY c),
+           t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS tot FROM s)
+           SELECT group_size, n_groups, n_rows,
+             round(CAST(n_rows AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+               AS row_share
+           FROM s, t""",
 
       "q_inter_arrival" ->
         """WITH e AS (

@@ -603,6 +603,63 @@ object Analytics {
       sum(when(col("__c") === 1, 1L).otherwise(0L)).as("unique_rows"))
   }
 
+  /** l-diversity audit — k-anonymity's companion: a QI group can be
+    * large yet still leak if everyone in it shares the sensitive value.
+    * ONE row `(l, n_groups, min_distinct, violating_groups,
+    * violating_rows, violating_share)` where a violating group has
+    * fewer than `l` DISTINCT sensitive values. Same one-aggregate
+    * shape as [[kAnonymity]] with an exact distinct per group. */
+  def lDiversity(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, l: Long = 2): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 2, s"l >= 2, got $l")
+    val g = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("__c"),
+        countDistinct(col(sensitiveCol)).as("__d"))
+    g.agg(
+      lit(l).as("l"),
+      count(lit(1)).as("n_groups"),
+      min("__d").as("min_distinct"),
+      sum(when(col("__d") < l, 1L).otherwise(0L)).as("violating_groups"),
+      sum(when(col("__d") < l, col("__c")).otherwise(0L))
+        .as("violating_rows"),
+      round(sum(when(col("__d") < l, col("__c")).otherwise(0L))
+        .cast("double") / sum("__c"), 6).as("violating_share"))
+  }
+
+  /** Per-series completeness audit over an integer period axis (days,
+    * hours — resample first): one row per key with
+    * `(first_p, last_p, span, observed, completeness, max_missing_run)`
+    * — span = last−first+1 periods, completeness = observed/span
+    * (6-dp), and the longest interior run of MISSING periods (0 when
+    * gapless). The "is this series trustworthy" gate before any
+    * seasonal/changepoint read. Duplicate periods per key are
+    * tolerated (counted once).
+    *
+    * Shape at 100 TB: one per-key window sort (the lag gap) into one
+    * aggregate — the sessionize per-entity bound; all-integer outputs
+    * except the one rounded division. */
+  def seriesCompleteness(df: DataFrame, keys: Seq[String],
+      periodCol: String): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    val pKeys = keys.map(col)
+    val distinctP = df.filter(col(periodCol).isNotNull)
+      .select((pKeys :+ col(periodCol).cast("long").as("__p")): _*)
+      .distinct()
+    val w = Window.partitionBy(pKeys: _*).orderBy(col("__p"))
+    distinctP
+      .withColumn("__gap", col("__p") - lag(col("__p"), 1).over(w))
+      .groupBy(pKeys: _*)
+      .agg(
+        min("__p").as("first_p"), max("__p").as("last_p"),
+        (max("__p") - min("__p") + 1).as("span"),
+        count(lit(1)).as("observed"),
+        round(count(lit(1)).cast("double") /
+          (max("__p") - min("__p") + 1), 6).as("completeness"),
+        coalesce(greatest(max(col("__gap")) - 1, lit(0L)), lit(0L))
+          .as("max_missing_run"))
+  }
+
   /** Inter-arrival profile per key — the engagement/churn readback:
     * event gaps `t_i − t_{i−1}` per key, summarized as one row
     * `(keys…, n_events, median_gap, p90_gap, max_gap, last_gap)` with

@@ -836,4 +836,30 @@ object Dedup {
     g.unpersist(blocking = false)
     result
   }
+
+  /** Duplicate-cluster size distribution — the "how much of my corpus
+    * is copies" curve: one row per observed group size with
+    * `(group_size, n_groups, n_rows, row_share)` over the exact-match
+    * key (`group_size` 1 = unique rows; the tail is the dup mass).
+    * `n_rows = group_size · n_groups` stays exact; `row_share` is one
+    * 6-dp division against the corpus total.
+    *
+    * Shape at 100 TB: one content-keyed count (the exact-dedup
+    * aggregate), one size-keyed re-count over the GROUPS relation, and
+    * a one-row broadcast total — the profile relation is
+    * max-group-size-sized, never corpus-sized. */
+  def duplicateSizeProfile(df: DataFrame, keyCols: Seq[String])
+      : DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val sizes = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("__c").as("group_size"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum("__c").as("n_rows"))
+    val tot = sizes.agg(sum("n_rows").as("__tot"))
+    sizes.crossJoin(broadcast(tot))
+      .select(col("group_size"), col("n_groups"), col("n_rows"),
+        round(col("n_rows").cast("double") / col("__tot"), 6)
+          .as("row_share"))
+  }
 }

@@ -487,6 +487,54 @@ class AnalyticsV2Spec extends SparkSpec {
     assert(r.getLong(7) == 2L) // unique rows
   }
 
+  test("lDiversity: a big-but-homogeneous group violates; diverse " +
+      "groups pass") {
+    val rows = Seq(
+      ("a", "x"), ("a", "x"), ("a", "x"), ("a", "x"), // 4 rows, 1 value
+      ("b", "x"), ("b", "y"), ("b", "z"))
+    val r = graft.relational.Analytics.lDiversity(
+      rows.toDF("qi", "s"), Seq("qi"), "s", l = 2).collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 1L) // min distinct
+    assert(r.getLong(3) == 1L && r.getLong(4) == 4L)
+    assert(r.getDouble(5) == BigDecimal(4.0 / 7)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("seriesCompleteness: span/observed/longest-run match the " +
+      "literal scan; duplicates count once; gapless run is 0") {
+    val rows = Seq(
+      ("g", 10L), ("g", 11L), ("g", 11L), ("g", 15L), ("g", 16L),
+      ("g", 20L), // missing 12-14 (run 3) and 17-19 (run 3)
+      ("full", 1L), ("full", 2L), ("full", 3L))
+    val got = graft.relational.Analytics.seriesCompleteness(
+      rows.toDF("k", "p"), Seq("k"), "p").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val g = got("g")
+    assert(g.getLong(1) == 10L && g.getLong(2) == 20L &&
+      g.getLong(3) == 11L && g.getLong(4) == 5L)
+    assert(g.getDouble(5) == BigDecimal(5.0 / 11)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(g.getLong(6) == 3L)
+    val f = got("full")
+    assert(f.getDouble(5) == 1.0 && f.getLong(6) == 0L)
+  }
+
+  test("duplicateSizeProfile: the size histogram partitions the corpus " +
+      "and shares sum to 1") {
+    import spark.implicits._
+    val docs = Seq("a", "a", "a", "b", "b", "c", "d").map(t => (t, 1))
+    val out = graft.text.Dedup.duplicateSizeProfile(
+      docs.toDF("text", "x"), Seq("text")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(out(1L) == ((2L, 2L, BigDecimal(2.0 / 7)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(out(2L)._1 == 1L && out(2L)._2 == 2L)
+    assert(out(3L)._1 == 1L && out(3L)._2 == 3L)
+    assert(out.values.map(_._2).sum == 7L)
+  }
+
   test("trimmedMean: trim 0 equals the plain mean; ties trim cleanly") {
     val rows = Seq(("g", 5.0), ("g", 5.0), ("g", 5.0), ("g", 1.0),
       ("g", 9.0))
