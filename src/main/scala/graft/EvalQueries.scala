@@ -210,6 +210,25 @@ object EvalQueries {
         CcfMaxLag)
     }),
 
+    // Simpson's-paradox guard: BUILDING vs MACHINERY urgent rates,
+    // crude AND standardized to the pooled nation mix
+    "q_simpson" -> ((s, d) =>
+      graft.relational.Analytics.standardizedRates(
+        t(s, d, "orders")
+          .join(t(s, d, "customer")
+            .select("c_custkey", "c_nationkey", "c_mktsegment"),
+            col("o_custkey") === col("c_custkey"))
+          .withColumn("y",
+            when(col("o_orderpriority") === "1-URGENT", 1L)
+              .otherwise(0L)),
+        "c_nationkey", "c_mktsegment", "y", "BUILDING", "MACHINERY")),
+
+    // robust anomaly flags: |x − median| > 3·MAD per return flag, both
+    // statistics exact nearest-rank order stats
+    "q_mad_outliers" -> ((s, d) =>
+      graft.relational.Analytics.madOutliers(t(s, d, "lineitem"),
+        Seq("l_returnflag"), "l_extendedprice", k = 3.0)),
+
     // privacy gate: k-anonymity of customers on (nation, segment,
     // rounded balance) quasi-identifiers — one QI count + a fold
     "q_k_anonymity" -> ((s, d) =>
@@ -1242,6 +1261,86 @@ object EvalQueries {
 
       "q_quantile_norm" -> quantileNormSql,
       "q_quantile_norm_binned" -> quantileNormSql,
+
+      "q_simpson" ->
+        """WITH b AS (
+             SELECT c_nationkey AS st, c_mktsegment AS g,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                 AS y
+             FROM orders JOIN customer ON o_custkey = c_custkey
+             WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+           cells AS (
+             SELECT st,
+               CAST(sum(CASE WHEN g = 'BUILDING' THEN y ELSE 0 END)
+                 AS BIGINT) AS xa,
+               CAST(sum(CASE WHEN g = 'BUILDING' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS na,
+               CAST(sum(CASE WHEN g = 'MACHINERY' THEN y ELSE 0 END)
+                 AS BIGINT) AS xb,
+               CAST(sum(CASE WHEN g = 'MACHINERY' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS nb
+             FROM b GROUP BY st),
+           t AS (
+             SELECT CAST(sum(xa) AS BIGINT) AS sxa,
+               CAST(sum(na) AS BIGINT) AS sna,
+               CAST(sum(xb) AS BIGINT) AS sxb,
+               CAST(sum(nb) AS BIGINT) AS snb,
+               count(*) AS n_strata,
+               sum(CASE WHEN na > 0 AND nb > 0 THEN
+                 CAST(na + nb AS DOUBLE)
+                   * (CAST(xa AS DOUBLE) / na) END) AS wa,
+               sum(CASE WHEN na > 0 AND nb > 0 THEN
+                 CAST(na + nb AS DOUBLE)
+                   * (CAST(xb AS DOUBLE) / nb) END) AS wb,
+               sum(CASE WHEN na > 0 AND nb > 0 THEN
+                 CAST(na + nb AS DOUBLE) END) AS w
+             FROM cells)
+           SELECT
+             round(CAST(sxa AS DOUBLE) / sna, 6) AS rate_a,
+             round(CAST(sxb AS DOUBLE) / snb, 6) AS rate_b,
+             round(CAST(sxa AS DOUBLE) / sna
+               - CAST(sxb AS DOUBLE) / snb, 6) AS crude_diff,
+             round(wa / w, 6) AS adj_rate_a,
+             round(wb / w, 6) AS adj_rate_b,
+             round(wa / w - wb / w, 6) AS adj_diff,
+             sna AS n_a, snb AS n_b, n_strata
+           FROM t""",
+
+      "q_mad_outliers" ->
+        """WITH b AS (
+             SELECT l_returnflag AS g,
+               CAST(l_extendedprice AS DOUBLE) AS x
+             FROM lineitem WHERE l_extendedprice IS NOT NULL),
+           r1 AS (
+             SELECT g, x,
+               row_number() OVER (PARTITION BY g ORDER BY x ASC) AS rn,
+               count(*) OVER (PARTITION BY g) AS n
+             FROM b),
+           m1 AS (
+             SELECT g AS g1, x AS med FROM r1
+             WHERE rn = greatest(1, CAST(ceil(n / 2.0) AS BIGINT))),
+           d AS (
+             SELECT b.g, b.x, abs(b.x - m1.med) AS dev, m1.med
+             FROM b JOIN m1 ON b.g = m1.g1),
+           r2 AS (
+             SELECT g, dev, med,
+               row_number() OVER (PARTITION BY g ORDER BY dev ASC)
+                 AS rn,
+               count(*) OVER (PARTITION BY g) AS n
+             FROM d),
+           m2 AS (
+             SELECT g AS g2, dev AS mad FROM r2
+             WHERE rn = greatest(1, CAST(ceil(n / 2.0) AS BIGINT))),
+           f AS (
+             SELECT d.g, d.dev, d.med, m2.mad
+             FROM d JOIN m2 ON d.g = m2.g2)
+           SELECT g AS l_returnflag, count(*) AS n,
+             min(med) AS median, min(mad) AS mad,
+             CAST(sum(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_outliers,
+             round(CAST(sum(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0 END)
+               AS DOUBLE) / count(*), 6) AS outlier_share
+           FROM f GROUP BY g""",
 
       "q_k_anonymity" ->
         """WITH g AS (

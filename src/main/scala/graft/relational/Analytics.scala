@@ -572,6 +572,109 @@ object Analytics {
     df.join(frontier, groupCols :+ d1 :+ d2, "leftsemi")
   }
 
+  /** Robust per-group outlier flags via the MAD rule: one row per group
+    * `(groups…, n, median, mad, n_outliers, outlier_share)` where an
+    * outlier has `|x − median| > k · mad` (both statistics exact
+    * nearest-rank order stats, so a 51%-outlier batch cannot mask
+    * itself the way mean/stddev rules allow). Zero-MAD groups (over
+    * half the rows identical) flag everything not equal to the median
+    * — the conservative documented degenerate case. With integral
+    * values all statistics are exact; the share is one 6-dp division.
+    *
+    * Shape at 100 TB: two per-group rank sorts (values, then absolute
+    * deviations — the second reuses the key exchange) with a
+    * groups-bounded broadcast join-back of each statistic, then ONE
+    * counting aggregate. */
+  def madOutliers(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, k: Double = 3.0): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(k > 0, s"k > 0, got $k")
+    val gb = groupCols.map(col)
+    val x = col(valueCol).cast("double")
+    val base = df.filter(x.isNotNull)
+      .select((gb :+ x.as("__x")): _*)
+    def medianOf(rel: DataFrame, vCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy(gb: _*).orderBy(col(vCol).asc)
+      val wAll = Window.partitionBy(gb: _*)
+      rel.withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(wAll))
+        .filter(col("__rn") ===
+          greatest(lit(1L), ceil(col("__n") / 2.0).cast("long")))
+        .select((groupCols.map(n => col(n).as(n + "_m")) :+
+          col(vCol).as(out)): _*)
+    }
+    // groups-bounded: AQE broadcasts the one-row-per-group medians
+    def joinBack(rel: DataFrame, med: DataFrame): DataFrame =
+      rel.join(med, groupCols.map(c =>
+        col(c) === col(c + "_m")).reduce(_ && _))
+        .drop(groupCols.map(_ + "_m"): _*)
+    val withMed = joinBack(base, medianOf(base, "__x", "__med"))
+      .withColumn("__dev", abs(col("__x") - col("__med")))
+    val withMad = joinBack(withMed,
+      medianOf(withMed, "__dev", "__mad"))
+    withMad.groupBy(gb: _*).agg(
+      count(lit(1)).as("n"),
+      min(col("__med")).as("median"),
+      min(col("__mad")).as("mad"),
+      sum(when(col("__dev") > lit(k) * col("__mad"), 1L).otherwise(0L))
+        .as("n_outliers"),
+      round(sum(when(col("__dev") > lit(k) * col("__mad"), 1L)
+        .otherwise(0L)).cast("double") / count(lit(1)), 6)
+        .as("outlier_share"))
+  }
+
+  /** Directly standardized rate comparison — the Simpson's-paradox
+    * guard: compare groups `a` and `b` on a 0/1 outcome BOTH crude and
+    * adjusted to a shared stratum mix (weights = each stratum's share
+    * of the POOLED population). One row `(rate_a, rate_b, crude_diff,
+    * adj_rate_a, adj_rate_b, adj_diff, n_a, n_b, n_strata)` — when
+    * crude and adjusted diffs disagree in sign, the stratum mix (not
+    * the treatment) was driving the crude read. Strata where either
+    * group is EMPTY are excluded from the adjusted rates (their
+    * stratum rate is undefined); both adjusted rates renormalize over
+    * the same included mass, so they stay comparable. All inputs are
+    * integer counts; every output is a ratio of exact sums, 6-dp.
+    *
+    * Shape at 100 TB: ONE stratum-keyed conditional-count aggregate
+    * (four longs per stratum) + a strata-relation fold — no join, no
+    * sort. */
+  def standardizedRates(df: DataFrame, strataCol: String,
+      groupCol: String, successCol: String, a: String, b: String)
+      : DataFrame = {
+    val s = col(successCol).cast("long")
+    val g = col(groupCol).cast("string")
+    val cells = df.filter(s.isNotNull && (g === a || g === b) &&
+        col(strataCol).isNotNull)
+      .groupBy(col(strataCol))
+      .agg(sum(when(g === a, s).otherwise(0L)).as("__xa"),
+        sum(when(g === a, 1L).otherwise(0L)).as("__na"),
+        sum(when(g === b, s).otherwise(0L)).as("__xb"),
+        sum(when(g === b, 1L).otherwise(0L)).as("__nb"))
+    val both = col("__na") > 0 && col("__nb") > 0
+    val w = (col("__na") + col("__nb")).cast("double")
+    cells.agg(
+      sum("__xa").as("__XA"), sum("__na").as("__NA"),
+      sum("__xb").as("__XB"), sum("__nb").as("__NB"),
+      count(lit(1)).as("n_strata"),
+      sum(when(both, w * (col("__xa").cast("double") / col("__na"))))
+        .as("__wa"),
+      sum(when(both, w * (col("__xb").cast("double") / col("__nb"))))
+        .as("__wb"),
+      sum(when(both, w)).as("__W"))
+      .select({
+        val ra = col("__XA").cast("double") / col("__NA")
+        val rb = col("__XB").cast("double") / col("__NB")
+        val aa = col("__wa") / col("__W")
+        val ab = col("__wb") / col("__W")
+        Seq(round(ra, 6).as("rate_a"), round(rb, 6).as("rate_b"),
+          round(ra - rb, 6).as("crude_diff"),
+          round(aa, 6).as("adj_rate_a"), round(ab, 6).as("adj_rate_b"),
+          round(aa - ab, 6).as("adj_diff"),
+          col("__NA").as("n_a"), col("__NB").as("n_b"),
+          col("n_strata"))
+      }: _*)
+  }
+
   /** k-anonymity audit over quasi-identifier columns — the privacy
     * gate a dataset must pass before release: ONE row
     * `(k, n_rows, n_groups, min_group_size, violating_groups,

@@ -535,6 +535,44 @@ class AnalyticsV2Spec extends SparkSpec {
     assert(out.values.map(_._2).sum == 7L)
   }
 
+  test("standardizedRates: reproduces the textbook Simpson reversal — " +
+      "crude favors one group, every stratum favors the other") {
+    // Berkeley-style: group a applies to the hard stratum more often
+    def rows(g: String, stratum: String, n: Int, succ: Int) =
+      (1 to n).map(i => (g, stratum, if (i <= succ) 1L else 0L))
+    val data =
+      rows("a", "easy", 100, 80) ++ rows("a", "hard", 900, 180) ++
+      rows("b", "easy", 900, 650) ++ rows("b", "hard", 100, 10)
+    val r = graft.relational.Analytics.standardizedRates(
+      data.toDF("g", "s", "y"), "s", "g", "y", "a", "b").collect()(0)
+    val crude = r.getDouble(2)
+    val adj = r.getDouble(5)
+    assert(crude < 0, s"crude $crude") // a looks worse overall
+    assert(adj > 0, s"adjusted $adj") // but wins in BOTH strata
+    // literal check of the adjusted rates (pooled-mix weights)
+    val wEasy = 1000.0; val wHard = 1000.0; val wTot = 2000.0
+    val aAdj = (wEasy * 0.8 + wHard * 0.2) / wTot
+    val bAdj = (wEasy * (650.0 / 900) + wHard * 0.1) / wTot
+    assert(math.abs(r.getDouble(3) - aAdj) < 1e-6)
+    assert(math.abs(r.getDouble(4) - bAdj) < 1e-6)
+  }
+
+  test("madOutliers: planted outliers flagged, inliers not; zero-MAD " +
+      "group flags exactly the non-median rows") {
+    val rnd = new scala.util.Random(9)
+    val clean = (1 to 100).map(i => ("g", 50.0 + rnd.nextInt(11) - 5))
+    val planted = Seq(("g", 500.0), ("g", -400.0))
+    val const = (1 to 20).map(_ => ("c", 7.0)) ++ Seq(("c", 9.0))
+    val got = graft.relational.Analytics.madOutliers(
+      (clean ++ planted ++ const).toDF("g", "x"), Seq("g"), "x", k = 5)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = got("g")
+    assert(g.getLong(4) == 2L, s"outliers ${g.getLong(4)}")
+    assert(g.getDouble(2) >= 45 && g.getDouble(2) <= 55) // median sane
+    val c = got("c")
+    assert(c.getDouble(3) == 0.0 && c.getLong(4) == 1L) // zero MAD
+  }
+
   test("trimmedMean: trim 0 equals the plain mean; ties trim cleanly") {
     val rows = Seq(("g", 5.0), ("g", 5.0), ("g", 5.0), ("g", 1.0),
       ("g", 9.0))
