@@ -210,6 +210,25 @@ object EvalQueries {
         CcfMaxLag)
     }),
 
+    // does urgency RISE with customer balance: Cochran-Armitage trend
+    // across ordinal balance bands — the test that rewards ordering
+    "q_trend" -> ((s, d) =>
+      Eval.trendTest(
+        t(s, d, "orders")
+          .join(t(s, d, "customer").select("c_custkey", "c_acctbal"),
+            col("o_custkey") === col("c_custkey"))
+          .withColumn("band", floor(col("c_acctbal") / 2000).cast("long"))
+          .withColumn("y",
+            when(col("o_orderpriority") === "1-URGENT", 1L)
+              .otherwise(0L)),
+        "band", "y")),
+
+    // document length distribution per source: exact p25..p99 character
+    // counts off one per-source sort (percentileBands reused)
+    "q_length_bands" -> ((s, d) =>
+      graft.relational.Analytics.percentileBands(
+        t(s, d, "documents"), Seq("source"), "n_chars")),
+
     // Simpson's-paradox guard: BUILDING vs MACHINERY urgent rates,
     // crude AND standardized to the pooled nation mix
     "q_simpson" -> ((s, d) =>
@@ -753,6 +772,53 @@ object EvalQueries {
 
   private val CcfMaxLag = 3
 
+  /** Cochran-Armitage oracle: identical level sums, the same trend z,
+    * and the shared A&S erf p-value constants. */
+  private def trendSql: String = {
+    val a = Eval.ErfA
+    s"""WITH b AS (
+         SELECT CAST(floor(c_acctbal / 2000) AS BIGINT) AS s,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+             AS y
+         FROM orders JOIN customer ON o_custkey = c_custkey),
+       l AS (
+         SELECT s, CAST(sum(y) AS BIGINT) AS x, count(*) AS n
+         FROM b GROUP BY s),
+       t AS (
+         SELECT CAST(sum(x) AS BIGINT) AS tx,
+           CAST(sum(n) AS BIGINT) AS tn,
+           count(*) AS n_levels,
+           CAST(sum(s * x) AS BIGINT) AS ssx,
+           CAST(sum(s * n) AS BIGINT) AS ssn1,
+           CAST(sum(s * s * n) AS BIGINT) AS sssn,
+           min_by(CAST(x AS DOUBLE) / n, s) AS rate_lo,
+           max_by(CAST(x AS DOUBLE) / n, s) AS rate_hi
+         FROM l),
+       z0 AS (SELECT *, CAST(tx AS DOUBLE) / tn AS pr FROM t),
+       z1 AS (
+         SELECT *,
+           pr * (1.0 - pr) * (CAST(sssn AS DOUBLE)
+             - CAST(ssn1 AS DOUBLE) * ssn1 / tn) AS varr
+         FROM z0),
+       z2 AS (
+         SELECT *,
+           (CAST(ssx AS DOUBLE) - pr * ssn1) / sqrt(varr) AS zv
+         FROM z1),
+       ph AS (SELECT *, abs(zv) / ${Eval.Sqrt2} AS xv FROM z2),
+       ph2 AS (SELECT *, 1.0 / (1.0 + ${Eval.ErfP} * xv) AS tv FROM ph)
+       SELECT
+         CASE WHEN varr > 0 THEN round(zv, 6) END AS z,
+         CASE WHEN varr > 0 THEN round(
+           2.0 * (1.0 - 0.5 * (1.0
+             + (1.0 - tv * (${a(0)} + tv * (${a(1)} + tv * (${a(2)}
+               + tv * (${a(3)} + tv * ${a(4)}))))
+               * exp(-(xv * xv))))), 6)
+         END AS p,
+         tn AS n, n_levels,
+         round(rate_lo, 6) AS rate_lo, round(rate_hi, 6) AS rate_hi
+       FROM ph2"""
+  }
+
   /** CCF oracle: identical shifted columns off one named window, the
     * same six conditioned moment sums per lag, and the same closed-form
     * correlation expression — associativity mirrored term for term. */
@@ -1261,6 +1327,28 @@ object EvalQueries {
 
       "q_quantile_norm" -> quantileNormSql,
       "q_quantile_norm_binned" -> quantileNormSql,
+
+      "q_trend" -> trendSql,
+
+      "q_length_bands" ->
+        """WITH r AS (
+             SELECT source AS g, CAST(n_chars AS DOUBLE) AS x,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY CAST(n_chars AS DOUBLE) ASC) AS rn,
+               count(*) OVER (PARTITION BY source) AS n
+             FROM documents WHERE n_chars IS NOT NULL)
+           SELECT g AS source, max(n) AS n,
+             max(CASE WHEN rn = greatest(1,
+               CAST(ceil(0.25 * n) AS BIGINT)) THEN x END) AS p25,
+             max(CASE WHEN rn = greatest(1,
+               CAST(ceil(0.5 * n) AS BIGINT)) THEN x END) AS p50,
+             max(CASE WHEN rn = greatest(1,
+               CAST(ceil(0.75 * n) AS BIGINT)) THEN x END) AS p75,
+             max(CASE WHEN rn = greatest(1,
+               CAST(ceil(0.9 * n) AS BIGINT)) THEN x END) AS p90,
+             max(CASE WHEN rn = greatest(1,
+               CAST(ceil(0.99 * n) AS BIGINT)) THEN x END) AS p99
+           FROM r GROUP BY g""",
 
       "q_simpson" ->
         """WITH b AS (

@@ -744,6 +744,52 @@ object Eval {
         when(se > 0, round(twoSidedP(z), 6)).as("p")): _*)
   }
 
+  /** Cochran-Armitage trend test: is a 0/1 outcome MONOTONICALLY
+    * related to an ordered exposure (dose bands, balance bands, cohort
+    * age)? `z = Σ sᵢ(xᵢ − nᵢp̄) / √(p̄(1−p̄)(Σ sᵢ²nᵢ − (Σ sᵢnᵢ)²/N))`
+    * over per-level success counts with the level's own integer score
+    * `sᵢ`. One row `(z, p, n, n_levels, rate_lo, rate_hi)` — the p is
+    * two-sided normal via the shared A&S erf, and the lo/hi rates give
+    * the direction. Unlike the k-group ANOVA or pairwise z, this is
+    * the test that REWARDS ordering: a clean monotone trend scores far
+    * beyond any unordered comparison. Integer scores and counts keep
+    * every sum exact.
+    *
+    * Shape at 100 TB: ONE level-keyed conditional-count aggregate +
+    * a levels-relation fold — no join, no sort. */
+  def trendTest(df: DataFrame, scoreCol: String, successCol: String)
+      : DataFrame = {
+    val s = col(successCol).cast("long")
+    val lvl = col(scoreCol).cast("long")
+    val levels = df.filter(s.isNotNull && lvl.isNotNull)
+      .groupBy(lvl.as("__s"))
+      .agg(sum(s).as("__x"), count(lit(1)).as("__n"))
+    levels.agg(
+      sum("__x").as("__X"), sum("__n").as("__N"),
+      count(lit(1)).as("n_levels"),
+      sum(col("__s") * col("__x")).as("__sx"),
+      sum(col("__s") * col("__n")).as("__sn"),
+      sum(col("__s") * col("__s") * col("__n")).as("__ssn"),
+      min_by(col("__x").cast("double") / col("__n"), col("__s"))
+        .as("rate_lo"),
+      max_by(col("__x").cast("double") / col("__n"), col("__s"))
+        .as("rate_hi"))
+      .select({
+        val p = col("__X").cast("double") / col("__N")
+        val num = col("__sx").cast("double") - p * col("__sn")
+        val varr = p * (lit(1.0) - p) *
+          (col("__ssn").cast("double") -
+            col("__sn").cast("double") * col("__sn") / col("__N"))
+        val z = num / sqrt(varr)
+        Seq(
+          when(varr > 0, round(z, 6)).as("z"),
+          when(varr > 0, round(twoSidedP(z), 6)).as("p"),
+          col("__N").as("n"), col("n_levels"),
+          round(col("rate_lo"), 6).as("rate_lo"),
+          round(col("rate_hi"), 6).as("rate_hi"))
+      }: _*)
+  }
+
   /** Benjamini-Hochberg step-up FDR adjustment over a p-value relation:
     * appends `rank` (ascending p, ties broken by `idCols`),
     * `q = min_{j ≥ rank}(p_j · m / j)` clamped to 1 (6-dp), and

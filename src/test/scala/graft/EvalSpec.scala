@@ -669,6 +669,34 @@ class EvalSpec extends SparkSpec {
     assert(hi.getDouble(0) > 20, s"planted spread: ${hi.getDouble(0)}")
   }
 
+  // ---- Cochran-Armitage trend ---------------------------------------------------
+
+  test("trendTest: matches the literal Cochran-Armitage z on a planted " +
+      "dose-response; flat rates score ~0") {
+    val rows = (0 to 4).flatMap { lvl =>
+      val n = 200; val x = 20 + lvl * 25 // monotone 10% -> 60%
+      (1 to n).map(i => (lvl.toLong, if (i <= x) 1L else 0L))
+    }
+    val got = Eval.trendTest(rows.toDF("band", "y"), "band", "y")
+      .collect()(0)
+    val byLvl = rows.groupBy(_._1).toSeq.map { case (s, v) =>
+      (s, v.map(_._2).sum, v.size.toLong) }
+    val bigN = byLvl.map(_._3).sum
+    val p = byLvl.map(_._2).sum.toDouble / bigN
+    val num = byLvl.map { case (s, x, _) => s * x }.sum -
+      p * byLvl.map { case (s, _, n) => s * n }.sum
+    val va = p * (1 - p) * (byLvl.map { case (s, _, n) => s * s * n }.sum -
+      math.pow(byLvl.map { case (s, _, n) => s * n }.sum, 2) / bigN)
+    assert(math.abs(got.getDouble(0) - num / math.sqrt(va)) < 1e-5)
+    assert(got.getDouble(0) > 10 && got.getDouble(1) < 1e-6)
+    assert(got.getDouble(4) == 0.1 && got.getDouble(5) == 0.6)
+    val flat = Eval.trendTest(
+      (0 to 4).flatMap(lvl => (1 to 100).map(i =>
+        (lvl.toLong, (i % 2).toLong))).toDF("band", "y"),
+      "band", "y").collect()(0)
+    assert(math.abs(flat.getDouble(0)) < 1e-9)
+  }
+
   // ---- multiple testing (group z → Φ → BH) ------------------------------------
 
   test("proportionsByGroup: z and p match the literal pooled two-sample " +
