@@ -210,6 +210,16 @@ object EvalQueries {
         CcfMaxLag)
     }),
 
+    // are daily volumes drifting: distribution-free Mann-Kendall trend
+    // per event type (calendar-bounded pairwise, tie-corrected)
+    "q_mann_kendall" -> ((s, d) => {
+      val daily = DataQueries.readEventsMicros(s, d)
+        .withColumn("day", expr("tsu div 86400000000"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("cnt"))
+      Eval.mannKendall(daily, Seq("event_type"), "day", "cnt")
+    }),
+
     // does urgency RISE with customer balance: Cochran-Armitage trend
     // across ordinal balance bands — the test that rewards ordering
     "q_trend" -> ((s, d) =>
@@ -819,6 +829,55 @@ object EvalQueries {
        FROM ph2"""
   }
 
+  /** Mann-Kendall oracle: the same pairwise sign sum, tie-corrected
+    * variance, continuity-corrected z, and shared erf p. */
+  private def mannKendallSql: String = {
+    val a = Eval.ErfA
+    s"""WITH daily AS (
+         SELECT event_type,
+           CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+           count(*) AS cnt
+         FROM events GROUP BY 1, 2),
+       pr AS (
+         SELECT a.event_type,
+           CAST(sum(CAST(sign(CAST(b.cnt AS DOUBLE)
+             - CAST(a.cnt AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s
+         FROM daily a JOIN daily b
+           ON a.event_type = b.event_type AND a.day < b.day
+         GROUP BY a.event_type),
+       ties AS (
+         SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+           CAST(sum(c * (c - 1) * (c * 2 + 5)) AS BIGINT) AS tiesum
+         FROM (SELECT event_type, cnt, count(*) AS c
+               FROM daily GROUP BY 1, 2) tt
+         GROUP BY event_type),
+       j AS (
+         SELECT pr.event_type, s, n, tiesum
+         FROM pr JOIN ties USING (event_type)),
+       v AS (
+         SELECT *,
+           (CAST(n AS DOUBLE) * (n - 1) * (2.0 * n + 5)
+             - CAST(tiesum AS DOUBLE)) / 18.0 AS vars
+         FROM j),
+       z0 AS (
+         SELECT *,
+           (CASE WHEN s > 0 THEN CAST(s AS DOUBLE) - 1
+                 WHEN s < 0 THEN CAST(s AS DOUBLE) + 1
+                 ELSE 0.0 END) / sqrt(vars) AS zv
+         FROM v),
+       ph AS (SELECT *, abs(zv) / ${Eval.Sqrt2} AS xv FROM z0),
+       ph2 AS (SELECT *, 1.0 / (1.0 + ${Eval.ErfP} * xv) AS tv FROM ph)
+       SELECT event_type, n, s,
+         CASE WHEN vars > 0 THEN round(zv, 6) END AS z,
+         CASE WHEN vars > 0 THEN round(
+           2.0 * (1.0 - 0.5 * (1.0
+             + (1.0 - tv * (${a(0)} + tv * (${a(1)} + tv * (${a(2)}
+               + tv * (${a(3)} + tv * ${a(4)}))))
+               * exp(-(xv * xv))))), 6)
+         END AS p
+       FROM ph2"""
+  }
+
   /** CCF oracle: identical shifted columns off one named window, the
     * same six conditioned moment sums per lag, and the same closed-form
     * correlation expression — associativity mirrored term for term. */
@@ -1329,6 +1388,8 @@ object EvalQueries {
       "q_quantile_norm_binned" -> quantileNormSql,
 
       "q_trend" -> trendSql,
+
+      "q_mann_kendall" -> mannKendallSql,
 
       "q_length_bands" ->
         """WITH r AS (

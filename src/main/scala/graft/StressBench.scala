@@ -468,6 +468,14 @@ object StressBench {
         lineitemScaled(s, d, r), Seq("l_returnflag"),
         "l_extendedprice")),
 
+    // n-gram diversity with the corpus ×reps (byte-identical copies —
+    // worst case for the distinct): totals scale ×reps, distincts
+    // don't; the one-scan multi-n explode and the hash distinct are
+    // the load
+    "s_ngram_diversity" -> ((s, d, r) =>
+      graft.text.Corpus.ngramDiversity(
+        replicate(t(s, d, "documents"), "doc_id", r), "text", "source")),
+
     // trimmed mean with the corpus ×reps: the per-group rank sort is
     // the load; the trim stays one window pass + one aggregate
     "s_trimmed_mean" -> ((s, d, r) =>

@@ -790,6 +790,56 @@ object Eval {
       }: _*)
   }
 
+  /** Mann-Kendall trend test per series — [[trendTest]]'s sibling for
+    * LEVELS instead of proportions: `S = Σ_{i<j} sign(x_j − x_i)` with
+    * the tie-corrected variance
+    * `(n(n−1)(2n+5) − Σ_t t(t−1)(2t+5))/18` and the continuity-
+    * corrected `z` (null when all values tie). One row per key:
+    * `(keys…, n, s, z, p)` with the two-sided normal p via the shared
+    * A&S erf. Distribution-free — the standard "is this metric
+    * drifting" test that needs no linearity assumption.
+    *
+    * Shape at 100 TB: the pair sum is a per-key self-join — O(n²) in
+    * SERIES LENGTH, which is calendar-bounded by construction (pass a
+    * resampled daily/hourly series, the cusum contract), never
+    * corpus-bounded; ties and totals are one aggregate each, all
+    * integer-exact. */
+  def mannKendall(df: DataFrame, keys: Seq[String], orderCol: String,
+      valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    val base = df.filter(col(valueCol).isNotNull &&
+        col(orderCol).isNotNull)
+      .select((keys.map(col) :+ col(orderCol).cast("long").as("__t") :+
+        col(valueCol).cast("double").as("__x")): _*)
+    val left = keys.foldLeft(base)((d, k) =>
+      d.withColumnRenamed(k, s"${k}_l"))
+      .withColumnRenamed("__t", "__t1").withColumnRenamed("__x", "__x1")
+    val pairCond = keys.map(k => col(s"${k}_l") === col(k))
+      .reduce(_ && _) && col("__t1") < col("__t")
+    val sRel = left.join(base, pairCond)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(signum(col("__x") - col("__x1")).cast("long")).as("s"))
+    val ties = base.groupBy((keys.map(col) :+ col("__x")): _*)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("__distinct"),
+        sum(col("__c")).as("n"),
+        sum(col("__c") * (col("__c") - 1) * (col("__c") * 2 + 5))
+          .as("__tiesum"))
+    val joined = sRel.join(ties, keys)
+    val n = col("n").cast("double")
+    val varS = (n * (n - 1) * (lit(2.0) * n + 5) -
+      col("__tiesum").cast("double")) / 18.0
+    val zNum = when(col("s") > 0, col("s").cast("double") - 1)
+      .when(col("s") < 0, col("s").cast("double") + 1)
+      .otherwise(lit(0.0))
+    val z = zNum / sqrt(varS)
+    joined.select((keys.map(col) ++ Seq(
+      col("n"), col("s"),
+      when(varS > 0, round(z, 6)).as("z"),
+      when(varS > 0, round(twoSidedP(z), 6)).as("p"))): _*)
+  }
+
   /** Benjamini-Hochberg step-up FDR adjustment over a p-value relation:
     * appends `rank` (ascending p, ties broken by `idCols`),
     * `q = min_{j ≥ rank}(p_j · m / j)` clamped to 1 (6-dp), and

@@ -669,6 +669,34 @@ class EvalSpec extends SparkSpec {
     assert(hi.getDouble(0) > 20, s"planted spread: ${hi.getDouble(0)}")
   }
 
+  // ---- Mann-Kendall trend ---------------------------------------------------------
+
+  test("mannKendall: S, tie-corrected variance and z match the literal " +
+      "pairwise computation; monotone is strong, constant is null") {
+    val series = for (k <- Seq("a", "b"); t <- 1 to 30)
+      yield (k, t.toLong, rnd.nextInt(12).toDouble)
+    val mono = (1 to 30).map(t => ("m", t.toLong, t * 2.0))
+    val const = (1 to 10).map(t => ("c", t.toLong, 5.0))
+    val got = Eval.mannKendall((series ++ mono ++ const)
+      .toDF("k", "t", "x"), Seq("k"), "t", "x").collect()
+      .map(r => r.getString(0) -> r).toMap
+    for (key <- Seq("a", "b")) {
+      val xs = series.filter(_._1 == key).sortBy(_._2).map(_._3)
+      val s = (for (i <- xs.indices; j <- i + 1 until xs.size)
+        yield math.signum(xs(j) - xs(i)).toLong).sum
+      val n = xs.size
+      val tieSum = xs.groupBy(identity).values.map(_.size.toLong)
+        .map(t => t * (t - 1) * (2 * t + 5)).sum
+      val varS = (n.toDouble * (n - 1) * (2.0 * n + 5) - tieSum) / 18.0
+      val zNum = if (s > 0) s - 1.0 else if (s < 0) s + 1.0 else 0.0
+      val r = got(key)
+      assert(r.getLong(2) == s, s"$key S")
+      assert(math.abs(r.getDouble(3) - zNum / math.sqrt(varS)) < 1e-5)
+    }
+    assert(got("m").getDouble(3) > 6) // strict monotone
+    assert(got("c").isNullAt(3)) // zero variance
+  }
+
   // ---- Cochran-Armitage trend ---------------------------------------------------
 
   test("trendTest: matches the literal Cochran-Armitage z on a planted " +
