@@ -210,6 +210,15 @@ object EvalQueries {
         CcfMaxLag)
     }),
 
+    // what's suddenly hot: week-over-week volume rank movers per event
+    // type — dense within-week ranks, previous-appearance deltas
+    "q_rank_movers" -> ((s, d) =>
+      graft.relational.Analytics.rankMovers(
+        DataQueries.readEventsMicros(s, d)
+          .withColumn("week", expr("tsu div 604800000000"))
+          .withColumn("one", lit(1L)),
+        Seq("event_type"), "week", "one")),
+
     // are daily volumes drifting: distribution-free Mann-Kendall trend
     // per event type (calendar-bounded pairwise, tie-corrected)
     "q_mann_kendall" -> ((s, d) => {
@@ -1390,6 +1399,26 @@ object EvalQueries {
       "q_trend" -> trendSql,
 
       "q_mann_kendall" -> mannKendallSql,
+
+      "q_rank_movers" ->
+        """WITH a AS (
+             SELECT event_type,
+               CAST(epoch_us(ts) AS BIGINT) // 604800000000 AS period,
+               CAST(count(*) AS BIGINT) AS value
+             FROM events GROUP BY 1, 2),
+           r AS (
+             SELECT *,
+               CAST(row_number() OVER (PARTITION BY period
+                 ORDER BY value DESC, event_type ASC) AS BIGINT)
+                 AS "rank"
+             FROM a),
+           f AS (
+             SELECT *, lag("rank") OVER
+               (PARTITION BY event_type ORDER BY period) AS prev_rank
+             FROM r)
+           SELECT event_type, period, value, "rank", prev_rank,
+             "rank" - prev_rank AS rank_delta
+           FROM f WHERE prev_rank IS NOT NULL""",
 
       "q_length_bands" ->
         """WITH r AS (

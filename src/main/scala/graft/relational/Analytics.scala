@@ -623,6 +623,34 @@ object Analytics {
         .as("outlier_share"))
   }
 
+  /** Period-over-period rank movers — the "what's suddenly hot"
+    * dashboard: rank every entity within each period by a measure,
+    * then report the rank change vs the PREVIOUS period the entity
+    * appeared in. One row per (entity, period) after the first:
+    * `(keys…, period, value, rank, prev_rank, rank_delta)` — negative
+    * delta = climbed. Ranks are dense within period with a total
+    * (value DESC, entity ASC) order, so ties replay in any engine.
+    *
+    * Shape at 100 TB: one per-period window sort for the ranks (period
+    * count is calendar-bounded; within-period entity count bounds the
+    * task) + one per-entity window for the previous rank — two
+    * exchanges total, no self-join. */
+  def rankMovers(df: DataFrame, keys: Seq[String], periodCol: String,
+      valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    val pKeys = keys.map(col)
+    val agg = df.filter(col(periodCol).isNotNull)
+      .groupBy((pKeys :+ col(periodCol).cast("long").as("period")): _*)
+      .agg(sum(col(valueCol).cast("long")).as("value"))
+    val wRank = Window.partitionBy(col("period"))
+      .orderBy(col("value").desc +: keys.map(col(_).asc): _*)
+    val wPrev = Window.partitionBy(pKeys: _*).orderBy(col("period"))
+    agg.withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("prev_rank", lag(col("rank"), 1).over(wPrev))
+      .filter(col("prev_rank").isNotNull)
+      .withColumn("rank_delta", col("rank") - col("prev_rank"))
+  }
+
   /** Directly standardized rate comparison — the Simpson's-paradox
     * guard: compare groups `a` and `b` on a 0/1 outcome BOTH crude and
     * adjusted to a shared stratum mix (weights = each stratum's share

@@ -573,6 +573,26 @@ class AnalyticsV2Spec extends SparkSpec {
     assert(c.getDouble(3) == 0.0 && c.getLong(4) == 1L) // zero MAD
   }
 
+  test("rankMovers: a planted surge climbs to rank 1 with the right " +
+      "delta; first periods are omitted; value ties break by key") {
+    val rows =
+      // period 1: x=100, y=50, z=10 -> ranks x1 y2 z3
+      Seq(("x", 1L, 100L), ("y", 1L, 50L), ("z", 1L, 10L),
+        // period 2: z surges to 200 -> z1 x2 y3
+        ("x", 2L, 90L), ("y", 2L, 40L), ("z", 2L, 200L),
+        // period 3: tie between x and y (30) -> breaks by key: x before y
+        ("x", 3L, 30L), ("y", 3L, 30L), ("z", 3L, 5L))
+    val got = graft.relational.Analytics.rankMovers(
+      rows.toDF("item", "p", "v"), Seq("item"), "p", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(!got.contains(("x", 1L)))
+    assert(got(("z", 2L)) == ((1L, 3L, -2L))) // surged
+    assert(got(("x", 2L)) == ((2L, 1L, 1L)))
+    assert(got(("x", 3L)) == ((1L, 2L, -1L))) // tie broken by key
+    assert(got(("y", 3L)) == ((2L, 3L, -1L)))
+  }
+
   test("trimmedMean: trim 0 equals the plain mean; ties trim cleanly") {
     val rows = Seq(("g", 5.0), ("g", 5.0), ("g", 5.0), ("g", 1.0),
       ("g", 9.0))
