@@ -326,6 +326,11 @@ object Plans {
         "on the same pair mask); lag axis explodes post-aggregation — " +
         "the acf discipline with a second column",
         SparkEntry.queries("q_ccf")(spark, d)),
+      ("q_mann_kendall", "Mann-Kendall: pairwise sign sum via a " +
+        "CALENDAR-bounded per-key self-join (the quadratic term is " +
+        "series length, never corpus size) + tie aggregate + " +
+        "keys-bounded join; p via closed-form erf Columns",
+        SparkEntry.queries("q_mann_kendall")(spark, d)),
       ("q_brown_forsythe", "Brown-Forsythe: exact per-group medians " +
         "from one window sort, groups-bounded join-back (AQE " +
         "broadcasts), then the shared one-aggregate ANOVA finish",
