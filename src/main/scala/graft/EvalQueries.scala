@@ -210,6 +210,14 @@ object EvalQueries {
         CcfMaxLag)
     }),
 
+    // are the R and N slices comparable before reading anything into
+    // their deltas: standardized mean differences for four numeric
+    // features in ONE melted pass
+    "q_balance" -> ((s, d) =>
+      graft.relational.Analytics.balanceSweep(t(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        "l_returnflag", "R", "N")),
+
     // what's suddenly hot: week-over-week volume rank movers per event
     // type — dense within-week ranks, previous-appearance deltas
     "q_rank_movers" -> ((s, d) =>
@@ -1399,6 +1407,45 @@ object EvalQueries {
       "q_trend" -> trendSql,
 
       "q_mann_kendall" -> mannKendallSql,
+
+      "q_balance" ->
+        """WITH m0 AS (
+             SELECT l_returnflag AS g, unnest([
+               struct_pack(f := 'l_quantity',
+                 v := CAST(l_quantity AS DOUBLE)),
+               struct_pack(f := 'l_extendedprice',
+                 v := CAST(l_extendedprice AS DOUBLE)),
+               struct_pack(f := 'l_discount',
+                 v := CAST(l_discount AS DOUBLE)),
+               struct_pack(f := 'l_tax', v := CAST(l_tax AS DOUBLE))
+             ]) AS u
+             FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+           m AS (
+             SELECT g, u.f AS feature, u.v AS v
+             FROM m0 WHERE u.v IS NOT NULL),
+           gg AS (
+             SELECT feature,
+               CAST(sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS na,
+               sum(CASE WHEN g = 'R' THEN v ELSE 0.0 END) AS sa,
+               sum(CASE WHEN g = 'R' THEN v * v ELSE 0.0 END) AS ssa,
+               CAST(sum(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS nb,
+               sum(CASE WHEN g = 'N' THEN v ELSE 0.0 END) AS sb,
+               sum(CASE WHEN g = 'N' THEN v * v ELSE 0.0 END) AS ssb
+             FROM m GROUP BY feature),
+           f AS (
+             SELECT *,
+               sqrt(((ssa - sa * sa / na) / (na - 1)
+                 + (ssb - sb * sb / nb) / (nb - 1)) / 2.0) AS pooled
+             FROM gg WHERE na > 1 AND nb > 1)
+           SELECT feature, na AS n_a, nb AS n_b,
+             round(sa / na, 6) AS mean_a,
+             round(sb / nb, 6) AS mean_b,
+             CASE WHEN pooled > 0 THEN
+               round((sa / na - sb / nb) / pooled, 6)
+             END AS smd
+           FROM f""",
 
       "q_rank_movers" ->
         """WITH a AS (

@@ -651,6 +651,51 @@ object Analytics {
       .withColumn("rank_delta", col("rank") - col("prev_rank"))
   }
 
+  /** Covariate balance sweep — the pre-experiment sanity check: for
+    * every listed numeric feature, the standardized mean difference
+    * between groups `a` and `b`,
+    * `SMD = (x̄_a − x̄_b) / √((s²_a + s²_b)/2)` (ddof=1 variances;
+    * |SMD| ≲ 0.1 is the usual "balanced" bar). One row per feature:
+    * `(feature, n_a, n_b, mean_a, mean_b, smd)`, null smd when either
+    * variance is degenerate. All moments come from ONE melted pass —
+    * never a job per feature (the featureAudit discipline); outputs
+    * are aggregate-derived doubles, 6-dp rounded per the repo's
+    * cross-engine float rule. */
+  def balanceSweep(df: DataFrame, featureCols: Seq[String],
+      groupCol: String, a: String, b: String): DataFrame = {
+    require(featureCols.nonEmpty, "no feature columns given")
+    val g = col(groupCol).cast("string")
+    val melted = df.filter(g === a || g === b)
+      .select(explode(array(featureCols.map(f =>
+        struct(lit(f).as("__f"), col(f).cast("double").as("__v")))
+        : _*)).as("__fv"), g.as("__g"))
+      .select(col("__fv.__f").as("feature"), col("__fv.__v").as("__v"),
+        col("__g"))
+      .filter(col("__v").isNotNull)
+    def side(s: String, tag: String) = Seq(
+      sum(when(col("__g") === s, 1L).otherwise(0L)).as(s"__n$tag"),
+      sum(when(col("__g") === s, col("__v")).otherwise(0.0))
+        .as(s"__s$tag"),
+      sum(when(col("__g") === s, col("__v") * col("__v"))
+        .otherwise(0.0)).as(s"__ss$tag"))
+    val aggs = side(a, "a") ++ side(b, "b")
+    melted.groupBy(col("feature"))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("__na") > 1 && col("__nb") > 1)
+      .select({
+        def mean(t: String) = col(s"__s$t") / col(s"__n$t")
+        def v(t: String) = (col(s"__ss$t") -
+          col(s"__s$t") * col(s"__s$t") / col(s"__n$t")) /
+          (col(s"__n$t") - 1)
+        val pooled = sqrt((v("a") + v("b")) / 2.0)
+        Seq(col("feature"), col("__na").as("n_a"), col("__nb").as("n_b"),
+          round(mean("a"), 6).as("mean_a"),
+          round(mean("b"), 6).as("mean_b"),
+          when(pooled > 0,
+            round((mean("a") - mean("b")) / pooled, 6)).as("smd"))
+      }: _*)
+  }
+
   /** Directly standardized rate comparison — the Simpson's-paradox
     * guard: compare groups `a` and `b` on a 0/1 outcome BOTH crude and
     * adjusted to a shared stratum mix (weights = each stratum's share

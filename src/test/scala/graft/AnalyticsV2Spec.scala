@@ -593,6 +593,34 @@ class AnalyticsV2Spec extends SparkSpec {
     assert(got(("y", 3L)) == ((2L, 3L, -1L)))
   }
 
+  test("balanceSweep: SMDs match the literal per-feature computation; " +
+      "a planted shift shows, a balanced feature stays near 0") {
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 400).map { i =>
+      val g = if (i % 2 == 0) "t" else "c"
+      val balanced = rnd.nextInt(100).toDouble
+      val shifted = rnd.nextInt(20) + (if (g == "t") 30.0 else 0.0)
+      (g, balanced, shifted)
+    }
+    val got = graft.relational.Analytics.balanceSweep(
+      rows.toDF("g", "bal", "shift"), Seq("bal", "shift"), "g", "t", "c")
+      .collect().map(r => r.getString(0) -> r).toMap
+    def smd(f: (String, Double, Double) => Double): Double = {
+      val ta = rows.filter(_._1 == "t").map(r => f(r._1, r._2, r._3))
+      val cb = rows.filter(_._1 == "c").map(r => f(r._1, r._2, r._3))
+      def m(x: Seq[Double]) = x.sum / x.size
+      def v(x: Seq[Double]) = {
+        val mm = m(x); x.map(d => (d - mm) * (d - mm)).sum / (x.size - 1)
+      }
+      (m(ta) - m(cb)) / math.sqrt((v(ta) + v(cb)) / 2)
+    }
+    assert(math.abs(got("bal").getDouble(5) - smd((_, b, _) => b)) < 1e-5)
+    assert(math.abs(got("shift").getDouble(5) -
+      smd((_, _, s) => s)) < 1e-5)
+    assert(math.abs(got("bal").getDouble(5)) < 0.2)
+    assert(got("shift").getDouble(5) > 2)
+  }
+
   test("trimmedMean: trim 0 equals the plain mean; ties trim cleanly") {
     val rows = Seq(("g", 5.0), ("g", 5.0), ("g", 5.0), ("g", 1.0),
       ("g", 9.0))
