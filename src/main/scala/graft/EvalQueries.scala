@@ -210,6 +210,21 @@ object EvalQueries {
         CcfMaxLag)
     }),
 
+    // is model B actually different from model A on the SAME orders:
+    // McNemar over the discordant pairs of two deterministic
+    // pseudo-classifiers
+    "q_mcnemar" -> ((s, d) =>
+      Eval.mcNemar(t(s, d, "orders")
+        .withColumn("y",
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
+        .withColumn("pa",
+          ((col("o_orderkey") % 1000).cast("double") / lit(1000.0) >
+            0.5).cast("long"))
+        .withColumn("pb",
+          ((col("o_orderkey") % 777).cast("double") / lit(777.0) >
+            0.5).cast("long")),
+        "y", "pa", "pb")),
+
     // are the R and N slices comparable before reading anything into
     // their deltas: standardized mean differences for four numeric
     // features in ONE melted pass
@@ -846,6 +861,51 @@ object EvalQueries {
        FROM ph2"""
   }
 
+  /** McNemar oracle: identical discordant counts, continuity-corrected
+    * z, and the shared erf p constants. */
+  private def mcNemarSql: String = {
+    val a = Eval.ErfA
+    s"""WITH b0 AS (
+         SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+             AS y,
+           CASE WHEN (o_orderkey % 1000) / 1000.0 > 0.5 THEN 1 ELSE 0
+             END AS pa,
+           CASE WHEN (o_orderkey % 777) / 777.0 > 0.5 THEN 1 ELSE 0
+             END AS pb
+         FROM orders),
+       t AS (
+         SELECT count(*) AS n,
+           CAST(sum(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END)
+             AS BIGINT) AS b,
+           CAST(sum(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END)
+             AS BIGINT) AS c,
+           CAST(sum(CASE WHEN pa = y THEN 1 ELSE 0 END) AS BIGINT)
+             AS ra,
+           CAST(sum(CASE WHEN pb = y THEN 1 ELSE 0 END) AS BIGINT)
+             AS rb
+         FROM b0),
+       z0 AS (
+         SELECT *,
+           CAST(sign(b - c) AS DOUBLE)
+             * (CAST(abs(b - c) AS DOUBLE) - 1)
+             / sqrt(CAST(b + c AS DOUBLE)) AS zv,
+           CAST(b + c AS DOUBLE) AS disc
+         FROM t),
+       ph AS (SELECT *, abs(zv) / ${Eval.Sqrt2} AS xv FROM z0),
+       ph2 AS (SELECT *, 1.0 / (1.0 + ${Eval.ErfP} * xv) AS tv FROM ph)
+       SELECT n, b, c,
+         CASE WHEN disc > 0 THEN round(zv, 6) END AS z,
+         CASE WHEN disc > 0 THEN round(
+           2.0 * (1.0 - 0.5 * (1.0
+             + (1.0 - tv * (${a(0)} + tv * (${a(1)} + tv * (${a(2)}
+               + tv * (${a(3)} + tv * ${a(4)}))))
+               * exp(-(xv * xv))))), 6)
+         END AS p,
+         round(CAST(ra AS DOUBLE) / n, 6) AS acc_a,
+         round(CAST(rb AS DOUBLE) / n, 6) AS acc_b
+       FROM ph2"""
+  }
+
   /** Mann-Kendall oracle: the same pairwise sign sum, tie-corrected
     * variance, continuity-corrected z, and shared erf p. */
   private def mannKendallSql: String = {
@@ -1407,6 +1467,8 @@ object EvalQueries {
       "q_trend" -> trendSql,
 
       "q_mann_kendall" -> mannKendallSql,
+
+      "q_mcnemar" -> mcNemarSql,
 
       "q_balance" ->
         """WITH m0 AS (

@@ -790,6 +790,44 @@ object Eval {
       }: _*)
   }
 
+  /** McNemar's test — the PAIRED model comparison: are two classifiers
+    * evaluated on the SAME examples actually different, judged only by
+    * the discordant pairs (`b` = A right & B wrong, `c` = A wrong & B
+    * right; the examples both get right or both get wrong carry no
+    * signal). One row `(n, b, c, z, p, acc_a, acc_b)` with the
+    * continuity-corrected `z = (|b−c|−1)/√(b+c)` signed by `b−c`, and
+    * the two-sided normal p via the shared A&S erf (null when no
+    * discordant pairs). The right test when "model B beats A by 0.3%"
+    * needs a verdict — pair-level, not two independent accuracies.
+    * Integer counts ⇒ exact.
+    *
+    * Shape at 100 TB: ONE conditional-count aggregate — four longs of
+    * state, no join, no sort. */
+  def mcNemar(df: DataFrame, labelCol: String, predACol: String,
+      predBCol: String): DataFrame = {
+    val l = col(labelCol).cast("long")
+    val pa = col(predACol).cast("long")
+    val pb = col(predBCol).cast("long")
+    val rightA = pa === l
+    val rightB = pb === l
+    df.filter(l.isNotNull && pa.isNotNull && pb.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(when(rightA && !rightB, 1L).otherwise(0L)).as("b"),
+        sum(when(!rightA && rightB, 1L).otherwise(0L)).as("c"),
+        sum(when(rightA, 1L).otherwise(0L)).as("__ra"),
+        sum(when(rightB, 1L).otherwise(0L)).as("__rb"))
+      .select({
+        val disc = (col("b") + col("c")).cast("double")
+        val z = signum(col("b") - col("c")).cast("double") *
+          (abs(col("b") - col("c")).cast("double") - 1) / sqrt(disc)
+        Seq(col("n"), col("b"), col("c"),
+          when(disc > 0, round(z, 6)).as("z"),
+          when(disc > 0, round(twoSidedP(z), 6)).as("p"),
+          round(col("__ra").cast("double") / col("n"), 6).as("acc_a"),
+          round(col("__rb").cast("double") / col("n"), 6).as("acc_b"))
+      }: _*)
+  }
+
   /** Mann-Kendall trend test per series — [[trendTest]]'s sibling for
     * LEVELS instead of proportions: `S = Σ_{i<j} sign(x_j − x_i)` with
     * the tie-corrected variance

@@ -669,6 +669,28 @@ class EvalSpec extends SparkSpec {
     assert(hi.getDouble(0) > 20, s"planted spread: ${hi.getDouble(0)}")
   }
 
+  // ---- McNemar paired comparison ----------------------------------------------------
+
+  test("mcNemar: textbook discordant-pair z with continuity correction; " +
+      "identical models yield null; sign follows the better model") {
+    // b = 30 (A right, B wrong), c = 10 -> A better, z > 0
+    val rows =
+      (1 to 30).map(i => (1L, 1L, 0L)) ++ // A right, B wrong
+      (1 to 10).map(i => (1L, 0L, 1L)) ++ // A wrong, B right
+      (1 to 50).map(i => (1L, 1L, 1L)) ++ // both right
+      (1 to 10).map(i => (0L, 1L, 1L)) // both wrong
+    val r = Eval.mcNemar(rows.toDF("y", "a", "b"), "y", "a", "b")
+      .collect()(0)
+    assert(r.getLong(1) == 30L && r.getLong(2) == 10L)
+    val z = (30.0 - 10 - 1) / math.sqrt(40.0) // +: A better
+    assert(math.abs(r.getDouble(3) - z) < 1e-6)
+    assert(r.getDouble(4) < 0.01) // significant
+    assert(r.getDouble(5) == 0.8 && r.getDouble(6) == 0.6)
+    val same = Eval.mcNemar(rows.map(t => (t._1, t._2, t._2))
+      .toDF("y", "a", "b"), "y", "a", "b").collect()(0)
+    assert(same.isNullAt(3) && same.isNullAt(4))
+  }
+
   // ---- Mann-Kendall trend ---------------------------------------------------------
 
   test("mannKendall: S, tie-corrected variance and z match the literal " +
