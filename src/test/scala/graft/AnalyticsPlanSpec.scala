@@ -177,6 +177,15 @@ class AnalyticsPlanSpec extends SparkSpec {
     }
   }
 
+  test("ngramDiversity: ONE corpus scan for all n sizes (flattened " +
+      "per-row explode), no join") {
+    val df = Seq(("s", "a b c"), ("s", "a b")).toDF("source", "text")
+    val p = plan(graft.text.Corpus.ngramDiversity(df, "text", "source"))
+    assert(!p.contains("Join"), p.take(600))
+    val scans = "LocalTableScan".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 corpus scan, got $scans")
+  }
+
   test("bootstrapMeanCI: ONE scan of the corpus (all 2R replicate sums " +
       "are aggregate expressions — never an xR explode), no join") {
     val df = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "x")
