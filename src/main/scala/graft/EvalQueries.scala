@@ -210,6 +210,17 @@ object EvalQueries {
         CcfMaxLag)
     }),
 
+    // is the targeting model finding incremental responders: Qini
+    // curve by score decile over a deterministic pseudo-treatment
+    "q_uplift" -> ((s, d) =>
+      Eval.upliftDeciles(t(s, d, "orders")
+        .withColumn("score",
+          (col("o_orderkey") % 1000).cast("double") / lit(1000.0))
+        .withColumn("treat", (col("o_orderkey") % 2).cast("long"))
+        .withColumn("y",
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)),
+        "score", "treat", "y")),
+
     // is model B actually different from model A on the SAME orders:
     // McNemar over the discordant pairs of two deterministic
     // pseudo-classifiers
@@ -1469,6 +1480,41 @@ object EvalQueries {
       "q_mann_kendall" -> mannKendallSql,
 
       "q_mcnemar" -> mcNemarSql,
+
+      "q_uplift" ->
+        """WITH b AS (
+             SELECT least(CAST(floor(
+                 (1.0 - (o_orderkey % 1000) / 1000.0) * 10) AS BIGINT),
+                 9) AS bucket,
+               CAST(o_orderkey % 2 AS BIGINT) AS t,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                 AS y
+             FROM orders),
+           g AS (
+             SELECT bucket,
+               CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_t,
+               CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_c,
+               CAST(sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT)
+                 AS y_t,
+               CAST(sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT)
+                 AS y_c
+             FROM b GROUP BY bucket),
+           c AS (
+             SELECT *,
+               CAST(sum(n_t) OVER w AS BIGINT) AS cnt,
+               CAST(sum(n_c) OVER w AS BIGINT) AS cnc,
+               CAST(sum(y_t) OVER w AS BIGINT) AS cyt,
+               CAST(sum(y_c) OVER w AS BIGINT) AS cyc
+             FROM g
+             WINDOW w AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING))
+           SELECT bucket, n_t, n_c, y_t, y_c,
+             CASE WHEN cnc > 0 THEN
+               round(CAST(cyt AS DOUBLE) - CAST(cyc AS DOUBLE)
+                 * (CAST(cnt AS DOUBLE) / cnc), 6)
+             END AS cum_uplift
+           FROM c""",
 
       "q_balance" ->
         """WITH m0 AS (

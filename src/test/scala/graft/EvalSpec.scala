@@ -669,6 +669,38 @@ class EvalSpec extends SparkSpec {
     assert(hi.getDouble(0) > 20, s"planted spread: ${hi.getDouble(0)}")
   }
 
+  // ---- uplift / Qini -----------------------------------------------------------------
+
+  test("upliftDeciles: matches the literal cumulative qini; a perfectly " +
+      "targeted effect bulges early and lands at the true lift") {
+    // treatment lifts outcome ONLY where score > 0.7 (the model is right)
+    val rows = (1 to 2000).map { i =>
+      val score = (i % 100) / 100.0
+      val treated = i % 2
+      val base = i % 7 == 0 // hits both parities — uncorrelated with t
+      val lifted = treated == 1 && score > 0.7 && i % 3 == 0
+      (score, treated.toLong, if (base || lifted) 1L else 0L)
+    }
+    val got = Eval.upliftDeciles(rows.toDF("s", "t", "y"), "s", "t", "y")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(3), r.getDouble(5))).toMap
+    // literal replay
+    val byBucket = rows.groupBy(r =>
+      math.min(math.floor((1.0 - r._1) * 10).toLong, 9L))
+    var (cnt, cnc, cyt, cyc) = (0L, 0L, 0L, 0L)
+    (0L to 9L).foreach { b =>
+      val v = byBucket.getOrElse(b, Seq())
+      cnt += v.count(_._2 == 1); cnc += v.count(_._2 == 0)
+      cyt += v.filter(_._2 == 1).map(_._3).sum
+      cyc += v.filter(_._2 == 0).map(_._3).sum
+      val qini = cyt - cyc * (cnt.toDouble / cnc)
+      assert(math.abs(got(b)._3 - qini) < 1e-4, s"bucket $b")
+    }
+    // early buckets (top scores) carry most of the final uplift
+    assert(got(2L)._3 > 0.75 * got(9L)._3)
+    assert(got(9L)._3 > 50) // the planted effect exists
+  }
+
   // ---- McNemar paired comparison ----------------------------------------------------
 
   test("mcNemar: textbook discordant-pair z with continuity correction; " +
