@@ -387,6 +387,13 @@ object EvalQueries {
       graft.relational.Analytics.trimmedMean(t(s, d, "lineitem"),
         Seq("l_returnflag"), "l_quantity", trim = 0.1)),
 
+    // the median price BY QUANTITY MASS (not by line count): exact
+    // weighted percentiles per return flag
+    "q_weighted_percentiles" -> ((s, d) =>
+      graft.relational.Analytics.weightedPercentiles(
+        t(s, d, "lineitem"), Seq("l_returnflag"), "l_extendedprice",
+        "l_quantity")),
+
     // the latency-dashboard shape: EXACT p25/p50/p75/p90/p99 price per
     // return flag from ONE per-group sort — nearest-rank order
     // statistics, never percentile_approx
@@ -1817,6 +1824,30 @@ object EvalQueries {
              round(sqrt(s1 / n_eval), 6) AS rmse_naive,
              CASE WHEN e1 > 0 THEN round(1.0 - es / e1, 6) END AS skill
            FROM g WHERE n_eval > 0""",
+
+      "q_weighted_percentiles" ->
+        """WITH b AS (
+             SELECT l_returnflag AS g,
+               CAST(l_extendedprice AS DOUBLE) AS x,
+               CAST(l_quantity AS BIGINT) AS w
+             FROM lineitem
+             WHERE l_extendedprice IS NOT NULL
+               AND l_quantity IS NOT NULL
+               AND CAST(l_quantity AS BIGINT) > 0),
+           c AS (
+             SELECT g, x,
+               CAST(sum(w) OVER (PARTITION BY g ORDER BY x
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+               CAST(sum(w) OVER (PARTITION BY g) AS BIGINT) AS wt
+             FROM b)
+           SELECT g AS l_returnflag, max(wt) AS w_total,
+             min(CASE WHEN CAST(cw AS DOUBLE) >=
+               0.25 * CAST(wt AS DOUBLE) THEN x END) AS wp25,
+             min(CASE WHEN CAST(cw AS DOUBLE) >=
+               0.5 * CAST(wt AS DOUBLE) THEN x END) AS wp50,
+             min(CASE WHEN CAST(cw AS DOUBLE) >=
+               0.75 * CAST(wt AS DOUBLE) THEN x END) AS wp75
+           FROM c GROUP BY g""",
 
       "q_percentile_bands" ->
         """WITH r AS (

@@ -938,6 +938,47 @@ object Analytics {
       .agg(max(col("__n")).as("n"), bands: _*)
   }
 
+  /** Exact WEIGHTED percentiles per group — "the median document by
+    * TOKEN mass", not by document count: value at the first rank whose
+    * cumulative weight reaches `p·W`. One row per group:
+    * `(groups…, w_total, wp25, wp50, …)`. Qualification of a value is
+    * decided by its tie-block's closing cumulative weight, so equal
+    * values need no tie-break and the result is engine-deterministic;
+    * with integral weights the cumulative is exact and the `p·W`
+    * thresholds are single IEEE products.
+    *
+    * Shape at 100 TB: one per-group value sort (cumulative-weight +
+    * whole-partition frames share it) → ONE aggregate with a
+    * conditional min per percentile — the [[percentileBands]]
+    * discipline with mass instead of count. */
+  def weightedPercentiles(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, weightCol: String,
+      ps: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(ps.nonEmpty && ps == ps.sorted && ps.distinct == ps,
+      "percentiles must be sorted and distinct")
+    require(ps.forall(p => p > 0 && p <= 1), s"percentiles in (0,1]: $ps")
+    require(ps.forall(p => (p * 100) == math.rint(p * 100)),
+      s"whole percents only (column naming), got $ps")
+    val gb = groupCols.map(col)
+    val x = col(valueCol).cast("double")
+    val wt = col(weightCol).cast("long")
+    val wCum = Window.partitionBy(gb: _*).orderBy(x.asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(gb: _*)
+    val bands = ps.map { p =>
+      min(when(col("__cw").cast("double") >=
+        lit(p) * col("__W").cast("double"), col("__x")))
+        .as(s"wp${math.rint(p * 100).toInt}")
+    }
+    df.filter(x.isNotNull && wt.isNotNull && wt > 0)
+      .withColumn("__x", x)
+      .withColumn("__cw", sum(wt).over(wCum))
+      .withColumn("__W", sum(wt).over(wAll))
+      .groupBy(gb: _*)
+      .agg(max(col("__W")).as("w_total"), bands: _*)
+  }
+
   /** Exact trimmed mean per group: drop the `floor(trim·n)` smallest
     * and largest values by rank, average the rest. One row per group:
     * `(groups…, n, n_used, trimmed_mean, mean)` — the robust center

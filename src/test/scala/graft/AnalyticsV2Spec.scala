@@ -621,6 +621,30 @@ class AnalyticsV2Spec extends SparkSpec {
     assert(got("shift").getDouble(5) > 2)
   }
 
+  test("weightedPercentiles: matches the literal cumulative-mass lookup " +
+      "and differs from the unweighted median when mass is skewed") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 200).map { _ =>
+      val v = rnd.nextInt(100).toDouble
+      ("g", v, 1L + (v / 10).toLong) // heavier weights at high values
+    }
+    val got = graft.relational.Analytics.weightedPercentiles(
+      rows.toDF("g", "x", "w"), Seq("g"), "x", "w").collect()(0)
+    val sorted = rows.sortBy(_._2)
+    val total = rows.map(_._3).sum
+    def lit(p: Double): Double = {
+      var cw = 0L
+      sorted.find { r => cw += r._3; cw >= p * total }.get._2
+    }
+    assert(got.getLong(1) == total)
+    assert(got.getDouble(2) == lit(0.25))
+    assert(got.getDouble(3) == lit(0.5))
+    assert(got.getDouble(4) == lit(0.75))
+    // mass skew: weighted median above the unweighted one
+    val plain = sorted(99)._2
+    assert(got.getDouble(3) > plain)
+  }
+
   test("trimmedMean: trim 0 equals the plain mean; ties trim cleanly") {
     val rows = Seq(("g", 5.0), ("g", 5.0), ("g", 5.0), ("g", 1.0),
       ("g", 9.0))
