@@ -492,11 +492,12 @@ object Round6Queries {
           round(lit(1.0) - countDistinct(col("text")).cast("double") /
             count(lit(1)).cast("double"), 6).as("dup_rate"))),
 
-    // corpus repetitiveness per source: distinct-1/2/3-gram ratios over
-    // portable 60-bit gram hashes — one scan explodes every n together
+    // corpus repetitiveness per source: distinct-1/2/3-gram ratios, the
+    // portable-md5 oracle variant (the default is structural xxhash64 —
+    // same ratios, asserted in CorpusSpec) — one scan explodes every n
     "q_ngram_diversity" -> ((s, d) =>
       graft.text.Corpus.ngramDiversity(t(s, d, "documents"), "text",
-        "source")),
+        "source", portableHash = true)),
 
     // feature selection: MI of every listed categorical feature against
     // the order year, ranked in ONE corpus pass

@@ -471,7 +471,7 @@ object StressBench {
     // n-gram diversity with the corpus ×reps (byte-identical copies —
     // worst case for the distinct): totals scale ×reps, distincts
     // don't; the one-scan multi-n explode and the hash distinct are
-    // the load
+    // the load (fast structural-hash default — the production path)
     "s_ngram_diversity" -> ((s, d, r) =>
       graft.text.Corpus.ngramDiversity(
         replicate(t(s, d, "documents"), "doc_id", r), "text", "source")),

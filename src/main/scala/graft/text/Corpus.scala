@@ -721,9 +721,14 @@ object Corpus {
     * total n-gram count, the distinct n-gram count, and their ratio
     * (1.0 = never repeats a phrase, → 0 = heavily templated). One row
     * per (group, n). Tokenization is the repo's portable form
-    * (`lower`+`trim`+whitespace split) and grams are hashed to 60-bit
-    * md5 integers, so the oracle replays the distinct sets exactly and
-    * the shuffle carries 8-byte keys, never gram strings.
+    * (`lower`+`trim`+whitespace split); grams hash to 8-byte keys so
+    * the shuffle never carries gram strings. The DEFAULT hash is
+    * structural `xxhash64` over the token slice (no string
+    * materialization, no md5 — the fast 100-TB path); pass
+    * `portableHash = true` for the 60-bit-md5-of-the-gram-string
+    * variant the DuckDB oracle replays bit-for-bit (the repo's
+    * dual-hash convention — both count the same distinct sets, as the
+    * spec asserts).
     *
     * Shape at 100 TB: ONE corpus scan explodes all requested `n` sizes
     * together (per-row flatten of the per-n gram arrays); the finish is
@@ -731,11 +736,15 @@ object Corpus {
     * map-side-combined hash aggregates. Nothing driver-side, no joins;
     * cost scales with token count × |ns|. */
   def ngramDiversity(df: DataFrame, textCol: String, groupCol: String,
-      ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+      ns: Seq[Int] = Seq(1, 2, 3),
+      portableHash: Boolean = false): DataFrame = {
     require(ns.nonEmpty && ns.forall(n => n >= 1 && n <= 16),
       s"ns in [1,16], got $ns")
     require(ns.distinct == ns, "ns must be distinct")
-    val toks = graft.text.TextFunctions.tokensLower(col(textCol))
+    // materialize the token array ONCE per row: expressions inside
+    // transform/filter lambdas don't CSE with each other, so
+    // referencing the raw split there would re-tokenize per gram
+    val toks = col("__toks")
     val gramArrays = ns.map { n =>
       // sequence(1, max(size-n+1, 1)) then a bound filter: avoids
       // sequence(1, 0), which Spark would generate DESCENDING
@@ -743,10 +752,14 @@ object Corpus {
         sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
         i => (i + (n - 1)) <= size(toks))
       transform(starts, i => struct(lit(n).as("n"),
-        graft.functions.GraftFunctions.md5_hash60(
-          concat_ws(" ", slice(toks, i, lit(n)))).as("h")))
+        (if (portableHash)
+          graft.functions.GraftFunctions.md5_hash60(
+            concat_ws(" ", slice(toks, i, lit(n))))
+        else xxhash64(slice(toks, i, lit(n)))).as("h")))
     }
     df.filter(col(textCol).isNotNull)
+      .withColumn("__toks",
+        graft.text.TextFunctions.tokensLower(col(textCol)))
       .select(col(groupCol), explode(flatten(array(gramArrays: _*)))
         .as("__g"))
       .groupBy(col(groupCol), col("__g.n").as("n"))

@@ -172,4 +172,21 @@ class CorpusSpec extends SparkSpec {
     }
     assert(got(("tpl", 2))._3 < 0.3 && got(("div", 2))._3 == 1.0)
   }
+
+  test("ngramDiversity: the fast structural-hash default and the " +
+      "portable md5 oracle variant count identical distinct sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    val docs = (1 to 60).map { i =>
+      (s"s${i % 3}", (1 to 30).map(_ =>
+        s"w${rnd.nextInt(40)}").mkString(" "))
+    }
+    val df = docs.toDF("source", "text")
+    def rows(portable: Boolean) =
+      graft.text.Corpus.ngramDiversity(df, "text", "source",
+        portableHash = portable).collect()
+        .map(r => ((r.getString(0), r.getInt(1)),
+          (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(rows(portable = false) == rows(portable = true))
+  }
 }
