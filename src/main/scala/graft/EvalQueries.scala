@@ -331,6 +331,13 @@ object EvalQueries {
       graft.text.Dedup.duplicateSizeProfile(t(s, d, "documents"),
         Seq("text"))),
 
+    // do purchasers also search: exact audience Jaccard/containment
+    // between every pair of event types — id-keyed join, fan-out
+    // bounded by the type count
+    "q_audience_overlap" -> ((s, d) =>
+      graft.relational.Analytics.audienceOverlap(
+        DataQueries.readEventsMicros(s, d), "event_type", "user_id")),
+
     // engagement/churn readback: per-user inter-event gap profile with
     // exact nearest-rank percentiles and the most recent gap
     "q_inter_arrival" -> ((s, d) =>
@@ -1751,6 +1758,28 @@ object EvalQueries {
              round(CAST(n_rows AS DOUBLE) / CAST(tot AS DOUBLE), 6)
                AS row_share
            FROM s, t""",
+
+      "q_audience_overlap" ->
+        """WITH pres AS (
+             SELECT DISTINCT event_type AS g, user_id AS id
+             FROM events
+             WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+           sizes AS (SELECT g, count(*) AS n FROM pres GROUP BY g),
+           pairs AS (
+             SELECT l.g AS group_a, r.g AS group_b, count(*) AS n_both
+             FROM pres l JOIN pres r
+               ON l.id = r.id AND l.g < r.g
+             GROUP BY 1, 2)
+           SELECT group_a, group_b,
+             sa.n AS n_a, sb.n AS n_b,
+             CAST(n_both AS BIGINT) AS n_both,
+             round(CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both), 6)
+               AS jaccard,
+             round(CAST(n_both AS DOUBLE) / least(sa.n, sb.n), 6)
+               AS containment
+           FROM pairs
+           JOIN sizes sa ON group_a = sa.g
+           JOIN sizes sb ON group_b = sb.g""",
 
       "q_inter_arrival" ->
         """WITH e AS (

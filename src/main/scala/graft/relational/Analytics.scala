@@ -748,6 +748,44 @@ object Analytics {
       }: _*)
   }
 
+  /** Audience overlap matrix — how much do two behaviors share users:
+    * for every pair of `groupCol` values, the exact Jaccard and
+    * containment of their distinct-`idCol` audiences. One row per
+    * unordered pair `(group_a, group_b, n_a, n_b, n_both, jaccard,
+    * containment)` with `containment = |∩| / min(|A|,|B|)` and a
+    * `group_a < group_b` canonical order. The cross-sell / funnel-
+    * design readback ("do purchasers also search?").
+    *
+    * Shape at 100 TB: one distinct (group, id) aggregate, an id-keyed
+    * self-join whose per-id fan-out is bounded by the GROUP count
+    * (≤ groups²/2 pairs per id — df-independent, the sourceOverlap
+    * discipline), a pair count, and a groups-bounded broadcast join of
+    * the per-group sizes. Never an audience×audience product. */
+  def audienceOverlap(df: DataFrame, groupCol: String, idCol: String)
+      : DataFrame = {
+    val pres = df.filter(col(groupCol).isNotNull && col(idCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        col(idCol).as("__id"))
+      .distinct()
+    val sizes = pres.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    val pairs = pres.as("l")
+      .join(pres.as("r"), col("l.__id") === col("r.__id") &&
+        col("l.__g") < col("r.__g"))
+      .groupBy(col("l.__g").as("group_a"), col("r.__g").as("group_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(sizes.select(col("__g").as("__ga"),
+        col("__n").as("n_a"))), col("group_a") === col("__ga"))
+      .join(broadcast(sizes.select(col("__g").as("__gb"),
+        col("__n").as("n_b"))), col("group_b") === col("__gb"))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        round(col("n_both").cast("double") /
+          (col("n_a") + col("n_b") - col("n_both")), 6).as("jaccard"),
+        round(col("n_both").cast("double") /
+          least(col("n_a"), col("n_b")), 6).as("containment"))
+  }
+
   /** k-anonymity audit over quasi-identifier columns — the privacy
     * gate a dataset must pass before release: ONE row
     * `(k, n_rows, n_groups, min_group_size, violating_groups,

@@ -645,6 +645,26 @@ class AnalyticsV2Spec extends SparkSpec {
     assert(got.getDouble(3) > plain)
   }
 
+  test("audienceOverlap: exact Jaccard/containment per pair, duplicate " +
+      "events collapse, canonical pair order") {
+    val events = Seq(
+      ("view", 1L), ("view", 1L), ("view", 2L), ("view", 3L),
+      ("buy", 2L), ("buy", 3L), ("buy", 4L),
+      ("search", 9L)) // disjoint from the others
+    val got = graft.relational.Analytics.audienceOverlap(
+      events.toDF("t", "u"), "t", "u").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6))).toMap
+    // buy={2,3,4}, view={1,2,3}: ∩=2, ∪=4 -> jac .5, cont 2/3
+    assert(got(("buy", "view"))._3 == 2L)
+    assert(got(("buy", "view"))._4 == 0.5)
+    assert(got(("buy", "view"))._5 == BigDecimal(2.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(!got.contains(("view", "buy"))) // canonical order only
+    assert(!got.contains(("buy", "search"))) // no shared users, no row
+  }
+
   test("trimmedMean: trim 0 equals the plain mean; ties trim cleanly") {
     val rows = Seq(("g", 5.0), ("g", 5.0), ("g", 5.0), ("g", 1.0),
       ("g", 9.0))
