@@ -331,6 +331,14 @@ object EvalQueries {
       graft.text.Dedup.duplicateSizeProfile(t(s, d, "documents"),
         Seq("text"))),
 
+    // point-in-time-correct churn training labels: features from
+    // events up to max(t) − 7d, the 0/1 label from the final week —
+    // keys first seen inside the label window are excluded (leakage)
+    "q_churn_labels" -> ((s, d) =>
+      graft.relational.Analytics.churnLabels(
+        DataQueries.readEventsMicros(s, d), Seq("user_id"), "tsu",
+        horizon = 604800000000L)),
+
     // do purchasers also search: exact audience Jaccard/containment
     // between every pair of event types — id-keyed join, fan-out
     // bounded by the type count
@@ -1758,6 +1766,25 @@ object EvalQueries {
              round(CAST(n_rows AS DOUBLE) / CAST(tot AS DOUBLE), 6)
                AS row_share
            FROM s, t""",
+
+      "q_churn_labels" ->
+        """WITH e AS (
+             SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t
+             FROM events WHERE ts IS NOT NULL),
+           c AS (SELECT max(t) - 604800000000 AS cutoff FROM e),
+           g AS (
+             SELECT user_id,
+               CAST(sum(CASE WHEN t <= cutoff THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_before,
+               min(CASE WHEN t <= cutoff THEN t END) AS first_seen,
+               max(CASE WHEN t <= cutoff THEN t END) AS last_seen,
+               max(cutoff) AS cut,
+               CAST(max(CASE WHEN t > cutoff THEN 1 ELSE 0 END)
+                 AS BIGINT) AS active_after
+             FROM e, c GROUP BY user_id)
+           SELECT user_id, n_before, first_seen, last_seen,
+             cut - last_seen AS recency, active_after
+           FROM g WHERE n_before > 0""",
 
       "q_audience_overlap" ->
         """WITH pres AS (

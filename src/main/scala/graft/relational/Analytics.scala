@@ -748,6 +748,46 @@ object Analytics {
       }: _*)
   }
 
+  /** Point-in-time-correct churn labels — the temporal-leakage-guarded
+    * training-set builder: split the event axis at
+    * `cutoff = max(orderCol) − horizon`, compute every feature from
+    * events AT OR BEFORE the cutoff only, and the label from the
+    * `(cutoff, cutoff+horizon]` outcome window. One row per key seen
+    * before the cutoff: `(keys…, n_before, first_seen, last_seen,
+    * recency, active_after)` — `recency = cutoff − last_seen` in the
+    * axis's own units, `active_after` the 0/1 label. Keys first seen
+    * inside the outcome window are EXCLUDED (they have no observation
+    * history — including them leaks the label). All-integer outputs.
+    *
+    * Shape at 100 TB: a one-row broadcast max (the cutoff) + ONE
+    * key-aggregate with conditional counts — no window, no join beyond
+    * the scalar, no second pass. */
+  def churnLabels(df: DataFrame, keys: Seq[String], orderCol: String,
+      horizon: Long): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    require(horizon > 0, s"horizon > 0, got $horizon")
+    val t = col(orderCol).cast("long")
+    val base = df.filter(t.isNotNull)
+      .select((keys.map(col) :+ t.as("__t")): _*)
+    val cut = base.agg((max("__t") - horizon).as("__cutoff"))
+    base.crossJoin(broadcast(cut))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum(when(col("__t") <= col("__cutoff"), 1L).otherwise(0L))
+          .as("n_before"),
+        min(when(col("__t") <= col("__cutoff"), col("__t")))
+          .as("first_seen"),
+        max(when(col("__t") <= col("__cutoff"), col("__t")))
+          .as("last_seen"),
+        max(col("__cutoff")).as("__cut"),
+        max(when(col("__t") > col("__cutoff"), 1L).otherwise(0L))
+          .as("active_after"))
+      .filter(col("n_before") > 0)
+      .select(keys.map(col) ++ Seq(col("n_before"), col("first_seen"),
+        col("last_seen"), (col("__cut") - col("last_seen")).as("recency"),
+        col("active_after")): _*)
+  }
+
   /** Audience overlap matrix — how much do two behaviors share users:
     * for every pair of `groupCol` values, the exact Jaccard and
     * containment of their distinct-`idCol` audiences. One row per

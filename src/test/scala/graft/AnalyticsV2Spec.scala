@@ -665,6 +665,26 @@ class AnalyticsV2Spec extends SparkSpec {
     assert(!got.contains(("buy", "search"))) // no shared users, no row
   }
 
+  test("churnLabels: features stop at the cutoff, labels come only " +
+      "from the outcome window, label-window-only keys are excluded") {
+    // max t = 100, horizon 20 -> cutoff 80
+    val events = Seq(
+      ("stay", 10L), ("stay", 70L), ("stay", 95L), // active after
+      ("churn", 5L), ("churn", 60L), // silent after
+      ("leak", 85L), ("leak", 100L)) // first seen AFTER cutoff
+    val got = graft.relational.Analytics.churnLabels(
+      events.toDF("u", "t"), Seq("u"), "t", horizon = 20L).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(!got.contains("leak"))
+    val s = got("stay")
+    assert(s.getLong(1) == 2L && s.getLong(2) == 10L &&
+      s.getLong(3) == 70L && s.getLong(4) == 10L &&
+      s.getLong(5) == 1L)
+    val c = got("churn")
+    assert(c.getLong(1) == 2L && c.getLong(4) == 20L &&
+      c.getLong(5) == 0L)
+  }
+
   test("trimmedMean: trim 0 equals the plain mean; ties trim cleanly") {
     val rows = Seq(("g", 5.0), ("g", 5.0), ("g", 5.0), ("g", 1.0),
       ("g", 9.0))
