@@ -331,6 +331,14 @@ object EvalQueries {
       graft.text.Dedup.duplicateSizeProfile(t(s, d, "documents"),
         Seq("text"))),
 
+    // the marketing classic, exact at scale: RFM quintile segments per
+    // customer with boundaries from distributed exact order statistics
+    "q_rfm" -> ((s, d) =>
+      graft.relational.Analytics.rfmSegments(
+        t(s, d, "orders")
+          .withColumn("od", unix_date(to_date(col("o_orderdate")))),
+        "o_custkey", "od", "o_totalprice")),
+
     // point-in-time-correct churn training labels: features from
     // events up to max(t) − 7d, the 0/1 label from the final week —
     // keys first seen inside the label window are excluded (leakage)
@@ -937,6 +945,57 @@ object EvalQueries {
          round(CAST(ra AS DOUBLE) / n, 6) AS acc_a,
          round(CAST(rb AS DOUBLE) / n, 6) AS acc_b
        FROM ph2"""
+  }
+
+  /** RFM oracle: identical entity aggregate, nearest-rank quintile
+    * edges per dimension (1-based rank `ceil(p·n)` — the orderStats
+    * definition), and the same strictly-greater scoring. */
+  private def rfmSql: String = {
+    def edges(dim: String, tag: String) =
+      s"""r$tag AS (
+           SELECT $dim AS v,
+             row_number() OVER (ORDER BY $dim) AS rn
+           FROM cust),
+         e$tag AS (
+           SELECT
+             max(CASE WHEN rn = greatest(1, CAST(ceil(0.2
+               * (SELECT n FROM nn)) AS BIGINT)) THEN v END) AS b1,
+             max(CASE WHEN rn = greatest(1, CAST(ceil(0.4
+               * (SELECT n FROM nn)) AS BIGINT)) THEN v END) AS b2,
+             max(CASE WHEN rn = greatest(1, CAST(ceil(0.6
+               * (SELECT n FROM nn)) AS BIGINT)) THEN v END) AS b3,
+             max(CASE WHEN rn = greatest(1, CAST(ceil(0.8
+               * (SELECT n FROM nn)) AS BIGINT)) THEN v END) AS b4
+           FROM r$tag)"""
+    def score(dim: String, tag: String) =
+      s"""1 + (CASE WHEN $dim > e$tag.b1 THEN 1 ELSE 0 END)
+            + (CASE WHEN $dim > e$tag.b2 THEN 1 ELSE 0 END)
+            + (CASE WHEN $dim > e$tag.b3 THEN 1 ELSE 0 END)
+            + (CASE WHEN $dim > e$tag.b4 THEN 1 ELSE 0 END)"""
+    s"""WITH cust AS (
+         SELECT o_custkey,
+           CAST(max(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS BIGINT)
+             AS last_active,
+           count(*) AS frequency,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+             AS BIGINT) AS monetary
+         FROM orders GROUP BY o_custkey),
+       nn AS (SELECT count(*) AS n FROM cust),
+       ${edges("last_active", "r")},
+       ${edges("frequency", "f")},
+       ${edges("monetary", "m")},
+       s AS (
+         SELECT cust.o_custkey, cust.last_active, cust.frequency,
+           cust.monetary,
+           ${score("cust.last_active", "r")} AS r_score,
+           ${score("cust.frequency", "f")} AS f_score,
+           ${score("cust.monetary", "m")} AS m_score
+         FROM cust, er, ef, em)
+       SELECT o_custkey, last_active, frequency, monetary,
+         r_score, f_score, m_score,
+         CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+           || CAST(m_score AS VARCHAR) AS segment
+       FROM s"""
   }
 
   /** Mann-Kendall oracle: the same pairwise sign sum, tie-corrected
@@ -1766,6 +1825,8 @@ object EvalQueries {
              round(CAST(n_rows AS DOUBLE) / CAST(tot AS DOUBLE), 6)
                AS row_share
            FROM s, t""",
+
+      "q_rfm" -> rfmSql,
 
       "q_churn_labels" ->
         """WITH e AS (

@@ -685,6 +685,34 @@ class AnalyticsV2Spec extends SparkSpec {
       c.getLong(5) == 0L)
   }
 
+  test("rfmSegments: quintile scores match the literal nearest-rank " +
+      "boundaries; the best customer codes 555 and the worst 111") {
+    val rnd = new scala.util.Random(17)
+    val orders = (1 to 500).flatMap { cust =>
+      val n = 1 + rnd.nextInt(9)
+      (1 to n).map(_ => (cust.toLong, (1000 + rnd.nextInt(5000)).toLong,
+        10.0 + rnd.nextInt(990)))
+    } ++
+      // a whale: newest, most frequent, biggest spend
+      (1 to 50).map(_ => (9999L, 99999L, 10000.0)) ++
+      // a dud: single ancient tiny order
+      Seq((8888L, 1L, 0.01))
+    val got = graft.relational.Analytics.rfmSegments(
+      orders.toDF("c", "d", "amt"), "c", "d", "amt").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(9999L).getString(7) == "555")
+    assert(got(8888L).getString(7) == "111")
+    // literal boundary check on the frequency dimension
+    val freqs = orders.groupBy(_._1).values.map(_.size.toLong).toSeq.sorted
+    val n = freqs.size
+    val bs = Seq(0.2, 0.4, 0.6, 0.8).map(p =>
+      freqs((math.ceil(p * n) - 1).toInt))
+    got.values.foreach { r =>
+      val expected = 1 + bs.count(_ < r.getLong(2))
+      assert(r.getInt(5) == expected, s"cust ${r.getLong(0)} f_score")
+    }
+  }
+
   test("trimmedMean: trim 0 equals the plain mean; ties trim cleanly") {
     val rows = Seq(("g", 5.0), ("g", 5.0), ("g", 5.0), ("g", 1.0),
       ("g", 9.0))
