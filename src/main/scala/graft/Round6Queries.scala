@@ -891,13 +891,18 @@ object Round6Queries {
       "q_decay" -> decaySql(DecayAlpha, DecayN),
 
       // each event feeds the RollWindow windows its day contributes to;
-      // the whole estimator chain then replays per window
+      // the whole estimator chain then replays per window. Labels past
+      // the max observed day are phantom partial windows — filtered on
+      // both sides (hllRolling's right-edge rule, ADVICE r6)
       "q_hll_rolling" -> Sketches.estimateSql(
         s"""SELECT (CAST(epoch_us(ts) AS BIGINT) // 86400000000) + off.o
                AS grp,
              CAST(user_id AS VARCHAR) AS k
            FROM events CROSS JOIN
-             (SELECT unnest(range(0, $RollWindow)) AS o) off""",
+             (SELECT unnest(range(0, $RollWindow)) AS o) off
+           WHERE (CAST(epoch_us(ts) AS BIGINT) // 86400000000) + off.o <=
+             (SELECT max(CAST(epoch_us(ts) AS BIGINT) // 86400000000)
+              FROM events)""",
         "day"),
 
       "q_funnel_within" ->

@@ -72,8 +72,12 @@ object Analytics {
       .crossJoin(broadcast(total))
       .select(col("__n"),
         ((o - e) * (o - e) / e - e).as("__chi_part"),
+        // marginals cast to double BEFORE multiplying: __ra * __cb as
+        // long*long silently wraps past 2^63 (both marginals > ~3e9 rows
+        // — plausible at 100 TB); chi2's `e` already casts (ADVICE r6)
         (o / col("__n") * log(o * col("__n") /
-          (col("__ra") * col("__cb")))).as("__mi_part"))
+          (col("__ra").cast("double") * col("__cb").cast("double"))))
+          .as("__mi_part"))
       .agg(
         max("__n").as("n"),
         count(lit(1)).as("cells"),
@@ -185,7 +189,11 @@ object Analytics {
     val first = df.filter(col(typeCol) === steps.head)
       .groupBy(col(userCol)).agg(min(orderCol).as("step_1"))
     steps.tail.zipWithIndex.foldLeft(first) { case (acc0, (s, i)) =>
-      val acc = acc0.persist()
+      // eager checkpoint, not persist: each fold step supersedes the
+      // previous user-sized accumulator, and a persist here outlives the
+      // call (never unpersisted — ADVICE r6); checkpoints are released
+      // by the ContextCleaner once the superseding step drops them
+      val acc = acc0.localCheckpoint(eager = true)
       val prev = s"step_${i + 1}"
       val outC = s"step_${i + 2}"
       val carried = acc.columns.toSeq
@@ -344,8 +352,11 @@ object Analytics {
       .join(colTot, Seq("__f", "__l"))
       .join(total, Seq("__f"))
       .select(col("__f"), col("__n"),
+        // double-cast the marginals before multiplying — same 2^63
+        // overflow guard as [[association]] (ADVICE r6)
         (o / col("__n") * log(o * col("__n") /
-          (col("__ra") * col("__cb")))).as("__mi_part"))
+          (col("__ra").cast("double") * col("__cb").cast("double"))))
+          .as("__mi_part"))
       .groupBy(col("__f").as("feature"))
       .agg(max("__n").cast("long").as("n"),
         round(sum("__mi_part"), 6).as("mi"))
@@ -513,11 +524,16 @@ object Analytics {
         graft.util.BoundedWindow.globalUnordered()
       else Window.partitionBy(gb: _*))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // a group present in only ONE register relation has total 0 on the
+    // other side — guard the division so its ks is a clean null, not a
+    // silent 0/0 NaN (ADVICE r6)
+    def ecdf(c: String) = {
+      val tot = sum(c).over(wAll)
+      when(tot > 0, sum(c).over(w).cast("double") / tot)
+    }
     joined
-      .withColumn("__da",
-        sum("__ca").over(w).cast("double") / sum("__ca").over(wAll))
-      .withColumn("__db",
-        sum("__cb").over(w).cast("double") / sum("__cb").over(wAll))
+      .withColumn("__da", ecdf("__ca"))
+      .withColumn("__db", ecdf("__cb"))
       .groupBy(gb: _*)
       .agg(max(abs(col("__da") - col("__db"))).as("ks"))
   }

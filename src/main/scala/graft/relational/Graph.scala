@@ -221,7 +221,11 @@ object Graph {
       if (m == nActive) done = true // fixpoint: further rounds identical
       else { active = next; nActive = m; round += 1 }
     }
-    val out = coreDegrees(active)
+    // materialize the final degrees BEFORE releasing the edge cache —
+    // unpersisting first hands back a lazy plan that recomputes the
+    // union+distinct from raw edges on first action (ADVICE r6); the
+    // output is node-sized, so the eager checkpoint is cheap
+    val out = coreDegrees(active).localCheckpoint(eager = true)
     e.unpersist(blocking = false)
     out
   }

@@ -849,10 +849,13 @@ object Relational {
     val first = df.filter(col(typeCol) === steps.head)
       .groupBy(col(userCol)).agg(min(orderCol).as("step_1"))
     steps.tail.zipWithIndex.foldLeft(first) { case (acc0, (s, i)) =>
-      // persist each accumulator (user-bounded, tiny): without it the
-      // fold's lineage re-scans every earlier step's event slice at
-      // every later step — k(k−1)/2 scans instead of k−1
-      val acc = acc0.persist()
+      // eager checkpoint each accumulator (user-bounded, tiny): without
+      // it the fold's lineage re-scans every earlier step's event slice
+      // at every later step — k(k−1)/2 scans instead of k−1. Checkpoint,
+      // not persist: a persist here is never unpersisted and outlives
+      // the call (ADVICE r6); superseded checkpoints are released by the
+      // ContextCleaner once the next fold step drops its reference
+      val acc = acc0.localCheckpoint(eager = true)
       val prev = s"step_${i + 1}"
       val out = s"step_${i + 2}"
       val carried = acc.columns.toSeq

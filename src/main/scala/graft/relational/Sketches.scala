@@ -83,17 +83,26 @@ object Sketches {
     * count-distinct-over-window funnel exists anywhere. Register rows
     * explode ×window (registers are ≤ m per period — bounded state, not
     * data), so the shuffle carries ≤ m·window rows per period.
-    * `periodCol` must be integral (epoch-day, epoch-week…); windows at
-    * the range edges estimate over the periods that exist. */
+    * `periodCol` must be integral (epoch-day, epoch-week…). Edge
+    * handling: windows at the LEFT edge estimate over the periods that
+    * exist (a window-3 label at the first period covers one period);
+    * labels past the RIGHT edge (`> max observed period`, which would
+    * cover only partial trailing data — phantom "future" windows a
+    * dashboard would misread as real) are FILTERED OUT via a one-row
+    * broadcast of the max period (ADVICE r6). */
   def hllRolling(registers: DataFrame, periodCol: String, window: Int)
       : DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
+    val maxP = registers.agg(max(col(periodCol)).as("__maxp"))
     hllMerge(
       registers
         .withColumn("__win", explode(sequence(col(periodCol),
           col(periodCol) + (window - 1))))
         .drop(periodCol)
-        .withColumnRenamed("__win", periodCol),
+        .withColumnRenamed("__win", periodCol)
+        .crossJoin(broadcast(maxP))
+        .filter(col(periodCol) <= col("__maxp"))
+        .drop("__maxp"),
       Seq(periodCol))
   }
 
@@ -455,10 +464,14 @@ object Sketches {
     * [[qMerge]] and [[qQuantile]] work unchanged (a register is a
     * register; the rank target just ranges over total weight). The
     * weighted-median / weighted-percentile primitive: token-weighted
-    * document stats, revenue-weighted price quantiles. Weights are cast
-    * to long (quantize first if fractional — integer counters are what
-    * make merge bit-exact); null values and null/non-positive weights
-    * are dropped. Same 100-TB shape: ONE map-side-combined aggregate,
+    * document stats, revenue-weighted price quantiles. Weights MUST be
+    * integral (integer counters are what make merge bit-exact) — a
+    * fractional weight raises at execution time rather than silently
+    * truncating (Spark's double→long cast truncates while SQL engines
+    * round, so a quiet cast would diverge from any replaying engine;
+    * ADVICE r6). Quantize fractional weights upstream (e.g.
+    * `round(w * 1000)`). Null values and null/non-positive weights are
+    * dropped. Same 100-TB shape: ONE map-side-combined aggregate,
     * registers ≤ bins rows per group. */
   def qSketchWeighted(df: DataFrame, groupCols: Seq[String],
       valueCol: String, weightCol: String, lo: Double, hi: Double,
@@ -466,7 +479,11 @@ object Sketches {
     require(hi > lo, s"empty sketch range [$lo, $hi)")
     require(bins >= 1, s"bins must be >= 1, got $bins")
     val v = col(valueCol).cast("double")
-    val w = col(weightCol).cast("long")
+    val wd = col(weightCol).cast("double")
+    val w = when(wd =!= floor(wd), raise_error(concat(
+        lit(s"qSketchWeighted: fractional weight in '$weightCol' ("),
+        wd, lit(") — quantize to integers upstream"))))
+      .otherwise(col(weightCol).cast("long"))
     val raw = floor((v - lit(lo)) / lit(hi - lo) * lit(bins)).cast("long")
     val bin = least(greatest(raw, lit(0L)), lit(bins - 1L))
     df.filter(v.isNotNull && w.isNotNull && w > 0)
