@@ -1,0 +1,151 @@
+package graft.relational
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** THE shared strictly-below cumulative engine: given a persisted
+  * DISTINCT-value relation (one row per value — per group when
+  * `groupCols` is non-empty — carrying one or more additive measure
+  * columns), appends `__below_<m>` = the sum of measure `m` over rows
+  * with a strictly smaller value (within the row's group).
+  *
+  * This is the single ordered-cumulative primitive behind BOTH engine
+  * families that used to implement it separately (VERDICT r6 #1):
+  * [[Relational.percentileRank]] (measure = row count) and the
+  * [[Eval]] ranking family — AUC, PR-AUC, Gini, Spearman, exact KS,
+  * quantile normalization (measures = label counts / value mass). One
+  * implementation means one scale argument, one set of plan-shape
+  * assertions, and no more drift between a 256-bin variant and a
+  * quantile-balanced one.
+  *
+  * Dual path, chosen by the CALLER (who has just counted the persisted
+  * relation against its broadcast threshold — the fit-time decision the
+  * encoders make):
+  *
+  *  - `small = true` (distinct ≤ threshold, or a non-numeric value
+  *    column whose bounded dictionary is the only realistic input): ONE
+  *    ordered window over the pre-counted relation — single task per
+  *    group, intended and bounded by the caller's count.
+  *
+  *  - `small = false` (continuous values, distinct ≈ N): an exact
+  *    BINNED cumulative — 64 approx-quantile macro bins over the
+  *    DISTINCT values (balanced by distinct count, so a heavy-tailed
+  *    outlier occupies the top bin alone instead of collapsing
+  *    everything into bin 0) × 64 equal-width micro bins = 4096 bins.
+  *    Per-BIN ordered windows (partitioned by bin → parallel; each task
+  *    holds ~distinct/64 rows worst-case under total skew,
+  *    ~distinct/4096 typical — the fixed-256-equal-bin scheme this
+  *    replaces held distinct/256 per task with no skew guard), a
+  *    ≤4096-rows-per-group offsets relation cumulated per group, and a
+  *    join back (broadcast when ungrouped — bounded by construction;
+  *    AQE-decided when grouped, where the relation is groups×bins).
+  *    Binning only partitions the value space; the cumulative
+  *    arithmetic is exact either way, so small and binned paths are
+  *    bit-identical (the forced-path oracle twins q_auc_binned /
+  *    q_pctrank_binned / q_ks_exact_binned pin this).
+  *
+  * Requirements: `counts` must be persisted by the caller (it is read
+  * twice on the binned path: edges + binning) and measures must be
+  * additive (long or double — `lit(0)` coalesce coerces per type). The
+  * binned path needs a numeric value column (it bins on a double cast;
+  * ties at the cast collapse into one bin and within-bin order uses the
+  * ORIGINAL value, so exactness survives the cast). Intermediate
+  * columns are dropped — output is the input columns plus the
+  * `__below_<m>`s, with `__bin` retained only long enough to join.
+  */
+private[graft] object CumulativeEngine {
+
+  private val NMacro = 64
+  private val NMicro = 64 // NMacro * NMicro = 4096 total bins
+
+  def strictlyBelow(counts: DataFrame, valueCol: String,
+      measures: Seq[String], groupCols: Seq[String],
+      small: Boolean): DataFrame = {
+    require(measures.nonEmpty, "need at least one measure column")
+    val gb = groupCols.map(col)
+    if (small) {
+      // bounded by the count the caller just took — single-task window
+      // per group intended (ungrouped: one task over ≤threshold rows)
+      val base =
+        if (groupCols.isEmpty) graft.util.BoundedWindow.globalUnordered()
+        else Window.partitionBy(gb: _*)
+      val w = base.orderBy(col(valueCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // coalesce with lit(0) coerces to each measure's type (long or
+      // double) — the first row's empty frame sums to null otherwise
+      measures.foldLeft(counts)((d, m) => d.withColumn(s"__below_$m",
+        coalesce(sum(m).over(w), lit(0))))
+    } else {
+      val vd = col(valueCol).cast("double")
+      // group-level bounds + approx-quantile macro edges over the
+      // DISTINCT values (unweighted — per-bin task cost is distinct
+      // values per bin, which is exactly what the quantiles balance):
+      // groups-sized (one row ungrouped), broadcastable
+      val innerPcts = array(
+        (1 until NMacro).map(i => lit(i.toDouble / NMacro)): _*)
+      val bounds = counts.groupBy(gb: _*).agg(
+        min(vd).as("__lo"),
+        max(vd).as("__hi"),
+        percentile_approx(vd, innerPcts, lit(10000)).as("__edges"))
+      // ungrouped: bounds is ONE row — broadcast unconditionally.
+      // grouped: groups-sized (unbounded in group count) — no hint,
+      // AQE broadcasts when actually small
+      val withBounds =
+        if (groupCols.isEmpty) counts.crossJoin(broadcast(bounds))
+        else counts.join(bounds, groupCols)
+      // macro bin = #edges ≤ v (a 63-element codegen'd scan — monotone
+      // in v even with duplicate edges, which just leave bins empty);
+      // micro bin = equal width within the macro bin's [mlo, mhi) span
+      val macroBin = aggregate(col("__edges"), lit(0),
+        (acc, e) => acc + when(vd >= e, 1).otherwise(0))
+      val mlo = when(col("__macro") === 0, col("__lo"))
+        .otherwise(element_at(col("__edges"), col("__macro")))
+      val mhi = when(col("__macro") === NMacro - 1, col("__hi"))
+        .otherwise(element_at(col("__edges"), col("__macro") + 1))
+      val microWidth = (col("__mhi") - col("__mlo")) / NMicro
+      val micro = when(col("__mhi") <= col("__mlo"), lit(0L))
+        .otherwise(least(
+          floor((vd - col("__mlo")) / microWidth), lit(NMicro - 1L))
+          .cast("long"))
+      val binned = withBounds
+        .withColumn("__macro", macroBin)
+        .withColumn("__mlo", mlo)
+        .withColumn("__mhi", mhi)
+        .withColumn("__bin",
+          col("__macro").cast("long") * NMicro + greatest(micro, lit(0L)))
+        .drop("__lo", "__hi", "__edges", "__macro", "__mlo", "__mhi")
+      // cross-bin offsets: ≤4096 rows per group, cumulated over the bin
+      // order — bounded by construction (ungrouped: ≤4096 rows total)
+      val wBins = (if (groupCols.isEmpty)
+          graft.util.BoundedWindow.globalUnordered()
+        else Window.partitionBy(gb: _*))
+        .orderBy(col("__bin"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = measures.foldLeft(
+        binned.groupBy((gb :+ col("__bin")): _*)
+          .agg(sum(measures.head).as(s"__b_${measures.head}"),
+            measures.tail.map(m => sum(m).as(s"__b_$m")): _*)) {
+        (d, m) => d.withColumn(s"__binbelow_$m",
+          coalesce(sum(s"__b_$m").over(wBins), lit(0)))
+      }.drop(measures.map(m => s"__b_$m"): _*)
+      // within-bin strictly-below: windows partition by bin → parallel
+      val wIn = Window.partitionBy((gb :+ col("__bin")): _*)
+        .orderBy(col(valueCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val withIn = measures.foldLeft(binned)((d, m) =>
+        d.withColumn(s"__in_$m", coalesce(sum(m).over(wIn), lit(0))))
+      // ungrouped: offsets is ≤4096 rows — broadcast unconditionally;
+      // grouped: groups×bins, AQE decides
+      val offsetsSide =
+        if (groupCols.isEmpty) broadcast(offsets) else offsets
+      measures.foldLeft(
+        withIn.join(offsetsSide, groupCols :+ "__bin")) {
+        (d, m) => d.withColumn(s"__below_$m",
+          col(s"__in_$m") + col(s"__binbelow_$m"))
+      }.drop("__bin")
+        .drop(measures.map(m => s"__in_$m"): _*)
+        .drop(measures.map(m => s"__binbelow_$m"): _*)
+    }
+  }
+}

@@ -38,12 +38,13 @@ object Eval {
     *  - distinct ≤ `maxDistinctBroadcast` (quantized model scores —
     *    the common case): ordered cumulative over the PROVEN-bounded
     *    distinct relation;
-    *  - above (raw continuous scores): 256 approx-quantile macro bins
-    *    balanced by distinct count, per-bin ordered windows
-    *    (partitioned → parallel, ~distinct/256 rows per task), a
-    *    ≤256-row bins relation for cross-bin offsets joined back
-    *    broadcast. Binning only partitions the value space; the
-    *    cumulative arithmetic is exact either way.
+    *  - above (raw continuous scores): the shared 64×64
+    *    quantile-balanced macro/micro binned engine
+    *    ([[CumulativeEngine]] — per-bin ordered windows partitioned →
+    *    parallel, ~distinct/4096 rows per task typical, ≤4096-row
+    *    offsets relation joined back broadcast). Binning only
+    *    partitions the value space; the cumulative arithmetic is exact
+    *    either way.
     * The finish is a global sum over the distinct relation — the corpus
     * is never windowed, sorted, or collected. Counts above 2^52 pairs
     * would lose exactness in ANY double-summing engine; at that scale
@@ -61,56 +62,20 @@ object Eval {
 
   /** Generic strictly-below cumulative over a persisted distinct-value
     * relation: appends `__below_<m>` for every measure column `m`, via
-    * the dual path — ordered window when the relation is pre-counted ≤
-    * `maxDistinctBroadcast`, else 256 approx-quantile bins with per-bin
-    * parallel windows and a ≤256-row broadcast offset relation. The
-    * shared ranking engine behind [[auc]] / [[prAuc]] / [[lorenzGini]]
-    * (the percentileRank discipline, factored once). `counts` must
-    * carry a `__s` value column and be persisted by the caller. */
+    * [[CumulativeEngine]] — ordered window when the relation is
+    * pre-counted ≤ `maxDistinctBroadcast`, else the quantile-balanced
+    * 64×64 macro/micro binned path (per-bin parallel windows, per-task
+    * state ~distinct/4096). The shared ranking engine behind [[auc]] /
+    * [[prAuc]] / [[lorenzGini]] / [[spearman]] / [[ksExact]] /
+    * [[quantileNormalize]] — the SAME engine [[Relational.percentileRank]]
+    * rides, unified in round 7 (the previous separate 256-equal-bin
+    * variant held distinct/256 rows per task with no skew guard).
+    * `counts` must carry a `__s` value column and be persisted by the
+    * caller. */
   private def belowCumulative(counts: DataFrame, measures: Seq[String],
-      nDistinct: Long, maxDistinctBroadcast: Long): DataFrame = {
-    if (nDistinct <= maxDistinctBroadcast) {
-      // bounded by the count just taken — single-task window intended
-      val w = graft.util.BoundedWindow.global(col("__s"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      // coalesce with lit(0) coerces to each measure's type (long or
-      // double) — the first row's empty frame sums to null otherwise
-      measures.foldLeft(counts)((d, m) => d.withColumn(s"__below_$m",
-        coalesce(sum(m).over(w), lit(0))))
-    } else {
-      val nBins = 256
-      val sd = col("__s").cast("double")
-      val innerPcts = array(
-        (1 until nBins).map(i => lit(i.toDouble / nBins)): _*)
-      // one row: always broadcast
-      val edges = counts
-        .agg(percentile_approx(sd, innerPcts, lit(10000)).as("__edges"))
-      val bin = aggregate(col("__edges"), lit(0),
-        (acc, e) => acc + when(sd >= e, 1).otherwise(0))
-      val binned = counts.crossJoin(broadcast(edges))
-        .withColumn("__bin", bin).drop("__edges")
-      // cross-bin offsets: ≤256 rows — bounded by construction
-      val wBins = graft.util.BoundedWindow.global(col("__bin"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = measures.foldLeft(
-        binned.groupBy("__bin")
-          .agg(sum(measures.head).as(s"__b_${measures.head}"),
-            measures.tail.map(m => sum(m).as(s"__b_$m")): _*)) {
-        (d, m) => d.withColumn(s"__binbelow_$m",
-          coalesce(sum(s"__b_$m").over(wBins), lit(0)))
-      }.drop(measures.map(m => s"__b_$m"): _*)
-      // within-bin windows partition by bin → parallel
-      val wIn = Window.partitionBy(col("__bin")).orderBy(col("__s"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      measures.foldLeft(
-        measures.foldLeft(binned)((d, m) => d.withColumn(s"__in_$m",
-          coalesce(sum(m).over(wIn), lit(0L))))
-          .join(broadcast(offsets), Seq("__bin"))) {
-        (d, m) => d.withColumn(s"__below_$m",
-          col(s"__in_$m") + col(s"__binbelow_$m"))
-      }
-    }
-  }
+      nDistinct: Long, maxDistinctBroadcast: Long): DataFrame =
+    CumulativeEngine.strictlyBelow(counts, "__s", measures,
+      groupCols = Nil, small = nDistinct <= maxDistinctBroadcast)
 
   /** Ranking machinery for [[auc]] and [[prAuc]]: the distinct-score
     * relation `(__s, __p, __q)` extended with `__posbelow` /
@@ -1398,7 +1363,7 @@ object Eval {
     * Shape at 100 TB: ONE corpus aggregate to the distinct-value
     * relation with per-group counts, the SAME dual small/binned
     * cumulative engine as [[auc]]/[[lorenzGini]] (ordered window under
-    * `maxDistinctBroadcast`, else 256 approx-quantile bins with
+    * `maxDistinctBroadcast`, else the 64×64 quantile-balanced bins with
     * parallel per-bin windows + broadcast offsets), a one-row broadcast
     * totals join, and a TakeOrdered(1) argmax finish — the corpus is
     * never globally sorted and the ECDF divisions are single IEEE ops

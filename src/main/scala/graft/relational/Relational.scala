@@ -944,7 +944,9 @@ object Relational {
     *
     * Dual path on the fitted distinct count (one count() action over the
     * persisted distinct relation — the same fit-time decision the
-    * encoders make):
+    * encoders make), computed by the shared [[CumulativeEngine]] (also
+    * behind the [[Eval]] ranking family — AUC/Gini/KS/Spearman/
+    * quantile-norm; unified round 7):
     *  - distinct ≤ `maxDistinctBroadcast`: one ordered window over the
     *    small distinct set (single task per group — bounded by
     *    construction) and a BROADCAST join back;
@@ -982,91 +984,20 @@ object Relational {
     val gb = groupCols.map(col)
     val small = nDistinct <= maxDistinctBroadcast || !numeric
 
-    val ranked =
-      if (small) {
-        // ungrouped: the windowed relation is the distinct set, already
-        // counted ≤ maxDistinctBroadcast — bounded, single task intended
-        val base =
-          if (groupCols.isEmpty) graft.util.BoundedWindow.globalUnordered()
-          else Window.partitionBy(gb: _*)
-        val w = base.orderBy(col("__v"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val wAll = base.rowsBetween(
-          Window.unboundedPreceding, Window.unboundedFollowing)
-        counts.select(gb ++ Seq(col("__v"),
-          coalesce(sum("__n").over(w), lit(0L)).as("__below"),
-          sum("__n").over(wAll).as("__nn")): _*)
-      } else {
-        val nMacro = 64
-        val nMicro = 64 // nMacro * nMicro = 4096 total bins
-        val vd = col("__v").cast("double")
-        // group-level bounds + totals + approx-quantile macro edges over
-        // the DISTINCT values (unweighted — per-bin task cost is distinct
-        // values per bin, which is exactly what the quantiles balance):
-        // groups-sized, broadcastable
-        val innerPcts = array(
-          (1 until nMacro).map(i => lit(i.toDouble / nMacro)): _*)
-        val bounds = counts.groupBy(gb: _*).agg(
-          min(vd).as("__lo"),
-          max(vd).as("__hi"),
-          sum("__n").as("__nn"),
-          percentile_approx(vd, innerPcts, lit(10000)).as("__edges"))
-        // ungrouped: bounds is ONE row — broadcast unconditionally.
-        // grouped: bounds is groups-sized (unbounded in group count) —
-        // no hint, AQE broadcasts when actually small
-        val withBounds =
-          if (groupCols.isEmpty) counts.crossJoin(broadcast(bounds))
-          else counts.join(bounds, groupCols)
-        // macro bin = #edges ≤ v (a 63-element codegen'd scan — monotone
-        // in v even with duplicate edges, which just leave bins empty);
-        // micro bin = equal width within the macro bin's [mlo, mhi) span.
-        // Ties at the double cast collapse into the same bin, and
-        // within-bin order uses the ORIGINAL value, so the cumulative
-        // stays exact
-        val macroBin = aggregate(col("__edges"), lit(0),
-          (acc, e) => acc + when(vd >= e, 1).otherwise(0))
-        val mlo = when(col("__macro") === 0, col("__lo"))
-          .otherwise(element_at(col("__edges"), col("__macro")))
-        val mhi = when(col("__macro") === nMacro - 1, col("__hi"))
-          .otherwise(element_at(col("__edges"), col("__macro") + 1))
-        val microWidth = (col("__mhi") - col("__mlo")) / nMicro
-        val micro = when(col("__mhi") <= col("__mlo"), lit(0L))
-          .otherwise(least(
-            floor((vd - col("__mlo")) / microWidth), lit(nMicro - 1L))
-            .cast("long"))
-        val binned = withBounds
-          .withColumn("__macro", macroBin)
-          .withColumn("__mlo", mlo)
-          .withColumn("__mhi", mhi)
-          .withColumn("__bin",
-            col("__macro").cast("long") * nMicro + greatest(micro, lit(0L)))
-          .drop("__lo", "__hi", "__edges", "__macro", "__mlo", "__mhi")
-        // cross-bin offsets: a groups×bins relation, cumulative over ≤4096
-        // rows per group — bounded by construction
-        // ungrouped: the windowed relation is ≤ 4096 bin rows — bounded
-        val wBins = (if (groupCols.isEmpty)
-            graft.util.BoundedWindow.globalUnordered()
-          else Window.partitionBy(gb: _*))
-          .orderBy(col("__bin"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val binBelow = binned.groupBy((gb :+ col("__bin")): _*)
-          .agg(sum("__n").as("__bn"))
-          .withColumn("__binbelow",
-            coalesce(sum("__bn").over(wBins), lit(0L)))
-          .drop("__bn")
-        // within-bin strictly-below: windows partition by bin → parallel
-        val wIn = Window.partitionBy((gb :+ col("__bin")): _*)
-          .orderBy(col("__v"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        // no broadcast hint on the offsets join: binBelow is groups×bins
-        // rows — tiny ungrouped, but unbounded in the group count; AQE
-        // broadcasts it when it is actually small
-        binned
-          .withColumn("__inbelow", coalesce(sum("__n").over(wIn), lit(0L)))
-          .join(binBelow, groupCols :+ "__bin")
-          .withColumn("__below", col("__inbelow") + col("__binbelow"))
-          .select(gb ++ Seq(col("__v"), col("__below"), col("__nn")): _*)
-      }
+    // the shared dual small/binned strictly-below engine (round 7: the
+    // SAME [[CumulativeEngine]] the Eval ranking family rides — this
+    // method's quantile-balanced 64×64 scheme, factored out once)
+    val below = CumulativeEngine.strictlyBelow(counts, "__v", Seq("__n"),
+      groupCols, small)
+    // per-group totals: one aggregate of the persisted distinct relation
+    // — ONE row ungrouped (broadcast unconditionally), groups-sized
+    // grouped (no hint; AQE broadcasts when actually small)
+    val totals = counts.groupBy(gb: _*).agg(sum("__n").as("__nn"))
+    val ranked = (if (groupCols.isEmpty)
+        below.crossJoin(broadcast(totals))
+      else below.join(totals, groupCols))
+      .select(gb ++ Seq(col("__v"),
+        col("__below___n").as("__below"), col("__nn")): _*)
 
     // alias the ranked side's group columns to FRESH names: group-key
     // attributes survive groupBy with their expression ids intact, so an

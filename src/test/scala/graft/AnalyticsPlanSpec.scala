@@ -92,6 +92,9 @@ class AnalyticsPlanSpec extends SparkSpec {
     assert(p.contains("[__bin"), p.take(1200))
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
       !p.contains("CartesianProduct"), p.take(1200))
+    // exactly the unified engine's two window passes (cross-bin offsets
+    // + within-bin) — a third means a pass leaked in above the engine
+    assert("Window \\[".r.findAllIn(p).size == 2, p.take(1200))
     counts.unpersist(blocking = false)
   }
 
@@ -107,6 +110,8 @@ class AnalyticsPlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
       !p.contains("CartesianProduct"), p.take(1200))
     assert(p.contains("TakeOrderedAndProject"), p.take(400))
+    // the unified engine's two window passes, nothing more
+    assert("Window \\[".r.findAllIn(p).size == 2, p.take(1200))
     counts.unpersist(blocking = false)
   }
 
