@@ -90,28 +90,40 @@ object Bench {
     }.toMap
     val total = if (results.nonEmpty) results.values.sum else 0.0
 
-    // ---- scale-stress block (VERDICT r5 #2) -----------------------------
-    // Each StressBench query runs once at ×1 and once at ×SPARK_GRAFT_STRESS
+    // ---- scale-stress block (VERDICT r5 #2, r6 #2) ----------------------
+    // Each StressBench query runs at ×1 and at ×SPARK_GRAFT_STRESS
     // (default 16) so every round's bench artifact carries the measured
     // ratio vs linear scaling for the banded/binned/distributed paths.
-    // Single timed pass per scale (the block is ~an order of magnitude
-    // heavier than the oracle queries; min-of-3 would triple the bench).
-    // SPARK_GRAFT_ONLY filters stress queries by their s_ names like the
-    // main set (iteration aid); SPARK_GRAFT_STRESS=0 disables. Stress
-    // failures fail the run like timed ones.
+    // MIN-OF-N per (query, scale) — round-6's same-code runs disagreed up
+    // to 2.3× on single-pass stress rows (10.3× vs 23.3× for the same
+    // ratio), so single passes can't gate a scale regression; the min
+    // strips GC/compaction noise and per-iteration times are persisted in
+    // BENCH_DETAIL.json for noise audits. SPARK_GRAFT_STRESS_ITERS tunes
+    // the repeat count (default 3; the block triples, which is the price
+    // of gate-worthy rows). SPARK_GRAFT_ONLY filters stress queries by
+    // their s_ names like the main set (iteration aid);
+    // SPARK_GRAFT_STRESS=0 disables. Stress failures fail the run like
+    // timed ones.
     val stressScale = sys.env.getOrElse("SPARK_GRAFT_STRESS", "16").toInt
+    val stressIters = sys.env.getOrElse("SPARK_GRAFT_STRESS_ITERS", "3").toInt
     val stressSelected = (only match {
       case Some(names) => StressBench.queries.filter(kv => names(kv._1))
       case None => StressBench.queries
     }).toSeq.sortBy(_._1)
-    def timeStress(reps: Int): Map[String, Double] =
+    def timeStress(reps: Int): Map[String, Seq[Double]] =
       stressSelected.flatMap { case (name, fn) =>
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        try { run(fn(spark, sfDir, reps)); Some(name -> (System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable => recordError(s"$name@x$reps", e); None }
+        val times = (1 to stressIters).flatMap { _ =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          try { run(fn(spark, sfDir, reps))
+            Some((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable => recordError(s"$name@x$reps", e); None }
+        }
+        // all iterations must succeed for the row to count (a partial
+        // min could mask an intermittent failure as a fast run)
+        if (times.size == stressIters) Some(name -> times) else None
       }.toMap
-    val (stressBase, stressBig) =
+    val (stressBaseIters, stressBigIters) =
       if (stressScale > 1 && stressSelected.nonEmpty) {
         // warmup at the small dir so the ×1 pass doesn't absorb JIT /
         // codegen compilation cost that the ×scale pass then skips —
@@ -125,7 +137,9 @@ object Bench {
           }
         }
         (timeStress(1), timeStress(stressScale))
-      } else (Map.empty[String, Double], Map.empty[String, Double])
+      } else (Map.empty[String, Seq[Double]], Map.empty[String, Seq[Double]])
+    val stressBase = stressBaseIters.map { case (k, v) => k -> v.min }
+    val stressBig = stressBigIters.map { case (k, v) => k -> v.min }
     def fmt(entries: Iterable[(String, Double)]): String = entries
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -177,8 +191,12 @@ object Bench {
         case e: Throwable => recordError("online_serving", e); 0.0
       }
 
+    def fmtIters(entries: Iterable[(String, Seq[Double])]): String = entries
+      .map { case (k, v) =>
+        "\"" + k + "\":[" + v.map(t => f"$t%.3f").mkString(",") + "]" }
+      .mkString("{", ",", "}")
     val stressJson =
-      s""""stress":{"scale":$stressScale,"base":${fmt(stressBase)},"scaled":${fmt(stressBig)}},"online_rows_per_sec":${f"$onlineRps%.0f"}"""
+      s""""stress":{"scale":$stressScale,"iters":$stressIters,"base":${fmt(stressBase)},"scaled":${fmt(stressBig)},"base_iters":${fmtIters(stressBaseIters)},"scaled_iters":${fmtIters(stressBigIters)}},"online_rows_per_sec":${f"$onlineRps%.0f"}"""
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"errors":${fmtErr(errors)},"warmup_errors":${fmtErr(warmupErrors)},$stressJson,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
@@ -192,8 +210,16 @@ object Bench {
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     } catch { case _: Throwable => () }
-    val slowest = results.toSeq.sortBy(-_._2).take(50)
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":${errors.size},"queries":${fmt(slowest)},"errors":${fmtErr(errors)},"n_warmup_errors":${warmupErrors.size},$stressJson,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    // Compact contract line (VERDICT r6 #5): round 6's line carried the
+    // top-50 queries plus the full inline stress block and outgrew the
+    // driver's tail capture (BENCH_r06 parsed:null). Keep it under ~1 KB:
+    // top-20 slowest, first 10 errors (n_failed has the true count), and
+    // the stress block BY REFERENCE — full per-query stress minimums and
+    // per-iteration arrays live in BENCH_DETAIL.json / BENCH_HISTORY.jsonl.
+    val slowest = results.toSeq.sortBy(-_._2).take(20)
+    val stressRef =
+      s""""stress":{"scale":$stressScale,"iters":$stressIters,"n_base":${stressBase.size},"n_scaled":${stressBig.size},"detail":"BENCH_DETAIL.json"}"""
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":${errors.size},"queries":${fmt(slowest)},"errors":${fmtErr(errors.take(10))},"n_warmup_errors":${warmupErrors.size},$stressRef,"online_rows_per_sec":${f"$onlineRps%.0f"},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
