@@ -791,11 +791,14 @@ object Analytics {
         sum(floor(col(amountCol) * 100).cast("long")).as("monetary"))
       .persist()
     val dims = Seq("last_active", "frequency", "monetary")
-    val boundaries: Seq[Seq[Long]] = Seq(0.2, 0.4, 0.6, 0.8).map { p =>
-      graft.operators.ExactStats.orderStats(cust, dims,
-        n => math.ceil(p * n).toLong - 1)
-        .map(_.getOrElse(sys.error(s"empty relation for RFM")).toLong)
-    }.transpose // per-dim: the 4 quintile edges
+    // all 12 quintile edges (4 ranks × 3 dims) from ONE shared narrowing
+    // session — the engine batches ranks per histogram scan, so this
+    // costs the same corpus scans as a single rank (VERDICT r6 #6: the
+    // previous per-quantile loop ran four sessions)
+    val boundaries: Seq[Seq[Long]] = graft.operators.ExactStats
+      .orderStatsBatch(cust, dims,
+        n => Seq(0.2, 0.4, 0.6, 0.8).map(p => math.ceil(p * n).toLong - 1))
+      .map(_.map(_.getOrElse(sys.error(s"empty relation for RFM")).toLong))
     def score(c: String, bs: Seq[Long]) =
       bs.map(b => when(col(c) > b, 1).otherwise(0)).reduce(_ + _) + 1
     val out = cust.select(

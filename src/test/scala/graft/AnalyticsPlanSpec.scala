@@ -214,6 +214,25 @@ class AnalyticsPlanSpec extends SparkSpec {
       p.take(800))
   }
 
+  test("rfmSegments fits ALL 12 quintile edges (4 ranks x 3 dims) in ONE " +
+      "narrowing session — the job count stays at single-session depth") {
+    val df = (1 to 500).map(i => (s"c${i % 97}", i.toLong, i * 1.5))
+      .toDF("k", "d", "a")
+    val tracker = spark.sparkContext.statusTracker
+    def jobs() = tracker.getJobIdsForGroup(null).length
+    // one throwaway call first so JIT/codegen jobs don't pollute the count
+    Analytics.rfmSegments(df, "k", "d", "a")
+    val before = jobs()
+    Analytics.rfmSegments(df, "k", "d", "a") // eager (checkpoints inside)
+    val fitJobs = jobs() - before
+    // measured single-session cost: persist+count + narrowing rounds +
+    // final checkpoint ≈ 6 jobs at this size; the pre-batch code ran FOUR
+    // narrowing sessions (one per quintile) ≈ 3x more. 8 allows round
+    // jitter while failing on any return to per-quantile sessions
+    assert(fitJobs <= 8, s"rfm fit ran $fitJobs jobs — did the quintile " +
+      "fit fall back to one narrowing session per rank?")
+  }
+
   test("skyline2 plans no cartesian/broadcast-nested-loop and finishes " +
       "with a semi-join") {
     val df = Seq(("g", 1, 2), ("g", 2, 1)).toDF("g", "d1", "d2")

@@ -86,4 +86,22 @@ class ExactStatsSpec extends SparkSpec {
       distributedMedian = true).transform(df)
     assertCol(dist, "x", Seq(1.0, 3.0, 5.0, 3.0))
   }
+
+  test("orderStatsBatch: many ranks in one session == per-rank " +
+      "orderStats, across distinct narrowing depths and duplicate ranks") {
+    val df = (1 to 300).map(i => (i.toLong, (i * 37 % 101).toDouble,
+      (i % 7).toDouble)).toDF("row_id", "x", "y")
+    val ranks = Seq(0L, 59L, 150L, 299L, 59L) // includes a duplicate
+    val batched = ExactStats.orderStatsBatch(df, Seq("x", "y"),
+      _ => ranks, buckets = 16, collectThreshold = 8)
+    val single = ranks.map(r => ExactStats.orderStats(df, Seq("x", "y"),
+      _ => r, buckets = 16, collectThreshold = 8))
+    for (c <- 0 to 1; ri <- ranks.indices)
+      assert(batched(c)(ri) == single(ri)(c),
+        s"col $c rank ${ranks(ri)}: ${batched(c)(ri)} vs ${single(ri)(c)}")
+    // empty relation: every requested rank resolves to None
+    val empty = df.filter(df("x") < 0)
+    assert(ExactStats.orderStatsBatch(empty, Seq("x"), _ => Seq(0L, 5L))
+      == Seq(Seq(None, None)))
+  }
 }
