@@ -340,6 +340,27 @@ object StressBench {
         "c_name", "corrupted", maxDist = 1)
     }),
 
+    // ADVERSARIAL fuzzy join (VERDICT r6 #4c): a synthetic vocabulary
+    // where every 64-string group {prefix + c} shares ONE deletion
+    // variant (the prefix) — uncapped, each group forms 64² candidates
+    // and the candidate relation grows quadratically in group size. The
+    // cap (32 < 64) demonstrably ENGAGES on every group: all hot buckets
+    // drop (logged inside fuzzyJoin), runtime stays bounded by the cap,
+    // and the surviving work is the per-group substitution pairs that
+    // share no other variant — i.e. the row measures the CAP PATH, not
+    // luck. ×reps multiplies the number of groups (more buckets), never
+    // the bucket size (which is the adversarial constant)
+    "s_fuzzy_adversarial" -> ((s, d, r) => {
+      val chars = "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ_-"
+      val vocab = s.range(0L, 250L * math.max(1, r) * 64)
+        .select(concat(
+          lpad((col("id") / 64).cast("long").cast("string"), 10, "0"),
+          expr(s"substring('$chars', CAST(id % 64 AS INT) + 1, 1)"))
+          .as("name"))
+      graft.relational.Relational.fuzzyJoin(vocab, vocab, "name", "name",
+        maxDist = 1, maxVariantBucket = 32)
+    }),
+
     // Spearman with the continuous side's distinct values ×reps: the
     // rank-relation join-back is the load (AQE must pick a shuffle join
     // for the continuous column, broadcast for quantity)

@@ -82,6 +82,42 @@ class EditDistancePairsSpec extends SparkSpec {
       maxLen = 32).collect().map(r => (r.getString(0), r.getString(1)))
     assert(got.toSeq == Seq(("abc", "abd")))
   }
+
+  test("fuzzyJoin hot-variant cap: an adversarial one-variant group is " +
+      "dropped under the cap (bounded work), kept above it — and the " +
+      "default cap never engages on realistic vocabularies") {
+    // {P + c : 8 chars} — all 8 strings share exactly ONE variant (P):
+    // uncapped they form the full 8x8 substitution clique
+    val grp = "abcdefgh".map(c => s"0000$c")
+    val clique = (for { a <- grp; b <- grp if a != b } yield (a, b)).size
+    val uncapped = Relational.fuzzyJoin(grp.toDF("x"), grp.toDF("y"),
+      "x", "y", maxDist = 1).filter(col("a") =!= col("b")).count()
+    assert(uncapped == clique, "default cap must not engage")
+    // cap 4 < 8: the shared variant drops; pairs witnessed only by it
+    // are lost by design (self-matches survive via their full-string
+    // variant buckets of size 1)
+    val capped = Relational.fuzzyJoin(grp.toDF("x"), grp.toDF("y"),
+      "x", "y", maxDist = 1, maxVariantBucket = 4)
+    assert(capped.filter(col("a") =!= col("b")).count() == 0)
+    assert(capped.filter(col("a") === col("b")).count() == grp.size.toLong)
+  }
+
+  test("editDistancePairs hot-variant cap drops the adversarial bucket; " +
+      "pairs with independent witnesses survive") {
+    val grp = "abcdefgh".map(c => s"0000$c") :+ "0000" // "0000" pairs by deletion
+    val capped = Relational.editDistancePairs(grp.toDF("s"),
+      "s", maxVariantBucket = 4)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // the 8-string substitution clique loses its only witness ("0000"
+    // appears as a VARIANT of all 8 — over the cap); but ("0000", P+c)
+    // deletion pairs are witnessed by the full-string variant of "0000"
+    // itself... which IS the same hot bucket — all dropped here
+    assert(capped.isEmpty)
+    val uncapped = Relational.editDistancePairs(grp.toDF("s"), "s")
+      .collect().length
+    assert(uncapped == (8 * 7) / 2 + 8, "default cap must not engage: " +
+      "28 substitution pairs + 8 deletion pairs")
+  }
 }
 
 class RollingActiveUsersSpec extends SparkSpec {
