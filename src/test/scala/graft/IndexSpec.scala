@@ -156,5 +156,28 @@ class IndexSpec extends SparkSpec {
       f"default-knob recall $atDefaults%.4f regressed below measured floor")
     assert(atQuality >= 0.95,
       f"quality-knob recall $atQuality%.4f below the 0.95 floor")
+    // AUTO knobs (VERDICT r6 #3): corpus-derived geometry must not leave
+    // a user at the 0.49 fixed-default floor — on this corpus autoKnobs
+    // resolves to r=2 x 32 bands and recall must clear 0.9
+    val autoApprox = Similarity.knnJoinAuto(big, "vec_id", "embedding",
+        k = k, dim = 64)
+      .select(col("vec_id").as("query_id"), col("nbr_id").as("vec_id"))
+      .as[(Long, Long)].collect().toSet
+    val atAuto = (truth & autoApprox).size.toDouble / truth.size
+    info(f"recall: auto=$atAuto%.4f")
+    assert(atAuto >= 0.9,
+      f"auto-knob recall $atAuto%.4f below the 0.9 floor")
+  }
+
+  test("autoKnobs geometry: bucket space grows with corpus/cap, the " +
+      "64-bit signature budget is spent on bands, and r clamps at 16") {
+    // small corpus: minimum bits, maximum bands
+    assert(Similarity.autoKnobs(2000, 1000) == (64, 32))   // r=2
+    // occupancy rule: 2^r >= n/cap
+    assert(Similarity.autoKnobs(16000, 1000) == (64, 16))  // r=4
+    assert(Similarity.autoKnobs(1000000, 1000) == (60, 6)) // r=10
+    // clamp: past 2^16 * cap the signature is out of bits — the knnJoin
+    // coverage warning takes over
+    assert(Similarity.autoKnobs(Long.MaxValue / 4, 1000) == (64, 4))
   }
 }
