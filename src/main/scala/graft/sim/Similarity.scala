@@ -24,17 +24,20 @@ object Similarity {
     * 16 planes / 4 bands measures 0.49 recall on sf0.1 and at ×16 data
     * every bucket overflows the cap (the run gets FASTER because
     * everything is dropped). Derive bits-per-band from the corpus/cap
-    * ratio so expected bucket occupancy stays under the cap
-    * (`2^r ≳ n / maxBucket`, r clamped to [2, 16]), then spend the whole
-    * 64-bit signature budget on bands (`bands = 64 / r`) for collision
-    * chances. Measured on sf0.1 (n = 2000, cap 1000): auto resolves to
-    * r = 2 × 32 bands → recall ≥ 0.99 (IndexSpec pins ≥ 0.9). Past
-    * n ≈ 2^16 · maxBucket the single-long signature runs out of bits and
-    * occupancy exceeds the cap even at r = 16 — the coverage warning in
-    * [[knnJoin]] then fires rather than letting recall collapse
-    * silently. Returns (nPlanes, bands). */
+    * ratio with 4× skew headroom — LSH buckets follow data density, so
+    * sizing MEAN occupancy exactly at the cap still drops half the
+    * entries on clustered embeddings (measured: 56% dropped at ×16 with
+    * zero headroom) — so `2^r ≳ 4·n / maxBucket` (r clamped to
+    * [2, 16]), then spend the whole 64-bit signature budget on bands
+    * (`bands = 64 / r`) for collision chances. Measured on sf0.1
+    * (n = 2000, cap 1000): auto resolves to r = 3 × 21 bands → recall
+    * ≥ 0.99 (IndexSpec pins ≥ 0.9). Past n ≈ 2^14 · maxBucket the
+    * single-long signature runs out of bits and occupancy exceeds the
+    * cap even at r = 16 — the coverage warning in [[knnJoin]] then
+    * fires rather than letting recall collapse silently. Returns
+    * (nPlanes, bands). */
   private[graft] def autoKnobs(n: Long, maxBucket: Int): (Int, Int) = {
-    val needed = math.max(1.0, n.toDouble / math.max(1, maxBucket))
+    val needed = math.max(1.0, 4.0 * n.toDouble / math.max(1, maxBucket))
     val r = math.min(16, math.max(2,
       math.ceil(math.log(needed) / math.log(2.0)).toInt))
     val bands = 64 / r

@@ -158,7 +158,7 @@ class IndexSpec extends SparkSpec {
       f"quality-knob recall $atQuality%.4f below the 0.95 floor")
     // AUTO knobs (VERDICT r6 #3): corpus-derived geometry must not leave
     // a user at the 0.49 fixed-default floor — on this corpus autoKnobs
-    // resolves to r=2 x 32 bands and recall must clear 0.9
+    // resolves to r=3 x 21 bands and recall must clear 0.9
     val autoApprox = Similarity.knnJoinAuto(big, "vec_id", "embedding",
         k = k, dim = 64)
       .select(col("vec_id").as("query_id"), col("nbr_id").as("vec_id"))
@@ -172,11 +172,11 @@ class IndexSpec extends SparkSpec {
   test("autoKnobs geometry: bucket space grows with corpus/cap, the " +
       "64-bit signature budget is spent on bands, and r clamps at 16") {
     // small corpus: minimum bits, maximum bands
-    assert(Similarity.autoKnobs(2000, 1000) == (64, 32))   // r=2
-    // occupancy rule: 2^r >= n/cap
-    assert(Similarity.autoKnobs(16000, 1000) == (64, 16))  // r=4
-    assert(Similarity.autoKnobs(1000000, 1000) == (60, 6)) // r=10
-    // clamp: past 2^16 * cap the signature is out of bits — the knnJoin
+    assert(Similarity.autoKnobs(2000, 1000) == (63, 21))   // r=3
+    // occupancy rule with 4x skew headroom: 2^r >= 4n/cap
+    assert(Similarity.autoKnobs(16000, 1000) == (60, 10))  // r=6
+    assert(Similarity.autoKnobs(1000000, 1000) == (60, 5)) // r=12
+    // clamp: past 2^14 * cap the signature is out of bits — the knnJoin
     // coverage warning takes over
     assert(Similarity.autoKnobs(Long.MaxValue / 4, 1000) == (64, 4))
   }
