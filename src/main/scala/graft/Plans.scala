@@ -229,9 +229,17 @@ object Plans {
         SparkEntry.queries("q_tpch_q21")(spark, d)),
       ("q_langid", "fitted n-gram language ID: trigram counts shrink to " +
         "the gram space (≤|Σ|³ per language) before the top-K window; " +
-        "the fitted profile broadcasts into the classify join; the " +
-        "per-doc argmax window spans ≤ #langs rows.",
+        "the bounded profile inlines as per-language literal arrays and " +
+        "classification is ONE array_intersect + struct-argmax " +
+        "projection — zero exchanges (q_langid_join forces the " +
+        "broadcast-join fallback an uninlineable profile would take).",
         SparkEntry.queries("q_langid")(spark, d)),
+      ("q_basket_suppliers", "market-basket affinity: ONE capped " +
+        "basket aggregate (localCheckpoint'ed), pair explode bounded " +
+        "by cap²/2 per basket into a map-side-combined pair count; " +
+        "marginal joins run at pair scale; the basket total is a " +
+        "one-row broadcast — no cross-basket product anywhere.",
+        SparkEntry.queries("q_basket_suppliers")(spark, d)),
       ("q_qsketch", "quantile sketch: ONE map-side-combined bin aggregate " +
         "over the corpus; quantile reads touch only groups × ≤4096 " +
         "register rows (cumulative window bounded by the sketch " +

@@ -283,6 +283,13 @@ object Round6Queries {
       graft.text.LangId.selfCheck(t(s, d, "documents"), "doc_id", "text",
         "lang", n = 3, topK = 64)),
 
+    // forced-path twin: maxLiteralEntries = 0 pushes selfCheck onto the
+    // explode + broadcast-join + argmax path a too-large-to-inline
+    // profile would take at 100 TB — same oracle as q_langid
+    "q_langid_join" -> ((s, d) =>
+      graft.text.LangId.selfCheck(t(s, d, "documents"), "doc_id", "text",
+        "lang", n = 3, topK = 64, maxLiteralEntries = 0)),
+
     // mergeable quantile sketch: per-returnflag price quantiles from
     // binned-ECDF registers (integer rank targets — exact bin pick)
     "q_qsketch" -> ((s, d) =>
@@ -1109,26 +1116,10 @@ object Round6Queries {
       // the classifier replay: distinct doc trigrams joined to the
       // fitted profiles, integer overlap scores, (score DESC, lang ASC)
       // argmax, zero-overlap docs -> ('und', 0)
-      "q_langid" ->
-        s"""WITH $LangProfileSql,
-            docg AS (SELECT DISTINCT doc_id, gram FROM tg),
-            score AS (
-              SELECT docg.doc_id, p.lang, count(*) AS score
-              FROM docg
-              JOIN (SELECT lang, gram FROM prof WHERE rank <= 64) p
-                ON docg.gram = p.gram
-              GROUP BY 1, 2),
-            best AS (
-              SELECT doc_id, lang, score, row_number() OVER (
-                PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
-              FROM score)
-            SELECT d.doc_id,
-              coalesce(b.lang, 'und') AS pred_lang,
-              CAST(coalesce(b.score, 0) AS BIGINT) AS score,
-              (coalesce(b.lang, 'und') = d.lang) AS agrees
-            FROM documents d
-            LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
-              ON d.doc_id = b.doc_id""",
+      "q_langid" -> LangIdSelfCheckSql,
+
+      // the literal-intersect and join paths answer to the SAME replay
+      "q_langid_join" -> LangIdSelfCheckSql,
 
       "q_qsketch" -> Sketches.qQuantileSql(
         "SELECT l_returnflag AS grp, l_extendedprice AS v FROM lineitem",
@@ -1330,4 +1321,29 @@ object Round6Queries {
          SELECT lang, gram, CAST(row_number() OVER (
            PARTITION BY lang ORDER BY c DESC, gram) AS BIGINT) AS rank
          FROM cnt)"""
+
+  /** The classifier replay shared by q_langid (scan-shaped literal
+    * intersect) and q_langid_join (forced broadcast-join path): distinct
+    * doc trigrams joined to the fitted profiles, integer overlap scores,
+    * (score DESC, lang ASC) argmax, zero-overlap docs -> ('und', 0). */
+  private val LangIdSelfCheckSql =
+    s"""WITH $LangProfileSql,
+        docg AS (SELECT DISTINCT doc_id, gram FROM tg),
+        score AS (
+          SELECT docg.doc_id, p.lang, count(*) AS score
+          FROM docg
+          JOIN (SELECT lang, gram FROM prof WHERE rank <= 64) p
+            ON docg.gram = p.gram
+          GROUP BY 1, 2),
+        best AS (
+          SELECT doc_id, lang, score, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+          FROM score)
+        SELECT d.doc_id,
+          coalesce(b.lang, 'und') AS pred_lang,
+          CAST(coalesce(b.score, 0) AS BIGINT) AS score,
+          (coalesce(b.lang, 'und') = d.lang) AS agrees
+        FROM documents d
+        LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+          ON d.doc_id = b.doc_id"""
 }

@@ -7,7 +7,9 @@ import org.apache.spark.sql.functions._
 /** Round-7 additions: TPC-DS-style shapes over the existing TPC-H-ish
   * fixtures (VERDICT r6 #9) — the regression surface the 22 TPC-H
   * queries don't cover: a moving-window sales-deviation report
-  * (TPC-DS q47/q57 family) and a returns-ratio screen (q93 family).
+  * (TPC-DS q47/q57 family) and a returns-ratio screen (q93 family) —
+  * plus the market-basket affinity oracles
+  * ([[graft.relational.Analytics.basketAffinity]]).
   *
   * Determinism: money is quantized per-row to integer cents
   * (`floor(x*100)` — identical IEEE arithmetic in both engines) and all
@@ -21,6 +23,37 @@ object Round7Queries {
     spark.read.parquet(s"$dir/$name.parquet")
 
   private def cents(c: Column): Column = floor(c * lit(100)).cast("long")
+
+  /** Oracle replay of [[graft.relational.Analytics.basketAffinity]]:
+    * the cap keeps the `cap` SMALLEST items per basket (row_number over
+    * item ASC == slice of the sorted array); all counts derive from the
+    * capped relation; ratios are single double divisions of integral
+    * counts, 6-dp — replay-exact. */
+  private def basketSql(biSql: String, cap: Int, minPairs: Int): String =
+    s"""WITH bi AS (SELECT DISTINCT bk, it FROM ($biSql)),
+        r AS (SELECT bk, it,
+                row_number() OVER (PARTITION BY bk ORDER BY it) AS rn
+              FROM bi),
+        si AS (SELECT bk, it FROM r WHERE rn <= $cap),
+        n AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n_baskets
+              FROM si),
+        ic AS (SELECT it, CAST(count(*) AS BIGINT) AS ci FROM si
+               GROUP BY 1),
+        p AS (SELECT x.it AS item_a, y.it AS item_b,
+                CAST(count(*) AS BIGINT) AS n_ab
+              FROM si x JOIN si y ON x.bk = y.bk AND x.it < y.it
+              GROUP BY 1, 2 HAVING count(*) >= $minPairs)
+        SELECT p.item_a, p.item_b, p.n_ab, ia.ci AS n_a, ib.ci AS n_b,
+          n.n_baskets,
+          round(CAST(p.n_ab AS DOUBLE) / n.n_baskets, 6) AS support,
+          round(CAST(p.n_ab AS DOUBLE) / ia.ci, 6) AS confidence_ab,
+          round(CAST(p.n_ab AS DOUBLE) / ib.ci, 6) AS confidence_ba,
+          round(CAST(p.n_ab AS DOUBLE) * n.n_baskets /
+            (CAST(ia.ci AS DOUBLE) * ib.ci), 6) AS lift
+        FROM p
+        JOIN ic ia ON p.item_a = ia.it
+        JOIN ic ib ON p.item_b = ib.it
+        CROSS JOIN n"""
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -57,6 +90,51 @@ object Round7Queries {
         .select("p_brand", "o_year", "o_month", "sales_cents",
           "t3_cents", "yr_cents", "n_months")
     }),
+
+    // market-basket affinity over the event log: which event types
+    // co-occur within a user's history (support/confidence/lift from
+    // one capped basket aggregate — Analytics.basketAffinity)
+    "q_basket_events" -> ((s, d) =>
+      graft.relational.Analytics.basketAffinity(t(s, d, "events"),
+        "user_id", "event_type", maxBasket = 64)),
+
+    // integer-item variant at a joinier scale: suppliers co-occurring
+    // within an order, pairs seen at least twice
+    "q_basket_suppliers" -> ((s, d) =>
+      graft.relational.Analytics.basketAffinity(t(s, d, "lineitem"),
+        "l_orderkey", "l_suppkey", maxBasket = 16, minPairs = 2L)),
+
+    // per-doc Shannon entropy of the token distribution — the lexical-
+    // diversity quality gate (Ranking.tokenEntropy; entropy is
+    // aggregate-derived -> round 6)
+    "q_token_entropy" -> ((s, d) =>
+      graft.text.Ranking.tokenEntropy(t(s, d, "documents"), "text",
+          "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          round(col("entropy"), 6).as("entropy"))),
+
+    // Jensen–Shannon divergence between the en and non-en unigram
+    // distributions — the corpus-drift scalar (Ranking.jsDivergence)
+    "q_jsd" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.text.Ranking.jsDivergence(
+          docs.filter(col("lang") === "en"),
+          docs.filter(col("lang") =!= "en"), "text")
+        .select(col("n_terms"), col("tokens_a"), col("tokens_b"),
+          round(col("jsd"), 6).as("jsd"))
+    }),
+
+    // grouped Theil–Sen robust slope: order value (dollars) vs time
+    // (epoch seconds) per order priority — the element-pick lower
+    // median replays bit-exact, no rounding anywhere
+    "q_theilsen" -> ((s, d) =>
+      graft.relational.Analytics.theilSen(
+        t(s, d, "orders").select(col("o_orderpriority"),
+          col("o_orderkey"),
+          col("o_orderdate").cast("timestamp").cast("long").as("x_s"),
+          col("o_totalprice")),
+        "o_orderpriority", "x_s", "o_totalprice", "o_orderkey",
+        maxN = 64)),
 
     // TPC-DS q93 shape: customers whose returned revenue exceeds 20% of
     // their total, with at least 5 distinct orders — the
@@ -105,6 +183,95 @@ object Round7Queries {
            FROM monthly)
          SELECT * FROM win
          WHERE abs(sales_cents * n_months - yr_cents) * 10 > yr_cents""",
+
+    "q_basket_events" -> basketSql(
+      "SELECT user_id AS bk, event_type AS it FROM events " +
+        "WHERE user_id IS NOT NULL AND event_type IS NOT NULL",
+      cap = 64, minPairs = 1),
+
+    "q_basket_suppliers" -> basketSql(
+      "SELECT l_orderkey AS bk, l_suppkey AS it FROM lineitem " +
+        "WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL",
+      cap = 16, minPairs = 2),
+
+    // H = ln(n) − Σ c·ln(c)/n over per-doc token counts; round(6)
+    // absorbs ln()/summation-order ulp (the q_unigram_quality policy)
+    "q_token_entropy" ->
+      """WITH tk AS (
+           SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+           FROM documents),
+         c AS (
+           SELECT doc_id, t, count(*) AS c FROM tk WHERE t <> ''
+           GROUP BY 1, 2)
+         SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS n_types,
+           round(ln(CAST(sum(c) AS DOUBLE)) -
+             sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) /
+             CAST(sum(c) AS DOUBLE), 6) AS entropy
+         FROM c GROUP BY doc_id""",
+
+    // add-one smoothing over the union vocabulary, both KL halves vs the
+    // midpoint mix; round(6) absorbs ln()/summation-order ulp
+    "q_jsd" ->
+      """WITH ca AS (
+           SELECT t, count(*) AS c FROM (
+             SELECT unnest(regexp_split_to_array(trim(lower(text)),
+               '\s+')) AS t
+             FROM documents WHERE lang = 'en') WHERE t <> '' GROUP BY 1),
+         cb AS (
+           SELECT t, count(*) AS c FROM (
+             SELECT unnest(regexp_split_to_array(trim(lower(text)),
+               '\s+')) AS t
+             FROM documents WHERE lang <> 'en') WHERE t <> '' GROUP BY 1),
+         j AS (
+           SELECT coalesce(ca.c, 0) AS cnt_a, coalesce(cb.c, 0) AS cnt_b
+           FROM ca FULL OUTER JOIN cb ON ca.t = cb.t),
+         tot AS (
+           SELECT CAST(sum(cnt_a) AS BIGINT) AS ta,
+             CAST(sum(cnt_b) AS BIGINT) AS tb, count(*) AS v FROM j),
+         p AS (
+           SELECT (cnt_a + 1.0) / (CAST(ta AS DOUBLE) + v) AS pa,
+             (cnt_b + 1.0) / (CAST(tb AS DOUBLE) + v) AS pb,
+             ta, tb, v
+           FROM j, tot)
+         SELECT max(v) AS n_terms, max(ta) AS tokens_a,
+           max(tb) AS tokens_b,
+           round((sum(pa * ln(pa / ((pa + pb) / 2.0))) +
+             sum(pb * ln(pb / ((pa + pb) / 2.0)))) / 2.0, 6) AS jsd
+         FROM p""",
+
+    // the cap keeps the 64 smallest-x points (ties -> lower id); the
+    // lower median is an ELEMENT PICK ordered by (slope, i, j) — slopes
+    // are per-row IEEE arithmetic on identical inputs, so no rounding
+    "q_theilsen" ->
+      """WITH src AS (
+           SELECT o_orderpriority AS g, o_orderkey AS id,
+             CAST(CAST(epoch_us(o_orderdate) AS BIGINT) // 1000000
+               AS DOUBLE) AS x,
+             o_totalprice AS y
+           FROM orders),
+         r AS (
+           SELECT g, id, x, y,
+             row_number() OVER (PARTITION BY g ORDER BY x, id) AS rn
+           FROM src),
+         c AS (SELECT g, id, x, y FROM r WHERE rn <= 64),
+         p AS (
+           SELECT a.g, a.id AS i, b.id AS j,
+             (b.y - a.y) / (b.x - a.x) AS s
+           FROM c a JOIN c b ON a.g = b.g AND a.id < b.id
+             AND a.x <> b.x),
+         q AS (
+           SELECT g, s,
+             row_number() OVER (PARTITION BY g ORDER BY s, i, j) AS rn,
+             count(*) OVER (PARTITION BY g) AS m
+           FROM p),
+         n AS (SELECT g, count(*) AS n_used FROM c GROUP BY 1)
+         SELECT q.g AS o_orderpriority, n.n_used, q.m AS n_pairs,
+           q.s AS slope
+         FROM q JOIN n ON q.g = n.g
+         WHERE q.rn = (q.m + 1) // 2""",
 
     "q_tpcds_returns" ->
       """SELECT o.o_custkey,

@@ -13,6 +13,8 @@ import org.apache.spark.sql.functions._
   * over an unbounded partition or collects to the driver. */
 object Analytics {
 
+  private lazy val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Grouped simple linear regression `y ~ x` via the exact moment
     * aggregates: per group `(n, slope, intercept, r2)`, 6-dp rounded
     * (aggregate-derived doubles — the repo's cross-engine float
@@ -890,6 +892,142 @@ object Analytics {
           (col("n_a") + col("n_b") - col("n_both")), 6).as("jaccard"),
         round(col("n_both").cast("double") /
           least(col("n_a"), col("n_b")), 6).as("containment"))
+  }
+
+  /** Market-basket affinity: support / confidence / lift for every
+    * UNORDERED item pair co-occurring in at least `minPairs` baskets.
+    * Output one row per pair `(item_a, item_b)` with `item_a < item_b`:
+    * `(item_a, item_b, n_ab, n_a, n_b, n_baskets, support,
+    * confidence_ab, confidence_ba, lift)` — integral counts plus 6-dp
+    * ratios of those counts (the repo's cross-engine float discipline;
+    * marginals cast to double BEFORE multiplying, the [[association]]
+    * overflow rule).
+    *
+    * Baskets holding more than `maxBasket` distinct items are truncated
+    * to their `maxBasket` SMALLEST items (deterministic under any
+    * evaluation order) with the drop count logged loudly — the
+    * [[graft.text.Dedup]] capBuckets contract: a pathological basket
+    * (a crawler touching every item) would otherwise contribute O(k²)
+    * pairs. All counts (pairs, marginals, basket total) derive from the
+    * SAME capped relation, so the reported ratios stay mutually
+    * consistent.
+    *
+    * Shape at 100 TB: ONE basket-keyed aggregate builds the capped
+    * per-basket item arrays (map-side combined collect_set,
+    * localCheckpoint'ed once — the cap audit, the pair explode, the
+    * item marginals, and the basket total all read the materialized
+    * basket-sized relation instead of re-aggregating the corpus); the
+    * pair explode is ≤ maxBasket²/2 rows per basket into one
+    * map-side-combined pair count; the marginal joins run at pair scale
+    * against an item-cardinality relation (AQE broadcasts dictionary-
+    * sized sides); the basket total rides a broadcast one-row cross
+    * join. Never all-pairs across baskets, never a corpus re-scan. */
+  def basketAffinity(df: DataFrame, basketCol: String, itemCol: String,
+      maxBasket: Int = 256, minPairs: Long = 1L): DataFrame = {
+    require(maxBasket >= 2, s"maxBasket must be >= 2, got $maxBasket")
+    val items = df
+      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .groupBy(col(basketCol))
+      .agg(
+        slice(sort_array(collect_set(col(itemCol))), 1, maxBasket)
+          .as("__items"),
+        (size(collect_set(col(itemCol))) > maxBasket).as("__capped"))
+      .localCheckpoint(true)
+    val nCapped = items.filter(col("__capped")).count()
+    if (nCapped > 0)
+      logger.warn(s"basketAffinity: $nCapped basket(s) over the " +
+        s"$maxBasket-item cap were truncated to their $maxBasket " +
+        "smallest items; pairs beyond the cap were not counted (raise " +
+        "maxBasket to restore coverage)")
+    val nBaskets = items.select(count(lit(1)).as("n_baskets"))
+    val singles = items
+      .select(explode(col("__items")).as("__item"))
+      .groupBy(col("__item")).agg(count(lit(1)).as("__ci"))
+    val pairs = items
+      .select(explode(flatten(transform(col("__items"), (x, i) =>
+        transform(slice(col("__items"), i + lit(2), size(col("__items"))),
+          y => struct(x.as("a"), y.as("b")))))).as("__p"))
+      .groupBy(col("__p.a").as("item_a"), col("__p.b").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairs)
+    val dAb = col("n_ab").cast("double")
+    pairs
+      .join(singles.select(col("__item").as("__ia"), col("__ci").as("n_a")),
+        col("item_a") === col("__ia"))
+      .join(singles.select(col("__item").as("__ib"), col("__ci").as("n_b")),
+        col("item_b") === col("__ib"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
+        col("n_b"), col("n_baskets"),
+        round(dAb / col("n_baskets"), 6).as("support"),
+        round(dAb / col("n_a"), 6).as("confidence_ab"),
+        round(dAb / col("n_b"), 6).as("confidence_ba"),
+        round(dAb * col("n_baskets").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          .as("lift"))
+  }
+
+  /** Grouped Theil–Sen robust trend: per group, the LOWER MEDIAN of the
+    * pairwise slopes `(y_j − y_i)/(x_j − x_i)` over a deterministic
+    * sample of at most `maxN` points — the outlier-resistant slope
+    * (~29% breakdown point vs 0% for OLS, Theil 1950 / Sen 1968) that
+    * monitoring dashboards want when one bad batch would swing a
+    * least-squares fit. Equal-`x` pairs are skipped (standard Theil–Sen);
+    * groups with fewer than two distinct sampled `x` values have no
+    * slope and are absent from the output.
+    *
+    * Determinism, both across retries and across engines: the sample is
+    * the `maxN` points with SMALLEST `x` (ties → lower `idCol`) via the
+    * bounded-heap [[graft.functions.CollectTopK]] aggregate — map-side
+    * partial heaps, never a whole hot group through one task; the median
+    * is the element at rank `⌊(m+1)/2⌋` ordered by `(slope, id_i, id_j)`
+    * — an ELEMENT PICK, not an average, so the value replays bit-exact
+    * (slopes are per-row IEEE arithmetic on identical inputs; no
+    * rounding needed). `idCol` must be integral and unique within its
+    * group (it keys the sample join-back, together with the group).
+    *
+    * Shape at 100 TB: one heap-capped aggregate (shuffle carries
+    * `partitions × maxN` candidates per group), one id-keyed join-back
+    * at sample scale, a group-local pair join bounded by `maxN²/2` rows
+    * per group, and a rank window over that bounded pair relation — the
+    * corpus is scanned once; everything after the cap is sample-sized.
+    * Output: (groupCol, n_used, n_pairs, slope). */
+  def theilSen(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, idCol: String, maxN: Int = 64): DataFrame = {
+    require(maxN >= 2, s"maxN must be >= 2, got $maxN")
+    val capped = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(graft.functions.TopK.collect_top_k(
+        struct((-col(xCol)).cast("double").as("score"),
+          col(idCol).cast("long").as("id")), maxN).as("__top"))
+    val ids = capped.select(col(groupCol),
+      explode(col("__top.id")).as("__id"))
+    val pts = ids.join(
+      df.select(col(groupCol), col(idCol).cast("long").as("__id"),
+        col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y")),
+      Seq(groupCol, "__id"))
+    val nUsed = pts.groupBy(col(groupCol)).agg(count(lit(1)).as("n_used"))
+    val right = pts.select(col(groupCol), col("__id").as("__j"),
+      col("__x").as("__xj"), col("__y").as("__yj"))
+    val pairs = pts
+      .join(right, Seq(groupCol.toString))
+      .filter(col("__id") < col("__j") && col("__x") =!= col("__xj"))
+      .select(col(groupCol), col("__id"), col("__j"),
+        ((col("__yj") - col("__y")) / (col("__xj") - col("__x")))
+          .as("__s"))
+    val w = Window.partitionBy(col(groupCol))
+    pairs
+      .withColumn("__rn",
+        row_number().over(w.orderBy(col("__s"), col("__id"), col("__j")))
+          .cast("long"))
+      .withColumn("n_pairs", count(lit(1)).over(w))
+      .filter(col("__rn") ===
+        ((col("n_pairs") + lit(1L)) / lit(2L)).cast("long"))
+      .join(nUsed, Seq(groupCol.toString))
+      .select(col(groupCol), col("n_used"), col("n_pairs"),
+        col("__s").as("slope"))
   }
 
   /** k-anonymity audit over quasi-identifier columns — the privacy

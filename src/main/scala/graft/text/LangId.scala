@@ -21,12 +21,23 @@ import org.apache.spark.sql.functions._
   * shrinks to at most |alphabet|^n rows per language BEFORE the top-K
   * window runs (trigrams over lowercased bytes: bounded, corpus-size-
   * independent), so the per-lang rank window never sees corpus-scale
-  * input. The fitted profile is (#langs x topK) rows — broadcast state.
-  * Classification is scan-shaped: explode distinct per-doc grams, one
-  * broadcast join against the profile, one aggregation keyed by doc id,
-  * and a per-doc argmax over <= #langs rows.
+  * input. The fitted profile is (#langs x topK) rows — bounded fitted
+  * state, same contract as the encoder dictionaries. Classification is
+  * dual-path: profiles up to [[LangId.MaxLiteralProfile]] entries inline
+  * as plan literals and score every language with `array_intersect`
+  * inside ONE projection — scan-shaped, ZERO exchanges (round 7; the
+  * join path cost two doc-scale shuffles: the (id, lang) score aggregate
+  * plus the per-doc argmax window). Oversized profiles fall back to the
+  * explode + broadcast-join + bounded-argmax path, which never
+  * materializes the profile on the driver.
   */
 object LangId {
+
+  /** Profile entries (#langs x topK) at or under this inline as plan
+    * literals for the scan-shaped classify; larger profiles take the
+    * broadcast-join path (a plan literal of ~10^5 short strings is the
+    * same budget [[Corpus.encodeDocs]] documents for its vocab map). */
+  val MaxLiteralProfile = 65536
 
   /** Character n-grams of `lower(c)` as an array column; empty array when
     * the text is shorter than `n` (a bare `sequence(1, len-n+1)` would
@@ -60,10 +71,52 @@ object LangId {
       .select(col(langCol), col("gram"), col("rank").cast("long"))
   }
 
+  /** The profile as driver-local (lang, grams) pairs sorted lang ASC —
+    * or None when it exceeds `maxEntries` (the limit+1 collect bounds
+    * driver memory regardless of profile size; content is deterministic
+    * when within budget because <= limit returns ALL rows). */
+  private def literalProfile(profiles: DataFrame,
+      maxEntries: Int): Option[Seq[(String, Seq[String])]] = {
+    val langCol = profiles.columns.head
+    val rows = profiles
+      .select(col(langCol).cast("string").as("l"), col("gram"))
+      .limit(maxEntries + 1).collect()
+    if (rows.length > maxEntries)
+      None
+    else
+      Some(rows.groupBy(_.getString(0)).toSeq
+        .map { case (l, rs) => (l, rs.map(_.getString(1)).toSeq) }
+        .sortBy(_._1))
+  }
+
+  /** (pred_lang, score) columns over a `__gd` gram-array column for the
+    * literal path: one struct per language holding (overlap, -langIndex),
+    * `array_max` argmaxes by struct order — max score first, then max
+    * NEGATED index = lang ASC, exactly the join path's (score DESC,
+    * lang ASC) tie-break. `array_intersect` dedups both sides, so the
+    * overlap counts DISTINCT shared grams like the join path's
+    * array_distinct + count. */
+  private def literalBest(
+      prof: Seq[(String, Seq[String])]): (Column, Column) = {
+    val scored = prof.zipWithIndex.map { case ((_, grams), i) =>
+      struct(
+        size(array_intersect(col("__gd"), lit(grams.toArray)))
+          .cast("long").as("s"),
+        lit(-i).as("nr"))
+    }
+    val langs = lit(prof.map(_._1).toArray)
+    val b = array_max(array(scored: _*))
+    val hit = b.getField("s") > 0
+    (when(hit, element_at(langs, (-b.getField("nr")).cast("int") + 1))
+      .otherwise(lit("und")),
+      when(hit, b.getField("s")).otherwise(lit(0L)))
+  }
+
   /** Winner rows only — (idCol, pred_lang, score) for docs with ≥1
     * profile overlap; zero-overlap docs are absent (the public entry
-    * points join a doc spine back and default them to ("und", 0)). */
-  private def classifyBest(
+    * points join a doc spine back and default them to ("und", 0)).
+    * Join-path fallback for profiles too large to inline. */
+  private def classifyBestJoin(
       docs: DataFrame, idCol: String, textCol: String,
       profiles: DataFrame, n: Int): DataFrame = {
     val langCol = profiles.columns.head
@@ -91,29 +144,55 @@ object LangId {
     * (`idCol`, pred_lang, score). */
   def classify(
       docs: DataFrame, idCol: String, textCol: String,
-      profiles: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col(idCol))
-      .join(classifyBest(docs, idCol, textCol, profiles, n), Seq(idCol),
-        "left_outer")
-      .select(col(idCol),
-        coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
-        coalesce(col("score"), lit(0L)).as("score"))
+      profiles: DataFrame, n: Int = 3,
+      maxLiteralEntries: Int = MaxLiteralProfile): DataFrame =
+    literalProfile(profiles, maxLiteralEntries) match {
+      case Some(prof) if prof.isEmpty =>
+        docs.select(col(idCol), lit("und").as("pred_lang"),
+          lit(0L).as("score"))
+      case Some(prof) =>
+        val (pred, score) = literalBest(prof)
+        docs.select(col(idCol), charGrams(col(textCol), n).as("__gd"))
+          .select(col(idCol), pred.as("pred_lang"), score.as("score"))
+      case None =>
+        docs.select(col(idCol))
+          .join(classifyBestJoin(docs, idCol, textCol, profiles, n),
+            Seq(idCol), "left_outer")
+          .select(col(idCol),
+            coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
+            coalesce(col("score"), lit(0L)).as("score"))
+    }
 
   /** Fit on the labeled corpus and classify the same corpus, flagging
     * agreement with the given label — the self-consistency report a
     * curation pipeline runs before trusting upstream language tags.
-    * (The label rides the one spine join — the corpus is not joined a
-    * second time for it.) */
+    * On the literal path the label comparison rides the SAME projection
+    * as the score (no join at all); the join fallback carries it on the
+    * one spine join. */
   def selfCheck(
       docs: DataFrame, idCol: String, textCol: String, langCol: String,
-      n: Int = 3, topK: Int = 64): DataFrame = {
+      n: Int = 3, topK: Int = 64,
+      maxLiteralEntries: Int = MaxLiteralProfile): DataFrame = {
     val profiles = fitProfiles(docs, textCol, langCol, n, topK)
-    val pred = coalesce(col("pred_lang"), lit("und"))
-    docs.select(col(idCol), col(langCol))
-      .join(classifyBest(docs, idCol, textCol, profiles, n), Seq(idCol),
-        "left_outer")
-      .select(col(idCol), pred.as("pred_lang"),
-        coalesce(col("score"), lit(0L)).as("score"),
-        (pred === col(langCol)).as("agrees"))
+    literalProfile(profiles, maxLiteralEntries) match {
+      case Some(prof) if prof.isEmpty =>
+        docs.select(col(idCol), lit("und").as("pred_lang"),
+          lit(0L).as("score"), (lit("und") === col(langCol)).as("agrees"))
+      case Some(prof) =>
+        val (pred, score) = literalBest(prof)
+        docs
+          .select(col(idCol), col(langCol),
+            charGrams(col(textCol), n).as("__gd"))
+          .select(col(idCol), pred.as("pred_lang"), score.as("score"),
+            (pred === col(langCol)).as("agrees"))
+      case None =>
+        val pred = coalesce(col("pred_lang"), lit("und"))
+        docs.select(col(idCol), col(langCol))
+          .join(classifyBestJoin(docs, idCol, textCol, profiles, n),
+            Seq(idCol), "left_outer")
+          .select(col(idCol), pred.as("pred_lang"),
+            coalesce(col("score"), lit(0L)).as("score"),
+            (pred === col(langCol)).as("agrees"))
+    }
   }
 }

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-level relevance scoring for retrieval-style curation (pick the
@@ -263,5 +263,91 @@ object Ranking {
     df.withColumn("__toks", toks)
       .withColumn(out, if (avgdl == 0.0) lit(0.0) else score)
       .drop("__toks")
+  }
+
+  /** Per-document Shannon entropy of the token distribution (nats) — the
+    * lexical-diversity quality signal between type-token ratio (too
+    * coarse: ignores the shape of the distribution) and an LM score (too
+    * heavy: needs a fitted model). Low entropy flags keyword-stuffed and
+    * template/boilerplate pages; `entropy / ln(n_types)` (when
+    * `n_types > 1`) is the usual normalized variant — left to the caller
+    * so the raw value stays exact.
+    *
+    * Uses the identity `H = ln(n) − (Σ c·ln c)/n` over per-doc token
+    * counts `c`, so the per-type probabilities are never materialized and
+    * no join-back or window is needed. Documents with no non-empty tokens
+    * are absent from the output (they have no distribution to measure).
+    *
+    * Shape at 100 TB: the token explode pre-combines map-side into the
+    * (doc, token) count relation — shuffle bounded by distinct (doc,
+    * token) pairs, not raw tokens; the per-doc finish is a second
+    * map-side-combined aggregate over that relation keyed by doc id. Two
+    * exchanges, no window, no driver state. `entropy` is
+    * aggregate-derived (ln + float sum) — round it (6 dp) at the query
+    * layer per the repo's cross-engine float discipline.
+    * Output: (idCol, n_tokens, n_types, entropy). */
+  def tokenEntropy(
+      df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val counts = df
+      .select(col(idCol),
+        explode(TextFunctions.tokensLower(col(textCol))).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(col(idCol), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+    val n = sum(col("__c"))
+    counts
+      .groupBy(col(idCol))
+      .agg(
+        n.as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        (log(n.cast("double")) -
+          sum(col("__c").cast("double") * log(col("__c").cast("double"))) /
+            n.cast("double")).as("entropy"))
+  }
+
+  /** Jensen–Shannon divergence (nats) between the unigram distributions
+    * of two corpora — the standard bounded, symmetric corpus-drift
+    * scalar (0 = identical mix, ln 2 = disjoint): compare a new crawl
+    * snapshot against the training mix, or one source/language slice
+    * against another, before deciding whether to refresh. Add-one
+    * smoothing over the UNION vocabulary (the [[divergingTerms]]
+    * contract) keeps every `ln` finite while preserving symmetry.
+    *
+    * Shape at 100 TB: each side is one vocabulary-bounded token count
+    * (map-side combined), the only join is vocabulary × vocabulary
+    * (full-outer on the term key), and the finish is a one-row aggregate
+    * — the corpus is scanned exactly once per side and never shuffled at
+    * token scale. `jsd` is aggregate-derived — round it (6 dp) at the
+    * query layer. Output: ONE row (n_terms, tokens_a, tokens_b, jsd). */
+  def jsDivergence(
+      dfA: DataFrame, dfB: DataFrame, textCol: String): DataFrame = {
+    def counts(df: DataFrame, out: String) = df
+      .select(explode(TextFunctions.tokensLower(col(textCol))).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy("__t").agg(count(lit(1)).as(out))
+    val joined = counts(dfA, "__ca")
+      .join(counts(dfB, "__cb"), Seq("__t"), "full_outer")
+      .na.fill(0L, Seq("__ca", "__cb"))
+    def kl(p: Column, m: Column): Column = p * log(p / m)
+    // smoothed denominators depend on totals over the SAME joined
+    // relation — window-free: carry them as one-row broadcast scalars
+    val totals = joined.agg(
+      sum("__ca").as("__ta"), sum("__cb").as("__tb"),
+      count(lit(1)).as("__v"))
+    joined
+      .crossJoin(broadcast(totals))
+      .select(
+        ((col("__ca") + lit(1.0)) /
+          (col("__ta").cast("double") + col("__v"))).as("__pa"),
+        ((col("__cb") + lit(1.0)) /
+          (col("__tb").cast("double") + col("__v"))).as("__pb"),
+        col("__ta"), col("__tb"), col("__v"))
+      .withColumn("__m", (col("__pa") + col("__pb")) / lit(2.0))
+      .agg(
+        max(col("__v")).as("n_terms"),
+        max(col("__ta")).as("tokens_a"),
+        max(col("__tb")).as("tokens_b"),
+        ((sum(kl(col("__pa"), col("__m"))) +
+          sum(kl(col("__pb"), col("__m")))) / lit(2.0)).as("jsd"))
   }
 }

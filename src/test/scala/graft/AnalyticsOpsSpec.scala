@@ -484,3 +484,68 @@ class SampleNSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
   }
 }
+
+class BasketAffinitySpec extends SparkSpec {
+  import spark.implicits._
+  import graft.relational.Analytics
+
+  // u1: {a,b,c}, u2: {a,b}, u3: {a}, u4: {b,c} — with a duplicate
+  // (u1,a) event and a null basket that must be ignored
+  private def events = Seq(
+    (Some(1L), "a"), (Some(1L), "a"), (Some(1L), "b"), (Some(1L), "c"),
+    (Some(2L), "a"), (Some(2L), "b"),
+    (Some(3L), "a"),
+    (Some(4L), "b"), (Some(4L), "c"),
+    (None, "a")
+  ).toDF("bk", "it")
+
+  test("counts: distinct co-occurrence, marginals, basket total; " +
+      "ratios are exact divisions of those integers") {
+    val got = Analytics.basketAffinity(events, "bk", "it")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6), r.getDouble(9)))
+      .toMap
+    assert(got.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    // n_ab=2 (u1,u2), n_a=3, n_b=3, n=4
+    val (nab, na, nb, n, support, lift) = got(("a", "b"))
+    assert((nab, na, nb, n) == (2L, 3L, 3L, 4L))
+    assert(support == math.rint(2.0 / 4 * 1e6) / 1e6)
+    assert(lift == math.rint(2.0 * 4 / (3.0 * 3) * 1e6) / 1e6)
+    // b,c co-occur twice (u1, u4)
+    assert(got(("b", "c"))._1 == 2L)
+    assert(got(("a", "c"))._1 == 1L)
+  }
+
+  test("minPairs prunes singleton pairs") {
+    val got = Analytics.basketAffinity(events, "bk", "it", minPairs = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("a", "b"), ("b", "c")))
+  }
+
+  test("cap keeps the smallest items and ALL counts derive from the " +
+      "capped relation") {
+    // u1 has 4 items {a,b,c,d}; cap=2 keeps {a,b} — d vanishes from
+    // pairs AND marginals, the basket still counts in n_baskets
+    val df = Seq((1L, "a"), (1L, "b"), (1L, "c"), (1L, "d"),
+      (2L, "c"), (2L, "d")).toDF("bk", "it")
+    val got = Analytics.basketAffinity(df, "bk", "it", maxBasket = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got.keySet == Set(("a", "b"), ("c", "d")))
+    assert(got(("a", "b")) == (1L, 1L, 1L, 2L))
+    assert(got(("c", "d")) == (1L, 1L, 1L, 2L))
+  }
+
+  test("pair explode + counts stay inside aggregates — no cartesian, " +
+      "no window") {
+    val df = Seq((1L, "a"), (1L, "b")).toDF("bk", "it")
+    val p = Analytics.basketAffinity(df, "bk", "it")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      p.take(800))
+  }
+}

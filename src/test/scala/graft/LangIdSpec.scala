@@ -54,6 +54,34 @@ class LangIdSpec extends SparkSpec {
     assert(got(0).getString(1) == "und" && got(0).getLong(2) == 0L)
   }
 
+  test("literal-intersect path == forced join path, row for row " +
+      "(selfCheck and classify, including zero-overlap docs)") {
+    def key(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    val lit = LangId.selfCheck(labeled, "doc_id", "text", "lang",
+      n = 3, topK = 16)
+    val joined = LangId.selfCheck(labeled, "doc_id", "text", "lang",
+      n = 3, topK = 16, maxLiteralEntries = 0)
+    assert(key(lit.collect()).toList == key(joined.collect()).toList)
+    val prof = LangId.fitProfiles(labeled, "text", "lang", n = 3, topK = 16)
+    val mixed = Seq((7L, "zaki mune"), (9L, "qqq www")).toDF("doc_id", "text")
+    val cl = LangId.classify(mixed, "doc_id", "text", prof, n = 3)
+    val cj = LangId.classify(mixed, "doc_id", "text", prof, n = 3,
+      maxLiteralEntries = 0)
+    assert(key(cl.collect()).toList == key(cj.collect()).toList)
+  }
+
+  test("literal classify plan is scan-shaped: ZERO exchanges, no join, " +
+      "no window") {
+    val prof = LangId.fitProfiles(labeled, "text", "lang", n = 3, topK = 16)
+      .localCheckpoint(true)
+    val p = LangId.classify(labeled, "doc_id", "text", prof, n = 3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(1200))
+    assert(!p.contains("Join"), p.take(1200))
+    assert(!p.contains("Window"), p.take(1200))
+  }
+
   test("argmax tie-break is the lexicographically smallest language") {
     // one doc overlapping both profiles equally: tie -> "x" < "y"
     val prof = LangId.fitProfiles(labeled, "text", "lang", n = 3, topK = 16)

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-7 operator suites: token entropy, JS divergence, Theil–Sen. */
+class TokenEntropySpec extends SparkSpec {
+  import spark.implicits._
+  import graft.text.Ranking
+
+  test("hand cases: uniform, degenerate, and mixed distributions") {
+    val df = Seq(
+      (1L, "a a b b"),    // uniform over 2 types -> ln 2
+      (2L, "a a a a"),    // single type -> 0
+      (3L, "a b c d"),    // uniform over 4 types -> ln 4
+      (4L, "a a b c"),    // mixed: ln4 - (2 ln2)/4
+      (5L, ""))           // no tokens -> absent
+      .toDF("doc_id", "text")
+    val m = Ranking.tokenEntropy(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(m.keySet == Set(1L, 2L, 3L, 4L))
+    assert(m(1L)._1 == 4L && m(1L)._2 == 2L)
+    assert(math.abs(m(1L)._3 - math.log(2)) < 1e-12)
+    assert(m(2L)._3 == 0.0)
+    assert(math.abs(m(3L)._3 - math.log(4)) < 1e-12)
+    // direct -sum p ln p for (1/2, 1/4, 1/4)
+    val direct = -(0.5 * math.log(0.5) + 2 * 0.25 * math.log(0.25))
+    assert(math.abs(m(4L)._3 - direct) < 1e-12)
+  }
+
+  test("plan is two aggregates: no window, no join") {
+    val df = Seq((1L, "a b")).toDF("doc_id", "text")
+    val p = graft.text.Ranking.tokenEntropy(df, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p.take(800))
+    assert(!p.contains("Join"), p.take(800))
+  }
+}
+
+class JsDivergenceSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.text.Ranking
+
+  private def docs(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+
+  test("identical corpora diverge by exactly zero; totals and vocab " +
+      "size are the integers") {
+    val a = docs("x y z", "x x")
+    val r = Ranking.jsDivergence(a, a, "text").collect()(0)
+    assert(r.getLong(0) == 3L)   // n_terms
+    assert(r.getLong(1) == 5L && r.getLong(2) == 5L)
+    assert(r.getDouble(3) == 0.0) // pa == pb term-for-term -> ln(1) = 0
+  }
+
+  test("symmetric, positive on drift, bounded by ln 2") {
+    val a = docs("aa aa bb")
+    val b = docs("cc cc dd")
+    val ab = Ranking.jsDivergence(a, b, "text").collect()(0).getDouble(3)
+    val ba = Ranking.jsDivergence(b, a, "text").collect()(0).getDouble(3)
+    assert(math.abs(ab - ba) < 1e-12) // sum order only
+    assert(ab > 0.05 && ab < math.log(2)) // smoothing keeps it below ln 2
+    val near = Ranking.jsDivergence(a, docs("aa aa bb", "aa"), "text")
+      .collect()(0).getDouble(3)
+    assert(near < ab) // mild drift < disjoint drift
+  }
+}
+
+class TheilSenSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.relational.Analytics
+
+  private def fit(rows: Seq[(String, Long, Double, Double)],
+      maxN: Int = 64) =
+    Analytics.theilSen(
+      rows.toDF("g", "id", "x", "y"), "g", "x", "y", "id", maxN)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+      .toMap
+
+  test("exact slope on a perfect line; median defeats one wild outlier") {
+    val line = (0 to 4).map(i => ("a", i.toLong, i.toDouble, 2.0 * i + 1))
+    val outl = (0 to 3).map(i => ("b", i.toLong, i.toDouble, i.toDouble)) :+
+      ("b", 4L, 4.0, 100.0)
+    val m = fit(line ++ outl)
+    assert(m("a") == ((5L, 10L, 2.0)))
+    // slopes: 1.0 x6, then 25, 33, 48.5..., 97 -> lower median (rank 5) = 1.0
+    assert(m("b")._3 == 1.0 && m("b")._2 == 10L)
+  }
+
+  test("equal-x pairs are skipped; an all-equal-x group is absent") {
+    val m = fit(Seq(
+      ("a", 1L, 0.0, 0.0), ("a", 2L, 0.0, 9.0), ("a", 3L, 1.0, 2.0),
+      ("z", 7L, 5.0, 1.0), ("z", 8L, 5.0, 2.0)))
+    assert(!m.contains("z"))
+    // pairs (1,3) slope 2, (2,3) slope -7; (1,2) skipped -> m=2, rank 1
+    assert(m("a") == ((3L, 2L, -7.0)))
+  }
+
+  test("cap keeps the maxN smallest-x points, ties to the lower id") {
+    val pts = Seq(
+      ("a", 10L, 0.0, 0.0), ("a", 11L, 0.0, 4.0),
+      ("a", 12L, 1.0, 1.0), ("a", 13L, 9.0, 0.0))
+    // maxN=2: keep x=0 twice (ids 10,11) -> all pairs equal-x -> absent
+    assert(!fit(pts, maxN = 2).contains("a"))
+    // maxN=3: ids 10,11,12 -> slopes (10,12)=1, (11,12)=-3 -> rank 2 of
+    // sorted (-3, 1) is... lower median rank (2+1)/2=1 -> -3.0
+    val m3 = fit(pts, maxN = 3)
+    assert(m3("a") == ((3L, 2L, -3.0)))
+  }
+
+  test("pair relation and rank window stay group-local: no cartesian") {
+    val df = Seq(("a", 1L, 0.0, 0.0), ("a", 2L, 1.0, 1.0))
+      .toDF("g", "id", "x", "y")
+    val p = Analytics.theilSen(df, "g", "x", "y", "id")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+}
