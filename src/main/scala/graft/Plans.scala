@@ -240,6 +240,12 @@ object Plans {
         "marginal joins run at pair scale; the basket total is a " +
         "one-row broadcast — no cross-basket product anywhere.",
         SparkEntry.queries("q_basket_suppliers")(spark, d)),
+      ("q_theilsen", "grouped Theil–Sen: the bounded-heap CollectTopK " +
+        "cap shuffles partitions × maxN candidates per group (never a " +
+        "hot group through one task); join-back, pair join, and the " +
+        "lower-median rank window all run at sample scale (≤ maxN²/2 " +
+        "rows per group).",
+        SparkEntry.queries("q_theilsen")(spark, d)),
       ("q_qsketch", "quantile sketch: ONE map-side-combined bin aggregate " +
         "over the corpus; quantile reads touch only groups × ≤4096 " +
         "register rows (cumulative window bounded by the sketch " +

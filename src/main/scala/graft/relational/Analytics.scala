@@ -895,7 +895,11 @@ object Analytics {
   }
 
   /** Market-basket affinity: support / confidence / lift for every
-    * UNORDERED item pair co-occurring in at least `minPairs` baskets.
+    * UNORDERED item pair co-occurring in at least `minPairs` baskets —
+    * the hardened successor of [[Relational.marketBasketPairs]] (which
+    * asks callers to cap degenerate baskets upstream; this caps
+    * in-operator with logged drops and keeps every reported count
+    * consistent with the capped relation).
     * Output one row per pair `(item_a, item_b)` with `item_a < item_b`:
     * `(item_a, item_b, n_ab, n_a, n_b, n_baskets, support,
     * confidence_ab, confidence_ba, lift)` — integral counts plus 6-dp

@@ -517,7 +517,10 @@ object Relational {
     * confidence(a→b) / confidence(b→a) / lift statistics. One distinct
     * pass builds (basket, item) presence; the pair join is WITHIN-basket
     * only (cost Σ basket²— bounded by basket size, never corpus²; cap
-    * oversized baskets upstream if the 100-TB data has degenerate ones);
+    * oversized baskets upstream if the 100-TB data has degenerate ones —
+    * or use [[graft.relational.Analytics.basketAffinity]], the hardened
+    * successor that caps in-operator with logged drops and keeps all
+    * counts consistent with the capped relation);
     * item and basket totals join back at pair-relation size. Ratios are
     * aggregate-derived → rounded 6 dp (the repo's cross-engine float
     * discipline). Output: (item_a, item_b, n_ab, support, conf_ab,
