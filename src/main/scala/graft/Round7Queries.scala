@@ -55,6 +55,31 @@ object Round7Queries {
         JOIN ic ib ON p.item_b = ib.it
         CROSS JOIN n"""
 
+  /** Oracle replay of [[graft.relational.Analytics.abcClasses]] over
+    * lineitem revenue cents per supplier: all-integer windowed sums +
+    * integer cross-multiplied tier tests + (value DESC, entity) total
+    * ordering — replay-exact with no rounding. `grp` is
+    * `"l_returnflag,"` or empty; `part` the matching PARTITION BY. */
+  private def abcSql(grp: String, part: String): String =
+    s"""WITH e AS (
+         SELECT $grp l_suppkey,
+           CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+             AS BIGINT) AS value
+         FROM lineitem GROUP BY $grp l_suppkey),
+       w AS (
+         SELECT $grp l_suppkey, value,
+           CAST(row_number() OVER ($part
+             ORDER BY value DESC, l_suppkey) AS BIGINT) AS rank_in_group,
+           CAST(sum(value) OVER ($part ORDER BY value DESC, l_suppkey
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value,
+           CAST(sum(value) OVER ($part) AS BIGINT) AS total
+         FROM e)
+       SELECT $grp l_suppkey, value, rank_in_group, cum_value,
+         CASE WHEN cum_value * 100 <= total * 80 THEN 'A'
+              WHEN cum_value * 100 <= total * 95 THEN 'B'
+              ELSE 'C' END AS abc_class
+       FROM w"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // TPC-DS q47/q57 shape: monthly revenue per brand, each month
@@ -136,6 +161,23 @@ object Round7Queries {
         "o_orderpriority", "x_s", "o_totalprice", "o_orderkey",
         maxN = 64)),
 
+    // ABC / Pareto concentration: which suppliers carry 80%/95% of
+    // revenue per return flag — integer cents, integer cross-multiplied
+    // tier tests, total ordering: replay-exact end to end
+    "q_abc" -> ((s, d) =>
+      graft.relational.Analytics.abcClasses(
+        t(s, d, "lineitem")
+          .withColumn("cents", cents(col("l_extendedprice"))),
+        Seq("l_returnflag"), "l_suppkey", "cents")),
+
+    // forced global twin: empty groupCols routes the rank/cumulative
+    // through the audited BoundedWindow entity-table path
+    "q_abc_global" -> ((s, d) =>
+      graft.relational.Analytics.abcClasses(
+        t(s, d, "lineitem")
+          .withColumn("cents", cents(col("l_extendedprice"))),
+        Seq.empty, "l_suppkey", "cents")),
+
     // TPC-DS q93 shape: customers whose returned revenue exceeds 20% of
     // their total, with at least 5 distinct orders — the
     // returns-behavior screen. Shape at 100 TB: one corpus join
@@ -193,6 +235,11 @@ object Round7Queries {
       "SELECT l_orderkey AS bk, l_suppkey AS it FROM lineitem " +
         "WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL",
       cap = 16, minPairs = 2),
+
+    // integer cents + integer cross-multiplied tiers + total ordering:
+    // windowed sums are INTEGER (exact under DuckDB's segment tree)
+    "q_abc" -> abcSql("l_returnflag,", "PARTITION BY l_returnflag"),
+    "q_abc_global" -> abcSql("", ""),
 
     // H = ln(n) − Σ c·ln(c)/n over per-doc token counts; round(6)
     // absorbs ln()/summation-order ulp (the q_unigram_quality policy)

@@ -507,6 +507,25 @@ object StressBench {
         replicate(t(s, d, "lineitem"), "l_orderkey", r),
         Seq("l_returnflag"), "l_quantity", trim = 0.1)),
 
+    // basket affinity with baskets ×reps (same size each): the pair
+    // explode and marginal joins must track basket COUNT linearly while
+    // the per-basket fan-out stays cap-bounded
+    "s_basket" -> ((s, d, r) =>
+      graft.relational.Analytics.basketAffinity(
+        replicate(t(s, d, "lineitem"), "l_orderkey", r),
+        "l_orderkey", "l_suppkey", maxBasket = 16, minPairs = 2L)),
+
+    // Theil–Sen with group populations ×reps: the heap cap holds the
+    // sample (and everything after it) at maxN per group however large
+    // the groups grow — the row should stay scan-bound
+    "s_theilsen" -> ((s, d, r) =>
+      graft.relational.Analytics.theilSen(
+        replicate(t(s, d, "orders"), "o_orderkey", r)
+          .withColumn("x_s",
+            col("o_orderdate").cast("timestamp").cast("long")),
+        "o_orderpriority", "x_s", "o_totalprice", "o_orderkey",
+        maxN = 64)),
+
     // delta-join maintenance with the fact side ×reps: the delta terms
     // must stay delta-against-full (broadcast-eligible) however large
     // the maintained fact side grows

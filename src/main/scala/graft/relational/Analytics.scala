@@ -1034,6 +1034,66 @@ object Analytics {
         col("__s").as("slope"))
   }
 
+  /** ABC / Pareto classification: rank entities by total value within
+    * each group, cumulate the value share, and label the head that
+    * carries ≤ `aPct`% of group value `A`, the next tier up to `bPct`%
+    * `B`, and the tail `C` — the inventory/revenue concentration screen
+    * ("which 20% of SKUs carry 80% of revenue") in its standard
+    * cumulative-share form.
+    *
+    * Exactness: `valueCol` is cast to long (quantize money upstream,
+    * e.g. `floor(x*100)` cents — the repo's money discipline), so the
+    * ordered cumulative and the group total are INTEGER sums — exact
+    * under any evaluation order and engine (no float windowed sums, the
+    * DuckDB-segment-tree trap) — and the tier test is the integer
+    * cross-multiplication `cum*100 ≤ total*pct`: no ratio doubles
+    * anywhere. Ordering is (value DESC, entity ASC) — total, so ranks
+    * and cumulatives replay exactly. Values are assumed non-negative
+    * (negative value makes a cumulative share non-monotone; the labels
+    * would still be deterministic, just not a Pareto reading). Keep
+    * `total × 100` under 2^63 — at cents that allows ~9×10^16 dollars
+    * per group.
+    *
+    * Shape at 100 TB: ONE map-side-combined (group, entity) aggregate
+    * reduces the corpus to the entity relation; the rank/cumulative
+    * windows partition by group over entity-cardinality rows (the
+    * RFM-table argument). With `groupCols` empty the windows are global
+    * over the entity relation and route through
+    * [[graft.util.BoundedWindow]] — bounded by the aggregate above, the
+    * same contract as every entity-table global window in the repo.
+    * Output: (groupCols…, entityCol, value, rank_in_group, cum_value,
+    * abc_class). */
+  def abcClasses(df: DataFrame, groupCols: Seq[String], entityCol: String,
+      valueCol: String, aPct: Int = 80, bPct: Int = 95): DataFrame = {
+    require(0 < aPct && aPct < bPct && bPct < 100,
+      s"need 0 < aPct < bPct < 100, got ($aPct, $bPct)")
+    val ent = df
+      .filter(col(entityCol).isNotNull)
+      .groupBy((groupCols :+ entityCol).map(col): _*)
+      .agg(sum(col(valueCol).cast("long")).as("value"))
+    val (wRank, wAll) =
+      if (groupCols.nonEmpty)
+        (Window.partitionBy(groupCols.map(col): _*)
+          .orderBy(col("value").desc, col(entityCol)),
+          Window.partitionBy(groupCols.map(col): _*))
+      else
+        // bounded: one row per distinct entity, produced by the
+        // aggregate above — the entity-table global-window contract
+        (graft.util.BoundedWindow.global(col("value").desc,
+          col(entityCol)),
+          graft.util.BoundedWindow.globalUnordered())
+    ent
+      .withColumn("rank_in_group", row_number().over(wRank).cast("long"))
+      .withColumn("cum_value", sum(col("value")).over(
+        wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__total", sum(col("value")).over(wAll))
+      .select(groupCols.map(col) ++ Seq(col(entityCol), col("value"),
+        col("rank_in_group"), col("cum_value"),
+        when(col("cum_value") * 100 <= col("__total") * aPct, "A")
+          .when(col("cum_value") * 100 <= col("__total") * bPct, "B")
+          .otherwise("C").as("abc_class")): _*)
+  }
+
   /** k-anonymity audit over quasi-identifier columns — the privacy
     * gate a dataset must pass before release: ONE row
     * `(k, n_rows, n_groups, min_group_size, violating_groups,

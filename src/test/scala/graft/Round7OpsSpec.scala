@@ -67,6 +67,84 @@ class JsDivergenceSpec extends SparkSpec {
   }
 }
 
+class AbcClassesSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.relational.Analytics
+
+  test("textbook 80/95 tiers on a hand distribution; boundary rows " +
+      "are INCLUSIVE via integer cross-multiplication") {
+    // values 50/30/15/5: cum shares 50, 80, 95, 100 -> A A B C with
+    // both boundaries landing exactly on their tier edge
+    val df = Seq(("e1", 50L), ("e2", 30L), ("e3", 15L), ("e4", 5L))
+      .flatMap { case (e, v) => Seq.fill(5)((e, v / 5)) } // pre-agg input
+      .toDF("ent", "v")
+    val got = Analytics.abcClasses(df, Seq.empty, "ent", "v")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+      .toMap
+    assert(got("e1") == ((50L, 1L, 50L, "A")))
+    assert(got("e2") == ((30L, 2L, 80L, "A")))
+    assert(got("e3") == ((15L, 3L, 95L, "B")))
+    assert(got("e4") == ((5L, 4L, 100L, "C")))
+  }
+
+  test("groups classify independently; ties order by entity") {
+    val df = Seq(
+      ("g1", "a", 8L), ("g1", "b", 1L), ("g1", "c", 1L),
+      ("g2", "a", 1L), ("g2", "b", 1L)) // tie -> a ranks first
+      .toDF("g", "ent", "v")
+    val got = Analytics.abcClasses(df, Seq("g"), "ent", "v")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(3), r.getString(5)))
+      .toMap
+    assert(got(("g1", "a")) == ((1L, "A")))   // 80% exactly
+    assert(got(("g2", "a"))._1 == 1L)
+    assert(got(("g2", "b")) == ((2L, "C")))   // 100% > 95%
+  }
+}
+
+class LangIdStreamSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.text.LangId
+
+  test("literal classify is a pure projection: runs unchanged on a " +
+      "stream and matches batch row-for-row across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val labeled = Seq(
+      (1L, "the cat sat on the mat and the dog sat on the rug", "x"),
+      (2L, "le chat est sur le tapis et le chien est la aussi", "y"))
+      .toDF("doc_id", "text", "lang")
+    val prof = LangId.fitProfiles(labeled, "text", "lang", n = 3,
+      topK = 32).localCheckpoint(true)
+    val docs = Seq((10L, "the cat and the dog"),
+      (11L, "le chat et le chien"), (12L, "zzz qqq www"))
+
+    val mem = MemoryStream[(Long, String)]
+    val q = LangId.classify(mem.toDS().toDF("doc_id", "text"),
+        "doc_id", "text", prof, n = 3)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("langid_s").start()
+    try {
+      mem.addData(docs(0), docs(1))
+      q.processAllAvailable()
+      mem.addData(docs(2)) // zero-overlap doc -> ('und', 0)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def key(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1).toList
+    val streamed = key(spark.table("langid_s").collect())
+    val batch = key(LangId.classify(docs.toDF("doc_id", "text"),
+      "doc_id", "text", prof, n = 3).collect())
+    assert(streamed == batch && streamed.map(_._1) ==
+      List(10L, 11L, 12L))
+  }
+}
+
 class TheilSenSpec extends SparkSpec {
   import spark.implicits._
   import graft.relational.Analytics
