@@ -95,6 +95,12 @@ object EvalQueries {
     "q_ece" -> ((s, d) =>
       Eval.ece(scoredOrders(s, d), "score", "label", CalBins)),
 
+    // isotonic (PAV) calibration over the same bins via the closed
+    // minimax form — monotone non-decreasing calibrated rates
+    "q_isotonic" -> ((s, d) =>
+      Eval.isotonicCalibration(scoredOrders(s, d), "score", "label",
+        CalBins)),
+
     // cumulative gains + lift by descending-score decile
     "q_lift" -> ((s, d) =>
       Eval.liftGains(scoredOrders(s, d), "score", "label", LiftBuckets)),
@@ -1329,6 +1335,39 @@ object EvalQueries {
            round(avg(CASE WHEN $LabelSql THEN 1.0 ELSE 0.0 END), 6)
              AS pos_rate
            FROM orders GROUP BY 1""",
+
+      // minimax replay: segment rates are single divisions of integer
+      // prefix-sum differences — identical IEEE values both engines, so
+      // min/max replay exactly; only the output rates round (6 dp)
+      "q_isotonic" ->
+        s"""WITH b AS (
+             SELECT least(CAST(floor(($ScoreSql) * $CalBins) AS BIGINT),
+                 ${CalBins - 1}) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN $LabelSql THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_pos
+             FROM orders GROUP BY 1),
+           c AS (
+             SELECT bin, n, n_pos,
+               CAST(sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS cn,
+               CAST(sum(n_pos) OVER (ORDER BY bin
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp
+             FROM b),
+           seg AS (
+             SELECT i.bin AS bi, j.bin AS bj,
+               CAST(j.cp - (i.cp - i.n_pos) AS DOUBLE) /
+                 CAST(j.cn - (i.cn - i.n) AS DOUBLE) AS a
+             FROM c i JOIN c j ON i.bin <= j.bin),
+           mm AS (
+             SELECT k.bin AS bin, seg.bi, min(seg.a) AS mn
+             FROM seg JOIN b k ON seg.bi <= k.bin AND seg.bj >= k.bin
+             GROUP BY 1, 2),
+           iso AS (SELECT bin, max(mn) AS iso FROM mm GROUP BY 1)
+           SELECT b.bin, b.n, b.n_pos,
+             round(CAST(b.n_pos AS DOUBLE) / b.n, 6) AS rate,
+             round(iso.iso, 6) AS iso_rate
+           FROM b JOIN iso USING (bin)""",
 
       "q_lift" ->
         s"""WITH b AS (

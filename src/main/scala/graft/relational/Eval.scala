@@ -281,6 +281,69 @@ object Eval {
         round(avg(col(labelCol).cast("double")), 6).as("pos_rate"))
   }
 
+  /** Isotonic (monotone non-decreasing) calibration curve over fixed
+    * score bins — the PAV fit in its closed minimax form: for bin k the
+    * calibrated rate is `max_{i≤k} min_{j≥k} (pos[i..j] / n[i..j])`
+    * (Ayer et al. 1955; Robertson–Wright–Dykstra 1988, Thm 1.4.4 —
+    * equals pool-adjacent-violators exactly), computed over the OBSERVED
+    * bins in bin order. Use it where [[calibration]]'s raw per-bin rates
+    * wiggle non-monotonically from sampling noise but the calibrated
+    * map must be monotone (score→probability remapping for serving).
+    *
+    * Determinism: segment rates are single divisions of exact integer
+    * (pos, n) prefix-sum differences — identical IEEE values on any
+    * engine — and min/max over identical value sets replay exactly;
+    * only the two output rates are rounded (6 dp).
+    *
+    * Shape at 100 TB: ONE corpus aggregate reduces to ≤ `nBins` rows
+    * (map-side combined); the prefix sums ride the audited
+    * [[graft.util.BoundedWindow]] over that bin relation; the segment
+    * and minimax joins are non-equi over the BIN relation only (≤
+    * nBins² segment rows, ≤ nBins³ joined — broadcast nested-loop over
+    * dictionary-sized sides, capped by the nBins ≤ 256 guard). The
+    * corpus is scanned exactly once. Output per observed bin:
+    * (bin, n, n_pos, rate, iso_rate), iso_rate non-decreasing. */
+  def isotonicCalibration(df: DataFrame, scoreCol: String,
+      labelCol: String, nBins: Int = 64): DataFrame = {
+    require(nBins >= 2 && nBins <= 256,
+      s"need 2 <= nBins <= 256 (the bins^3 minimax join bound), got " +
+        s"$nBins")
+    val s = col(scoreCol).cast("double")
+    val bins = df.filter(s.isNotNull && col(labelCol).isNotNull)
+      .groupBy(least(floor(s * nBins), lit(nBins - 1L)).cast("long")
+        .as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col(labelCol).cast("long"))
+        .as("n_pos"))
+      // ≤ nBins rows feeding four consumers — materialize once
+      .localCheckpoint(true)
+    // prefix sums over the ≤ nBins-row bin relation — bounded by
+    // construction (the liftGains contract)
+    val wc = graft.util.BoundedWindow.global(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bins
+      .withColumn("__cn", sum(col("n")).over(wc))
+      .withColumn("__cp", sum(col("n_pos")).over(wc))
+    val lo = cum.select(col("bin").as("__bi"),
+      (col("__cn") - col("n")).as("__cni"),
+      (col("__cp") - col("n_pos")).as("__cpi"))
+    val hi = cum.select(col("bin").as("__bj"), col("__cn").as("__cnj"),
+      col("__cp").as("__cpj"))
+    val seg = lo.join(hi, col("__bi") <= col("__bj"))
+      .select(col("__bi"), col("__bj"),
+        ((col("__cpj") - col("__cpi")).cast("double") /
+          (col("__cnj") - col("__cni")).cast("double")).as("__avg"))
+    val iso = seg
+      .join(bins.select(col("bin").as("__k")),
+        col("__bi") <= col("__k") && col("__bj") >= col("__k"))
+      .groupBy(col("__k"), col("__bi")).agg(min(col("__avg")).as("__mn"))
+      .groupBy(col("__k")).agg(max(col("__mn")).as("__iso"))
+    bins.join(iso, col("bin") === col("__k"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("rate"),
+        round(col("__iso"), 6).as("iso_rate"))
+  }
+
   /** Cumulative gains / lift by descending score bucket: bucket 0 is the
     * top `1/nBuckets` score slice; per bucket `(n, n_pos)` plus the
     * cumulative `gain` (share of all positives captured through this

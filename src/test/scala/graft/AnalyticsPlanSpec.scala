@@ -55,6 +55,24 @@ class AnalyticsPlanSpec extends SparkSpec {
     assert(!p.contains("partial_count"), p)
   }
 
+  test("abcClasses is one aggregate + group-partitioned windows: at " +
+      "most two exchanges, no join") {
+    val df = Seq(("g", "e", 1L), ("g", "f", 2L)).toDF("g", "ent", "v")
+    val p = plan(Analytics.abcClasses(df, Seq("g"), "ent", "v"))
+    assert(exchanges(p) <= 2, p.take(600))
+    assert(!p.contains("Join"), p.take(600))
+    assert(p.contains("Window"), p.take(600))
+  }
+
+  test("theilSen caps via the bounded-heap aggregate — never a window " +
+      "or cartesian over raw points") {
+    val df = Seq(("g", 1L, 0.0, 0.0), ("g", 2L, 1.0, 1.0))
+      .toDF("g", "id", "x", "y")
+    val p = plan(Analytics.theilSen(df, "g", "x", "y", "id"))
+    assert(p.contains("collecttopk"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("association and miRanking read the corpus ONCE: every consumer " +
       "of the cells relation reads the checkpoint, not the base table") {
     val df = Seq(("x", "u"), ("y", "v")).toDF("a", "b")

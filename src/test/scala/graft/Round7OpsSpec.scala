@@ -67,6 +67,50 @@ class JsDivergenceSpec extends SparkSpec {
   }
 }
 
+class IsotonicCalibrationSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.relational.Eval
+
+  private def fit(rows: Seq[(Double, Long)], nBins: Int) =
+    Eval.isotonicCalibration(rows.toDF("score", "label"), "score",
+      "label", nBins).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+      .toMap
+
+  test("a violating pair pools to its weighted mean (the PAV move)") {
+    // bin0 rate .5, bin1 rate 0 -> pooled (1+0)/(2+2) = .25 both
+    val m = fit(Seq((0.1, 1L), (0.2, 0L), (0.6, 0L), (0.7, 0L)), 2)
+    assert(m(0L) == ((2L, 1L, 0.5, 0.25)))
+    assert(m(1L) == ((2L, 0L, 0.0, 0.25)))
+  }
+
+  test("an already-monotone curve is unchanged") {
+    val m = fit(Seq((0.1, 0L), (0.2, 0L), (0.6, 1L), (0.7, 1L)), 2)
+    assert(m(0L)._4 == 0.0 && m(1L)._4 == 1.0)
+  }
+
+  test("iso_rate is non-decreasing and preserves total positive mass " +
+      "on a noisy curve") {
+    // deterministic noisy labels: positive when (k * 7) % 10 < k % 7
+    val rows = (0 until 200).map { k =>
+      (k / 200.0, if ((k * 7) % 10 < k % 7) 1L else 0L)
+    }
+    val got = Eval.isotonicCalibration(rows.toDF("score", "label"),
+      "score", "label", 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(4)))
+      .sortBy(_._1)
+    assert(got.sliding(2).forall {
+      case Array(a, b) => a._4 <= b._4
+      case _ => true
+    })
+    val mass = got.map(t => t._2 * t._4).sum
+    val pos = got.map(_._3).sum.toDouble
+    assert(math.abs(mass - pos) < 1e-3) // 6-dp rounding only
+  }
+}
+
 class AbcClassesSpec extends SparkSpec {
   import spark.implicits._
   import graft.relational.Analytics
