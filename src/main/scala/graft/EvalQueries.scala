@@ -101,6 +101,15 @@ object EvalQueries {
       Eval.isotonicCalibration(scoredOrders(s, d), "score", "label",
         CalBins)),
 
+    // the serving half: every order's score remapped through the
+    // fitted curve (broadcast ≤ nBins rows — stream-safe)
+    "q_isotonic_score" -> ((s, d) => {
+      val base = scoredOrders(s, d)
+      val fit = Eval.isotonicCalibration(base, "score", "label", CalBins)
+      Eval.isotonicScore(base, "score", fit, CalBins)
+        .select(col("o_orderkey"), col("calibrated"))
+    }),
+
     // cumulative gains + lift by descending-score decile
     "q_lift" -> ((s, d) =>
       Eval.liftGains(scoredOrders(s, d), "score", "label", LiftBuckets)),
@@ -722,6 +731,35 @@ object EvalQueries {
   private val ScoreSql = "(o_orderkey % 1000) / 1000.0"
   private val LabelSql = "o_orderpriority = '1-URGENT'"
 
+  /** Shared CTE chain replaying [[Eval.isotonicCalibration]]'s closed
+    * minimax form (b = bins, c = prefix sums, seg = segment rates,
+    * iso = max-min fit) — used by q_isotonic and q_isotonic_score. */
+  private lazy val IsotonicFitCtes =
+    s"""b AS (
+         SELECT least(CAST(floor(($ScoreSql) * $CalBins) AS BIGINT),
+             ${CalBins - 1}) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN $LabelSql THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pos
+         FROM orders GROUP BY 1),
+       c AS (
+         SELECT bin, n, n_pos,
+           CAST(sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+             AS BIGINT) AS cn,
+           CAST(sum(n_pos) OVER (ORDER BY bin
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp
+         FROM b),
+       seg AS (
+         SELECT i.bin AS bi, j.bin AS bj,
+           CAST(j.cp - (i.cp - i.n_pos) AS DOUBLE) /
+             CAST(j.cn - (i.cn - i.n) AS DOUBLE) AS a
+         FROM c i JOIN c j ON i.bin <= j.bin),
+       mm AS (
+         SELECT k.bin AS bin, seg.bi, min(seg.a) AS mn
+         FROM seg JOIN b k ON seg.bi <= k.bin AND seg.bj >= k.bin
+         GROUP BY 1, 2),
+       iso AS (SELECT bin, max(mn) AS iso FROM mm GROUP BY 1)"""
+
   // ---- Poisson bootstrap ----------------------------------------------------
 
   private val BootReps = 32
@@ -1340,34 +1378,24 @@ object EvalQueries {
       // prefix-sum differences — identical IEEE values both engines, so
       // min/max replay exactly; only the output rates round (6 dp)
       "q_isotonic" ->
-        s"""WITH b AS (
-             SELECT least(CAST(floor(($ScoreSql) * $CalBins) AS BIGINT),
-                 ${CalBins - 1}) AS bin,
-               CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(CASE WHEN $LabelSql THEN 1 ELSE 0 END) AS BIGINT)
-                 AS n_pos
-             FROM orders GROUP BY 1),
-           c AS (
-             SELECT bin, n, n_pos,
-               CAST(sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
-                 AS BIGINT) AS cn,
-               CAST(sum(n_pos) OVER (ORDER BY bin
-                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp
-             FROM b),
-           seg AS (
-             SELECT i.bin AS bi, j.bin AS bj,
-               CAST(j.cp - (i.cp - i.n_pos) AS DOUBLE) /
-                 CAST(j.cn - (i.cn - i.n) AS DOUBLE) AS a
-             FROM c i JOIN c j ON i.bin <= j.bin),
-           mm AS (
-             SELECT k.bin AS bin, seg.bi, min(seg.a) AS mn
-             FROM seg JOIN b k ON seg.bi <= k.bin AND seg.bj >= k.bin
-             GROUP BY 1, 2),
-           iso AS (SELECT bin, max(mn) AS iso FROM mm GROUP BY 1)
+        s"""WITH $IsotonicFitCtes
            SELECT b.bin, b.n, b.n_pos,
              round(CAST(b.n_pos AS DOUBLE) / b.n, 6) AS rate,
              round(iso.iso, 6) AS iso_rate
            FROM b JOIN iso USING (bin)""",
+
+      // the serving replay: same fit, rounded iso_rate joined back by
+      // bin (the Spark side joins the fitted — already-rounded — frame)
+      "q_isotonic_score" ->
+        s"""WITH $IsotonicFitCtes,
+           fit AS (
+             SELECT b.bin, round(iso.iso, 6) AS iso_rate
+             FROM b JOIN iso USING (bin))
+           SELECT o.o_orderkey,
+             coalesce(f.iso_rate, 0.0) AS calibrated
+           FROM orders o LEFT JOIN fit f
+             ON least(CAST(floor(($ScoreSql) * $CalBins) AS BIGINT),
+               ${CalBins - 1}) = f.bin""",
 
       "q_lift" ->
         s"""WITH b AS (

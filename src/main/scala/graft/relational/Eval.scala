@@ -344,6 +344,31 @@ object Eval {
         round(col("__iso"), 6).as("iso_rate"))
   }
 
+  /** Apply a fitted [[isotonicCalibration]] curve to a score column:
+    * each row's score maps to its bin's calibrated `iso_rate` (the
+    * serving half of the fit/serve pair — same contract as the frozen
+    * encoder maps). `nBins` must equal the fit's. Scores landing in a
+    * bin the fit never observed fall back to `defaultRate` (serving
+    * sees scores the fit corpus didn't cover; a silent null would
+    * propagate into downstream arithmetic).
+    *
+    * Shape at 100 TB: one broadcast join against the ≤ nBins-row fitted
+    * curve — scan-shaped, stream-safe (a pure stream-static join, the
+    * [[graft.streaming.Streaming]] frozen-state discipline). Output:
+    * input columns + `calibrated` (double). */
+  def isotonicScore(df: DataFrame, scoreCol: String, fitted: DataFrame,
+      nBins: Int, defaultRate: Double = 0.0): DataFrame = {
+    require(nBins >= 2, s"nBins >= 2, got $nBins")
+    val s = col(scoreCol).cast("double")
+    df.withColumn("__bin",
+        least(floor(s * nBins), lit(nBins - 1L)).cast("long"))
+      .join(broadcast(fitted.select(col("bin").as("__bin"),
+        col("iso_rate").as("__iso"))), Seq("__bin"), "left_outer")
+      .withColumn("calibrated",
+        coalesce(col("__iso"), lit(defaultRate)))
+      .drop("__bin", "__iso")
+  }
+
   /** Cumulative gains / lift by descending score bucket: bucket 0 is the
     * top `1/nBuckets` score slice; per bucket `(n, n_pos)` plus the
     * cumulative `gain` (share of all positives captured through this

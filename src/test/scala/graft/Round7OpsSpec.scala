@@ -90,6 +90,40 @@ class IsotonicCalibrationSpec extends SparkSpec {
     assert(m(0L)._4 == 0.0 && m(1L)._4 == 1.0)
   }
 
+  test("isotonicScore is a stream-static broadcast join: stream == " +
+      "batch, unseen bins fall back to the default") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // fit observes bins {0, 2} of 4 (rates .5 and 0 -> pooled .25)
+    val fit = Eval.isotonicCalibration(
+      Seq((0.1, 1L), (0.2, 0L), (0.6, 0L), (0.7, 0L))
+        .toDF("score", "label"),
+      "score", "label", 4).localCheckpoint(true)
+    val scores = Seq((1L, 0.1), (2L, 0.3), (3L, 0.7)) // bin1 unseen
+
+    val mem = MemoryStream[(Long, Double)]
+    val q = Eval.isotonicScore(mem.toDS().toDF("id", "score"), "score",
+        fit, 4, defaultRate = -1.0)
+      .select("id", "calibrated")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("iso_s").start()
+    try {
+      mem.addData(scores(0), scores(1))
+      q.processAllAvailable()
+      mem.addData(scores(2))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def key(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toList
+    val streamed = key(spark.table("iso_s").collect())
+    val batch = key(Eval.isotonicScore(scores.toDF("id", "score"),
+      "score", fit, 4, defaultRate = -1.0)
+      .select("id", "calibrated").collect())
+    assert(streamed == batch)
+    assert(streamed == List((1L, 0.25), (2L, -1.0), (3L, 0.25)))
+  }
+
   test("iso_rate is non-decreasing and preserves total positive mass " +
       "on a noisy curve") {
     // deterministic noisy labels: positive when (k * 7) % 10 < k % 7
