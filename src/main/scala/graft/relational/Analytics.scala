@@ -990,11 +990,13 @@ object Analytics {
     * rounding needed). `idCol` must be integral and unique within its
     * group (it keys the sample join-back, together with the group).
     *
-    * Shape at 100 TB: one heap-capped aggregate (shuffle carries
-    * `partitions × maxN` candidates per group), one id-keyed join-back
-    * at sample scale, a group-local pair join bounded by `maxN²/2` rows
-    * per group, and a rank window over that bounded pair relation — the
-    * corpus is scanned once; everything after the cap is sample-sized.
+    * Shape at 100 TB: two corpus scans — the heap-capped aggregate
+    * (shuffle carries `partitions × maxN` candidates per group) and the
+    * (group, id)-keyed sample join-back (the [[Relational.topKPerGroup]]
+    * contract: ids are the narrow thing to shuffle; AQE broadcasts the
+    * sample side). After the cap everything is sample-sized: a
+    * group-local pair join bounded by `maxN²/2` rows per group and a
+    * rank window over that bounded pair relation.
     * Output: (groupCol, n_used, n_pairs, slope). */
   def theilSen(df: DataFrame, groupCol: String, xCol: String,
       yCol: String, idCol: String, maxN: Int = 64): DataFrame = {

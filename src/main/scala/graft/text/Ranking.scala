@@ -325,9 +325,13 @@ object Ranking {
       .select(explode(TextFunctions.tokensLower(col(textCol))).as("__t"))
       .filter(col("__t") =!= "")
       .groupBy("__t").agg(count(lit(1)).as(out))
+    // vocabulary-bounded; materialized ONCE — totals and the finish both
+    // read the checkpoint, so each corpus is scanned exactly once (the
+    // divergingTerms persist discipline)
     val joined = counts(dfA, "__ca")
       .join(counts(dfB, "__cb"), Seq("__t"), "full_outer")
       .na.fill(0L, Seq("__ca", "__cb"))
+      .localCheckpoint(true)
     def kl(p: Column, m: Column): Column = p * log(p / m)
     // smoothed denominators depend on totals over the SAME joined
     // relation — window-free: carry them as one-row broadcast scalars
