@@ -161,6 +161,24 @@ object Round7Queries {
         "o_orderpriority", "x_s", "o_totalprice", "o_orderkey",
         maxN = 64)),
 
+    // TPC-DS q88 shape: eight independent band screens answered in ONE
+    // scan — each band a conditional count inside the same aggregate
+    // (the multi-COUNT(*)-subquery formulation collapsed to one pass;
+    // integer thresholds, integer outputs). Shape at 100 TB: a single
+    // map-side-combined one-row aggregate; no joins, no windows, and
+    // the scan prunes to the three columns the bands read.
+    "q_tpcds_bands" -> ((s, d) => {
+      def band(qLo: Int, qHi: Int, dLoPct: Int, dHiPct: Int) =
+        sum(when(col("l_quantity") >= qLo && col("l_quantity") < qHi &&
+          col("l_discount") * 100 >= dLoPct &&
+          col("l_discount") * 100 < dHiPct, 1L).otherwise(0L))
+      t(s, d, "lineitem").agg(
+        band(1, 11, 0, 3).as("b1"), band(1, 11, 3, 6).as("b2"),
+        band(11, 21, 0, 3).as("b3"), band(11, 21, 3, 6).as("b4"),
+        band(21, 31, 0, 3).as("b5"), band(21, 31, 3, 6).as("b6"),
+        band(31, 41, 0, 3).as("b7"), band(31, 41, 3, 6).as("b8"))
+    }),
+
     // ABC / Pareto concentration: which suppliers carry 80%/95% of
     // revenue per return flag — integer cents, integer cross-multiplied
     // tier tests, total ordering: replay-exact end to end
@@ -235,6 +253,20 @@ object Round7Queries {
       "SELECT l_orderkey AS bk, l_suppkey AS it FROM lineitem " +
         "WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL",
       cap = 16, minPairs = 2),
+
+    // identical per-row double arithmetic (l_discount*100) both engines
+    // -> identical band membership; integer counts
+    "q_tpcds_bands" -> {
+      val bands = Seq((1, 11, 0, 3), (1, 11, 3, 6), (11, 21, 0, 3),
+        (11, 21, 3, 6), (21, 31, 0, 3), (21, 31, 3, 6), (31, 41, 0, 3),
+        (31, 41, 3, 6))
+      val cols = bands.zipWithIndex.map { case ((ql, qh, dl, dh), i) =>
+        s"""CAST(sum(CASE WHEN l_quantity >= $ql AND l_quantity < $qh
+            AND l_discount * 100 >= $dl AND l_discount * 100 < $dh
+            THEN 1 ELSE 0 END) AS BIGINT) AS b${i + 1}"""
+      }.mkString(",\n           ")
+      s"SELECT $cols FROM lineitem"
+    },
 
     // integer cents + integer cross-multiplied tiers + total ordering:
     // windowed sums are INTEGER (exact under DuckDB's segment tree)
