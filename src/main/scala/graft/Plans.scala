@@ -240,6 +240,13 @@ object Plans {
         "marginal joins run at pair scale; the basket total is a " +
         "one-row broadcast — no cross-basket product anywhere.",
         SparkEntry.queries("q_basket_suppliers")(spark, d)),
+      ("q_isotonic", "isotonic calibration: ONE corpus aggregate to " +
+        "≤ nBins rows; the PAV fit is the closed minimax form over the " +
+        "BIN relation only — prefix sums on the audited BoundedWindow, " +
+        "non-equi segment/minimax joins bounded by nBins³ (≤ 256 " +
+        "guard); nothing sequential, nothing iterative, one corpus " +
+        "pass.",
+        SparkEntry.queries("q_isotonic")(spark, d)),
       ("q_theilsen", "grouped Theil–Sen: the bounded-heap CollectTopK " +
         "cap shuffles partitions × maxN candidates per group (never a " +
         "hot group through one task); join-back, pair join, and the " +

@@ -77,6 +77,10 @@ object LangId {
     * when within budget because <= limit returns ALL rows). */
   private def literalProfile(profiles: DataFrame,
       maxEntries: Int): Option[Seq[(String, Seq[String])]] = {
+    // maxEntries <= 0 forces the join path: skip the probe entirely —
+    // even limit(1) can't push through the fit's rank window, so the
+    // probe would execute most of the fit just to throw it away
+    if (maxEntries <= 0) return None
     val langCol = profiles.columns.head
     val rows = profiles
       .select(col(langCol).cast("string").as("l"), col("gram"))
