@@ -101,7 +101,7 @@ object LangId {
     * overlap counts DISTINCT shared grams like the join path's
     * array_distinct + count. */
   private def literalBest(
-      prof: Seq[(String, Seq[String])]): (Column, Column) = {
+      prof: Seq[(String, Seq[String])]): (Column, Column, Column) = {
     val scored = prof.zipWithIndex.map { case ((_, grams), i) =>
       struct(
         size(array_intersect(col("__gd"), lit(grams.toArray)))
@@ -109,11 +109,17 @@ object LangId {
         lit(-i).as("nr"))
     }
     val langs = lit(prof.map(_._1).toArray)
-    val b = array_max(array(scored: _*))
-    val hit = b.getField("s") > 0
-    (when(hit, element_at(langs, (-b.getField("nr")).cast("int") + 1))
-      .otherwise(lit("und")),
-      when(hit, b.getField("s")).otherwise(lit(0L)))
+    // the argmax struct is returned SEPARATELY so callers materialize it
+    // as its own `__b` column: pred/score then read cheap field extracts
+    // instead of re-evaluating the N-intersect argmax per output column
+    // (CollapseProject duplicates non-cheap producers referenced from
+    // several consumers — the ngramDiversity lesson)
+    val best = array_max(array(scored: _*))
+    val hit = col("__b").getField("s") > 0
+    (best,
+      when(hit, element_at(langs, (-col("__b").getField("nr")).cast("int")
+        + 1)).otherwise(lit("und")),
+      when(hit, col("__b").getField("s")).otherwise(lit(0L)))
   }
 
   /** Winner rows only — (idCol, pred_lang, score) for docs with ≥1
@@ -155,8 +161,9 @@ object LangId {
         docs.select(col(idCol), lit("und").as("pred_lang"),
           lit(0L).as("score"))
       case Some(prof) =>
-        val (pred, score) = literalBest(prof)
+        val (best, pred, score) = literalBest(prof)
         docs.select(col(idCol), charGrams(col(textCol), n).as("__gd"))
+          .select(col(idCol), best.as("__b"))
           .select(col(idCol), pred.as("pred_lang"), score.as("score"))
       case None =>
         docs.select(col(idCol))
@@ -183,10 +190,11 @@ object LangId {
         docs.select(col(idCol), lit("und").as("pred_lang"),
           lit(0L).as("score"), (lit("und") === col(langCol)).as("agrees"))
       case Some(prof) =>
-        val (pred, score) = literalBest(prof)
+        val (best, pred, score) = literalBest(prof)
         docs
           .select(col(idCol), col(langCol),
             charGrams(col(textCol), n).as("__gd"))
+          .select(col(idCol), col(langCol), best.as("__b"))
           .select(col(idCol), pred.as("pred_lang"), score.as("score"),
             (pred === col(langCol)).as("agrees"))
       case None =>
