@@ -346,11 +346,20 @@ object Round7Queries {
              row_number() OVER (PARTITION BY g ORDER BY s, i, j) AS rn,
              count(*) OVER (PARTITION BY g) AS m
            FROM p),
-         n AS (SELECT g, count(*) AS n_used FROM c GROUP BY 1)
-         SELECT q.g AS o_orderpriority, n.n_used, q.m AS n_pairs,
-           q.s AS slope
-         FROM q JOIN n ON q.g = n.g
-         WHERE q.rn = (q.m + 1) // 2""",
+         n AS (SELECT g, count(*) AS n_used FROM c GROUP BY 1),
+         sl AS (
+           SELECT q.g, n.n_used, q.m AS n_pairs, q.s AS slope
+           FROM q JOIN n ON q.g = n.g
+           WHERE q.rn = (q.m + 1) // 2),
+         r2 AS (
+           SELECT c.g, sl.n_used, sl.n_pairs, sl.slope,
+             (c.y - sl.slope * c.x) AS r,
+             row_number() OVER (PARTITION BY c.g
+               ORDER BY (c.y - sl.slope * c.x), c.id) AS rn
+           FROM c JOIN sl ON c.g = sl.g)
+         SELECT g AS o_orderpriority, n_used, n_pairs, slope,
+           r AS intercept
+         FROM r2 WHERE rn = (n_used + 1) // 2""",
 
     "q_tpcds_returns" ->
       """SELECT o.o_custkey,

@@ -976,7 +976,9 @@ object Analytics {
     * sample of at most `maxN` points — the outlier-resistant slope
     * (~29% breakdown point vs 0% for OLS, Theil 1950 / Sen 1968) that
     * monitoring dashboards want when one bad batch would swing a
-    * least-squares fit. Equal-`x` pairs are skipped (standard Theil–Sen);
+    * least-squares fit — plus the classic intercept completion, the
+    * lower median of per-point residuals `y − slope·x` over the same
+    * sample. Equal-`x` pairs are skipped (standard Theil–Sen);
     * groups with fewer than two distinct sampled `x` values have no
     * slope and are absent from the output.
     *
@@ -995,9 +997,9 @@ object Analytics {
     * (group, id)-keyed sample join-back (the [[Relational.topKPerGroup]]
     * contract: ids are the narrow thing to shuffle; AQE broadcasts the
     * sample side). After the cap everything is sample-sized: a
-    * group-local pair join bounded by `maxN²/2` rows per group and a
-    * rank window over that bounded pair relation.
-    * Output: (groupCol, n_used, n_pairs, slope). */
+    * group-local pair join bounded by `maxN²/2` rows per group and
+    * rank windows over the bounded pair and residual relations.
+    * Output: (groupCol, n_used, n_pairs, slope, intercept). */
   def theilSen(df: DataFrame, groupCol: String, xCol: String,
       yCol: String, idCol: String, maxN: Int = 64): DataFrame = {
     require(maxN >= 2, s"maxN must be >= 2, got $maxN")
@@ -1024,7 +1026,7 @@ object Analytics {
         ((col("__yj") - col("__y")) / (col("__xj") - col("__x")))
           .as("__s"))
     val w = Window.partitionBy(col(groupCol))
-    pairs
+    val slopes = pairs
       .withColumn("__rn",
         row_number().over(w.orderBy(col("__s"), col("__id"), col("__j")))
           .cast("long"))
@@ -1034,6 +1036,22 @@ object Analytics {
       .join(nUsed, Seq(groupCol.toString))
       .select(col(groupCol), col("n_used"), col("n_pairs"),
         col("__s").as("slope"))
+    // intercept: the classic Theil–Sen completion — the LOWER MEDIAN of
+    // per-point residuals y − slope·x over the SAME sample (element pick
+    // ordered by (residual, id): replays bit-exact like the slope). The
+    // residual window spans ≤ maxN sample rows per group.
+    val res = pts
+      .join(slopes.select(col(groupCol), col("n_used"), col("n_pairs"),
+        col("slope")), Seq(groupCol.toString))
+      .withColumn("__r", col("__y") - col("slope") * col("__x"))
+    res
+      .withColumn("__rrn",
+        row_number().over(w.orderBy(col("__r"), col("__id")))
+          .cast("long"))
+      .filter(col("__rrn") ===
+        ((col("n_used") + lit(1L)) / lit(2L)).cast("long"))
+      .select(col(groupCol), col("n_used"), col("n_pairs"),
+        col("slope"), col("__r").as("intercept"))
   }
 
   /** ABC / Pareto classification: rank entities by total value within

@@ -233,17 +233,19 @@ class TheilSenSpec extends SparkSpec {
       rows.toDF("g", "id", "x", "y"), "g", "x", "y", "id", maxN)
       .collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
-        r.getDouble(3)))
+        r.getDouble(3), r.getDouble(4)))
       .toMap
 
-  test("exact slope on a perfect line; median defeats one wild outlier") {
+  test("exact slope AND intercept on a perfect line; median defeats " +
+      "one wild outlier") {
     val line = (0 to 4).map(i => ("a", i.toLong, i.toDouble, 2.0 * i + 1))
     val outl = (0 to 3).map(i => ("b", i.toLong, i.toDouble, i.toDouble)) :+
       ("b", 4L, 4.0, 100.0)
     val m = fit(line ++ outl)
-    assert(m("a") == ((5L, 10L, 2.0)))
+    assert(m("a") == ((5L, 10L, 2.0, 1.0))) // y = 2x + 1 recovered exactly
     // slopes: 1.0 x6, then 25, 33, 48.5..., 97 -> lower median (rank 5) = 1.0
-    assert(m("b")._3 == 1.0 && m("b")._2 == 10L)
+    // residuals at slope 1: (0,0,0,0,96) -> lower median (rank 3) = 0.0
+    assert(m("b")._3 == 1.0 && m("b")._2 == 10L && m("b")._4 == 0.0)
   }
 
   test("equal-x pairs are skipped; an all-equal-x group is absent") {
@@ -252,7 +254,7 @@ class TheilSenSpec extends SparkSpec {
       ("z", 7L, 5.0, 1.0), ("z", 8L, 5.0, 2.0)))
     assert(!m.contains("z"))
     // pairs (1,3) slope 2, (2,3) slope -7; (1,2) skipped -> m=2, rank 1
-    assert(m("a") == ((3L, 2L, -7.0)))
+    assert(m("a") == ((3L, 2L, -7.0, 9.0))) // residuals (0,9,9) -> rank 2
   }
 
   test("cap keeps the maxN smallest-x points, ties to the lower id") {
@@ -264,7 +266,7 @@ class TheilSenSpec extends SparkSpec {
     // maxN=3: ids 10,11,12 -> slopes (10,12)=1, (11,12)=-3 -> rank 2 of
     // sorted (-3, 1) is... lower median rank (2+1)/2=1 -> -3.0
     val m3 = fit(pts, maxN = 3)
-    assert(m3("a") == ((3L, 2L, -3.0)))
+    assert(m3("a") == ((3L, 2L, -3.0, 4.0))) // residuals (0,4,4) -> rank 2
   }
 
   test("pair relation and rank window stay group-local: no cartesian") {
