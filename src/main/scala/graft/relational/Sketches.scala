@@ -53,6 +53,21 @@ object Sketches {
       when(v >= lit(1L << (52 - r)), lit(r)).otherwise(rest)
     }
 
+  /** Driver/executor-side Scala twin of ([[bucketCol]], [[rhoCol]]∘
+    * [[rankCol]]): identical md5-hex derivation, so streaming state code
+    * ([[graft.streaming.Streaming.hllStream]]) produces registers
+    * bit-identical to the SQL expressions (pinned by HllStreamSpec). */
+  private[graft] def bucketRho(key: String): (Int, Int) = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val bucket = Integer.parseInt(hex.substring(0, 2), 16)
+    val rank = java.lang.Long.parseLong(hex.substring(2, 15), 16)
+    var r = 1
+    while (r < RhoCap && rank < (1L << (52 - r))) r += 1
+    (bucket, r)
+  }
+
   /** Sparse HLL registers per group: `(groupCols…, bucket, rho)` — max rho
     * per touched bucket; untouched buckets are implicit rho = 0. ONE
     * aggregate over the corpus; the shuffle carries ≤ m partial rows per

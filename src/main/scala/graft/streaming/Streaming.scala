@@ -315,6 +315,40 @@ object Streaming {
       }
   }
 
+  case class HllEvent(group: String, key: String)
+  case class HllRegister(group: String, bucket: Int, rho: Int)
+
+  /** Streaming HyperLogLog registers per group — live approximate
+    * distinct counts over an unbounded stream with BOUNDED state: per
+    * group a ≤ m (= [[graft.relational.Sketches.M]], 256) entry
+    * bucket→rho map, folded incrementally. Register max is
+    * order-insensitive and the bucket/rho derivation is the exact
+    * Scala twin of the batch md5 expressions, so after any prefix the
+    * emitted registers are register-for-register IDENTICAL to
+    * [[graft.relational.Sketches.hllSketch]] over the same events
+    * (asserted in HllStreamSpec) — feed them straight into
+    * `hllEstimate` / `hllMerge` / set algebra alongside batch-built
+    * registers. Emits the group's full (bounded) register set each
+    * micro-batch in Update mode; downstream takes max(rho) per
+    * (group, bucket) — idempotent, so replays are harmless. */
+  def hllStream(events: Dataset[HllEvent]): Dataset[HllRegister] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.group)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (group: String, it: Iterator[HllEvent],
+            state: GroupState[Map[Int, Int]]) =>
+          var regs = state.getOption.getOrElse(Map.empty[Int, Int])
+          it.foreach { e =>
+            val (b, r) = graft.relational.Sketches.bucketRho(e.key)
+            if (r > regs.getOrElse(b, 0)) regs = regs.updated(b, r)
+          }
+          state.update(regs)
+          regs.iterator.map { case (b, r) => HllRegister(group, b, r) }
+      }
+  }
+
   case class ForecastState(ring: Seq[Double], absErrSum: Double,
     nScored: Long)
   case class ForecastPoint(series: String, t: Long, value: Double,

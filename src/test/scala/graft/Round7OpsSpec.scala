@@ -183,6 +183,56 @@ class AbcClassesSpec extends SparkSpec {
   }
 }
 
+class HllStreamSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.relational.Sketches
+  import graft.streaming.Streaming
+
+  test("scala bucketRho == the SQL md5 expressions, key for key") {
+    val keys = (1 to 200).map(i => s"key-$i-${i * 31}")
+    // single-key groups: batch registers expose each key's (bucket, rho)
+    val sql = Sketches.hllSketch(
+      keys.toDF("k").withColumn("g", col("k")), Seq("g"), "k")
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getInt(2))))
+      .toMap
+    keys.foreach { k =>
+      assert(Sketches.bucketRho(k) == sql(k), s"key $k")
+    }
+  }
+
+  test("streamed registers across micro-batches == batch hllSketch " +
+      "register for register (and hence identical estimates)") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val batch1 = (1 to 300).map(i => Streaming.HllEvent(s"g${i % 2}", s"u$i"))
+    val batch2 = (200 to 500).map(i =>
+      Streaming.HllEvent(s"g${i % 2}", s"u$i")) // overlap: max must absorb
+
+    val mem = MemoryStream[Streaming.HllEvent]
+    val q = Streaming.hllStream(mem.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("hll_s").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // update-mode sink appends per-batch snapshots; rho is monotone, so
+    // max per (group, bucket) is the final state
+    val streamed = spark.table("hll_s")
+      .groupBy("group", "bucket").agg(max("rho").as("rho"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val batch = Sketches.hllSketch(
+      (batch1 ++ batch2).toDF("group", "key"), Seq("group"), "key")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(streamed == batch)
+  }
+}
+
 class LangIdStreamSpec extends SparkSpec {
   import spark.implicits._
   import graft.text.LangId
