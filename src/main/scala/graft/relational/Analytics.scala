@@ -916,26 +916,38 @@ object Analytics {
     * SAME capped relation, so the reported ratios stay mutually
     * consistent.
     *
-    * Shape at 100 TB: ONE basket-keyed aggregate builds the capped
-    * per-basket item arrays (map-side combined collect_set,
-    * localCheckpoint'ed once — the cap audit, the pair explode, the
-    * item marginals, and the basket total all read the materialized
-    * basket-sized relation instead of re-aggregating the corpus); the
-    * pair explode is ≤ maxBasket²/2 rows per basket into one
-    * map-side-combined pair count; the marginal joins run at pair scale
-    * against an item-cardinality relation (AQE broadcasts dictionary-
-    * sized sides); the basket total rides a broadcast one-row cross
-    * join. Never all-pairs across baskets, never a corpus re-scan. */
+    * Shape at 100 TB: distinct (basket, item) → a spill-safe per-basket
+    * rank window → ONE basket-keyed aggregate whose collect_list buffer
+    * is ≤ maxBasket entries BY CONSTRUCTION (over-cap rows arrive as
+    * nulls, which collect_list skips — a collect_set-then-slice would
+    * build the full degenerate basket in an unspillable buffer first).
+    * The capped relation is localCheckpoint'ed once — the cap audit,
+    * the pair explode, the item marginals, and the basket total all
+    * read it instead of re-aggregating the corpus; the pair explode is
+    * ≤ maxBasket²/2 rows per basket into one map-side-combined pair
+    * count; the marginal joins run at pair scale against an
+    * item-cardinality relation (AQE broadcasts dictionary-sized sides);
+    * the basket total rides a broadcast one-row cross join. Never
+    * all-pairs across baskets, never a corpus re-scan. */
   def basketAffinity(df: DataFrame, basketCol: String, itemCol: String,
       maxBasket: Int = 256, minPairs: Long = 1L): DataFrame = {
     require(maxBasket >= 2, s"maxBasket must be >= 2, got $maxBasket")
+    // cap BEFORE any aggregation buffer forms: a collect_set + slice
+    // would build the FULL distinct-item array in an unspillable agg
+    // buffer first — a degenerate 10M-item basket OOMs the executor
+    // before the cap ever runs. The rank window sorts (spill-safe) and
+    // the collect_list sees nulls for over-cap rows (nulls are skipped),
+    // so the per-basket buffer is ≤ maxBasket entries by construction.
+    val wb = Window.partitionBy(col(basketCol)).orderBy(col(itemCol))
     val items = df
       .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol), col(itemCol)).distinct()
+      .withColumn("__rn", row_number().over(wb))
       .groupBy(col(basketCol))
       .agg(
-        slice(sort_array(collect_set(col(itemCol))), 1, maxBasket)
-          .as("__items"),
-        (size(collect_set(col(itemCol))) > maxBasket).as("__capped"))
+        sort_array(collect_list(
+          when(col("__rn") <= maxBasket, col(itemCol)))).as("__items"),
+        (max(col("__rn")) > maxBasket).as("__capped"))
       .localCheckpoint(true)
     val nCapped = items.filter(col("__capped")).count()
     if (nCapped > 0)

@@ -540,12 +540,14 @@ class BasketAffinitySpec extends SparkSpec {
     assert(got(("c", "d")) == (1L, 1L, 1L, 2L))
   }
 
-  test("pair explode + counts stay inside aggregates — no cartesian, " +
-      "no window") {
+  test("pair explode + counts stay inside aggregates — no cartesian; " +
+      "the only window is the basket-partitioned cap rank") {
     val df = Seq((1L, "a"), (1L, "b")).toDF("bk", "it")
     val p = Analytics.basketAffinity(df, "bk", "it")
       .queryExecution.executedPlan.toString
-    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
-      p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the capped relation is checkpointed; the downstream plan (pairs,
+    // marginals, totals) must not contain any window at all
+    assert(!p.contains("Window"), p.take(800))
   }
 }
