@@ -349,6 +349,45 @@ object Streaming {
       }
   }
 
+  case class QEvent(group: String, value: Double)
+  case class QRegister(group: String, bin: Long, cnt: Long)
+
+  /** Streaming binned quantile registers per group — the
+    * [[hllStream]] pattern applied to
+    * [[graft.relational.Sketches.qSketch]]: state is a ≤ `bins`-entry
+    * bin→count map per group, folded incrementally with the SAME
+    * per-row IEEE bin arithmetic as the batch SQL expression
+    * (`clamp(floor((v − lo)/(hi − lo)·bins))` — identical double ops,
+    * identical truncation), and counts are exact integers, so after
+    * any prefix the emitted registers EQUAL batch `qSketch` over the
+    * same events count-for-count (asserted in QSketchStreamSpec) and
+    * feed `qMerge`/`qQuantile` unchanged. Values are assumed finite
+    * (the batch op only drops SQL nulls, which a Double field cannot
+    * carry). Emits the group's full register set each micro-batch in
+    * Update mode — downstream takes max(cnt) per (group, bin)
+    * (monotone, so replays are harmless). */
+  def qSketchStream(events: Dataset[QEvent], lo: Double, hi: Double,
+      bins: Int = graft.relational.Sketches.QBins): Dataset[QRegister] = {
+    require(hi > lo, s"empty sketch range [$lo, $hi)")
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.group)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (group: String, it: Iterator[QEvent],
+            state: GroupState[Map[Long, Long]]) =>
+          var regs = state.getOption.getOrElse(Map.empty[Long, Long])
+          it.foreach { e =>
+            val raw = math.floor((e.value - lo) / (hi - lo) * bins).toLong
+            val b = math.min(math.max(raw, 0L), (bins - 1).toLong)
+            regs = regs.updated(b, regs.getOrElse(b, 0L) + 1L)
+          }
+          state.update(regs)
+          regs.iterator.map { case (b, c) => QRegister(group, b, c) }
+      }
+  }
+
   case class ForecastState(ring: Seq[Double], absErrSum: Double,
     nScored: Long)
   case class ForecastPoint(series: String, t: Long, value: Double,

@@ -233,6 +233,47 @@ class HllStreamSpec extends SparkSpec {
   }
 }
 
+class QSketchStreamSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.relational.Sketches
+  import graft.streaming.Streaming
+
+  test("streamed quantile registers across micro-batches == batch " +
+      "qSketch count for count (edge clamps included)") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // values straddle the range on both sides to exercise the clamps
+    val batch1 = (-20 to 400).map(i =>
+      Streaming.QEvent(s"g${i % 3}", i / 7.0))
+    val batch2 = (300 to 700).map(i =>
+      Streaming.QEvent(s"g${i % 3}", i / 7.0))
+
+    val mem = MemoryStream[Streaming.QEvent]
+    val q = Streaming.qSketchStream(mem.toDS(), lo = 0.0, hi = 50.0,
+        bins = 64)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("qs_s").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // cnt is monotone per (group, bin): max across emissions = final
+    val streamed = spark.table("qs_s")
+      .groupBy("group", "bin").agg(max("cnt").as("cnt"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = Sketches.qSketch(
+      (batch1 ++ batch2).toDF("group", "value"), Seq("group"), "value",
+      lo = 0.0, hi = 50.0, bins = 64)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+  }
+}
+
 class LangIdStreamSpec extends SparkSpec {
   import spark.implicits._
   import graft.text.LangId
