@@ -196,6 +196,19 @@ object Round7Queries {
           .withColumn("cents", cents(col("l_extendedprice"))),
         Seq.empty, "l_suppkey", "cents")),
 
+    // supplier-concentration profile per return flag: HHI, effective
+    // supplier count, and share entropy — the scalar companions to
+    // q_abc's per-entity tiers
+    "q_concentration" -> ((s, d) =>
+      graft.relational.Analytics.concentration(
+        t(s, d, "lineitem")
+          .withColumn("cents", cents(col("l_extendedprice"))),
+        Seq("l_returnflag"), "l_suppkey", "cents")
+        .select(col("l_returnflag"), col("n_entities"), col("total"),
+          round(col("hhi"), 6).as("hhi"),
+          round(col("effective_n"), 6).as("effective_n"),
+          round(col("entropy"), 6).as("entropy"))),
+
     // TPC-DS q93 shape: customers whose returned revenue exceeds 20% of
     // their total, with at least 5 distinct orders — the
     // returns-behavior screen. Shape at 100 TB: one corpus join
@@ -253,6 +266,27 @@ object Round7Queries {
       "SELECT l_orderkey AS bk, l_suppkey AS it FROM lineitem " +
         "WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL",
       cap = 16, minPairs = 2),
+
+    // HHI / effective-n / entropy are aggregate-derived -> round(6)
+    // absorbs summation-order and ln() ulp (the q_unigram policy)
+    "q_concentration" ->
+      """WITH e AS (
+           SELECT l_returnflag, l_suppkey,
+             CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS v
+           FROM lineitem GROUP BY 1, 2),
+         p AS (SELECT * FROM e WHERE v > 0)
+         SELECT l_returnflag,
+           count(*) AS n_entities,
+           CAST(sum(v) AS BIGINT) AS total,
+           round(sum(CAST(v AS DOUBLE) * v) /
+             (CAST(sum(v) AS DOUBLE) * sum(v)), 6) AS hhi,
+           round((CAST(sum(v) AS DOUBLE) * sum(v)) /
+             sum(CAST(v AS DOUBLE) * v), 6) AS effective_n,
+           round(ln(CAST(sum(v) AS DOUBLE)) -
+             sum(CAST(v AS DOUBLE) * ln(CAST(v AS DOUBLE))) /
+             CAST(sum(v) AS DOUBLE), 6) AS entropy
+         FROM p GROUP BY 1""",
 
     // identical per-row double arithmetic (l_discount*100) both engines
     // -> identical band membership; integer counts

@@ -1126,6 +1126,47 @@ object Analytics {
           .otherwise("C").as("abc_class")): _*)
   }
 
+  /** Concentration profile of a value distribution over entities, per
+    * group: the Herfindahl–Hirschman index `HHI = Σ share_i²` (the
+    * antitrust/market-concentration standard; 1/n = perfectly even,
+    * 1 = monopoly), its inverse `effective_n` (the "effective number
+    * of players"), and the Shannon entropy of the share distribution
+    * (nats, via the `ln(total) − Σ v·ln v / total` identity shared
+    * with [[graft.text.Ranking.tokenEntropy]]) — the scalar companions
+    * to [[abcClasses]]' per-entity tiers: track supplier/customer/
+    * source concentration over time in one row per group.
+    *
+    * `valueCol` is cast to long (quantize money upstream — the repo's
+    * money discipline); zero/negative rows are dropped (a share needs
+    * positive mass). All three statistics are aggregate-derived doubles
+    * — round them (6 dp) at the query layer per the cross-engine float
+    * discipline.
+    *
+    * Shape at 100 TB: ONE map-side-combined (group, entity) aggregate
+    * reduces the corpus to the entity relation, then one group
+    * aggregate finishes — two exchanges, no windows, no joins. Output:
+    * (groupCols…, n_entities, total, hhi, effective_n, entropy). */
+  def concentration(df: DataFrame, groupCols: Seq[String],
+      entityCol: String, valueCol: String): DataFrame = {
+    val ent = df
+      .filter(col(entityCol).isNotNull)
+      .groupBy((groupCols :+ entityCol).map(col): _*)
+      .agg(sum(col(valueCol).cast("long")).as("__v"))
+      .filter(col("__v") > 0L)
+    val v = col("__v").cast("double")
+    val total = sum(col("__v"))
+    ent.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_entities"),
+        total.as("total"),
+        (sum(v * v) / (total.cast("double") * total.cast("double")))
+          .as("hhi"),
+        ((total.cast("double") * total.cast("double")) / sum(v * v))
+          .as("effective_n"),
+        (log(total.cast("double")) - sum(v * log(v)) /
+          total.cast("double")).as("entropy"))
+  }
+
   /** k-anonymity audit over quasi-identifier columns — the privacy
     * gate a dataset must pass before release: ONE row
     * `(k, n_rows, n_groups, min_group_size, violating_groups,

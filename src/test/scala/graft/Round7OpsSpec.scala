@@ -233,6 +233,43 @@ class HllStreamSpec extends SparkSpec {
   }
 }
 
+class ConcentrationSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.relational.Analytics
+
+  private def fit(rows: Seq[(String, String, Long)]) =
+    Analytics.concentration(rows.toDF("g", "ent", "v"), Seq("g"),
+      "ent", "v").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+
+  test("monopoly -> HHI 1 / effective_n 1 / entropy 0; even split of " +
+      "n -> HHI 1/n / effective_n n / entropy ln n") {
+    val m = fit(Seq(
+      ("mono", "a", 7L),
+      ("even", "a", 5L), ("even", "b", 5L), ("even", "c", 5L),
+      ("even", "d", 5L)))
+    assert(m("mono") == ((1L, 7L, 1.0, 1.0, 0.0)))
+    val (n, total, hhi, eff, h) = m("even")
+    assert(n == 4L && total == 20L)
+    assert(math.abs(hhi - 0.25) < 1e-12)
+    assert(math.abs(eff - 4.0) < 1e-12)
+    assert(math.abs(h - math.log(4)) < 1e-12)
+  }
+
+  test("skew raises HHI and lowers effective_n/entropy; non-positive " +
+      "rows drop") {
+    val even = fit(Seq(("g", "a", 5L), ("g", "b", 5L)))("g")
+    val skew = fit(Seq(("g", "a", 9L), ("g", "b", 1L),
+      ("g", "z", 0L), ("g", "y", -3L)))("g")
+    assert(skew._1 == 2L) // zero/negative entities dropped
+    assert(skew._3 > even._3 && skew._4 < even._4 && skew._5 < even._5)
+    // hand value: shares (.9, .1) -> HHI .82
+    assert(math.abs(skew._3 - 0.82) < 1e-12)
+  }
+}
+
 class QSketchStreamSpec extends SparkSpec {
   import spark.implicits._
   import graft.relational.Sketches
