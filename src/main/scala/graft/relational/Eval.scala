@@ -1623,6 +1623,62 @@ object Eval {
           round(lit(1.0) - col("__es") / col("__e1"), 6)).as("skill")): _*)
   }
 
+  /** Scale-free forecast accuracy for the seasonal-naive backtest —
+    * the metrics [[forecastBacktest]]'s absolute-error family can't
+    * give: sMAPE (symmetric percentage error, comparable across series
+    * of different magnitude), wMAPE (mass-weighted — the demand-planning
+    * standard, robust to zero actuals), and pinball loss at a quantile
+    * (the accuracy of the forecast read as a service-level quantile).
+    *
+    *   smape   = mean over eval points of 2|x−f| / (|x|+|f|)   (0 when both 0)
+    *   wmape   = Σ|x−f| / Σ|x|
+    *   pinball = mean of q·(x−f)⁺ + (1−q)·(f−x)⁺
+    *
+    * f is the lag-`season` value per key (same eval set as
+    * forecastBacktest: points where the seasonal lag exists). ONE window
+    * pass (partitioned by key — parallel, per-task state one key's
+    * series) feeding ONE aggregate; outputs rounded 6 dp.
+    *
+    * Determinism: values are quantized to integer cents per row first,
+    * so |x−f|, (x−f)⁺ and the wmape sums are exact integer sums; smape's
+    * per-row ratio and pinball's final division are the only float steps
+    * (the forecastBacktest rounding discipline). */
+  def forecastAccuracy(df: DataFrame, keys: Seq[String], orderCol: String,
+      valueCol: String, season: Int = 7, quantile: Double = 0.9)
+      : DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    require(season >= 1, s"season >= 1, got $season")
+    require(quantile > 0 && quantile < 1,
+      s"quantile in (0,1), got $quantile")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    val xc = floor(col(valueCol).cast("double") * lit(100)).cast("long")
+    val lagged = df.filter(col(valueCol).isNotNull)
+      .withColumn("__x", xc)
+      .withColumn("__f", lag(col("__x"), season).over(w))
+      .filter(col("__f").isNotNull)
+    val err = col("__x") - col("__f")
+    val denom = abs(col("__x")) + abs(col("__f"))
+    // pinball in exact integer milli-cent units: q quantized to /1000
+    val qm = math.round(quantile * 1000)
+    val pinballTerm = when(err > 0, err * lit(qm))
+      .otherwise(-err * lit(1000 - qm))
+    lagged.groupBy(keys.map(col): _*).agg(
+        count(lit(1)).as("n_eval"),
+        avg(when(denom > 0, lit(2.0) * abs(err) / denom)
+          .otherwise(lit(0.0))).as("__smape"),
+        sum(abs(err)).as("__ae"),
+        sum(abs(col("__x"))).as("__ax"),
+        sum(pinballTerm).as("__pb"))
+      .select(keys.map(col) ++ Seq(
+        col("n_eval"),
+        round(col("__smape"), 6).as("smape"),
+        when(col("__ax") > 0, round(col("__ae") / col("__ax"), 6))
+          .as("wmape"),
+        // milli-cents -> currency units: /1000 (q) /100 (cents) /n
+        round(col("__pb") / lit(1000.0) / lit(100.0) / col("n_eval"), 6)
+          .as("pinball")): _*)
+  }
+
   // ---- search / recommendation ranking metrics ---------------------------
 
   /** Quantization scale for the ranking metrics: per-item contributions

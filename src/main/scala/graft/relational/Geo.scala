@@ -1,0 +1,143 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Geospatial distance joins on a grid index — "find pairs of points
+  * within R km" over planet-scale point sets without an all-pairs
+  * product, the geo sibling of [[Relational.rangeJoin]]'s binned
+  * equi-join discipline.
+  *
+  * Index: points snap to an integer lat/lon grid cell sized so that any
+  * two points within the radius differ by at most one cell in each
+  * axis; candidates come from ONE equi-join after exploding each left
+  * point to its 3×3 neighborhood (9 rows — constant fan-out, the
+  * interval-join trick in 2-D); the exact distance predicate then
+  * verifies candidates only. Nothing ever compares points from
+  * non-adjacent cells.
+  *
+  * 100-TB shape: the join is a plain equi-join on (cell_lat, cell_lon)
+  * — Spark shuffles both sides by cell (AQE handles skew; a dense city
+  * cell is one hot key, the salted-join escape hatch applies as with
+  * any key join). Per-task work is |cell|·|neighbor cells| — bounded by
+  * local density, never by corpus size.
+  *
+  * Determinism: the MATCH PREDICATE is exact integer arithmetic on
+  * centidegree coordinates (dx² + dy² ≤ r² in a small-area flat
+  * approximation — callers with strict great-circle semantics filter on
+  * the emitted haversine column instead), so the pair set is
+  * replay-exact in any engine; the haversine distance is emitted as a
+  * 6-dp-rounded OUTPUT column (sin/cos/asin are the only libm calls and
+  * never decide membership).
+  */
+object Geo {
+
+  /** Earth mean radius, km (IUGG). */
+  val EarthRadiusKm: Double = 6371.0088
+
+  /** Integer grid cell of a centidegree coordinate: `floor(c / size)`
+    * where both are integers — exact. */
+  private def cell(cdeg: Column, sizeCdeg: Int): Column =
+    floor(cdeg.cast("double") / lit(sizeCdeg)).cast("long")
+
+  /** Haversine great-circle distance in km between two points given in
+    * CENTIDEGREES (integer hundredths of a degree). Output only — see
+    * the object doc for why membership never depends on it. */
+  def haversineKm(latA: Column, lonA: Column, latB: Column,
+      lonB: Column): Column = {
+    def rad(cdeg: Column): Column = radians(cdeg.cast("double") / lit(100.0))
+    val dLat = rad(latB) - rad(latA)
+    val dLon = rad(lonB) - rad(lonA)
+    val a = pow(sin(dLat / 2), 2) +
+      cos(rad(latA)) * cos(rad(latB)) * pow(sin(dLon / 2), 2)
+    lit(2 * EarthRadiusKm) * asin(sqrt(a))
+  }
+
+  /** Self-join of `points` (idCol, latCdegCol, lonCdegCol — integer
+    * centidegrees) producing each unordered pair within `radiusCdeg`
+    * centidegrees (flat-grid euclidean: dx² + dy² ≤ r², exact integer
+    * arithmetic). Output: (id_a, id_b, dist_cdeg2, haversine_km) with
+    * id_a < id_b, haversine rounded 6 dp.
+    *
+    * Cell size = radius (in centidegrees), so matching pairs are always
+    * in the same or an adjacent cell; the left side explodes to its 3×3
+    * neighborhood and equi-joins the right side's home cell. Each
+    * candidate pair is produced EXACTLY once (by the neighbor offset
+    * equal to the cells' difference) — no distinct needed. */
+  def distanceJoin(points: DataFrame, idCol: String, latCdegCol: String,
+      lonCdegCol: String, radiusCdeg: Int): DataFrame = {
+    require(radiusCdeg >= 1, s"radius must be >= 1 cdeg, got $radiusCdeg")
+    val offsets = array((for { dy <- -1 to 1; dx <- -1 to 1 }
+      yield struct(lit(dy).as("dy"), lit(dx).as("dx"))): _*)
+    val left = points.select(
+        col(idCol).as("id_a"), col(latCdegCol).cast("long").as("__lat_a"),
+        col(lonCdegCol).cast("long").as("__lon_a"),
+        cell(col(latCdegCol), radiusCdeg).as("__cy"),
+        cell(col(lonCdegCol), radiusCdeg).as("__cx"))
+      .select(col("id_a"), col("__lat_a"), col("__lon_a"),
+        explode(offsets).as("__o"),
+        col("__cy"), col("__cx"))
+      .select(col("id_a"), col("__lat_a"), col("__lon_a"),
+        (col("__cy") + col("__o.dy")).as("__cy"),
+        (col("__cx") + col("__o.dx")).as("__cx"))
+    val right = points.select(
+      col(idCol).as("id_b"), col(latCdegCol).cast("long").as("__lat_b"),
+      col(lonCdegCol).cast("long").as("__lon_b"),
+      cell(col(latCdegCol), radiusCdeg).as("__cy"),
+      cell(col(lonCdegCol), radiusCdeg).as("__cx"))
+    val dy = col("__lat_a") - col("__lat_b")
+    val dx = col("__lon_a") - col("__lon_b")
+    left.join(right, Seq("__cy", "__cx"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(dy * dy + dx * dx <= lit(radiusCdeg.toLong * radiusCdeg))
+      .select(col("id_a"), col("id_b"),
+        (dy * dy + dx * dx).as("dist_cdeg2"),
+        round(haversineKm(col("__lat_a"), col("__lon_a"),
+          col("__lat_b"), col("__lon_b")), 6).as("haversine_km"))
+  }
+
+  /** Assign each left point to its nearest right "site" within
+    * `radiusCdeg` (e.g. order → nearest warehouse): same grid candidate
+    * generation as [[distanceJoin]], then ONE min-of-struct aggregate
+    * per left id — (dist², site id) lexicographic, so ties break to the
+    * smallest site id, replay-exact. Left points with no site in range
+    * are absent (a left-join variant is `points.join(result, "left")`).
+    * Output: (idCol, site_id, dist_cdeg2, haversine_km). */
+  def nearestSite(points: DataFrame, sites: DataFrame, idCol: String,
+      siteIdCol: String, latCdegCol: String, lonCdegCol: String,
+      radiusCdeg: Int): DataFrame = {
+    require(radiusCdeg >= 1, s"radius must be >= 1 cdeg, got $radiusCdeg")
+    val offsets = array((for { dy <- -1 to 1; dx <- -1 to 1 }
+      yield struct(lit(dy).as("dy"), lit(dx).as("dx"))): _*)
+    val left = points.select(
+        col(idCol), col(latCdegCol).cast("long").as("__lat_a"),
+        col(lonCdegCol).cast("long").as("__lon_a"),
+        cell(col(latCdegCol), radiusCdeg).as("__cy"),
+        cell(col(lonCdegCol), radiusCdeg).as("__cx"))
+      .select(col(idCol), col("__lat_a"), col("__lon_a"),
+        explode(offsets).as("__o"), col("__cy"), col("__cx"))
+      .select(col(idCol), col("__lat_a"), col("__lon_a"),
+        (col("__cy") + col("__o.dy")).as("__cy"),
+        (col("__cx") + col("__o.dx")).as("__cx"))
+    val right = sites.select(
+      col(siteIdCol).as("__site"),
+      col(latCdegCol).cast("long").as("__lat_b"),
+      col(lonCdegCol).cast("long").as("__lon_b"),
+      cell(col(latCdegCol), radiusCdeg).as("__cy"),
+      cell(col(lonCdegCol), radiusCdeg).as("__cx"))
+    val dy = col("__lat_a") - col("__lat_b")
+    val dx = col("__lon_a") - col("__lon_b")
+    left.join(right, Seq("__cy", "__cx"))
+      .filter(dy * dy + dx * dx <= lit(radiusCdeg.toLong * radiusCdeg))
+      .select(col(idCol), col("__site"),
+        (dy * dy + dx * dx).as("__d2"),
+        round(haversineKm(col("__lat_a"), col("__lon_a"),
+          col("__lat_b"), col("__lon_b")), 6).as("__hav"))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("__d2"), col("__site"), col("__hav")))
+        .as("__best"))
+      .select(col(idCol), col("__best.__site").as("site_id"),
+        col("__best.__d2").as("dist_cdeg2"),
+        col("__best.__hav").as("haversine_km"))
+  }
+}

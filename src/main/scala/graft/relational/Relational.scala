@@ -793,6 +793,59 @@ object Relational {
       .select(keys.map(col) ++ payload.map(c => col(s"__latest.$c")): _*)
   }
 
+  /** Consensus field-resolution rules for [[goldenRecord]]. */
+  sealed trait Consensus
+  /** Most frequent value; ties break to the higher count then the
+    * SMALLEST value (total order — replay-exact). */
+  case object ModeValue extends Consensus
+  /** Value on the row with the greatest order column (ties to the
+    * largest value — max_by total order). */
+  case object LatestValue extends Consensus
+  /** Plain maximum. */
+  case object MaxValue extends Consensus
+
+  /** Golden-record consolidation: collapse each entity's duplicate /
+    * historical rows into ONE survivor row, field by field — the
+    * master-data "survivorship" step that follows entity resolution
+    * (cluster with duplicateComponents/fuzzyJoin, then consolidate
+    * here). Each field gets its own rule: most-frequent value, latest
+    * value by an order column, or max.
+    *
+    * Shape: ONE aggregate keyed by the entity for the latest/max rules
+    * plus, when any ModeValue rule is present, one (entity, value)
+    * pre-count per mode field — all map-side combined; per-task state
+    * is one entity's distinct values, never its row count. Nothing
+    * sorts and nothing windows over the corpus.
+    *
+    * Determinism: every rule is a min/max over a lexicographic struct
+    * with a stated total order — null values lose to non-null under
+    * max_by/min_by's null handling only when a group is all-null;
+    * callers with null-heavy fields should filter first. */
+  def goldenRecord(df: DataFrame, keys: Seq[String], orderCol: String,
+      rules: Seq[(String, Consensus)]): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    require(rules.nonEmpty, "need at least one field rule")
+    val modeFields = rules.collect { case (f, ModeValue) => f }
+    val directAggs = count(lit(1)).as("n_rows") +: rules.collect {
+      case (f, LatestValue) =>
+        max_by(col(f), struct(col(orderCol), col(f))).as(f)
+      case (f, MaxValue) => max(col(f)).as(f)
+    }
+    val base = df.groupBy(keys.map(col): _*)
+      .agg(directAggs.head, directAggs.tail: _*)
+    modeFields.foldLeft(base) { (acc, f) =>
+      val modes = df
+        .groupBy((keys :+ f).map(col): _*)
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(keys.map(col): _*)
+        // ties: higher count wins, then the SMALLEST value — encode as
+        // min over (-count, value)
+        .agg(min_by(col(f), struct(-col("__c"), col(f))).as(f))
+      acc.join(modes, keys, "left")
+    }.select((keys.map(col) :+ col("n_rows")) ++
+      rules.map { case (f, _) => col(f) }: _*)
+  }
+
   /** Snapshot change capture: diff two keyed snapshots into
     * `(keys…, change_type ∈ insert|delete|update, old_<c>, new_<c>)`
     * rows — the input you feed a MERGE/upsert or a downstream

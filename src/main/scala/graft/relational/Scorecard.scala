@@ -1,0 +1,216 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Credit-scorecard-style model-building statistics: weight of evidence
+  * (WOE) encoding, information-value (IV) feature ranking, decision-stump
+  * best-split search, and mixture-SPRT always-valid A/B testing.
+  *
+  * These are the "feature screening" ops a modelling team runs before any
+  * training job (the reference's FrequencyEncoder / target-mean family,
+  * dfpipeline/FrequencyEncoder.py, stops at raw frequencies — WOE/IV is
+  * the supervised extension of the same per-category statistics table).
+  *
+  * 100-TB shape shared by every op here: ONE corpus aggregate keyed by the
+  * category/feature (map-side combined), then all remaining arithmetic
+  * runs on the category/threshold relation, which is bounded by the
+  * vocabulary — never by the corpus. Nothing in this file rescans or
+  * sorts the corpus twice.
+  */
+object Scorecard {
+
+  /** Per-category weight of evidence over a binary label, with the
+    * standard ±0.5 Laplace smoothing so single-class categories stay
+    * finite:
+    *
+    *   woe(c)  = ln( ((neg_c + 0.5)/neg_tot) / ((pos_c + 0.5)/pos_tot) )
+    *   iv(c)   = (neg_c/neg_tot − pos_c/pos_tot) · woe(c)
+    *
+    * Output: (catCol, n, n_pos, n_neg, woe, iv_term), woe/iv rounded to
+    * 6 dp (ln() is the only libm call; everything upstream of it is
+    * integer counts and single IEEE divisions, identical cross-engine).
+    *
+    * Shape: one corpus aggregate on the category; totals come from a
+    * second aggregate over the CATEGORY relation (≤ |categories| rows),
+    * broadcast back by a 1-row cross join — the corpus is scanned once.
+    */
+  def woeTable(df: DataFrame, catCol: String, labelCol: String)
+      : DataFrame = {
+    val cats = df
+      .groupBy(col(catCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(labelCol).cast("long")).as("n_pos"))
+      .withColumn("n_neg", col("n") - col("n_pos"))
+    val totals = cats.agg(sum("n_pos").as("__pt"), sum("n_neg").as("__nt"))
+    val rawWoe = log(((col("n_neg") + lit(0.5)) / col("__nt")) /
+      ((col("n_pos") + lit(0.5)) / col("__pt")))
+    cats
+      .crossJoin(broadcast(totals))
+      .withColumn("woe", round(rawWoe, 6))
+      .withColumn("iv_term", round(
+        (col("n_neg") / col("__nt") - col("n_pos") / col("__pt")) * rawWoe,
+        6))
+      .drop("__pt", "__nt")
+  }
+
+  /** Information-value ranking over several categorical features:
+    * (feature, n_categories, iv) with iv = Σ_c iv_term(c), rounded 6 dp.
+    * The conventional read: iv < 0.02 useless, 0.1–0.3 medium, > 0.3
+    * strong (Siddiqi 2006). One corpus aggregate PER FEATURE (the same
+    * contract as miRanking) — each bounded by that feature's vocabulary;
+    * the per-feature IV sums run on those bounded relations. The final
+    * union is |features| single-row frames.
+    *
+    * iv sums the UNROUNDED per-category terms (ln ulps are the only
+    * cross-engine noise; they sit 10 orders below the 6-dp output
+    * rounding). */
+  def informationValue(df: DataFrame, catCols: Seq[String],
+      labelCol: String): DataFrame = {
+    require(catCols.nonEmpty, "informationValue needs >= 1 feature")
+    catCols.map { c =>
+      val cats = df
+        .groupBy(col(c))
+        .agg(count(lit(1)).as("n"),
+          sum(col(labelCol).cast("long")).as("n_pos"))
+        .withColumn("n_neg", col("n") - col("n_pos"))
+      val totals = cats.agg(sum("n_pos").as("__pt"), sum("n_neg").as("__nt"))
+      cats.crossJoin(broadcast(totals))
+        .agg(count(lit(1)).as("n_categories"),
+          round(sum(
+            (col("n_neg") / col("__nt") - col("n_pos") / col("__pt")) *
+              log(((col("n_neg") + lit(0.5)) / col("__nt")) /
+                ((col("n_pos") + lit(0.5)) / col("__pt")))), 6).as("iv"))
+        .select(lit(c).as("feature"), col("n_categories"), col("iv"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** WOE-encode `catCol` into `outCol`: the fit is [[woeTable]] over this
+    * frame; the transform is one equi-join of the bounded WOE relation
+    * back onto the rows (AQE broadcasts it — the table is
+    * vocabulary-sized). Unseen categories cannot occur in fit-transform;
+    * a persisted deployment would join with `coalesce(woe, 0.0)` — 0 is
+    * WOE's no-information point, the same neutral-default contract as
+    * FrequencyEncoder's unseen→0. */
+  def woeEncode(df: DataFrame, catCol: String, labelCol: String,
+      outCol: String): DataFrame = {
+    val table = woeTable(df, catCol, labelCol)
+      .select(col(catCol), col("woe").as(outCol))
+    df.join(table, Seq(catCol), "left")
+      .withColumn(outCol, coalesce(col(outCol), lit(0.0)))
+  }
+
+  /** Decision-stump search: for each numeric feature, the threshold t
+    * minimizing weighted Gini impurity of the split `x <= t | x > t`
+    * against a binary label — the one-level tree that screens features
+    * and seeds monotone binning.
+    *
+    * Output per feature: (feature, threshold, n_left, pos_left, n_right,
+    * pos_right, gain) where gain = parent Gini − weighted child Gini,
+    * rounded 6 dp. Ties on the split score break toward the SMALLEST
+    * threshold (total order — replay-exact).
+    *
+    * Shape: one corpus aggregate per feature onto (feature, value)
+    * counts, unioned into ONE threshold relation; the cumulative
+    * pos/count sweep is a window PARTITIONED BY FEATURE (parallel across
+    * features; per-task state = one feature's distinct values — the
+    * caller bins continuous features first, e.g. QuantileBinner or
+    * `floor`, exactly like the binned percentile engines). The argmax is
+    * a row_number over the same partition. The corpus is scanned once
+    * per feature and never sorted.
+    *
+    * Determinism: every score is built from integer counts via single
+    * IEEE divisions and one addition — bit-identical cross-engine (no
+    * libm), so the argmax ordering cannot flip. The score maximized is
+    *   Σ_side (pos_s² + neg_s²) / n_s
+    * which is an affine transform of negated weighted Gini. */
+  def bestSplits(df: DataFrame, featureCols: Seq[String],
+      labelCol: String): DataFrame = {
+    require(featureCols.nonEmpty, "bestSplits needs >= 1 feature")
+    val perFeature = featureCols.map { f =>
+      df.select(lit(f).as("feature"), col(f).cast("double").as("v"),
+        col(labelCol).cast("long").as("__y"))
+    }.reduce(_.unionByName(_))
+    val counts = perFeature
+      .groupBy("feature", "v")
+      .agg(count(lit(1)).as("__n"), sum("__y").as("__p"))
+    val wCum = Window.partitionBy("feature").orderBy("v")
+    val wAll = Window.partitionBy("feature")
+    val swept = counts
+      .withColumn("__nl", sum("__n").over(wCum))
+      .withColumn("__pl", sum("__p").over(wCum))
+      .withColumn("__nt", sum("__n").over(wAll))
+      .withColumn("__pt", sum("__p").over(wAll))
+      .filter(col("__nl") < col("__nt")) // right side must be non-empty
+    def side(p: Column, n: Column): Column = {
+      val q = n - p
+      (p * p + q * q) / n
+    }
+    val score = side(col("__pl"), col("__nl")) +
+      side(col("__pt") - col("__pl"), col("__nt") - col("__nl"))
+    val parent = lit(1.0) -
+      (col("__pt") / col("__nt")) * (col("__pt") / col("__nt")) -
+      ((col("__nt") - col("__pt")) / col("__nt")) *
+        ((col("__nt") - col("__pt")) / col("__nt"))
+    val wPick = Window.partitionBy("feature")
+      .orderBy(col("__score").desc, col("v").asc)
+    swept
+      .withColumn("__score", score)
+      .withColumn("__rk", row_number().over(wPick))
+      .filter(col("__rk") === 1)
+      .select(col("feature"), col("v").as("threshold"),
+        col("__nl").as("n_left"), col("__pl").as("pos_left"),
+        (col("__nt") - col("__nl")).as("n_right"),
+        (col("__pt") - col("__pl")).as("pos_right"),
+        round(parent - (lit(1.0) - col("__score") / col("__nt")), 6)
+          .as("gain"))
+  }
+
+  /** Mixture sequential probability ratio test (mSPRT, Johari et al.
+    * 2017): the always-valid p-value for "group mean ≠ theta0" under a
+    * N(theta0, tau²) mixture over effect sizes, valid at EVERY sample
+    * size — the test a metrics platform runs continuously instead of a
+    * fixed-horizon t-test (which inflates false positives under optional
+    * stopping).
+    *
+    *   Λ_n = sqrt(s² / (s² + n·τ²)) · exp( n²τ²(x̄ − θ0)² / (2s²(s² + nτ²)) )
+    *   p   = min(1, 1/Λ_n)
+    *
+    * with s² the group sample variance (ddof=1). Output per group:
+    * (groupCols…, n, mean, var, lambda, p_value) — mean/var/lambda/p
+    * rounded 6 dp.
+    *
+    * Shape: ONE corpus aggregate (n, Σv, Σv² — map-side combined); the
+    * formula runs on the group relation. Determinism: the value column
+    * should be integer-quantized by the caller (cents) so Σv/Σv² are
+    * exact integer sums; the remaining ops are single IEEE
+    * divisions/multiplies plus one exp(), covered by the 6-dp rounding. */
+  def msprt(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      tau: Double, theta0: Double): DataFrame = {
+    require(tau > 0, s"mixture scale tau must be > 0, got $tau")
+    val g = df
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("long")).as("__s"),
+        sum(col(valueCol).cast("long") * col(valueCol).cast("long"))
+          .as("__ss"))
+    val n = col("n").cast("double")
+    val mean = col("__s") / n
+    val variance = (col("__ss") - col("__s") * mean) / (n - 1)
+    val t2 = lit(tau * tau)
+    val dev = mean - lit(theta0)
+    val lam = sqrt(col("__v") / (col("__v") + n * t2)) *
+      exp(n * n * t2 * dev * dev /
+        (lit(2.0) * col("__v") * (col("__v") + n * t2)))
+    g.filter(col("n") >= 2)
+      .withColumn("__v", variance)
+      .filter(col("__v") > 0)
+      .withColumn("lambda", lam)
+      .select(groupCols.map(col) :+ col("n") :+
+        round(mean, 6).as("mean") :+ round(col("__v"), 6).as("var") :+
+        round(col("lambda"), 6).as("lambda") :+
+        round(least(lit(1.0), lit(1.0) / col("lambda")), 6)
+          .as("p_value"): _*)
+  }
+}

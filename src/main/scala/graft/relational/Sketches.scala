@@ -259,6 +259,18 @@ object Sketches {
         concat(lit(j.toString), lit(":"), key).cast("binary")), 1, 15),
       16, 10).cast("long"), lit(w.toLong))
 
+  /** JVM replay of [[cmsCol]] for the streaming twin
+    * ([[graft.streaming.Streaming.cmsStream]]): md5 over the UTF-8
+    * bytes of "j:key", top 15 hex digits (60 bits — non-negative as a
+    * long), mod w. Bit-identical to the SQL expression by construction
+    * (same byte stream, same hex prefix, same mod). */
+  private[graft] def cmsIndex(j: Int, key: String, w: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j:$key".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16) % w
+  }
+
   /** Count-Min registers per group as rows `(groupCols…, row_j, col,
     * cnt)` — the frequency-sketch sibling of [[hllSketch]]: WRITABLE
     * (a daily per-key-frequency sketch table), MERGEABLE (sum is

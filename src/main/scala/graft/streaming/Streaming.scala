@@ -388,6 +388,50 @@ object Streaming {
       }
   }
 
+  case class CmsEvent(group: String, key: String)
+  case class CmsRegister(group: String, row_j: Int, col: Long, cnt: Long)
+
+  /** Streaming Count-Min registers per group — the frequency-sketch
+    * member of the register-twin series ([[hllStream]],
+    * [[qSketchStream]]): state is a ≤ d·w-entry (row, col)→count map
+    * per group, folded with the SAME md5 counter-index arithmetic as
+    * the batch [[graft.relational.Sketches.cmsSketch]] expression
+    * (md5 of "j:key" UTF-8 bytes, top-60-bit parse, mod w — integer
+    * ops, so stream and batch agree bit for bit), and counts are exact
+    * integers: after any prefix the emitted registers EQUAL batch
+    * cmsSketch over the same events count-for-count (CmsStreamSpec)
+    * and feed cmsMerge/cmsEstimate/cmsJoinSize unchanged. State is
+    * bounded at d·w longs per group regardless of stream length — the
+    * 100-TB-of-events discipline of the series. Update mode emits the
+    * group's touched registers each micro-batch; downstream takes
+    * max(cnt) per (group, row, col) (counts are monotone, so replays
+    * are harmless). */
+  def cmsStream(events: Dataset[CmsEvent],
+      d: Int = graft.relational.Sketches.CmsD,
+      w: Int = graft.relational.Sketches.CmsW): Dataset[CmsRegister] = {
+    require(d >= 1 && w >= 2, s"need d >= 1, w >= 2, got d=$d w=$w")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.group)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (group: String, it: Iterator[CmsEvent],
+            state: GroupState[Map[(Int, Long), Long]]) =>
+          var regs = state.getOption.getOrElse(Map.empty[(Int, Long), Long])
+          it.foreach { e =>
+            var j = 0
+            while (j < d) {
+              val c = graft.relational.Sketches.cmsIndex(j, e.key, w)
+              regs = regs.updated((j, c), regs.getOrElse((j, c), 0L) + 1L)
+              j += 1
+            }
+          }
+          state.update(regs)
+          regs.iterator.map { case ((j, c), n) =>
+            CmsRegister(group, j, c, n) }
+      }
+  }
+
   case class ForecastState(ring: Seq[Double], absErrSum: Double,
     nScored: Long)
   case class ForecastPoint(series: String, t: Long, value: Double,

@@ -354,4 +354,103 @@ object Ranking {
         ((sum(kl(col("__pa"), col("__m"))) +
           sum(kl(col("__pb"), col("__m")))) / lit(2.0)).as("jsd"))
   }
+
+  /** Per-doc trigram stream (idCol, w1, w2, w3) with the materialized
+    * token array (the [[bigramLogProb]] O(tokens) zip_with discipline —
+    * a lambda over the raw split() re-evaluates it per element). */
+  private def trigramStream(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val ts = col("__ts")
+    df.select(col(idCol),
+        TextFunctions.tokensLower(col(textCol)).as("__ts"))
+      .select(col(idCol),
+        explode(when(size(ts) >= 3,
+          zip_with(
+            zip_with(
+              slice(ts, lit(1), size(ts) - 2),
+              slice(ts, lit(2), size(ts) - 2),
+              (a, b) => struct(a.as("w1"), b.as("w2"))),
+            slice(ts, lit(3), size(ts) - 2),
+            (p, c) => struct(p.getField("w1").as("w1"),
+              p.getField("w2").as("w2"), c.as("w3"))))).as("__tg"))
+      .select(col(idCol), col("__tg.w1").as("__w1"),
+        col("__tg.w2").as("__w2"), col("__tg.w3").as("__w3"))
+  }
+
+  /** Trigram language-model scoring with STUPID BACKOFF (Brants et al.
+    * 2007 — the scheme built for distributed counts: no discounting
+    * state, just raw count ratios and a fixed backoff factor), the
+    * 3-gram extension of [[bigramLogProb]] that can score text the
+    * model has never seen:
+    *
+    *   S(w3|w1w2) = c3/c2(w1w2)            if the trigram was seen
+    *              = α·c2(w2w3)/c1(w2)      else if the bigram was seen
+    *              = α²·c1(w3)/N            else if the unigram was seen
+    *              = α²·0.5/N               else (unseen-token floor)
+    *
+    * Counts come from `train`'s own n-gram streams; `df` is scored
+    * per-doc as (idCol, n_trigrams, avg_logscore) — avg of ln S over
+    * the doc's trigrams, rounded 6 dp (the bigramLogProb contract).
+    * Docs with < 3 tokens are absent.
+    *
+    * 100-TB shape: three grouped counts over the TRAIN corpus (each one
+    * shuffle, map-side combined, bounded by its n-gram vocabulary),
+    * then the score stream left-joins those vocabulary-bounded
+    * relations on gram keys — every join is an equi-join Catalyst is
+    * free to broadcast when a count relation is small; the scored
+    * corpus is never sorted and never self-joined. */
+  def stupidBackoffScore(train: DataFrame, df: DataFrame, textCol: String,
+      idCol: String, alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    val tg3 = trigramStream(train, textCol, idCol).persist()
+    val c3 = tg3.groupBy("__w1", "__w2", "__w3")
+      .agg(count(lit(1)).as("__c3"))
+    val ts = col("__ts")
+    val bg = train
+      .select(TextFunctions.tokensLower(col(textCol)).as("__ts"))
+      .select(explode(when(size(ts) >= 2,
+        zip_with(
+          slice(ts, lit(1), size(ts) - 1),
+          slice(ts, lit(2), size(ts) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2"))))).as("__bg"))
+      .select(col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+      .persist()
+    val c2 = bg.groupBy("__w1", "__w2").agg(count(lit(1)).as("__c2"))
+    val uni = train
+      .select(explode(TextFunctions.tokensLower(col(textCol))).as("__w"))
+      .persist()
+    val c1 = uni.groupBy("__w").agg(count(lit(1)).as("__c1"))
+    val n = uni.agg(count(lit(1)).as("__nt"))
+
+    val scoreTg = trigramStream(df, textCol, idCol)
+    val a1 = lit(alpha)
+    val a2 = lit(alpha * alpha)
+    val s = when(col("__c3").isNotNull,
+        col("__c3") / col("__c2p"))
+      .when(col("__c2b").isNotNull,
+        a1 * col("__c2b") / col("__c1b"))
+      .when(col("__c1w").isNotNull,
+        a2 * col("__c1w") / col("__nt"))
+      .otherwise(a2 * lit(0.5) / col("__nt"))
+    val result = scoreTg
+      .join(c3, Seq("__w1", "__w2", "__w3"), "left")
+      .join(c2.withColumnRenamed("__c2", "__c2p"),
+        Seq("__w1", "__w2"), "left")
+      .join(c2.select(col("__w1").as("__w2"), col("__w2").as("__w3"),
+        col("__c2").as("__c2b")), Seq("__w2", "__w3"), "left")
+      .join(c1.select(col("__w").as("__w2"), col("__c1").as("__c1b")),
+        Seq("__w2"), "left")
+      .join(c1.select(col("__w").as("__w3"), col("__c1").as("__c1w")),
+        Seq("__w3"), "left")
+      .crossJoin(broadcast(n))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(avg(log(s)), 6).as("avg_logscore"))
+      .persist()
+    result.count() // materialize, then release the n-gram streams
+    tg3.unpersist(blocking = false)
+    bg.unpersist(blocking = false)
+    uni.unpersist(blocking = false)
+    result
+  }
 }

@@ -178,6 +178,40 @@ object TextFunctions {
         size(s).cast("double"))
   }
 
+  /** Flesch readability statistics per row: word count (maximal ASCII
+    * letter runs of the lowercased text), sentence count (runs of
+    * `.!?`, floored at 1), syllable count (the classic vowel-group
+    * heuristic: maximal `[aeiouy]+` runs — each run is one spoken
+    * nucleus), and from them
+    *
+    *   flesch   = 206.835 − 1.015·(words/sentences) − 84.6·(syll/words)
+    *   fk_grade = 0.39·(words/sentences) + 11.8·(syll/words) − 15.59
+    *
+    * (Flesch 1948 / Kincaid et al. 1975 — the quality-scoring signal a
+    * curation pipeline bins on next to the Gopher gates). Returns a
+    * struct (n_words, n_sentences, n_syllables, flesch, fk_grade);
+    * metrics are null when there are no words. Pure per-row regex
+    * counting — scan speed, shuffle-free, trivially replayable (the
+    * three patterns avoid every RE2-vs-Java divergence: no lookaround,
+    * no word boundaries, character classes only); the two divisions and
+    * four multiplies are single IEEE ops, rounded 6 dp. */
+  def readability(c: Column): Column = {
+    val lc = lower(c)
+    val words = regexp_count(lc, lit("[a-z]+")).cast("long")
+    val sents = greatest(lit(1L),
+      regexp_count(lc, lit("[.!?]+")).cast("long"))
+    val syll = regexp_count(lc, lit("[aeiouy]+")).cast("long")
+    val wps = words.cast("double") / sents.cast("double")
+    val spw = syll.cast("double") / words.cast("double")
+    struct(
+      words.as("n_words"), sents.as("n_sentences"),
+      syll.as("n_syllables"),
+      when(words > 0, round(
+        lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 6)).as("flesch"),
+      when(words > 0, round(
+        lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 6)).as("fk_grade"))
+  }
+
   /** Gopher-style document quality gate (Rae et al. 2021 §A1.1, public):
     * word-count bounds, mean-word-length bounds, minimum alphabetic-word
     * fraction, and minimum stopword evidence, each as a pure per-row
