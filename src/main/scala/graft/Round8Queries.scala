@@ -1,0 +1,440 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-8 additions: scorecard statistics (WOE/IV, decision stump,
+  * mSPRT), differential-privacy releases, grid geo joins (oracled by
+  * BRUTE FORCE — the all-pairs SQL independently verifies the grid
+  * candidate generation), readability, stupid-backoff LM scoring,
+  * golden-record survivorship, and scale-free forecast accuracy.
+  *
+  * Determinism notes per query are on the oracle strings; the shared
+  * rules: counts are exact integers, money/value quantizes to cents
+  * before any sum, every libm call (ln/exp/sqrt/sin) happens after all
+  * set-defining decisions and lands in a 6-dp-rounded output column.
+  */
+object Round8Queries {
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Binary label shared by the scorecard queries: order fell through. */
+  private def ordersLabeled(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders").withColumn("y",
+      when(col("o_orderstatus") === "F", 1).otherwise(0))
+
+  /** Deterministic synthetic coordinates in integer centidegrees —
+    * same integer arithmetic on both engines. ~20°x40° region so the
+    * sf0.01 point set has real neighbor structure. */
+  private def synthCoords(df: DataFrame, keyCol: String): DataFrame =
+    df.withColumn("lat", (col(keyCol) * 7919) % 2000 - 1000)
+      .withColumn("lon", (col(keyCol) * 104729) % 4000 - 2000)
+
+  private val coordSql: String => String = k =>
+    s"($k * 7919) % 2000 - 1000 AS lat, ($k * 104729) % 4000 - 2000 AS lon"
+
+  /** DuckDB replay of Privacy.laplace(uniform(tag,key), b): the
+    * md5-uniform draw, endpoint clamp, and inverse CDF. */
+  private def laplaceSql(tag: String, keyExpr: String, b: String): String = {
+    val u = s"""(CAST(('0x' || substr(md5('$tag:' || $keyExpr), 1, 15))
+      AS BIGINT) / 1152921504606846976.0)"""
+    val c = s"least(greatest($u, 1e-18), 1.0 - 1e-15)"
+    s"""(-($b) * (CASE WHEN ($c - 0.5) > 0 THEN 1.0
+                       WHEN ($c - 0.5) < 0 THEN -1.0 ELSE 0.0 END)
+        * ln(1.0 - 2.0 * abs($c - 0.5)))"""
+  }
+
+  /** DuckDB haversine over centidegree ints — mirrors Geo.haversineKm
+    * term for term (rounded 6 dp at the use sites, never a predicate). */
+  private def havSql(latA: String, lonA: String, latB: String,
+      lonB: String): String =
+    s"""(2 * 6371.0088 * asin(sqrt(
+        power(sin((radians($latB / 100.0) - radians($latA / 100.0)) / 2), 2)
+        + cos(radians($latA / 100.0)) * cos(radians($latB / 100.0))
+          * power(sin((radians($lonB / 100.0) - radians($lonA / 100.0)) / 2),
+                  2))))"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // weight-of-evidence table: order priority vs fell-through label
+    "q_woe" -> ((s, d) =>
+      graft.relational.Scorecard.woeTable(
+        ordersLabeled(s, d), "o_orderpriority", "y")),
+
+    // the encode: every order row carries its priority's WOE
+    "q_woe_encode" -> ((s, d) =>
+      graft.relational.Scorecard.woeEncode(
+          ordersLabeled(s, d), "o_orderpriority", "y", "priority_woe")
+        .select("o_orderkey", "o_orderpriority", "priority_woe")),
+
+    // IV feature ranking: priority vs order month as predictors
+    "q_iv" -> ((s, d) =>
+      graft.relational.Scorecard.informationValue(
+        ordersLabeled(s, d)
+          .withColumn("o_month", month(col("o_orderdate")).cast("long")),
+        Seq("o_orderpriority", "o_month"), "y")),
+
+    // decision stumps over three lineitem features (price pre-binned to
+    // $1000 steps — the bounded-threshold discipline for continuous cols)
+    "q_best_split" -> ((s, d) =>
+      graft.relational.Scorecard.bestSplits(
+        t(s, d, "lineitem")
+          .withColumn("y", when(col("l_returnflag") === "R", 1).otherwise(0))
+          .withColumn("price_k", floor(col("l_extendedprice") / 1000)),
+        Seq("l_quantity", "l_discount", "price_k"), "y")),
+
+    // always-valid sequential test: is each event type's mean value 50?
+    "q_msprt" -> ((s, d) =>
+      graft.relational.Scorecard.msprt(
+        t(s, d, "events")
+          .withColumn("vc", floor(col("value") * 100).cast("long")),
+        Seq("event_type"), "vc", tau = 100.0, theta0 = 5000.0)),
+
+    // DP release: noisy order counts per priority (eps=1, tagged draw)
+    "q_dp_counts" -> ((s, d) =>
+      graft.relational.Privacy.dpCounts(
+        t(s, d, "orders"), Seq("o_orderpriority"), 1.0, "r8")),
+
+    // DP release: noisy revenue per priority, contributions clipped to
+    // [0, 200k] (sensitivity = 200k/eps)
+    "q_dp_sums" -> ((s, d) =>
+      graft.relational.Privacy.dpSums(
+        t(s, d, "orders"), Seq("o_orderpriority"), "o_totalprice",
+        0.0, 200000.0, 1.0, "r8")),
+
+    // grid distance self-join on synthetic customer coordinates; the
+    // oracle brute-forces ALL pairs — an independent check that the
+    // 3x3 neighbor equi-join finds exactly the true pair set
+    "q_geo_join" -> ((s, d) =>
+      graft.relational.Geo.distanceJoin(
+        synthCoords(t(s, d, "customer").select(
+          col("c_custkey").as("id")), "id"),
+        "id", "lat", "lon", radiusCdeg = 100)),
+
+    // nearest supplier site per customer within 4 degrees
+    "q_geo_nearest" -> ((s, d) =>
+      graft.relational.Geo.nearestSite(
+        synthCoords(t(s, d, "customer").select(
+          col("c_custkey").as("id")), "id"),
+        synthCoords(t(s, d, "supplier").select(
+          col("s_suppkey").as("sid")), "sid"),
+        "id", "sid", "lat", "lon", radiusCdeg = 400)),
+
+    // Flesch readability over the documents table (CJK docs have no
+    // ASCII letter runs -> null metrics, kept to pin that contract)
+    "q_readability" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.text.TextFunctions.readability(col("text")).as("r"))
+        .select("doc_id", "r.*")),
+
+    // trigram stupid-backoff LM: train on the English slice, score all
+    // docs (non-English text exercises every backoff level)
+    "q_backoff_lm" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.text.Ranking.stupidBackoffScore(
+        docs.filter(col("lang") === "en"), docs, "text", "doc_id")
+    }),
+
+    // golden record per user: modal event type, max value, latest props
+    "q_golden_record" -> ((s, d) =>
+      graft.relational.Relational.goldenRecord(
+        t(s, d, "events"), Seq("user_id"), "ts",
+        Seq(("event_type", graft.relational.Relational.ModeValue),
+          ("value", graft.relational.Relational.MaxValue),
+          ("props", graft.relational.Relational.LatestValue)))),
+
+    // forecast accuracy of the weekly-seasonal naive on daily event
+    // value (series pre-quantized to integer cents — exact daily sums)
+    "q_forecast_accuracy" -> ((s, d) =>
+      graft.relational.Eval.forecastAccuracy(
+        t(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(floor(col("value") * 100).cast("long")).as("cents")),
+        Seq("event_type"), "day", "cents", season = 7, quantile = 0.9))
+  )
+
+  private val woeCte =
+    """WITH c AS (
+         SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_pos
+         FROM orders GROUP BY 1),
+       t AS (SELECT CAST(sum(n_pos) AS BIGINT) AS pt,
+               CAST(sum(n - n_pos) AS BIGINT) AS nt FROM c),
+       w AS (SELECT o_orderpriority, n, n_pos, n - n_pos AS n_neg,
+               ln((((n - n_pos) + 0.5) / nt) / ((n_pos + 0.5) / pt))
+                 AS raw_woe,
+               (n - n_pos) / CAST(nt AS DOUBLE) -
+                 n_pos / CAST(pt AS DOUBLE) AS share_gap
+             FROM c, t)"""
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_woe" -> s"""$woeCte
+       SELECT o_orderpriority, n, n_pos, n_neg,
+         round(raw_woe, 6) AS woe,
+         round(share_gap * raw_woe, 6) AS iv_term
+       FROM w""",
+
+    "q_woe_encode" -> s"""$woeCte
+       SELECT o.o_orderkey, o.o_orderpriority,
+         round(w.raw_woe, 6) AS priority_woe
+       FROM orders o JOIN w USING (o_orderpriority)""",
+
+    // same per-feature category stats, unioned; iv sums unrounded terms
+    "q_iv" ->
+      """WITH f AS (
+           SELECT 'o_orderpriority' AS feature, o_orderpriority AS cat,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+           FROM orders
+           UNION ALL
+           SELECT 'o_month', CAST(CAST(month(o_orderdate) AS BIGINT)
+             AS VARCHAR),
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+           FROM orders),
+         c AS (SELECT feature, cat, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS p
+               FROM f GROUP BY 1, 2),
+         t AS (SELECT feature, CAST(sum(p) AS BIGINT) AS pt,
+                 CAST(sum(n - p) AS BIGINT) AS nt
+               FROM c GROUP BY 1)
+         SELECT c.feature, CAST(count(*) AS BIGINT) AS n_categories,
+           round(sum(((n - p) / CAST(nt AS DOUBLE) - p / CAST(pt AS DOUBLE))
+             * ln((((n - p) + 0.5) / nt) / ((p + 0.5) / pt))), 6) AS iv
+         FROM c JOIN t ON c.feature = t.feature
+         GROUP BY 1""",
+
+    // cumulative label sweep per feature; score is exact integer
+    // arithmetic + single divisions, so the DESC ordering replays
+    "q_best_split" ->
+      """WITH f AS (
+           SELECT 'l_quantity' AS feature, CAST(l_quantity AS DOUBLE) AS v,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_discount', CAST(l_discount AS DOUBLE),
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+           FROM lineitem
+           UNION ALL
+           SELECT 'price_k', CAST(floor(l_extendedprice / 1000) AS DOUBLE),
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+           FROM lineitem),
+         c AS (SELECT feature, v, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS p
+               FROM f GROUP BY 1, 2),
+         s AS (SELECT feature, v,
+                 CAST(sum(n) OVER (PARTITION BY feature ORDER BY v)
+                   AS BIGINT) AS nl,
+                 CAST(sum(p) OVER (PARTITION BY feature ORDER BY v)
+                   AS BIGINT) AS pl,
+                 CAST(sum(n) OVER (PARTITION BY feature) AS BIGINT) AS nt,
+                 CAST(sum(p) OVER (PARTITION BY feature) AS BIGINT) AS pt
+               FROM c),
+         sc AS (SELECT *,
+                  (pl * pl + (nl - pl) * (nl - pl)) / CAST(nl AS DOUBLE)
+                  + ((pt - pl) * (pt - pl)
+                     + ((nt - nl) - (pt - pl)) * ((nt - nl) - (pt - pl)))
+                    / CAST(nt - nl AS DOUBLE) AS score
+                FROM s WHERE nl < nt),
+         r AS (SELECT *, row_number() OVER (PARTITION BY feature
+                 ORDER BY score DESC, v ASC) AS rk FROM sc)
+         SELECT feature, v AS threshold, nl AS n_left, pl AS pos_left,
+           nt - nl AS n_right, pt - pl AS pos_right,
+           round((1.0 - (pt / CAST(nt AS DOUBLE)) * (pt / CAST(nt AS DOUBLE))
+             - ((nt - pt) / CAST(nt AS DOUBLE))
+               * ((nt - pt) / CAST(nt AS DOUBLE)))
+             - (1.0 - score / CAST(nt AS DOUBLE)), 6) AS gain
+         FROM r WHERE rk = 1""",
+
+    // exact integer cent sums -> identical doubles into sqrt/exp,
+    // rounded 6 dp
+    "q_msprt" ->
+      """WITH g AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS s,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)
+               * CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS ss
+           FROM events GROUP BY 1),
+         v AS (SELECT event_type, n,
+                 s / CAST(n AS DOUBLE) AS mean,
+                 (ss - s * (s / CAST(n AS DOUBLE)))
+                   / (CAST(n AS DOUBLE) - 1) AS var
+               FROM g WHERE n >= 2),
+         l AS (SELECT event_type, n, mean, var,
+                 sqrt(var / (var + CAST(n AS DOUBLE) * 10000.0))
+                 * exp(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 10000.0
+                     * (mean - 5000.0) * (mean - 5000.0)
+                   / (2.0 * var * (var + CAST(n AS DOUBLE) * 10000.0)))
+                   AS lambda
+               FROM v WHERE var > 0)
+         SELECT event_type, n, round(mean, 6) AS mean,
+           round(var, 6) AS var, round(lambda, 6) AS lambda,
+           round(least(1.0, 1.0 / lambda), 6) AS p_value
+         FROM l""",
+
+    "q_dp_counts" -> s"""
+       SELECT o_orderpriority,
+         round(count(*) + ${laplaceSql("r8", "o_orderpriority", "1.0")}, 6)
+           AS n_noisy
+       FROM orders GROUP BY 1""",
+
+    "q_dp_sums" -> s"""
+       SELECT o_orderpriority,
+         round(CAST(sum(CAST(floor(least(greatest(o_totalprice, 0.0),
+             200000.0) * 100) AS BIGINT)) AS BIGINT) / 100.0
+           + ${laplaceSql("r8", "o_orderpriority", "200000.0")}, 6)
+           AS sum_noisy
+       FROM orders GROUP BY 1""",
+
+    // BRUTE FORCE all-pairs — independently verifies the grid join's
+    // candidate generation; membership is exact integer arithmetic
+    "q_geo_join" -> s"""
+       WITH p AS (SELECT c_custkey AS id, ${coordSql("c_custkey")}
+                  FROM customer)
+       SELECT a.id AS id_a, b.id AS id_b,
+         (a.lat - b.lat) * (a.lat - b.lat)
+           + (a.lon - b.lon) * (a.lon - b.lon) AS dist_cdeg2,
+         round(${havSql("a.lat", "a.lon", "b.lat", "b.lon")}, 6)
+           AS haversine_km
+       FROM p a JOIN p b ON a.id < b.id
+       WHERE (a.lat - b.lat) * (a.lat - b.lat)
+           + (a.lon - b.lon) * (a.lon - b.lon) <= 10000""",
+
+    "q_geo_nearest" -> s"""
+       WITH p AS (SELECT c_custkey AS id, ${coordSql("c_custkey")}
+                  FROM customer),
+         st AS (SELECT s_suppkey AS sid, ${coordSql("s_suppkey")}
+                FROM supplier),
+         cand AS (
+           SELECT p.id, st.sid,
+             (p.lat - st.lat) * (p.lat - st.lat)
+               + (p.lon - st.lon) * (p.lon - st.lon) AS d2,
+             round(${havSql("p.lat", "p.lon", "st.lat", "st.lon")}, 6)
+               AS hav
+           FROM p, st
+           WHERE (p.lat - st.lat) * (p.lat - st.lat)
+               + (p.lon - st.lon) * (p.lon - st.lon) <= 160000),
+         r AS (SELECT *, row_number() OVER (PARTITION BY id
+                 ORDER BY d2, sid) AS rk FROM cand)
+       SELECT id, sid AS site_id, d2 AS dist_cdeg2, hav AS haversine_km
+       FROM r WHERE rk = 1""",
+
+    // regex counting classes only — RE2 == Java on these patterns
+    "q_readability" ->
+      """WITH c AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+'))
+               AS BIGINT) AS n_words,
+             greatest(CAST(1 AS BIGINT),
+               CAST(len(regexp_extract_all(lower(text), '[.!?]+'))
+                 AS BIGINT)) AS n_sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS BIGINT) AS n_syllables
+           FROM documents)
+         SELECT doc_id, n_words, n_sentences, n_syllables,
+           CASE WHEN n_words > 0 THEN round(206.835
+             - 1.015 * (CAST(n_words AS DOUBLE)
+                        / CAST(n_sentences AS DOUBLE))
+             - 84.6 * (CAST(n_syllables AS DOUBLE)
+                       / CAST(n_words AS DOUBLE)), 6) END AS flesch,
+           CASE WHEN n_words > 0 THEN round(0.39
+             * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+             + 11.8 * (CAST(n_syllables AS DOUBLE)
+                       / CAST(n_words AS DOUBLE))
+             - 15.59, 6) END AS fk_grade
+         FROM c""",
+
+    // full replay: train-side n-gram counts from the English slice,
+    // left-joined onto every doc's trigram stream, stupid-backoff CASE
+    "q_backoff_lm" -> {
+      val a1 = 0.4
+      val a2 = 0.4 * 0.4 // exact Scala double, interpolated below
+      s"""WITH tk AS (
+           SELECT doc_id, lang,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+           FROM documents),
+         tg AS (
+           SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2, ts[i+2] AS w3
+           FROM tk, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i)),
+         etk AS (SELECT ts FROM tk WHERE lang = 'en'),
+         c3 AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c3
+                FROM (SELECT ts[i] AS w1, ts[i+1] AS w2, ts[i+2] AS w3
+                      FROM etk, LATERAL
+                        (SELECT unnest(range(1, len(ts) - 1)) AS i))
+                GROUP BY 1, 2, 3),
+         c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+                FROM (SELECT ts[i] AS w1, ts[i+1] AS w2
+                      FROM etk, LATERAL
+                        (SELECT unnest(range(1, len(ts))) AS i))
+                GROUP BY 1, 2),
+         c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+                FROM (SELECT unnest(ts) AS w FROM etk) GROUP BY 1),
+         nt AS (SELECT CAST(count(*) AS BIGINT) AS n
+                FROM (SELECT unnest(ts) AS w FROM etk)),
+         sc AS (
+           SELECT tg.doc_id,
+             CASE
+               WHEN c3.c3 IS NOT NULL THEN c3.c3 / c2p.c2
+               WHEN c2b.c2 IS NOT NULL THEN $a1 * c2b.c2 / c1b.c1
+               WHEN c1w.c1 IS NOT NULL THEN $a2 * c1w.c1 / nt.n
+               ELSE $a2 * 0.5 / nt.n
+             END AS s
+           FROM tg
+           LEFT JOIN c3 ON tg.w1 = c3.w1 AND tg.w2 = c3.w2
+             AND tg.w3 = c3.w3
+           LEFT JOIN c2 c2p ON tg.w1 = c2p.w1 AND tg.w2 = c2p.w2
+           LEFT JOIN c2 c2b ON tg.w2 = c2b.w1 AND tg.w3 = c2b.w2
+           LEFT JOIN c1 c1b ON tg.w2 = c1b.w
+           LEFT JOIN c1 c1w ON tg.w3 = c1w.w
+           CROSS JOIN nt)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+           round(avg(ln(s)), 6) AS avg_logscore
+         FROM sc GROUP BY 1"""
+    },
+
+    // survivorship rules replayed as explicit orderings: mode = count
+    // DESC then value ASC; latest = (ts, value) lexicographic max
+    "q_golden_record" ->
+      """WITH m AS (SELECT user_id, event_type, count(*) AS c
+                    FROM events GROUP BY 1, 2),
+         mr AS (SELECT user_id, event_type, row_number() OVER (
+                  PARTITION BY user_id ORDER BY c DESC, event_type ASC)
+                  AS rk FROM m),
+         lat AS (SELECT user_id, props, row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, props DESC)
+                   AS rk FROM events),
+         agg AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
+                   max(value) AS value FROM events GROUP BY 1)
+         SELECT a.user_id, a.n_rows, m.event_type, a.value, l.props
+         FROM agg a
+         JOIN mr m ON a.user_id = m.user_id AND m.rk = 1
+         JOIN lat l ON a.user_id = l.user_id AND l.rk = 1""",
+
+    // daily exact cent series -> lag-7 backtest; per-row terms exact
+    // integers except smape's single division (averaged, 6 dp)
+    "q_forecast_accuracy" ->
+      """WITH d AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS s
+           FROM events GROUP BY 1, 2),
+         l AS (SELECT event_type,
+                 CAST(floor(CAST(s AS DOUBLE) * 100) AS BIGINT) AS x,
+                 lag(CAST(floor(CAST(s AS DOUBLE) * 100) AS BIGINT), 7)
+                   OVER (PARTITION BY event_type ORDER BY day) AS f
+               FROM d),
+         e AS (SELECT event_type, x, f, x - f AS err,
+                 abs(x) + abs(f) AS den
+               FROM l WHERE f IS NOT NULL)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
+           round(avg(CASE WHEN den > 0 THEN 2.0 * abs(err) / den
+             ELSE 0.0 END), 6) AS smape,
+           CASE WHEN sum(abs(x)) > 0 THEN
+             round(CAST(sum(abs(err)) AS DOUBLE)
+               / CAST(sum(abs(x)) AS DOUBLE), 6) END AS wmape,
+           round(CAST(sum(CASE WHEN err > 0 THEN err * 900
+               ELSE -err * 100 END) AS DOUBLE)
+             / 1000.0 / 100.0 / CAST(count(*) AS BIGINT), 6) AS pinball
+         FROM e GROUP BY 1"""
+  )
+}
