@@ -383,3 +383,77 @@ class CmsStreamSpec extends SparkSpec {
     assert(streamed == batch)
   }
 }
+
+/** Physical-plan pins for the round-8 operators: the SCALE.md shape
+  * claims asserted against actual plans (the AnalyticsPlanSpec
+  * discipline — a silent plan regression fails here, not in a bench
+  * artifact a round later). */
+class Round8PlanSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.DataFrame
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def exchanges(p: String): Int = p.sliding(9).count(_ == "Exchange ")
+
+  test("woeTable: one corpus shuffle, totals ride a broadcast cross " +
+      "join, no window") {
+    val df = Seq(("a", 1), ("b", 0)).toDF("cat", "y")
+    val p = plan(graft.relational.Scorecard.woeTable(df, "cat", "y"))
+    assert(!p.contains("Window"), p.take(600))
+    assert(!p.contains("SortMergeJoin"), p.take(600))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(600))
+  }
+
+  test("bestSplits: windows partition by feature, never a join, never " +
+      "a global window") {
+    val df = Seq((1.0, 2.0, 1), (2.0, 1.0, 0)).toDF("a", "b", "y")
+    val p = plan(graft.relational.Scorecard.bestSplits(df, Seq("a", "b"), "y"))
+    assert(p.contains("Window"), p.take(800))
+    assert(!p.contains("Join"), p.take(800))
+    // every window partitions by feature: no empty partition spec
+    assert(!p.contains("windowspecdefinition(v"), p.take(800))
+  }
+
+  test("msprt and dpCounts are ONE map-side-combined aggregate each") {
+    val df = Seq(("g", 1L), ("g", 2L), ("g", 5L)).toDF("grp", "v")
+    val pm = plan(graft.relational.Scorecard.msprt(df, Seq("grp"), "v",
+      1.0, 0.0))
+    assert(exchanges(pm) == 1 && !pm.contains("Join") &&
+      !pm.contains("Window"), pm.take(600))
+    val pc = plan(graft.relational.Privacy.dpCounts(
+      df.toDF("g", "v"), Seq("g"), 1.0, "t"))
+    assert(exchanges(pc) == 1 && !pc.contains("Join") &&
+      !pc.contains("Window"), pc.take(600))
+  }
+
+  test("geo distanceJoin is an EQUI join on cells: no cartesian, no " +
+      "nested loop, no distinct pass") {
+    val pts = Seq((1L, 0L, 0L), (2L, 5L, 5L)).toDF("id", "lat", "lon")
+    val p = plan(graft.relational.Geo.distanceJoin(pts, "id", "lat",
+      "lon", 100))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(!p.contains("HashAggregate(keys=[id_a"), p.take(800)) // no distinct
+  }
+
+  test("forecastAccuracy: one per-key window sort feeding one aggregate " +
+      "— no join, one sort") {
+    val df = Seq(("s", 1L, 1.0), ("s", 2L, 2.0)).toDF("k", "t", "v")
+    val p = plan(graft.relational.Eval.forecastAccuracy(df, Seq("k"),
+      "t", "v", 1, 0.5))
+    assert(!p.contains("Join"), p.take(600))
+    assert(p.sliding(6).count(_ == "Sort [") == 1, p.take(800))
+  }
+
+  test("stupidBackoffScore: every model join is an equi join — no " +
+      "cartesian, no nested loop") {
+    val train = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val df = Seq((2L, "a b d")).toDF("doc_id", "text")
+    val p = plan(graft.text.Ranking.stupidBackoffScore(train, df,
+      "text", "doc_id"))
+    assert(!p.contains("CartesianProduct"), p.take(1000))
+  }
+}
