@@ -540,6 +540,56 @@ object StressBench {
         .unionByName(graft.relational.Analytics.joinDelta(
           oOld, oNew, cOld, cNew, Seq("o_custkey"), Seq("c_custkey")))
         .select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
-    })
+    }),
+
+    // grid distance join over ×reps points: each replica lands in its
+    // own DISJOINT longitude tile (gap > radius), so point count, cell
+    // count, and the true pair set all scale ×reps — the ratio isolates
+    // the grid join's per-volume cost, not the quadratic density
+    // physics of overlapping replicas
+    "s_geo" -> ((s, d, r) => {
+      val pts = t(s, d, "customer").select(col("c_custkey").as("id"))
+        .withColumn("lat", (col("id") * 7919) % 2000 - 1000)
+        .withColumn("lon", (col("id") * 104729) % 4000 - 2000)
+      val tiled =
+        if (r <= 1) pts
+        else pts
+          .withColumn("__rep", explode(sequence(lit(0), lit(r - 1))))
+          .withColumn("id", col("id") * r + col("__rep"))
+          .withColumn("lon", col("lon") + col("__rep") * 4200L)
+          .drop("__rep")
+      graft.relational.Geo.distanceJoin(tiled, "id", "lat", "lon", 100)
+    }),
+
+    // decision stumps where the THRESHOLD count is the load parameter:
+    // perturbed prices give reps× distinct candidate thresholds — the
+    // per-feature cumulative window is the path under test
+    "s_best_split" -> ((s, d, r) =>
+      graft.relational.Scorecard.bestSplits(
+        lineitemScaled(s, d, r)
+          .withColumn("y",
+            when(col("l_returnflag") === "R", 1).otherwise(0)),
+        Seq("l_extendedprice", "l_quantity"), "y")),
+
+    // stupid-backoff scoring of a ×reps corpus against a FIXED model:
+    // the score stream (trigram explode + five model joins) scales with
+    // the data, the model relations stay vocabulary-bounded
+    "s_backoff_lm" -> ((s, d, r) => {
+      val docs = t(s, d, "documents")
+      graft.text.Ranking.stupidBackoffScore(
+        docs.filter(col("lang") === "en"),
+        replicate(docs, "doc_id", r), "text", "doc_id")
+    }),
+
+    // golden-record survivorship with ×reps rows PER ENTITY (entity set
+    // fixed): the mode pre-count and max_by aggregates carry the load,
+    // per-task state stays at one user's distinct values
+    "s_golden_record" -> ((s, d, r) =>
+      graft.relational.Relational.goldenRecord(
+        replicate(t(s, d, "events"), "event_id", r),
+        Seq("user_id"), "ts",
+        Seq(("event_type", graft.relational.Relational.ModeValue),
+          ("value", graft.relational.Relational.MaxValue),
+          ("props", graft.relational.Relational.LatestValue))))
   )
 }
