@@ -144,6 +144,25 @@ object Round8Queries {
           ("value", graft.relational.Relational.MaxValue),
           ("props", graft.relational.Relational.LatestValue)))),
 
+    // WOE as a PIPELINE stage through save -> load -> serve: one
+    // encoder on each state kind (collected map + forced-distributed
+    // BigWoe lookup), so green means the fitted WOE state survives
+    // persistence on both paths
+    "q_persist_woe" -> ((s, d) => {
+      val df = ordersLabeled(s, d)
+      val model = graft.operators.DFPipeline(
+        new graft.operators.WoeEncoder(
+          Seq("o_orderpriority"), Seq("priority_woe"), "y"),
+        new graft.operators.WoeEncoder(
+          Seq("o_orderstatus"), Seq("status_woe"), "y", maxCollect = 0))
+        .fit(df)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_persist_woe").toString
+      graft.operators.GraftPersistence.save(model, dir)
+      graft.operators.GraftPersistence.load(s, dir).transform(df)
+        .select("o_orderkey", "priority_woe", "status_woe")
+    }),
+
     // forecast accuracy of the weekly-seasonal naive on daily event
     // value (series pre-quantized to integer cents — exact daily sums)
     "q_forecast_accuracy" -> ((s, d) =>
@@ -410,6 +429,33 @@ object Round8Queries {
          FROM agg a
          JOIN mr m ON a.user_id = m.user_id AND m.rk = 1
          JOIN lat l ON a.user_id = l.user_id AND l.rk = 1""",
+
+    // both encoders replay as the smoothed-WOE CTE on their own label
+    // columns; status_woe's categories include the label's own source
+    // (the degenerate-predictor case the smoothing keeps finite)
+    "q_persist_woe" ->
+      """WITH cp AS (
+           SELECT o_orderpriority AS v, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+               AS BIGINT) AS p
+           FROM orders GROUP BY 1),
+         tp AS (SELECT CAST(sum(p) AS BIGINT) AS pt,
+                  CAST(sum(n - p) AS BIGINT) AS nt FROM cp),
+         wp AS (SELECT v, round(ln((((n - p) + 0.5) / nt)
+                  / ((p + 0.5) / pt)), 6) AS w FROM cp, tp),
+         cs AS (
+           SELECT o_orderstatus AS v, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+               AS BIGINT) AS p
+           FROM orders GROUP BY 1),
+         ts AS (SELECT CAST(sum(p) AS BIGINT) AS pt,
+                  CAST(sum(n - p) AS BIGINT) AS nt FROM cs),
+         ws AS (SELECT v, round(ln((((n - p) + 0.5) / nt)
+                  / ((p + 0.5) / pt)), 6) AS w FROM cs, ts)
+         SELECT o.o_orderkey, wp.w AS priority_woe, ws.w AS status_woe
+         FROM orders o
+         JOIN wp ON o.o_orderpriority = wp.v
+         JOIN ws ON o.o_orderstatus = ws.v""",
 
     // daily exact cent series -> lag-7 backtest; per-row terms exact
     // integers except smape's single division (averaged, 6 dp)

@@ -132,6 +132,19 @@ object OnlineScorer {
             r + (out -> v)
         }
 
+      case m: WoeEncoderModel =>
+        val maps = m.states.map {
+          case SmallWoe(woe) => woe
+          case _: BigWoe =>
+            unsupported(m, "BigWoe state is not driver-resident")
+        }
+        row => m.ins.zip(m.outs).zip(maps).foldLeft(row) {
+          case (r, ((in, out), woe)) =>
+            val v = Option(r.getOrElse(in, null))
+              .flatMap(v => woe.get(str(v))).getOrElse(0.0)
+            r + (out -> v)
+        }
+
       case t: HashingEncoder =>
         row => t.inputs.zip(t.outputs).foldLeft(row) {
           case (r, (in, out)) =>

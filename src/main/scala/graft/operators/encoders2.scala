@@ -204,3 +204,101 @@ class TargetEncoderModel(
       }
     }
 }
+
+sealed trait WoeState
+case class SmallWoe(woe: Map[String, Double]) extends WoeState
+case class BigWoe(lookup: DataFrame) extends WoeState
+
+/** Weight-of-evidence categorical encoder as a PIPELINE stage — the
+  * fitted-operator packaging of [[graft.relational.Scorecard.woeTable]]
+  * (same ±0.5-smoothed formula, same 6-dp rounding), so WOE features
+  * flow through DFPipeline fit/transform, persistence save/load, and
+  * the OnlineScorer like every other encoder.
+  *
+  * Fit: ONE corpus aggregate over all inputs at once (the TargetEncoder
+  * posexplode discipline — inputs × rows explode carries only (i, value,
+  * label)), totals per feature ride a window over the CARDINALITY-sized
+  * partials. Per-feature state follows the SmallDict/BigDict dual path:
+  * ≤ maxCollect distinct values collect to a driver map (literal-map or
+  * broadcast-join transform via Lookup), above that the lookup relation
+  * stays distributed and persists as parquet beside the pipeline JSON.
+  *
+  * Transform: unseen/null category → 0.0, WOE's no-information point
+  * (the FrequencyEncoder unseen→default contract). */
+class WoeEncoder(
+    val inputs: Seq[String],
+    val outputs: Seq[String],
+    targetCol: String,
+    maxCollect: Long = ComplementLabelEncoder.DefaultMaxCollect)
+    extends GraftEstimator[WoeEncoderModel] {
+  require(inputs.length == outputs.length)
+
+  override def transformSchema(schema: StructType): StructType =
+    outputs.foldLeft(schema)((s, o) =>
+      GraftSchema.withField(s, o, DoubleType))
+
+  override def fitDF(df: DataFrame): WoeEncoderModel = {
+    val y = col(targetCol).cast(LongType)
+    val partials = df
+      .filter(y.isNotNull)
+      .select(y.as("__y"),
+        posexplode(array(inputs.map(c => col(c).cast(StringType)): _*))
+          .as(Seq("__i", "__v")))
+      .filter(col("__v").isNotNull)
+      .groupBy("__i", "__v")
+      .agg(count(lit(1)).as("__n"), sum("__y").as("__p"))
+      .persist()
+    try {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("__i")
+      val pt = sum(col("__p")).over(w)
+      val nt = sum(col("__n") - col("__p")).over(w)
+      // `log` unqualified resolves to spark.ml's slf4j logger here
+      val woe = round(org.apache.spark.sql.functions.log(
+        (((col("__n") - col("__p")) + lit(0.5)) / nt) /
+          ((col("__p") + lit(0.5)) / pt)), 6)
+      val table = partials
+        .select(col("__i"), col("__v"), woe.as("__woe")).persist()
+      val sizes = table.groupBy("__i").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val states: Seq[WoeState] = inputs.indices.map { i =>
+        val slice = table.filter(col("__i") === i)
+        if (sizes.getOrElse(i, 0L) <= maxCollect)
+          SmallWoe(slice.collect()
+            .map(r => r.getString(1) -> r.getDouble(2)).toMap)
+        else {
+          val lookup = slice
+            .select(col("__v").as("value"), col("__woe").as("woe"))
+            .persist()
+          lookup.count() // materialize before partials unpersist
+          BigWoe(lookup)
+        }
+      }
+      table.unpersist()
+      new WoeEncoderModel(inputs, outputs, states)
+    } finally { partials.unpersist(); () }
+  }
+}
+
+class WoeEncoderModel(
+    val ins: Seq[String],
+    val outs: Seq[String],
+    val states: Seq[WoeState])
+    extends GraftModel[WoeEncoderModel] {
+
+  override def transformDF(df: DataFrame): DataFrame =
+    ins.zip(outs).zip(states).foldLeft(df) { case (d, ((in, out), st)) =>
+      val key = col(in).cast(StringType)
+      st match {
+        case SmallWoe(m) =>
+          Lookup.withLookup[Double](d, out, key, m, lit(0.0),
+            _.cast(DoubleType), s"woe_$out")
+        case BigWoe(lookup) =>
+          val l = lookup.select(col("value").as(s"__woe_k_$out"),
+            col("woe").as(s"__woe_v_$out"))
+          d.join(l, key === col(s"__woe_k_$out"), "left")
+            .withColumn(out,
+              coalesce(col(s"__woe_v_$out"), lit(0.0)).cast(DoubleType))
+            .drop(s"__woe_k_$out", s"__woe_v_$out")
+      }
+    }
+}

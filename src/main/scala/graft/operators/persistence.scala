@@ -182,6 +182,19 @@ object GraftPersistence {
           lookup.write.mode("overwrite").parquet(s"$path/$rel")
           JObject("kind" -> JString("big"), "path" -> JString(rel))
       }))
+    case m: WoeEncoderModel => JObject(
+      "type" -> JString("WoeEncoderModel"),
+      "ins" -> jstrs(m.ins), "outs" -> jstrs(m.outs),
+      "states" -> jarr(m.states.zipWithIndex.map {
+        case (SmallWoe(woe), _) => JObject(
+          "kind" -> JString("small"),
+          "woe" -> JObject(woe.toList.map { case (k, v) =>
+            k -> (JDouble(v): JValue) }))
+        case (BigWoe(lookup), jx) =>
+          val rel = s"data/${idx}_woe_$jx"
+          lookup.write.mode("overwrite").parquet(s"$path/$rel")
+          JObject("kind" -> JString("big"), "path" -> JString(rel))
+      }))
     case t: FunctionTransformer if t.op.nonEmpty => JObject(
       "type" -> JString("FunctionTransformer"),
       "inputs" -> jarr(t.inputs.map(jstrs)),
@@ -352,6 +365,23 @@ object GraftPersistence {
               case JString("small") =>
                 SmallTarget(dmap(st \ "oof"), dmap(st \ "full"))
               case _ => BigTarget(spark.read.parquet(
+                s"$path/${(st \ "path").asInstanceOf[JString].s}"))
+            }
+          })
+      case "WoeEncoderModel" =>
+        def wmap(v: JValue): Map[String, Double] =
+          v.asInstanceOf[JObject].obj.map { case (k, x) =>
+            k -> (x match {
+              case JDouble(d) => d
+              case JInt(i)    => i.toDouble
+              case other => throw new IllegalArgumentException(other.toString)
+            })
+          }.toMap
+        new WoeEncoderModel(strs(j \ "ins"), strs(j \ "outs"),
+          (j \ "states").asInstanceOf[JArray].arr.map { st =>
+            st \ "kind" match {
+              case JString("small") => SmallWoe(wmap(st \ "woe"))
+              case _ => BigWoe(spark.read.parquet(
                 s"$path/${(st \ "path").asInstanceOf[JString].s}"))
             }
           })

@@ -457,3 +457,72 @@ class Round8PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1000))
   }
 }
+
+/** WOE as a pipeline stage: fit/transform parity with the table fn, the
+  * SmallWoe/BigWoe dual path, save → load → serve, and online scoring. */
+class WoeEncoderOpSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators._
+
+  private val df = Seq(
+    ("A", "x", 0), ("A", "y", 0), ("A", "x", 1),
+    ("B", "y", 1), ("B", "x", 1)).toDF("cat", "cat2", "y")
+
+  test("fit/transform equals Scorecard.woeEncode value for value; " +
+      "unseen category serves the 0.0 no-information default") {
+    val model = new WoeEncoder(Seq("cat", "cat2"),
+      Seq("cat_woe", "cat2_woe"), "y").fit(df)
+    val viaTable = graft.relational.Scorecard
+      .woeEncode(df, "cat", "y", "w").collect()
+      .map(r => r.getString(r.fieldIndex("cat")) ->
+        r.getDouble(r.fieldIndex("w"))).toMap
+    model.transform(df).collect().foreach { r =>
+      assert(r.getDouble(r.fieldIndex("cat_woe")) ==
+        viaTable(r.getString(r.fieldIndex("cat"))))
+    }
+    val unseen = model.transform(
+      Seq(("Z", "x", 0)).toDF("cat", "cat2", "y")).collect()(0)
+    assert(unseen.getDouble(unseen.fieldIndex("cat_woe")) == 0.0)
+  }
+
+  test("BigWoe forced path (maxCollect = 0) is value-identical to the " +
+      "collected path") {
+    val small = new WoeEncoder(Seq("cat"), Seq("w"), "y").fit(df)
+    val big = new WoeEncoder(Seq("cat"), Seq("w"), "y",
+      maxCollect = 0).fit(df)
+    assert(big.states.head.isInstanceOf[BigWoe])
+    val a = small.transform(df).select("cat", "w").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).sorted.toSeq
+    val b = big.transform(df).select("cat", "w").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("save -> load -> serve round-trip (both state kinds) and online " +
+      "scoring equal batch exactly") {
+    val model = DFPipeline(
+      new WoeEncoder(Seq("cat"), Seq("w"), "y"),
+      new WoeEncoder(Seq("cat2"), Seq("w2"), "y", maxCollect = 0))
+      .fit(df)
+    val dir = java.nio.file.Files.createTempDirectory("woe_persist")
+      .toString
+    GraftPersistence.save(model, dir)
+    val loaded = GraftPersistence.load(spark, dir)
+    val expect = model.transform(df).select("cat", "cat2", "w", "w2")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val got = loaded.transform(df).select("cat", "cat2", "w", "w2")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(got.toSeq == expect.toSeq)
+
+    // online path: SmallWoe only (BigWoe is not driver-resident)
+    val smallOnly = DFPipeline(new WoeEncoder(Seq("cat"), Seq("w"), "y"))
+      .fit(df)
+    val score = OnlineScorer.compile(smallOnly)
+    val batch = smallOnly.transform(df).collect()
+    df.collect().zip(batch).foreach { case (in, exp) =>
+      val row: OnlineScorer.OnlineRow =
+        df.columns.map(c => c -> in.getAs[Any](c)).toMap
+      assert(score(row)("w") == exp.getAs[Any]("w"))
+    }
+  }
+}
