@@ -170,7 +170,16 @@ object Round8Queries {
         t(s, d, "events")
           .groupBy(col("event_type"), to_date(col("ts")).as("day"))
           .agg(sum(floor(col("value") * 100).cast("long")).as("cents")),
-        Seq("event_type"), "day", "cents", season = 7, quantile = 0.9))
+        Seq("event_type"), "day", "cents", season = 7, quantile = 0.9)),
+
+    // weekly seasonal decomposition of the same daily series (trend =
+    // centered 7-day MA; exact-integer detrend arithmetic)
+    "q_decompose" -> ((s, d) =>
+      graft.relational.Eval.decompose(
+        t(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(floor(col("value") * 100).cast("long")).as("cents")),
+        Seq("event_type"), "day", "cents", season = 7))
   )
 
   private val woeCte =
@@ -481,6 +490,43 @@ object Round8Queries {
            round(CAST(sum(CASE WHEN err > 0 THEN err * 900
                ELSE -err * 100 END) AS DOUBLE)
              / 1000.0 / 100.0 / CAST(count(*) AS BIGINT), 6) AS pinball
-         FROM e GROUP BY 1"""
+         FROM e GROUP BY 1""",
+
+    // centered-MA decomposition replay: detrended values are exact
+    // integers in season-ths of a cent, so every emitted double is an
+    // integer through <= 2 single divisions
+    "q_decompose" ->
+      """WITH d AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+           FROM events GROUP BY 1, 2),
+         b AS (
+           SELECT event_type, day, cents,
+             CAST(floor(CAST(cents AS DOUBLE) * 100) AS BIGINT) AS x,
+             CAST(sum(CAST(floor(CAST(cents AS DOUBLE) * 100) AS BIGINT))
+               OVER (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS BIGINT) AS ws,
+             count(*) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn,
+             (row_number() OVER (PARTITION BY event_type ORDER BY day)
+               - 1) % 7 AS phase
+           FROM d),
+         b2 AS (
+           SELECT *, CASE WHEN wn = 7 THEN x * 7 - ws END AS dd
+           FROM b),
+         s AS (
+           SELECT event_type, phase,
+             CAST(sum(dd) AS BIGINT) / CAST(count(dd) AS BIGINT) / 7
+               AS seas
+           FROM b2 WHERE dd IS NOT NULL GROUP BY 1, 2)
+         SELECT b2.event_type, b2.day, b2.cents,
+           CASE WHEN wn = 7
+             THEN round(ws / 7 / 100.0, 6) END AS trend,
+           CASE WHEN wn = 7 THEN round(seas / 100.0, 6) END AS seasonal,
+           round((dd / 7.0 - seas) / 100.0, 6) AS residual
+         FROM b2 LEFT JOIN s
+           ON b2.event_type = s.event_type AND b2.phase = s.phase"""
   )
 }

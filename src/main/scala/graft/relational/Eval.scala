@@ -1679,6 +1679,71 @@ object Eval {
           .as("pinball")): _*)
   }
 
+  /** Classical seasonal decomposition (the moving-average STL-lite:
+    * trend = centered MA, seasonal = mean detrended value per phase,
+    * residual = remainder) for a cents-quantized series:
+    *
+    *   trend_t    = mean(x_{t-h} .. x_{t+h}),  h = (season-1)/2
+    *   seasonal_p = mean over full-window rows of (x_t − trend_t), p = t mod season
+    *   residual_t = x_t − trend_t − seasonal_p
+    *
+    * Output per row: (keys…, orderCol, value, trend, seasonal, residual)
+    * in the input's units, 6 dp; rows whose centered window is
+    * incomplete (the first/last h per key) carry null trend/seasonal/
+    * residual, exactly like statsmodels' boundary NaNs.
+    *
+    * Shape: ONE window sort per key carries the centered sum, the row
+    * count, and the row number (three frames, one Sort); the seasonal
+    * means are an aggregate over the (keys, phase) relation —
+    * season-bounded — joined back broadcast-style. Per-task state is
+    * one key's series.
+    *
+    * Determinism at 1000 executors: the input quantizes to integer
+    * cents, the trend denominator is the CONSTANT `season`, so
+    * detrended·season = cents·season − windowSum is an EXACT integer;
+    * every emitted double is that integer through ≤2 single divisions —
+    * bit-identical in any engine, no float summation order anywhere
+    * (the phase means sum exact integers too). */
+  def decompose(df: DataFrame, keys: Seq[String], orderCol: String,
+      valueCol: String, season: Int = 7): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    require(season >= 3 && season % 2 == 1,
+      s"season must be odd and >= 3 (centered window), got $season")
+    val h = (season - 1) / 2
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    val wc = w.rowsBetween(-h, h)
+    val cents = floor(col(valueCol).cast("double") * lit(100)).cast("long")
+    val base = df.filter(col(valueCol).isNotNull)
+      .withColumn("__x", cents)
+      .withColumn("__ws", sum("__x").over(wc))
+      .withColumn("__wn", count(lit(1)).over(wc))
+      .withColumn("__phase",
+        (row_number().over(w) - 1) % season)
+      // detrended in exact integer "season-ths of a cent"
+      .withColumn("__d", when(col("__wn") === season,
+        col("__x") * season - col("__ws")))
+    val seasonal = base.filter(col("__d").isNotNull)
+      .groupBy((keys :+ "__phase").map(col): _*)
+      .agg(sum("__d").as("__ds"), count(lit(1)).as("__dn"))
+      // mean season-ths: one exact-integer division pair
+      .withColumn("__seas", col("__ds") / col("__dn") / lit(season))
+      .select((keys :+ "__phase").map(col) :+ col("__seas"): _*)
+    base.join(seasonal, keys :+ "__phase", "left")
+      .select(keys.map(col) ++ Seq(
+        col(orderCol), col(valueCol),
+        round(col("__ws") / lit(season) / lit(100.0), 6).as("trend"),
+        round(col("__seas") / lit(100.0), 6).as("seasonal"),
+        round((col("__d") / lit(season.toDouble) - col("__seas"))
+          / lit(100.0), 6).as("residual")) :+
+        when(col("__wn") === season, lit(true)).otherwise(lit(false))
+          .as("full_window"): _*)
+      .withColumn("trend",
+        when(col("full_window"), col("trend")))
+      .withColumn("seasonal",
+        when(col("full_window"), col("seasonal")))
+      .drop("full_window")
+  }
+
   // ---- search / recommendation ranking metrics ---------------------------
 
   /** Quantization scale for the ranking metrics: per-item contributions

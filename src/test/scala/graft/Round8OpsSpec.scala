@@ -526,3 +526,56 @@ class WoeEncoderOpSpec extends SparkSpec {
     }
   }
 }
+
+class DecomposeSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.relational.Eval
+
+  test("hand-decomposed series: exact trend/seasonal/residual, null " +
+      "boundary rows") {
+    // values 0,3,0,3,0,3,0 at season 3: trend alternates 1,2; the
+    // phase-0 rows (t4) detrend to +2, phases 1/2 average to 0
+    val df = Seq(0.0, 3.0, 0.0, 3.0, 0.0, 3.0, 0.0).zipWithIndex
+      .map { case (v, i) => ("s", (i + 1).toLong, v) }
+      .toDF("k", "t", "v")
+    val rows = Eval.decompose(df, Seq("k"), "t", "v", season = 3)
+      .orderBy("t").collect()
+    def d(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    val trend = rows.map(d(_, 3)).toSeq
+    val seasonal = rows.map(d(_, 4)).toSeq
+    val residual = rows.map(d(_, 5)).toSeq
+    assert(trend == Seq(None, Some(1.0), Some(2.0), Some(1.0), Some(2.0),
+      Some(1.0), None))
+    assert(seasonal == Seq(None, Some(0.0), Some(0.0), Some(2.0),
+      Some(0.0), Some(0.0), None))
+    assert(residual == Seq(None, Some(2.0), Some(-2.0), Some(0.0),
+      Some(-2.0), Some(2.0), None))
+  }
+
+  test("pure trend decomposes to zero seasonal and residual everywhere") {
+    val df = (1 to 9).map(i => ("s", i.toLong, i * 10.0)).toDF("k", "t", "v")
+    val rows = Eval.decompose(df, Seq("k"), "t", "v", season = 3)
+      .filter(col("trend").isNotNull).collect()
+    assert(rows.length == 7)
+    rows.foreach { r =>
+      assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 0.0, r)
+    }
+  }
+
+  test("short series (< season) emits all-null components, never fails") {
+    val df = Seq(("s", 1L, 5.0), ("s", 2L, 6.0)).toDF("k", "t", "v")
+    val rows = Eval.decompose(df, Seq("k"), "t", "v", season = 3).collect()
+    assert(rows.length == 2)
+    rows.foreach(r => assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5)))
+  }
+
+  test("plan: one Sort carries all window frames; the seasonal join is " +
+      "the only join") {
+    val df = Seq(("s", 1L, 5.0)).toDF("k", "t", "v")
+    val p = Eval.decompose(df, Seq("k"), "t", "v", 3)
+      .queryExecution.executedPlan.toString
+    assert(p.sliding(6).count(_ == "Sort [") <= 2, p.take(900))
+    assert(!p.contains("CartesianProduct"), p.take(900))
+  }
+}
