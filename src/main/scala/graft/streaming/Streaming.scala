@@ -388,6 +388,56 @@ object Streaming {
       }
   }
 
+  case class GrEvent(key: String, ts: Long, cat: String, value: Double,
+    payload: String)
+  case class GrState(catCounts: Map[String, Long], maxValue: Double,
+    latestTs: Long, latestPayload: String, nRows: Long)
+  case class GrRecord(key: String, n_rows: Long, cat: String,
+    value: Double, payload: String)
+
+  /** Streaming golden record — the stateful twin of
+    * [[graft.relational.Relational.goldenRecord]]: per entity the state
+    * is (category→count map, running max value, latest (ts, payload),
+    * row count), folded with the SAME tie rules as the batch aggregates
+    * (mode: higher count then SMALLEST category; latest: lexicographic
+    * max of (ts, payload)), so after any prefix the emitted record
+    * EQUALS batch goldenRecord over the same events field for field
+    * (GoldenRecordStreamSpec). State is bounded by the category
+    * vocabulary per entity plus three scalars — never by stream length.
+    * Emits the entity's current record each micro-batch in Update
+    * mode. */
+  def goldenRecordStream(events: Dataset[GrEvent]): Dataset[GrRecord] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[GrEvent], state: GroupState[GrState]) =>
+          var st = state.getOption.getOrElse(
+            GrState(Map.empty, Double.NegativeInfinity, Long.MinValue,
+              null, 0L))
+          it.foreach { e =>
+            val cc = st.catCounts.updated(e.cat,
+              st.catCounts.getOrElse(e.cat, 0L) + 1L)
+            val newer = st.latestPayload == null ||
+              e.ts > st.latestTs ||
+              (e.ts == st.latestTs &&
+                (e.payload compareTo st.latestPayload) > 0)
+            st = GrState(cc, math.max(st.maxValue, e.value),
+              if (newer) e.ts else st.latestTs,
+              if (newer) e.payload else st.latestPayload,
+              st.nRows + 1L)
+          }
+          state.update(st)
+          // mode: max count, ties to the SMALLEST category (the batch
+          // min_by(-count, value) rule)
+          val mode = st.catCounts.toSeq
+            .sortBy { case (c, n) => (-n, c) }.head._1
+          Iterator.single(GrRecord(key, st.nRows, mode, st.maxValue,
+            st.latestPayload))
+      }
+  }
+
   case class CmsEvent(group: String, key: String)
   case class CmsRegister(group: String, row_j: Int, col: Long, cnt: Long)
 

@@ -579,3 +579,57 @@ class DecomposeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(900))
   }
 }
+
+class GoldenRecordStreamSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.streaming.Streaming
+  import graft.relational.Relational
+
+  test("goldenRecordStream == batch goldenRecord field for field " +
+      "across micro-batch boundaries, including tie rules") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = Seq(
+      Streaming.GrEvent("u1", 10L, "view", 5.0, "p1"),
+      Streaming.GrEvent("u1", 20L, "click", 9.0, "p2"),
+      Streaming.GrEvent("u2", 5L, "view", 1.0, "z1"))
+    val batch2 = Seq(
+      Streaming.GrEvent("u1", 20L, "view", 2.0, "p9"), // ts tie: payload max
+      Streaming.GrEvent("u1", 15L, "view", 7.0, "p0"), // out of order
+      Streaming.GrEvent("u2", 5L, "click", 8.0, "z0")) // mode tie -> 'click'
+
+    val mem = MemoryStream[Streaming.GrEvent]
+    val q = Streaming.goldenRecordStream(mem.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("gr_s").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // update mode appends per-batch snapshots; n_rows is monotone, so
+    // the row with max n_rows per key is the final state
+    val streamed = spark.table("gr_s")
+      .groupBy("key")
+      .agg(max_by(struct(col("n_rows"), col("cat"), col("value"),
+        col("payload")), col("n_rows")).as("r"))
+      .select("key", "r.n_rows", "r.cat", "r.value", "r.payload")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2),
+        r.getDouble(3), r.getString(4))).toMap
+
+    val batch = Relational.goldenRecord(
+      (batch1 ++ batch2).map(e => (e.key, e.ts, e.cat, e.value, e.payload))
+        .toDF("key", "ts", "cat", "value", "payload"),
+      Seq("key"), "ts",
+      Seq(("cat", Relational.ModeValue), ("value", Relational.MaxValue),
+        ("payload", Relational.LatestValue)))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2),
+        r.getDouble(3), r.getString(4))).toMap
+
+    assert(streamed == batch)
+  }
+}
