@@ -179,7 +179,29 @@ object Round8Queries {
         t(s, d, "events")
           .groupBy(col("event_type"), to_date(col("ts")).as("day"))
           .agg(sum(floor(col("value") * 100).cast("long")).as("cents")),
-        Seq("event_type"), "day", "cents", season = 7))
+        Seq("event_type"), "day", "cents", season = 7)),
+
+    // TPC-DS q34/q73 family: ticket-size banding — orders whose item
+    // count sits in a band, re-grouped per customer, repeat customers
+    // only. Shape at 100 TB: the lineitem count and the orders join are
+    // both keyed on l_orderkey/o_orderkey (co-partitioned, ONE shuffle
+    // key end to end); customer joins broadcast; all-integer output
+    "q_tpcds_tickets" -> ((s, d) => {
+      val band = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"))
+        .filter(col("n_items").between(5, 7))
+      band
+        .join(t(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")
+          .select("c_custkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum("n_items").as("n_items_total"))
+        .filter(col("n_orders") >= 2)
+    })
   )
 
   private val woeCte =
@@ -527,6 +549,20 @@ object Round8Queries {
            CASE WHEN wn = 7 THEN round(seas / 100.0, 6) END AS seasonal,
            round((dd / 7.0 - seas) / 100.0, 6) AS residual
          FROM b2 LEFT JOIN s
-           ON b2.event_type = s.event_type AND b2.phase = s.phase"""
+           ON b2.event_type = s.event_type AND b2.phase = s.phase""",
+
+    // all-integer band + re-group; replay-exact
+    "q_tpcds_tickets" ->
+      """WITH band AS (
+           SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items
+           FROM lineitem GROUP BY 1
+           HAVING count(*) BETWEEN 5 AND 7)
+         SELECT c.c_custkey, c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(n_items) AS BIGINT) AS n_items_total
+         FROM band b
+         JOIN orders o ON b.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY 1, 2 HAVING count(*) >= 2"""
   )
 }
