@@ -181,6 +181,15 @@ object Round8Queries {
           .agg(sum(floor(col("value") * 100).cast("long")).as("cents")),
         Seq("event_type"), "day", "cents", season = 7)),
 
+    // which days broke the weekly pattern: MAD rule on the decomposed
+    // residuals, per event type
+    "q_seasonal_outliers" -> ((s, d) =>
+      graft.relational.Eval.seasonalOutliers(
+        t(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(floor(col("value") * 100).cast("long")).as("cents")),
+        Seq("event_type"), "day", "cents", season = 7, k = 2.0)),
+
     // TPC-DS q34/q73 family: ticket-size banding — orders whose item
     // count sits in a band, re-grouped per customer, repeat customers
     // only. Shape at 100 TB: the lineitem count and the orders join are
@@ -550,6 +559,58 @@ object Round8Queries {
            round((dd / 7.0 - seas) / 100.0, 6) AS residual
          FROM b2 LEFT JOIN s
            ON b2.event_type = s.event_type AND b2.phase = s.phase""",
+
+    // decompose replay + low-median MAD rule; the flag cuts on the
+    // deterministic 6-dp residuals, so it replays exactly
+    "q_seasonal_outliers" ->
+      """WITH d AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+           FROM events GROUP BY 1, 2),
+         b AS (
+           SELECT event_type, day, cents,
+             CAST(floor(CAST(cents AS DOUBLE) * 100) AS BIGINT) AS x,
+             CAST(sum(CAST(floor(CAST(cents AS DOUBLE) * 100) AS BIGINT))
+               OVER (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS BIGINT) AS ws,
+             count(*) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn,
+             (row_number() OVER (PARTITION BY event_type ORDER BY day)
+               - 1) % 7 AS phase
+           FROM d),
+         b2 AS (SELECT *, CASE WHEN wn = 7 THEN x * 7 - ws END AS dd
+                FROM b),
+         s AS (SELECT event_type, phase,
+                 CAST(sum(dd) AS BIGINT) / CAST(count(dd) AS BIGINT) / 7
+                   AS seas
+               FROM b2 WHERE dd IS NOT NULL GROUP BY 1, 2),
+         res AS (
+           SELECT b2.event_type, b2.day, b2.cents,
+             round((dd / 7.0 - seas) / 100.0, 6) AS residual
+           FROM b2 JOIN s
+             ON b2.event_type = s.event_type AND b2.phase = s.phase
+           WHERE dd IS NOT NULL),
+         r1 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                  ORDER BY residual ASC) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+                FROM res),
+         m1 AS (SELECT event_type AS e1, residual AS med FROM r1
+                WHERE rn = greatest(1, CAST(ceil(n / 2.0) AS BIGINT))),
+         dv AS (SELECT res.*, m1.med, abs(res.residual - m1.med) AS dev
+                FROM res JOIN m1 ON res.event_type = m1.e1),
+         r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                  ORDER BY dev ASC) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+                FROM dv),
+         m2 AS (SELECT event_type AS e2, dev AS mad FROM r2
+                WHERE rn = greatest(1, CAST(ceil(n / 2.0) AS BIGINT)))
+         SELECT dv.event_type, dv.day, dv.cents, dv.residual,
+           round(dv.med, 6) AS resid_median,
+           round(m2.mad, 6) AS resid_mad,
+           dv.dev > 2.0 * m2.mad AS is_outlier
+         FROM dv JOIN m2 ON dv.event_type = m2.e2""",
 
     // all-integer band + re-group; replay-exact
     "q_tpcds_tickets" ->

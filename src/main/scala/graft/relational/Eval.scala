@@ -1744,6 +1744,55 @@ object Eval {
       .drop("full_window")
   }
 
+  /** Per-row seasonal anomaly flags: [[decompose]]'s residuals judged
+    * by the robust MAD rule (|residual − median(residual)| > k·MAD per
+    * key — the madOutliers convention, low-median nearest-rank order
+    * stats so any engine replays the exact cut). The metrics-monitoring
+    * staple: "which days broke the weekly pattern", immune to the trend
+    * and the seasonality itself.
+    *
+    * Output per full-window row: (keys…, orderCol, value, residual,
+    * resid_median, resid_mad, is_outlier). The whole rule — medians,
+    * MAD, and the flag — runs on decompose's 6-dp residual column:
+    * those values are deterministic (exact rationals through a fixed
+    * rounding), so the order statistics and the cut replay exactly in
+    * any engine.
+    *
+    * Shape: decompose's one window sort + season-bounded join, then the
+    * two per-key rank sorts of the MAD rule (key-bounded task state)
+    * with groups-bounded broadcast join-backs — no corpus self-join. */
+  def seasonalOutliers(df: DataFrame, keys: Seq[String], orderCol: String,
+      valueCol: String, season: Int = 7, k: Double = 3.0): DataFrame = {
+    require(k > 0, s"k > 0, got $k")
+    val gb = keys.map(col)
+    val dec = decompose(df, keys, orderCol, valueCol, season)
+      .filter(col("residual").isNotNull)
+      .withColumn("__r", col("residual"))
+    def medianOf(rel: DataFrame, vCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy(gb: _*).orderBy(col(vCol).asc)
+      val wAll = Window.partitionBy(gb: _*)
+      rel.withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(wAll))
+        .filter(col("__rn") ===
+          greatest(lit(1L), ceil(col("__n") / 2.0).cast("long")))
+        .select((keys.map(n => col(n).as(n + "_m")) :+
+          col(vCol).as(out)): _*)
+    }
+    def joinBack(rel: DataFrame, med: DataFrame): DataFrame =
+      rel.join(med, keys.map(c =>
+        col(c) === col(c + "_m")).reduce(_ && _))
+        .drop(keys.map(_ + "_m"): _*)
+    val withMed = joinBack(dec, medianOf(dec, "__r", "__med"))
+      .withColumn("__dev", abs(col("__r") - col("__med")))
+    val withMad = joinBack(withMed, medianOf(withMed, "__dev", "__mad"))
+    withMad.select(gb ++ Seq(
+      col(orderCol), col(valueCol),
+      col("residual"),
+      round(col("__med"), 6).as("resid_median"),
+      round(col("__mad"), 6).as("resid_mad"),
+      (col("__dev") > lit(k) * col("__mad")).as("is_outlier")): _*)
+  }
+
   // ---- search / recommendation ranking metrics ---------------------------
 
   /** Quantization scale for the ranking metrics: per-item contributions

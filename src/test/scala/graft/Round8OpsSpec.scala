@@ -633,3 +633,33 @@ class GoldenRecordStreamSpec extends SparkSpec {
     assert(streamed == batch)
   }
 }
+
+class SeasonalOutliersSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.relational.Eval
+
+  test("MAD rule on the decomposed residuals: exact medians, exact cut") {
+    // residuals of the 0/3 alternating series at season 3 are
+    // [2,-2,0,-2,2] (DecomposeSpec): low-median 0, MAD 2
+    val df = Seq(0.0, 3.0, 0.0, 3.0, 0.0, 3.0, 0.0).zipWithIndex
+      .map { case (v, i) => ("s", (i + 1).toLong, v) }
+      .toDF("k", "t", "v")
+    val rows = Eval.seasonalOutliers(df, Seq("k"), "t", "v",
+        season = 3, k = 0.5).orderBy("t").collect()
+    assert(rows.length == 5) // boundary rows dropped
+    assert(rows.forall(r => r.getDouble(4) == 0.0)) // resid_median
+    assert(rows.forall(r => r.getDouble(5) == 2.0)) // resid_mad
+    // k=0.5: flag where dev > 1 -> every row except t4 (residual 0)
+    val flags = rows.map(r => r.getLong(1) -> r.getBoolean(6)).toMap
+    assert(flags == Map(2L -> true, 3L -> true, 4L -> false,
+      5L -> true, 6L -> true))
+  }
+
+  test("a trend-only series flags nothing (all residuals zero)") {
+    val df = (1 to 12).map(i => ("s", i.toLong, i * 2.0)).toDF("k", "t", "v")
+    val rows = Eval.seasonalOutliers(df, Seq("k"), "t", "v", 3, 3.0)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(!_.getBoolean(6)))
+  }
+}
