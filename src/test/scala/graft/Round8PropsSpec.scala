@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-8 property suites: algebraic invariants the hand-case specs
+  * can't pin — label symmetry, translation invariance, brute-force
+  * equivalence, noise scaling. */
+class BestSplitPropsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.relational.Scorecard
+
+  test("label inversion leaves the chosen threshold and gain unchanged " +
+      "(Gini is symmetric in the classes)") {
+    val rng = new scala.util.Random(8)
+    val rows = Seq.tabulate(200)(_ =>
+      (rng.nextInt(20).toDouble, rng.nextInt(2)))
+    val df = rows.toDF("x", "y")
+    val inv = rows.map { case (x, y) => (x, 1 - y) }.toDF("x", "y")
+    val a = Scorecard.bestSplits(df, Seq("x"), "y").collect()(0)
+    val b = Scorecard.bestSplits(inv, Seq("x"), "y").collect()(0)
+    assert(a.getDouble(1) == b.getDouble(1)) // threshold
+    assert(a.getDouble(6) == b.getDouble(6)) // gain
+    // sides swap class counts: n_left equal, pos_left complements
+    assert(a.getLong(2) == b.getLong(2))
+    assert(a.getLong(3) + b.getLong(3) == a.getLong(2))
+  }
+
+  test("a pure-noise label yields a small gain; a perfectly separable " +
+      "one yields the parent impurity") {
+    val sep = Seq.tabulate(100)(i => (i.toDouble, if (i < 50) 0 else 1))
+      .toDF("x", "y")
+    val r = Scorecard.bestSplits(sep, Seq("x"), "y").collect()(0)
+    assert(r.getDouble(1) == 49.0 && r.getDouble(6) == 0.5)
+  }
+}
+
+class DecomposePropsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.relational.Eval
+
+  private def series(vs: Seq[Double]) =
+    vs.zipWithIndex.map { case (v, i) => ("s", (i + 1).toLong, v) }
+      .toDF("k", "t", "v")
+
+  test("adding a constant + linear ramp shifts only the trend: " +
+      "seasonal and residual are translation/detrend invariant") {
+    // whole-unit values so the cents quantization is float-exact on
+    // both series (29.61*100 floors to 2960 — the fixture, not the
+    // operator, must stay off representation edges)
+    val rng = new scala.util.Random(42)
+    val base = Seq.tabulate(20)(_ => rng.nextInt(1000).toDouble)
+    val ramped = base.zipWithIndex.map { case (v, i) =>
+      v + 7.0 + i * 3.0 } // +7 units, +3 units per step
+    def parts(vs: Seq[Double]) = Eval.decompose(
+        series(vs), Seq("k"), "t", "v", season = 5)
+      .orderBy("t").collect()
+      .map(r => (if (r.isNullAt(4)) null else r.getDouble(4),
+        if (r.isNullAt(5)) null else r.getDouble(5))).toSeq
+    assert(parts(base) == parts(ramped))
+  }
+
+  test("a period-`season` periodic series has zero residual everywhere " +
+      "(the seasonal component absorbs it exactly)") {
+    val pattern = Seq(1.0, 4.0, 2.0, 5.0, 3.0)
+    val vs = Seq.tabulate(25)(i => pattern(i % 5))
+    val rows = Eval.decompose(series(vs), Seq("k"), "t", "v", season = 5)
+      .filter(col("residual").isNotNull).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(5) == 0.0, r))
+  }
+}
+
+class GeoPropsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.relational.Geo
+
+  test("grid join == brute force on a random point cloud (the oracle's " +
+      "argument, as a property)") {
+    val rng = new scala.util.Random(88)
+    val pts = Seq.tabulate(300)(i =>
+      (i.toLong, (rng.nextInt(2000) - 1000).toLong,
+        (rng.nextInt(2000) - 1000).toLong))
+    val df = pts.toDF("id", "lat", "lon")
+    val r = 150
+    val grid = Geo.distanceJoin(df, "id", "lat", "lon", r)
+      .select("id_a", "id_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val brute = (for {
+      a <- pts; b <- pts if a._1 < b._1
+      dy = a._2 - b._2; dx = a._3 - b._3
+      if dy * dy + dx * dx <= r.toLong * r
+    } yield (a._1, b._1)).toSet
+    assert(grid == brute)
+  }
+
+  test("nearestSite agrees with the brute-force argmin under the " +
+      "(dist, site) total order") {
+    val rng = new scala.util.Random(7)
+    val pts = Seq.tabulate(100)(i =>
+      (i.toLong, rng.nextInt(500).toLong, rng.nextInt(500).toLong))
+    val sites = Seq.tabulate(12)(i =>
+      (i.toLong, rng.nextInt(500).toLong, rng.nextInt(500).toLong))
+    val r = 200
+    val got = Geo.nearestSite(pts.toDF("id", "lat", "lon"),
+        sites.toDF("sid", "lat", "lon"), "id", "sid", "lat", "lon", r)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2)))
+      .toMap
+    val brute = pts.flatMap { case (id, la, lo) =>
+      val cand = sites.flatMap { case (sid, sla, slo) =>
+        val d2 = (la - sla) * (la - sla) + (lo - slo) * (lo - slo)
+        if (d2 <= r.toLong * r) Some((d2, sid)) else None
+      }
+      if (cand.isEmpty) None else Some(id -> {
+        val best = cand.min; (best._2, best._1) })
+    }.toMap
+    assert(got == brute)
+  }
+}
+
+class PrivacyPropsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.relational.Privacy
+
+  test("noise scales exactly as 1/epsilon for the same tagged draw") {
+    val df = Seq.fill(100)("g").toDF("g")
+    def noise(eps: Double): Double =
+      Privacy.dpCounts(df, Seq("g"), eps, "scale-prop")
+        .collect()(0).getDouble(1) - 100.0
+    val n1 = noise(1.0)
+    val n4 = noise(4.0)
+    // same uniform, b halves twice: ratio is exactly 4 up to the 6-dp
+    // output rounding of each release
+    assert(math.abs(n1 - 4.0 * n4) < 4e-6, s"$n1 vs $n4")
+  }
+
+  test("dpSums is monotone in the clip ceiling for over-ceiling data") {
+    val df = Seq(("g", 500.0), ("g", 700.0)).toDF("grp", "v")
+    def rel(hi: Double) = Privacy.dpSums(df, Seq("grp"), "v", 0.0, hi,
+      1.0, "mono").collect()(0).getDouble(1)
+    // same tag => same uniform; b grows with hi, but the clipped mass
+    // grows by exactly (hi2-hi1)*2 between ceilings below the data
+    val a = rel(100.0); val b = rel(200.0)
+    assert(b > a, s"$b vs $a")
+  }
+}
+
+class BackoffPropsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.text.Ranking
+
+  test("per-doc scores are independent of what else is in the score set") {
+    val train = Seq((1L, "a b c d"), (2L, "b c e")).toDF("doc_id", "text")
+    val alone = Ranking.stupidBackoffScore(train,
+        Seq((9L, "a b c")).toDF("doc_id", "text"), "text", "doc_id")
+      .collect()(0).getDouble(2)
+    val crowd = Ranking.stupidBackoffScore(train,
+        Seq((9L, "a b c"), (10L, "x y z w"), (11L, "c e b a"))
+          .toDF("doc_id", "text"), "text", "doc_id")
+      .filter(col("doc_id") === 9L).collect()(0).getDouble(2)
+    assert(alone == crowd)
+  }
+
+  test("self-scored training text never backs off below the trigram " +
+      "level: every score is a plain count ratio > alpha floor cases") {
+    val train = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val r = Ranking.stupidBackoffScore(train, train, "text", "doc_id")
+      .collect()(0)
+    // 4 trigrams, each unique with unique prefix: ln(1/1) = 0
+    assert(r.getLong(1) == 4)
+    assert(r.getDouble(2) == 0.0)
+  }
+}
