@@ -288,6 +288,29 @@ object Plans {
         "maintained base pairs are computed once and unioned, never " +
         "re-shuffled.",
         SparkEntry.queries("q_join_maintain")(spark, d)),
+      ("q_geo_join", "grid distance self-join: ONE equi-join on the " +
+        "(cell_lat, cell_lon) key after a constant 9x neighbor " +
+        "explode — no cartesian, no nested loop, no distinct; the " +
+        "exact integer predicate verifies candidates in the join's " +
+        "output projection.",
+        SparkEntry.queries("q_geo_join")(spark, d)),
+      ("q_best_split", "decision stumps: one (feature, value) count " +
+        "aggregate over the unioned feature scans, cumulative windows " +
+        "PARTITIONED BY FEATURE (per-task state = one feature's " +
+        "thresholds), argmax as a feature-partitioned row_number — no " +
+        "join, no global window.",
+        SparkEntry.queries("q_best_split")(spark, d)),
+      ("q_backoff_lm", "stupid-backoff scoring: the trigram stream " +
+        "left-joins five vocabulary-bounded count relations on gram " +
+        "keys (AQE broadcasts the small ones) and aggregates per doc — " +
+        "the scored corpus is never sorted or self-joined.",
+        SparkEntry.queries("q_backoff_lm")(spark, d)),
+      ("q_decompose", "seasonal decomposition: one per-key window sort " +
+        "carries the centered sum, count, and phase; the phase means " +
+        "are a season-bounded aggregate joined back — detrended " +
+        "arithmetic is exact-integer so the plan is also the " +
+        "determinism argument.",
+        SparkEntry.queries("q_decompose")(spark, d)),
       ("q_skyline", "Pareto frontier: per-(group,d1) max aggregate, one " +
         "ordered window over the distinct-d1 survivors, then a " +
         "broadcast-eligible LeftSemi back to the corpus — no all-pairs " +

@@ -388,6 +388,58 @@ object Streaming {
       }
   }
 
+  case class MsprtEvent(group: String, value: Long)
+  case class MsprtState(n: Long, s: Long, ss: Long)
+  case class MsprtResult(group: String, n: Long, mean: Double,
+    variance: Double, lambda: Double, p_value: Double)
+
+  /** Streaming mSPRT monitor — the always-valid sequential test
+    * ([[graft.relational.Scorecard.msprt]]) folded incrementally: state
+    * is THREE exact integer scalars per group (n, Σv, Σv² of the
+    * cents-quantized values), and the emitted statistics run the
+    * IDENTICAL double formula as the batch aggregate (same exact
+    * integer inputs, same java.lang.Math sqrt/exp), so after any prefix
+    * the stream equals batch msprt over the same events bit for bit
+    * (MsprtStreamSpec). This is the test mSPRT exists for: peeking at
+    * every micro-batch is VALID by construction — no fixed horizon,
+    * no alpha spending. Groups with n < 2 or zero variance emit
+    * nothing, like the batch filters. */
+  def msprtStream(events: Dataset[MsprtEvent], tau: Double,
+      theta0: Double): Dataset[MsprtResult] = {
+    require(tau > 0, s"mixture scale tau must be > 0, got $tau")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.group)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (group: String, it: Iterator[MsprtEvent],
+            state: GroupState[MsprtState]) =>
+          var st = state.getOption.getOrElse(MsprtState(0L, 0L, 0L))
+          it.foreach { e =>
+            st = MsprtState(st.n + 1, st.s + e.value,
+              st.ss + e.value * e.value)
+          }
+          state.update(st)
+          if (st.n < 2) Iterator.empty
+          else {
+            // the batch expression tree, operation for operation
+            val n = st.n.toDouble
+            val mean = st.s / n
+            val v = (st.ss - st.s * mean) / (n - 1)
+            if (!(v > 0)) Iterator.empty
+            else {
+              val t2 = tau * tau
+              val dev = mean - theta0
+              val lam = math.sqrt(v / (v + n * t2)) *
+                math.exp(n * n * t2 * dev * dev /
+                  (2.0 * v * (v + n * t2)))
+              Iterator.single(MsprtResult(group, st.n, mean, v, lam,
+                math.min(1.0, 1.0 / lam)))
+            }
+          }
+      }
+  }
+
   case class GrEvent(key: String, ts: Long, cat: String, value: Double,
     payload: String)
   case class GrState(catCounts: Map[String, Long], maxValue: Double,

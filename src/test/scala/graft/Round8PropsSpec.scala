@@ -170,3 +170,69 @@ class BackoffPropsSpec extends SparkSpec {
     assert(r.getDouble(2) == 0.0)
   }
 }
+
+class MsprtStreamSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.streaming.Streaming
+  import graft.relational.Scorecard
+
+  test("msprtStream == batch msprt after every micro-batch (peeking is " +
+      "the point)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(3)
+    val batch1 = Seq.tabulate(60)(i =>
+      Streaming.MsprtEvent(s"g${i % 2}", 4800 + rng.nextInt(500)))
+    val batch2 = Seq.tabulate(40)(i =>
+      Streaming.MsprtEvent(s"g${i % 2}", 5100 + rng.nextInt(300)))
+
+    val mem = MemoryStream[Streaming.MsprtEvent]
+    val q = Streaming.msprtStream(mem.toDS(), tau = 100.0, theta0 = 5000.0)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("msprt_s").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+
+      // after batch 1: stream state == batch msprt over batch1 alone
+      val mid = spark.table("msprt_s")
+        .groupBy("group").agg(max_by(struct(col("n"), col("lambda"),
+          col("p_value")), col("n")).as("r"))
+        .select("group", "r.n", "r.lambda", "r.p_value").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+          r.getDouble(3))).toMap
+      val bMid = Scorecard.msprt(
+        batch1.map(e => (e.group, e.value)).toDF("grp", "v"),
+        Seq("grp"), "v", 100.0, 5000.0).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(4),
+          r.getDouble(5))).toMap
+      mid.foreach { case (g, (n, lam, p)) =>
+        val (bn, blam, bp) = bMid(g)
+        assert(n == bn)
+        assert(math.abs(lam - blam) < 5e-7, s"$g: $lam vs $blam")
+        assert(math.abs(p - bp) < 5e-7)
+      }
+
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val fin = spark.table("msprt_s")
+      .groupBy("group").agg(max_by(struct(col("n"), col("lambda"),
+        col("p_value")), col("n")).as("r"))
+      .select("group", "r.n", "r.lambda", "r.p_value").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    val bFin = Scorecard.msprt(
+      (batch1 ++ batch2).map(e => (e.group, e.value)).toDF("grp", "v"),
+      Seq("grp"), "v", 100.0, 5000.0).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(4),
+        r.getDouble(5))).toMap
+    fin.foreach { case (g, (n, lam, p)) =>
+      val (bn, blam, bp) = bFin(g)
+      assert(n == bn)
+      assert(math.abs(lam - blam) < 5e-7, s"$g: $lam vs $blam")
+      assert(math.abs(p - bp) < 5e-7)
+    }
+  }
+}
