@@ -190,6 +190,19 @@ object Round8Queries {
           .agg(sum(floor(col("value") * 100).cast("long")).as("cents")),
         Seq("event_type"), "day", "cents", season = 7, k = 2.0)),
 
+    // product quantization: fit m per-subspace codebooks, encode to m
+    // codes per vector, rank by asymmetric distance — full replay oracle
+    "q_sim_pq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val model = graft.sim.Pq.fit(emb, "vec_id", "embedding",
+        dim = PqDim, m = PqM, k = PqK, iters = PqIters)
+      graft.sim.Pq.topK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < PqNq)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("qvec")),
+        "query_id", "qvec", PqTopN, model)
+    }),
+
     // TPC-DS q34/q73 family: ticket-size banding — orders whose item
     // count sits in a band, re-grouped per customer, repeat customers
     // only. Shape at 100 TB: the lineitem count and the orders join are
@@ -212,6 +225,102 @@ object Round8Queries {
         .filter(col("n_orders") >= 2)
     })
   )
+
+  private val PqDim = 64
+  private val PqM = 4
+  private val PqK = 4
+  private val PqIters = 2
+  private val PqNq = 8
+  private val PqTopN = 5
+
+  /** Generated PQ replay: per-subspace unrolled Lloyd's (the
+    * kmeansSql pattern over vector SLICES), codeword assignment, and
+    * the ADC ranking — all the exactness arguments live in
+    * [[graft.sim.Pq]]/[[graft.sim.Cluster]]; both engines execute the
+    * identical arithmetic, so codebooks, codes, and rankings replay
+    * bit-for-bit. */
+  private def pqSql(dim: Int, m: Int, k: Int, iters: Int, nQ: Int,
+      topN: Int): String = {
+    val sub = dim / m
+    def xs(j: Int) = (0 until sub).map(i => s"x${j}_$i")
+    def dist(j: Int, cj: Int, qual: String) = (0 until sub).map(i =>
+      s"($qual${j}_$i - c${j}_${cj}_$i) * ($qual${j}_$i - c${j}_${cj}_$i)")
+      .mkString(" + ")
+    def assignCase(j: Int) = {
+      val cases = (0 until k - 1).map { cj =>
+        val conds = ((cj + 1) until k).map(l => s"d${j}_$cj <= d${j}_$l")
+          .mkString(" AND ")
+        s"WHEN $conds THEN $cj"
+      }.mkString(" ")
+      s"CASE $cases ELSE ${k - 1} END"
+    }
+    def dCols(j: Int, qual: String) =
+      (0 until k).map(cj => s"${dist(j, cj, qual)} AS d${j}_$cj")
+        .mkString(", ")
+    val qCte =
+      s"""q AS (SELECT vec_id AS id,
+         ${(0 until m).flatMap(j => (0 until sub).map(i =>
+        s"floor(embedding[${j * sub + i + 1}]::DOUBLE * 1048576.0)" +
+          s" AS x${j}_$i")).mkString(", ")}
+         FROM embeddings)"""
+    val subCtes = (0 until m).map { j =>
+      val cent0 =
+        s"""cent0_$j AS (SELECT
+           ${(0 until k).flatMap(cj => xs(j).zipWithIndex.map {
+          case (x, i) => s"max(CASE WHEN rn = ${cj + 1} THEN $x END)" +
+            s" AS c${j}_${cj}_$i" }).mkString(", ")}
+           FROM (SELECT q.*, row_number() OVER (ORDER BY id) AS rn FROM q)
+           WHERE rn <= $k)"""
+      val iterCtes = (1 to iters).map { it =>
+        val a =
+          s"""a${it}_$j AS (SELECT id, ${xs(j).mkString(", ")},
+             ${assignCase(j)} AS cl
+             FROM (SELECT q.id, ${xs(j).mkString(", ")},
+               ${dCols(j, "x")}
+             FROM q CROSS JOIN cent${it - 1}_$j))"""
+        val c =
+          s"""cent${it}_$j AS (SELECT
+             ${(0 until k).flatMap(cj => xs(j).zipWithIndex.map {
+            case (x, i) =>
+              s"coalesce(sum(CASE WHEN cl = $cj THEN $x END) / " +
+                s"nullif(count(CASE WHEN cl = $cj THEN 1 END), 0), " +
+                s"max(c${j}_${cj}_$i)) AS c${j}_${cj}_$i" })
+            .mkString(", ")}
+             FROM a${it}_$j CROSS JOIN cent${it - 1}_$j)"""
+        s"$a, $c"
+      }.mkString(", ")
+      s"$cent0, $iterCtes"
+    }.mkString(", ")
+    val centJoin = (0 until m).map(j => s"cent${iters}_$j")
+      .mkString(" CROSS JOIN ")
+    val enc =
+      s"""enc AS (SELECT id,
+         ${(0 until m).map(j => s"${assignCase(j)} AS cl_$j")
+        .mkString(", ")}
+         FROM (SELECT q.*,
+           ${(0 until m).map(j => dCols(j, "x")).mkString(", ")}
+         FROM q CROSS JOIN $centJoin))"""
+    val qv =
+      s"""qv AS (SELECT id AS qid,
+         ${(0 until m).flatMap(j => (0 until sub).map(i =>
+        s"x${j}_$i AS qx${j}_$i")).mkString(", ")}
+         FROM q WHERE id < $nQ)"""
+    // ADC: the assigned codeword's distance to the QUERY subvector,
+    // summed across subspaces in subspace order
+    val adcTerm = (0 until m).map { j =>
+      val cases = (0 until k).map(cj =>
+        s"WHEN cl_$j = $cj THEN ${dist(j, cj, "qx")}").mkString(" ")
+      s"(CASE $cases END)"
+    }.mkString(" + ")
+    s"""WITH $qCte, $subCtes, $enc, $qv
+       SELECT qid AS query_id, id AS vec_id, adist,
+         CAST(rank AS BIGINT) AS rank
+       FROM (SELECT qv.qid, e.id, $adcTerm AS adist,
+           row_number() OVER (PARTITION BY qv.qid
+             ORDER BY $adcTerm, e.id) AS rank
+         FROM enc e CROSS JOIN qv CROSS JOIN $centJoin)
+       WHERE rank <= $topN"""
+  }
 
   private val woeCte =
     """WITH c AS (
@@ -611,6 +720,8 @@ object Round8Queries {
            round(m2.mad, 6) AS resid_mad,
            dv.dev > 2.0 * m2.mad AS is_outlier
          FROM dv JOIN m2 ON dv.event_type = m2.e2""",
+
+    "q_sim_pq" -> pqSql(PqDim, PqM, PqK, PqIters, PqNq, PqTopN),
 
     // all-integer band + re-group; replay-exact
     "q_tpcds_tickets" ->

@@ -42,21 +42,43 @@ object Cluster {
           floor(element_at(col(vecCol), i + 1).cast("double") *
             lit(1048576.0)).cast("double").as(s"__x$i")): _*)
 
-  /** Squared distance to a centroid literal, fixed-order left fold. */
-  private def dist2(c: Array[Double], dims: Int): Column =
+  /** Squared distance to a centroid literal, fixed-order left fold,
+    * over quantized columns named `prefix0 … prefix{dims-1}`. */
+  private[sim] def dist2P(c: Array[Double], dims: Int,
+      prefix: String): Column =
     (0 until dims).map { i =>
-      val d = col(s"__x$i") - lit(c(i)); d * d
+      val d = col(s"$prefix$i") - lit(c(i)); d * d
     }.reduceLeft(_ + _)
 
-  /** `when`-cascade argmin with ties to the lower cluster id. */
-  private def argminCol(cents: Array[Array[Double]], dims: Int): Column = {
+  private def dist2(c: Array[Double], dims: Int): Column =
+    dist2P(c, dims, "__x")
+
+  /** `when`-cascade argmin with ties to the lower cluster id, over
+    * quantized columns named `prefix0 … prefix{dims-1}`. */
+  private[sim] def argminColP(cents: Array[Array[Double]], dims: Int,
+      prefix: String): Column = {
     val k = cents.length
-    val ds = cents.map(dist2(_, dims))
+    val ds = cents.map(dist2P(_, dims, prefix))
     (0 until k - 1).map { j =>
       ((j + 1) until k).map(l => ds(j) <= ds(l)).reduce(_ && _) -> j
     }.foldRight(lit(k - 1)) { case ((cond, j), rest) =>
       when(cond, lit(j)).otherwise(rest)
     }
+  }
+
+  private def argminCol(cents: Array[Array[Double]], dims: Int): Column =
+    argminColP(cents, dims, "__x")
+
+  /** Public Lloyd's fit returning only the final centroids in the
+    * QUANTIZED integer space (floor(x·2²⁰) coordinates) — the codebook
+    * entry point for [[Pq]]: callers pass a (possibly sliced) vector
+    * column and get back exact-rational centroid literals with the full
+    * engine-portability contract of [[kMeans]]. */
+  def fitQuantized(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, dims: Int): Array[Array[Double]] = {
+    val (q, cents) = fitCentroids(df, idCol, vecCol, k, iters, dims)
+    q.unpersist(blocking = false)
+    cents
   }
 
   /** Run `iters` Lloyd's iterations; returns `(idCol, cluster)`.

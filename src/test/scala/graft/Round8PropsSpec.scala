@@ -236,3 +236,77 @@ class MsprtStreamSpec extends SparkSpec {
     }
   }
 }
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sim.Pq
+
+  // three well-separated clusters in 8-d, deterministic
+  private def corpus(n: Int): Seq[(Long, Seq[Float])] = {
+    val rng = new scala.util.Random(19)
+    Seq.tabulate(n) { i =>
+      val c = i % 3
+      val base = Array.fill(8)(c * 10.0f)
+      (i.toLong, base.map(_ + rng.nextInt(100) / 100.0f).toSeq)
+    }
+  }
+
+  test("codes are in [0,k) and encode is deterministic") {
+    val df = corpus(90).toDF("id", "vec")
+    val model = Pq.fit(df, "id", "vec", dim = 8, m = 2, k = 4, iters = 2)
+    assert(model.codebooks.length == 2 &&
+      model.codebooks.forall(_.length == 4))
+    val a = Pq.encode(df, "id", "vec", model).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val b = Pq.encode(df, "id", "vec", model).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(a == b)
+    assert(a.values.forall { case (c0, c1) =>
+      c0 >= 0 && c0 < 4 && c1 >= 0 && c1 < 4 })
+  }
+
+  test("topK equals the driver-side ADC replay exactly, tie order " +
+      "included") {
+    val rows = corpus(60)
+    val df = rows.toDF("id", "vec")
+    val model = Pq.fit(df, "id", "vec", 8, m = 2, k = 4, iters = 2)
+    val queries = rows.take(3).toDF("id", "vec")
+    val got = Pq.topK(df, "id", "vec", queries, "id", "vec", 5, model)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(1))
+      .toMap
+
+    // replay: encode via the model, ADC in plain scala
+    val codes = Pq.encode(df, "id", "vec", model).collect()
+      .map(r => r.getLong(0) -> Seq(r.getInt(1), r.getInt(2))).toMap
+    def adc(q: Seq[Float], cs: Seq[Int]): Double =
+      (0 until 2).map { j =>
+        val qx = Array.tabulate(4)(i =>
+          math.floor(q(j * 4 + i).toDouble * 1048576.0))
+        val cw = model.codebooks(j)(cs(j))
+        (0 until 4).map { i => val d = qx(i) - cw(i); d * d }
+          .reduceLeft(_ + _)
+      }.reduceLeft(_ + _)
+    rows.take(3).foreach { case (qid, qvec) =>
+      val want = rows.map { case (id, _) => (adc(qvec, codes(id)), id) }
+        .sorted.take(5).map(_._2)
+      want.zipWithIndex.foreach { case (id, i) =>
+        assert(got((qid, i + 1L)) == id, s"query $qid rank ${i + 1}")
+      }
+    }
+  }
+
+  test("cluster recall: querying a corpus point returns same-cluster " +
+      "points at every rank") {
+    val rows = corpus(90)
+    val df = rows.toDF("id", "vec")
+    val model = Pq.fit(df, "id", "vec", 8, m = 2, k = 8, iters = 3)
+    val queries = rows.take(6).toDF("id", "vec")
+    val got = Pq.topK(df, "id", "vec", queries, "id", "vec", 5, model)
+      .collect()
+    assert(got.length == 30)
+    got.foreach { r =>
+      assert(r.getLong(0) % 3 == r.getLong(1) % 3,
+        s"query ${r.getLong(0)} pulled cross-cluster ${r.getLong(1)}")
+    }
+  }
+}
