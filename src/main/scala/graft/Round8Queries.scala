@@ -203,6 +203,23 @@ object Round8Queries {
         "query_id", "qvec", PqTopN, model)
     }),
 
+    // IVFADC at FULL probe: the cell pruning covers every cell, so the
+    // result must equal plain PQ ADC over the whole corpus — the oracle
+    // is literally the PQ replay, gating that the IVF path loses
+    // nothing except by pruning
+    "q_sim_ivfpq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val model = graft.sim.Pq.fit(emb, "vec_id", "embedding",
+        dim = PqDim, m = PqM, k = PqK, iters = PqIters)
+      val ivf = graft.sim.IvfIndex.fit(emb, "vec_id", "embedding",
+        nCentroids = 8)
+      graft.sim.Pq.ivfAdcTopK(ivf, model,
+        emb.filter(col("vec_id") < PqNq)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("qvec")),
+        "query_id", "qvec", PqTopN, nProbe = ivf.nCentroids)
+    }),
+
     // TPC-DS q34/q73 family: ticket-size banding — orders whose item
     // count sits in a band, re-grouped per customer, repeat customers
     // only. Shape at 100 TB: the lineitem count and the orders join are
@@ -722,6 +739,10 @@ object Round8Queries {
          FROM dv JOIN m2 ON dv.event_type = m2.e2""",
 
     "q_sim_pq" -> pqSql(PqDim, PqM, PqK, PqIters, PqNq, PqTopN),
+
+    // full probe == plain PQ over the whole corpus, so the replay
+    // oracle is the same generated SQL
+    "q_sim_ivfpq" -> pqSql(PqDim, PqM, PqK, PqIters, PqNq, PqTopN),
 
     // all-integer band + re-group; replay-exact
     "q_tpcds_tickets" ->

@@ -69,14 +69,15 @@ object Pq {
   }
 
   /** Encode each vector as `m` code columns `code_0 … code_{m-1}`
-    * (ints in [0, k)). ONE projection — no shuffle. */
+    * (ints in [0, k)), carrying `keepCols` through. ONE projection —
+    * no shuffle. */
   def encode(df: DataFrame, idCol: String, vecCol: String,
-      model: PqModel): DataFrame = {
+      model: PqModel, keepCols: Seq[String] = Nil): DataFrame = {
     val q = df.select(
-      col(idCol) +: (0 until model.m).flatMap(j =>
+      (keepCols.map(col) :+ col(idCol)) ++ (0 until model.m).flatMap(j =>
         quantCols(vecCol, model, j)): _*)
     q.select(
-      col(idCol) +: (0 until model.m).map(j =>
+      (keepCols.map(col) :+ col(idCol)) ++ (0 until model.m).map(j =>
         Cluster.argminColP(model.codebooks(j), model.subDim, s"__q${j}_")
           .as(s"code_$j")): _*)
   }
@@ -95,6 +96,59 @@ object Pq {
         val d = qx(i) - cw(i); d * d
       }.reduceLeft(_ + _)
     }
+  }
+
+  /** IVFADC (Jégou et al. §V): prune cells with an [[IvfIndex]], score
+    * only the probed cells' vectors by PQ codes — the composition a
+    * billion-vector index actually runs: the index stores (cell, id,
+    * m code bytes) and the raw vectors never participate at query time.
+    *
+    * Shape: the corpus side is the index's persisted assignment
+    * relation encoded ONCE (a projection); each query's probe cells
+    * come from the same centroid-literal expression as IvfIndex.query;
+    * the cell match is one equi-join against the broadcast (query,
+    * cell) probe relation; ADC scores via a bounded `when`-cascade over
+    * the query literals; the bounded heap finishes. With `nProbe =
+    * ivf.nCentroids` the result EQUALS [[topK]] over the whole corpus
+    * (asserted in PqSpec) — pruning is the only approximation added.
+    * Output: (qIdCol, idCol, adist, rank). */
+  def ivfAdcTopK(ivf: IvfIndex, model: PqModel, queries: DataFrame,
+      qIdCol: String, qVecCol: String, kNn: Int, nProbe: Int): DataFrame = {
+    require(nProbe >= 1 && nProbe <= ivf.nCentroids,
+      s"nProbe in [1, ${ivf.nCentroids}], got $nProbe")
+    val qs = queries.select(col(qIdCol).cast("long"), col(qVecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    require(qs.nonEmpty, "no query rows")
+    val codes = encode(ivf.assigned, ivf.idCol, ivf.vecCol, model,
+      keepCols = Seq("__cell"))
+    val pr = queries
+      .withColumn("__probe",
+        slice(array_sort(array(
+          IvfIndex.cellEntries(col(qVecCol), ivf.centroids)
+            .toIndexedSeq: _*)), 1, nProbe))
+      .select(col(qIdCol).cast("long").as("__qid"),
+        explode(col("__probe")).as("__p"))
+      .select(col("__qid"), col("__p.cell").as("__cell"))
+    val adist = qs.foldRight(lit(null).cast("double")) {
+      case ((qid, qvec), rest) =>
+        val d = (0 until model.m).map { j =>
+          element_at(lit(adcTable(qvec, model, j)), col(s"code_$j") + 1)
+        }.reduceLeft(_ + _)
+        when(col("__qid") === qid, d).otherwise(rest)
+    }
+    codes.join(broadcast(pr), Seq("__cell"))
+      .select(col("__qid"),
+        struct((-adist).as("score"),
+          col(ivf.idCol).cast("long").as("id")).as("__cand"))
+      .groupBy(col("__qid"))
+      .agg(graft.functions.TopK.collect_top_k(col("__cand"), kNn)
+        .as("__top"))
+      .select(col("__qid").as(qIdCol),
+        posexplode(col("__top")).as(Seq("__pos", "__t")))
+      .select(col(qIdCol), col("__t.id").as(ivf.idCol),
+        (-col("__t.score")).as("adist"),
+        (col("__pos") + 1).cast("long").as("rank"))
   }
 
   /** ADC top-`kNn` per query: encode the corpus, inline each query's

@@ -310,3 +310,55 @@ class PqSpec extends SparkSpec {
     }
   }
 }
+
+class IvfPqSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sim.{IvfIndex, Pq}
+
+  private def corpus(n: Int): Seq[(Long, Seq[Float])] = {
+    val rng = new scala.util.Random(31)
+    Seq.tabulate(n) { i =>
+      val c = i % 3
+      val base = Array.tabulate(8)(d => if (d % 3 == c) 10.0f else 0.0f)
+      (i.toLong, base.map(_ + rng.nextInt(100) / 100.0f).toSeq)
+    }
+  }
+
+  test("full probe == plain PQ topK row for row (pruning is the ONLY " +
+      "approximation IVFADC adds)") {
+    val rows = corpus(90)
+    val df = rows.toDF("id", "vec")
+    val model = Pq.fit(df, "id", "vec", 8, m = 2, k = 4, iters = 2)
+    val ivf = IvfIndex.fit(df, "id", "vec", nCentroids = 4)
+    try {
+      val queries = rows.take(4)
+        .map { case (i, v) => (i, v) }.toDF("qid", "qvec")
+      val full = Pq.ivfAdcTopK(ivf, model, queries, "qid", "qvec",
+        kNn = 5, nProbe = ivf.nCentroids)
+        .collect().map(r => (r.getLong(0), r.getLong(3)) ->
+          (r.getLong(1), r.getDouble(2))).toMap
+      val plain = Pq.topK(df, "id", "vec", queries, "qid", "qvec", 5, model)
+        .collect().map(r => (r.getLong(0), r.getLong(3)) ->
+          (r.getLong(1), r.getDouble(2))).toMap
+      assert(full == plain)
+    } finally ivf.release()
+  }
+
+  test("nProbe=1 on separated clusters still returns same-cluster " +
+      "neighbors") {
+    val rows = corpus(90)
+    val df = rows.toDF("id", "vec")
+    val model = Pq.fit(df, "id", "vec", 8, m = 2, k = 8, iters = 3)
+    val ivf = IvfIndex.fit(df, "id", "vec", nCentroids = 3)
+    try {
+      val queries = rows.take(6).toDF("qid", "qvec")
+      val got = Pq.ivfAdcTopK(ivf, model, queries, "qid", "qvec", 3, 1)
+        .collect()
+      assert(got.nonEmpty)
+      got.foreach { r =>
+        assert(r.getLong(0) % 3 == r.getLong(1) % 3,
+          s"query ${r.getLong(0)} pulled cross-cluster ${r.getLong(1)}")
+      }
+    } finally ivf.release()
+  }
+}
