@@ -111,6 +111,14 @@ object Round8Queries {
           col("c_custkey").as("id")), "id"),
         "id", "lat", "lon", radiusCdeg = 100)),
 
+    // grid DBSCAN over the same synthetic point set — brute-force +
+    // recursive-CTE oracle replays cores, components, borders, noise
+    "q_geo_clusters" -> ((s, d) =>
+      graft.relational.Geo.densityClusters(
+        synthCoords(t(s, d, "customer").select(
+          col("c_custkey").as("id")), "id"),
+        "id", "lat", "lon", radiusCdeg = 100, minPts = 4)),
+
     // nearest supplier site per customer within 4 degrees
     "q_geo_nearest" -> ((s, d) =>
       graft.relational.Geo.nearestSite(
@@ -485,6 +493,46 @@ object Round8Queries {
        FROM p a JOIN p b ON a.id < b.id
        WHERE (a.lat - b.lat) * (a.lat - b.lat)
            + (a.lon - b.lon) * (a.lon - b.lon) <= 10000""",
+
+    // brute-force neighbors + recursive transitive closure over core
+    // edges; min-label components and min-label border assignment
+    "q_geo_clusters" -> s"""
+       WITH RECURSIVE p AS (SELECT c_custkey AS id,
+           ${coordSql("c_custkey")} FROM customer),
+         pr AS (
+           SELECT a.id AS ia, b.id AS ib
+           FROM p a JOIN p b ON a.id < b.id
+           WHERE (a.lat - b.lat) * (a.lat - b.lat)
+               + (a.lon - b.lon) * (a.lon - b.lon) <= 10000),
+         dir AS (SELECT ia AS a, ib AS b FROM pr
+                 UNION ALL SELECT ib, ia FROM pr),
+         deg AS (SELECT p.id, count(dir.b) AS dg
+                 FROM p LEFT JOIN dir ON p.id = dir.a GROUP BY 1),
+         core AS (SELECT id FROM deg WHERE dg + 1 >= 4),
+         ce AS (SELECT a, b FROM dir
+                WHERE a IN (SELECT id FROM core)
+                  AND b IN (SELECT id FROM core)),
+         reach(a, b) AS (
+           SELECT a, b FROM ce
+           UNION
+           SELECT ce.a, reach.b FROM ce JOIN reach ON ce.b = reach.a),
+         clab AS (
+           SELECT c.id,
+             coalesce(least(c.id, r.mn), c.id) AS cluster
+           FROM core c LEFT JOIN (SELECT a, min(b) AS mn FROM reach
+                                  GROUP BY 1) r ON c.id = r.a),
+         blab AS (
+           SELECT dir.a AS id, min(clab.cluster) AS cluster
+           FROM dir JOIN clab ON dir.b = clab.id
+           WHERE dir.a NOT IN (SELECT id FROM core) GROUP BY 1)
+       SELECT p.id,
+         CASE WHEN clab.id IS NOT NULL THEN 'core'
+              WHEN blab.id IS NOT NULL THEN 'border'
+              ELSE 'noise' END AS role,
+         coalesce(clab.cluster, blab.cluster) AS cluster
+       FROM p
+       LEFT JOIN clab ON p.id = clab.id
+       LEFT JOIN blab ON p.id = blab.id""",
 
     "q_geo_nearest" -> s"""
        WITH p AS (SELECT c_custkey AS id, ${coordSql("c_custkey")}

@@ -96,6 +96,72 @@ object Geo {
           col("__lat_b"), col("__lon_b")), 6).as("haversine_km"))
   }
 
+  /** Grid DBSCAN (Ester et al. 1996, with deterministic labels): core
+    * points have ≥ `minPts` points (self included) within
+    * `radiusCdeg`; clusters are connected components of core points
+    * under the within-radius relation, labeled by the component's
+    * MINIMUM core id; border points (non-core within radius of a core)
+    * join the smallest neighboring core label; the rest is noise.
+    * Classic DBSCAN leaves border assignment order-dependent — the
+    * min-label rule here makes the full output replay-exact.
+    *
+    * Output: (idCol, role ∈ core|border|noise, cluster — null for
+    * noise).
+    *
+    * Shape at 100 TB: the neighbor relation comes from
+    * [[distanceJoin]]'s grid equi-join (never all-pairs); the degree
+    * count and border argmin are map-side-combined aggregates; the
+    * component pass is [[graft.text.Dedup.duplicateComponents]]'s
+    * driver union-find under `maxCollect` core edges with the
+    * distributed min-label propagation above it. */
+  def densityClusters(points: DataFrame, idCol: String,
+      latCdegCol: String, lonCdegCol: String, radiusCdeg: Int,
+      minPts: Int, maxCollect: Long = 1000000L): DataFrame = {
+    require(minPts >= 2, s"minPts must be >= 2, got $minPts")
+    val pairs = distanceJoin(points, idCol, latCdegCol, lonCdegCol,
+      radiusCdeg).select(col("id_a"), col("id_b")).persist()
+    val directed = pairs.unionByName(
+      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val counts = directed.groupBy(col("id_a").as("__id"))
+      .agg(count(lit(1)).as("__deg"))
+    val coreIds = counts.filter(col("__deg") + 1 >= minPts)
+      .select(col("__id"))
+    val coreEdges = pairs
+      .join(coreIds.select(col("__id").as("id_a")), Seq("id_a"),
+        "left_semi")
+      .join(coreIds.select(col("__id").as("id_b")), Seq("id_b"),
+        "left_semi")
+    val comp = graft.text.Dedup.duplicateComponents(coreEdges,
+      maxCollect = maxCollect)
+    // cores in no core-core edge are singleton clusters labeled by id
+    val coreLabels = coreIds
+      .join(comp.select(col("id_a").as("__id"), col("component")),
+        Seq("__id"), "left")
+      .select(col("__id"),
+        coalesce(col("component"), col("__id")).as("__cluster"))
+      .persist()
+    coreLabels.count() // materialize before the pair cache releases
+    val borderLabels = directed
+      .join(coreLabels.select(col("__id").as("id_b"),
+        col("__cluster")), Seq("id_b"))
+      .join(coreIds.select(col("__id").as("id_a")), Seq("id_a"),
+        "left_anti")
+      .groupBy(col("id_a").as("__id"))
+      .agg(min("__cluster").as("__bcluster"))
+    val out = points.select(col(idCol))
+      .join(coreLabels.withColumnRenamed("__id", idCol), Seq(idCol),
+        "left")
+      .join(borderLabels.withColumnRenamed("__id", idCol), Seq(idCol),
+        "left")
+      .select(col(idCol),
+        when(col("__cluster").isNotNull, lit("core"))
+          .when(col("__bcluster").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("__cluster"), col("__bcluster")).as("cluster"))
+    pairs.unpersist(blocking = false)
+    out
+  }
+
   /** Assign each left point to its nearest right "site" within
     * `radiusCdeg` (e.g. order → nearest warehouse): same grid candidate
     * generation as [[distanceJoin]], then ONE min-of-struct aggregate

@@ -362,3 +362,44 @@ class IvfPqSpec extends SparkSpec {
     } finally ivf.release()
   }
 }
+
+class DensityClustersSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.relational.Geo
+
+  test("textbook shape: two dense blobs, a bridge border point, and an " +
+      "isolated noise point") {
+    // blob A: ids 1-4 at (0,0..3); blob B: ids 10-13 at (0,200..203);
+    // border: id 20 at (0,9) — within r of core 4 only, degree 1;
+    // noise: id 30 at (0,500)
+    val pts = (Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L)) ++
+      Seq((10L, 200L), (11L, 201L), (12L, 202L), (13L, 203L)) ++
+      Seq((20L, 9L), (30L, 500L)))
+      .map { case (id, lon) => (id, 0L, lon) }
+      .toDF("id", "lat", "lon")
+    val m = Geo.densityClusters(pts, "id", "lat", "lon",
+        radiusCdeg = 6, minPts = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    Seq(1L, 2L, 3L, 4L).foreach(i => assert(m(i) == (("core", 1L)), i))
+    Seq(10L, 11L, 12L, 13L).foreach(i => assert(m(i) == (("core", 10L)), i))
+    assert(m(20L) == (("border", 1L)))
+    assert(m(30L) == (("noise", -1L)))
+  }
+
+  test("raising minPts demotes cores to border/noise, never the reverse") {
+    val rng = new scala.util.Random(5)
+    val pts = Seq.tabulate(200)(i =>
+      (i.toLong, (rng.nextInt(400)).toLong, (rng.nextInt(400)).toLong))
+      .toDF("id", "lat", "lon")
+    def roles(minPts: Int) =
+      Geo.densityClusters(pts, "id", "lat", "lon", 50, minPts)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val loose = roles(3)
+    val strict = roles(6)
+    val demote = Map("core" -> 2, "border" -> 1, "noise" -> 0)
+    strict.foreach { case (id, r) =>
+      assert(demote(r) <= demote(loose(id)), s"$id: ${loose(id)} -> $r")
+    }
+  }
+}
