@@ -581,6 +581,29 @@ object StressBench {
         replicate(docs, "doc_id", r), "text", "doc_id")
     }),
 
+    // PQ end to end at ×reps vectors (perturbed per replica): m
+    // codebook fits (iters aggregates each), the encode projection,
+    // and the ADC heap — all corpus-scan-bound by design
+    "s_pq" -> ((s, d, r) => {
+      val base = t(s, d, "embeddings")
+      val emb =
+        if (r <= 1) base
+        else base
+          .withColumn("__rep", explode(sequence(lit(0), lit(r - 1))))
+          .withColumn("vec_id", col("vec_id") * r + col("__rep"))
+          .withColumn("embedding",
+            transform(col("embedding"),
+              x => x + col("__rep").cast("float") * lit(0.001f)))
+          .drop("__rep")
+      val model = graft.sim.Pq.fit(emb, "vec_id", "embedding",
+        dim = 64, m = 4, k = 16, iters = 2)
+      graft.sim.Pq.topK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("qvec")),
+        "query_id", "qvec", 5, model)
+    }),
+
     // golden-record survivorship with ×reps rows PER ENTITY (entity set
     // fixed): the mode pre-count and max_by aggregates carry the load,
     // per-task state stays at one user's distinct values
