@@ -561,15 +561,19 @@ object StressBench {
       graft.relational.Geo.distanceJoin(tiled, "id", "lat", "lon", 100)
     }),
 
-    // decision stumps where the THRESHOLD count is the load parameter:
-    // perturbed prices give reps× distinct candidate thresholds — the
-    // per-feature cumulative window is the path under test
+    // decision stumps under the documented discipline: continuous
+    // features BIN FIRST (dollar steps — threshold count fixed at the
+    // price range), rows scale ×reps — the load rides the map-side-
+    // combined count aggregate, the per-feature window stays bounded
     "s_best_split" -> ((s, d, r) =>
       graft.relational.Scorecard.bestSplits(
-        lineitemScaled(s, d, r)
+        t(s, d, "lineitem")
+          .withColumn("__rep", explode(sequence(lit(0), lit(r - 1))))
+          .drop("__rep")
           .withColumn("y",
-            when(col("l_returnflag") === "R", 1).otherwise(0)),
-        Seq("l_extendedprice", "l_quantity"), "y")),
+            when(col("l_returnflag") === "R", 1).otherwise(0))
+          .withColumn("price_d", floor(col("l_extendedprice"))),
+        Seq("price_d", "l_quantity"), "y")),
 
     // stupid-backoff scoring of a ×reps corpus against a FIXED model:
     // the score stream (trigram explode + five model joins) scales with
