@@ -31,5 +31,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs 32 concurrent tasks in ONE JVM: an 8g heap spent the
+  // round-8 bench fighting GC (failed 1.9 GB page allocations in the x16
+  // stress block) and understates every heavy window/aggregate. 24g on
+  // the 125 GB box sizes the driver like a real deployment would.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // the generated-expression operators (PQ/kmeans codebook cascades,
+  // LangId literal profiles) emit large codegen methods; the 240m
+  // default code cache sweeps hot methods mid-suite
+  "-XX:ReservedCodeCacheSize=512m",
 )
