@@ -305,6 +305,30 @@ object Plans {
         "keys (AQE broadcasts the small ones) and aggregates per doc — " +
         "the scored corpus is never sorted or self-joined.",
         SparkEntry.queries("q_backoff_lm")(spark, d)),
+      ("q_feature_hash", "hashing-trick encode: md5 buckets + LONG-unit " +
+        "sums in ONE codegen'd Project over the scan — the only encoder " +
+        "with no fit job at all; the posexplode fans out only (id, " +
+        "bucket, value).",
+        SparkEntry.queries("q_feature_hash")(spark, d)),
+      ("q_ewma", "integer-exact EWMA: one key Exchange into the sorted " +
+        "collect, the O(n) fold and the explode back are narrow — no " +
+        "join, no window, no iteration.",
+        SparkEntry.queries("q_ewma")(spark, d)),
+      ("q_density_outliers", "HBOS: the (feature,bin) histogram " +
+        "(F·nBins rows) broadcasts back onto the long-format bins, the " +
+        "per-id product regroups once, and the cut is a bounded " +
+        "TakeOrderedAndProject — never a global sort.",
+        SparkEntry.queries("q_density_outliers")(spark, d)),
+      ("q_communities", "label propagation: rounds ran at build time " +
+        "(checkpointed); the residual plan shows the final vote — one " +
+        "edge join, one (node,label) count, a degree-bounded argmax " +
+        "window partitioned by node.",
+        SparkEntry.queries("q_communities")(spark, d)),
+      ("q_tcloseness", "t-closeness: the m-row value grid broadcasts " +
+        "onto the QI group relation; both cumulative passes window over " +
+        "≤m rows per group; one final fold — the corpus is touched by " +
+        "exactly two count aggregates.",
+        SparkEntry.queries("q_tcloseness")(spark, d)),
       ("q_decompose", "seasonal decomposition: one per-key window sort " +
         "carries the centered sum, count, and phase; the phase means " +
         "are a season-bounded aggregate joined back — detrended " +

@@ -1,0 +1,213 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-9 additions: label-propagation community detection (the
+  * deterministic-tie variant, oracled by the unrolled vote replay),
+  * t-closeness (completing the k-anonymity / l-diversity
+  * re-identification ladder), the hashing-trick feature encoder
+  * (fit-free, md5-portable), integer-exact full-horizon EWMA (the
+  * recursive-CTE oracle shows the sequential recurrence replays
+  * engine-independently), and HBOS histogram-density outlier scoring.
+  *
+  * Shared determinism rules (the Round8Queries conventions): every
+  * set-defining decision is integer/string arithmetic; floats appear
+  * only as exact power-of-two scalings or in 6-dp-rounded output
+  * columns.
+  */
+object Round9Queries {
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Customer–part co-purchase bipartite edges — the q_kcore/q_bfs
+    * graph, reused so the community structure is comparable. */
+  private def coPurchase(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+      .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("p"), col("l_partkey")).as("dst"))
+
+  private val coPurchaseSql =
+    """SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+         'p' || CAST(l.l_partkey AS VARCHAR) AS dst
+       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"""
+
+  private val LpaRounds = 3
+  private val EwmaNum = 1
+  private val EwmaK = 2
+  private val HashBuckets = 64
+  private val HashScale = 1L << 20
+  private val OutlierBins = 32
+  private val OutlierTop = 100
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // deterministic label-propagation communities over the co-purchase
+    // graph: min-label ties + self-vote, 3 synchronous rounds
+    "q_communities" -> ((s, d) =>
+      graft.relational.Graph.labelPropagation(
+        coPurchase(s, d), "src", "dst", rounds = LpaRounds)),
+
+    // t-closeness audit: does any (status, order-year) cohort's
+    // priority distribution drift more than t=0.1 EMD from the table's?
+    "q_tcloseness" -> ((s, d) =>
+      graft.relational.Analytics.tCloseness(
+        t(s, d, "orders")
+          .withColumn("o_year", year(col("o_orderdate")).cast("long")),
+        Seq("o_orderstatus", "o_year"), "o_orderpriority", t = 0.1)),
+
+    // hashing-trick encoder: two categoricals + one numeric into 64
+    // buckets, emitted sparse (bucket, value) for the oracle
+    "q_feature_hash" -> ((s, d) => {
+      val hashed = new graft.operators.FeatureHasher(
+        Seq("c_mktsegment", "c_nationkey"), Seq("c_acctbal"),
+        "fh", HashBuckets, HashScale).transform(t(s, d, "customer"))
+      hashed.select(col("c_custkey"),
+          posexplode(col("fh")).as(Seq("bucket", "v")))
+        .filter(col("v") =!= 0.0)
+    }),
+
+    // integer-exact EWMA over each user's event-value series
+    "q_ewma" -> ((s, d) =>
+      graft.relational.Eval.ewma(
+          DataQueries.readEventsMicros(s, d), Seq("user_id"), "tsu",
+          "value", alphaNum = EwmaNum, k = EwmaK)
+        .select(col("user_id").as("key"), col("tsu").as("o"),
+          col("value").as("x"), col("ewma_units"), col("ewma"))),
+
+    // HBOS density outliers: the 100 least-dense events over
+    // (value, second-of-day) 32-bin histograms — "odd amount at an odd
+    // hour" is the classic fraud read (event_id is the unique key;
+    // lineitem's (orderkey, linenumber) is NOT unique in this data)
+    "q_density_outliers" -> ((s, d) =>
+      graft.relational.Analytics.histogramOutliers(
+        DataQueries.readEventsMicros(s, d).withColumn("sod",
+          expr("(tsu % 86400000000) div 1000000")),
+        "event_id", Seq("value", "sod"),
+        nBins = OutlierBins, topN = OutlierTop))
+  )
+
+  /** DuckDB md5₆₀ of a string expression — the engine-portable hash
+    * every hashing path here shares (Corpus.hashUniform convention). */
+  private def h60(sqlExpr: String): String =
+    s"CAST(('0x' || substr(md5($sqlExpr), 1, 15)) AS BIGINT)"
+
+  /** One FeatureHasher contribution arm: bucket + signed units. */
+  private def hashArm(keyExpr: String, unitsExpr: String,
+      notNull: String): String =
+    s"""SELECT c_custkey,
+         ${h60(keyExpr)} % $HashBuckets AS b,
+         (CASE WHEN ${h60(s"'s:' || $keyExpr")} % 2 = 0
+               THEN 1 ELSE -1 END) * ($unitsExpr) AS u
+       FROM customer WHERE $notNull"""
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_communities" ->
+      graft.relational.Graph.labelPropagationSql(coPurchaseSql, LpaRounds),
+
+    // the ordered-EMD replay: every accumulation is an ordered window
+    // cumsum (fixed fold order), the violation predicate compares the
+    // 6-dp-ROUNDED emd — bit-identical to the Spark side
+    "q_tcloseness" ->
+      """WITH rows0 AS (
+           SELECT o_orderstatus AS k1,
+             CAST(year(o_orderdate) AS BIGINT) AS k2,
+             CAST(o_orderpriority AS VARCHAR) AS v
+           FROM orders WHERE o_orderpriority IS NOT NULL),
+         vals AS (SELECT v, count(*) AS cg FROM rows0 GROUP BY 1),
+         -- 'tt' not 'N': DuckDB identifiers are case-insensitive, so a
+         -- column N would capture the per-group n in the ECDF division
+         tot AS (SELECT CAST(sum(cg) AS BIGINT) AS tt,
+                   count(*) AS m FROM vals),
+         g AS (SELECT k1, k2, count(*) AS n FROM rows0 GROUP BY 1, 2),
+         gv AS (SELECT k1, k2, v, count(*) AS c
+                FROM rows0 GROUP BY 1, 2, 3),
+         grid AS (
+           SELECT g.k1, g.k2, g.n, vals.v, vals.cg, tot.tt, tot.m,
+             coalesce(gv.c, 0) AS c
+           FROM g CROSS JOIN vals CROSS JOIN tot
+           LEFT JOIN gv ON gv.k1 = g.k1 AND gv.k2 = g.k2
+             AND gv.v = vals.v),
+         cum AS (
+           SELECT *,
+             CAST(sum(c) OVER wc AS DOUBLE) / n
+               - CAST(sum(cg) OVER wc AS DOUBLE) / tt AS diff,
+             row_number() OVER wo AS rn
+           FROM grid
+           WINDOW wo AS (PARTITION BY k1, k2 ORDER BY v),
+             wc AS (PARTITION BY k1, k2 ORDER BY v
+                    ROWS UNBOUNDED PRECEDING)),
+         cum2 AS (
+           SELECT *, sum(abs(diff)) OVER wc2 AS cumabs
+           FROM cum
+           WINDOW wc2 AS (PARTITION BY k1, k2 ORDER BY v
+                          ROWS UNBOUNDED PRECEDING)),
+         emd AS (
+           SELECT k1, k2, n, m, tt,
+             round(cumabs / CAST(m - 1 AS DOUBLE), 6) AS e
+           FROM cum2 WHERE rn = m - 1)
+         SELECT CAST(0.1 AS DOUBLE) AS t,
+           count(*) AS n_groups,
+           max(m) AS m_values,
+           max(e) AS max_emd,
+           CAST(sum(CASE WHEN e > 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS violating_groups,
+           CAST(sum(CASE WHEN e > 0.1 THEN n ELSE 0 END) AS BIGINT)
+             AS violating_rows,
+           round(CAST(sum(CASE WHEN e > 0.1 THEN n ELSE 0 END) AS DOUBLE)
+             / max(tt), 6) AS violating_share
+         FROM emd""",
+
+    // integer-unit hashing replay: bucket and sign md5s, floor-quantized
+    // numeric units, free-order INTEGER sum per bucket, exact /2^20
+    "q_feature_hash" -> {
+      val arms = Seq(
+        hashArm("'c_mktsegment=' || c_mktsegment", s"$HashScale",
+          "c_mktsegment IS NOT NULL"),
+        hashArm("'c_nationkey=' || CAST(c_nationkey AS VARCHAR)",
+          s"$HashScale", "c_nationkey IS NOT NULL"),
+        hashArm("'c_acctbal'",
+          s"CAST(floor(c_acctbal * $HashScale) AS BIGINT)",
+          "c_acctbal IS NOT NULL AND NOT isnan(c_acctbal)"))
+        .mkString("\n UNION ALL\n")
+      s"""WITH f AS (
+         $arms)
+         SELECT c_custkey, CAST(b AS INT) AS bucket,
+           CAST(sum(u) AS DOUBLE) / $HashScale AS v
+         FROM f GROUP BY 1, 2 HAVING sum(u) <> 0"""
+    },
+
+    "q_ewma" -> graft.relational.Eval.ewmaSql(
+      "SELECT user_id AS key, epoch_us(ts) AS o, value AS x FROM events",
+      alphaNum = EwmaNum, k = EwmaK),
+
+    // HBOS replay: same quantization, same integer bin arithmetic
+    // (`//` and Spark's `div` both truncate on nonnegative operands),
+    // histogram joins, and the (score, id) exact-keyed cut; the score
+    // multiplies counts in FEATURE-NAME order ("sod" < "value"),
+    // matching the Spark side's sorted fold
+    "q_density_outliers" ->
+      s"""WITH src AS (
+           SELECT event_id,
+             CAST(floor(value * 1048576) AS BIGINT) AS q1,
+             CAST(floor(((epoch_us(ts) % 86400000000) // 1000000)
+               * 1048576.0) AS BIGINT) AS q2
+           FROM events
+           WHERE value IS NOT NULL AND NOT isnan(value)),
+         mm AS (SELECT min(q1) AS lo1, max(q1) AS hi1,
+                  min(q2) AS lo2, max(q2) AS hi2 FROM src),
+         b AS (SELECT event_id,
+             ((q1 - lo1) * $OutlierBins) // (hi1 - lo1 + 1) AS bv,
+             ((q2 - lo2) * $OutlierBins) // (hi2 - lo2 + 1) AS bs
+           FROM src, mm),
+         hv AS (SELECT bv, count(*) AS c FROM b GROUP BY 1),
+         hs AS (SELECT bs, count(*) AS c FROM b GROUP BY 1)
+         SELECT b.event_id, CAST(hs.c AS DOUBLE) * hv.c AS score,
+           b.bv AS bin_value, b.bs AS bin_sod
+         FROM b JOIN hv USING (bv) JOIN hs USING (bs)
+         ORDER BY score, b.event_id LIMIT $OutlierTop"""
+  )
+}

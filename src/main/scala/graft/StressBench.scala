@@ -617,6 +617,57 @@ object StressBench {
         Seq("user_id"), "ts",
         Seq(("event_type", graft.relational.Relational.ModeValue),
           ("value", graft.relational.Relational.MaxValue),
-          ("props", graft.relational.Relational.LatestValue))))
+          ("props", graft.relational.Relational.LatestValue)))),
+
+    // label propagation over ×reps DISJOINT copies of the co-purchase
+    // graph (both endpoints re-keyed per replica): nodes, edges, and
+    // communities all scale ×reps while the per-node vote stays
+    // degree-bounded — per-round work must track edges, not rounds²
+    "s_lpa" -> ((s, d, r) => {
+      val cp = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+        .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("__rep", explode(sequence(lit(0), lit(r - 1))))
+        .select(
+          concat(lit("c"), col("o_custkey"), lit("_"), col("__rep"))
+            .as("src"),
+          concat(lit("p"), col("l_partkey"), lit("_"), col("__rep"))
+            .as("dst"))
+      graft.relational.Graph.labelPropagation(cp, "src", "dst", rounds = 3)
+    }),
+
+    // EWMA with each user's series ×reps LONGER (order re-keyed per
+    // replica, user set fixed): the per-entity fold is the documented
+    // bound — cost must track total events, the agg buffers rows/users
+    "s_ewma" -> ((s, d, r) =>
+      graft.relational.Eval.ewma(
+        DataQueries.readEventsMicros(s, d)
+          .withColumn("__rep", explode(sequence(lit(0), lit(r - 1))))
+          .withColumn("tsu", col("tsu") * r + col("__rep"))
+          .drop("__rep"),
+        Seq("user_id"), "tsu", "value")),
+
+    // hashing-trick encode ×reps: a pure shuffle-free projection — the
+    // fit-free encoder's cost must be exactly the scan
+    "s_feature_hash" -> ((s, d, r) =>
+      new graft.operators.FeatureHasher(
+          Seq("c_mktsegment", "c_nationkey"), Seq("c_acctbal"), "fh", 64)
+        .transform(replicate(t(s, d, "customer"), "c_custkey", r))
+        .select(col("c_custkey"),
+          aggregate(col("fh"), lit(0.0), (a, v) => a + abs(v))
+            .as("l1"))),
+
+    // HBOS density outliers over ×reps events with per-replica value
+    // perturbation (distinct values ×reps): histogram agg stays
+    // F·nBins-bounded, the id-regroup carries the load
+    "s_density" -> ((s, d, r) =>
+      graft.relational.Analytics.histogramOutliers(
+        DataQueries.readEventsMicros(s, d)
+          .withColumn("__rep", explode(sequence(lit(0), lit(r - 1))))
+          .withColumn("event_id", col("event_id") * r + col("__rep"))
+          .withColumn("value", col("value") + col("__rep") * 0.0001)
+          .withColumn("sod", expr("(tsu % 86400000000) div 1000000"))
+          .drop("__rep"),
+        "event_id", Seq("value", "sod"), nBins = 32, topN = 100))
   )
 }

@@ -240,3 +240,79 @@ object FunctionTransformer {
   def fromOp(inputs: Seq[Seq[String]], outputs: Seq[String], op: Op) =
     new FunctionTransformer(inputs, outputs, cs => op.toColumn(cs), Some(op))
 }
+
+/** The hashing trick (Weinberger et al. 2009): project arbitrary-cardinality
+  * categorical (and optionally numeric) features into a FIXED-width vector
+  * with no fitted vocabulary at all — the encoder for feature spaces whose
+  * dictionary would not fit anywhere (user ids, URLs, n-grams) and the only
+  * encoder family that needs NO fit pass, so it scores unbounded streams
+  * with zero state. This is the signed VECTOR form;
+  * [[graft.operators.HashingEncoder]] is the scalar sibling (one ordinal
+  * bucket id per column) for tree-model pipelines. Each categorical column contributes `sign(h) · 1` at index
+  * `h mod nBuckets` of `outputCol`, where `h = md5₆₀("col=value")`; a
+  * numeric column contributes `sign · value` at `h = md5₆₀("col")` (the
+  * feature NAME owns the slot, the value rides it). Null inputs contribute
+  * nothing (the all-zeros row is the all-null row). The sign bit
+  * (`(h div nBuckets) mod 2`, independent of the bucket bits) makes
+  * collisions cancel in expectation — the variance argument of the paper.
+  *
+  * Determinism / engine portability: the hash is the md5-prefix integer
+  * every portable path here uses (never a JVM-private hash), contributions
+  * accumulate as LONGS in `scale` units (value·scale floor-quantized), and
+  * the output doubles divide by a power-of-two `scale` — integer sums are
+  * order-free and the division is exact in binary, so the vector replays
+  * bit-for-bit in any engine, collisions included.
+  *
+  * Shape at 100 TB: a pure per-row projection — no fit, no shuffle, no
+  * state; cost is O(nBuckets · nFeatures) per row (dense output), so keep
+  * `nBuckets` ≤ ~1024 here and use an exploded (row, bucket, value)
+  * relation for wider spaces. */
+class FeatureHasher(
+    val catCols: Seq[String],
+    val numCols: Seq[String],
+    val outputCol: String,
+    val nBuckets: Int,
+    val scale: Long = 1L << 20)
+    extends GraftTransformer {
+  require(catCols.nonEmpty || numCols.nonEmpty, "need at least one input")
+  require(nBuckets >= 2 && nBuckets <= 1024,
+    s"need 2 <= nBuckets <= 1024 (dense output), got $nBuckets")
+  require(scale >= 1 && (scale & (scale - 1)) == 0,
+    s"scale must be a power of two for exact output division, got $scale")
+
+  private def hash(s: Column): Column =
+    graft.functions.GraftFunctions.md5_hash60(s)
+
+  // sign from an INDEPENDENT md5 ("s:" domain-separated), not from the
+  // bucket hash's high bits — Column `/` is double division and 60-bit
+  // hashes lose exactness past 2^53, so high-bit extraction would not
+  // replay; a second md5 is portable arithmetic in every engine
+  private def signOf(s: Column): Column =
+    when(hash(concat(lit("s:"), s)) % 2 === 0, 1L).otherwise(-1L)
+
+  override def transformDF(df: DataFrame): DataFrame = {
+    // per-feature (bucket, contribution-in-scale-units) structs; null
+    // features yield a null struct, skipped by the fold below
+    val feats: Seq[Column] =
+      catCols.map { c =>
+        val key = concat(lit(c + "="), col(c).cast("string"))
+        when(col(c).isNotNull,
+          struct((hash(key) % nBuckets).cast("int").as("b"),
+            (signOf(key) * scale).as("u")))
+      } ++ numCols.map { c =>
+        val key = lit(c)
+        when(col(c).isNotNull && !isnan(col(c).cast("double")),
+          struct((hash(key) % nBuckets).cast("int").as("b"),
+            (signOf(key) * floor(col(c).cast("double") * scale)
+              .cast("long")).as("u")))
+      }
+    // `transform` the HOF, not Transformer.transform — qualify it
+    val fx = org.apache.spark.sql.functions
+    val units = fx.transform(sequence(lit(0), lit(nBuckets - 1)),
+      i => aggregate(filter(array(feats: _*), f => f.isNotNull), lit(0L),
+        (acc, f) => acc + when(f.getField("b") === i, f.getField("u"))
+          .otherwise(0L)))
+    df.withColumn(outputCol,
+      fx.transform(units, u => u.cast("double") / scale))
+  }
+}

@@ -3,6 +3,7 @@ package graft.relational
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Statistical / analytical relational operators: grouped OLS regression,
   * categorical-association scoring (chi-squared + mutual information),
@@ -1220,6 +1221,147 @@ object Analytics {
         .as("violating_rows"),
       round(sum(when(col("__d") < l, col("__c")).otherwise(0L))
         .cast("double") / sum("__c"), 6).as("violating_share"))
+  }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    * rung of the re-identification ladder after [[kAnonymity]] and
+    * [[lDiversity]]: a QI group can be large AND diverse yet still leak
+    * if its sensitive-value DISTRIBUTION differs from the table's (the
+    * "everyone in this zip code skews high-risk" disclosure). Per QI
+    * group, the Earth Mover's Distance between the group's distribution
+    * over the ORDERED sensitive values and the global one —
+    * `EMD = (1/(m-1)) · Σᵢ |Σ_{j≤i} (p_j − q_j)|` over the m global
+    * values in sort order (the ordered-attribute EMD of the paper §4.2;
+    * for a nominal attribute order is still applied lexicographically
+    * and the metric degrades to a cumulative variational distance —
+    * document the column you pass). One row
+    * `(t, n_groups, m_values, max_emd, violating_groups,
+    * violating_rows, violating_share)`; a group violates when its
+    * 6-dp-rounded EMD exceeds `t`.
+    *
+    * Determinism: every float enters through a division of exact
+    * integer counts and every accumulation is an ORDERED window cumsum
+    * (fixed left-to-right order — bit-identical in any engine), never a
+    * free-order aggregate; the violation predicate compares the
+    * 6-dp-ROUNDED EMD, so ulps cannot flip a group across `t`.
+    *
+    * Shape at 100 TB: the global value relation is m rows (sensitive
+    * cardinality — bin continuous attributes first), broadcast onto the
+    * group relation; the grid is groups × m with two degree-bounded
+    * per-group window passes and one final fold — no global sort, no
+    * driver state. */
+  def tCloseness(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, t: Double = 0.2): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(t > 0.0 && t < 1.0, s"need 0 < t < 1, got $t")
+    val pKeys = qiCols.map(col)
+    val sv = col(sensitiveCol).cast("string")
+    val rows = df.select((pKeys :+ sv.as("__v")): _*)
+      .filter(col("__v").isNotNull)
+    val vals = rows.groupBy("__v").agg(count(lit(1)).as("__cg"))
+    val g = rows.groupBy(pKeys: _*).agg(count(lit(1)).as("__n"))
+    val gv = rows.groupBy((pKeys :+ col("__v")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wOrd = Window.partitionBy(pKeys: _*).orderBy(col("__v"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val grid = g.crossJoin(broadcast(
+        vals.crossJoin(vals.agg(sum("__cg").as("__tot"),
+          count(lit(1)).as("__mv")))))
+      .join(gv, qiCols :+ "__v", "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
+    val emd = grid
+      .withColumn("__diff",
+        sum("__c").over(wCum).cast("double") / col("__n") -
+          sum("__cg").over(wCum).cast("double") / col("__tot"))
+      .withColumn("__rn", row_number().over(wOrd))
+      // Σ_{i=1..m-1} |cumdiff_i| as an ordered running sum read at
+      // row m-1 — the free-order agg would break cross-engine replay
+      .withColumn("__cumabs", sum(abs(col("__diff"))).over(wCum))
+      .filter(col("__rn") === col("__mv") - 1)
+      .select((pKeys :+ col("__n") :+
+        round(col("__cumabs") / (col("__mv") - 1).cast("double"), 6)
+          .as("__emd") :+ col("__mv") :+ col("__tot")): _*)
+    emd.agg(
+      lit(t).as("t"),
+      count(lit(1)).as("n_groups"),
+      max("__mv").as("m_values"),
+      max("__emd").as("max_emd"),
+      sum(when(col("__emd") > t, 1L).otherwise(0L))
+        .as("violating_groups"),
+      sum(when(col("__emd") > t, col("__n")).otherwise(0L))
+        .as("violating_rows"),
+      round(sum(when(col("__emd") > t, col("__n")).otherwise(0L))
+        .cast("double") / max("__tot"), 6).as("violating_share"))
+  }
+
+  /** Histogram-based outlier scoring (HBOS, Goldstein & Dengel 2012) —
+    * the linear-time unsupervised anomaly detector: each feature is
+    * equal-width binned, a row's score is the PRODUCT of its bins'
+    * occupancy counts (HBOS sums log-densities; the product is the same
+    * ranking with no transcendental in the decision path), and the
+    * `topN` LOWEST-density rows come back as
+    * `(idCol, score, bin_<feature>…)` ordered `(score ASC, id ASC)`.
+    *
+    * Determinism: features floor-quantize to 2^20 units, bin =
+    * `((xq−min)·nBins) div range` is pure integer arithmetic (truncating
+    * `div` on nonnegative operands ⇒ identical in any engine), counts
+    * are integers, and the score multiplies the per-feature counts in
+    * FEATURE-NAME order (a fixed-order fold, exact in double up to 2^53
+    * — the bound `nRows^nFeatures < 2^53` is the documented domain;
+    * above it, pre-aggregate or sample). Ties cannot reorder the cut:
+    * the sort key is (score, id), both exact. Rows with a null/NaN
+    * feature are dropped (outlier scoring needs complete vectors).
+    *
+    * Shape at 100 TB: one bounded global min/max aggregate (2F values
+    * to the driver), ONE (feature, bin)-keyed count shuffle whose
+    * result is F·nBins rows (broadcast back), one id-keyed regroup with
+    * F-bounded per-row state, and a TakeOrdered heap for the cut — no
+    * global sort, no driver loops. */
+  def histogramOutliers(df: DataFrame, idCol: String,
+      featureCols: Seq[String], nBins: Int = 32, topN: Int = 100)
+      : DataFrame = {
+    require(featureCols.nonEmpty, "need at least one feature column")
+    require(nBins >= 2 && nBins <= 4096, s"2 <= nBins <= 4096, got $nBins")
+    require(topN >= 1, s"topN >= 1, got $topN")
+    val scale = 1L << 20
+    val complete = featureCols
+      .map(c => col(c).isNotNull && !isnan(col(c).cast("double")))
+      .reduce(_ && _)
+    val q = df.filter(complete && col(idCol).isNotNull)
+      .select((col(idCol).as("__id") +:
+        featureCols.map(c =>
+          floor(col(c).cast("double") * scale).cast("long").as(s"__q_$c")))
+        : _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val mm = q.agg(
+      featureCols.flatMap(c => Seq(min(s"__q_$c").as(s"lo_$c"),
+        max(s"__q_$c").as(s"hi_$c"))).head,
+      featureCols.flatMap(c => Seq(min(s"__q_$c").as(s"lo_$c"),
+        max(s"__q_$c").as(s"hi_$c"))).tail: _*).head()
+    val binned = featureCols.foldLeft(q) { (d, c) =>
+      val lo = mm.getAs[Long](s"lo_$c")
+      val range = mm.getAs[Long](s"hi_$c") - lo + 1L
+      d.withColumn(s"bin_$c",
+        expr(s"((`__q_$c` - ${lo}L) * ${nBins}L) div ${range}L"))
+    }.select(col("__id") +: featureCols.map(c => col(s"bin_$c")): _*)
+      .localCheckpoint(true)
+    q.unpersist(blocking = false)
+    val long = binned.select(col("__id"), explode(array(
+      featureCols.map(c =>
+        struct(lit(c).as("__f"), col(s"bin_$c").as("__b"))): _*)).as("__e"))
+      .select(col("__id"), col("__e.__f"), col("__e.__b"))
+    val hist = long.groupBy("__f", "__b").agg(count(lit(1)).as("__cnt"))
+    val scored = long.join(broadcast(hist), Seq("__f", "__b"))
+      .groupBy("__id")
+      .agg(sort_array(collect_list(struct(col("__f"), col("__cnt"))))
+        .as("__fs"))
+      .withColumn("score", aggregate(col("__fs"), lit(1.0),
+        (acc, e) => acc * e.getField("__cnt")))
+      .select(col("__id").as(idCol), col("score"))
+    scored.join(binned.withColumnRenamed("__id", idCol), idCol)
+      .orderBy(col("score").asc, col(idCol).asc)
+      .limit(topN)
   }
 
   /** Per-series completeness audit over an integer period axis (days,

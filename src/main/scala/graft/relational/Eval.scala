@@ -1959,4 +1959,107 @@ object Eval {
       .withColumn("alarm", col(out) > h)
       .drop("__p")
   }
+
+  /** Per-key EWMA (full-horizon exponential smoothing) as an EXACT
+    * integer recurrence: values floor-quantize to `scale` units and
+    * `s₁ = x₁·scale`, `sₜ = sₜ₋₁ + ((xₜ·scale − sₜ₋₁) · alphaNum) >> k`
+    * with α = alphaNum/2^k — the arithmetic shift is floor division by
+    * a power of two in BOTH Spark (`shiftright`) and ANSI engines
+    * (`>>`), so every step replays bit-for-bit anywhere, unlike a
+    * float recurrence whose ulps compound per step. Unlike
+    * [[graft.relational.Analytics.decayedValue]] (a windowed last-N
+    * approximation with a (1−α)^N tail error), this is the true
+    * infinite-horizon EWMA; it is also the batch twin of a streaming
+    * scorer whose ENTIRE per-key state is one long. Returns one row
+    * per input event: `(keys…, orderCol, valueCol, ewma_units, ewma)`
+    * with `ewma = round(units/scale, 6)` (power-of-two scaling — the
+    * division is exact binary).
+    *
+    * A true sequential fold has no window closed form (floor rounding
+    * kills the cusum trick), so each key's series is collected sorted
+    * and folded in ONE O(n) pass — a JVM fold over the entity-bounded
+    * array, the documented UDF escape hatch, chosen deliberately: the
+    * `aggregate` HOF's array-concat accumulator copies the prefix every
+    * step (O(n²) per key — measured unusable at thousands of events per
+    * entity), while the fold is pure integer arithmetic with no
+    * engine-variant operation in it. Per-entity-bounded contract shared
+    * with sessionize/packSequences/goldenRecord (series length bounded
+    * per entity; resample first if not). Rows with null order/value are
+    * dropped. Overflow bound: |x|·scale·alphaNum < 2^63 — defaults
+    * allow |x| up to ~2^35.
+    *
+    * Shape at 100 TB: one key-partitioned aggregation (the sort is
+    * per-key, inside the agg buffer) and one explode back — no joins,
+    * no iteration, no driver state. */
+  def ewma(df: DataFrame, keys: Seq[String], orderCol: String,
+      valueCol: String, alphaNum: Int = 1, k: Int = 2,
+      scale: Long = 1L << 20): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    require(k >= 1 && k <= 16, s"need 1 <= k <= 16, got $k")
+    require(alphaNum >= 1 && alphaNum <= (1 << k),
+      s"need 1 <= alphaNum <= 2^k, got $alphaNum")
+    require(scale >= 1 && (scale & (scale - 1)) == 0,
+      s"scale must be a power of two, got $scale")
+    val pKeys = keys.map(col)
+    val series = df
+      .select((pKeys :+ col(orderCol).cast("long").as("__o") :+
+        col(valueCol).cast("double").as("__x")): _*)
+      .filter(col("__o").isNotNull && col("__x").isNotNull &&
+        !isnan(col("__x")))
+      .withColumn("__xq", floor(col("__x") * scale).cast("long"))
+      .groupBy(pKeys: _*)
+      .agg(sort_array(collect_list(
+        struct(col("__o"), col("__xq"), col("__x")))).as("__s"))
+    // Scala >> on Long is Spark's shiftright (arithmetic) — the same
+    // floor division by 2^k the oracle's `>>` performs
+    val foldUdf = udf((arr: Seq[org.apache.spark.sql.Row]) => {
+      var init = false
+      var s = 0L
+      val out = new Array[Long](arr.length)
+      var i = 0
+      arr.foreach { r =>
+        val xq = r.getLong(1) // (__o, __xq, __x) struct field order
+        s = if (!init) { init = true; xq }
+            else s + (((xq - s) * alphaNum) >> k)
+        out(i) = s
+        i += 1
+      }
+      out
+    })
+    val folded = series.withColumn("__e", foldUdf(col("__s")))
+    folded
+      .select((pKeys :+
+        explode(arrays_zip(col("__s"), col("__e"))).as("__z")): _*)
+      .select((pKeys :+
+        col("__z.__s.__o").as(orderCol) :+
+        col("__z.__s.__x").as(valueCol) :+
+        col("__z.__e").as("ewma_units") :+
+        round(col("__z.__e").cast("double") / scale, 6).as("ewma")): _*)
+  }
+
+  /** Generated EWMA oracle: the identical integer recurrence as a
+    * recursive CTE from the same (alphaNum, k, scale). `srcCte` must
+    * yield columns (key, o, x); ties in `o` break on (xq, x) exactly
+    * like the Spark side's full-struct `sort_array`. */
+  def ewmaSql(srcCte: String, alphaNum: Int = 1, k: Int = 2,
+      scale: Long = 1L << 20): String = {
+    s"""WITH RECURSIVE src AS ($srcCte),
+       |q AS (
+       |  SELECT key, o, x,
+       |    CAST(floor(x * $scale) AS BIGINT) AS xq,
+       |    row_number() OVER (
+       |      PARTITION BY key
+       |      ORDER BY o, CAST(floor(x * $scale) AS BIGINT), x) AS rn
+       |  FROM src
+       |  WHERE o IS NOT NULL AND x IS NOT NULL AND NOT isnan(x)),
+       |r AS (
+       |  SELECT key, rn, o, x, xq AS s FROM q WHERE rn = 1
+       |  UNION ALL
+       |  SELECT q.key, q.rn, q.o, q.x,
+       |    r.s + (((q.xq - r.s) * $alphaNum) >> $k)
+       |  FROM r JOIN q ON q.key = r.key AND q.rn = r.rn + 1)
+       |SELECT key, o, x, CAST(s AS BIGINT) AS ewma_units,
+       |  round(CAST(s AS DOUBLE) / $scale, 6) AS ewma
+       |FROM r""".stripMargin
+  }
 }

@@ -1,6 +1,7 @@
 package graft.relational
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -254,6 +255,95 @@ object Graph {
        |FROM und JOIN a$maxRounds x ON und.s = x.node
        |         JOIN a$maxRounds y ON und.d = y.node
        |GROUP BY 1""".stripMargin
+  }
+
+  /** Community detection by synchronous label propagation (Raghavan,
+    * Albert & Kumara 2007) with DETERMINISTIC rules, so any engine
+    * replays the identical communities: labels start as the node id;
+    * each round every node adopts the most frequent label among its
+    * neighbors PLUS one self-vote (the self-vote removes the classic
+    * 2-cycle oscillation of synchronous LPA on bipartite structure),
+    * with ties broken by the LEXICOGRAPHICALLY SMALLEST label. Classic
+    * LPA breaks ties randomly and is run-order dependent — useless for
+    * a pipeline whose sampling/curation decisions must replay years
+    * later; this variant is a pure integer/string fixpoint iteration.
+    * Edges are symmetrized and deduped (undirected simple graph),
+    * self-loops dropped. Returns `(node, community)` after `rounds`
+    * rounds (or the earlier fixpoint — a converged labeling is
+    * invariant under further rounds, so the short-circuit is safe
+    * under the always-unrolled oracle, exactly like [[kCore]]).
+    *
+    * Shape at 100 TB: per round, ONE join of the persisted edge
+    * relation against the node-sized label relation, one
+    * (node, label)-keyed count aggregate (map-side combined), and one
+    * per-node argmax window — partitioned by node, so the sort is
+    * degree-bounded per node, never global. `localCheckpoint`
+    * truncates the iterative lineage like [[pageRank]]'s loop; the
+    * fixpoint check rides the same action. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 30,
+      s"need 1 <= rounds <= 30, got $rounds")
+    val dir = edges.select(col(srcCol).cast("string").as("s"),
+      col(dstCol).cast("string").as("d"))
+    val e = dir.union(dir.select(col("d").as("s"), col("s").as("d")))
+      .filter(col("s") =!= col("d")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = e.select(col("s").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint(true)
+    val byVote = Window.partitionBy(col("node"))
+      .orderBy(col("__cnt").desc, col("label").asc)
+    var round = 1
+    var done = false
+    while (round <= rounds && !done) {
+      val votes = e.join(labels.withColumnRenamed("node", "s"), "s")
+        .select(col("d").as("node"), col("label"))
+        .union(labels)
+      val next = votes
+        .groupBy("node", "label").agg(count(lit(1)).as("__cnt"))
+        .withColumn("__rn", row_number().over(byVote))
+        .filter(col("__rn") === 1).select("node", "label")
+        .localCheckpoint(true)
+      // fixpoint: a round that changes nothing leaves every later
+      // round identical (the vote inputs are a pure function of the
+      // labeling) — short-circuit like kCore's peeling
+      val changed = next.join(labels.withColumnRenamed("label", "__old"),
+        "node").filter(col("label") =!= col("__old")).count()
+      labels = next
+      if (changed == 0L) done = true else round += 1
+    }
+    e.unpersist(blocking = false)
+    labels.withColumnRenamed("label", "community")
+  }
+
+  /** Generated label-propagation oracle: the identical deterministic
+    * vote replay as unrolled SQL CTEs from the same `rounds`.
+    * `edgesCte` must yield (src, dst). (The SQL always unrolls all
+    * rounds — past the fixpoint each round reproduces the previous
+    * labeling, matching the Spark short-circuit.) */
+  def labelPropagationSql(edgesCte: String, rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""v$r AS (
+         |  SELECT und.d AS node, l.label
+         |  FROM und JOIN l${r - 1} l ON und.s = l.node
+         |  UNION ALL SELECT node, label FROM l${r - 1}),
+         |l$r AS (
+         |  SELECT node, label FROM (
+         |    SELECT node, label, row_number() OVER (
+         |      PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+         |    FROM (SELECT node, label, count(*) AS cnt
+         |          FROM v$r GROUP BY 1, 2))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS ($edgesCte),
+       |dirn AS (SELECT CAST(src AS VARCHAR) AS s,
+       |           CAST(dst AS VARCHAR) AS d FROM e0),
+       |und AS (SELECT DISTINCT s, d FROM
+       |  (SELECT s, d FROM dirn UNION ALL SELECT d, s FROM dirn)
+       |  WHERE s <> d),
+       |l0 AS (SELECT DISTINCT s AS node, s AS label FROM und),
+       |$steps
+       |SELECT node, label AS community FROM l$rounds""".stripMargin
   }
 
   /** Generated oracle: the identical integer replay as unrolled SQL CTEs

@@ -440,6 +440,58 @@ object Streaming {
       }
   }
 
+  case class EwmaEvent(key: String, o: Long, x: Double)
+  case class EwmaState(init: Boolean, s: Long)
+  case class EwmaPoint(key: String, o: Long, x: Double, ewma_units: Long,
+    ewma: Double)
+
+  /** Streaming EWMA — the stateful twin of
+    * [[graft.relational.Eval.ewma]], and the reason that operator is an
+    * integer recurrence at all: the ENTIRE per-key state is ONE long
+    * (the smoothed value in `scale` units) plus an init flag, folded
+    * with the identical arithmetic (`floor-quantize, then
+    * s += ((xq − s)·alphaNum) >> k` — Scala's `>>` on Long IS Spark's
+    * `shiftright`), so after any prefix of micro-batches the emitted
+    * points EQUAL batch `ewma` over the same events, unit for unit
+    * (EwmaStreamSpec). Events inside a micro-batch fold in the batch
+    * side's exact sort order (o, xq, x); CROSS-batch order is the
+    * arrival order, the streaming contract (feed in event order).
+    * NaN values drop, matching the batch filter. Emits one point per
+    * input event in Update mode. */
+  def ewmaStream(events: Dataset[EwmaEvent], alphaNum: Int = 1,
+      k: Int = 2, scale: Long = 1L << 20): Dataset[EwmaPoint] = {
+    require(k >= 1 && k <= 16, s"need 1 <= k <= 16, got $k")
+    require(alphaNum >= 1 && alphaNum <= (1 << k),
+      s"need 1 <= alphaNum <= 2^k, got $alphaNum")
+    require(scale >= 1 && (scale & (scale - 1)) == 0,
+      s"scale must be a power of two, got $scale")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[EwmaEvent],
+            state: GroupState[EwmaState]) =>
+          var st = state.getOption.getOrElse(EwmaState(false, 0L))
+          val pts = it.filter(e => !e.x.isNaN).toArray
+            .sortBy(e => (e.o, math.floor(e.x * scale).toLong, e.x))
+            .map { e =>
+              val xq = math.floor(e.x * scale).toLong
+              val sNew =
+                if (!st.init) xq
+                else st.s + (((xq - st.s) * alphaNum) >> k)
+              st = EwmaState(init = true, sNew)
+              // Spark round() is HALF_UP BigDecimal — replicate it so
+              // the point is bit-equal to the batch column
+              EwmaPoint(key, e.o, e.x, sNew,
+                BigDecimal(sNew.toDouble / scale)
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            }
+          state.update(st)
+          pts.iterator
+      }
+  }
+
   case class GrEvent(key: String, ts: Long, cat: String, value: Double,
     payload: String)
   case class GrState(catCounts: Map[String, Long], maxValue: Double,
