@@ -329,6 +329,11 @@ object Plans {
         "≤m rows per group; one final fold — the corpus is touched by " +
         "exactly two count aggregates.",
         SparkEntry.queries("q_tcloseness")(spark, d)),
+      ("q_monotonic_bins", "monotonic WOE binning: one corpus aggregate " +
+        "to ≤32 pre-bins; the isotonic minimax joins and the pooling " +
+        "window all run on that bin relation — dictionary-sized " +
+        "arithmetic after a single scan.",
+        SparkEntry.queries("q_monotonic_bins")(spark, d)),
       ("q_decompose", "seasonal decomposition: one per-key window sort " +
         "carries the centered sum, count, and phase; the phase means " +
         "are a season-bounded aggregate joined back — detrended " +

@@ -86,8 +86,63 @@ object Round9Queries {
         DataQueries.readEventsMicros(s, d).withColumn("sod",
           expr("(tsu % 86400000000) div 1000000")),
         "event_id", Seq("value", "sod"),
-        nBins = OutlierBins, topN = OutlierTop))
+        nBins = OutlierBins, topN = OutlierTop)),
+
+    // hybrid retrieval: RRF-fuse the BM25 top-200 with the
+    // unigram-quality top-200 (both ranked on ROUNDED metrics after a
+    // bounded TakeOrdered cut — never a global window over the corpus)
+    "q_rrf" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      def topRanked(scored: DataFrame): DataFrame = scored
+        .orderBy(col("m").desc, col("doc_id")).limit(RrfTop)
+        // bounded: ranked AFTER limit(RrfTop)
+        .withColumn("rank", row_number().over(graft.util.BoundedWindow
+          .global(col("m").desc, col("doc_id"))))
+        .select("doc_id", "rank")
+      val lexical = topRanked(
+        graft.text.Ranking.bm25(docs, "text", "doc_id",
+            Seq("the", "data", "model"))
+          .select(col("doc_id"), round(col("bm25"), 6).as("m")))
+      val quality = topRanked(
+        graft.text.Ranking.unigramLogProb(docs, "text", "doc_id")
+          .select(col("doc_id"), round(col("avg_logprob"), 6).as("m")))
+      graft.text.Ranking.rrfFuse(Seq(lexical, quality), Nil, "doc_id",
+        kk = RrfK)
+    }),
+
+    // incremental IVF: fit on the even half, add() the odd half, query
+    // at FULL probe — exact by construction, so the result must equal
+    // the one-shot q_sim_ivf bit for bit (same oracle) even though the
+    // quantizer only ever saw half the corpus
+    "q_sim_ivf_add" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val idx = graft.sim.IvfIndex.fit(
+          emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+          nCentroids = 16)
+        .add(emb.filter(col("vec_id") % 2 === 1))
+      val out = idx.query(queries, "query_id", "qvec", k = 5, nProbe = 16)
+        .select(col("query_id"), col("vec_id"),
+          round(col("sim"), 6).as("sim"))
+        .localCheckpoint(true)
+      idx.release()
+      out
+    }),
+
+    // scorecard coarse classing: isotonic-pooled monotonic WOE bins of
+    // order value against the fell-through label
+    "q_monotonic_bins" -> ((s, d) =>
+      graft.relational.Scorecard.monotonicBins(
+        t(s, d, "orders").withColumn("y",
+          when(col("o_orderstatus") === "F", 1).otherwise(0)),
+        "o_totalprice", "y", nPreBins = MonoBins))
   )
+
+  private val MonoBins = 32
+
+  private val RrfTop = 200
+  private val RrfK = 60
 
   /** DuckDB md5₆₀ of a string expression — the engine-portable hash
     * every hashing path here shares (Corpus.hashUniform convention). */
@@ -107,6 +162,63 @@ object Round9Queries {
 
     "q_communities" ->
       graft.relational.Graph.labelPropagationSql(coPurchaseSql, LpaRounds),
+
+    // full probe is exact, so fit-half + add-half answers the identical
+    // brute-force oracle as the one-shot fit
+    "q_sim_ivf_add" -> DataQueries.oracleSql("q_sim_ivf"),
+
+    // the EvalQueries isotonic CTE chain over equal-width quantized
+    // pre-bins, then pooling on the bit-identical fitted doubles
+    "q_monotonic_bins" ->
+      s"""WITH src AS (
+           SELECT CAST(floor(o_totalprice * 1048576) AS BIGINT) AS xq,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+           FROM orders
+           WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)),
+         mx AS (SELECT min(xq) AS lo, max(xq) AS hi FROM src),
+         b AS (
+           SELECT ((xq - lo) * $MonoBins) // (hi - lo + 1) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos
+           FROM src, mx GROUP BY 1),
+         c AS (
+           SELECT bin, n, n_pos,
+             CAST(sum(n) OVER w AS BIGINT) AS cn,
+             CAST(sum(n_pos) OVER w AS BIGINT) AS cp
+           FROM b WINDOW w AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)),
+         seg AS (
+           SELECT i.bin AS bi, j.bin AS bj,
+             CAST(j.cp - (i.cp - i.n_pos) AS DOUBLE) /
+               CAST(j.cn - (i.cn - i.n) AS DOUBLE) AS a
+           FROM c i JOIN c j ON i.bin <= j.bin),
+         mmx AS (
+           SELECT k.bin AS bin, seg.bi, min(seg.a) AS mn
+           FROM seg JOIN b k ON seg.bi <= k.bin AND seg.bj >= k.bin
+           GROUP BY 1, 2),
+         iso AS (SELECT bin, max(mn) AS iso FROM mmx GROUP BY 1),
+         p AS (
+           SELECT b.bin, b.n, b.n_pos, iso.iso,
+             CASE WHEN lag(iso.iso) OVER (ORDER BY b.bin) IS NULL
+                    OR iso.iso <> lag(iso.iso) OVER (ORDER BY b.bin)
+                  THEN 1 ELSE 0 END AS chg
+           FROM b JOIN iso USING (bin)),
+         pl AS (
+           SELECT *, CAST(sum(chg) OVER
+             (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pool
+           FROM p),
+         g AS (
+           SELECT pool, min(bin) AS bin_lo, max(bin) AS bin_hi,
+             CAST(sum(n) AS BIGINT) AS n,
+             CAST(sum(n_pos) AS BIGINT) AS n_pos,
+             max(iso) AS iso
+           FROM pl GROUP BY 1),
+         t AS (SELECT CAST(sum(n_pos) AS BIGINT) AS pt,
+                 CAST(sum(n - n_pos) AS BIGINT) AS nt FROM g)
+         SELECT pool, bin_lo, bin_hi, n, n_pos,
+           round(iso, 6) AS iso_rate,
+           round(ln(((n - n_pos + 0.5) / t.nt) / ((n_pos + 0.5) / t.pt)),
+             6) AS woe
+         FROM g, t""",
 
     // the ordered-EMD replay: every accumulation is an ordered window
     // cumsum (fixed fold order), the violation predicate compares the
@@ -183,6 +295,64 @@ object Round9Queries {
     "q_ewma" -> graft.relational.Eval.ewmaSql(
       "SELECT user_id AS key, epoch_us(ts) AS o, value AS x FROM events",
       alphaNum = EwmaNum, k = EwmaK),
+
+    // RRF replay: the same rounded-metric rankings, post-limit ranks,
+    // fixed-order 1/(kk+r) sum (IEEE-exact both engines, NOT rounded —
+    // per-row arithmetic), and the (score DESC, id) re-rank
+    "q_rrf" ->
+      s"""WITH tk AS (
+           SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+           FROM documents),
+         st AS (
+           SELECT count(*) AS n, avg(len(ts)) AS avgdl,
+             sum(CASE WHEN list_contains(ts, 'the') THEN 1 ELSE 0 END)
+               AS df_the,
+             sum(CASE WHEN list_contains(ts, 'data') THEN 1 ELSE 0 END)
+               AS df_data,
+             sum(CASE WHEN list_contains(ts, 'model') THEN 1 ELSE 0 END)
+               AS df_model
+           FROM tk),
+         bm AS (
+           SELECT tk.doc_id, round(coalesce(
+             ln(1 + (st.n - st.df_the + 0.5) / (st.df_the + 0.5)) *
+               (len(list_filter(ts, x -> x = 'the')) * 2.2) /
+               (len(list_filter(ts, x -> x = 'the')) +
+                1.2 * (0.25 + 0.75 * len(ts) / st.avgdl)) +
+             ln(1 + (st.n - st.df_data + 0.5) / (st.df_data + 0.5)) *
+               (len(list_filter(ts, x -> x = 'data')) * 2.2) /
+               (len(list_filter(ts, x -> x = 'data')) +
+                1.2 * (0.25 + 0.75 * len(ts) / st.avgdl)) +
+             ln(1 + (st.n - st.df_model + 0.5) / (st.df_model + 0.5)) *
+               (len(list_filter(ts, x -> x = 'model')) * 2.2) /
+               (len(list_filter(ts, x -> x = 'model')) +
+                1.2 * (0.25 + 0.75 * len(ts) / st.avgdl)), 0.0), 6) AS m
+           FROM tk, st),
+         tok AS (
+           SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+           FROM documents),
+         f AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+         tot AS (SELECT count(*) AS nt FROM tok),
+         uq AS (
+           SELECT doc_id,
+             round(avg(ln(CAST(f.c AS DOUBLE) / tot.nt)), 6) AS m
+           FROM tok JOIN f USING (t), tot GROUP BY doc_id),
+         a AS (SELECT doc_id, row_number() OVER
+                 (ORDER BY m DESC, doc_id) AS r FROM bm),
+         a2 AS (SELECT doc_id, r FROM a WHERE r <= $RrfTop),
+         b AS (SELECT doc_id, row_number() OVER
+                 (ORDER BY m DESC, doc_id) AS r FROM uq),
+         b2 AS (SELECT doc_id, r FROM b WHERE r <= $RrfTop),
+         fused AS (
+           SELECT doc_id, a2.r AS rank_0, b2.r AS rank_1,
+             coalesce(1.0 / ($RrfK + a2.r), 0.0)
+               + coalesce(1.0 / ($RrfK + b2.r), 0.0) AS rrf_score
+           FROM a2 FULL OUTER JOIN b2 USING (doc_id))
+         SELECT doc_id, rank_0, rank_1, rrf_score,
+           CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+             AS BIGINT) AS fused_rank
+         FROM fused""",
 
     // HBOS replay: same quantization, same integer bin arithmetic
     // (`//` and Spark's `div` both truncate on nonnegative operands),

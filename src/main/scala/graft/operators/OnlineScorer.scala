@@ -159,6 +159,30 @@ object OnlineScorer {
             r + (out -> result)
         }
 
+      case t: FeatureHasher =>
+        // the batch expression, arithmetic step for step: md5 bucket,
+        // independent md5 sign, LONG-unit accumulation, exact /scale
+        def h60(s: String): Long =
+          graft.functions.Md5Hash60.top60(s.getBytes("UTF-8"))
+        def signOf(key: String): Long =
+          if (h60(s"s:$key") % 2 == 0) 1L else -1L
+        row => {
+          val units = new Array[Long](t.nBuckets)
+          t.catCols.foreach { c =>
+            Option(row.getOrElse(c, null)).foreach { v =>
+              val key = s"$c=${str(v)}"
+              units((h60(key) % t.nBuckets).toInt) += signOf(key) * t.scale
+            }
+          }
+          t.numCols.foreach { c =>
+            Option(row.getOrElse(c, null)).flatMap(numOpt).filterNot(_.isNaN).foreach { x =>
+              units((h60(c) % t.nBuckets).toInt) +=
+                signOf(c) * math.floor(x * t.scale).toLong
+            }
+          }
+          row + (t.outputCol -> units.map(_.toDouble / t.scale).toSeq)
+        }
+
       case t: MapTransformer =>
         row => t.inputs.zip(t.outputs).foldLeft(row) {
           case (r, (in, out)) =>

@@ -163,6 +163,11 @@ object GraftPersistence {
       "type" -> JString("HashingEncoder"),
       "inputs" -> jstrs(t.inputs), "outputs" -> jstrs(t.outputs),
       "numBuckets" -> JInt(t.numBuckets))
+    case t: FeatureHasher => JObject(
+      "type" -> JString("FeatureHasher"),
+      "catCols" -> jstrs(t.catCols), "numCols" -> jstrs(t.numCols),
+      "outputCol" -> JString(t.outputCol),
+      "nBuckets" -> JInt(t.nBuckets), "scale" -> JInt(t.scale))
     case m: TargetEncoderModel => JObject(
       "type" -> JString("TargetEncoderModel"),
       "ins" -> jstrs(m.ins), "outs" -> jstrs(m.outs),
@@ -347,6 +352,11 @@ object GraftPersistence {
       case "HashingEncoder" =>
         new HashingEncoder(strs(j \ "inputs"), strs(j \ "outputs"),
           (j \ "numBuckets").asInstanceOf[JInt].num.toInt)
+      case "FeatureHasher" =>
+        new FeatureHasher(strs(j \ "catCols"), strs(j \ "numCols"),
+          (j \ "outputCol").asInstanceOf[JString].s,
+          (j \ "nBuckets").asInstanceOf[JInt].num.toInt,
+          (j \ "scale").asInstanceOf[JInt].num.toLong)
       case "TargetEncoderModel" =>
         def dmap(v: JValue): Map[String, Double] =
           v.asInstanceOf[JObject].obj.map { case (k, x) =>

@@ -213,4 +213,96 @@ object Scorecard {
         round(least(lit(1.0), lit(1.0) / col("lambda")), 6)
           .as("p_value"): _*)
   }
+
+  /** Monotonic (isotonic-pooled) WOE binning of a NUMERIC feature
+    * against a binary label — the scorecard "coarse classing" step:
+    * equal-width pre-bins over the 2^20-quantized feature, the
+    * closed-minimax isotonic fit of the per-bin event rate (the
+    * [[graft.relational.Eval.isotonicCalibration]] engine over the
+    * same bounded bin relation), then ADJACENT pre-bins sharing a
+    * fitted rate pool into one final bin. Output per pool:
+    * `(pool, bin_lo, bin_hi, n, n_pos, iso_rate, woe)` with
+    * `iso_rate` non-decreasing in bin order by construction (set
+    * `decreasing = true` to fit the reversed order for features whose
+    * risk falls as the value rises) and WOE under the same ±0.5
+    * smoothing as [[woeTable]] (rate-ordered up to the smoothing's
+    * sub-ulp effect on unequal pool sizes).
+    *
+    * Determinism: bin membership is integer arithmetic on quantized
+    * values (truncating div on nonnegative operands — engine-identical),
+    * the isotonic fit is min/max over identical IEEE divisions, and
+    * pooling compares those bit-identical doubles — the whole fit
+    * replays anywhere.
+    *
+    * Shape at 100 TB: one bounded min/max aggregate, ONE corpus
+    * aggregate to ≤ nPreBins rows (map-side combined), and everything
+    * after runs on that bin relation (the ≤ nPreBins³ minimax join is
+    * dictionary-sized — the isotonicCalibration bound). */
+  def monotonicBins(df: DataFrame, featureCol: String, labelCol: String,
+      nPreBins: Int = 32, decreasing: Boolean = false): DataFrame = {
+    require(nPreBins >= 2 && nPreBins <= 256,
+      s"need 2 <= nPreBins <= 256 (the bins^3 minimax bound), got " +
+        s"$nPreBins")
+    val scale = 1L << 20
+    val x = col(featureCol).cast("double")
+    val q = df
+      .filter(x.isNotNull && !isnan(x) && col(labelCol).isNotNull)
+      .select(floor(x * scale).cast("long").as("__xq"),
+        col(labelCol).cast("long").as("__y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mm = q.agg(min("__xq").as("lo"), max("__xq").as("hi")).head()
+    val lo = mm.getAs[Long]("lo")
+    val range = mm.getAs[Long]("hi") - lo + 1L
+    val bins = q
+      .groupBy(expr(s"((__xq - ${lo}L) * ${nPreBins}L) div ${range}L")
+        .as("bin"))
+      .agg(count(lit(1)).as("n"), sum("__y").as("n_pos"))
+      .withColumn("ord",
+        if (decreasing) -col("bin") else col("bin"))
+      .localCheckpoint(true) // <= nPreBins rows feeding four consumers
+    q.unpersist(blocking = false)
+    // prefix sums + closed minimax over the bounded bin relation
+    val wc = graft.util.BoundedWindow.global(col("ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bins
+      .withColumn("__cn", sum(col("n")).over(wc))
+      .withColumn("__cp", sum(col("n_pos")).over(wc))
+    val loR = cum.select(col("ord").as("__bi"),
+      (col("__cn") - col("n")).as("__cni"),
+      (col("__cp") - col("n_pos")).as("__cpi"))
+    val hiR = cum.select(col("ord").as("__bj"), col("__cn").as("__cnj"),
+      col("__cp").as("__cpj"))
+    val seg = loR.join(hiR, col("__bi") <= col("__bj"))
+      .select(col("__bi"), col("__bj"),
+        ((col("__cpj") - col("__cpi")).cast("double") /
+          (col("__cnj") - col("__cni")).cast("double")).as("__avg"))
+    val iso = seg
+      .join(bins.select(col("ord").as("__k")),
+        col("__bi") <= col("__k") && col("__bj") >= col("__k"))
+      .groupBy(col("__k"), col("__bi")).agg(min(col("__avg")).as("__mn"))
+      .groupBy(col("__k")).agg(max(col("__mn")).as("__iso"))
+    // pool adjacent pre-bins sharing a fitted value (bit-identical
+    // doubles from identical minimax arithmetic — safe equality)
+    val wo = graft.util.BoundedWindow.global(col("ord"))
+    val pooled = bins.join(iso, col("ord") === col("__k"))
+      .withColumn("__chg",
+        when(lag(col("__iso"), 1).over(wo).isNull ||
+          col("__iso") =!= lag(col("__iso"), 1).over(wo), 1L)
+          .otherwise(0L))
+      .withColumn("pool", sum(col("__chg"))
+        .over(wo.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    val g = pooled.groupBy("pool")
+      .agg(min("bin").as("bin_lo"), max("bin").as("bin_hi"),
+        sum("n").as("n"), sum("n_pos").as("n_pos"),
+        max("__iso").as("__iso"))
+      .withColumn("n_neg", col("n") - col("n_pos"))
+    val totals = g.agg(sum("n_pos").as("__pt"), sum("n_neg").as("__nt"))
+    g.crossJoin(broadcast(totals))
+      .select(col("pool"), col("bin_lo"), col("bin_hi"), col("n"),
+        col("n_pos"),
+        round(col("__iso"), 6).as("iso_rate"),
+        round(log(((col("n_neg") + lit(0.5)) / col("__nt")) /
+          ((col("n_pos") + lit(0.5)) / col("__pt"))), 6).as("woe"))
+  }
 }

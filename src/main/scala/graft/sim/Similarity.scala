@@ -556,6 +556,35 @@ class IvfIndex private[sim] (
     Files.writeString(Paths.get(s"$path/index.json"), compact(render(json)))
   }
 
+  /** Incrementally index new vectors against the FITTED quantizer —
+    * the growing-corpus path: a 100 TB index is fit once and absorbs
+    * daily arrivals without re-clustering (re-fitting would also move
+    * every existing cell boundary, invalidating downstream caches).
+    * New rows are assigned by the SAME centroid literals as the
+    * original fit; re-added ids REPLACE their previous rows (the
+    * [[graft.text.MinHashIndex.add]] idempotence contract: an anti-join
+    * on the incoming id set before the union), so replaying an ingest
+    * batch cannot duplicate candidates. Returns a NEW index; the old
+    * assignment cache is released after the merged relation
+    * materializes (the handoff discipline — unpersisting first would
+    * hand back a lazy plan that recomputes from raw edges).
+    *
+    * Recall note: cells drift from optimal as the corpus grows — the
+    * quantizer is frozen by design. Full-probe queries stay EXACT
+    * regardless (pruning is the only approximation); re-fit when
+    * pruned-probe recall degrades. */
+  def add(newData: DataFrame): IvfIndex = {
+    val newAssigned = IvfIndex.assign(newData, idCol, vecCol, centroids)
+    val merged = assigned
+      .join(newAssigned.select(col(idCol)).distinct(), Seq(idCol),
+        "left_anti")
+      .unionByName(newAssigned)
+      .persist()
+    merged.count() // materialize BEFORE releasing the parent cache
+    assigned.unpersist(blocking = false)
+    new IvfIndex(centroids, merged, idCol, vecCol)
+  }
+
   /** Free the persisted assignment cache. */
   def release(): Unit = { assigned.unpersist(); () }
 }

@@ -453,4 +453,53 @@ object Ranking {
     uni.unpersist(blocking = false)
     result
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) — the
+    * standard hybrid-retrieval combiner: given S candidate lists over
+    * the same id space (lexical BM25, embedding ANN, recency…), each a
+    * relation of `queryCols ++ (idCol, rankCol)` with 1-based ranks,
+    * score every id `Σ_s 1/(kk + rank_s)` (absent-from-list terms
+    * contribute 0) and re-rank by `(rrf_score DESC, id ASC)`. RRF fuses
+    * INCOMMENSURABLE scores by using only ranks — no per-source score
+    * normalization to tune or drift — which is why it's the default
+    * fusion in hybrid search stacks. Output: the input key columns,
+    * one `rank_<i>` per source (null where absent), `rrf_score`,
+    * `fused_rank`.
+    *
+    * Determinism: ranks are integers, each term is one IEEE division,
+    * and the sum folds in DECLARED source order (a fixed expression,
+    * not a free-order aggregate), so scores replay bit-for-bit in any
+    * engine; the re-rank breaks score ties by id. `rrf_score` is pure
+    * per-row arithmetic and deliberately NOT rounded (the repo's float
+    * discipline: rounding per-row exact values introduces mismatches).
+    *
+    * Shape at 100 TB: inputs are top-k lists by contract (rank them
+    * with `orderBy().limit(k)` — a bounded TakeOrdered heap — never a
+    * global window over the corpus), so the full-outer join chain and
+    * the per-query re-rank window touch ≤ S·k rows per query. */
+  def rrfFuse(rankings: Seq[DataFrame], queryCols: Seq[String],
+      idCol: String, rankCol: String = "rank", kk: Int = 60): DataFrame = {
+    require(rankings.size >= 2, "need at least two rankings to fuse")
+    require(kk >= 1, s"need kk >= 1, got $kk")
+    val keyCols = queryCols :+ idCol
+    val prepared = rankings.zipWithIndex.map { case (df, i) =>
+      df.select((keyCols.map(col) :+
+        col(rankCol).cast("long").as(s"rank_$i")): _*)
+        .filter(col(s"rank_$i") >= 1L)
+    }
+    val joined = prepared.reduce((a, b) => a.join(b, keyCols, "full_outer"))
+    val score = prepared.indices
+      .map(i => coalesce(lit(1.0) / (lit(kk) + col(s"rank_$i")), lit(0.0)))
+      .reduce(_ + _)
+    val w =
+      if (queryCols.isEmpty)
+        // bounded: the fused relation is the union of the input top-k
+        // lists (≤ S·k rows by the contract above)
+        graft.util.BoundedWindow.global(col("rrf_score").desc, col(idCol))
+      else org.apache.spark.sql.expressions.Window
+        .partitionBy(queryCols.map(col): _*)
+        .orderBy(col("rrf_score").desc, col(idCol))
+    joined.withColumn("rrf_score", score)
+      .withColumn("fused_rank", row_number().over(w).cast("long"))
+  }
 }

@@ -267,3 +267,165 @@ class Round9PlanSpec extends SparkSpec {
       p.contains("BroadcastExchange"), p.take(700))
   }
 }
+
+class RrfSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.text.Ranking
+
+  test("rrfFuse: hand-computed fusion, absent ids contribute zero") {
+    val a = Seq(("x", 1), ("y", 2)).toDF("id", "rank")
+    val b = Seq(("y", 1), ("z", 2)).toDF("id", "rank")
+    val got = Ranking.rrfFuse(Seq(a, b), Nil, "id", kk = 60)
+      .orderBy("fused_rank").collect()
+    assert(got.map(_.getAs[String]("id")).toSeq == Seq("y", "x", "z"))
+    assert(got(0).getAs[Double]("rrf_score") == 1.0 / 62 + 1.0 / 61)
+    assert(got(1).getAs[Double]("rrf_score") == 1.0 / 61)
+    assert(got(1).isNullAt(got(1).fieldIndex("rank_1"))) // x absent in b
+    assert(got.map(_.getAs[Long]("fused_rank")).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("rrfFuse: score ties break by id ascending") {
+    // mirrored ranks give x and y the identical score 1/61 + 1/62
+    val a = Seq(("y", 1), ("x", 2)).toDF("id", "rank")
+    val b = Seq(("x", 1), ("y", 2)).toDF("id", "rank")
+    val rows = Ranking.rrfFuse(Seq(a, b), Nil, "id")
+      .orderBy("fused_rank")
+      .select("id", "rrf_score").as[(String, Double)].collect()
+    assert(rows(0)._2 == rows(1)._2) // exact tie
+    assert(rows.map(_._1).toSeq == Seq("x", "y"))
+  }
+
+  test("rrfFuse: per-query grouping fuses queries independently") {
+    val a = Seq(("q1", "x", 1), ("q2", "y", 1)).toDF("q", "id", "rank")
+    val b = Seq(("q1", "x", 2), ("q2", "z", 1)).toDF("q", "id", "rank")
+    val got = Ranking.rrfFuse(Seq(a, b), Seq("q"), "id")
+      .select("q", "id", "fused_rank").as[(String, String, Long)]
+      .collect().toSet
+    assert(got == Set(("q1", "x", 1L), ("q2", "y", 1L), ("q2", "z", 2L)))
+  }
+}
+
+class IvfAddSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sim.{IvfIndex, Similarity}
+
+  private def vecs(ids: Range): org.apache.spark.sql.DataFrame =
+    ids.map(i => (i.toLong, Array.tabulate(8)(j =>
+      math.sin(i * 7 + j).abs + 0.1))).toDF("id", "v")
+
+  test("fit-half + add-half at full probe == brute force over the union") {
+    val all = vecs(0 until 60)
+    val qs = vecs(0 until 3)
+      .select(col("id").as("qid"), col("v").as("qv"))
+    val idx = IvfIndex.fit(all.filter(col("id") % 2 === 0), "id", "v",
+        nCentroids = 4)
+      .add(all.filter(col("id") % 2 === 1))
+    val got = idx.query(qs, "qid", "qv", k = 5, nProbe = 4)
+      .select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+    val exp = Similarity.bruteForceTopK(all, "id", "v", qs, "qid", "qv", 5)
+      .select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(got == exp)
+    idx.release()
+  }
+
+  test("re-adding the same batch is idempotent and replaces, not appends") {
+    val base = vecs(0 until 20)
+    val more = vecs(20 until 30)
+    val idx1 = IvfIndex.fit(base, "id", "v", nCentroids = 2).add(more)
+    val n1 = idx1.assigned.count()
+    val idx2 = idx1.add(more) // replay the ingest batch
+    assert(idx2.assigned.count() == n1)
+    assert(idx2.assigned.select("id").distinct().count() == 30)
+    idx2.release()
+  }
+}
+
+class MonotonicBinsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.relational.Scorecard
+
+  test("already-monotone rates pool per pre-bin; iso_rate non-decreasing") {
+    // rates by value band: 0.0, 0.5, 1.0 — isotonic leaves them alone
+    val rows = Seq.fill(10)((0.05, 0)) ++
+      Seq.fill(10)((0.45, 0)).zipWithIndex.map { case ((v, _), i) =>
+        (v, i % 2) } ++ Seq.fill(10)((0.95, 1))
+    val df = rows.toDF("x", "y")
+    val got = Scorecard.monotonicBins(df, "x", "y", nPreBins = 4)
+      .orderBy("pool").collect()
+    val isoRates = got.map(_.getAs[Double]("iso_rate")).toSeq
+    assert(isoRates == isoRates.sorted)
+    assert(isoRates.head == 0.0 && isoRates.last == 1.0)
+  }
+
+  test("a rate violation pools into one bin with the weighted-average " +
+      "rate") {
+    // band A rate 1.0 then band B rate 0.0 (a violation): PAV pools
+    // them to (10+0)/(10+10) = 0.5
+    val rows = Seq.fill(10)((0.1, 1)) ++ Seq.fill(10)((0.9, 0))
+    val got = Scorecard.monotonicBins(rows.toDF("x", "y"), "x", "y",
+      nPreBins = 2).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Double]("iso_rate") == 0.5)
+    assert(got(0).getAs[Long]("n") == 20L)
+    assert(got(0).getAs[Long]("bin_lo") == 0L)
+    assert(got(0).getAs[Long]("bin_hi") == 1L)
+  }
+
+  test("decreasing=true fits the reversed order") {
+    // risk FALLS as x rises: decreasing fit keeps the two bins apart
+    val rows = Seq.fill(10)((0.1, 1)) ++ Seq.fill(10)((0.9, 0))
+    val got = graft.relational.Scorecard.monotonicBins(
+      rows.toDF("x", "y"), "x", "y", nPreBins = 2, decreasing = true)
+      .orderBy("bin_lo").collect()
+    assert(got.length == 2)
+    assert(got.map(_.getAs[Double]("iso_rate")).toSeq == Seq(1.0, 0.0))
+  }
+
+  test("woe orders opposite to iso_rate across pools") {
+    val rng = new scala.util.Random(4)
+    val rows = (0 until 400).map { i =>
+      val x = i / 400.0
+      (x, if (rng.nextDouble() < x) 1 else 0)
+    }
+    val got = Scorecard.monotonicBins(rows.toDF("x", "y"), "x", "y",
+      nPreBins = 8).orderBy("pool").collect()
+    val woes = got.map(_.getAs[Double]("woe")).toSeq
+    assert(woes == woes.sorted.reverse) // higher rate -> lower WOE
+  }
+}
+
+class FeatureHasherLifecycleSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators._
+
+  private val df = Seq(("r1", "alpha", 2.5), ("r2", "beta", -1.25),
+    ("r3", null.asInstanceOf[String], 3.0)).toDF("id", "cat", "v")
+
+  test("FeatureHasher survives save/load bit-for-bit") {
+    val dir = java.nio.file.Files.createTempDirectory("fh").toString
+    val model = DFPipeline(new FeatureHasher(Seq("cat"), Seq("v"),
+      "fh", 16)).fit(df)
+    GraftPersistence.save(model, dir)
+    val reloaded = GraftPersistence.load(spark, dir)
+    val a = model.transform(df).select("id", "fh")
+      .as[(String, Seq[Double])].collect().toMap
+    val b = reloaded.transform(df).select("id", "fh")
+      .as[(String, Seq[Double])].collect().toMap
+    assert(a == b)
+  }
+
+  test("FeatureHasher online scoring equals batch transform per row") {
+    val model = DFPipeline(new FeatureHasher(Seq("cat"), Seq("v"),
+      "fh", 16)).fit(df)
+    val score = OnlineScorer.compile(model)
+    val batch = model.transform(df).select("id", "fh")
+      .as[(String, Seq[Double])].collect().toMap
+    df.collect().foreach { r =>
+      val row: OnlineScorer.OnlineRow = df.columns
+        .map(c => c -> r.getAs[Any](c)).toMap
+      val online = score(row)("fh").asInstanceOf[Seq[Double]]
+      assert(online == batch(r.getAs[String]("id")),
+        s"row ${r.getAs[String]("id")}")
+    }
+  }
+}
