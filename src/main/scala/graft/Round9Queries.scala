@@ -9,7 +9,10 @@ import org.apache.spark.sql.functions._
   * re-identification ladder), the hashing-trick feature encoder
   * (fit-free, md5-portable), integer-exact full-horizon EWMA (the
   * recursive-CTE oracle shows the sequential recurrence replays
-  * engine-independently), and HBOS histogram-density outlier scoring.
+  * engine-independently), HBOS histogram-density outlier scoring,
+  * reciprocal-rank fusion for hybrid retrieval, incremental IVF
+  * indexing (fit-half + add-half shares the one-shot oracle), and
+  * monotonic (isotonic-pooled) WOE binning.
   *
   * Shared determinism rules (the Round8Queries conventions): every
   * set-defining decision is integer/string arithmetic; floats appear
