@@ -306,13 +306,21 @@ class FeatureHasher(
             (signOf(key) * floor(col(c).cast("double") * scale)
               .cast("long")).as("u")))
       }
-    // `transform` the HOF, not Transformer.transform — qualify it
-    val fx = org.apache.spark.sql.functions
-    val units = fx.transform(sequence(lit(0), lit(nBuckets - 1)),
-      i => aggregate(filter(array(feats: _*), f => f.isNotNull), lit(0L),
-        (acc, f) => acc + when(f.getField("b") === i, f.getField("u"))
-          .otherwise(0L)))
-    df.withColumn(outputCol,
-      fx.transform(units, u => u.cast("double") / scale))
+    // the md5 buckets/signs above are codegen'd COLUMNS (portable
+    // hashing); the scatter into the fixed-width vector is an O(F)
+    // JVM fold — a Catalyst HOF formulation (transform×aggregate) is
+    // interpreted at O(nBuckets·F) per row and measured ~14× slower
+    // at a ×16 stress; the fold is exact integer arithmetic with no
+    // engine-variant operation (the Eval.ewma justification)
+    val n = nBuckets
+    val sc = scale
+    val scatter = udf((arr: Seq[org.apache.spark.sql.Row]) => {
+      val units = new Array[Long](n)
+      arr.foreach { r =>
+        if (r != null) units(r.getInt(0)) += r.getLong(1)
+      }
+      units.map(_.toDouble / sc)
+    })
+    df.withColumn(outputCol, scatter(array(feats: _*)))
   }
 }

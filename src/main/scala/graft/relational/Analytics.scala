@@ -1315,9 +1315,14 @@ object Analytics {
     *
     * Shape at 100 TB: one bounded global min/max aggregate (2F values
     * to the driver), ONE (feature, bin)-keyed count shuffle whose
-    * result is F·nBins rows (broadcast back), one id-keyed regroup with
-    * F-bounded per-row state, and a TakeOrdered heap for the cut — no
-    * global sort, no driver loops. */
+    * result is F·nBins rows — bounded by GEOMETRY, so it collects into
+    * per-feature literal maps (the encoder literal-map contract,
+    * capped at F·nBins ≤ 65536) — and scoring is a single
+    * `element_at` projection over the binned relation into a
+    * TakeOrdered heap. No id-keyed regroup, no corpus-sized join-back:
+    * the first cut of this operator joined the 2×-corpus long format
+    * back to the row relation and measured ~40× at a ×16 stress — the
+    * map-literal form is the fix. */
   def histogramOutliers(df: DataFrame, idCol: String,
       featureCols: Seq[String], nBins: Int = 32, topN: Int = 100)
       : DataFrame = {
@@ -1347,19 +1352,29 @@ object Analytics {
     }.select(col("__id") +: featureCols.map(c => col(s"bin_$c")): _*)
       .localCheckpoint(true)
     q.unpersist(blocking = false)
-    val long = binned.select(col("__id"), explode(array(
-      featureCols.map(c =>
-        struct(lit(c).as("__f"), col(s"bin_$c").as("__b"))): _*)).as("__e"))
-      .select(col("__id"), col("__e.__f"), col("__e.__b"))
-    val hist = long.groupBy("__f", "__b").agg(count(lit(1)).as("__cnt"))
-    val scored = long.join(broadcast(hist), Seq("__f", "__b"))
-      .groupBy("__id")
-      .agg(sort_array(collect_list(struct(col("__f"), col("__cnt"))))
-        .as("__fs"))
-      .withColumn("score", aggregate(col("__fs"), lit(1.0),
-        (acc, e) => acc * e.getField("__cnt")))
-      .select(col("__id").as(idCol), col("score"))
-    scored.join(binned.withColumnRenamed("__id", idCol), idCol)
+    require(featureCols.size * nBins <= 65536,
+      s"histogram literal-map budget: features×nBins <= 65536, got " +
+        s"${featureCols.size * nBins}")
+    val hist = binned.select(explode(array(
+        featureCols.map(c =>
+          struct(lit(c).as("__f"), col(s"bin_$c").as("__b"))): _*))
+        .as("__e"))
+      .groupBy(col("__e.__f").as("__f"), col("__e.__b").as("__b"))
+      .agg(count(lit(1)).as("__cnt"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (f, rows) =>
+        f -> rows.map(r => r.getLong(1) -> r.getLong(2)).toMap
+      }
+    // fixed multiply order (feature-name ASC) — the fold both engines
+    // replay; counts are exact integers so the double product is exact
+    // below 2^53
+    val score = featureCols.sorted
+      .map(c => element_at(typedLit(hist(c)), col(s"bin_$c"))
+        .cast("double"))
+      .reduce(_ * _)
+    binned.withColumn("score", score)
+      .withColumnRenamed("__id", idCol)
       .orderBy(col("score").asc, col(idCol).asc)
       .limit(topN)
   }

@@ -248,13 +248,14 @@ class Round9PlanSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Window"), p.take(600))
   }
 
-  test("histogramOutliers: no cartesian, bounded TakeOrdered cut, " +
-      "broadcast histogram join") {
+  test("histogramOutliers: no cartesian, no join at all (literal-map " +
+      "scoring), bounded TakeOrdered cut") {
     val df = (1 to 40).map(i => (i.toLong, i * 1.0, i * 2.0))
       .toDF("id", "f1", "f2")
     val p = plan(Analytics.histogramOutliers(df, "id", Seq("f1", "f2"),
       nBins = 4, topN = 5))
     assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("Join"), p.take(600))
     assert(p.contains("TakeOrderedAndProject"), p.take(600))
   }
 
