@@ -139,8 +139,29 @@ object Round9Queries {
       graft.relational.Scorecard.monotonicBins(
         t(s, d, "orders").withColumn("y",
           when(col("o_orderstatus") === "F", 1).otherwise(0)),
-        "o_totalprice", "y", nPreBins = MonoBins))
+        "o_totalprice", "y", nPreBins = MonoBins)),
+
+    // grouped RRF: per SOURCE, fuse the length top-5 with the
+    // unigram-quality top-5 — both cut by the bounded-heap
+    // topKPerGroup, fused independently per group
+    "q_rrf_grouped" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val byLen = graft.relational.Relational.topKPerGroup(
+          docs, Seq("source"), "n_chars", "doc_id", RrfGroupK)
+        .select(col("source"), col("doc_id"), col("rank"))
+      val quality = graft.text.Ranking
+        .unigramLogProb(docs, "text", "doc_id")
+        .select(col("doc_id"), round(col("avg_logprob"), 6).as("m"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+      val byQ = graft.relational.Relational.topKPerGroup(
+          quality, Seq("source"), "m", "doc_id", RrfGroupK)
+        .select(col("source"), col("doc_id"), col("rank"))
+      graft.text.Ranking.rrfFuse(Seq(byLen, byQ), Seq("source"),
+        "doc_id", kk = RrfK)
+    })
   )
+
+  private val RrfGroupK = 5
 
   private val MonoBins = 32
 
@@ -298,6 +319,44 @@ object Round9Queries {
     "q_ewma" -> graft.relational.Eval.ewmaSql(
       "SELECT user_id AS key, epoch_us(ts) AS o, value AS x FROM events",
       alphaNum = EwmaNum, k = EwmaK),
+
+    // grouped RRF replay: the per-source (score DESC, id) row_number
+    // cuts mirror topKPerGroup's heap tie rule, fusion per group
+    "q_rrf_grouped" ->
+      s"""WITH a AS (
+           SELECT source, doc_id, CAST(rank AS BIGINT) AS r
+           FROM (SELECT source, doc_id,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id)
+                     AS rank
+                 FROM documents)
+           WHERE rank <= $RrfGroupK),
+         tok AS (
+           SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+           FROM documents),
+         f AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+         tot AS (SELECT count(*) AS nt FROM tok),
+         uq AS (
+           SELECT doc_id,
+             round(avg(ln(CAST(f.c AS DOUBLE) / tot.nt)), 6) AS m
+           FROM tok JOIN f USING (t), tot GROUP BY doc_id),
+         b AS (
+           SELECT source, doc_id, CAST(rank AS BIGINT) AS r
+           FROM (SELECT d.source, u.doc_id,
+                   row_number() OVER (PARTITION BY d.source
+                     ORDER BY CAST(u.m AS DOUBLE) DESC, u.doc_id) AS rank
+                 FROM uq u JOIN documents d USING (doc_id))
+           WHERE rank <= $RrfGroupK),
+         fused AS (
+           SELECT source, doc_id, a.r AS rank_0, b.r AS rank_1,
+             coalesce(1.0 / ($RrfK + a.r), 0.0)
+               + coalesce(1.0 / ($RrfK + b.r), 0.0) AS rrf_score
+           FROM a FULL OUTER JOIN b USING (source, doc_id))
+         SELECT source, doc_id, rank_0, rank_1, rrf_score,
+           CAST(row_number() OVER (PARTITION BY source
+             ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS fused_rank
+         FROM fused""",
 
     // RRF replay: the same rounded-metric rankings, post-limit ranks,
     // fixed-order 1/(kk+r) sum (IEEE-exact both engines, NOT rounded —
