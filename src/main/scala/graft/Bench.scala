@@ -2,13 +2,33 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: one JSON line with per-query wall times on
-  * SPARK_GRAFT_SF_DIR. A full warmup pass runs first on sf0.001 (JIT,
+/** Benchmark main: per-query wall times on SPARK_GRAFT_SF_DIR, emitted
+  * INCREMENTALLY. A full warmup pass runs first on sf0.001 (JIT,
   * whole-stage-codegen compilation, parquet footer caching, shuffle service
   * init) so the timed pass measures steady-state query execution, which is
-  * what a long-lived cluster sees. */
+  * what a long-lived cluster sees.
+  *
+  * Phase order and emission contract (VERDICT r7 #1): the driver gives the
+  * whole run a hard one-hour wall clock, and round 7 ran everything before
+  * printing anything — a timeout left rc=124 and NOTHING parseable. Now the
+  * run emits the full contract line + BENCH_DETAIL.json after EVERY phase
+  * (main timings → online serving → each stress row), so a kill at any
+  * point still leaves the phases that finished:
+  *   1. warmup (sf0.001, untimed)
+  *   2. 3 timed main iterations (adaptive: drops to 2/1 if the budget says
+  *      a further iteration would crowd out the later phases) → EMIT
+  *   3. online serving micro-bench → EMIT
+  *   4. stress rows one at a time (×1 then ×scale per row, min-of-iters)
+  *      → EMIT detail per row, stdout line every few rows and at the end.
+  * SPARK_GRAFT_BUDGET_SEC (default 2700 = 45 min) is the soft budget;
+  * rows/iterations skipped for budget are REPORTED (never silent) in
+  * `skipped_stress` / `n_iters`. */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val benchStart = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - benchStart) / 1e9
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BUDGET_SEC", "2700").toDouble
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -58,6 +78,78 @@ object Bench {
     // the bench scale all succeed — only timed-pass errors fail the run.
     val warmupErrors = scala.collection.mutable.LinkedHashMap[String, String]()
     val warmDir = "/root/testdata/sf0.001"
+
+    // ---- mutable result state shared by the emitters -------------------
+    var results = Map.empty[String, Double]
+    var nIters = 0
+    var onlineRps = 0.0
+    val stressScale = sys.env.getOrElse("SPARK_GRAFT_STRESS", "16").toInt
+    // min-of-2 by default (VERDICT r7 #1b): SCALE.md's two-run table marks
+    // 28/35 rows stable under min-of-3, and the flagged rest are floor-
+    // noisy sub-second rows that extra iterations don't stabilize either —
+    // the third iteration bought little and cost ~1/3 of the block.
+    val stressIters = sys.env.getOrElse("SPARK_GRAFT_STRESS_ITERS", "2").toInt
+    val stressBaseIters =
+      scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val stressBigIters =
+      scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val skippedStress = scala.collection.mutable.ArrayBuffer[String]()
+    val phaseSec = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    def fmt(entries: Iterable[(String, Double)]): String = entries
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    def fmtErr(entries: Iterable[(String, String)]): String = entries
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    def fmtIters(entries: Iterable[(String, Seq[Double])]): String = entries
+      .map { case (k, v) =>
+        "\"" + k + "\":[" + v.map(t => f"$t%.3f").mkString(",") + "]" }
+      .mkString("{", ",", "}")
+    def fmtInt(entries: Iterable[(String, Int)]): String = entries
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+
+    /** Emit the current state: full detail to BENCH_DETAIL.json, compact
+      * contract line (<~1 KB) to stdout. Called after every phase so a
+      * wall-clock kill always leaves the latest completed phase parseable
+      * (the driver's tail capture keeps the LAST line). */
+    def emit(phase: String, stdout: Boolean = true,
+        history: Boolean = false): Unit = {
+      val total = if (results.nonEmpty) results.values.sum else 0.0
+      val stressBase = stressBaseIters.map { case (k, v) => k -> v.min }
+      val stressBig = stressBigIters.map { case (k, v) => k -> v.min }
+      val scalesJson = fmtInt(StressBench.scaleOverride.toSeq.sortBy(_._1))
+      val skippedJson =
+        skippedStress.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val stressJson =
+        s""""stress":{"scale":$stressScale,"iters":$stressIters,"scales":$scalesJson,"skipped":$skippedJson,"base":${fmt(stressBase)},"scaled":${fmt(stressBig)},"base_iters":${fmtIters(stressBaseIters)},"scaled_iters":${fmtIters(stressBigIters)}},"online_rows_per_sec":${f"$onlineRps%.0f"}"""
+      val detail = s"""{"phase":"$phase","elapsed_sec":${f"$elapsed%.1f"},"phase_sec":${fmt(phaseSec)},"metric":"total","value":$total,"unit":"sec","n_iters":$nIters,"queries":${fmt(results)},"errors":${fmtErr(errors)},"warmup_errors":${fmtErr(warmupErrors)},$stressJson,"sf":"$sfDir"}"""
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+          detail.getBytes("UTF-8"))
+        // append-only archive: BENCH_DETAIL.json is overwritten per run /
+        // per phase; the final phase line per run is the durable record
+        if (history)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
+            (detail + "\n").getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.APPEND)
+      } catch { case _: Throwable => () }
+      if (stdout) {
+        // Compact contract line (VERDICT r6 #5): top-20 slowest, first 10
+        // errors (n_failed has the true count), the stress block BY COUNT
+        // — full per-query stress minimums and per-iteration arrays live
+        // in BENCH_DETAIL.json / BENCH_HISTORY.jsonl.
+        val slowest = results.toSeq.sortBy(-_._2).take(20)
+        val stressRef =
+          s""""stress":{"scale":$stressScale,"iters":$stressIters,"n_base":${stressBase.size},"n_scaled":${stressBig.size},"n_skipped":${skippedStress.size},"detail":"BENCH_DETAIL.json"}"""
+        println(s"""{"phase":"$phase","metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_iters":$nIters,"n_failed":${errors.size},"queries":${fmt(slowest)},"errors":${fmtErr(errors.take(10))},"n_warmup_errors":${warmupErrors.size},$stressRef,"online_rows_per_sec":${f"$onlineRps%.0f"},"elapsed_sec":${f"$elapsed%.1f"},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+      }
+    }
+
+    // ---- phase 1: warmup ------------------------------------------------
     queries.foreach { case (name, fn) =>
       try run(fn(spark, warmDir))
       catch { case e: Throwable =>
@@ -66,98 +158,54 @@ object Bench {
             Option(e.getMessage).getOrElse(""))
       }
     }
+    phaseSec("warmup") = elapsed
 
-    // three timed iterations, min per query: steady-state time without
+    // ---- phase 2: timed main iterations ---------------------------------
+    // min-per-query over up to 3 iterations: steady-state time without
     // GC/scheduler/co-tenant noise (observed ±40% between runs on this
     // box); cache cleared between so nothing rides a previous iteration's
-    // persisted intermediates
-    val iterations = (1 to 3).map { _ =>
+    // persisted intermediates. Adaptive (VERDICT r7 #1): a further
+    // iteration only runs while main can stay within ~55% of the budget,
+    // keeping room for online + stress; at least one iteration always runs.
+    val iterations = scala.collection.mutable.ArrayBuffer[Map[String, Option[Double]]]()
+    var continueIters = true
+    while (iterations.size < 3 && continueIters) {
       spark.catalog.clearCache()
-      queries.map { case (name, fn) =>
+      val it0 = elapsed
+      iterations += queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
           try { run(fn(spark, sfDir)); true }
           catch { case e: Throwable => recordError(name, e); false }
         name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
       }
+      val iterTime = elapsed - it0
+      if (iterations.size < 3 && elapsed + iterTime * 1.15 > budget * 0.55) {
+        println(s"""{"note":"main iteration ${iterations.size + 1} skipped for budget","elapsed_sec":${f"$elapsed%.1f"},"budget_sec":$budget}""")
+        continueIters = false
+      }
     }
-    val results = queries.keys.flatMap { name =>
-      val times = iterations.flatMap(_(name))
+    nIters = iterations.size
+    results = queries.keys.flatMap { name =>
+      val times = iterations.toSeq.flatMap(_(name))
       // only queries that succeeded every timed iteration count as timed
       if (times.size == iterations.size && !errors.contains(name))
         Some(name -> times.min)
       else None
     }.toMap
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    phaseSec("main") = elapsed - phaseSec("warmup")
+    emit("main")
 
-    // ---- scale-stress block (VERDICT r5 #2, r6 #2) ----------------------
-    // Each StressBench query runs at ×1 and at ×SPARK_GRAFT_STRESS
-    // (default 16) so every round's bench artifact carries the measured
-    // ratio vs linear scaling for the banded/binned/distributed paths.
-    // MIN-OF-N per (query, scale) — round-6's same-code runs disagreed up
-    // to 2.3× on single-pass stress rows (10.3× vs 23.3× for the same
-    // ratio), so single passes can't gate a scale regression; the min
-    // strips GC/compaction noise and per-iteration times are persisted in
-    // BENCH_DETAIL.json for noise audits. SPARK_GRAFT_STRESS_ITERS tunes
-    // the repeat count (default 3; the block triples, which is the price
-    // of gate-worthy rows). SPARK_GRAFT_ONLY filters stress queries by
-    // their s_ names like the main set (iteration aid);
-    // SPARK_GRAFT_STRESS=0 disables. Stress failures fail the run like
-    // timed ones.
-    val stressScale = sys.env.getOrElse("SPARK_GRAFT_STRESS", "16").toInt
-    val stressIters = sys.env.getOrElse("SPARK_GRAFT_STRESS_ITERS", "3").toInt
-    val stressSelected = (only match {
-      case Some(names) => StressBench.queries.filter(kv => names(kv._1))
-      case None => StressBench.queries
-    }).toSeq.sortBy(_._1)
-    def timeStress(reps: Int): Map[String, Seq[Double]] =
-      stressSelected.flatMap { case (name, fn) =>
-        val times = (1 to stressIters).flatMap { _ =>
-          spark.catalog.clearCache()
-          val t0 = System.nanoTime()
-          try { run(fn(spark, sfDir, reps))
-            Some((System.nanoTime() - t0) / 1e9) }
-          catch { case e: Throwable => recordError(s"$name@x$reps", e); None }
-        }
-        // all iterations must succeed for the row to count (a partial
-        // min could mask an intermittent failure as a fast run)
-        if (times.size == stressIters) Some(name -> times) else None
-      }.toMap
-    val (stressBaseIters, stressBigIters) =
-      if (stressScale > 1 && stressSelected.nonEmpty) {
-        // warmup at the small dir so the ×1 pass doesn't absorb JIT /
-        // codegen compilation cost that the ×scale pass then skips —
-        // the ratio between the two passes is the artifact
-        stressSelected.foreach { case (name, fn) =>
-          try run(fn(spark, warmDir, 1))
-          catch { case e: Throwable =>
-            if (!warmupErrors.contains(name))
-              warmupErrors(name) = jsonSafe(e.getClass.getSimpleName + ": " +
-                Option(e.getMessage).getOrElse(""))
-          }
-        }
-        (timeStress(1), timeStress(stressScale))
-      } else (Map.empty[String, Seq[Double]], Map.empty[String, Seq[Double]])
-    val stressBase = stressBaseIters.map { case (k, v) => k -> v.min }
-    val stressBig = stressBigIters.map { case (k, v) => k -> v.min }
-    def fmt(entries: Iterable[(String, Double)]): String = entries
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    def fmtErr(entries: Iterable[(String, String)]): String = entries
-      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
-      .mkString("{", ",", "}")
-    // Full per-query detail goes to a file; the stdout contract line is
-    // kept under ~1500 chars (total + the slowest 50 queries, 3 dp) so it
-    // survives log-tail truncation downstream. The omitted queries are
-    // all in the flat ~0.1 s floor.
-    // ---- online (row-at-a-time) serving micro-bench ---------------------
+    // ---- phase 3: online (row-at-a-time) serving micro-bench -------------
     // The reference's online deploy mode scores one-row frames through its
     // exported graph (RunBench.py:41,66-77); the analog here is
     // OnlineScorer's compiled closure chain over frozen fitted state. Fit
     // the OnlineScorerSpec pipeline (9 stages: concat/map/label/freq/
     // target/hash/agg/scaler/one-hot) once at the bench SF, then measure
     // single-row scoring throughput driver-side — no Spark job per call.
-    val onlineRps: Double =
+    // Runs BEFORE stress (VERDICT r7 #1): round 7 ran it last, inside the
+    // killed window, and the round lost its online number entirely.
+    onlineRps =
       if (!only.forall(_.contains("online"))) 0.0
       else try {
         import graft.operators._
@@ -190,36 +238,66 @@ object Bench {
       } catch {
         case e: Throwable => recordError("online_serving", e); 0.0
       }
+    phaseSec("online") = elapsed - phaseSec("warmup") - phaseSec("main")
+    emit("online")
 
-    def fmtIters(entries: Iterable[(String, Seq[Double])]): String = entries
-      .map { case (k, v) =>
-        "\"" + k + "\":[" + v.map(t => f"$t%.3f").mkString(",") + "]" }
-      .mkString("{", ",", "}")
-    val stressJson =
-      s""""stress":{"scale":$stressScale,"iters":$stressIters,"base":${fmt(stressBase)},"scaled":${fmt(stressBig)},"base_iters":${fmtIters(stressBaseIters)},"scaled_iters":${fmtIters(stressBigIters)}},"online_rows_per_sec":${f"$onlineRps%.0f"}"""
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"errors":${fmtErr(errors)},"warmup_errors":${fmtErr(warmupErrors)},$stressJson,"sf":"$sfDir"}"""
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-        detail.getBytes("UTF-8"))
-      // append-only archive: BENCH_DETAIL.json is overwritten per run, so
-      // each round's full per-query map would otherwise be lost (the
-      // summary line's query list is truncated downstream)
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
-        (detail + "\n").getBytes("UTF-8"),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.APPEND)
-    } catch { case _: Throwable => () }
-    // Compact contract line (VERDICT r6 #5): round 6's line carried the
-    // top-50 queries plus the full inline stress block and outgrew the
-    // driver's tail capture (BENCH_r06 parsed:null). Keep it under ~1 KB:
-    // top-20 slowest, first 10 errors (n_failed has the true count), and
-    // the stress block BY REFERENCE — full per-query stress minimums and
-    // per-iteration arrays live in BENCH_DETAIL.json / BENCH_HISTORY.jsonl.
-    val slowest = results.toSeq.sortBy(-_._2).take(20)
-    val stressRef =
-      s""""stress":{"scale":$stressScale,"iters":$stressIters,"n_base":${stressBase.size},"n_scaled":${stressBig.size},"detail":"BENCH_DETAIL.json"}"""
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":${errors.size},"queries":${fmt(slowest)},"errors":${fmtErr(errors.take(10))},"n_warmup_errors":${warmupErrors.size},$stressRef,"online_rows_per_sec":${f"$onlineRps%.0f"},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    // ---- phase 4: scale-stress block (VERDICT r5 #2, r6 #2) --------------
+    // Each StressBench query runs at ×1 and at ×SPARK_GRAFT_STRESS
+    // (default 16; per-row overrides in StressBench.scaleOverride shrink
+    // the heaviest rows — the RATIO is the artifact, not the absolute
+    // seconds) so every round's bench artifact carries the measured ratio
+    // vs linear scaling for the banded/binned/distributed paths.
+    // Rows run ONE AT A TIME (warm → ×1 iters → ×scale iters), detail
+    // re-emitted after every row, so a wall-clock kill loses at most the
+    // row in flight. Rows skipped when past 90% of budget are REPORTED in
+    // skipped_stress. SPARK_GRAFT_STRESS=0 disables. Stress failures fail
+    // the run like timed ones.
+    if (stressScale > 1) {
+      val stressSelected = (only match {
+        case Some(names) => StressBench.queries.filter(kv => names(kv._1))
+        case None => StressBench.queries
+      }).toSeq.sortBy(_._1)
+      var sinceStdout = 0
+      stressSelected.foreach { case (name, fn) =>
+        if (elapsed > budget * 0.90) {
+          skippedStress += name
+        } else {
+          val rowScale = StressBench.scaleOverride.getOrElse(name, stressScale)
+          // warmup at the small dir so the ×1 pass doesn't absorb JIT /
+          // codegen compilation cost that the ×scale pass then skips —
+          // the ratio between the two passes is the artifact
+          try run(fn(spark, warmDir, 1))
+          catch { case e: Throwable =>
+            if (!warmupErrors.contains(name))
+              warmupErrors(name) = jsonSafe(e.getClass.getSimpleName + ": " +
+                Option(e.getMessage).getOrElse(""))
+          }
+          def timeRow(reps: Int): Option[Seq[Double]] = {
+            val times = (1 to stressIters).flatMap { _ =>
+              spark.catalog.clearCache()
+              val t0 = System.nanoTime()
+              try { run(fn(spark, sfDir, reps))
+                Some((System.nanoTime() - t0) / 1e9) }
+              catch { case e: Throwable =>
+                recordError(s"$name@x$reps", e); None }
+            }
+            // all iterations must succeed for the cell to count (a partial
+            // min could mask an intermittent failure as a fast run)
+            if (times.size == stressIters) Some(times) else None
+          }
+          timeRow(1).foreach(ts => stressBaseIters(name) = ts)
+          timeRow(rowScale).foreach(ts => stressBigIters(name) = ts)
+          sinceStdout += 1
+          emit("stress", stdout = sinceStdout >= 8)
+          if (sinceStdout >= 8) sinceStdout = 0
+        }
+      }
+      if (skippedStress.nonEmpty)
+        println(s"""{"note":"stress rows skipped for budget","skipped":${skippedStress.size},"elapsed_sec":${f"$elapsed%.1f"}}""")
+    }
+    phaseSec("stress") =
+      elapsed - phaseSec("warmup") - phaseSec("main") - phaseSec("online")
+    emit("final", history = true)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

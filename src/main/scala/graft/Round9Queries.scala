@@ -281,10 +281,13 @@ object Round9Queries {
            FROM cum
            WINDOW wc2 AS (PARTITION BY k1, k2 ORDER BY v
                           ROWS UNBOUNDED PRECEDING)),
+         -- m = 1 mirror of the Spark branch: single sensitive value ⇒
+         -- every group's EMD is 0 by definition (read the only grid row)
          emd AS (
            SELECT k1, k2, n, m, tt,
-             round(cumabs / CAST(m - 1 AS DOUBLE), 6) AS e
-           FROM cum2 WHERE rn = m - 1)
+             CASE WHEN m = 1 THEN 0.0
+                  ELSE round(cumabs / CAST(m - 1 AS DOUBLE), 6) END AS e
+           FROM cum2 WHERE rn = greatest(m - 1, 1))
          SELECT CAST(0.1 AS DOUBLE) AS t,
            count(*) AS n_groups,
            max(m) AS m_values,

@@ -25,6 +25,15 @@ import org.apache.spark.sql.functions._
   * the ratio vs linear scaling is in the bench artifact every round.
   */
 object StressBench {
+  /** Per-row replication overrides (VERDICT r7 #1b): the two heaviest
+    * rows ran ~46 s and ~25 s PER ITERATION at ×16 — a third of the whole
+    * stress block for two cells. The ratio vs linear is the artifact, not
+    * the absolute seconds, and both rows measured stably ~linear/sublinear
+    * at ×16 in SCALE.md's two-run table, so ×8 still exercises the same
+    * crossovers at half the cost. [[Bench]] records the per-row scale in
+    * the artifact's `stress.scales` map. */
+  val scaleOverride: Map[String, Int] = Map("s_knn" -> 8, "s_lpa" -> 8)
+
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
@@ -639,13 +648,20 @@ object StressBench {
     // EWMA with each user's series ×reps LONGER (order re-keyed per
     // replica, user set fixed): the per-entity fold is the documented
     // bound — cost must track total events, the agg buffers rows/users
-    "s_ewma" -> ((s, d, r) =>
+    "s_ewma" -> ((s, d, r) => {
+      // tsu*r keeps replicas ordered within each original gap; with real
+      // microsecond epochs (~1.7e15) the product stays within Long only
+      // for r ≲ 5000 — fail loudly rather than silently wrap and scramble
+      // the series order (ADVICE r7)
+      require(r <= 4096, s"s_ewma replication capped at 4096 (got $r): " +
+        "tsu * r must not overflow epoch-microsecond longs")
       graft.relational.Eval.ewma(
         DataQueries.readEventsMicros(s, d)
           .withColumn("__rep", explode(sequence(lit(0), lit(r - 1))))
           .withColumn("tsu", col("tsu") * r + col("__rep"))
           .drop("__rep"),
-        Seq("user_id"), "tsu", "value")),
+        Seq("user_id"), "tsu", "value")
+    }),
 
     // hashing-trick encode ×reps: a pure shuffle-free projection — the
     // fit-free encoder's cost must be exactly the scan

@@ -33,6 +33,25 @@ object OnlineScorer {
     * UTF8String formatting for int/long/double/boolean/string). */
   private def str(v: Any): String = v.toString
 
+  /** Spark-`cast("string")`-compatible rendering for HASH KEYS: for
+    * strings, booleans and integrals the JVM `toString` and Spark's
+    * string cast agree, so the online bucket equals the batch bucket.
+    * For everything else (doubles like `1.0E7`, timestamps, decimals)
+    * the two renderings DIVERGE and the online vector would land in a
+    * different bucket than the batch vector — breaking the
+    * online == batch parity contract — so refuse loudly (ADVICE r7).
+    * [[FeatureHasher.transformDF]] enforces the same type set
+    * batch-side. */
+  private def castStr(v: Any): String = v match {
+    case s: String => s
+    case _: java.lang.Boolean | _: java.lang.Integer | _: java.lang.Long |
+        _: java.lang.Short | _: java.lang.Byte => v.toString
+    case other => throw new UnsupportedOperationException(
+      s"online hash key of type ${other.getClass.getName}: JVM toString " +
+        "differs from Spark's string cast for non-integral types — cast " +
+        "the column to string upstream")
+  }
+
   private def numOpt(v: Any): Option[Double] = v match {
     case null => None
     case n: java.lang.Number => Some(n.doubleValue())
@@ -151,8 +170,11 @@ object OnlineScorer {
             val result: Any = r.getOrElse(in, null) match {
               case null => null
               case v =>
+                // castStr, not toString: the batch side hashes Spark's
+                // string cast of the column (same parity contract as
+                // FeatureHasher below)
                 val h = graft.functions.Md5Hash60.top60(
-                  s"$in=${str(v)}".getBytes("UTF-8"))
+                  s"$in=${castStr(v)}".getBytes("UTF-8"))
                 val b = t.numBuckets.toLong
                 (((h % b) + b) % b).toInt
             }
@@ -170,7 +192,7 @@ object OnlineScorer {
           val units = new Array[Long](t.nBuckets)
           t.catCols.foreach { c =>
             Option(row.getOrElse(c, null)).foreach { v =>
-              val key = s"$c=${str(v)}"
+              val key = s"$c=${castStr(v)}"
               units((h60(key) % t.nBuckets).toInt) += signOf(key) * t.scale
             }
           }

@@ -1278,9 +1278,15 @@ object Analytics {
       // Σ_{i=1..m-1} |cumdiff_i| as an ordered running sum read at
       // row m-1 — the free-order agg would break cross-engine replay
       .withColumn("__cumabs", sum(abs(col("__diff"))).over(wCum))
-      .filter(col("__rn") === col("__mv") - 1)
+      // m = 1 (a single sensitive value): every group's distribution
+      // equals the global one, EMD = 0 by definition — read the single
+      // grid row per group instead of the (nonexistent) row m-1, which
+      // reported n_groups = 0 / NULL max_emd (ADVICE r7)
+      .filter(col("__rn") === greatest(col("__mv") - 1, lit(1)))
       .select((pKeys :+ col("__n") :+
-        round(col("__cumabs") / (col("__mv") - 1).cast("double"), 6)
+        when(col("__mv") === 1, lit(0.0))
+          .otherwise(
+            round(col("__cumabs") / (col("__mv") - 1).cast("double"), 6))
           .as("__emd") :+ col("__mv") :+ col("__tot")): _*)
     emd.agg(
       lit(t).as("t"),
@@ -1309,7 +1315,12 @@ object Analytics {
     * are integers, and the score multiplies the per-feature counts in
     * FEATURE-NAME order (a fixed-order fold, exact in double up to 2^53
     * — the bound `nRows^nFeatures < 2^53` is the documented domain;
-    * above it, pre-aggregate or sample). Ties cannot reorder the cut:
+    * above it, pre-aggregate or sample). Input magnitude is bounded
+    * too: the quantized per-feature spread must satisfy
+    * `range ≤ 2^63 / nBins` (≈ raw spread 2^31 at nBins = 4096 after
+    * the 2^20 quantization) — enforced with a `require`, because Spark
+    * would wrap the bin product silently while a SQL oracle errors.
+    * Ties cannot reorder the cut:
     * the sort key is (score, id), both exact. Rows with a null/NaN
     * feature are dropped (outlier scoring needs complete vectors).
     *
@@ -1329,6 +1340,12 @@ object Analytics {
     require(featureCols.nonEmpty, "need at least one feature column")
     require(nBins >= 2 && nBins <= 4096, s"2 <= nBins <= 4096, got $nBins")
     require(topN >= 1, s"topN >= 1, got $topN")
+    // literal-map budget check FIRST — failing it after the corpus scan,
+    // quantize, persist and checkpoint had already run wasted all of that
+    // work (ADVICE r7)
+    require(featureCols.size * nBins <= 65536,
+      s"histogram literal-map budget: features×nBins <= 65536, got " +
+        s"${featureCols.size * nBins}")
     val scale = 1L << 20
     val complete = featureCols
       .map(c => col(c).isNotNull && !isnan(col(c).cast("double")))
@@ -1344,6 +1361,28 @@ object Analytics {
         max(s"__q_$c").as(s"hi_$c"))).head,
       featureCols.flatMap(c => Seq(min(s"__q_$c").as(s"lo_$c"),
         max(s"__q_$c").as(s"hi_$c"))).tail: _*).head()
+    // every row filtered out (all-null/NaN features): min/max are NULL —
+    // short-circuit to an empty result with the output schema instead of
+    // unboxing nulls to 0 and crashing on the empty histogram map
+    // (ADVICE r7)
+    if (mm.isNullAt(mm.fieldIndex(s"lo_${featureCols.head}"))) {
+      q.unpersist(blocking = false)
+      return q.limit(0).select(
+        col("__id").as(idCol) +:
+          featureCols.map(c => lit(0L).as(s"bin_$c")) :+
+          lit(0.0).as("score"): _*)
+    }
+    featureCols.foreach { c =>
+      val range = mm.getAs[Long](s"hi_$c") - mm.getAs[Long](s"lo_$c") + 1L
+      // (__q - lo) * nBins must stay within Long: Spark wraps silently
+      // (garbage negative bins) while the SQL oracle errors on BIGINT
+      // overflow — fail together, loudly, instead (ADVICE r7). With the
+      // 2^20 quantization this bounds raw feature spread to ~2^63/(2^20·
+      // nBins) — e.g. ~2^31 units at nBins = 4096.
+      require(range <= Long.MaxValue / nBins,
+        s"feature $c: quantized range $range × nBins=$nBins overflows " +
+          "Long bin arithmetic — rescale the feature or reduce nBins")
+    }
     val binned = featureCols.foldLeft(q) { (d, c) =>
       val lo = mm.getAs[Long](s"lo_$c")
       val range = mm.getAs[Long](s"hi_$c") - lo + 1L
@@ -1352,9 +1391,6 @@ object Analytics {
     }.select(col("__id") +: featureCols.map(c => col(s"bin_$c")): _*)
       .localCheckpoint(true)
     q.unpersist(blocking = false)
-    require(featureCols.size * nBins <= 65536,
-      s"histogram literal-map budget: features×nBins <= 65536, got " +
-        s"${featureCols.size * nBins}")
     val hist = binned.select(explode(array(
         featureCols.map(c =>
           struct(lit(c).as("__f"), col(s"bin_$c").as("__b"))): _*))

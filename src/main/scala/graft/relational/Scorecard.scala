@@ -253,6 +253,14 @@ object Scorecard {
     val mm = q.agg(min("__xq").as("lo"), max("__xq").as("hi")).head()
     val lo = mm.getAs[Long]("lo")
     val range = mm.getAs[Long]("hi") - lo + 1L
+    // same Long-overflow bound as histogramOutliers (ADVICE r7): the
+    // (__xq − lo) · nPreBins product must not wrap — Spark wraps
+    // silently, a SQL oracle errors, and the two would diverge instead
+    // of failing together
+    require(range <= Long.MaxValue / nPreBins,
+      s"$featureCol: quantized range $range × nPreBins=$nPreBins " +
+        "overflows Long bin arithmetic — rescale the feature or reduce " +
+        "nPreBins")
     val bins = q
       .groupBy(expr(s"((__xq - ${lo}L) * ${nPreBins}L) div ${range}L")
         .as("bin"))

@@ -53,18 +53,21 @@ object Cluster {
   private def dist2(c: Array[Double], dims: Int): Column =
     dist2P(c, dims, "__x")
 
-  /** `when`-cascade argmin with ties to the lower cluster id, over
-    * quantized columns named `prefix0 … prefix{dims-1}`. */
+  /** Argmin with ties to the lower cluster id, over quantized columns
+    * named `prefix0 … prefix{dims-1}`: `array_min` over (distance, id)
+    * structs — struct comparison is lexicographic, so the minimum
+    * distance wins and equal distances fall to the LOWER id, exactly the
+    * selection the previous `when`-cascade encoded. The cascade form
+    * duplicated every distance expression O(k²) times across its pairwise
+    * `<=` conditions; after projection collapse that emitted multi-MiB
+    * task binaries ("Broadcasting large task binary" WARNs on the PQ/
+    * k-means paths) and taxed the whole suite through JIT/code-cache
+    * churn. This form carries each of the k distance expressions ONCE. */
   private[sim] def argminColP(cents: Array[Array[Double]], dims: Int,
-      prefix: String): Column = {
-    val k = cents.length
-    val ds = cents.map(dist2P(_, dims, prefix))
-    (0 until k - 1).map { j =>
-      ((j + 1) until k).map(l => ds(j) <= ds(l)).reduce(_ && _) -> j
-    }.foldRight(lit(k - 1)) { case ((cond, j), rest) =>
-      when(cond, lit(j)).otherwise(rest)
-    }
-  }
+      prefix: String): Column =
+    array_min(array(cents.zipWithIndex.map { case (c, j) =>
+      struct(dist2P(c, dims, prefix).as("d"), lit(j).as("c"))
+    }.toIndexedSeq: _*)).getField("c")
 
   private def argminCol(cents: Array[Array[Double]], dims: Int): Column =
     argminColP(cents, dims, "__x")

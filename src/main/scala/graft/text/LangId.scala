@@ -183,8 +183,21 @@ object LangId {
   def selfCheck(
       docs: DataFrame, idCol: String, textCol: String, langCol: String,
       n: Int = 3, topK: Int = 64,
+      maxLiteralEntries: Int = MaxLiteralProfile): DataFrame =
+    selfCheckWith(docs, idCol, textCol, langCol,
+      fitProfiles(docs, textCol, langCol, n, topK), n, maxLiteralEntries)
+
+  /** [[selfCheck]] against an ALREADY-FITTED profile relation (the
+    * output shape of [[fitProfiles]]: langCol first, then gram, rank) —
+    * the fit-once-classify-many entry point. A production curation run
+    * fits the profile once and serves it to every classify pass;
+    * re-fitting per call re-pays the corpus-scale trigram explode each
+    * time (the q_langid family paid it 3× per bench iteration before
+    * this split — VERDICT r7 #6). */
+  def selfCheckWith(
+      docs: DataFrame, idCol: String, textCol: String, langCol: String,
+      profiles: DataFrame, n: Int = 3,
       maxLiteralEntries: Int = MaxLiteralProfile): DataFrame = {
-    val profiles = fitProfiles(docs, textCol, langCol, n, topK)
     literalProfile(profiles, maxLiteralEntries) match {
       case Some(prof) if prof.isEmpty =>
         docs.select(col(idCol), lit("und").as("pred_lang"),

@@ -65,6 +65,25 @@ class OnlineScorerSpec extends SparkSpec {
     assert(score(Map("c_mktsegment" -> null))("seg_te") == te.prior)
   }
 
+  test("online hash keys refuse non-integral runtime values whose JVM " +
+      "rendering diverges from Spark's string cast (ADVICE r7)") {
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+    val model = DFPipeline(
+      new FeatureHasher(Seq("c_mktsegment"), Nil, "fh", 16)).fit(customer)
+    val score = OnlineScorer.compile(model)
+    // strings round-trip; doubles/timestamps render differently under
+    // JVM toString vs Spark's string cast, so the online bucket could
+    // silently diverge from the batch bucket — the contract is REFUSAL
+    assert(score(Map("c_mktsegment" -> "BUILDING")).contains("fh"))
+    intercept[UnsupportedOperationException] {
+      score(Map("c_mktsegment" -> 1.0e7))
+    }
+    intercept[UnsupportedOperationException] {
+      score(Map("c_mktsegment" ->
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    }
+  }
+
   test("a stage on its big (distributed) path refuses to compile") {
     val customer = spark.read.parquet(s"$dir/customer.parquet")
     val model = DFPipeline(

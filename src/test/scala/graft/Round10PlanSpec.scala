@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape pins for the round-7 additions (VERDICT r7 #8): the same
+  * regression armor the CumulativeEngine family has — shuffle counts,
+  * killer-node absences, and (new here) a generated-plan SIZE ceiling,
+  * because round 7's PQ argmin cascades were CORRECT but emitted 9.9–19
+  * MiB task binaries that taxed the whole suite through code-cache
+  * churn. A plan can regress by bloating, not just by adding exchanges. */
+class Round10PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def exchanges(p: String): Int = p.sliding(9).count(_ == "Exchange ")
+
+  private def vecs(n: Int, dim: Int) =
+    (0 until n).map { i =>
+      (i.toLong, (0 until dim).map(j =>
+        ((i * 31 + j * 17) % 97).toFloat / 97f).toArray)
+    }.toDF("vec_id", "embedding")
+
+  test("PQ encode is a ZERO-exchange projection, and the argmin stays " +
+      "array_min-shaped: plan size bounded (the when-cascade form " +
+      "emitted MiB-scale trees at the same geometry)") {
+    val df = vecs(20, 64)
+    val model = graft.sim.Pq.fit(df, "vec_id", "embedding",
+      dim = 64, m = 4, k = 16, iters = 1)
+    val p = plan(graft.sim.Pq.encode(df, "vec_id", "embedding", model))
+    assert(exchanges(p) == 0, p.take(500))
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(500))
+    // 4 subspaces × 16 codewords × 16-dim distances, each distance
+    // carried ONCE: comfortably under 400k chars. The O(k²)-duplication
+    // cascade at this geometry blows far past this ceiling.
+    assert(p.length < 400000, s"PQ encode plan bloated: ${p.length} chars")
+  }
+
+  test("LPA final plan is rounds-INDEPENDENT: per-round localCheckpoint " +
+      "cuts lineage, so exchanges do not accumulate with rounds") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("x", "y"),
+      ("y", "z"), ("z", "x")).toDF("src", "dst")
+    val p2 = plan(graft.relational.Graph.labelPropagation(
+      edges, "src", "dst", rounds = 2))
+    val p5 = plan(graft.relational.Graph.labelPropagation(
+      edges, "src", "dst", rounds = 5))
+    assert(exchanges(p2) == exchanges(p5),
+      s"rounds leak into the final plan: ${exchanges(p2)} vs " +
+        s"${exchanges(p5)}")
+  }
+
+  test("RRF fuse: S-1 full-outer equi-joins, no cartesian; ungrouped " +
+      "re-rank rides the bounded-window guard (inputs are top-k cuts " +
+      "by contract)") {
+    val r1 = Seq(("d1", 1L), ("d2", 2L)).toDF("doc", "rank")
+    val r2 = Seq(("d2", 1L), ("d3", 2L)).toDF("doc", "rank")
+    val r3 = Seq(("d1", 1L), ("d3", 2L)).toDF("doc", "rank")
+    val p = plan(graft.text.Ranking.rrfFuse(Seq(r1, r2, r3), Nil, "doc"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    assert(p.sliding(4).count(_ == "Join") >= 2, p.take(600))
+  }
+}

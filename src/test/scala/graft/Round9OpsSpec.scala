@@ -163,6 +163,47 @@ class Round9OpsSpec extends SparkSpec {
     // ties broken by id ascending
     assert(got.map(_.getAs[Long]("id")).toSeq == Seq(1L, 3L))
   }
+
+  test("histogramOutliers: every row filtered out returns an EMPTY " +
+      "frame with the output schema, not a crash (ADVICE r7)") {
+    val df = Seq((1L, Option.empty[Double], 1.0),
+      (2L, Some(Double.NaN), 2.0)).toDF("id", "f1", "f2")
+    val got = Analytics.histogramOutliers(df, "id", Seq("f1", "f2"),
+      nBins = 4, topN = 5)
+    assert(got.count() == 0L)
+    assert(got.columns.toSeq == Seq("id", "bin_f1", "bin_f2", "score"))
+  }
+
+  test("histogramOutliers: a quantized range that would overflow the " +
+      "Long bin product fails loudly instead of wrapping (ADVICE r7)") {
+    // spread ~2.3e9 quantizes (×2^20) to ~2.4e15 > 2^63/4096 ≈ 2.25e15
+    val df = Seq((1L, 0.0), (2L, 2.3e9)).toDF("id", "f1")
+    val e = intercept[IllegalArgumentException] {
+      Analytics.histogramOutliers(df, "id", Seq("f1"), nBins = 4096,
+        topN = 2).collect()
+    }
+    assert(e.getMessage.contains("overflows"))
+  }
+
+  test("tCloseness: a single sensitive value (m = 1) reports the true " +
+      "group counts with EMD 0, not n_groups = 0 (ADVICE r7)") {
+    val df = Seq(("A", "x"), ("A", "x"), ("B", "x")).toDF("g", "s")
+    val r = Analytics.tCloseness(df, Seq("g"), "s", t = 0.2).head()
+    assert(r.getAs[Long]("n_groups") == 2L)
+    assert(r.getAs[Long]("m_values") == 1L)
+    assert(r.getAs[Double]("max_emd") == 0.0)
+    assert(r.getAs[Long]("violating_groups") == 0L)
+    assert(r.getAs[Double]("violating_share") == 0.0)
+  }
+
+  test("FeatureHasher rejects categorical columns whose string cast " +
+      "diverges from the online scorer's JVM rendering (ADVICE r7)") {
+    val df = Seq((1L, 1.0e7)).toDF("id", "c")
+    val e = intercept[IllegalArgumentException] {
+      new FeatureHasher(Seq("c"), Nil, "fh", 16).transform(df).collect()
+    }
+    assert(e.getMessage.contains("string cast"))
+  }
 }
 
 class EwmaStreamSpec extends SparkSpec {
