@@ -24,10 +24,32 @@ import org.apache.spark.sql.SparkSession
   * rows/iterations skipped for budget are REPORTED (never silent) in
   * `skipped_stress` / `n_iters`. */
 object Bench {
+  /** Deterministic single-thread CPU probe (~1e9 xorshift steps): the
+    * box is a shared host whose effective CPU speed was MEASURED to
+    * swing >1.6× within an hour (round-8 bisect of the round-7 "uniform
+    * 1.47× drift" — an identical Python loop went 3.37 s → 5.58 s in 38
+    * minutes on an idle VM; an identical 14-query suite went 43 s → 68 s
+    * across four same-config runs). Emitting the probe at start and end
+    * makes every bench artifact self-normalizing: divide totals by the
+    * calibration ratio before comparing rounds. */
+  private def calibrate(): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0L
+    val t0 = System.nanoTime()
+    while (i < 1000000000L) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+    }
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (x == 42L) println("") // defeat dead-code elimination
+    dt
+  }
+
   def main(args: Array[String]): Unit = {
     val benchStart = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - benchStart) / 1e9
     val budget = sys.env.getOrElse("SPARK_GRAFT_BUDGET_SEC", "2700").toDouble
+    val calibStart = calibrate()
+    var calibEnd = 0.0
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -88,7 +110,12 @@ object Bench {
     // 28/35 rows stable under min-of-3, and the flagged rest are floor-
     // noisy sub-second rows that extra iterations don't stabilize either —
     // the third iteration bought little and cost ~1/3 of the block.
-    val stressIters = sys.env.getOrElse("SPARK_GRAFT_STRESS_ITERS", "2").toInt
+    // Calibration-adaptive: on a measured SLOW box phase (probe > 1.7 s;
+    // fast phases run ~1.3 s) a full min-of-2 block cannot fit the hour
+    // alongside the main pass, and a COMPLETE single-pass stress table
+    // beats half a min-of-2 one — the ratio column is what gates.
+    val stressIters = sys.env.get("SPARK_GRAFT_STRESS_ITERS").map(_.toInt)
+      .getOrElse(if (calibStart > 1.7) 1 else 2)
     val stressBaseIters =
       scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val stressBigIters =
@@ -124,7 +151,9 @@ object Bench {
         skippedStress.map("\"" + _ + "\"").mkString("[", ",", "]")
       val stressJson =
         s""""stress":{"scale":$stressScale,"iters":$stressIters,"scales":$scalesJson,"skipped":$skippedJson,"base":${fmt(stressBase)},"scaled":${fmt(stressBig)},"base_iters":${fmtIters(stressBaseIters)},"scaled_iters":${fmtIters(stressBigIters)}},"online_rows_per_sec":${f"$onlineRps%.0f"}"""
-      val detail = s"""{"phase":"$phase","elapsed_sec":${f"$elapsed%.1f"},"phase_sec":${fmt(phaseSec)},"metric":"total","value":$total,"unit":"sec","n_iters":$nIters,"queries":${fmt(results)},"errors":${fmtErr(errors)},"warmup_errors":${fmtErr(warmupErrors)},$stressJson,"sf":"$sfDir"}"""
+      val calibJson =
+        s""""calib_sec":{"start":${f"$calibStart%.3f"},"end":${f"$calibEnd%.3f"}}"""
+      val detail = s"""{"phase":"$phase","elapsed_sec":${f"$elapsed%.1f"},"phase_sec":${fmt(phaseSec)},$calibJson,"metric":"total","value":$total,"unit":"sec","n_iters":$nIters,"queries":${fmt(results)},"errors":${fmtErr(errors)},"warmup_errors":${fmtErr(warmupErrors)},$stressJson,"sf":"$sfDir"}"""
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
           detail.getBytes("UTF-8"))
@@ -145,18 +174,35 @@ object Bench {
         val slowest = results.toSeq.sortBy(-_._2).take(20)
         val stressRef =
           s""""stress":{"scale":$stressScale,"iters":$stressIters,"n_base":${stressBase.size},"n_scaled":${stressBig.size},"n_skipped":${skippedStress.size},"detail":"BENCH_DETAIL.json"}"""
-        println(s"""{"phase":"$phase","metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_iters":$nIters,"n_failed":${errors.size},"queries":${fmt(slowest)},"errors":${fmtErr(errors.take(10))},"n_warmup_errors":${warmupErrors.size},$stressRef,"online_rows_per_sec":${f"$onlineRps%.0f"},"elapsed_sec":${f"$elapsed%.1f"},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+        println(s"""{"phase":"$phase","metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_iters":$nIters,"n_failed":${errors.size},"queries":${fmt(slowest)},"errors":${fmtErr(errors.take(10))},"n_warmup_errors":${warmupErrors.size},$stressRef,"online_rows_per_sec":${f"$onlineRps%.0f"},"calib_sec":{"start":${f"$calibStart%.3f"},"end":${f"$calibEnd%.3f"}},"elapsed_sec":${f"$elapsed%.1f"},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
       }
     }
 
     // ---- phase 1: warmup ------------------------------------------------
-    queries.foreach { case (name, fn) =>
-      try run(fn(spark, warmDir))
-      catch { case e: Throwable =>
-        if (!warmupErrors.contains(name))
-          warmupErrors(name) = jsonSafe(e.getClass.getSimpleName + ": " +
-            Option(e.getMessage).getOrElse(""))
+    // Untimed, so it runs PARALLEL (4 submitter threads): tiny sf0.001
+    // jobs badly underutilize 32 cores one at a time — the serial pass
+    // cost 546 s of the budget on a slow box phase. Spark's scheduler
+    // multiplexes concurrent job submissions; warmup only needs the JIT/
+    // codegen/footer caches touched, not timing isolation.
+    {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      queries.foreach { case (name, fn) =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            try fn(spark, warmDir)
+              .write.format("noop").mode("overwrite").save()
+            catch { case e: Throwable =>
+              warmupErrors.synchronized {
+                if (!warmupErrors.contains(name))
+                  warmupErrors(name) = jsonSafe(
+                    e.getClass.getSimpleName + ": " +
+                      Option(e.getMessage).getOrElse(""))
+              }
+            }
+        })
       }
+      pool.shutdown()
+      pool.awaitTermination(30, java.util.concurrent.TimeUnit.MINUTES)
     }
     phaseSec("warmup") = elapsed
 
@@ -180,7 +226,11 @@ object Bench {
         name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
       }
       val iterTime = elapsed - it0
-      if (iterations.size < 3 && elapsed + iterTime * 1.15 > budget * 0.55) {
+      // 0.60 of budget for warmup+main: on a measured slow box phase
+      // (582 s/iteration) this keeps TWO iterations (min-of-2) and the
+      // full stress block both inside the hour; 0.55 degraded to
+      // min-of-1 while stress still ran out of road
+      if (iterations.size < 3 && elapsed + iterTime * 1.15 > budget * 0.60) {
         println(s"""{"note":"main iteration ${iterations.size + 1} skipped for budget","elapsed_sec":${f"$elapsed%.1f"},"budget_sec":$budget}""")
         continueIters = false
       }
@@ -297,6 +347,7 @@ object Bench {
     }
     phaseSec("stress") =
       elapsed - phaseSec("warmup") - phaseSec("main") - phaseSec("online")
+    calibEnd = calibrate()
     emit("final", history = true)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

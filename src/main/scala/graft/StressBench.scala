@@ -29,10 +29,12 @@ object StressBench {
     * rows ran ~46 s and ~25 s PER ITERATION at ×16 — a third of the whole
     * stress block for two cells. The ratio vs linear is the artifact, not
     * the absolute seconds, and both rows measured stably ~linear/sublinear
-    * at ×16 in SCALE.md's two-run table, so ×8 still exercises the same
-    * crossovers at half the cost. [[Bench]] records the per-row scale in
-    * the artifact's `stress.scales` map. */
-  val scaleOverride: Map[String, Int] = Map("s_knn" -> 8, "s_lpa" -> 8)
+    * at ×16 in SCALE.md's two-run table, so a smaller scale still
+    * exercises the same crossovers at a fraction of the cost (s_knn@×8
+    * still cost 142 s/iteration on a slow box phase — ×4 keeps its
+    * candidate volume well past the bucket-cap crossover). [[Bench]]
+    * records the per-row scale in the artifact's `stress.scales` map. */
+  val scaleOverride: Map[String, Int] = Map("s_knn" -> 4, "s_lpa" -> 8)
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
