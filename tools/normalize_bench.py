@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Calibration-normalized comparison of two bench artifacts.
+
+Usage: python3 tools/normalize_bench.py <old_detail.json> <new_detail.json>
+
+The bench box is a shared host whose effective CPU speed was measured to
+swing >1.6x within an hour (SCALE.md, round-8 bisect) — raw wall-second
+deltas across runs mostly measure the box, not the code. Every Bench
+artifact carries a deterministic single-thread probe (`calib_sec.start`
+and `.end`); this script divides per-query times by each run's mean
+probe time before comparing, so what remains is (approximately) work per
+CPU-speed unit. Artifacts without a probe (pre-round-8) fall back to a
+probe of 1.0 and the output says so.
+
+Output: normalized totals over the common query set, the median ratio,
+and the queries whose NORMALIZED ratio exceeds 1.3x either way.
+"""
+import json
+import statistics
+import sys
+
+
+def load(path):
+    d = json.load(open(path))
+    cal = d.get("calib_sec") or {}
+    probes = [v for v in (cal.get("start"), cal.get("end")) if v]
+    probe = statistics.mean(probes) if probes else None
+    return d.get("queries", {}), probe
+
+
+def main():
+    old_q, old_p = load(sys.argv[1])
+    new_q, new_p = load(sys.argv[2])
+    for name, p in (("old", old_p), ("new", new_p)):
+        if p is None:
+            print(f"WARN: {name} artifact has no calib_sec — raw seconds")
+    op, np_ = old_p or 1.0, new_p or 1.0
+    common = sorted(set(old_q) & set(new_q))
+    if not common:
+        print("no common queries")
+        return 1
+    tot_old = sum(old_q[q] / op for q in common)
+    tot_new = sum(new_q[q] / np_ for q in common)
+    ratios = sorted(
+        (new_q[q] / np_) / (old_q[q] / op) for q in common if old_q[q] > 0)
+    print(f"probes: old={old_p} new={new_p}")
+    print(f"common queries: {len(common)}")
+    print(f"normalized totals: {tot_old:.1f} -> {tot_new:.1f} "
+          f"({tot_new / tot_old:.2f}x), median ratio "
+          f"{statistics.median(ratios):.2f}")
+    flagged = [(q, (new_q[q] / np_) / (old_q[q] / op)) for q in common
+               if old_q[q] > 0.2
+               and not 1 / 1.3 < (new_q[q] / np_) / (old_q[q] / op) < 1.3]
+    for q, r in sorted(flagged, key=lambda x: -x[1]):
+        print(f"  {'SLOWER' if r > 1 else 'faster'} {r:5.2f}x {q} "
+              f"({old_q[q]:.2f}s -> {new_q[q]:.2f}s raw)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
