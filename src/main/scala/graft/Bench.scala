@@ -116,6 +116,11 @@ object Bench {
     // beats half a min-of-2 one — the ratio column is what gates.
     val stressIters = sys.env.get("SPARK_GRAFT_STRESS_ITERS").map(_.toInt)
       .getOrElse(if (calibStart > 1.7) 1 else 2)
+    val stressScale0 = stressScale
+    val stressSelected0 = (only match {
+      case Some(names) => StressBench.queries.filter(kv => names(kv._1))
+      case None => StressBench.queries
+    }).toSeq.sortBy(_._1)
     val stressBaseIters =
       scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val stressBigIters =
@@ -186,11 +191,11 @@ object Bench {
     // codegen/footer caches touched, not timing isolation.
     {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-      queries.foreach { case (name, fn) =>
+      def warm(name: String, thunk: () => org.apache.spark.sql.DataFrame)
+          : Unit = {
         pool.submit(new Runnable {
           def run(): Unit =
-            try fn(spark, warmDir)
-              .write.format("noop").mode("overwrite").save()
+            try thunk().write.format("noop").mode("overwrite").save()
             catch { case e: Throwable =>
               warmupErrors.synchronized {
                 if (!warmupErrors.contains(name))
@@ -200,6 +205,16 @@ object Bench {
               }
             }
         })
+        ()
+      }
+      queries.foreach { case (name, fn) =>
+        warm(name, () => fn(spark, warmDir))
+      }
+      // stress-row warmups ride the same pool (JIT/codegen caches persist
+      // across phases, so the per-row serial warmup the stress phase used
+      // to pay — ~2 s × 44 rows on a slow box — is covered here)
+      if (stressScale0 > 1) stressSelected0.foreach { case (name, fn) =>
+        warm(name, () => fn(spark, warmDir, 1))
       }
       pool.shutdown()
       pool.awaitTermination(30, java.util.concurrent.TimeUnit.MINUTES)
@@ -226,11 +241,14 @@ object Bench {
         name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
       }
       val iterTime = elapsed - it0
-      // 0.60 of budget for warmup+main: on a measured slow box phase
-      // (582 s/iteration) this keeps TWO iterations (min-of-2) and the
-      // full stress block both inside the hour; 0.55 degraded to
-      // min-of-1 while stress still ran out of road
-      if (iterations.size < 3 && elapsed + iterTime * 1.15 > budget * 0.60) {
+      // 0.68 of budget for warmup+main: warmup now pre-pays the stress
+      // rows' JIT too (the stress phase no longer warms per row), so
+      // main can take a bigger share — measured slow-box arithmetic:
+      // warmup 365 s + 2 × 600 s iterations = 1565 s < 1836 s keeps
+      // min-of-2, leaving ~1100 s for the single-pass stress block
+      // (~750 s with pre-paid warmups); a fast box fits min-of-3 plus
+      // min-of-2 stress with ~900 s of margin
+      if (iterations.size < 3 && elapsed + iterTime * 1.15 > budget * 0.68) {
         println(s"""{"note":"main iteration ${iterations.size + 1} skipped for budget","elapsed_sec":${f"$elapsed%.1f"},"budget_sec":$budget}""")
         continueIters = false
       }
@@ -297,31 +315,19 @@ object Bench {
     // the heaviest rows — the RATIO is the artifact, not the absolute
     // seconds) so every round's bench artifact carries the measured ratio
     // vs linear scaling for the banded/binned/distributed paths.
-    // Rows run ONE AT A TIME (warm → ×1 iters → ×scale iters), detail
+    // Rows run ONE AT A TIME (×1 iters → ×scale iters; the JIT/codegen
+    // warmup already happened in the parallel phase-1 pool), detail
     // re-emitted after every row, so a wall-clock kill loses at most the
     // row in flight. Rows skipped when past 90% of budget are REPORTED in
     // skipped_stress. SPARK_GRAFT_STRESS=0 disables. Stress failures fail
     // the run like timed ones.
     if (stressScale > 1) {
-      val stressSelected = (only match {
-        case Some(names) => StressBench.queries.filter(kv => names(kv._1))
-        case None => StressBench.queries
-      }).toSeq.sortBy(_._1)
       var sinceStdout = 0
-      stressSelected.foreach { case (name, fn) =>
+      stressSelected0.foreach { case (name, fn) =>
         if (elapsed > budget * 0.90) {
           skippedStress += name
         } else {
           val rowScale = StressBench.scaleOverride.getOrElse(name, stressScale)
-          // warmup at the small dir so the ×1 pass doesn't absorb JIT /
-          // codegen compilation cost that the ×scale pass then skips —
-          // the ratio between the two passes is the artifact
-          try run(fn(spark, warmDir, 1))
-          catch { case e: Throwable =>
-            if (!warmupErrors.contains(name))
-              warmupErrors(name) = jsonSafe(e.getClass.getSimpleName + ": " +
-                Option(e.getMessage).getOrElse(""))
-          }
           def timeRow(reps: Int): Option[Seq[Double]] = {
             val times = (1 to stressIters).flatMap { _ =>
               spark.catalog.clearCache()

@@ -50,6 +50,26 @@ class Round10PlanSpec extends SparkSpec {
         s"${exchanges(p5)}")
   }
 
+  test("q_curation's DSIR budget cut is a bounded TakeOrdered heap, " +
+      "not a single-task global window") {
+    // range leaf, not a LocalRelation — the optimizer constant-folds
+    // tiny local relations straight past the physical operators the pin
+    // is about. 400 rows, not 40: EliminateLimits removes a limit ≥ the
+    // leaf's known maxRows, leaving a full global sort that the real
+    // corpus-scale plan never has
+    val docs = spark.range(400).select(col("id").as("doc_id"),
+      concat(lit("the cat sat on mat number "), col("id"),
+        lit(" and it is a fine day in the park that we all enjoy"))
+        .as("text"),
+      lit("src0").as("source"))
+    val scored = graft.text.Corpus.dsirScore(
+      docs, "text", "doc_id", docs, "text", buckets = 16)
+      .orderBy(col("dsir_score").desc, col("doc_id")).limit(150)
+    val p = plan(scored)
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    assert(!p.contains("Window"), p.take(600))
+  }
+
   test("RRF fuse: S-1 full-outer equi-joins, no cartesian; ungrouped " +
       "re-rank rides the bounded-window guard (inputs are top-k cuts " +
       "by contract)") {

@@ -327,6 +327,60 @@ class StreamingSpec extends SparkSpec {
     assert(!run2.exists(_._1 == 2L),
       s"batch 1 was reprocessed: ${run2.toSeq}")
   }
+
+  test("composed curation stream: gopher gate -> cross-batch exact dedup " +
+      "-> frozen fitted scoring, equal to the batch composition") {
+    // the production shape: one stream runs the whole ingest-curation
+    // chain — stateless quality gate, STATEFUL first-wins dedup on the
+    // text fingerprint (state must survive micro-batch boundaries), and
+    // a frozen fitted encoder — and must land exactly the rows the batch
+    // pipeline lands on the same data
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val good1 = "the cat sat on the mat and it is a fine day in the " +
+      "park that we all enjoy quite a lot today"
+    val good2 = "a small dog ran to the gate and it kept barking at the " +
+      "mail cart until the owner came out to see it"
+    val batch1 = Seq((1L, good1, "en"), (2L, "too short", "en"))
+    val batch2 = Seq((3L, good1, "en"), // exact dup of doc 1, later batch
+      (4L, good2, "de"))
+    val corpus = (batch1 ++ batch2).toDF("doc_id", "text", "lang")
+    val model = DFPipeline(
+      new FrequencyEncoder(Seq("lang"), Seq("lang_freq"),
+        normalize = true)).fit(corpus)
+
+    def gateAndFingerprint(df: org.apache.spark.sql.DataFrame) =
+      graft.text.TextFunctions.gopherStats(df, "text", minWords = 20)
+        .filter(col("gopher_keep"))
+        .withColumn("fp", graft.text.TextFunctions.fingerprintMd5(col("text")))
+
+    val mem = MemoryStream[(Long, String, String)]
+    val stream = mem.toDF().toDF("doc_id", "text", "lang")
+    val curated = Streaming.score(model,
+      gateAndFingerprint(stream).dropDuplicates("fp"))
+      .select("doc_id", "lang", "lang_freq", "n_words")
+    val q = curated.writeStream.outputMode("append")
+      .format("memory").queryName("curation_out").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable() // doc 1 wins the fp BEFORE doc 3 arrives
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("curation_out")
+    // batch twin: same gate, keep-min-id exact dedup on the fingerprint,
+    // same frozen model (doc 1 < doc 3, matching the stream's arrival
+    // order, so first-wins and min-id pick the same keeper)
+    val batch = model.transform(
+      graft.text.Dedup.exact(gateAndFingerprint(corpus), Seq("fp"),
+        "doc_id"))
+      .select("doc_id", "lang", "lang_freq", "n_words")
+    assert(streamed.count() == 2) // docs 1 and 4; 2 gated, 3 deduped
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
+
 }
 
 /** Streaming materialized-aggregate maintenance: per-batch fold equals the
@@ -622,4 +676,5 @@ class AttributionStreamSpec extends SparkSpec {
         ((r.getLong(2), r.getDouble(3)))).toMap
     assert(streamedAgg == batch)
   }
+
 }
