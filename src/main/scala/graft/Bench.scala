@@ -226,8 +226,9 @@ object Bench {
     // GC/scheduler/co-tenant noise (observed ±40% between runs on this
     // box); cache cleared between so nothing rides a previous iteration's
     // persisted intermediates. Adaptive (VERDICT r7 #1): a further
-    // iteration only runs while main can stay within ~55% of the budget,
-    // keeping room for online + stress; at least one iteration always runs.
+    // iteration only runs while warmup+main stay within 68% of the budget
+    // (see the inline arithmetic below), keeping room for online + stress;
+    // at least one iteration always runs.
     val iterations = scala.collection.mutable.ArrayBuffer[Map[String, Option[Double]]]()
     var continueIters = true
     while (iterations.size < 3 && continueIters) {
