@@ -45,7 +45,28 @@ object Round9Queries {
   private val OutlierBins = 32
   private val OutlierTop = 100
 
+  /** Unit relation for q_cuped: one row per user, covariate = cents in
+    * the pre-period (before Jan 15), metric = cents in the post-period,
+    * variant = user_id mod 2 — all exact integer arithmetic. */
+  private val CupedCutoffUs = 1705276800000000L // 2024-01-15T00:00:00Z
+  private def cupedUnits(s: SparkSession, d: String): DataFrame =
+    DataQueries.readEventsMicros(s, d)
+      .withColumn("__c", floor(col("value") * 100).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("tsu") < CupedCutoffUs, col("__c")).otherwise(0L))
+          .as("x_pre"),
+        sum(when(col("tsu") >= CupedCutoffUs, col("__c")).otherwise(0L))
+          .as("y_post"))
+      .withColumn("variant", pmod(col("user_id"), lit(2L)))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // CUPED variance-reduced A/B readback (Deng et al. WSDM'13): θ fit
+    // on all units' exact cent sums, per-variant adjusted means
+    "q_cuped" -> ((s, d) =>
+      graft.relational.Analytics.cuped(cupedUnits(s, d),
+        "variant", "y_post", "x_pre")),
 
     // deterministic label-propagation communities over the co-purchase
     // graph: min-label ties + self-vote, 3 synchronous rounds
@@ -183,6 +204,46 @@ object Round9Queries {
        FROM customer WHERE $notNull"""
 
   def oracleSql: Map[String, String] = Map(
+
+    // exact cent sums per unit → θ from long→double conversions and one
+    // division (the identical fixed-order IEEE expressions the Spark
+    // side evaluates on the driver) → per-variant adjusted means
+    "q_cuped" ->
+      s"""WITH u AS (
+            SELECT user_id,
+              CAST(sum(CASE WHEN epoch_us(ts) < $CupedCutoffUs
+                THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS x,
+              CAST(sum(CASE WHEN epoch_us(ts) >= $CupedCutoffUs
+                THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS y
+            FROM events GROUP BY 1),
+          g AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+              CAST(sum(x * x) AS BIGINT) AS sxx,
+              CAST(sum(x * y) AS BIGINT) AS sxy
+            FROM u),
+          th AS (
+            SELECT CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mxg,
+              CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0
+                   THEN 0.0
+                   ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              END AS theta
+            FROM g)
+          SELECT user_id % 2 AS variant,
+            CAST(count(*) AS BIGINT) AS n_units,
+            round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS mean_metric,
+            round(CAST(sum(x) AS DOUBLE) / count(*), 6) AS mean_covariate,
+            round(CAST(sum(y) AS DOUBLE) / count(*)
+              - theta * (CAST(sum(x) AS DOUBLE) / count(*) - mxg), 6)
+              AS mean_adjusted,
+            round(theta, 6) AS theta
+          FROM u, th GROUP BY 1, theta, mxg""",
 
     "q_communities" ->
       graft.relational.Graph.labelPropagationSql(coPurchaseSql, LpaRounds),

@@ -1630,4 +1630,71 @@ object Analytics {
           .as("trimmed_mean"),
         round(sum(col("__x")) / count(lit(1)), 6).as("mean"))
   }
+
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker: "Improving the
+    * Sensitivity of Online Controlled Experiments by Utilizing
+    * Pre-Experiment Data", WSDM 2013) — the standard experimentation
+    * technique: adjust each unit's metric `y` by its pre-experiment
+    * covariate `x`, `y_adj = y − θ·(x − x̄)` with `θ = cov(x,y)/var(x)`
+    * fitted on ALL units, so per-variant adjusted means keep the
+    * treatment effect unbiased while shedding the covariate's variance.
+    * Input: ONE ROW PER UNIT (pre-aggregate events to units first) with
+    * integer-unit metric/covariate columns (quantize money to cents
+    * upstream — the [[Privacy]]/[[Scorecard]] cents discipline). Output:
+    * one row per variant,
+    * `(variantCol, n_units, mean_metric, mean_covariate, mean_adjusted,
+    * theta)`, doubles rounded 6 dp.
+    *
+    * Determinism: every sum is an exact free-order LONG sum of the
+    * integer units; θ and the adjusted means are a fixed sequence of
+    * long→double conversions, multiplies and divides (IEEE-identical in
+    * any engine), so the whole readback replays bit-for-bit — no
+    * moment-aggregate rounding needed. θ is 0 by definition when the
+    * covariate is constant (var(x) = 0).
+    *
+    * Shape at 100 TB: ONE map-side-combined global aggregate (six longs
+    * to the driver — the fitted-scalar contract) and ONE per-variant
+    * aggregate with θ inlined as a literal; no join, no window, no
+    * second scan of the unit relation beyond those two passes. The
+    * long-product terms bound the domain: n·Σxy and n·Σx² must stay
+    * within double's 2^53 exactness only for REPORTING precision — the
+    * conversions are deterministic either way — but Σx²-style per-unit
+    * magnitudes must not overflow the LONG sums (require'd). */
+  def cuped(df: DataFrame, variantCol: String, metricCol: String,
+      covariateCol: String): DataFrame = {
+    val y = col(metricCol).cast("long")
+    val x = col(covariateCol).cast("long")
+    val units = df
+      .filter(col(variantCol).isNotNull && y.isNotNull && x.isNotNull)
+      .select(col(variantCol).cast("string").as("__v"), y.as("__y"),
+        x.as("__x"))
+    val g = units.agg(
+      count(lit(1)).as("n"),
+      sum("__x").as("sx"), sum("__y").as("sy"),
+      sum(col("__x") * col("__x")).as("sxx"),
+      sum(col("__x") * col("__y")).as("sxy")).head()
+    val n = g.getAs[Long]("n")
+    require(n >= 2, s"CUPED needs >= 2 units, got $n")
+    val sx = g.getAs[Long]("sx"); val sy = g.getAs[Long]("sy")
+    val sxx = g.getAs[Long]("sxx"); val sxy = g.getAs[Long]("sxy")
+    // fixed-order IEEE arithmetic over the exact longs — the oracle SQL
+    // repeats these expressions verbatim
+    val varX = n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble
+    val theta =
+      if (varX == 0.0) 0.0
+      else (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) / varX
+    val meanXg = sx.toDouble / n.toDouble
+    units.groupBy(col("__v").as(variantCol))
+      .agg(count(lit(1)).as("n_units"),
+        sum("__y").as("__syv"), sum("__x").as("__sxv"))
+      .select(col(variantCol), col("n_units"),
+        round(col("__syv").cast("double") / col("n_units"), 6)
+          .as("mean_metric"),
+        round(col("__sxv").cast("double") / col("n_units"), 6)
+          .as("mean_covariate"),
+        round(col("__syv").cast("double") / col("n_units") -
+          lit(theta) * (col("__sxv").cast("double") / col("n_units") -
+            lit(meanXg)), 6).as("mean_adjusted"),
+        round(lit(theta), 6).as("theta"))
+  }
 }

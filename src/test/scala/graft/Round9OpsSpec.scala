@@ -185,6 +185,31 @@ class Round9OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("overflows"))
   }
 
+  test("CUPED: hand-computed theta and adjusted means; treatment effect " +
+      "shifts only by the covariate imbalance") {
+    // n=4, sx=20, sy=100, sxx=120, sxy=460 -> varX=80, theta=-2, mxg=5
+    val units = Seq(("a", 10L, 4L), ("a", 20L, 8L),
+      ("b", 30L, 6L), ("b", 40L, 2L)).toDF("variant", "y", "x")
+    val got = Analytics.cuped(units, "variant", "y", "x")
+      .collect().map(r => r.getAs[String]("variant") -> r).toMap
+    assert(got("a").getAs[Double]("theta") == -2.0)
+    assert(got("a").getAs[Double]("mean_metric") == 15.0)
+    assert(got("a").getAs[Double]("mean_adjusted") == 17.0)
+    assert(got("b").getAs[Double]("mean_adjusted") == 33.0)
+    assert(got("b").getAs[Long]("n_units") == 2L)
+  }
+
+  test("CUPED: constant covariate means theta = 0 and adjusted == raw") {
+    val units = Seq(("a", 10L, 7L), ("b", 30L, 7L), ("b", 50L, 7L))
+      .toDF("variant", "y", "x")
+    val got = Analytics.cuped(units, "variant", "y", "x").collect()
+    got.foreach { r =>
+      assert(r.getAs[Double]("theta") == 0.0)
+      assert(r.getAs[Double]("mean_adjusted") ==
+        r.getAs[Double]("mean_metric"))
+    }
+  }
+
   test("tCloseness: a single sensitive value (m = 1) reports the true " +
       "group counts with EMD 0, not n_groups = 0 (ADVICE r7)") {
     val df = Seq(("A", "x"), ("A", "x"), ("B", "x")).toDF("g", "s")
