@@ -16,7 +16,9 @@ object Round6Queries {
 
   /** Fit-once memo for the q_langid family (VERDICT r7 #6): the fitted
     * profile is bounded driver state (#langs × topK rows — the same
-    * contract as the encoder dictionaries), keyed by data dir so the
+    * contract as the encoder dictionaries), keyed by (data dir, mtime)
+    * via [[graft.util.FitMemo]] — bounded entries, staleness-safe, fit
+    * cost reported in the bench artifact's fit_sec (ADVICE r8) — so the
     * warmup scale and the bench scale never cross. The three family
     * queries classify against the SAME fitted relation, exactly like a
     * production curation run that fits a profile once and serves it to
@@ -24,9 +26,9 @@ object Round6Queries {
     * (the memoized rows come back as a small local relation that the
     * classify broadcast-joins). */
   private val langidProfileMemo =
-    new scala.collection.concurrent.TrieMap[String, Seq[(String, String, Long)]]()
+    new graft.util.FitMemo[Seq[(String, String, Long)]]("langid_profile")
   private def langidProfile(s: SparkSession, d: String): DataFrame = {
-    val rows = langidProfileMemo.getOrElseUpdate(d,
+    val rows = langidProfileMemo.getOrFit(d)(
       graft.text.LangId.fitProfiles(t(s, d, "documents"), "text", "lang",
           n = 3, topK = 64)
         .collect().toSeq

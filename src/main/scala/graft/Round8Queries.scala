@@ -22,13 +22,15 @@ object Round8Queries {
     * q_sim_ivfpq (the langidProfile discipline): both fit the IDENTICAL
     * codebooks — same table, params, deterministic init — so re-fitting
     * per query re-paid m×iters corpus aggregates each time. The model
-    * is bounded driver state (m·k·subDim doubles), keyed by data dir so
+    * is bounded driver state (m·k·subDim doubles), keyed by (data dir,
+    * mtime) via [[graft.util.FitMemo]] — bounded entries, staleness-safe,
+    * fit cost reported in the bench artifact's fit_sec (ADVICE r8) — so
     * warmup and bench scales never cross; oracles are unaffected (the
     * replay SQL derives from the same parameters). */
   private val pqModelMemo =
-    new scala.collection.concurrent.TrieMap[String, graft.sim.Pq.PqModel]()
+    new graft.util.FitMemo[graft.sim.Pq.PqModel]("pq_model")
   private def pqModel(s: SparkSession, d: String): graft.sim.Pq.PqModel =
-    pqModelMemo.getOrElseUpdate(d,
+    pqModelMemo.getOrFit(d)(
       graft.sim.Pq.fit(t(s, d, "embeddings"), "vec_id", "embedding",
         dim = PqDim, m = PqM, k = PqK, iters = PqIters))
 

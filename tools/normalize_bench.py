@@ -6,11 +6,16 @@ Usage: python3 tools/normalize_bench.py <old_detail.json> <new_detail.json>
 The bench box is a shared host whose effective CPU speed was measured to
 swing >1.6x within an hour (SCALE.md, round-8 bisect) — raw wall-second
 deltas across runs mostly measure the box, not the code. Every Bench
-artifact carries a deterministic single-thread probe (`calib_sec.start`
-and `.end`); this script divides per-query times by each run's mean
-probe time before comparing, so what remains is (approximately) work per
-CPU-speed unit. Artifacts without a probe (pre-round-8) fall back to a
-probe of 1.0 and the output says so.
+artifact carries deterministic CPU probes at phase boundaries:
+`calib_sec` (single-thread xorshift) and, from round 9, `calib_par_sec`
+(the same loop on one thread per core, wall time until all finish).
+Round 8 proved the SCALAR probe under-corrects a 32-way workload by up
+to ~10x when the shared host's parallel throughput collapses, so this
+script PREFERS the parallel probe when both artifacts carry one and
+says which probe it used. It divides per-query times by each run's mean
+probe time before comparing, so what remains is (approximately) work
+per CPU-throughput unit. Artifacts without any probe (pre-round-8) fall
+back to a probe of 1.0 and the output says so.
 
 Output: normalized totals over the common query set, the median ratio,
 and the queries whose NORMALIZED ratio exceeds 1.3x either way.
@@ -20,20 +25,31 @@ import statistics
 import sys
 
 
+def mean_probe(cal):
+    # named points (start/pre_main/pre_stress/end) or legacy start/end
+    probes = [v for v in cal.values() if v]
+    return statistics.mean(probes) if probes else None
+
+
 def load(path):
     d = json.load(open(path))
-    cal = d.get("calib_sec") or {}
-    probes = [v for v in (cal.get("start"), cal.get("end")) if v]
-    probe = statistics.mean(probes) if probes else None
-    return d.get("queries", {}), probe
+    scalar = mean_probe(d.get("calib_sec") or {})
+    par = mean_probe(d.get("calib_par_sec") or {})
+    return d.get("queries", {}), scalar, par
 
 
 def main():
-    old_q, old_p = load(sys.argv[1])
-    new_q, new_p = load(sys.argv[2])
+    old_q, old_s, old_par = load(sys.argv[1])
+    new_q, new_s, new_par = load(sys.argv[2])
+    if old_par and new_par:
+        old_p, new_p = old_par, new_par
+        print("probe kind: parallel (calib_par_sec)")
+    else:
+        old_p, new_p = old_s, new_s
+        print("probe kind: scalar (calib_sec) — no parallel probe in both")
     for name, p in (("old", old_p), ("new", new_p)):
         if p is None:
-            print(f"WARN: {name} artifact has no calib_sec — raw seconds")
+            print(f"WARN: {name} artifact has no calib probe — raw seconds")
     op, np_ = old_p or 1.0, new_p or 1.0
     common = sorted(set(old_q) & set(new_q))
     if not common:
