@@ -455,13 +455,14 @@ object Bench {
     // deferred iteration 3 also lands here). Minima fold into the same
     // `results`/`n_iters` the contract line reports.
     val extra0 = elapsed
+    val itersBeforeExtra = nIters
     while (nIters < 3 && lastIterSec > 0 &&
         elapsed + lastIterSec * 1.15 < budget * 0.95) {
       runMainIteration()
       notes += s"extra main iteration $nIters after stress at ${f"$elapsed%.0f"}s"
       emit(s"main_extra_$nIters", stdout = false)
     }
-    if (elapsed > extra0) phaseSec("main_extra") = elapsed - extra0
+    if (nIters > itersBeforeExtra) phaseSec("main_extra") = elapsed - extra0
 
     probe("end")
     // legacy keys for pre-r9 tooling: calib_sec.start / calib_sec.end are

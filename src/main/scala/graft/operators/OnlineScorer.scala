@@ -40,8 +40,11 @@ object OnlineScorer {
     * the two renderings DIVERGE and the online vector would land in a
     * different bucket than the batch vector — breaking the
     * online == batch parity contract — so refuse loudly (ADVICE r7).
-    * [[FeatureHasher.transformDF]] enforces the same type set
-    * batch-side. */
+    * This is the SOLE enforcement point (ADVICE r8): batch-side
+    * [[FeatureHasher.transformDF]] stays permissive because
+    * cast("string") at both fit and transform is self-consistent for
+    * batch-only pipelines and persisted models — the divergence only
+    * exists once a row is scored here. */
   private def castStr(v: Any): String = v match {
     case s: String => s
     case _: java.lang.Boolean | _: java.lang.Integer | _: java.lang.Long |

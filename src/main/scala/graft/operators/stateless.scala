@@ -291,24 +291,15 @@ class FeatureHasher(
     when(hash(concat(lit("s:"), s)) % 2 === 0, 1L).otherwise(-1L)
 
   override def transformDF(df: DataFrame): DataFrame = {
-    // categorical hash keys go through cast("string"); the online scorer
-    // replays them with JVM toString, and the two renderings only agree
-    // for string/boolean/integral inputs (doubles render 1.0E7 vs
-    // 10000000.0, timestamps differ entirely) — restrict to the types
-    // where batch bucket == online bucket is provable (ADVICE r7)
-    {
-      import org.apache.spark.sql.types._
-      val ok: Set[DataType] = Set(StringType, BooleanType, IntegerType,
-        LongType, ShortType, ByteType)
-      catCols.foreach { c =>
-        val dt = df.schema(c).dataType
-        require(ok.contains(dt),
-          s"FeatureHasher categorical column $c has type ${dt.simpleString}" +
-            ": only string/boolean/integral render identically under " +
-            "Spark's string cast and the online scorer's JVM rendering — " +
-            "cast the column to string upstream")
-      }
-    }
+    // categorical hash keys go through cast("string") at both fit and
+    // transform, so ANY input type is self-consistent batch-side — no
+    // type restriction here (ADVICE r8: the r7 require broke batch-only
+    // pipelines and already-persisted models for double/timestamp
+    // categoricals). The online==batch parity contract only bites when a
+    // model is served through OnlineScorer, whose castStr refuses the
+    // types whose JVM rendering diverges from Spark's string cast
+    // (doubles render 1.0E7 vs 10000000.0, timestamps differ entirely) —
+    // enforcement lives there, at the serving boundary.
     // per-feature (bucket, contribution-in-scale-units) structs; null
     // features yield a null struct, skipped by the fold below
     val feats: Seq[Column] =

@@ -84,6 +84,18 @@ class OnlineScorerSpec extends SparkSpec {
     }
   }
 
+  test("batch-side FeatureHasher stays permissive for double categoricals" +
+      " (ADVICE r8): cast(string) is self-consistent at fit and transform") {
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+    // a double-typed categorical column was legal before the r7 require
+    // and must stay legal for batch-only pipelines and persisted models;
+    // only OnlineScorer (the serving boundary) refuses it
+    val out = DFPipeline(
+      new FeatureHasher(Seq("c_acctbal"), Nil, "fh", 16))
+      .fit(customer).transform(customer)
+    assert(out.select("fh").head().getSeq[Double](0).length == 16)
+  }
+
   test("a stage on its big (distributed) path refuses to compile") {
     val customer = spark.read.parquet(s"$dir/customer.parquet")
     val model = DFPipeline(
