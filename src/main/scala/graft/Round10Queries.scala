@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-10 additions (round 9 of the build): distributed BPE merge-rule
+  * learning (VERDICT r8 #3) — true iterative pair merges over the
+  * distinct-word table, completing the tokenizer story next to
+  * [[graft.text.Subword]]'s WordPiece-style vocabulary — with the
+  * generated unrolled-round DuckDB replay oracle (the k-means
+  * discipline: both engines execute identical string/integer
+  * arithmetic, so the merge table and the per-document encodings
+  * hash-match bit for bit).
+  */
+object Round10Queries {
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Merge-rule count for the oracled queries: enough rounds that real
+    * multi-char pieces emerge at sf0.01 (the top English digraphs and a
+    * trigraph land in the first dozen), small enough that the unrolled
+    * oracle SQL stays readable. */
+  private val BpeMerges = 12
+
+  /** Fit-once memo (the langid/PQ discipline, via the bounded
+    * mtime-keyed [[graft.util.FitMemo]]): q_subword_bpe and
+    * q_subword_bpe_encode fit the IDENTICAL merge table — same corpus,
+    * same rounds — and the merge table is bounded driver state
+    * (BpeMerges rows). Fit cost is reported in the bench artifact's
+    * fit_sec. */
+  private val bpeMemo =
+    new graft.util.FitMemo[Seq[graft.text.Bpe.Merge]]("bpe_merges")
+  private def bpeMerges(s: SparkSession, d: String)
+      : Seq[graft.text.Bpe.Merge] =
+    bpeMemo.getOrFit(d)(
+      graft.text.Bpe.fitBpe(t(s, d, "documents"), "text", BpeMerges))
+
+  // ---- generated BPE replay oracle ---------------------------------------
+  // Both queries share the fit chain: seg0 is the distinct-word frequency
+  // table with all-chars segmentation; each round computes weighted pair
+  // counts, picks the (count DESC, pair ASC) winner, and applies it as a
+  // plain left-to-right non-overlapping replace over the wrapped-token
+  // form (see graft.text.Bpe scaladoc for why replace IS greedy BPE
+  // application under that representation).
+
+  /** The normalized word stream: lowercased whitespace tokens restricted
+    * to `[a-z0-9]+` — identical semantics to [[graft.text.Bpe.bpeWords]].
+    * `cols` lets the encode oracle keep doc_id alongside. */
+  private def bpeWordsSql(cols: String): String =
+    s"""SELECT $cols unnest(list_filter(
+          string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+          x -> regexp_full_match(x, '[a-z0-9]+'))) AS word
+        FROM documents"""
+
+  /** One merge round's three CTEs, reading seg$prev / writing seg$r. */
+  private def bpeRoundSql(r: Int): String = {
+    val prev = r - 1
+    s"""pairs$r AS MATERIALIZED (
+          SELECT p AS pair, CAST(sum(cnt) AS BIGINT) AS n FROM (
+            SELECT cnt, unnest(list_transform(range(1, len(toks)),
+              i -> toks[i] || ' ' || toks[i + 1])) AS p
+            FROM (SELECT cnt,
+                    list_filter(string_split(seg, '|'), x -> x <> '') AS toks
+                  FROM seg$prev))
+          GROUP BY 1),
+        best$r AS MATERIALIZED (SELECT pair, n FROM pairs$r ORDER BY n DESC, pair LIMIT 1),
+        seg$r AS MATERIALIZED (
+          SELECT cnt, replace(seg,
+            '|' || split_part((SELECT pair FROM best$r), ' ', 1) || '||' ||
+              split_part((SELECT pair FROM best$r), ' ', 2) || '|',
+            '|' || replace((SELECT pair FROM best$r), ' ', '') || '|') AS seg
+          FROM seg$prev)"""
+  }
+
+  private def bpeFitPrefixSql(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map(bpeRoundSql).mkString(",\n")
+    s"""WITH
+        bw AS MATERIALIZED (${bpeWordsSql("")}),
+        seg0 AS MATERIALIZED (
+          SELECT CAST(count(*) AS BIGINT) AS cnt,
+                 regexp_replace(word, '(.)', '|\\1|', 'g') AS seg
+          FROM bw GROUP BY word),
+        $rounds"""
+  }
+
+  private def bpeFitSql(nMerges: Int): String = {
+    val union = (1 to nMerges)
+      .map(r => s"SELECT $r AS r, pair, n FROM best$r")
+      .mkString("\n UNION ALL ")
+    s"""${bpeFitPrefixSql(nMerges)}
+        SELECT CAST(r AS INTEGER) AS merge_rank,
+               split_part(pair, ' ', 1) AS lhs,
+               split_part(pair, ' ', 2) AS rhs,
+               n AS n_pairs
+        FROM ($union)"""
+  }
+
+  private def bpeEncodeSql(nMerges: Int): String = {
+    val encRounds = (1 to nMerges).map { r =>
+      val prev = r - 1
+      s"""enc$r AS MATERIALIZED (
+            SELECT doc_id, replace(seg,
+              '|' || split_part((SELECT pair FROM best$r), ' ', 1) || '||' ||
+                split_part((SELECT pair FROM best$r), ' ', 2) || '|',
+              '|' || replace((SELECT pair FROM best$r), ' ', '') || '|') AS seg
+            FROM enc$prev)"""
+    }.mkString(",\n")
+    s"""${bpeFitPrefixSql(nMerges)},
+        dw AS MATERIALIZED (${bpeWordsSql("doc_id,")}),
+        enc0 AS MATERIALIZED (
+          SELECT doc_id, regexp_replace(word, '(.)', '|\\1|', 'g') AS seg
+          FROM dw),
+        $encRounds,
+        encagg AS MATERIALIZED (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(sum(len(list_filter(string_split(seg, '|'),
+                   x -> x <> ''))) AS BIGINT) AS n_tokens
+          FROM enc$nMerges GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(e.n_words, 0) AS BIGINT) AS n_words,
+               CAST(coalesce(e.n_tokens, 0) AS BIGINT) AS n_tokens
+        FROM documents d LEFT JOIN encagg e ON d.doc_id = e.doc_id"""
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the learned merge table itself: rank, pair, weighted count
+    "q_subword_bpe" -> ((s, d) =>
+      graft.text.Bpe.mergesDF(s, bpeMerges(s, d))),
+
+    // every document encoded with the learned rules (rank-order greedy
+    // application — the exact fit-time semantics): word + token counts
+    "q_subword_bpe_encode" -> ((s, d) =>
+      graft.text.Bpe.encodeBpe(t(s, d, "documents"), "text", "doc_id",
+        bpeMerges(s, d)))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_subword_bpe" -> bpeFitSql(BpeMerges),
+    "q_subword_bpe_encode" -> bpeEncodeSql(BpeMerges)
+  )
+}

@@ -31,13 +31,14 @@ object SparkEntry {
     classicQueries ++ DataQueries.queries ++ bigPathQueries ++
       Round6Queries.queries ++ TpchQueries.queries ++ EvalQueries.queries ++
       Round7Queries.queries ++ Round8Queries.queries ++
-      Round9Queries.queries
+      Round9Queries.queries ++ Round10Queries.queries
 
   def oracleSql: Map[String, String] = {
     val base = classicOracleSql ++ DataQueries.oracleSql ++
       Round6Queries.oracleSql ++ TpchQueries.oracleSql ++
       EvalQueries.oracleSql ++ Round7Queries.oracleSql ++
-      Round8Queries.oracleSql ++ Round9Queries.oracleSql
+      Round8Queries.oracleSql ++ Round9Queries.oracleSql ++
+      Round10Queries.oracleSql
     // the 100-TB twins are semantically IDENTICAL to their small-path
     // twins — the oracle SQL is literally the twin's, because the whole
     // point is bit-identical output from the distributed branch

@@ -69,6 +69,15 @@ object StressBench {
   def queries: Map[String, (SparkSession, String, Int) => DataFrame] = Map(
     // exact dedup: every text key now holds `reps` rows — the keep-first
     // window runs over genuinely duplicated groups everywhere
+    // BPE merge learning: replication multiplies every word count
+    // uniformly, so the learned merges are identical at every scale —
+    // what's measured is the per-round (pair, count) aggregate over a
+    // reps×-larger corpus pass plus the distinct-word table rounds
+    "s_bpe" -> ((s, d, r) =>
+      graft.text.Bpe.mergesDF(s, graft.text.Bpe.fitBpe(
+        replicate(t(s, d, "documents"), "doc_id", r), "text",
+        numMerges = 6))),
+
     "s_dedup_exact" -> ((s, d, r) =>
       graft.text.Dedup.exact(
         replicate(t(s, d, "documents"), "doc_id", r),

@@ -1,0 +1,156 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding merge-rule learning (Sennrich, Haddow &
+  * Birch 2016, "Neural Machine Translation of Rare Words with Subword
+  * Units") — the iterative counterpart to [[Subword.fitVocab]]'s
+  * frequency-ranked WordPiece-style vocabulary, completing the tokenizer
+  * story (VERDICT r8 #3). The reference has no subword layer (dfpipeline
+  * stops at whitespace tokens); this is north-star training-pipeline
+  * surface like the rest of graft.text.
+  *
+  * Algorithm, re-expressed Spark-first:
+  *   1. ONE corpus-wide pass aggregates the distinct-word frequency table
+  *      (word, cnt) — classic BPE fits on word frequencies, not raw text,
+  *      so every later round touches only distinct words.
+  *   2. Each merge round is ONE (pair -> weighted count) aggregate over
+  *      that table — the same shape as Ranking.collocations: map-side
+  *      combine, exchange carries distinct pairs, global top-1 plans as
+  *      TakeOrderedAndProject. The winning pair (count DESC, pair ASC
+  *      tie-break) is collected — one bounded row per round.
+  *   3. The merge is applied to every word's segmentation and the next
+  *      round repeats. Rounds = numMerges, driver state = the merge table
+  *      (numMerges rows) — bounded like the LangId profile.
+  *
+  * Exact-replay representation: a word's segmentation is stored as each
+  * token wrapped in pipes and concatenated — "unit" segmented as
+  * [un, i, t] is `|un||i||t|`. Applying merge (l, r) is then a plain
+  * non-overlapping left-to-right string replace of `|l||r|` with `|lr|`,
+  * which IS greedy BPE application: the doubled delimiter means adjacent
+  * matches share no characters (`|a||a||a||a|` -> `|aa||aa|`, matching
+  * BPE's pairwise scan), while a consumed token can't be re-merged within
+  * the round (`|a||a||a|` -> `|aa||a|`). Both Spark's `replace` and
+  * DuckDB's `replace` implement exactly this scan, so the generated
+  * unrolled-round oracle SQL replays the fit bit-for-bit — the k-means
+  * oracle discipline (Round6Queries.kmeansSql).
+  *
+  * Fit restricts to words matching `^[a-z0-9]+$` (lowercased): standard
+  * BPE pre-normalization, and it guarantees the `|` delimiter never
+  * occurs inside a token.
+  *
+  * Shape at 100 TB: the corpus is touched once (the word-count
+  * aggregate); every round shuffles only distinct (pair, count) rows —
+  * bounded by distinct words x average word length, orders of magnitude
+  * below the corpus. The evolving segmentation table is localCheckpointed
+  * every [[CheckpointEvery]] rounds (the Graph.scala discipline) so
+  * lineage never grows with numMerges. No collect ever exceeds one row
+  * per round, and [[encodeBpe]] ships the bounded merge table inside the
+  * plan — no join, no shuffle, scan-speed encoding.
+  */
+object Bpe {
+
+  /** Rounds between localCheckpoints of the (cnt, seg) table. */
+  val CheckpointEvery = 8
+
+  private[text] def bpeWords(textCol: String): Column =
+    filter(TextFunctions.tokensLower(coalesce(col(textCol), lit(""))),
+      w => w.rlike("^[a-z0-9]+$"))
+
+  /** Every character wrapped: "ab" -> "|a||b|". */
+  private def wrapChars(word: Column): Column =
+    regexp_replace(word, "(.)", "|$1|")
+
+  /** Tokens of a wrapped segmentation: split on `|`, drop empties (the
+    * wrapping guarantees delimiters never occur inside tokens). */
+  private def segTokens(seg: Column): Column =
+    filter(split(seg, "\\|"), x => x =!= "")
+
+  /** Adjacent (left + " " + right) pairs of a wrapped segmentation;
+    * empty array for single-token words. */
+  private def segPairs(seg: Column): Column = {
+    val toks = segTokens(seg)
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Greedy application of one merge to a wrapped segmentation. */
+  private def applyMerge(seg: Column, l: String, r: String): Column =
+    replace(seg, lit(s"|$l||$r|"), lit(s"|$l$r|"))
+
+  /** One learned merge: rank (1-based), the pair, and its weighted
+    * corpus count at the round it won. */
+  final case class Merge(merge_rank: Int, lhs: String, rhs: String,
+      n_pairs: Long)
+
+  /** Learn `numMerges` BPE merge rules from the corpus. Returns the
+    * merge table in rank order; fewer rows if the corpus runs out of
+    * adjacent pairs. Deterministic: ties break on the space-joined pair
+    * string ascending (bytewise — identical ordering in DuckDB). */
+  def fitBpe(df: DataFrame, textCol: String, numMerges: Int): Seq[Merge] = {
+    require(numMerges >= 1 && numMerges <= 4096,
+      s"numMerges must be in [1, 4096], got $numMerges")
+    // the one corpus-wide pass: distinct-word frequencies, seeded with
+    // the all-chars segmentation
+    var cur = df
+      .select(explode(bpeWords(textCol)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), wrapChars(col("word")).as("seg"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer[Merge]()
+    var exhausted = false
+    while (merges.size < numMerges && !exhausted) {
+      val top = cur
+        .select(explode(segPairs(col("seg"))).as("pair"), col("cnt"))
+        .groupBy("pair").agg(sum("cnt").as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val Array(l, r) = top(0).getString(0).split(" ", 2)
+        merges += Merge(merges.size + 1, l, r, top(0).getLong(1))
+        cur = cur.select(col("cnt"), applyMerge(col("seg"), l, r).as("seg"))
+        if (merges.size % CheckpointEvery == 0)
+          cur = cur.localCheckpoint(true)
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The merge table as a DataFrame (merge_rank, lhs, rhs, n_pairs) —
+    * the [[fitBpe]] result in oracle-comparable form. */
+  def mergesDF(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.toDF()
+      .select(col("merge_rank").cast("int"), col("lhs"), col("rhs"),
+        col("n_pairs").cast("long"))
+  }
+
+  /** Encode every document against a learned merge table: each word is
+    * segmented to characters, then the merges are applied in rank order —
+    * one greedy non-overlapping pass per rule, the exact fit-time
+    * semantics, so encoding the training corpus reproduces the fit's
+    * final segmentation. The whole rule table compiles into `numMerges`
+    * nested replace expressions over the wrapped form: codegen'd,
+    * no join, no shuffle, no UDF.
+    *
+    * Output per document: (idCol, n_words, n_tokens) where n_tokens sums
+    * each word's post-merge piece count. */
+  def encodeBpe(df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val segged = merges.foldLeft(wrapChars(col("word"))) { (seg, m) =>
+      applyMerge(seg, m.lhs, m.rhs)
+    }
+    df.select(col(idCol), explode_outer(bpeWords(textCol)).as("word"))
+      .select(col(idCol), col("word"),
+        when(col("word").isNull, lit(0))
+          .otherwise(size(segTokens(segged))).as("n_toks"))
+      .groupBy(idCol)
+      .agg(count(col("word")).as("n_words"),
+        sum("n_toks").cast("long").as("n_tokens"))
+  }
+}
