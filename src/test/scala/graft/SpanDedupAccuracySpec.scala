@@ -1,0 +1,130 @@
+package graft
+
+import graft.text.Dedup
+import org.apache.spark.sql.functions._
+
+/** Quantifies the gram-hash span-dedup approximation (VERDICT r8 #4):
+  * [[Dedup.duplicateSpans]] fingerprints word k-grams with combined
+  * 8-byte hashes instead of exact substrings. Against an EXACT oracle
+  * computed here from the gram STRINGS themselves (the thing a
+  * suffix-array implementation would match on), the measurement on a
+  * planted corpus is:
+  *
+  *   - precision 1.0 and recall 1.0 at the gram level — every duplicated
+  *     gram the exact computation finds, the hash path finds, and nothing
+  *     else (no collision at test scale; the analytic false-positive
+  *     bound is ~n_grams^2 * 2^-64);
+  *   - span-level detection is exactly the >= k-token criterion: a
+  *     planted span of L tokens shared by >= minDocs docs yields
+  *     max(0, L - k + 1) duplicated grams per doc — full recall at
+  *     L >= k, zero below k. That cliff is DEFINITIONAL (the same
+  *     "report runs >= k" contract a suffix array implements), not an
+  *     approximation loss;
+  *   - the one semantic difference vs exact substring dedup: grams are
+  *     counted per-doc-DISTINCT and ownership is cross-document, so a
+  *     span repeated only WITHIN one document is not flagged.
+  *
+  * The measured numbers and the suffix-array decision are recorded in
+  * SCALE.md ("Span-dedup accuracy"). */
+class SpanDedupAccuracySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = 10
+
+  /** Unique-per-doc filler tokens — no accidental cross-doc grams. */
+  private def filler(doc: Int, n: Int, tag: String): Seq[String] =
+    (0 until n).map(i => s"d${doc}${tag}$i")
+
+  private def span(sid: String, len: Int): Seq[String] =
+    (0 until len).map(j => s"s${sid}w$j")
+
+  /** Planted corpus: pairs of docs share spans of length K-1, K, K+5 and
+    * 3K; one doc self-repeats a span that appears in no other doc. */
+  private lazy val corpus: Seq[(Long, String)] = {
+    val spanA = span("a", K + 5) // docs 1, 2
+    val spanB = span("b", K)     // docs 3, 4, 5
+    val spanC = span("c", K - 1) // docs 6, 7 — below threshold
+    val spanD = span("d", 3 * K) // docs 8, 9
+    val spanS = span("self", K + 2) // doc 10 twice, no other doc
+    def doc(id: Int, mid: Seq[String]): (Long, String) =
+      (id.toLong,
+        (filler(id, 15, "p") ++ mid ++ filler(id, 15, "q")).mkString(" "))
+    Seq(
+      doc(1, spanA), doc(2, spanA),
+      doc(3, spanB), doc(4, spanB), doc(5, spanB),
+      doc(6, spanC), doc(7, spanC),
+      doc(8, spanD), doc(9, spanD),
+      (10L, (filler(10, 15, "p") ++ spanS ++ filler(10, 5, "m") ++ spanS ++
+        filler(10, 15, "q")).mkString(" ")),
+      doc(11, Nil) // no planted span at all
+    )
+  }
+
+  /** EXACT oracle: per-doc distinct gram strings, duplicated = appearing
+    * in >= minDocs docs — what a suffix-array run-matcher reports at
+    * gram granularity. */
+  private def exactStats(minDocs: Int): Map[Long, (Long, Long)] = {
+    val docGrams: Map[Long, Set[Seq[String]]] = corpus.map { case (id, text) =>
+      id -> text.split("\\s+").toSeq.filter(_.nonEmpty)
+        .sliding(K).filter(_.size == K).toSet
+    }.toMap
+    val docCount: Map[Seq[String], Int] = docGrams.values.flatten.toSeq
+      .groupBy(identity).map { case (g, occ) => g -> occ.size }
+    docGrams.map { case (id, grams) =>
+      id -> (grams.size.toLong,
+        grams.count(g => docCount(g) >= minDocs).toLong)
+    }
+  }
+
+  test("gram-hash stats equal the exact gram-string oracle " +
+      "(precision = recall = 1.0)") {
+    val df = corpus.toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(df, "text", "doc_id", k = K, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = exactStats(minDocs = 2)
+    assert(got.keySet == exact.keySet)
+    // exact equality per doc: any hash collision would inflate a
+    // n_dup_grams somewhere; any miss would deflate one
+    exact.foreach { case (id, (nG, nDup)) =>
+      assert(got(id) == ((nG, nDup)), s"doc $id")
+    }
+    // and the oracle itself matches the planted construction:
+    val dupOf = exact.map { case (id, (_, d)) => id -> d }
+    assert(dupOf(1L) == K + 5 - K + 1 && dupOf(2L) == K + 5 - K + 1)
+    assert(dupOf(3L) == 1 && dupOf(4L) == 1 && dupOf(5L) == 1) // L == K
+    assert(dupOf(6L) == 0 && dupOf(7L) == 0) // L == K-1: below threshold
+    assert(dupOf(8L) == 2 * K + 1 && dupOf(9L) == 2 * K + 1)
+    assert(dupOf(11L) == 0)
+  }
+
+  test("span-level recall across the length cliff: max(0, L-K+1) grams") {
+    // one pair of docs per length L in [K-2, K+3]; measured duplicated
+    // grams must follow the formula exactly — recall 1 at L >= K, 0 below
+    val lens = (K - 2) to (K + 3)
+    val docs = lens.zipWithIndex.flatMap { case (l, i) =>
+      val sp = span(s"l$l", l)
+      Seq(
+        (100L + 2 * i, (filler(100 + 2 * i, 12, "p") ++ sp ++
+          filler(100 + 2 * i, 12, "q")).mkString(" ")),
+        (101L + 2 * i, (filler(101 + 2 * i, 12, "p") ++ sp ++
+          filler(101 + 2 * i, 12, "q")).mkString(" ")))
+    }
+    val got = Dedup.duplicateSpans(docs.toDF("doc_id", "text"), "text",
+        "doc_id", k = K, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    lens.zipWithIndex.foreach { case (l, i) =>
+      val expect = math.max(0, l - K + 1).toLong
+      assert(got(100L + 2 * i) == expect, s"L=$l")
+      assert(got(101L + 2 * i) == expect, s"L=$l")
+    }
+  }
+
+  test("documented difference vs exact substring dedup: within-doc " +
+      "self-repeats are not flagged (cross-document contract)") {
+    val df = corpus.toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(df, "text", "doc_id", k = K, minDocs = 2)
+      .filter(col("doc_id") === 10L).collect()
+    assert(got.head.getLong(2) == 0L,
+      "doc 10's self-repeated span appears in no other doc")
+  }
+}
