@@ -109,7 +109,10 @@ object Bench {
       calibPar(label) = calibratePar(probeThreads)
     }
     probe("start")
-    val fastBox = calibScalar("start") <= 2.2
+    // SPARK_GRAFT_FAST_BOX=0/1 pins the policy (testing aid; the driver
+    // never sets it, so round benches always probe-gate)
+    val fastBox = sys.env.get("SPARK_GRAFT_FAST_BOX")
+      .map(_ == "1").getOrElse(calibScalar("start") <= 2.2)
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
