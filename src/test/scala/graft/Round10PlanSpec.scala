@@ -81,4 +81,64 @@ class Round10PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p.take(600))
     assert(p.sliding(4).count(_ == "Join") >= 2, p.take(600))
   }
+
+  // ---- round-9 ring (VERDICT r8 #7): finish the plan-pin armor ---------
+
+  test("CUPED adjustment is ONE grouped aggregate over the unit relation" +
+      ": no join, no window, a single exchange") {
+    // theta comes from a separate driver-side scalar aggregate; the
+    // returned per-variant frame must stay a plain partial+final agg —
+    // a lookup-not-recompute regression would show up here as a join
+    val units = spark.range(500).select(
+      (col("id") % 2).cast("string").as("variant"),
+      (col("id") % 97).as("metric"), (col("id") % 89).as("cov"))
+    val p = plan(graft.relational.Analytics.cuped(
+      units, "variant", "metric", "cov"))
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(600))
+    assert(exchanges(p) == 1, s"expected 1 exchange:\n${p.take(600)}")
+  }
+
+  test("grid DBSCAN never goes all-pairs: every join is an equi-join " +
+      "(no cartesian / nested-loop anywhere in the plan)") {
+    val pts = spark.range(300).select(col("id"),
+      ((col("id") * 7919) % 2000 - 1000).as("lat"),
+      ((col("id") * 104729) % 4000 - 2000).as("lon"))
+    val p = plan(graft.relational.Geo.densityClusters(
+      pts, "id", "lat", "lon", radiusCdeg = 50, minPts = 3))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("grouped RRF windows per query group, never globally") {
+    val mk = (o: Int) => spark.range(200).select(
+      (col("id") % 10).cast("string").as("q"),
+      concat(lit("d"), (col("id") + o) % 40).as("doc"),
+      (col("id") % 20 + 1).as("rank"))
+    val p = plan(graft.text.Ranking.rrfFuse(
+      Seq(mk(0), mk(7), mk(13)), Seq("q"), "doc"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // the re-rank window is PARTITIONED by the query column — a global
+    // window here would single-task the whole fused relation at scale
+    val winSection = p.substring(p.indexOf("Window"))
+    assert(p.contains("Window"), p.take(600))
+    assert(winSection.take(400).contains("partitionBy" ) ||
+      winSection.take(400).contains("windowspecdefinition(q"),
+      winSection.take(400))
+  }
+
+  test("basketAffinity: the only nested-loop is the broadcast one-row " +
+      "basket total; the cap window precedes the per-basket aggregate") {
+    val df = spark.range(600).select(
+      (col("id") % 60).as("basket"), concat(lit("i"), col("id") % 25)
+        .as("item"))
+    val p = plan(graft.relational.Analytics.basketAffinity(
+      df, "basket", "item", maxBasket = 8))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // crossJoin(broadcast(one-row total)) is the single allowed
+    // nested-loop: bounded by construction
+    val bnl = p.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin")
+    assert(bnl <= 1, s"$bnl nested-loop joins:\n${p.take(800)}")
+  }
 }
