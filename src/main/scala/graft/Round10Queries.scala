@@ -131,11 +131,46 @@ object Round10Queries {
     // application — the exact fit-time semantics): word + token counts
     "q_subword_bpe_encode" -> ((s, d) =>
       graft.text.Bpe.encodeBpe(t(s, d, "documents"), "text", "doc_id",
-        bpeMerges(s, d)))
+        bpeMerges(s, d))),
+
+    // within-doc repeated spans (the self-repetition counterpart to
+    // q_span_dedup — the looping-text quality gate): zero-shuffle
+    // projection, k = 5 matching the cross-doc query's gram arity.
+    // The corpus has no naturally looping docs, so every 10th doc is
+    // deterministically self-doubled (text || ' ' || text, identical in
+    // the oracle) — the repeated-gram path is exercised on ~10% of rows,
+    // never vacuous (the r7 #5 discipline)
+    "q_span_selfrep" -> ((s, d) =>
+      graft.text.Dedup.selfRepeatedSpans(
+        t(s, d, "documents").withColumn("text",
+          when(col("doc_id") % 10 === 0,
+            concat(col("text"), lit(" "), col("text")))
+            .otherwise(col("text"))),
+        "text", "doc_id", k = 5))
   )
 
   def oracleSql: Map[String, String] = Map(
     "q_subword_bpe" -> bpeFitSql(BpeMerges),
-    "q_subword_bpe_encode" -> bpeEncodeSql(BpeMerges)
+    "q_subword_bpe_encode" -> bpeEncodeSql(BpeMerges),
+
+    // exact gram strings (md5 identity — the q_span_dedup collision
+    // argument); n_rep = total occurrences minus distinct
+    "q_span_selfrep" ->
+      """WITH g AS (
+           SELECT doc_id, list_transform(
+             range(1, len(ws) - 3),
+             i -> md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                      ws[i+3] || ' ' || ws[i+4])) AS grams
+           FROM (SELECT doc_id,
+                   regexp_split_to_array(trim(lower(
+                     CASE WHEN doc_id % 10 = 0 THEN text || ' ' || text
+                          ELSE text END)), '\s+') AS ws
+                 FROM documents))
+         SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(len(grams) - len(list_distinct(grams)) AS BIGINT)
+             AS n_rep_grams,
+           CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) /
+             len(grams) AS rep_frac
+         FROM g WHERE len(grams) >= 1"""
   )
 }

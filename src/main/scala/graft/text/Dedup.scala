@@ -292,6 +292,38 @@ object Dedup {
     result
   }
 
+  /** WITHIN-document repeated-span statistics — the self-repetition
+    * counterpart to [[duplicateSpans]], closing the one semantic gap vs
+    * exact substring dedup that SCALE.md's round-9 accuracy measurement
+    * documents (a span repeated only inside one document is invisible to
+    * the cross-document contract, while a suffix-array dedup would flag
+    * its second occurrence). Per doc: total word-`k`-gram occurrences,
+    * occurrences that repeat an earlier gram in the SAME doc
+    * (`total − distinct`), and the repeated fraction — the "looping
+    * text" quality signal (boilerplate chrome, scraper stutter, decoding
+    * loops). Docs shorter than `k` tokens emit no grams and are absent,
+    * matching [[duplicateSpans]].
+    *
+    * Shape at 100 TB: a pure per-row projection over the fused
+    * [[graft.functions.ShingleHashes]] expression — zero shuffles, zero
+    * joins, no aggregation at all; the identity argument is the same
+    * 8-byte-hash collision bound the q_span_dedup oracle validates.
+    * Output: (idCol, n_grams, n_rep_grams, rep_frac). */
+  def selfRepeatedSpans(
+      df: DataFrame, textCol: String, idCol: String, k: Int = 10)
+      : DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val grams = graft.functions.GraftFunctions.shingle_hashes(
+      transform(TextFunctions.tokensLower(col(textCol)), t => xxhash64(t)), k)
+    df.select(col(idCol), grams.as("__g"))
+      .filter(size(col("__g")) >= 1)
+      .select(col(idCol),
+        size(col("__g")).cast("long").as("n_grams"),
+        (size(col("__g")) - size(array_distinct(col("__g"))))
+          .cast("long").as("n_rep_grams"))
+      .withColumn("rep_frac", col("n_rep_grams") / col("n_grams"))
+  }
+
   /** Cross-document span REMOVAL — the rewrite step of substring dedup
     * (Lee et al. 2021): every `k`-token span whose gram is owned by an
     * earlier document (ownership = smallest doc id containing the gram) is

@@ -127,4 +127,24 @@ class SpanDedupAccuracySpec extends SparkSpec {
     assert(got.head.getLong(2) == 0L,
       "doc 10's self-repeated span appears in no other doc")
   }
+
+  test("selfRepeatedSpans closes the gap: doc 10's second span occurrence" +
+      " is flagged with exactly L-K+1 repeated grams") {
+    val df = corpus.toDF("doc_id", "text")
+    val got = Dedup.selfRepeatedSpans(df, "text", "doc_id", k = K)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // spanS is K+2 tokens, repeated once: the second occurrence's fully-
+    // internal grams — (K+2) - K + 1 = 3 — repeat earlier grams; all
+    // boundary grams touch unique filler
+    assert(got(10L) == 3L)
+    // every other doc has no internal repetition
+    (got - 10L).foreach { case (id, n) => assert(n == 0L, s"doc $id") }
+    // and the exact oracle agrees: total - distinct over gram strings
+    corpus.foreach { case (id, text) =>
+      val grams = text.split("\\s+").toSeq.filter(_.nonEmpty)
+        .sliding(K).filter(_.size == K).toSeq
+      val expect = grams.size - grams.distinct.size
+      if (grams.nonEmpty) assert(got(id) == expect.toLong, s"doc $id exact")
+    }
+  }
 }
