@@ -221,13 +221,14 @@ class Round9OpsSpec extends SparkSpec {
     assert(r.getAs[Double]("violating_share") == 0.0)
   }
 
-  test("FeatureHasher rejects categorical columns whose string cast " +
-      "diverges from the online scorer's JVM rendering (ADVICE r7)") {
+  test("FeatureHasher batch side accepts any categorical type — " +
+      "cast(string) is self-consistent at fit and transform; the " +
+      "rendering-parity refusal lives at the OnlineScorer boundary " +
+      "(ADVICE r8 revision of the r7 require)") {
     val df = Seq((1L, 1.0e7)).toDF("id", "c")
-    val e = intercept[IllegalArgumentException] {
-      new FeatureHasher(Seq("c"), Nil, "fh", 16).transform(df).collect()
-    }
-    assert(e.getMessage.contains("string cast"))
+    val out = new FeatureHasher(Seq("c"), Nil, "fh", 16).transform(df)
+      .select("fh").head().getSeq[Double](0)
+    assert(out.length == 16 && out.map(math.abs).sum == 1.0)
   }
 }
 
