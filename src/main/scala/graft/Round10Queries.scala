@@ -122,6 +122,63 @@ object Round10Queries {
         FROM documents d LEFT JOIN encagg e ON d.doc_id = e.doc_id"""
   }
 
+  // ---- DP quantile release (generated noisy-max replay oracle) ----------
+  private val DpqTag = "r9dpq"
+  private val DpqQs = Seq(0.25, 0.5, 0.9, 0.99)
+  private val DpqLo = -1000.0
+  private val DpqHi = 10000.0
+  private val DpqBins = 256
+  private val DpqP = 0.5
+  private val DpqMaxNoise = 24
+
+  /** The exponential-mechanism-analog quantile release replayed in SQL:
+    * same bin arithmetic, same md5-uniform, same INTEGER threshold
+    * cascade (literals generated from the identical
+    * [[graft.relational.Privacy.geometricThresholds]] call), same
+    * integer argmax — the k-means/BPE generated-oracle discipline
+    * applied to a randomized mechanism. */
+  private def dpQuantilesSql(): String = {
+    val w = DpqHi - DpqLo
+    val ts = graft.relational.Privacy.geometricThresholds(DpqP, DpqMaxNoise)
+    val cascade = ts.init.map { case (t, k) =>
+      s"WHEN u60 < $t THEN $k" }.mkString(" ") + s" ELSE ${ts.last._2}"
+    val qvals = DpqQs.zipWithIndex.map { case (q, i) =>
+      s"($i, CAST($q AS DOUBLE))" }.mkString(", ")
+    s"""WITH bc AS MATERIALIZED (
+          SELECT CAST(least(greatest(floor((CAST(c_acctbal AS DOUBLE) -
+                   ($DpqLo)) / $w * ${DpqBins.toDouble}), 0.0),
+                 ${DpqBins - 1}.0) AS BIGINT) AS idx,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM customer
+          WHERE c_acctbal IS NOT NULL
+            AND NOT isnan(CAST(c_acctbal AS DOUBLE))
+          GROUP BY 1),
+        edges AS MATERIALIZED (SELECT unnest(range(1, ${DpqBins + 1})) AS i),
+        cumt AS MATERIALIZED (
+          SELECT e.i,
+            sum(coalesce(bc.cnt, 0)) OVER (ORDER BY e.i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM edges e LEFT JOIN bc ON bc.idx = e.i - 1),
+        tot AS MATERIALIZED (
+          SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n FROM bc),
+        qst(qi, q) AS (VALUES $qvals),
+        sc AS MATERIALIZED (
+          SELECT q, qi, i, cum, n,
+            CAST(('0x' || substr(md5('$DpqTag:' || CAST(qi AS VARCHAR) ||
+              ':' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) AS u60
+          FROM cumt, qst, tot),
+        sc2 AS MATERIALIZED (
+          SELECT q, qi, i,
+            -abs(cum - CAST(floor(q * n) AS BIGINT)) +
+              (CASE $cascade END) AS score
+          FROM sc)
+        SELECT q, round(($DpqLo) + CAST(i AS DOUBLE) * $w /
+            ${DpqBins.toDouble}, 6) AS value_released
+        FROM (SELECT q, i, row_number() OVER (PARTITION BY qi
+                ORDER BY score DESC, i) AS rn FROM sc2)
+        WHERE rn = 1"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the learned merge table itself: rank, pair, weighted count
     "q_subword_bpe" -> ((s, d) =>
@@ -146,7 +203,15 @@ object Round10Queries {
           when(col("doc_id") % 10 === 0,
             concat(col("text"), lit(" "), col("text")))
             .otherwise(col("text"))),
-        "text", "doc_id", k = 5))
+        "text", "doc_id", k = 5)),
+
+    // DP quantile release: exponential-mechanism analog with integer
+    // threshold-cascade geometric noise — extends the privacy ladder
+    // past counts/sums to the canonical order-statistic release
+    "q_dp_quantiles" -> ((s, d) =>
+      graft.relational.Privacy.dpQuantiles(
+        t(s, d, "customer"), "c_acctbal", DpqQs, DpqLo, DpqHi, DpqBins,
+        DpqTag, DpqP, DpqMaxNoise))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -171,6 +236,8 @@ object Round10Queries {
              AS n_rep_grams,
            CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) /
              len(grams) AS rep_frac
-         FROM g WHERE len(grams) >= 1"""
+         FROM g WHERE len(grams) >= 1""",
+
+    "q_dp_quantiles" -> dpQuantilesSql()
   )
 }

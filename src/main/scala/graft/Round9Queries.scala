@@ -235,7 +235,7 @@ object Round9Queries {
                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
               END AS theta
             FROM g)
-          SELECT user_id % 2 AS variant,
+          SELECT CAST(user_id % 2 AS VARCHAR) AS variant,
             CAST(count(*) AS BIGINT) AS n_units,
             round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS mean_metric,
             round(CAST(sum(x) AS DOUBLE) / count(*), 6) AS mean_covariate,

@@ -60,6 +60,109 @@ object Privacy {
       .drop("__n")
   }
 
+  /** Cumulative 60-bit-integer thresholds for a TRUNCATED two-sided
+    * geometric noise draw with decay `p`, outcome order 0, +1, −1, +2,
+    * −2, …, ±maxNoise: entry j is (floor(CDF_j · 2⁶⁰), k_j). The draw
+    * from a 60-bit md5 uniform u is "first j with u < threshold_j, else
+    * the last outcome" — a PURE INTEGER comparison cascade, so the
+    * set-defining decision replays bit-for-bit in any engine (the
+    * thresholds are computed ONCE on the driver and embedded as long
+    * literals in both the Catalyst plan and the oracle SQL — no libm
+    * call ever runs engine-side). Shared by [[dpQuantiles]] and its
+    * generated oracle. */
+  def geometricThresholds(p: Double, maxNoise: Int): Seq[(Long, Int)] = {
+    require(p > 0 && p < 1, s"decay p must be in (0,1), got $p")
+    require(maxNoise >= 1 && maxNoise <= 60,
+      s"maxNoise must be in [1,60], got $maxNoise")
+    val p0 = (1 - p) / (1 + p)
+    val ks = 0 +: (1 to maxNoise).flatMap(k => Seq(k, -k))
+    var cum = 0.0
+    ks.map { k =>
+      cum += p0 * math.pow(p, math.abs(k))
+      (math.floor(cum * Scale60).toLong, k)
+    }
+  }
+
+  /** The noise cascade as a Column over a 60-bit uniform. */
+  private[graft] def geometricNoise(u60: Column, p: Double,
+      maxNoise: Int): Column = {
+    val ts = geometricThresholds(p, maxNoise)
+    val init: Column = lit(ts.last._2)
+    ts.init.reverse.foldLeft(init) { case (rest, (t, k)) =>
+      when(u60 < lit(t), lit(k)).otherwise(rest)
+    }
+  }
+
+  /** DP quantile release via discrete report-noisy-max over binned
+    * candidates (the exponential-mechanism analog with TWO-SIDED
+    * GEOMETRIC noise, McSherry-Talwar 2007 / the geometric mechanism of
+    * Ghosh-Roughgarden-Sundararajan 2009): the value domain [lo, hi) is
+    * split into `bins` equal bins; candidate outputs are the bin edges
+    * e_i = lo + i·(hi−lo)/bins, i = 1..bins; utility
+    * u_i = −|#(v < e_i) − floor(q·n)| (sensitivity 1); each candidate's
+    * score is u_i plus a truncated two-sided geometric draw with decay
+    * `p`, and the argmax edge (tie → smaller i) is released per
+    * quantile. Privacy: report-noisy-max with Geom(p) noise on a
+    * sensitivity-1 utility satisfies ε-DP with ε = 2·ln(1/p) (p = 0.5 →
+    * ε ≈ 1.386); truncation at ±maxNoise perturbs each outcome
+    * probability by < p^maxNoise (≈ 6·10⁻⁸ at the 24 default) — the
+    * released distribution is that of an (ε, δ≈p^maxNoise)-DP mechanism.
+    *
+    * Determinism (the dpCounts contract): the draw is an integer
+    * threshold cascade over md5(tag:qi:i) — every set-defining decision
+    * is INTEGER arithmetic, replayed exactly by the generated oracle;
+    * re-running a release replays identical noise (no extra budget), a
+    * new tag is a new release.
+    *
+    * Shape at 100 TB: ONE corpus aggregate (clipped bin counts,
+    * map-side combined); everything after runs on ≤`bins` rows — the
+    * cumulative is a bins-bounded window, the per-quantile scoring is a
+    * broadcast cross join of bins×|qs| rows, the argmax a bins-bounded
+    * partitioned window. Output: (q, value_released) rounded 6 dp. */
+  def dpQuantiles(df: DataFrame, valueCol: String, qs: Seq[Double],
+      lo: Double, hi: Double, bins: Int, tag: String,
+      p: Double = 0.5, maxNoise: Int = 24): DataFrame = {
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    require(bins >= 2 && bins <= 65536,
+      s"bins must be in [2, 65536], got $bins")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q < 1),
+      s"quantiles must be in (0,1), got $qs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = hi - lo
+    val v = col(valueCol).cast("double")
+    val bc = df.filter(v.isNotNull && !isnan(v))
+      .select(least(greatest(
+          floor((v - lit(lo)) / lit(w) * lit(bins.toDouble)), lit(0.0)),
+        lit(bins - 1.0)).cast("long").as("__idx"))
+      .groupBy("__idx").agg(count(lit(1)).as("__cnt"))
+    val edges = spark.range(1, bins + 1).select(col("id").as("__i"))
+    val cum = edges.join(bc, edges("__i") - 1 === bc("__idx"), "left")
+      .select(col("__i"), coalesce(col("__cnt"), lit(0L)).as("__cnt"))
+      .withColumn("__cum", sum("__cnt").over(
+        graft.util.BoundedWindow.global(col("__i"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+    val total = bc.agg(sum("__cnt").as("__n"))
+    val qdf = qs.zipWithIndex.map { case (q, i) => (i.toLong, q) }
+      .toDF("__qi", "__q")
+    val u60 = graft.functions.GraftFunctions.md5_hash60(concat_ws(":",
+      lit(tag), col("__qi").cast("string"), col("__i").cast("string")))
+    val scored = cum.crossJoin(broadcast(qdf)).crossJoin(broadcast(total))
+      .withColumn("__score",
+        -abs(col("__cum") - floor(col("__q") * col("__n")).cast("long")) +
+          geometricNoise(u60, p, maxNoise).cast("long"))
+    // bins-bounded per-quantile argmax, tie to the smaller edge
+    val pick = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__qi")).orderBy(col("__score").desc, col("__i"))
+    scored.withColumn("__rn", row_number().over(pick))
+      .filter(col("__rn") === 1)
+      .select(col("__q").as("q"),
+        round(lit(lo) + col("__i").cast("double") * lit(w) /
+          lit(bins.toDouble), 6).as("value_released"))
+  }
+
   /** ε-DP noisy group sums of a value clipped to [lo, hi]: clipping
     * bounds each individual's contribution, so Laplace scale is
     * (hi−lo)/ε (one row per individual per group). Clipping happens
