@@ -26,8 +26,14 @@ import sys
 
 
 def mean_probe(cal):
-    # named points (start/pre_main/pre_stress/end) or legacy start/end
-    probes = [v for v in cal.values() if v]
+    # The `queries` map holds MAIN-phase times, so when the artifact has
+    # per-phase points, normalize by the probes bracketing the main phase
+    # (pre_main and pre_stress); otherwise fall back to the mean of all
+    # points (legacy start/end artifacts).
+    bracket = [cal.get("pre_main"), cal.get("pre_stress")]
+    probes = [v for v in bracket if v]
+    if not probes:
+        probes = [v for v in cal.values() if v]
     return statistics.mean(probes) if probes else None
 
 
