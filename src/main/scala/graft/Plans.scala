@@ -460,7 +460,21 @@ object Plans {
         "(feature, value, label) cell-count shuffle; marginals and the " +
         "finish are cells-scale joins/aggregates — never a job per " +
         "feature.",
-        SparkEntry.queries("q_mi_ranking")(spark, d)))
+        SparkEntry.queries("q_mi_ranking")(spark, d)),
+      ("q_subword_bpe_encode", "BPE encode: the learned merge table " +
+        "compiles to nested literal replaces inside ONE codegen'd " +
+        "projection over the word explode — no join, no shuffle beyond " +
+        "the final per-doc aggregate, rules ship in-plan.",
+        SparkEntry.queries("q_subword_bpe_encode")(spark, d)),
+      ("q_span_selfrep", "Within-doc repeated spans: total-minus-" +
+        "distinct over the fused shingle expression — a pure zero-" +
+        "exchange scan projection, no aggregate at all.",
+        SparkEntry.queries("q_span_selfrep")(spark, d)),
+      ("q_dp_quantiles", "DP quantile release: ONE clipped bin-count " +
+        "aggregate over the corpus; cumulative, scoring (integer noise " +
+        "cascade), and argmax all run on the <=bins-row edge relation " +
+        "(broadcast cross joins, bounded windows).",
+        SparkEntry.queries("q_dp_quantiles")(spark, d)))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative queries (sf0.01)\n")
