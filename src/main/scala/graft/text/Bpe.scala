@@ -130,6 +130,21 @@ object Bpe {
         col("n_pairs").cast("long"))
   }
 
+  /** Persist a learned merge table (a production pipeline fits the
+    * tokenizer once and serves it to every encode pass — the
+    * MinHashIndex save/load contract). Plain parquet: engine-portable,
+    * human-inspectable, and the rank order IS the rule priority. */
+  def save(merges: Seq[Merge], spark: SparkSession, path: String): Unit =
+    mergesDF(spark, merges).repartition(1)
+      .write.mode("overwrite").parquet(path)
+
+  /** Reload a saved merge table in rank order. */
+  def load(spark: SparkSession, path: String): Seq[Merge] =
+    spark.read.parquet(path)
+      .orderBy("merge_rank").collect().toSeq
+      .map(r => Merge(r.getAs[Int]("merge_rank"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[Long]("n_pairs")))
+
   /** Encode every document against a learned merge table: each word is
     * segmented to characters, then the merges are applied in rank order —
     * one greedy non-overlapping pass per rule, the exact fit-time

@@ -70,6 +70,19 @@ class BpeSpec extends SparkSpec {
     assert(out(1).getLong(1) == 1L && out(1).getLong(2) == 1L)
   }
 
+  test("save/load round-trips the merge table in rank order") {
+    val docs = Seq("abab ab ba", "abab ab", "ab").toDF("text")
+    val merges = Bpe.fitBpe(docs, "text", numMerges = 5)
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString
+    Bpe.save(merges, spark, s"$dir/merges")
+    val back = Bpe.load(spark, s"$dir/merges")
+    assert(back == merges)
+    // and a loaded table encodes identically
+    val doc = Seq((7L, "abab ab ba abc")).toDF("doc_id", "text")
+    assert(Bpe.encodeBpe(doc, "text", "doc_id", back).collect().toSeq ==
+      Bpe.encodeBpe(doc, "text", "doc_id", merges).collect().toSeq)
+  }
+
   test("fit result on training corpus matches encode segmentation") {
     // property: encoding the fit corpus with the learned merges gives the
     // same total token count as the fit's final segmentation table

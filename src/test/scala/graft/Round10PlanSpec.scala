@@ -127,6 +127,33 @@ class Round10PlanSpec extends SparkSpec {
       winSection.take(400))
   }
 
+  test("selfRepeatedSpans is a ZERO-exchange scan projection: no " +
+      "aggregate, no join, no window") {
+    val docs = spark.range(300).select(col("id").as("doc_id"),
+      concat(lit("alpha beta gamma delta epsilon zeta eta theta iota " +
+        "kappa row "), col("id")).as("text"))
+    val p = plan(graft.text.Dedup.selfRepeatedSpans(
+      docs, "text", "doc_id", k = 5))
+    assert(exchanges(p) == 0, p.take(600))
+    assert(!p.contains("Join") && !p.contains("Window") &&
+      !p.contains("HashAggregate"), p.take(600))
+  }
+
+  test("dpQuantiles: one corpus aggregate, then bins-bounded finishing " +
+      "(no cartesian beyond the broadcast scalar/quantile relations)") {
+    val df = spark.range(5000).select((col("id") % 997).cast("double")
+      .as("v"))
+    val p = plan(graft.relational.Privacy.dpQuantiles(
+      df, "v", Seq(0.5, 0.9), 0.0, 1000.0, 64, "pin"))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the only nested-loops are the broadcast cross joins of the
+    // one-row total and the |qs|-row quantile relation onto <=bins rows
+    val bnl = p.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin")
+    assert(bnl <= 2, s"$bnl nested-loop joins:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
   test("basketAffinity: the only nested-loop is the broadcast one-row " +
       "basket total; the cap window precedes the per-basket aggregate") {
     val df = spark.range(600).select(

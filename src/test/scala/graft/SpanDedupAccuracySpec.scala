@@ -147,4 +147,29 @@ class SpanDedupAccuracySpec extends SparkSpec {
       if (grams.nonEmpty) assert(got(id) == expect.toLong, s"doc $id exact")
     }
   }
+
+  test("selfRepeatedSpans is streaming-compatible unchanged: per-batch " +
+      "stream output equals the batch run (stateless projection)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = Dedup.selfRepeatedSpans(
+        mem.toDF().toDF("doc_id", "text"), "text", "doc_id", k = K)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("selfrep_stream").start()
+    try {
+      mem.addData(corpus.take(6))
+      q.processAllAvailable()
+      mem.addData(corpus.drop(6))
+      q.processAllAvailable()
+      val streamed = spark.table("selfrep_stream")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      val batch = Dedup.selfRepeatedSpans(corpus.toDF("doc_id", "text"),
+          "text", "doc_id", k = K)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
