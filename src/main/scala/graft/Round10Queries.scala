@@ -139,9 +139,7 @@ object Round10Queries {
     * applied to a randomized mechanism. */
   private def dpQuantilesSql(): String = {
     val w = DpqHi - DpqLo
-    val ts = graft.relational.Privacy.geometricThresholds(DpqP, DpqMaxNoise)
-    val cascade = ts.init.map { case (t, k) =>
-      s"WHEN u60 < $t THEN $k" }.mkString(" ") + s" ELSE ${ts.last._2}"
+    val cascade = dpqCascadeSql()
     val qvals = DpqQs.zipWithIndex.map { case (q, i) =>
       s"($i, CAST($q AS DOUBLE))" }.mkString(", ")
     s"""WITH bc AS MATERIALIZED (
@@ -179,6 +177,61 @@ object Round10Queries {
         WHERE rn = 1"""
   }
 
+  private def dpqCascadeSql(): String = {
+    val ts = graft.relational.Privacy.geometricThresholds(DpqP, DpqMaxNoise)
+    ts.init.map { case (t, k) =>
+      s"WHEN u60 < $t THEN $k" }.mkString(" ") + s" ELSE ${ts.last._2}"
+  }
+
+  /** Per-group replay: identical arithmetic with the group value spliced
+    * into the bin key, the windows, and the md5 noise key. */
+  private def dpQuantilesBySql(): String = {
+    val w = DpqHi - DpqLo
+    val qvals = DpqQs.take(2).zipWithIndex.map { case (q, i) =>
+      s"($i, CAST($q AS DOUBLE))" }.mkString(", ")
+    s"""WITH bc AS MATERIALIZED (
+          SELECT c_mktsegment AS g,
+                 CAST(least(greatest(floor((CAST(c_acctbal AS DOUBLE) -
+                   ($DpqLo)) / $w * ${DpqBins.toDouble}), 0.0),
+                 ${DpqBins - 1}.0) AS BIGINT) AS idx,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM customer
+          WHERE c_acctbal IS NOT NULL
+            AND NOT isnan(CAST(c_acctbal AS DOUBLE))
+          GROUP BY 1, 2),
+        edges AS MATERIALIZED (SELECT unnest(range(1, ${DpqBins + 1})) AS i),
+        cand AS MATERIALIZED (
+          SELECT gs.g AS g, e.i AS i, coalesce(bc.cnt, 0) AS cnt
+          FROM (SELECT DISTINCT g FROM bc) gs
+          CROSS JOIN edges e
+          LEFT JOIN bc ON bc.g = gs.g AND bc.idx = e.i - 1),
+        cumt AS MATERIALIZED (
+          SELECT g, i, cnt,
+            sum(cnt) OVER (PARTITION BY g ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            sum(cnt) OVER (PARTITION BY g) AS n
+          FROM cand),
+        qst(qi, q) AS (VALUES $qvals),
+        sc AS MATERIALIZED (
+          SELECT g, q, qi, i, cum, n,
+            CAST(('0x' || substr(md5('$DpqTag:' ||
+              coalesce(CAST(g AS VARCHAR), '') || ':' ||
+              CAST(qi AS VARCHAR) || ':' ||
+              CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) AS u60
+          FROM cumt, qst),
+        sc2 AS MATERIALIZED (
+          SELECT g, q, qi, i,
+            -abs(cum - CAST(floor(q * n) AS BIGINT)) +
+              (CASE ${dpqCascadeSql()} END) AS score
+          FROM sc)
+        SELECT g AS c_mktsegment, q,
+          round(($DpqLo) + CAST(i AS DOUBLE) * $w / ${DpqBins.toDouble}, 6)
+            AS value_released
+        FROM (SELECT g, q, i, row_number() OVER (PARTITION BY g, qi
+                ORDER BY score DESC, i) AS rn FROM sc2)
+        WHERE rn = 1"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the learned merge table itself: rank, pair, weighted count
     "q_subword_bpe" -> ((s, d) =>
@@ -211,7 +264,14 @@ object Round10Queries {
     "q_dp_quantiles" -> ((s, d) =>
       graft.relational.Privacy.dpQuantiles(
         t(s, d, "customer"), "c_acctbal", DpqQs, DpqLo, DpqHi, DpqBins,
-        DpqTag, DpqP, DpqMaxNoise))
+        DpqTag, DpqP, DpqMaxNoise)),
+
+    // per-cohort DP quantiles: one release per market segment, each its
+    // own deterministic draw (parallel composition over disjoint groups)
+    "q_dp_quantiles_by" -> ((s, d) =>
+      graft.relational.Privacy.dpQuantilesBy(
+        t(s, d, "customer"), Seq("c_mktsegment"), "c_acctbal",
+        DpqQs.take(2), DpqLo, DpqHi, DpqBins, DpqTag, DpqP, DpqMaxNoise))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -238,6 +298,7 @@ object Round10Queries {
              len(grams) AS rep_frac
          FROM g WHERE len(grams) >= 1""",
 
-    "q_dp_quantiles" -> dpQuantilesSql()
+    "q_dp_quantiles" -> dpQuantilesSql(),
+    "q_dp_quantiles_by" -> dpQuantilesBySql()
   )
 }

@@ -163,6 +163,81 @@ object Privacy {
           lit(bins.toDouble), 6).as("value_released"))
   }
 
+  /** Per-group [[dpQuantiles]]: the same discrete noisy-max mechanism
+    * released independently for every group (the realistic production
+    * release — per-cohort percentiles). The noise key extends to
+    * (tag, group key, quantile, candidate), so each group's release is
+    * its own deterministic draw; parallel composition applies (disjoint
+    * groups — each individual's privacy loss stays the single-release
+    * ε = 2·ln(1/p)).
+    *
+    * Shape at 100 TB: ONE corpus aggregate (per-(group, bin) counts);
+    * candidates come from fanning each group through a BROADCAST
+    * bins-row edge relation (never a group×group cartesian), the
+    * cumulative/total are per-group windows bounded by `bins` rows per
+    * partition, and the argmax a (group, q)-partitioned window at the
+    * same bound. Output: (groupCols…, q, value_released). */
+  def dpQuantilesBy(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, qs: Seq[Double], lo: Double, hi: Double,
+      bins: Int, tag: String, p: Double = 0.5, maxNoise: Int = 24)
+      : DataFrame = {
+    require(groupCols.nonEmpty, "dpQuantilesBy needs >= 1 group column")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    require(bins >= 2 && bins <= 65536,
+      s"bins must be in [2, 65536], got $bins")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q < 1),
+      s"quantiles must be in (0,1), got $qs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = hi - lo
+    val v = col(valueCol).cast("double")
+    val gcols = groupCols.map(col)
+    val bc = df.filter(v.isNotNull && !isnan(v))
+      .select(gcols :+ least(greatest(
+          floor((v - lit(lo)) / lit(w) * lit(bins.toDouble)), lit(0.0)),
+        lit(bins - 1.0)).cast("long").as("__idx"): _*)
+      .groupBy(gcols :+ col("__idx"): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    // each group fans through the broadcast bins-row edge relation —
+    // empty bins must still be candidates (noise can elect them)
+    val edges = spark.range(1, bins + 1).select(col("id").as("__i"))
+    val bcr = bc.toDF(bc.columns.map(c =>
+      if (groupCols.contains(c)) "__g_" + c else c): _*)
+    val cond = groupCols.map(c => col(c) === col("__g_" + c))
+      .reduce(_ && _) && (col("__bidx") === col("__i") - 1)
+    val joined = bc.select(gcols: _*).distinct()
+      .crossJoin(broadcast(edges))
+      .join(bcr.withColumnRenamed("__idx", "__bidx"), cond, "left")
+      .select(gcols :+ col("__i") :+
+        coalesce(col("__cnt"), lit(0L)).as("__cnt"): _*)
+    val wg = Window.partitionBy(gcols: _*)
+    val cum = joined
+      .withColumn("__cum", sum("__cnt").over(wg.orderBy(col("__i"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", sum("__cnt").over(wg))
+    val qdf = qs.zipWithIndex.map { case (q, i) => (i.toLong, q) }
+      .toDF("__qi", "__q")
+    // noise key: tag + each group value's string form (null renders as
+    // '' — a null group and an ''-keyed group share a noise stream,
+    // which only correlates their draws, never breaks determinism)
+    val u60 = graft.functions.GraftFunctions.md5_hash60(concat_ws(":",
+      lit(tag) +: groupCols.map(c =>
+        coalesce(col(c).cast("string"), lit(""))) :+
+        col("__qi").cast("string") :+ col("__i").cast("string"): _*))
+    val scored = cum.crossJoin(broadcast(qdf))
+      .withColumn("__score",
+        -abs(col("__cum") - floor(col("__q") * col("__n")).cast("long")) +
+          geometricNoise(u60, p, maxNoise).cast("long"))
+    val pick = Window.partitionBy(gcols :+ col("__qi"): _*)
+      .orderBy(col("__score").desc, col("__i"))
+    scored.withColumn("__rn", row_number().over(pick))
+      .filter(col("__rn") === 1)
+      .select(gcols :+ col("__q").as("q") :+
+        round(lit(lo) + col("__i").cast("double") * lit(w) /
+          lit(bins.toDouble), 6).as("value_released"): _*)
+  }
+
   /** ε-DP noisy group sums of a value clipped to [lo, hi]: clipping
     * bounds each individual's contribution, so Laplace scale is
     * (hi−lo)/ε (one row per individual per group). Clipping happens

@@ -68,6 +68,28 @@ class DpQuantileSpec extends SparkSpec {
     picks.foreach(v => assert(v >= 410 && v <= 600, s"pick $v"))
   }
 
+  test("grouped release: per-group draws are independent (same data in " +
+      "two groups can release differently), deterministic, and " +
+      "rank-noise-bounded per group") {
+    // identical value distribution in each group — any release
+    // difference between groups is purely the group-keyed noise
+    val df = spark.range(4000).select(
+      (col("id") % 4).cast("string").as("g"),
+      (col("id") / 4).cast("double").as("v"))
+    val r1 = Privacy.dpQuantilesBy(df, Seq("g"), "v", Seq(0.5),
+      0.0, 1000.0, 100, "gt").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val r2 = Privacy.dpQuantilesBy(df, Seq("g"), "v", Seq(0.5),
+      0.0, 1000.0, 100, "gt").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(r1 == r2, "same tag must replay identically")
+    assert(r1.keySet == Set("0", "1", "2", "3"))
+    // every group's release is near the shared true median (500);
+    // adjacent edges are 10 values (40 ranks) apart, noise <= 24 ranks
+    r1.values.foreach(v => assert(math.abs(v - 500) <= 20,
+      s"grouped release $v"))
+  }
+
   test("released values never leave the candidate grid or reveal raw " +
       "values") {
     val df = Seq(123.456, 789.012, 555.5, 999.9).toDF("v")
