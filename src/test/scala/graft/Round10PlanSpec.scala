@@ -154,6 +154,19 @@ class Round10PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(800))
   }
 
+  test("grouped dpQuantiles fans groups through the BROADCAST edge " +
+      "relation — never a group x group cartesian") {
+    val df = spark.range(4000).select(
+      (col("id") % 4).cast("string").as("g"),
+      (col("id") / 4).cast("double").as("v"))
+    val p = plan(graft.relational.Privacy.dpQuantilesBy(
+      df, Seq("g"), "v", Seq(0.5, 0.9), 0.0, 1000.0, 64, "pin"))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    val bnl = p.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin")
+    assert(bnl <= 2, s"$bnl nested-loop joins:\n${p.take(800)}")
+  }
+
   test("basketAffinity: the only nested-loop is the broadcast one-row " +
       "basket total; the cap window precedes the per-basket aggregate") {
     val df = spark.range(600).select(
