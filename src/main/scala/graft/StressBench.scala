@@ -69,6 +69,21 @@ object StressBench {
   def queries: Map[String, (SparkSession, String, Int) => DataFrame] = Map(
     // exact dedup: every text key now holds `reps` rows — the keep-first
     // window runs over genuinely duplicated groups everywhere
+    // DP quantile release: bins and the finishing relation are FIXED —
+    // what scales is only the clipped bin-count corpus pass, so the
+    // ratio should track the scan, not the mechanism
+    "s_dp_quantiles" -> ((s, d, r) =>
+      graft.relational.Privacy.dpQuantiles(
+        replicate(t(s, d, "customer"), "c_custkey", r), "c_acctbal",
+        Seq(0.25, 0.5, 0.9), -1000.0, 10000.0, 256, "stress")),
+
+    // within-doc repeated spans: pure zero-shuffle projection — the
+    // closest thing the suite has to a raw scan-speed ceiling
+    "s_span_selfrep" -> ((s, d, r) =>
+      graft.text.Dedup.selfRepeatedSpans(
+        replicate(t(s, d, "documents"), "doc_id", r), "text", "doc_id",
+        k = 5)),
+
     // BPE merge learning: replication multiplies every word count
     // uniformly, so the learned merges are identical at every scale —
     // what's measured is the per-round (pair, count) aggregate over a
