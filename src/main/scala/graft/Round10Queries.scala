@@ -122,6 +122,71 @@ object Round10Queries {
         FROM documents d LEFT JOIN encagg e ON d.doc_id = e.doc_id"""
   }
 
+  private val PackBpeCtx = 32
+  private val PackBpeShards = 4
+
+  /** Pack-by-BPE-tokens oracle: the fit prefix's best1..bestN pairs land
+    * in a one-row merge-table CTE (lambda bodies can reference row
+    * columns but not scalar subqueries), each word segments through the
+    * nested-replace chain inside a list_transform, and the pack replay
+    * is the q_pack arithmetic over the BPE piece stream. */
+  private def packBpeSql(nMerges: Int): String = {
+    val mtCols = (1 to nMerges)
+      .map(r => s"(SELECT pair FROM best$r) AS p$r").mkString(", ")
+    val chain = (1 to nMerges).foldLeft(
+      "regexp_replace(w, '(.)', '|\\1|', 'g')") { (cur, r) =>
+      s"""replace($cur, '|' || split_part(p$r, ' ', 1) || '||' ||
+            split_part(p$r, ' ', 2) || '|',
+          '|' || replace(p$r, ' ', '') || '|')"""
+    }
+    val ctx = PackBpeCtx
+    s"""${bpeFitPrefixSql(nMerges)},
+        mt AS MATERIALIZED (SELECT $mtCols),
+        dwords AS MATERIALIZED (
+          SELECT doc_id, list_filter(
+            string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+            x -> regexp_full_match(x, '[a-z0-9]+')) AS words
+          FROM documents),
+        dtoks AS MATERIALIZED (
+          SELECT doc_id, flatten(list_transform(words,
+            w -> list_filter(string_split($chain, '|'), x -> x <> '')))
+            AS toks
+          FROM dwords, mt),
+        d AS MATERIALIZED (
+          SELECT doc_id, toks,
+            CAST(floor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                               1, 15)) AS BIGINT)
+                       / 1152921504606846976.0 * $PackBpeShards)
+              AS INTEGER) AS shard_id,
+            CAST(('0x' || substr(md5('shuffle:' ||
+                                     CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) / 1152921504606846976.0 AS shard_rank
+          FROM dtoks),
+        c AS MATERIALIZED (
+          SELECT doc_id, toks, shard_id,
+            CAST(len(toks) AS BIGINT) AS n,
+            CAST(sum(len(toks)) OVER (PARTITION BY shard_id
+                   ORDER BY shard_rank, doc_id
+                   ROWS UNBOUNDED PRECEDING) - len(toks) AS BIGINT) AS strt
+          FROM d WHERE len(toks) >= 1),
+        e AS MATERIALIZED (
+          SELECT doc_id, toks, shard_id, n, strt,
+            CAST(u AS BIGINT) AS seq_index
+          FROM c, LATERAL (SELECT unnest(range(strt // $ctx,
+                                    (strt + n - 1) // $ctx + 1)) AS u))
+        SELECT shard_id, seq_index, doc_id,
+          greatest(strt, seq_index * $ctx) - strt AS doc_offset,
+          greatest(strt, seq_index * $ctx) - seq_index * $ctx AS seq_offset,
+          least(strt + n, (seq_index + 1) * $ctx)
+            - greatest(strt, seq_index * $ctx) AS n_tokens,
+          array_to_string(
+            toks[CAST(greatest(strt, seq_index * $ctx) - strt + 1
+                   AS INTEGER)
+                 :CAST(least(strt + n, (seq_index + 1) * $ctx) - strt
+                       AS INTEGER)], ' ') AS slice_text
+        FROM e"""
+  }
+
   // ---- DP quantile release (generated noisy-max replay oracle) ----------
   private val DpqTag = "r9dpq"
   private val DpqQs = Seq(0.25, 0.5, 0.9, 0.99)
@@ -266,6 +331,16 @@ object Round10Queries {
         t(s, d, "customer"), "c_acctbal", DpqQs, DpqLo, DpqHi, DpqBins,
         DpqTag, DpqP, DpqMaxNoise)),
 
+    // GPT-style packing by REAL tokenizer counts: the learned BPE piece
+    // stream feeds the shard/cumsum/chop arithmetic — the composition a
+    // training-data pipeline actually runs (fit tokenizer -> encode ->
+    // pack into fixed context windows)
+    "q_pack_bpe" -> ((s, d) =>
+      graft.text.Corpus.packSequencesTokens(
+        t(s, d, "documents"),
+        graft.text.Bpe.pieceTokens(col("text"), bpeMerges(s, d)),
+        "doc_id", ctxTokens = PackBpeCtx, nShards = PackBpeShards)),
+
     // per-cohort DP quantiles: one release per market segment, each its
     // own deterministic draw (parallel composition over disjoint groups)
     "q_dp_quantiles_by" -> ((s, d) =>
@@ -299,6 +374,7 @@ object Round10Queries {
          FROM g WHERE len(grams) >= 1""",
 
     "q_dp_quantiles" -> dpQuantilesSql(),
-    "q_dp_quantiles_by" -> dpQuantilesBySql()
+    "q_dp_quantiles_by" -> dpQuantilesBySql(),
+    "q_pack_bpe" -> packBpeSql(BpeMerges)
   )
 }

@@ -54,9 +54,12 @@ object Bpe {
   /** Rounds between localCheckpoints of the (cnt, seg) table. */
   val CheckpointEvery = 8
 
-  private[text] def bpeWords(textCol: String): Column =
-    filter(TextFunctions.tokensLower(coalesce(col(textCol), lit(""))),
+  private[text] def bpeWordsC(text: Column): Column =
+    filter(TextFunctions.tokensLower(coalesce(text, lit(""))),
       w => w.rlike("^[a-z0-9]+$"))
+
+  private[text] def bpeWords(textCol: String): Column =
+    bpeWordsC(col(textCol))
 
   /** Every character wrapped: "ab" -> "|a||b|". */
   private def wrapChars(word: Column): Column =
@@ -129,6 +132,18 @@ object Bpe {
       .select(col("merge_rank").cast("int"), col("lhs"), col("rhs"),
         col("n_pairs").cast("long"))
   }
+
+  /** The full piece stream of a document as one array<string> column:
+    * normalized words in order, each segmented by the learned merges
+    * (rank-order greedy application — the exact [[fitBpe]]/[[encodeBpe]]
+    * semantics), flattened. Pure per-row expression: feeds
+    * [[Corpus.packSequencesTokens]] so context budgets are REAL
+    * tokenizer counts, the training-data packing shape. */
+  def pieceTokens(text: Column, merges: Seq[Merge]): Column =
+    flatten(transform(bpeWordsC(text), w =>
+      segTokens(merges.foldLeft(wrapChars(w)) { (seg, m) =>
+        applyMerge(seg, m.lhs, m.rhs)
+      })))
 
   /** Persist a learned merge table (a production pipeline fits the
     * tokenizer once and serves it to every encode pass — the

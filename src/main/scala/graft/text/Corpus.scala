@@ -441,12 +441,23 @@ object Corpus {
     * (md5 shard/order + exact integer arithmetic). */
   def packSequences(
       df: DataFrame, textCol: String, idCol: String,
+      ctxTokens: Int, nShards: Int): DataFrame =
+    packSequencesTokens(df, TextFunctions.tokens(col(textCol)), idCol,
+      ctxTokens, nShards)
+
+  /** [[packSequences]] over an arbitrary token-array expression — the
+    * packing unit becomes whatever the tokenizer emits (e.g.
+    * [[Bpe.pieceTokens]] for learned-subword packing, the realistic
+    * training-data shape where context budgets are REAL token counts,
+    * not whitespace words). Same shard/cumsum/chop arithmetic. */
+  def packSequencesTokens(
+      df: DataFrame, tokens: Column, idCol: String,
       ctxTokens: Int, nShards: Int): DataFrame = {
     require(ctxTokens >= 1 && nShards >= 1,
       "need ctxTokens >= 1 and nShards >= 1")
     val ctx = lit(ctxTokens.toLong)
     val sharded = shardBy(df, idCol, nShards)
-      .withColumn("__toks", TextFunctions.tokens(col(textCol)))
+      .withColumn("__toks", tokens)
       .withColumn("__n", size(col("__toks")).cast("long"))
       .filter(col("__n") >= 1L)
     val w = org.apache.spark.sql.expressions.Window

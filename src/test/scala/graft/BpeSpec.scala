@@ -1,6 +1,7 @@
 package graft
 
 import graft.text.Bpe
+import org.apache.spark.sql.functions.col
 
 /** Hand-computed BPE fixtures: merge selection (weighted pair counts with
   * the (count DESC, pair ASC) tie-break), greedy non-overlapping merge
@@ -68,6 +69,28 @@ class BpeSpec extends SparkSpec {
       .orderBy("doc_id").collect()
     assert(out(0).getLong(1) == 0L && out(0).getLong(2) == 0L)
     assert(out(1).getLong(1) == 1L && out(1).getLong(2) == 1L)
+  }
+
+  test("pieceTokens emits the ordered piece stream; counts agree with " +
+      "encodeBpe, and packing by it budgets real tokenizer counts") {
+    val docs = Seq("abab ab ba", "abab ab", "ab").toDF("text")
+    val merges = Bpe.fitBpe(docs, "text", numMerges = 5)
+    val doc = Seq((7L, "abab ab ba abc")).toDF("doc_id", "text")
+    val toks = doc.select(Bpe.pieceTokens(col("text"), merges).as("t"))
+      .head().getSeq[String](0)
+    // abab->[abab], ab->[ab], ba->[ba], abc->[ab, c] in word order
+    assert(toks == Seq("abab", "ab", "ba", "ab", "c"))
+    val enc = Bpe.encodeBpe(doc, "text", "doc_id", merges).head()
+    assert(toks.length.toLong == enc.getLong(2))
+    // packing the piece stream: 5 tokens at ctx=2 -> offsets cover the
+    // stream exactly once with no gaps
+    val packed = graft.text.Corpus.packSequencesTokens(
+        doc, Bpe.pieceTokens(col("text"), merges), "doc_id",
+        ctxTokens = 2, nShards = 1)
+      .orderBy("seq_index", "doc_offset").collect()
+    assert(packed.map(_.getAs[Long]("n_tokens")).sum == 5L)
+    assert(packed.flatMap(_.getAs[String]("slice_text").split(" "))
+      .toSeq == toks)
   }
 
   test("save/load round-trips the merge table in rank order") {
