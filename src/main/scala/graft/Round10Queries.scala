@@ -3,14 +3,20 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Round-10 additions (round 9 of the build): distributed BPE merge-rule
-  * learning (VERDICT r8 #3) — true iterative pair merges over the
-  * distinct-word table, completing the tokenizer story next to
-  * [[graft.text.Subword]]'s WordPiece-style vocabulary — with the
-  * generated unrolled-round DuckDB replay oracle (the k-means
-  * discipline: both engines execute identical string/integer
-  * arithmetic, so the merge table and the per-document encodings
-  * hash-match bit for bit).
+/** Round-9 additions: distributed BPE merge-rule learning (VERDICT r8
+  * #3) — true iterative pair merges over the distinct-word table,
+  * completing the tokenizer story next to [[graft.text.Subword]]'s
+  * WordPiece-style vocabulary — with the generated unrolled-round
+  * DuckDB replay oracle (the k-means discipline: both engines execute
+  * identical string/integer arithmetic, so the merge table and the
+  * per-document encodings hash-match bit for bit); packing by the
+  * learned piece stream (q_pack_bpe — context budgets in REAL
+  * tokenizer counts); within-doc repeated-span stats (q_span_selfrep,
+  * closing the gap the round-9 span-accuracy measurement documented);
+  * and the DP quantile releases (q_dp_quantiles / q_dp_quantiles_by) —
+  * discrete noisy-max whose geometric noise decodes from a 60-bit md5
+  * uniform through a pure INTEGER threshold cascade, so even the
+  * randomized mechanism replays bit-for-bit in the oracle.
   */
 object Round10Queries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
