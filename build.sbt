@@ -40,4 +40,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // LangId literal profiles) emit large codegen methods; the 240m
   // default code cache sweeps hot methods mid-suite
   "-XX:ReservedCodeCacheSize=512m",
+  // GC log per forked JVM (VERDICT r9 #3): when a bench phase inflates
+  // while CPU probes read fast, the log (plus the in-artifact gc_ms
+  // snapshots) attributes it to co-tenant CPU theft vs heap pressure.
+  // %p = pid, so concurrent forks never clobber each other.
+  "-Xlog:gc:file=/tmp/graft_gc_%p.log:time,uptime",
 )

@@ -8,20 +8,38 @@ import org.apache.spark.sql.SparkSession
   * init) so the timed pass measures steady-state query execution, which is
   * what a long-lived cluster sees.
   *
-  * Phase order is PROBE-GATED (VERDICT r8 #1): the bench box is a shared
-  * host whose effective speed was measured to swing >1.6x within an hour,
-  * and round 8's official run landed on the worst phase — n_iters degraded
-  * to 1 AND 41/44 stress rows were budget-skipped, leaving no usable scale
-  * evidence. The stress RATIOS are box-insensitive (both sides of a ratio
-  * run minutes apart) while raw main seconds are not, so on a slow box the
-  * complete stress table is worth more than extra main iterations:
+  * Phase order is PROBE-GATED (VERDICT r8 #1) and, from round 10,
+  * RE-GATED MID-RUN (VERDICT r9 #1): the bench box is a shared host whose
+  * effective speed was measured to swing >1.6x within an hour, and round
+  * 9's official run collapsed ~6.5x DURING the main phase while every
+  * boundary probe read fast — the one-shot start-probe gate chose
+  * main-first and then lost all 47 stress rows to the budget. The stress
+  * RATIOS are box-insensitive (both sides of a ratio run minutes apart)
+  * while raw main seconds are not, so the complete stress table always
+  * outranks extra main passes:
   *
   *   1. warmup (sf0.001, untimed, parallel pool, budget-scaled timeout)
   *      -> EMIT
+  *   1b. FIT phase (VERDICT r9 #2): every FitMemo-backed model is
+  *      pre-fitted at the bench SF in a separately-timed phase
+  *      (`phase_sec.fit`; pure fit seconds in `fit_sec`), so even an
+  *      n_iters=1 artifact reports transform-only steady state instead
+  *      of folding a one-time 300 s fit into a query's headline time.
   *   2. timed main iterations -> EMIT after EVERY iteration.
   *      Fast box (start probe <= 2.2 s): up to 3 iterations,
-  *      budget-adaptive as before. Slow box: exactly ONE pass here —
-  *      extra iterations move BEHIND the stress block (phase 5).
+  *      budget-adaptive. Slow box: exactly ONE pass here. Re-gates:
+  *      (a) INSIDE an iteration, a scalar+parallel probe fires every
+  *          ~60 queries (recorded per window in BENCH_DETAIL.json so
+  *          normalize_bench.py can correct per window and a mid-phase
+  *          collapse is visible, not inferred); if the stress block has
+  *          not run yet and elapsed passes the stress-reserve point, the
+  *          iteration PAUSES, the full stress block runs, and the
+  *          iteration resumes — a 6.5x collapse now costs main
+  *          iterations, never the stress table;
+  *      (b) AFTER each iteration, an iteration that overran the fast-box
+  *          expectation (SPARK_GRAFT_MAIN_OVERRUN_SEC, default 900 s)
+  *          falls through to stress before any further main iteration —
+  *          symmetric to the slow-box path.
   *   3. online serving micro-bench -> EMIT
   *   4. stress rows one at a time (x1 then xscale per row) -> EMIT per row.
   *      Fast box: min-of-2 per cell; slow box: single pass (the ratio is
@@ -29,6 +47,13 @@ import org.apache.spark.sql.SparkSession
   *   5. leftover-budget main iterations (slow box, or a fast box that
   *      stopped early): re-run the full main suite while it fits, folding
   *      new minima into `queries` -> EMIT per iteration.
+  *
+  * Every probe point also snapshots cumulative JVM GC time and used heap
+  * (`gc_ms` / `heap_mb` in BENCH_DETAIL.json): VERDICT r9 #3 — fast
+  * boundary probes around a collapsed main phase cannot distinguish
+  * co-tenant CPU theft from intra-JVM GC/heap pressure; the GC counters
+  * can (theft inflates wall time with flat gc_ms, heap pressure shows up
+  * as gc_ms growth between windows).
   *
   * Every emission rewrites BENCH_DETAIL.json ATOMICALLY (temp file +
   * ATOMIC_MOVE — a wall-clock kill mid-write must never truncate the
@@ -104,9 +129,24 @@ object Bench {
     // collapsed box" from a uniformly slow run)
     val calibScalar = scala.collection.mutable.LinkedHashMap[String, Double]()
     val calibPar = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // GC/heap snapshots at every probe point (VERDICT r9 #3): cumulative
+    // collection millis across all collectors + used heap MB. A collapsed
+    // window with flat gc_ms is co-tenant CPU theft; gc_ms growth is
+    // intra-JVM memory pressure — the distinction no CPU probe can make.
+    val gcMs = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val heapMb = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def gcSnapshot(label: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      gcMs(label) = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime.toDouble).sum
+      heapMb(label) = java.lang.management.ManagementFactory
+        .getMemoryMXBean.getHeapMemoryUsage.getUsed / (1024.0 * 1024.0)
+    }
     def probe(label: String): Unit = {
       calibScalar(label) = calibrate()
       calibPar(label) = calibratePar(probeThreads)
+      gcSnapshot(label)
     }
     probe("start")
     // SPARK_GRAFT_FAST_BOX=0/1 pins the policy (testing aid; the driver
@@ -225,7 +265,9 @@ object Bench {
         s""""calib_sec":${fmt(calibScalar)},"calib_par_sec":${fmt(calibPar)},"probe_threads":$probeThreads,"fast_box":$fastBox"""
       val fitJson = fmt(graft.util.FitMemo.fitSeconds.toSeq.sortBy(_._1))
       val notesJson = fmtStr(notes.map(jsonSafe))
-      val detail = s"""{"phase":"$phase","elapsed_sec":${f"$elapsed%.1f"},"phase_sec":${fmt(phaseSec)},$calibJson,"fit_sec":$fitJson,"notes":$notesJson,"metric":"total","value":$total,"unit":"sec","n_iters":$nIters,"queries":${fmt(results)},"errors":${fmtErr(errors)},"warmup_errors":${fmtErr(warmupErrors)},$stressJson,"sf":"$sfDir"}"""
+      val gcJson =
+        s""""gc_ms":${fmt(gcMs)},"heap_mb":${fmt(heapMb)}"""
+      val detail = s"""{"phase":"$phase","elapsed_sec":${f"$elapsed%.1f"},"phase_sec":${fmt(phaseSec)},$calibJson,$gcJson,"fit_sec":$fitJson,"notes":$notesJson,"metric":"total","value":$total,"unit":"sec","n_iters":$nIters,"queries":${fmt(results)},"errors":${fmtErr(errors)},"warmup_errors":${fmtErr(warmupErrors)},$stressJson,"sf":"$sfDir"}"""
       try {
         val dir = java.nio.file.Paths.get(".")
         val tmp = java.nio.file.Files.createTempFile(dir, ".bench_detail", ".tmp")
@@ -307,6 +349,61 @@ object Bench {
     phaseSec("warmup") = elapsed
     emit("warmup", stdout = false)
 
+    // ---- phase 1b: pre-fit FitMemo-backed models (VERDICT r9 #2) --------
+    // One-time fits (langid profile, PQ codebooks, BPE merge table) used
+    // to land inside main iteration 1 and ride a query's headline time
+    // whenever min-of-N degraded to N=1 (r9 official: q_sim_pq 573 s of
+    // which 295 s was the pq_model fit). Each memo's fit-trigger query
+    // runs ONCE here at the bench SF: the fit memoizes, so main
+    // iterations see transform-only steady state. Phase wall time is
+    // phase_sec.fit; the pure fit seconds stay in fit_sec.
+    val fit0 = elapsed
+    val fitTriggers = Seq("q_langid_profile", "q_subword_bpe", "q_sim_pq")
+    fitTriggers.filter(queries.contains).foreach { name =>
+      try run(queries(name)(spark, sfDir))
+      catch { case e: Throwable => recordError(name, e) }
+    }
+    phaseSec("fit") = elapsed - fit0
+    emit("fit", stdout = false)
+
+    // ---- stress block (phase 4 body; also runs from the mid-main pause) --
+    var stressDone = false
+    var stressSecAcc = 0.0
+    def runStressBlock(): Unit = if (stressScale > 1 && !stressDone) {
+      stressDone = true
+      val s0 = elapsed
+      probe("pre_stress")
+      var sinceStdout = 0
+      stressSelected0.foreach { case (name, fn) =>
+        if (elapsed > budget * 0.90) {
+          skippedStress += name
+        } else {
+          val rowScale = StressBench.scaleOverride.getOrElse(name, stressScale)
+          def timeRow(reps: Int): Option[Seq[Double]] = {
+            val times = (1 to stressIters).flatMap { _ =>
+              spark.catalog.clearCache()
+              val t0 = System.nanoTime()
+              try { run(fn(spark, sfDir, reps))
+                Some((System.nanoTime() - t0) / 1e9) }
+              catch { case e: Throwable =>
+                recordError(s"$name@x$reps", e); None }
+            }
+            // all iterations must succeed for the cell to count (a partial
+            // min could mask an intermittent failure as a fast run)
+            if (times.size == stressIters) Some(times) else None
+          }
+          timeRow(1).foreach(ts => stressBaseIters(name) = ts)
+          timeRow(rowScale).foreach(ts => stressBigIters(name) = ts)
+          sinceStdout += 1
+          emit("stress", stdout = sinceStdout >= 8)
+          if (sinceStdout >= 8) sinceStdout = 0
+        }
+      }
+      if (skippedStress.nonEmpty)
+        println(s"""{"note":"stress rows skipped for budget","skipped":${skippedStress.size},"elapsed_sec":${f"$elapsed%.1f"}}""")
+      stressSecAcc += elapsed - s0
+    }
+
     // ---- phase 2: timed main iterations ---------------------------------
     // min-per-query over iterations: steady-state time without GC/
     // scheduler/co-tenant noise (observed +/-40% between runs on this
@@ -315,49 +412,116 @@ object Bench {
     // runs up to 3 budget-adaptive iterations here; a slow box runs
     // exactly ONE — its extra iterations move behind the stress block so
     // the box-insensitive stress ratios are never the budget casualty.
-    val iterations = scala.collection.mutable.ArrayBuffer[Map[String, Option[Double]]]()
+    // Re-gated mid-run (VERDICT r9 #1): see the object scaladoc.
+    val querySeq = queries.toIndexedSeq
+    val iterations = scala.collection.mutable.ArrayBuffer[
+      scala.collection.mutable.LinkedHashMap[String, Option[Double]]]()
     var lastIterSec = 0.0
-    def runMainIteration(): Unit = {
-      spark.catalog.clearCache()
-      val it0 = elapsed
-      iterations += queries.map { case (name, fn) =>
+    var mainSecAcc = 0.0
+    // intra-main probe cadence: ~6 windows per 341-query iteration at
+    // ~4.5 s per scalar+parallel probe pair — <5% of a fast-box
+    // iteration, and the per-window record is what lets a mid-phase
+    // collapse be SEEN (r9's was only inferrable by subtraction)
+    val probeEvery = 60
+    // segment runner: times querySeq[from, size) into cur, probing every
+    // probeEvery queries; returns the index it stopped at (size when it
+    // ran to the end, the pause point when shouldPause() fired at a
+    // probe window)
+    def runSegment(
+        cur: scala.collection.mutable.LinkedHashMap[String, Option[Double]],
+        iterIdx: Int, from: Int, shouldPause: () => Boolean): Int = {
+      var i = from
+      while (i < querySeq.size) {
+        val (name, fn) = querySeq(i)
         val t0 = System.nanoTime()
         val ok =
           try { run(fn(spark, sfDir)); true }
           catch { case e: Throwable => recordError(name, e); false }
-        name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
+        cur(name) = if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+        i += 1
+        if (i % probeEvery == 0 && i < querySeq.size) {
+          probe(f"i${iterIdx}_q$i%03d")
+          if (shouldPause()) return i
+        }
       }
-      lastIterSec = elapsed - it0
+      querySeq.size
+    }
+    def finishIteration(): Unit = {
       nIters = iterations.size
-      results = queries.keys.flatMap { name =>
-        val times = iterations.toSeq.flatMap(_(name))
+      results = querySeq.iterator.map(_._1).flatMap { name =>
+        val times = iterations.toSeq.flatMap(_.get(name).flatten)
         // only queries that succeeded every timed iteration count as timed
         if (times.size == iterations.size && !errors.contains(name))
           Some(name -> times.min)
         else None
       }.toMap
     }
+    def runMainIteration(): Unit = {
+      spark.catalog.clearCache()
+      val it0 = elapsed
+      val cur = scala.collection.mutable
+        .LinkedHashMap[String, Option[Double]]()
+      runSegment(cur, iterations.size + 1, 0, () => false)
+      iterations += cur
+      lastIterSec = elapsed - it0
+      mainSecAcc += lastIterSec
+      finishIteration()
+    }
     probe("pre_main")
     val maxItersUpFront = if (fastBox) 3 else 1
+    // fast-box per-iteration expectation (VERDICT r9 #1a): an iteration
+    // that overruns this fell onto a collapsed box mid-phase — fall
+    // through to stress (the box-insensitive artifact) before any
+    // further main iterations
+    val mainOverrunSec =
+      sys.env.getOrElse("SPARK_GRAFT_MAIN_OVERRUN_SEC", "900").toDouble
+    // iteration 1 runs with a PAUSE point: if the stress block has not
+    // run and elapsed passes the reserve, bank the stress table mid-
+    // iteration and resume after (a collapse during main iteration 1 —
+    // the r9 failure — now costs main iterations, never the stress rows)
+    val stressReserve = budget * 0.62
+    locally {
+      spark.catalog.clearCache()
+      val it0 = elapsed
+      val cur = scala.collection.mutable
+        .LinkedHashMap[String, Option[Double]]()
+      val pausedAt = runSegment(cur, 1, 0,
+        () => !stressDone && elapsed > stressReserve)
+      if (pausedAt < querySeq.size) {
+        notes += s"main iteration 1 paused at query $pausedAt/${querySeq.size} (${f"$elapsed%.0f"}s > stress reserve ${f"$stressReserve%.0f"}s): banking stress table first"
+        println(s"""{"note":"main iteration 1 paused for stress reserve","at_query":$pausedAt,"elapsed_sec":${f"$elapsed%.1f"},"budget_sec":$budget}""")
+        val sBefore = stressSecAcc
+        runStressBlock()
+        runSegment(cur, 1, pausedAt, () => false)
+        lastIterSec = elapsed - it0 - (stressSecAcc - sBefore)
+      } else lastIterSec = elapsed - it0
+      iterations += cur
+      mainSecAcc += lastIterSec
+      finishIteration()
+      emit("main_iter_1", stdout = false)
+    }
     var continueIters = true
-    while (iterations.size < maxItersUpFront && continueIters) {
-      runMainIteration()
-      emit(s"main_iter_${iterations.size}", stdout = false)
-      // 0.68 of budget for warmup+main: warmup pre-pays the stress rows'
-      // JIT too (the stress phase no longer warms per row), so main can
-      // take a bigger share — measured slow-box arithmetic: warmup 365 s
-      // + 2 x 600 s iterations = 1565 s < 1836 s keeps min-of-2, leaving
-      // ~1100 s for the single-pass stress block (~750 s with pre-paid
-      // warmups); a fast box fits min-of-3 plus min-of-2 stress with
-      // ~900 s of margin
-      if (iterations.size < maxItersUpFront &&
-          elapsed + lastIterSec * 1.15 > budget * 0.68) {
+    def regate(): Unit = if (iterations.size < maxItersUpFront) {
+      if (lastIterSec > mainOverrunSec) {
+        notes += s"main iteration ${iterations.size} overran fast-box expectation (${f"$lastIterSec%.0f"}s > ${f"$mainOverrunSec%.0f"}s): falling through to stress"
+        println(s"""{"note":"main iteration overran fast-box expectation: falling through to stress","iter_sec":${f"$lastIterSec%.1f"},"expect_sec":$mainOverrunSec}""")
+        continueIters = false
+      } else if (elapsed + lastIterSec * 1.15 > budget * 0.68) {
+        // 0.68 of budget for warmup+fit+main: warmup pre-pays the stress
+        // rows' JIT too, so main can take a bigger share — measured
+        // slow-box arithmetic in the r8/r9 notes
         notes += s"main iteration ${iterations.size + 1} deferred behind stress for budget at ${f"$elapsed%.0f"}s"
         println(s"""{"note":"main iteration ${iterations.size + 1} deferred behind stress for budget","elapsed_sec":${f"$elapsed%.1f"},"budget_sec":$budget}""")
         continueIters = false
       }
     }
-    phaseSec("main") = elapsed - phaseSec("warmup")
+    regate()
+    while (iterations.size < maxItersUpFront && continueIters) {
+      runMainIteration()
+      emit(s"main_iter_${iterations.size}", stdout = false)
+      regate()
+    }
+    phaseSec("main") = mainSecAcc
     emit("main")
 
     // ---- phase 3: online (row-at-a-time) serving micro-bench -------------
@@ -369,6 +533,7 @@ object Bench {
     // single-row scoring throughput driver-side — no Spark job per call.
     // Runs BEFORE stress (VERDICT r7 #1): round 7 ran it last, inside the
     // killed window, and the round lost its online number entirely.
+    val online0 = elapsed
     onlineRps =
       if (!only.forall(_.contains("online"))) 0.0
       else try {
@@ -402,7 +567,7 @@ object Bench {
       } catch {
         case e: Throwable => recordError("online_serving", e); 0.0
       }
-    phaseSec("online") = elapsed - phaseSec("warmup") - phaseSec("main")
+    phaseSec("online") = elapsed - online0
     emit("online")
 
     // ---- phase 4: scale-stress block (VERDICT r5 #2, r6 #2) --------------
@@ -416,40 +581,10 @@ object Bench {
     // re-emitted after every row, so a wall-clock kill loses at most the
     // row in flight. Rows skipped when past 90% of budget are REPORTED in
     // skipped_stress. SPARK_GRAFT_STRESS=0 disables. Stress failures fail
-    // the run like timed ones.
-    probe("pre_stress")
-    if (stressScale > 1) {
-      var sinceStdout = 0
-      stressSelected0.foreach { case (name, fn) =>
-        if (elapsed > budget * 0.90) {
-          skippedStress += name
-        } else {
-          val rowScale = StressBench.scaleOverride.getOrElse(name, stressScale)
-          def timeRow(reps: Int): Option[Seq[Double]] = {
-            val times = (1 to stressIters).flatMap { _ =>
-              spark.catalog.clearCache()
-              val t0 = System.nanoTime()
-              try { run(fn(spark, sfDir, reps))
-                Some((System.nanoTime() - t0) / 1e9) }
-              catch { case e: Throwable =>
-                recordError(s"$name@x$reps", e); None }
-            }
-            // all iterations must succeed for the cell to count (a partial
-            // min could mask an intermittent failure as a fast run)
-            if (times.size == stressIters) Some(times) else None
-          }
-          timeRow(1).foreach(ts => stressBaseIters(name) = ts)
-          timeRow(rowScale).foreach(ts => stressBigIters(name) = ts)
-          sinceStdout += 1
-          emit("stress", stdout = sinceStdout >= 8)
-          if (sinceStdout >= 8) sinceStdout = 0
-        }
-      }
-      if (skippedStress.nonEmpty)
-        println(s"""{"note":"stress rows skipped for budget","skipped":${skippedStress.size},"elapsed_sec":${f"$elapsed%.1f"}}""")
-    }
-    phaseSec("stress") =
-      elapsed - phaseSec("warmup") - phaseSec("main") - phaseSec("online")
+    // the run like timed ones. (Body in runStressBlock above — a no-op
+    // here when the mid-main pause already banked the table.)
+    runStressBlock()
+    phaseSec("stress") = stressSecAcc
 
     // ---- phase 5: leftover-budget main iterations ------------------------
     // The flip VERDICT r8 recommended: with the complete stress table

@@ -3,7 +3,10 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Round-9 additions: distributed BPE merge-rule learning (VERDICT r8
+/** Round-10 query module (built in round 9; the DpqTag value keeps its
+  * historical "r9dpq" literal because it seeds the released noise —
+  * changing it would be a new DP release): distributed BPE merge-rule
+  * learning (VERDICT r8
   * #3) — true iterative pair merges over the distinct-word table,
   * completing the tokenizer story next to [[graft.text.Subword]]'s
   * WordPiece-style vocabulary — with the generated unrolled-round
@@ -275,7 +278,8 @@ object Round10Queries {
           SELECT gs.g AS g, e.i AS i, coalesce(bc.cnt, 0) AS cnt
           FROM (SELECT DISTINCT g FROM bc) gs
           CROSS JOIN edges e
-          LEFT JOIN bc ON bc.g = gs.g AND bc.idx = e.i - 1),
+          LEFT JOIN bc ON bc.g IS NOT DISTINCT FROM gs.g
+            AND bc.idx = e.i - 1),
         cumt AS MATERIALIZED (
           SELECT g, i, cnt,
             sum(cnt) OVER (PARTITION BY g ORDER BY i

@@ -144,7 +144,10 @@ object Privacy {
           .rowsBetween(org.apache.spark.sql.expressions.Window
             .unboundedPreceding,
             org.apache.spark.sql.expressions.Window.currentRow)))
-    val total = bc.agg(sum("__cnt").as("__n"))
+    // coalesce: an empty/all-null input must release the noise-elected
+    // edge from all-zero counts (the oracle coalesces its total to 0),
+    // not degenerate to edge 1 via NULL scores (ADVICE r9)
+    val total = bc.agg(coalesce(sum("__cnt"), lit(0L)).as("__n"))
     val qdf = qs.zipWithIndex.map { case (q, i) => (i.toLong, q) }
       .toDF("__qi", "__q")
     val u60 = graft.functions.GraftFunctions.md5_hash60(concat_ws(":",
@@ -204,7 +207,11 @@ object Privacy {
     val edges = spark.range(1, bins + 1).select(col("id").as("__i"))
     val bcr = bc.toDF(bc.columns.map(c =>
       if (groupCols.contains(c)) "__g_" + c else c): _*)
-    val cond = groupCols.map(c => col(c) === col("__g_" + c))
+    // null-safe equality (ADVICE r9): with ===, a null-keyed group's bin
+    // counts never match and that group would be released from all-zero
+    // counts — pure noise instead of its real quantiles (the oracle SQL
+    // uses IS NOT DISTINCT FROM for the same reason)
+    val cond = groupCols.map(c => col(c) <=> col("__g_" + c))
       .reduce(_ && _) && (col("__bidx") === col("__i") - 1)
     val joined = bc.select(gcols: _*).distinct()
       .crossJoin(broadcast(edges))

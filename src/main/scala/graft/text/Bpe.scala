@@ -105,6 +105,10 @@ object Bpe {
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer[Merge]()
     var exhausted = false
+    // the previous checkpoint is released once the next one materializes
+    // (ADVICE r9): at numMerges=4096, never-unpersisted checkpoints would
+    // pile ~512 copies of the segmentation table into the block manager
+    var prevCheckpoint = cur
     while (merges.size < numMerges && !exhausted) {
       val top = cur
         .select(explode(segPairs(col("seg"))).as("pair"), col("cnt"))
@@ -117,8 +121,11 @@ object Bpe {
         val Array(l, r) = top(0).getString(0).split(" ", 2)
         merges += Merge(merges.size + 1, l, r, top(0).getLong(1))
         cur = cur.select(col("cnt"), applyMerge(col("seg"), l, r).as("seg"))
-        if (merges.size % CheckpointEvery == 0)
+        if (merges.size % CheckpointEvery == 0) {
           cur = cur.localCheckpoint(true)
+          prevCheckpoint.unpersist(blocking = false)
+          prevCheckpoint = cur
+        }
       }
     }
     merges.toSeq

@@ -25,12 +25,20 @@ import statistics
 import sys
 
 
-def mean_probe(cal):
+def mean_probe(cal, ran_main_extra=False):
     # The `queries` map holds MAIN-phase times, so when the artifact has
-    # per-phase points, normalize by the probes bracketing the main phase
-    # (pre_main and pre_stress); otherwise fall back to the mean of all
-    # points (legacy start/end artifacts).
-    bracket = [cal.get("pre_main"), cal.get("pre_stress")]
+    # per-phase points, normalize by the probes bracketing the main phase:
+    # pre_main, every intra-main window probe (i<iter>_q<idx>, round 10+),
+    # and pre_stress. When phase 5 folded main_extra iteration minima into
+    # the same `queries` map, minima may come from the post-stress regime,
+    # so the end probe joins the bracket (ADVICE r9). Legacy artifacts
+    # fall back to the mean of all points.
+    bracket = [cal.get("pre_main")]
+    bracket += [v for k, v in cal.items()
+                if k.startswith("i") and "_q" in k]
+    bracket.append(cal.get("pre_stress"))
+    if ran_main_extra:
+        bracket.append(cal.get("end"))
     probes = [v for v in bracket if v]
     if not probes:
         probes = [v for v in cal.values() if v]
@@ -39,8 +47,9 @@ def mean_probe(cal):
 
 def load(path):
     d = json.load(open(path))
-    scalar = mean_probe(d.get("calib_sec") or {})
-    par = mean_probe(d.get("calib_par_sec") or {})
+    ran_main_extra = "main_extra" in (d.get("phase_sec") or {})
+    scalar = mean_probe(d.get("calib_sec") or {}, ran_main_extra)
+    par = mean_probe(d.get("calib_par_sec") or {}, ran_main_extra)
     return d.get("queries", {}), scalar, par
 
 
