@@ -358,6 +358,9 @@ object Bench {
     // iterations see transform-only steady state. Phase wall time is
     // phase_sec.fit; the pure fit seconds stay in fit_sec.
     val fit0 = elapsed
+    // drop warm-dir (sf0.001) fit seconds: fit_sec in the artifact should
+    // be the bench-SF fits this phase pays, not a cross-scale mixture
+    graft.util.FitMemo.resetFitSeconds()
     val fitTriggers = Seq("q_langid_profile", "q_subword_bpe", "q_sim_pq")
     fitTriggers.filter(queries.contains).foreach { name =>
       try run(queries(name)(spark, sfDir))

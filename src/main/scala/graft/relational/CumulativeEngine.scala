@@ -84,10 +84,16 @@ private[graft] object CumulativeEngine {
       // groups-sized (one row ungrouped), broadcastable
       val innerPcts = array(
         (1 until NMacro).map(i => lit(i.toDouble / NMacro)): _*)
+      // accuracy 1000, not the old 10000 (round 10, guide §1.2 per-task
+      // work): the edges only BALANCE the 64 macro bins — the cumulative
+      // arithmetic is exact for ANY edge placement (the forced-path
+      // oracle twins pin small ≡ binned bit-for-bit), so ±0.1% quantile
+      // error is invisible in results and the QuantileSummaries state the
+      // partial aggregate carries per task shrinks ~10×
       val bounds = counts.groupBy(gb: _*).agg(
         min(vd).as("__lo"),
         max(vd).as("__hi"),
-        percentile_approx(vd, innerPcts, lit(10000)).as("__edges"))
+        percentile_approx(vd, innerPcts, lit(1000)).as("__edges"))
       // ungrouped: bounds is ONE row — broadcast unconditionally.
       // grouped: groups-sized (unbounded in group count) — no hint,
       // AQE broadcasts when actually small

@@ -1535,13 +1535,18 @@ object Eval {
     val vals = df.filter(col(valueCol).isNotNull &&
         (g === ref || g === target))
       .select(g.as("__g"), col(valueCol).cast("double").as("__s"))
-    def counted(side: String): DataFrame = vals
-      .filter(col("__g") === side)
-      .groupBy(col("__s")).agg(count(lit(1)).as("__c"))
-    val aCounts = counted(ref).persist()
-    val bCounts = counted(target).persist()
+    // ONE corpus aggregate for BOTH sides (round 10, guide §2.3/§1.2:
+    // the previous per-side groupBy scanned the corpus twice); the
+    // persisted (side, value) relation is what each side filters
+    val counted = vals.groupBy(col("__g"), col("__s"))
+      .agg(count(lit(1)).as("__c")).persist()
+    def side(s: String): DataFrame =
+      counted.filter(col("__g") === s).select("__s", "__c")
+    val aCounts = side(ref).persist()
+    val bCounts = side(target).persist()
     val aN = aCounts.count()
     val bN = bCounts.count()
+    counted.unpersist(blocking = false)
     val aBelow = belowCumulative(aCounts, Seq("__c"), aN,
       maxDistinctBroadcast)
       .select(col("__s").as("__va"), col("__c").as("__ca"),

@@ -49,25 +49,34 @@ object Graph {
       .filter(col("w") > 0L)
     val outW = e0.groupBy("src").agg(sum("w").as("ow"))
     val e = e0.join(outW, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    // the dangling set (nodes with no out-edges) is STATIC: flag it once
+    // on the persisted node relation instead of re-deriving it with a
+    // per-iteration anti-join (round 10, guide §2.4 — one join per round
+    // removed; the rank relation carries one extra boolean)
     val nodes = e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node"))).distinct()
+      .join(outW.select(col("src").as("node"))
+        .withColumn("__hasout", lit(true)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__hasout"), lit(false))
+        .as("__hasout"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val srcs = outW.select(col("src").as("node"))
     val n = math.max(nodes.count(), 1L)
     var r = nodes.withColumn("rank", lit(scale / n))
     for (_ <- 1 to iters) {
       // dangling mass rides the plan as a broadcast one-row relation, so
       // each iteration is ONE job (the eager localCheckpoint) — no
-      // driver scalar round trip per round
-      val dang = r.join(srcs, Seq("node"), "left_anti")
+      // driver scalar round trip per round; the static flag turns the
+      // old per-round anti-join into a filter over the rank relation
+      val dang = r.filter(!col("__hasout"))
         .agg(coalesce(sum("rank"), lit(0L)).as("__dang"))
-      val contrib = e.join(r.withColumnRenamed("node", "src"), "src")
+      val contrib = e.join(r.select(col("node").as("src"), col("rank")),
+          "src")
         .select(col("dst").as("node"),
           expr("(85 * ((rank * w) div ow)) div 100").as("__c"))
         .groupBy("node").agg(sum("__c").as("__inflow"))
       r = nodes.join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(dang))
-        .select(col("node"),
+        .select(col("node"), col("__hasout"),
           (coalesce(col("__inflow"), lit(0L)) +
             lit(15L * scale / (100L * n)) +
             expr(s"(85 * (__dang div ${n}L)) div 100")).as("rank"))
@@ -75,7 +84,7 @@ object Graph {
     }
     e.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
-    r
+    r.select("node", "rank")
   }
 
   /** EXACT triangle count over an undirected edge relation — the
@@ -291,18 +300,25 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = e.select(col("s").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint(true)
-    val byVote = Window.partitionBy(col("node"))
-      .orderBy(col("__cnt").desc, col("label").asc)
     var round = 1
     var done = false
     while (round <= rounds && !done) {
       val votes = e.join(labels.withColumnRenamed("node", "s"), "s")
         .select(col("d").as("node"), col("label"))
         .union(labels)
+      // per-node argmax as a second AGGREGATE, not a window (round 10,
+      // guide §2.4/§4): min(struct(-cnt, label)) realizes the identical
+      // (cnt DESC, label ASC) total order — struct comparison is
+      // field-lexicographic and Spark string order is bytewise, the same
+      // order the row_number window sorted by — but the aggregate is
+      // map-side combined, whole-stage-codegen'd, and skips the window's
+      // per-node sort (WindowExec is not codegen'd). Plan: Sort+Window →
+      // partial/final HashAggregate; one exchange either way.
       val next = votes
         .groupBy("node", "label").agg(count(lit(1)).as("__cnt"))
-        .withColumn("__rn", row_number().over(byVote))
-        .filter(col("__rn") === 1).select("node", "label")
+        .groupBy("node").agg(min(struct((-col("__cnt")).as("nc"),
+          col("label").as("label"))).as("__best"))
+        .select(col("node"), col("__best.label").as("label"))
         .localCheckpoint(true)
       // fixpoint: a round that changes nothing leaves every later
       // round identical (the vote inputs are a pure function of the

@@ -71,14 +71,17 @@ object Bpe {
     filter(split(seg, "\\|"), x => x =!= "")
 
   /** Adjacent (left + " " + right) pairs of a wrapped segmentation;
-    * empty array for single-token words. */
-  private def segPairs(seg: Column): Column = {
-    val toks = segTokens(seg)
-    when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * empty array for single-token words. The token array is bound ONCE
+    * per row ([[graft.text.TextFunctions.bindOnce]]): referencing the
+    * split+filter subtree inside the per-pair lambda re-evaluated it per
+    * element — O(pieces²) string work per word per fit round, in the
+    * hottest loop of [[fitBpe]]. */
+  private def segPairs(seg: Column): Column =
+    graft.text.TextFunctions.bindOnce(segTokens(seg), toks =>
+      when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>")))
 
   /** Greedy application of one merge to a wrapped segmentation. */
   private def applyMerge(seg: Column, l: String, r: String): Column =

@@ -696,10 +696,12 @@ object Corpus {
       blocked.select(lower(col(blockedCol)).as("__blocked")).distinct())
     // all dot-suffixes of the domain: slice(parts, i, n) for i = 1..n
     // (null domain → empty array, or sequence(1, -1) would throw)
-    val parts = split(dom, "\\.")
+    // parts bound once per row (TextFunctions.bindOnce): the split would
+    // otherwise re-run per suffix element inside the lambda
     val sufs = when(dom.isNull, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(parts)),
-        i => array_join(slice(parts, i, size(parts)), ".")))
+      .otherwise(graft.text.TextFunctions.bindOnce(split(dom, "\\."),
+        parts => transform(sequence(lit(1), size(parts)),
+          i => array_join(slice(parts, i, size(parts)), "."))))
     val hits = df
       .select(col(idCol), explode(sufs).as("__suf"))
       .join(b, col("__suf") === col("__blocked"), "left_semi")

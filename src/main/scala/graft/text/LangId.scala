@@ -41,14 +41,17 @@ object LangId {
 
   /** Character n-grams of `lower(c)` as an array column; empty array when
     * the text is shorter than `n` (a bare `sequence(1, len-n+1)` would
-    * otherwise count DOWN and fabricate grams). */
-  def charGrams(c: Column, n: Int): Column = {
-    val lc = lower(c)
-    when(length(lc) >= n,
-      transform(sequence(lit(1), length(lc) - (n - 1)),
-        i => lc.substr(i, lit(n))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * otherwise count DOWN and fabricate grams). `lower(c)` is bound ONCE
+    * per row via [[TextFunctions.bindOnce]]: referenced directly inside
+    * the per-gram lambda it re-evaluates per element — O(len²) character
+    * work per document (guide §1.2 per-task work; measured in round 10 on
+    * the q_langid family). */
+  def charGrams(c: Column, n: Int): Column =
+    graft.text.TextFunctions.bindOnce(lower(c), lc =>
+      when(length(lc) >= n,
+        transform(sequence(lit(1), length(lc) - (n - 1)),
+          i => lc.substr(i, lit(n))))
+        .otherwise(array().cast("array<string>")))
 
   /** Fit per-language profiles: the `topK` most frequent character
     * `n`-grams per language over the labeled corpus (ties broken by gram

@@ -11,6 +11,19 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Evaluate `c` ONCE per row and hand it to `f` as a bound variable: a
+    * single-element `transform` binds the computed value to a lambda
+    * variable, so `f`'s body can reference it many times — or per element
+    * of a nested higher-order function — without re-evaluating the
+    * subtree. A lambda body that references a COMPUTED subtree (not a
+    * plain attribute) re-evaluates it per element: trigrams over
+    * `lower(text)` were O(len²) character work per row before binding
+    * (round-10 measurement: q_langid 5.5 s → scan-bound after). Free at
+    * plan level — higher-order functions are interpreted either way, and
+    * the wrapper adds one 1-element array per row. */
+  def bindOnce(c: Column, f: Column => Column): Column =
+    element_at(transform(array(c), x => f(x)), 1)
+
   /** Whitespace tokens of the raw text (empty string → one empty token,
     * matching `str.split` / `regexp_split_to_array` behavior). */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
