@@ -254,8 +254,14 @@ object Round6Queries {
     "q_cms_joinsize" -> ((s, d) => {
       val li = t(s, d, "lineitem")
         .select(lit("all").as("g"), col("l_partkey"))
+      // materialize the registers ONCE (round 10, guide §2.4): regA and
+      // regB are the same relation, but without the checkpoint the
+      // planner builds it twice — two full corpus scans, each exploding
+      // d=4× with an md5 per row (the before-plan's duplicated subtree
+      // under the self-join). The register relation is ≤ d·w = 262144
+      // rows — checkpoint-sized by construction.
       val reg = Sketches.cmsSketch(li, Seq("g"), "l_partkey",
-        d = 4, w = 65536)
+        d = 4, w = 65536).localCheckpoint(true)
       Sketches.cmsJoinSize(reg, reg, Seq("g"))
     }),
 

@@ -322,11 +322,17 @@ object Graph {
         .localCheckpoint(true)
       // fixpoint: a round that changes nothing leaves every later
       // round identical (the vote inputs are a pure function of the
-      // labeling) — short-circuit like kCore's peeling
-      val changed = next.join(labels.withColumnRenamed("label", "__old"),
-        "node").filter(col("label") =!= col("__old")).count()
+      // labeling) — short-circuit like kCore's peeling. isEmpty stops at
+      // the FIRST changed row (early rounds change thousands — the old
+      // full count evaluated the whole join every round), and the last
+      // round's check is skipped outright: its only consumer is the
+      // loop condition that is about to exit anyway (round 10, guide
+      // §1.2 — don't compute things you throw away)
+      val changed = round < rounds &&
+        !next.join(labels.withColumnRenamed("label", "__old"), "node")
+          .filter(col("label") =!= col("__old")).isEmpty
       labels = next
-      if (changed == 0L) done = true else round += 1
+      if (!changed) done = true else round += 1
     }
     e.unpersist(blocking = false)
     labels.withColumnRenamed("label", "community")

@@ -639,9 +639,9 @@ object Dedup {
     var labels = edges.groupBy(col("a").as("node"))
       .agg(least(min(col("b")), col("a")).as("component"))
       .localCheckpoint(eager = true)
-    var changed = 1L
+    var changed = true
     var it = 0
-    while (changed > 0 && it < maxIter) {
+    while (changed && it < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("node").as("b"),
           col("component").as("__nbr")), "b")
@@ -652,14 +652,17 @@ object Dedup {
           least(col("component"), coalesce(col("__nbr"), col("component")))
             .as("component"))
         .localCheckpoint(eager = true)
-      changed = next
+      // isEmpty stops at the FIRST changed row — non-converged rounds
+      // (the common case) no longer evaluate the whole node-sized join
+      // just to learn "something changed" (round 10, guide §1.2)
+      changed = !next
         .join(labels.select(col("node"), col("component").as("__old")),
           "node")
-        .filter(col("component") =!= col("__old")).count()
+        .filter(col("component") =!= col("__old")).isEmpty
       labels = next
       it += 1
     }
-    if (changed > 0)
+    if (changed)
       log.warn(s"duplicateComponents: not converged after $maxIter rounds " +
         "(a duplicate chain longer than maxIter links); labels are an " +
         "upper bound — raise maxIter")
