@@ -158,6 +158,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // guide §3.1/§9: let the planner pick shuffled-hash over sort-merge
+      // when the per-partition build side fits (AQE partition sizing keeps
+      // build sides bounded) — skips the sort on both join inputs. Scale-
+      // neutral planner preferences, parameterised for A/B
+      // (SPARK_GRAFT_PREFER_SMJ=true restores the Spark default).
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "67108864"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
