@@ -313,7 +313,13 @@ object Bench {
     // multiplexes concurrent job submissions; warmup only needs the JIT/
     // codegen/footer caches touched, not timing isolation.
     {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      // 8 submitter threads (round 10; was 4): warmup is untimed and the
+      // sf0.001 jobs are tiny — on the collapsed-box full run warmup cost
+      // 677 s of the 2700 s budget at 4 threads, budget that phase 4 then
+      // could not spend on stress rows. Spark's scheduler multiplexes
+      // concurrent submissions; 8 keeps 32 cores fed without starving the
+      // driver.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
       def warm(name: String, thunk: () => org.apache.spark.sql.DataFrame)
           : Unit = {
         pool.submit(new Runnable {

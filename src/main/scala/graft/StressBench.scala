@@ -710,6 +710,25 @@ object StressBench {
           .withColumn("value", col("value") + col("__rep") * 0.0001)
           .withColumn("sod", expr("(tsu % 86400000000) div 1000000"))
           .drop("__rep"),
-        "event_id", Seq("value", "sod"), nBins = 32, topN = 100))
+        "event_id", Seq("value", "sod"), nBins = 32, topN = 100)),
+
+    // END-TO-END curation path (VERDICT r9 #6): quality gate (gopher
+    // stats) → exact dedup → DSIR importance scoring → token-budget cut,
+    // composed exactly like q_curation, so the full training-data path —
+    // not just its stages — carries a measured ×scale ratio. Replicas are
+    // byte-identical: the dedup stage faces reps-way duplicate groups
+    // (the worst realistic load) and the surviving volume feeding DSIR
+    // stays ~constant, so the ratio isolates the gate+dedup scaling.
+    "s_curation" -> ((s, d, r) => {
+      val docs = replicate(t(s, d, "documents"), "doc_id", r)
+      val clean = graft.text.TextFunctions
+        .gopherStats(docs, "text", minWords = 40)
+        .filter(col("gopher_keep")).select("doc_id", "text")
+      val deduped = graft.text.Dedup.exact(clean, Seq("text"), "doc_id")
+      graft.text.Corpus.dsirScore(deduped, "text", "doc_id",
+          docs.filter(col("source") === "src0"), "text", buckets = 256)
+        .orderBy(col("dsir_score").desc, col("doc_id")).limit(150)
+        .select(col("doc_id"), col("n_tokens"))
+    })
   )
 }
