@@ -50,12 +50,24 @@ object Pq {
       m: Int = 4, k: Int = 16, iters: Int = 2): PqModel = {
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
     val sub = dim / m
-    val books = (0 until m).map { j =>
-      Cluster.fitQuantized(
-        df.select(col(idCol),
-          slice(col(vecCol), j * sub + 1, sub).as("__sub")),
-        idCol, "__sub", k, iters, sub)
+    // the m subspace fits are INDEPENDENT jobs (separate slices, separate
+    // persisted projections, separate collected centroids) — submit them
+    // from a small thread pool so each fit's job tail back-fills the
+    // others' idle executors (round 10, guide §2.6 overlap independent
+    // jobs). Results are keyed by subspace index, so scheduling order
+    // cannot change the model.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(m, 4))
+    val futs = (0 until m).map { j =>
+      pool.submit(new java.util.concurrent.Callable[Array[Array[Double]]] {
+        def call(): Array[Array[Double]] = Cluster.fitQuantized(
+          df.select(col(idCol),
+            slice(col(vecCol), j * sub + 1, sub).as("__sub")),
+          idCol, "__sub", k, iters, sub)
+      })
     }
+    val books = futs.map(_.get())
+    pool.shutdown()
     PqModel(dim, m, k, books)
   }
 
