@@ -321,8 +321,10 @@ object Plans {
         SparkEntry.queries("q_density_outliers")(spark, d)),
       ("q_communities", "label propagation: rounds ran at build time " +
         "(checkpointed); the residual plan shows the final vote — one " +
-        "edge join, one (node,label) count, a degree-bounded argmax " +
-        "window partitioned by node.",
+        "edge join, one (node,label) count, then the per-node argmax as " +
+        "a second map-side-combined aggregate (min(struct(-cnt,label)), " +
+        "round 10 — the row_number window this replaces paid a per-node " +
+        "sort in a non-codegen WindowExec).",
         SparkEntry.queries("q_communities")(spark, d)),
       ("q_tcloseness", "t-closeness: the m-row value grid broadcasts " +
         "onto the QI group relation; both cumulative passes window over " +
