@@ -4,15 +4,25 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.SparkSession
 
-/** Round-10 optimization evidence tool: dumps `.explain("formatted")` for
-  * named queries to `plans/r10/<query>_<tag>.txt` so before/after plan
-  * claims in OPTIMIZATION_r10.md are checkable without running Spark.
+/** Optimization evidence tool: dumps `.explain("formatted")` for named
+  * queries to `plans/<dir>/<query>_<tag>.txt` so before/after plan
+  * claims in OPTIMIZATION_r*.md are checkable without running Spark.
   *
   * Usage: `sbt "runMain graft.PlanDump <tag> q_a,q_b,..."`
   * (tag is typically `before` or `after`). Data dir from
   * SPARK_GRAFT_SF_DIR (default sf0.1 — the bench scale, so the plans
-  * carry the same AQE-input statistics the bench sees); same session
-  * shape as Bench (local[$SPARK_GRAFT_CPUS], shuffle.partitions=cpus).
+  * carry the same AQE-input statistics the bench sees); output dir from
+  * SPARK_GRAFT_PLANS_DIR (default plans/r11). Session config MIRRORS
+  * Bench/Verify exactly (VERDICT r10 #3: the r10 dumps omitted the SHJ
+  * preference flags, so every "after" dump showed the UN-benched
+  * planner) — including the SPARK_GRAFT_PREFER_SMJ / _SHJ_THRESHOLD
+  * env overrides so A/B plan pairs are possible.
+  *
+  * SPARK_GRAFT_EXECUTED=1 additionally EXECUTES each query through the
+  * bench's noop sink and dumps the post-execution
+  * `queryExecution.executedPlan` as `<query>_<tag>_executed.txt` —
+  * required to see AQE's runtime join-strategy conversions
+  * (AdaptiveSparkPlan only finalizes after execution).
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
@@ -21,16 +31,23 @@ object PlanDump {
       .getOrElse(Seq.empty)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val executed = sys.env.get("SPARK_GRAFT_EXECUTED").contains("1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // the Bench/Verify join-strategy block, verbatim (guide §3.1)
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "67108864"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.util.BoundedWindow.silenceBoundedWindowWarning()
-    val outDir = Paths.get("plans/r10")
+    val outDir = Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "plans/r11"))
     Files.createDirectories(outDir)
     // Internal plans for queries that materialize eagerly (their
     // top-level plan is a localCheckpoint scan stub): the *Plan split
@@ -40,7 +57,13 @@ object PlanDump {
       Files.writeString(outDir.resolve(s"${name}_$tag.txt"),
         df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
-      println(s"[plandump] wrote plans/r10/${name}_$tag.txt")
+      println(s"[plandump] wrote $outDir/${name}_$tag.txt")
+      if (executed) {
+        df.write.format("noop").mode("overwrite").save()
+        Files.writeString(outDir.resolve(s"${name}_${tag}_executed.txt"),
+          df.queryExecution.executedPlan.toString)
+        println(s"[plandump] wrote $outDir/${name}_${tag}_executed.txt")
+      }
     }
     if (names.contains("internal_quantile_norm")) {
       import org.apache.spark.sql.functions._
@@ -75,7 +98,14 @@ object PlanDump {
             val plan = df.queryExecution.explainString(
               org.apache.spark.sql.execution.FormattedMode)
             Files.writeString(outDir.resolve(s"${name}_$tag.txt"), plan)
-            println(s"[plandump] wrote plans/r10/${name}_$tag.txt")
+            println(s"[plandump] wrote $outDir/${name}_$tag.txt")
+            if (executed) {
+              df.write.format("noop").mode("overwrite").save()
+              Files.writeString(
+                outDir.resolve(s"${name}_${tag}_executed.txt"),
+                df.queryExecution.executedPlan.toString)
+              println(s"[plandump] wrote $outDir/${name}_${tag}_executed.txt")
+            }
           } catch { case e: Throwable =>
             System.err.println(s"[plandump] $name failed: ${e.getMessage}")
           }

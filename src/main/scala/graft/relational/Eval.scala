@@ -1478,7 +1478,12 @@ object Eval {
       .withColumn("__lab", when(g === groupA, 1L).otherwise(0L))
     val (withBelow, counts) = scoreBelowCounts(labeled, valueCol,
       "__lab", maxDistinctBroadcast)
-    val totals = withBelow.agg(sum("__p").as("__na"),
+    // totals aggregate the PERSISTED counts relation, not withBelow —
+    // aggregating withBelow re-evaluated the entire cumulative engine
+    // (binned path: bounds + windows + offsets join) a second time just
+    // to sum columns the cumulative never changes (round 11, guide
+    // §1.2; prAuc already did this right)
+    val totals = counts.agg(sum("__p").as("__na"),
       sum("__q").as("__nb"))
     val naD = col("__na").cast("double")
     val nbD = col("__nb").cast("double")

@@ -67,7 +67,19 @@ object Geo {
   def distanceJoin(points: DataFrame, idCol: String, latCdegCol: String,
       lonCdegCol: String, radiusCdeg: Int): DataFrame = {
     require(radiusCdeg >= 1, s"radius must be >= 1 cdeg, got $radiusCdeg")
-    val offsets = array((for { dy <- -1 to 1; dx <- -1 to 1 }
+    // HALF-neighborhood explode (round 11, guide §2.3 — shuffle fewer
+    // bytes): the plane-sweep offsets {(0,0),(0,1),(1,-1),(1,0),(1,1)}
+    // pick exactly one of each opposite-offset pair, so every adjacent
+    // cell pair is probed from exactly ONE side — 5 exploded rows per
+    // point instead of the full 3×3's 9. Cross-cell candidate pairs then
+    // arrive in arbitrary role order and are normalized to id_a < id_b
+    // AFTER the join; same-cell pairs (the (0,0) offset) still arrive
+    // twice and keep the id_a < id_b filter. Output is bit-identical to
+    // the full-neighborhood version: each unordered pair is still
+    // produced exactly once, and the emitted distance columns are
+    // computed with the smaller-id point first, exactly as before.
+    val offsets = array((for { dy <- 0 to 1; dx <- -1 to 1
+        if dy == 1 || dx >= 0 }
       yield struct(lit(dy).as("dy"), lit(dx).as("dx"))): _*)
     val left = points.select(
         col(idCol).as("id_a"), col(latCdegCol).cast("long").as("__lat_a"),
@@ -78,6 +90,7 @@ object Geo {
         explode(offsets).as("__o"),
         col("__cy"), col("__cx"))
       .select(col("id_a"), col("__lat_a"), col("__lon_a"),
+        (col("__o.dy") === 0 && col("__o.dx") === 0).as("__self"),
         (col("__cy") + col("__o.dy")).as("__cy"),
         (col("__cx") + col("__o.dx")).as("__cx"))
     val right = points.select(
@@ -87,13 +100,25 @@ object Geo {
       cell(col(lonCdegCol), radiusCdeg).as("__cx"))
     val dy = col("__lat_a") - col("__lat_b")
     val dx = col("__lon_a") - col("__lon_b")
+    val aFirst = col("id_a") < col("id_b")
+    // the radius test on raw (a,b) equals the normalized test exactly:
+    // IEEE long subtraction negates exactly and squaring kills the sign
+    def sel(first: Column, second: Column) =
+      when(aFirst, first).otherwise(second)
+    val lat1 = sel(col("__lat_a"), col("__lat_b"))
+    val lon1 = sel(col("__lon_a"), col("__lon_b"))
+    val lat2 = sel(col("__lat_b"), col("__lat_a"))
+    val lon2 = sel(col("__lon_b"), col("__lon_a"))
+    val d1 = lat1 - lat2
+    val d2 = lon1 - lon2
     left.join(right, Seq("__cy", "__cx"))
-      .filter(col("id_a") < col("id_b"))
+      .filter(!col("__self") || aFirst)
       .filter(dy * dy + dx * dx <= lit(radiusCdeg.toLong * radiusCdeg))
-      .select(col("id_a"), col("id_b"),
-        (dy * dy + dx * dx).as("dist_cdeg2"),
-        round(haversineKm(col("__lat_a"), col("__lon_a"),
-          col("__lat_b"), col("__lon_b")), 6).as("haversine_km"))
+      .select(
+        sel(col("id_a"), col("id_b")).as("id_a"),
+        sel(col("id_b"), col("id_a")).as("id_b"),
+        (d1 * d1 + d2 * d2).as("dist_cdeg2"),
+        round(haversineKm(lat1, lon1, lat2, lon2), 6).as("haversine_km"))
   }
 
   /** Grid DBSCAN (Ester et al. 1996, with deterministic labels): core
@@ -175,22 +200,30 @@ object Geo {
     require(radiusCdeg >= 1, s"radius must be >= 1 cdeg, got $radiusCdeg")
     val offsets = array((for { dy <- -1 to 1; dx <- -1 to 1 }
       yield struct(lit(dy).as("dy"), lit(dx).as("dx"))): _*)
+    // the 3×3 explode moved to the SITES side (round 11, guide §2.3 —
+    // shuffle fewer bytes): cell adjacency is symmetric, so "point's
+    // neighborhood covers site's home cell" ≡ "site's neighborhood
+    // covers point's home cell" — the candidate set is identical, but
+    // sites (warehouses, hubs) are typically orders of magnitude fewer
+    // than points, so 9× the SMALL side crosses the exchange instead of
+    // 9× the corpus (and AQE can broadcast the exploded site relation
+    // outright when it fits)
     val left = points.select(
-        col(idCol), col(latCdegCol).cast("long").as("__lat_a"),
-        col(lonCdegCol).cast("long").as("__lon_a"),
-        cell(col(latCdegCol), radiusCdeg).as("__cy"),
-        cell(col(lonCdegCol), radiusCdeg).as("__cx"))
-      .select(col(idCol), col("__lat_a"), col("__lon_a"),
-        explode(offsets).as("__o"), col("__cy"), col("__cx"))
-      .select(col(idCol), col("__lat_a"), col("__lon_a"),
-        (col("__cy") + col("__o.dy")).as("__cy"),
-        (col("__cx") + col("__o.dx")).as("__cx"))
-    val right = sites.select(
-      col(siteIdCol).as("__site"),
-      col(latCdegCol).cast("long").as("__lat_b"),
-      col(lonCdegCol).cast("long").as("__lon_b"),
+      col(idCol), col(latCdegCol).cast("long").as("__lat_a"),
+      col(lonCdegCol).cast("long").as("__lon_a"),
       cell(col(latCdegCol), radiusCdeg).as("__cy"),
       cell(col(lonCdegCol), radiusCdeg).as("__cx"))
+    val right = sites.select(
+        col(siteIdCol).as("__site"),
+        col(latCdegCol).cast("long").as("__lat_b"),
+        col(lonCdegCol).cast("long").as("__lon_b"),
+        cell(col(latCdegCol), radiusCdeg).as("__cy"),
+        cell(col(lonCdegCol), radiusCdeg).as("__cx"))
+      .select(col("__site"), col("__lat_b"), col("__lon_b"),
+        explode(offsets).as("__o"), col("__cy"), col("__cx"))
+      .select(col("__site"), col("__lat_b"), col("__lon_b"),
+        (col("__cy") + col("__o.dy")).as("__cy"),
+        (col("__cx") + col("__o.dx")).as("__cx"))
     val dy = col("__lat_a") - col("__lat_b")
     val dx = col("__lon_a") - col("__lon_b")
     left.join(right, Seq("__cy", "__cx"))

@@ -69,7 +69,12 @@ object Graph {
       // old per-round anti-join into a filter over the rank relation
       val dang = r.filter(!col("__hasout"))
         .agg(coalesce(sum("rank"), lit(0L)).as("__dang"))
-      val contrib = e.join(r.select(col("node").as("src"), col("rank")),
+      // rank side broadcast when the EXACT node count (already in hand)
+      // fits (round 11, guide §2.4/§3.1): the persisted edge relation is
+      // then never re-shuffled per round — the only remaining exchange
+      // is the map-side-combined dst aggregate
+      val contrib = e.join(graft.util.Joins.maybeBroadcast(
+          r.select(col("node").as("src"), col("rank")), n),
           "src")
         .select(col("dst").as("node"),
           expr("(85 * ((rank * w) div ow)) div 100").as("__c"))
@@ -146,18 +151,29 @@ object Graph {
         .cast("string").as("node")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint(true)
     var frontier = visited.select("node")
+    // frontier/visited counts are exact and carried incrementally, so
+    // the per-round joins broadcast the node-sized side when it fits
+    // (round 11, guide §2.4/§3.1) — the persisted edge relation is then
+    // never shuffled; the count replaces the old isEmpty check (same
+    // one action per round over the checkpointed frontier)
+    var nFrontier = visited.count()
+    var nVisited = nFrontier
     var hop = 1
     var done = false
     while (hop <= maxHops && !done) {
-      frontier = e.join(frontier.withColumnRenamed("node", "src"), "src")
+      frontier = e.join(graft.util.Joins.maybeBroadcast(
+          frontier.withColumnRenamed("node", "src"), nFrontier), "src")
         .select(col("dst").as("node")).distinct()
-        .join(visited, Seq("node"), "left_anti")
+        .join(graft.util.Joins.maybeBroadcast(visited, nVisited),
+          Seq("node"), "left_anti")
         .localCheckpoint(true)
-      if (frontier.isEmpty) done = true
+      nFrontier = frontier.count()
+      if (nFrontier == 0L) done = true
       else {
         visited = visited
           .union(frontier.withColumn("dist", lit(hop.toLong)))
           .localCheckpoint(true)
+        nVisited += nFrontier
         hop += 1
       }
     }
@@ -215,9 +231,15 @@ object Graph {
     val e = dir.union(dir.select(col("d").as("s"), col("s").as("d")))
       .filter(col("s") =!= col("d")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    def coreDegrees(active: DataFrame): DataFrame =
-      e.join(active.withColumnRenamed("node", "s"), "s")
-        .join(active.withColumnRenamed("node", "d"), "d")
+    // active side broadcast into BOTH joins when the EXACT count from
+    // the round's own convergence check fits (round 11, guide
+    // §2.4/§3.1): the persisted edge relation is then never re-shuffled
+    // per round — only the node-sized degree aggregate exchanges
+    def coreDegrees(active: DataFrame, nActive: Long): DataFrame =
+      e.join(graft.util.Joins.maybeBroadcast(
+          active.withColumnRenamed("node", "s"), nActive), "s")
+        .join(graft.util.Joins.maybeBroadcast(
+          active.withColumnRenamed("node", "d"), nActive), "d")
         .groupBy(col("s").as("node")).agg(count(lit(1)).as("deg"))
     var active = e.select(col("s").as("node")).distinct()
       .localCheckpoint(true)
@@ -225,7 +247,7 @@ object Graph {
     var round = 1
     var done = nActive == 0L
     while (round <= maxRounds && !done) {
-      val next = coreDegrees(active).filter(col("deg") >= k)
+      val next = coreDegrees(active, nActive).filter(col("deg") >= k)
         .select("node").localCheckpoint(true)
       val m = next.count()
       if (m == nActive) done = true // fixpoint: further rounds identical
@@ -235,7 +257,7 @@ object Graph {
     // unpersisting first hands back a lazy plan that recomputes the
     // union+distinct from raw edges on first action (ADVICE r6); the
     // output is node-sized, so the eager checkpoint is cheap
-    val out = coreDegrees(active).localCheckpoint(eager = true)
+    val out = coreDegrees(active, nActive).localCheckpoint(eager = true)
     e.unpersist(blocking = false)
     out
   }
@@ -300,10 +322,17 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = e.select(col("s").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint(true)
+    // every node keeps exactly one label, so the relation's cardinality
+    // is the node count, constant across rounds — count it ONCE and
+    // broadcast the label side into the per-round edge join when it
+    // fits (round 11, guide §2.4/§3.1): the persisted edge relation is
+    // then never re-shuffled; the vote aggregate is the only exchange
+    val nNodes = labels.count()
     var round = 1
     var done = false
     while (round <= rounds && !done) {
-      val votes = e.join(labels.withColumnRenamed("node", "s"), "s")
+      val votes = e.join(graft.util.Joins.maybeBroadcast(
+          labels.withColumnRenamed("node", "s"), nNodes), "s")
         .select(col("d").as("node"), col("label"))
         .union(labels)
       // per-node argmax as a second AGGREGATE, not a window (round 10,
@@ -329,7 +358,8 @@ object Graph {
       // loop condition that is about to exit anyway (round 10, guide
       // §1.2 — don't compute things you throw away)
       val changed = round < rounds &&
-        !next.join(labels.withColumnRenamed("label", "__old"), "node")
+        !next.join(graft.util.Joins.maybeBroadcast(
+            labels.withColumnRenamed("label", "__old"), nNodes), "node")
           .filter(col("label") =!= col("__old")).isEmpty
       labels = next
       if (!changed) done = true else round += 1

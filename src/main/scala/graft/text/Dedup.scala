@@ -639,12 +639,18 @@ object Dedup {
     var labels = edges.groupBy(col("a").as("node"))
       .agg(least(min(col("b")), col("a")).as("component"))
       .localCheckpoint(eager = true)
+    // one label per node, constant cardinality across rounds — count
+    // ONCE and broadcast the label side into the per-round edge join
+    // when it fits (round 11, guide §2.4/§3.1): the persisted edge
+    // relation is then never re-shuffled per round
+    val nNodes = labels.count()
     var changed = true
     var it = 0
     while (changed && it < maxIter) {
       val nbrMin = edges
-        .join(labels.select(col("node").as("b"),
-          col("component").as("__nbr")), "b")
+        .join(graft.util.Joins.maybeBroadcast(
+          labels.select(col("node").as("b"),
+            col("component").as("__nbr")), nNodes), "b")
         .groupBy(col("a").as("node")).agg(min("__nbr").as("__nbr"))
       val next = labels
         .join(nbrMin, Seq("node"), "left")
