@@ -313,13 +313,15 @@ object Bench {
     // multiplexes concurrent job submissions; warmup only needs the JIT/
     // codegen/footer caches touched, not timing isolation.
     {
-      // 8 submitter threads (round 10; was 4): warmup is untimed and the
-      // sf0.001 jobs are tiny — on the collapsed-box full run warmup cost
-      // 677 s of the 2700 s budget at 4 threads, budget that phase 4 then
-      // could not spend on stress rows. Spark's scheduler multiplexes
-      // concurrent submissions; 8 keeps 32 cores fed without starving the
-      // driver.
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      // submitter threads scale with the core count, capped at 16
+      // (round 11; was fixed 8 in round 10, 4 before): warmup is untimed
+      // and the sf0.001 jobs are tiny, so on 32 cores the 8-thread pool
+      // still left cores idle — VERDICT r10 #4 counts warmup (406 s of
+      // the 2516 s official budget) as the phase squeezing out the
+      // second main iteration. Spark's scheduler multiplexes concurrent
+      // submissions; the floor of 8 keeps small-core boxes unchanged.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(8, math.min(16, probeThreads)))
       def warm(name: String, thunk: () => org.apache.spark.sql.DataFrame)
           : Unit = {
         pool.submit(new Runnable {

@@ -89,6 +89,24 @@ object PlanDump {
           col("label").as("label"))).as("__best"))
         .select(col("node"), col("__best.label").as("label")))
     }
+    // BPE deep-encode codegen probe (VERDICT r10 #8): encodeBpe compiles
+    // the whole merge table into nested replace expressions — dump the
+    // executed plan at several merge depths and TIME the encode, so
+    // SCALE.md can record where whole-stage codegen gives up (64 KB
+    // method limit → interpreted fallback) and what it costs. Synthetic
+    // non-matching merges keep the expression tree shape and depth of a
+    // real table without needing a 4096-round fit.
+    names.filter(_.startsWith("internal_bpe_encode_")).foreach { name =>
+      val n = name.stripPrefix("internal_bpe_encode_").toInt
+      val merges = (1 to n).map(i =>
+        graft.text.Bpe.Merge(i, s"q$i", s"z$i", 1L))
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val df = graft.text.Bpe.encodeBpe(docs, "text", "doc_id", merges)
+      val t0 = System.nanoTime()
+      writeInternal(name, df)
+      println(f"[plandump] $name encode+dump took " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s (merges=$n)")
+    }
     names.foreach { name =>
       SparkEntry.queries.get(name) match {
         case None => System.err.println(s"[plandump] unknown query: $name")

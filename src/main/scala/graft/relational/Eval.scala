@@ -1560,9 +1560,16 @@ object Eval {
       maxDistinctBroadcast)
       .select(col("__s").as("__vb"),
         (col("__below___c") + col("__c")).as("__cumb"))
-    val aTot = aBelow.agg(sum("__ca").as("__na"))
-    // max inclusive cumulative == the target side's total row count
-    val bTot = bCum.agg(max(col("__cumb")).as("__nb"))
+    // totals aggregate the PERSISTED per-side counts, not the cumulative
+    // outputs — aggregating aBelow/bCum re-evaluated the entire
+    // cumulative engine a second time per side just to reach numbers
+    // the counts already hold: Σ__ca over aBelow ≡ Σ__c over aCounts,
+    // and max inclusive cumulative over bCum ≡ the target side's total
+    // row count ≡ Σ__c over bCounts (round 11, guide §1.2 — the ksExact
+    // totals fix applied to both sides here; 4 cumulative evaluations
+    // per run → 2)
+    val aTot = aCounts.agg(sum("__c").as("__na"))
+    val bTot = bCounts.agg(sum("__c").as("__nb"))
     val w = greatest(lit(1L),
       ceil(col("__na").cast("double") / 4096.0).cast("long"))
     val aExploded = aBelow.crossJoin(broadcast(aTot))

@@ -1210,6 +1210,11 @@ object Relational {
       .filter(col("a") < col("b"))
       // free prefilter BEFORE the distinct and the levenshtein verify:
       // |len(a) − len(b)| > 1 cannot be within edit distance 1
+      // (round 11 note: moving the levenshtein verify before the
+      // distinct was tried and MEASURED SLOWER — distinct's partial
+      // aggregation already dedups witnesses map-side before the
+      // exchange, so the reorder only multiplied levenshtein
+      // evaluations by the witness count; kept verify-after-distinct)
       .filter(abs(length(col("a")) - length(col("b"))) <= 1)
       .select("a", "b").distinct()
       .filter(levenshtein(col("a"), col("b")) <= 1)
@@ -1292,6 +1297,9 @@ object Relational {
     val result = la.join(okV, Seq("__v")).join(rb, Seq("__v"))
       // free prefilter BEFORE the distinct and the levenshtein verify:
       // |len(a) − len(b)| > maxDist cannot be within maxDist
+      // (round 11 note: verify-before-distinct measured slower — see
+      // editDistancePairs above; distinct's partial aggregation already
+      // dedups witnesses map-side, so the candidate exchange is small)
       .filter(abs(length(col("a")) - length(col("b"))) <= maxDist)
       .select("a", "b").distinct()
       .withColumn("dist", levenshtein(col("a"), col("b")))

@@ -42,67 +42,46 @@ object Subword {
     require(maxLen >= 1, s"need maxLen >= 1, got $maxLen")
     val w = col("__w")
     val allWords = df.select(explode(words(textCol)).as("__w"))
-    // PACKED gram keys (round 11, guide §2.3 narrower types / §1.2
-    // per-task work — the round-10 deferred lever): the corpus-sized
-    // hash aggregate keys on (len, bits) long pairs instead of gram
-    // STRINGS. Codepoints are extracted once per word; each gram of a
-    // BMP-only word (maxLen ≤ 4 ⇒ ≤ 4 codepoints × 16 bits) packs its
-    // codepoints base-65536 into one long via shiftleft (bitwise — no
-    // ANSI overflow; l = 4 uses the full 64 bits, two's-complement wrap
-    // is still a bijection per length). Fixed-width keys hash/compare
-    // without touching variable-length bytes and shrink the partial-map
-    // state and shuffle rows to 16 bytes + count. Words with any
-    // supplementary (> 0xFFFF) codepoint — or maxLen > 4, where grams
-    // exceed 64 bits — keep the exact string path; a BMP gram that also
-    // occurs inside such a word is counted on BOTH paths, so the two
-    // count relations are re-aggregated after the packed side decodes
-    // its keys (distinct-gram-sized — off the corpus hot path).
-    // Decoding inverts packing exactly: the base-65536 digits ARE the
-    // gram's UTF-16BE code units (BMP ⇒ one unit per codepoint; valid
-    // UTF-8 input has no lone surrogates), so
-    // decode(unhex(lpad(hex(bits))), 'UTF-16BE') reproduces the piece
-    // bit-for-bit. Results are pinned by the q_subword_vocab /
+    // BINARY gram extraction for ASCII words (round 11, guide §1.2
+    // per-task work — the round-10 deferred "packed keys" lever,
+    // REDESIGNED after measurement): a string `substr(s, l)` must SCAN
+    // the UTF-8 bytes from position 0 to find codepoint boundaries, so
+    // the per-word gram explode cost O(Σ s+l) = O(len²) byte scanning;
+    // on a `binary` column the same substr is a direct O(l) byte-offset
+    // copy. Words whose byte count equals their char count are pure
+    // ASCII — byte positions ARE char positions — so their grams are cut
+    // from the binary form and decoded back to strings only AFTER the
+    // count aggregate (distinct-gram-sized, off the corpus hot path;
+    // decode(…, 'UTF-8') of a byte-slice of ASCII is bit-exact).
+    // Non-ASCII words keep the exact string path; an ASCII gram that
+    // also occurs inside a non-ASCII word is counted on both paths, so
+    // the two relations re-aggregate by piece. (A first cut packed
+    // grams into (len, bits) longs via per-gram slice+aggregate
+    // lambdas — measured 2–2.5× SLOWER at sf0.1: higher-order-function
+    // packing is interpreted and cost more per gram than the
+    // fixed-width-key savings returned. This variant strictly reduces
+    // per-gram work instead.) Results pinned by the q_subword_vocab /
     // q_subword oracles.
-    val counted: DataFrame = if (maxLen <= 4) {
-      val cp = col("__cp")
-      // `size` the function is shadowed by the `size` parameter here
-      val nCp = org.apache.spark.sql.functions.size(cp)
-      val withCp = allWords.select(w,
-        transform(sequence(lit(1), length(w)),
-          i => ascii(w.substr(i, lit(1)))).as("__cp"))
-      val bmp = array_max(cp) <= lit(65535)
-      val packed = withCp.filter(bmp)
-        .select(explode(flatten(transform(
-          sequence(lit(1), nCp),
-          s => transform(
-            sequence(lit(1), least(lit(maxLen), nCp - s + lit(1))),
-            l => struct(l.cast("long").as("l"),
-              aggregate(slice(cp, s, l), lit(0L),
-                (acc, c) => shiftleft(acc, 16) + c).as("v"))))))
-          .as("__g"))
-        .groupBy(col("__g.l").as("__l"), col("__g.v").as("__v"))
-        .agg(count(lit(1)).as("__c"))
-        .select(expr("decode(unhex(lpad(hex(__v), " +
-          "cast(__l * 4 as int), '0')), 'UTF-16BE')").as("piece"),
-          col("__c"))
-      val strings = withCp.filter(!bmp)
-        .select(explode(flatten(transform(
-          sequence(lit(1), length(w)),
-          s => transform(
-            sequence(lit(1), least(lit(maxLen), length(w) - s + lit(1))),
-            l => w.substr(s, l))))).as("piece"))
-        .groupBy("piece").agg(count(lit(1)).as("__c"))
-      packed.unionByName(strings)
-        .groupBy("piece").agg(sum("__c").as("n_occurrences"))
-    } else {
-      allWords.select(explode(flatten(transform(
-          sequence(lit(1), length(w)),
-          s => transform(
-            sequence(lit(1), least(lit(maxLen), length(w) - s + lit(1))),
-            l => w.substr(s, l))))).as("piece"))
-        .groupBy("piece").agg(count(lit(1)).as("n_occurrences"))
-    }
-    val top = counted
+    val ascii = length(w) === octet_length(w)
+    val wb = col("__wb")
+    val binGrams = allWords.filter(ascii)
+      .select(w.cast("binary").as("__wb"))
+      .select(explode(flatten(transform(
+        sequence(lit(1), length(wb)),
+        s => transform(
+          sequence(lit(1), least(lit(maxLen), length(wb) - s + lit(1))),
+          l => wb.substr(s, l))))).as("__gb"))
+      .groupBy("__gb").agg(count(lit(1)).as("__c"))
+      .select(expr("decode(__gb, 'UTF-8')").as("piece"), col("__c"))
+    val strGrams = allWords.filter(!ascii)
+      .select(explode(flatten(transform(
+        sequence(lit(1), length(w)),
+        s => transform(
+          sequence(lit(1), least(lit(maxLen), length(w) - s + lit(1))),
+          l => w.substr(s, l))))).as("piece"))
+      .groupBy("piece").agg(count(lit(1)).as("__c"))
+    val top = binGrams.unionByName(strGrams)
+      .groupBy("piece").agg(sum("__c").as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("piece").asc)
       .limit(size)
     // ranked AFTER limit(size): ≤ `size` rows — bounded by construction
