@@ -81,7 +81,9 @@ object PlanDump {
           col("l_partkey").cast("string").as("d"))
       val labels = e.select(col("s").as("node")).distinct()
         .withColumn("label", col("node")).localCheckpoint(true)
-      val votes = e.join(labels.withColumnRenamed("node", "s"), "s")
+      // counted broadcast gating, exactly as the round-11 loop body
+      val votes = e.join(graft.util.Joins.maybeBroadcast(
+          labels.withColumnRenamed("node", "s"), labels.count()), "s")
         .select(col("d").as("node"), col("label")).union(labels)
       writeInternal("internal_lpa_vote", votes
         .groupBy("node", "label").agg(count(lit(1)).as("__cnt"))
@@ -98,14 +100,34 @@ object PlanDump {
     // real table without needing a 4096-round fit.
     names.filter(_.startsWith("internal_bpe_encode_")).foreach { name =>
       val n = name.stripPrefix("internal_bpe_encode_").toInt
-      val merges = (1 to n).map(i =>
-        graft.text.Bpe.Merge(i, s"q$i", s"z$i", 1L))
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      val df = graft.text.Bpe.encodeBpe(docs, "text", "doc_id", merges)
-      val t0 = System.nanoTime()
-      writeInternal(name, df)
-      println(f"[plandump] $name encode+dump took " +
-        f"${(System.nanoTime() - t0) / 1e9}%.2f s (merges=$n)")
+      // the probe body runs on a dedicated 512 MB-stack thread: the
+      // Column-tree → Catalyst expression conversion recurses once per
+      // nested replace, and ≥512 merges overflow the default JVM thread
+      // stack BEFORE any plan exists — that driver-side recursion, not
+      // the codegen method limit, is the first deep-merge ceiling (the
+      // measured SCALE.md finding this probe exists to produce)
+      val body: Runnable = () => {
+        val merges = (1 to n).map(i =>
+          graft.text.Bpe.Merge(i, s"q$i", s"z$i", 1L))
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val df = graft.text.Bpe.encodeBpe(docs, "text", "doc_id", merges)
+        val t0 = System.nanoTime()
+        writeInternal(name, df)
+        println(f"[plandump] $name encode+dump took " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s (merges=$n)")
+      }
+      val th = new Thread(null, body, s"bpe-probe-$n", 512L * 1024 * 1024)
+      var err: Option[Throwable] = None
+      th.setUncaughtExceptionHandler((_, e) => err = Some(e))
+      th.start(); th.join()
+      err.foreach { e =>
+        val chain = Iterator.iterate(e: Throwable)(_.getCause)
+          .takeWhile(_ != null).take(6)
+          .map(t => t.getClass.getSimpleName + ": " +
+            Option(t.getMessage).getOrElse("").take(200))
+          .mkString(" <- ")
+        println(s"[plandump] $name FAILED: $chain")
+      }
     }
     names.foreach { name =>
       SparkEntry.queries.get(name) match {
