@@ -289,10 +289,11 @@ object Plans {
         "re-shuffled.",
         SparkEntry.queries("q_join_maintain")(spark, d)),
       ("q_geo_join", "grid distance self-join: ONE equi-join on the " +
-        "(cell_lat, cell_lon) key after a constant 9x neighbor " +
-        "explode — no cartesian, no nested loop, no distinct; the " +
-        "exact integer predicate verifies candidates in the join's " +
-        "output projection.",
+        "(cell_lat, cell_lon) key after a constant 5x half-" +
+        "neighborhood explode (plane-sweep offsets — each unordered " +
+        "pair probed from exactly one side) — no cartesian, no nested " +
+        "loop, no distinct; the exact integer predicate verifies " +
+        "candidates in the join's output projection.",
         SparkEntry.queries("q_geo_join")(spark, d)),
       ("q_best_split", "decision stumps: one (feature, value) count " +
         "aggregate over the unioned feature scans, cumulative windows " +

@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   * Index: points snap to an integer lat/lon grid cell sized so that any
   * two points within the radius differ by at most one cell in each
   * axis; candidates come from ONE equi-join after exploding each left
-  * point to its 3×3 neighborhood (9 rows — constant fan-out, the
-  * interval-join trick in 2-D); the exact distance predicate then
-  * verifies candidates only. Nothing ever compares points from
-  * non-adjacent cells.
+  * point to a constant-fan-out cell neighborhood (the interval-join
+  * trick in 2-D — the self-join explodes a 5-cell plane-sweep HALF
+  * neighborhood, round 11; nearestSite explodes the sites side's full
+  * 3×3); the exact distance predicate then verifies candidates only.
+  * Nothing ever compares points from non-adjacent cells.
   *
   * 100-TB shape: the join is a plain equi-join on (cell_lat, cell_lon)
   * — Spark shuffles both sides by cell (AQE handles skew; a dense city
@@ -60,10 +61,11 @@ object Geo {
     * id_a < id_b, haversine rounded 6 dp.
     *
     * Cell size = radius (in centidegrees), so matching pairs are always
-    * in the same or an adjacent cell; the left side explodes to its 3×3
-    * neighborhood and equi-joins the right side's home cell. Each
-    * candidate pair is produced EXACTLY once (by the neighbor offset
-    * equal to the cells' difference) — no distinct needed. */
+    * in the same or an adjacent cell; the left side explodes to a
+    * plane-sweep HALF neighborhood (5 cells) and equi-joins the right
+    * side's home cell. Each candidate pair is produced EXACTLY once (by
+    * the single offset of the pair's cell difference that the half
+    * neighborhood keeps) — no distinct needed. */
   def distanceJoin(points: DataFrame, idCol: String, latCdegCol: String,
       lonCdegCol: String, radiusCdeg: Int): DataFrame = {
     require(radiusCdeg >= 1, s"radius must be >= 1 cdeg, got $radiusCdeg")

@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   * sampling, packing, and contamination windows, so this is north-star
   * surface like the rest of graft.text.
   *
-  * Shape at 100 TB: [[fitVocab]] is the only shuffle — one count aggregate
-  * whose map side combines grams per partition, so the exchange carries
-  * DISTINCT grams (bounded by alphabet^maxLen in the worst case, far less
-  * in practice), then a global top-`size` planned as
-  * TakeOrderedAndProject. [[encode]] ships the ≤`size`-piece vocabulary
+  * Shape at 100 TB: [[fitVocab]]'s corpus-sized work is one count
+  * aggregate per extraction path (binary-sliced ASCII words + string
+  * fallback, round 11) whose map sides combine grams per partition, so
+  * each exchange carries DISTINCT grams (bounded by alphabet^maxLen in
+  * the worst case, far less in practice); the paths merge in a
+  * distinct-gram-sized re-aggregate, then a global top-`size` planned
+  * as TakeOrderedAndProject. [[encode]] ships the ≤`size`-piece vocabulary
   * inside the plan (a HashSet reference in one codegen'd expression —
   * [[graft.functions.SubwordEncode]]) and runs at scan speed: no join, no
   * shuffle, no per-word allocation beyond the emitted pieces.
